@@ -1,0 +1,4 @@
+"""Operator inventory (SURVEY.md §2). Importing this package registers every
+query into ksql_spark.registry via the @query decorator."""
+
+from ksql_spark.queries import bench  # noqa: F401

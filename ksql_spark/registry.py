@@ -1,0 +1,103 @@
+"""Operator registry — the single source of truth binding each operator key from
+SURVEY.md §2 to (a) its PySpark DataFrame builder and (b) its DuckDB oracle SQL.
+
+`__spark_entry__.py` (the driver contract) is a thin re-export of this registry,
+so a Spark query and its oracle can never drift apart structurally.
+
+Determinism conventions (SURVEY.md §5.2) enforced by convention here:
+  * every computed column is aliased identically in builder and oracle;
+  * double reductions go through `dsum`/`davg` (decimal accumulation → double)
+    so the result is bit-identical regardless of partition/summation order;
+  * top-k queries always break ties on a unique key;
+  * collected arrays are sorted before comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: Optional[str]  # DuckDB ANSI SQL, or None → driver does rows-only check
+    ref: str = ""  # reference citation (file:line in /root/reference or SURVEY §)
+    tags: tuple = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder under `name`."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query key: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            builder=fn,
+            oracle=" ".join(oracle.split()) if oracle else None,
+            ref=ref,
+            tags=tuple(tags),
+        )
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: registration) and return the registry."""
+    import ksql_spark.queries  # noqa: F401  (populates _REGISTRY on import)
+
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Determinism helpers (used by builders; oracle side spells the same math)
+#
+# Plain double summation differs in low bits across partition orders (and vs
+# DuckDB), which breaks the driver's value-hash compare. We accumulate exactly:
+# round each addend to 6 decimal places, scale to a long, sum longs (exact,
+# associative, order-insensitive), then descale as a double. This benches within
+# ~1.5× of a raw double sum (decimal(25,6) accumulation was 5-10× slower).
+#
+# Range note: long accumulation holds |sum| < 9.2e12 at scale=1e6. That covers
+# every driver table by orders of magnitude; a 100 TB production pipeline would
+# use plain double sums (no oracle to match) or two-level decimal aggregation.
+# ---------------------------------------------------------------------------
+
+_SCALE = 1_000_000.0  # 6 decimal places
+
+
+def dsum(col) -> Column:
+    """Order-insensitive double sum via scaled-long accumulation.
+
+    Oracle spelling: CAST(SUM(CAST(round(x * 1000000, 0) AS BIGINT)) AS DOUBLE)
+    / 1000000.0  (sql_dsum emits exactly this).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * F.lit(_SCALE), 0).cast("long")).cast("double") / F.lit(_SCALE)
+
+
+def davg(col) -> Column:
+    """Order-insensitive double mean: exact scaled sum, then double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+# Oracle-side SQL snippets for the same helpers (bit-identical math in DuckDB).
+def sql_dsum(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0"
+    )
+
+
+def sql_davg(expr: str) -> str:
+    return f"({sql_dsum(expr)}) / COUNT({expr})"

@@ -1,0 +1,51 @@
+"""Loaders for the driver test tables (TESTDATA.md / FIXTURES.md §1).
+
+Analog of the reference's table ingest (`ksql.js:190-247` loads K8s lists into
+in-memory tables); here the source is parquet and the "table" is a DataFrame.
+Column pruning + predicate pushdown reach the parquet scan for free because we
+return the raw scan and let callers select/filter declaratively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor (region and
+#: nation are fixed-size: 5 / 25 rows even at 100 TB TPC-H scale).
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; normalizes events.ts (nanos int64 → timestamp_ntz)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as int64 via nanosAsLong; truncate to micros
+        # exactly like DuckDB's ns→µs truncation so oracle values match bitwise.
+        df = df.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register all driver tables as temp views (mirrors ksql.js:128-135 table setup)."""
+    sf_dir = sf_dir or default_sf_dir()
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

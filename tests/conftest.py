@@ -1,0 +1,93 @@
+"""Shared fixtures: one SparkSession for the whole test run, a DuckDB oracle
+connection with the driver views pre-registered, and a result comparator that
+mirrors the driver's check (row count + column names + order-insensitive values).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from ksql_spark.session import get_spark  # noqa: E402
+from ksql_spark.tables import TABLES  # noqa: E402
+
+# sf0.01 is what the driver checks; small enough to stay fast locally.
+SF_DIR = os.environ.get("KSQL_TEST_SF_DIR", "/root/testdata/sf0.01")
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="ksql-spark-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for comparison (Rows→tuples, arrays→tuples, NaN marker)."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return tuple((k, _norm(x)) for k, x in sorted(v.asDict().items()))
+    if isinstance(v, dict):
+        return tuple((k, _norm(x)) for k, x in sorted(v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def spark_result(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    return cols, rows
+
+
+def duck_result(con, sql):
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = [tuple(_norm(r[i]) for i in order) for r in cur.fetchall()]
+    return sorted(names), rows
+
+
+def _sort_key(row):
+    return tuple((str(type(v)), str(v)) for v in row)
+
+
+def assert_results_match(spark_res, duck_res, name=""):
+    scols, srows = spark_res
+    dcols, drows = duck_res
+    assert scols == dcols, f"{name}: column names differ: spark={scols} duck={dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: row count differs: spark={len(srows)} duck={len(drows)}"
+    )
+    srows = sorted(srows, key=_sort_key)
+    drows = sorted(drows, key=_sort_key)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)}/{len(srows)} rows differ; first 3: "
+        + "; ".join(f"#{i} spark={a} duck={b}" for i, a, b in mismatches[:3])
+    )
