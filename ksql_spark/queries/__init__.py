@@ -1,4 +1,11 @@
 """Operator inventory (SURVEY.md §2). Importing this package registers every
 query into ksql_spark.registry via the @query decorator."""
 
-from ksql_spark.queries import bench  # noqa: F401
+from ksql_spark.queries import (  # noqa: F401
+    aggregates,
+    bench,
+    filters,
+    joins,
+    setops,
+    sorts,
+)

@@ -1,0 +1,266 @@
+"""SURVEY.md §2.D — aggregations.
+
+Reference surface: COUNT(*) (README.md:21), GROUP BY + count (README.md:26);
+the rest of the family is AlaSQL-delegated [D]. All hash aggregations get
+partial+final (map-side combine) from Spark automatically.
+
+Determinism: double reductions use scaled-long accumulation (registry.dsum);
+variance/stddev are computed from exact moments so partition order can't leak
+into low bits (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
+from ksql_spark.tables import load
+
+
+@query(
+    "agg_count_star",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM part WHERE p_name LIKE 'red%'
+    """,
+    ref="SURVEY §2 D1; reference README.md:21 (select count(*) … LIKE)",
+)
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("red%")).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_partkey) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="SURVEY §2 D2 (COUNT(col), COUNT(DISTINCT) — Catalyst expand rewrite)",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("l_partkey").alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@query(
+    "agg_group_by",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 D3; reference README.md:26 (GROUP BY + count)",
+)
+def agg_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "agg_basic",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_dsum('c_acctbal')} AS sum_bal,
+           {sql_davg('c_acctbal')} AS avg_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    ref="SURVEY §2 D4 (SUM/AVG/MIN/MAX)",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        dsum("c_acctbal").alias("sum_bal"),
+        davg("c_acctbal").alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "agg_minby",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_id, ts) AS first_event_id,
+           arg_max(event_id, ts) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+    ref="SURVEY §2 D5 (deterministic FIRST/LAST via min_by/max_by; ksql.js era "
+    "FIRST/LAST were order-dependent — SURVEY §4.3)",
+)
+def agg_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AlaSQL FIRST/LAST depend on row order; min_by/max_by over the event time
+    is the deterministic Spark-native equivalent (ts is unique per the fixture)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    ref="SURVEY §2 D6 (collect_list; array_sort'ed for order-insensitive compare)",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           ({sql_dsum('l_quantity * l_quantity')}
+            - ({sql_dsum('l_quantity')}) * ({sql_dsum('l_quantity')}) / COUNT(l_quantity))
+           / (COUNT(l_quantity) - 1) AS var_qty,
+           sqrt(({sql_dsum('l_quantity * l_quantity')}
+            - ({sql_dsum('l_quantity')}) * ({sql_dsum('l_quantity')}) / COUNT(l_quantity))
+           / (COUNT(l_quantity) - 1)) AS stddev_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="SURVEY §2 D7 (VAR/STDEV — exact-moment formulation for bitwise parity; "
+    "engine users would call F.var_samp/F.stddev_samp directly)",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact moments (sum, sum-of-squares as scaled
+    longs) so the result is independent of partitioning — Welford-style built-ins
+    (F.var_samp) are order-sensitive in the last bits and can't be hash-compared."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(q)
+    s = dsum(q)
+    ss = dsum(q * q)
+    var = (ss - s * s / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        var.alias("var_qty"), F.sqrt(var).alias("stddev_qty")
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag, median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="SURVEY §2 D8 (MEDIAN / continuous percentile)",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    ref="SURVEY §2 D9 (HAVING = post-aggregation filter)",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    ref="SURVEY §2 D10 (ROLLUP)",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_lines")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    ref="SURVEY §2 D11 (CUBE)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    ref="SURVEY §2 D12 (GROUPING SETS via Spark SQL)",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_group_expr",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY order_year
+    """,
+    ref="SURVEY §2 D13 (GROUP BY computed expression)",
+)
+def agg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch value differs engine-to-engine → rows-only check
+    ref="SURVEY §2 D14 [EXT] (approx_count_distinct — the 100 TB path for "
+    "distinct counts; exact countDistinct shuffles an Expand of every value)",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_lines"),
+    )

@@ -1,0 +1,248 @@
+"""SURVEY.md §2.B — projections, filters, predicates.
+
+Reference surface: AlaSQL SELECT/WHERE reachable via exec (ksql.js:159);
+LIKE filters and NOT-on-nested-field appear verbatim in README.md:21,26,30,34.
+Everything here is declarative DataFrame API → Catalyst pushes predicates and
+prunes columns into the parquet scan (verified via .explain PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+
+@query(
+    "project_columns",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    """,
+    ref="SURVEY §2 B1; reference README.md:26 (column projection)",
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain projection — ReadSchema shows only the three columns scanned."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@query(
+    "project_exprs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity > 25 AS is_bulk
+    FROM lineitem
+    """,
+    ref="SURVEY §2 B3 (expression projection + AS alias)",
+)
+def project_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/boolean expression projection with aliases (per-row double
+    math is IEEE-deterministic, so no scaled-sum tricks needed)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        (F.col("l_quantity") > 25).alias("is_bulk"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    ref="SURVEY §2 B5 (SELECT DISTINCT)",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_name LIKE 'red%' OR p_name LIKE '%ring'
+    """,
+    ref="SURVEY §2 B6; reference README.md:21 (WHERE image LIKE 'mysql%')",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("red%") | F.col("p_name").like("%ring")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@query(
+    "filter_compare",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_returnflag <> 'A'
+          AND l_linestatus = 'F'
+    """,
+    ref="SURVEY §2 B8 (comparison operators)",
+)
+def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") >= 30)
+        & (F.col("l_discount") < 0.05)
+        & (F.col("l_returnflag") != "A")
+        & (F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "filter_between",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+    """,
+    ref="SURVEY §2 B10 (BETWEEN)",
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderdate").between("1997-01-01", "1997-12-31")
+    ).select("o_orderkey", "o_orderdate")
+
+
+@query(
+    "filter_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+    ref="SURVEY §2 B9 (IN subquery → Catalyst left-semi join)",
+)
+def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery via SQL so Catalyst performs the semi-join rewrite itself."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_insub")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_insub")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM v_orders_insub
+        WHERE o_custkey IN (SELECT c_custkey FROM v_customer_insub WHERE c_acctbal > 9000)
+        """
+    )
+
+
+@query(
+    "filter_in_list",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus NOT IN ('F')
+    """,
+    ref="SURVEY §2 B9 (IN / NOT IN literal list)",
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ~F.col("o_orderstatus").isin("F")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "filter_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    ref="SURVEY §2 B12 (correlated EXISTS → semi join)",
+)
+def filter_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_ex")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer_ex c
+        WHERE EXISTS (SELECT 1 FROM v_orders_ex o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, NULLIF(l_returnflag, 'N') AS flag_or_null
+    FROM lineitem
+    WHERE NULLIF(l_returnflag, 'N') IS NOT NULL
+    """,
+    ref="SURVEY §2 B11 (IS [NOT] NULL; driver data is null-free so nulls are manufactured)",
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.select(
+        "l_orderkey", "l_linenumber", flag.alias("flag_or_null")
+    ).where(flag.isNotNull())
+
+
+@query(
+    "filter_not_null",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000) big
+           ON c_custkey = big.o_custkey
+    WHERE big.o_custkey IS NULL
+    """,
+    ref="SURVEY §2 B7; reference README.md:34 (LEFT JOIN … AND NOT <field> — ANSI form)",
+)
+def filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI version of the reference's truthiness idiom: left join then keep
+    rows whose join partner is absent (ksql.js README.md:34 analog)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .where(F.col("o_custkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders
+    """,
+    ref="SURVEY §2 B13 (CASE WHEN)",
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+    """,
+    ref="SURVEY §2 B14 (scalar subquery; MAX is order-insensitive → deterministic)",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_ss")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier_ss")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM v_customer_ss
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM v_supplier_ss)
+        """
+    )

@@ -1,0 +1,275 @@
+"""SURVEY.md §2.C — joins.
+
+Reference surface: `JOIN … USING uid` (README.md:30) and `LEFT JOIN` (README.md:34)
+through AlaSQL exec (ksql.js:159). Catalyst picks broadcast-hash/shuffle-hash/
+sort-merge; we only hint broadcast for the fixed-size dims (nation/region).
+
+Scale notes per operator are in the docstrings — every join here either
+broadcasts a provably-small side or shuffles on its equi-keys (AQE handles skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+
+@query(
+    "join_inner_using",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    ref="SURVEY §2 C1; reference README.md:30 (JOIN … USING uid)",
+)
+def join_inner_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING-style equi-join (single shared key column in the output)."""
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    return o.join(c, "custkey").select("custkey", "o_orderkey", "c_name")
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, CAST(COUNT(big.o_orderkey) AS BIGINT) AS n_big_orders
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 400000) big
+           ON c_custkey = big.o_custkey
+    GROUP BY c_custkey
+    """,
+    ref="SURVEY §2 C2; reference README.md:34 (LEFT JOIN … USING)",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + count(col) — nulls from non-matches are not counted."""
+    c = load(spark, sf_dir, "customer")
+    big = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, big.o_orderkey
+    FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 400000) big
+    RIGHT JOIN customer ON big.o_custkey = c_custkey
+    """,
+    ref="SURVEY §2 C3 (RIGHT OUTER JOIN)",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey", "o_orderkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    return big.join(c, big.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT hc.nationkey AS cust_nationkey, hs.nationkey AS supp_nationkey,
+           hc.n_cust, hs.n_supp
+    FROM (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey) hc
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) hs
+    ON hc.nationkey = hs.nationkey
+    """,
+    ref="SURVEY §2 C4 (FULL OUTER JOIN, non-matches on both sides)",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    hc = (
+        c.where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    hs = (
+        s.where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return hc.join(hs, hc.nationkey == hs.nationkey, "full").select(
+        hc.nationkey.alias("cust_nationkey"),
+        hs.nationkey.alias("supp_nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    ref="SURVEY §2 C5 (CROSS JOIN; both sides fixed-size → broadcast NL)",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           a.s_acctbal AS bal_a, b.s_acctbal AS bal_b
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey AND a.s_acctbal + b.s_acctbal > 19500
+    """,
+    ref="SURVEY §2 C6 (theta / non-equi join → BroadcastNestedLoopJoin)",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join. Supplier is the smallest fact-side table; at scale a pure
+    theta join is inherently O(n*m) — Spark broadcasts the smaller side."""
+    a = load(spark, sf_dir, "supplier").alias("a")
+    b = load(spark, sf_dir, "supplier").alias("b")
+    cond = (F.col("a.s_suppkey") < F.col("b.s_suppkey")) & (
+        F.col("a.s_acctbal") + F.col("b.s_acctbal") > 19500
+    )
+    return a.join(b, cond).select(
+        F.col("a.s_suppkey").alias("suppkey_a"),
+        F.col("b.s_suppkey").alias("suppkey_b"),
+        F.col("a.s_acctbal").alias("bal_a"),
+        F.col("b.s_acctbal").alias("bal_b"),
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    ref="SURVEY §2 C7 (self-join via aliases)",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "nation").alias("a")
+    b = load(spark, sf_dir, "nation").alias("b")
+    cond = (F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (
+        F.col("a.n_nationkey") < F.col("b.n_nationkey")
+    )
+    return a.join(b, cond).select(
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    ref="SURVEY §2 C9 (left-semi join; reference spells it EXISTS/IN)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    ref="SURVEY §2 C9 (left-anti join; reference spells it NOT EXISTS)",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    """,
+    ref="SURVEY §2 C10 (equi + range band join; hash join on key, band filter)",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + time-band join — stays a hash join (the range is a residual
+    filter), so it scales like a normal shuffle join, not a nested loop."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond).select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS asof_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    ref="SURVEY §2 C10 (as-of join; Spark lacks it natively — union+window impl)",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: union both sides tagged, one window pass carries
+    the latest right-side timestamp forward per key.
+
+    Scale: ONE shuffle on (user_id) and a sequential window scan — no row
+    explosion, no O(n*m) nested loop, no driver-side merge_asof. This is the
+    100 TB-safe formulation (a pandas merge_asof per group would need the whole
+    key group in one worker's memory; this streams).
+    """
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    # side=0 sorts before side=1 at equal ts → "v.ts <= p.ts" (inclusive as-of).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "asof_view_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.where(F.col("side") == 1)
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "asof_view_ts")
+    )

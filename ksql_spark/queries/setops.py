@@ -1,0 +1,80 @@
+"""SURVEY.md §2.G — set operations (UNION / UNION ALL / INTERSECT / EXCEPT).
+
+Spark's union is positional (UNION ALL semantics); .distinct() recovers SQL
+UNION. intersect/exceptAll match ANSI INTERSECT / EXCEPT ALL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+    ref="SURVEY §2 G1 (UNION dedups)",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+    ref="SURVEY §2 G2 (UNION ALL keeps duplicates)",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionAll(b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+    ref="SURVEY §2 G3 (INTERSECT, distinct semantics)",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+    ref="SURVEY §2 G4 (EXCEPT ALL multiset semantics)",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
+    return a.exceptAll(b)
