@@ -5,7 +5,9 @@ from ksql_spark.queries import (  # noqa: F401
     aggregates,
     bench,
     filters,
+    functions,
     joins,
     setops,
     sorts,
+    windows,
 )

@@ -1,0 +1,314 @@
+"""SURVEY.md §2.H — scalar functions (string/math/date/cast/conditional/JSON/
+array/map) plus §2.A A4 (flatten/explode).
+
+The reference reaches these through AlaSQL's scalar-function surface
+(package.json:5 → exec at ksql.js:159); its `->` operator on nested objects
+(README.md:30,34) maps to struct dot-paths / element_at / get_json_object —
+exercised here on events.props (JSON string column).
+
+Type-width alignments with the DuckDB oracle are explicit casts (Spark
+length/instr/ceil/floor return int/long where DuckDB returns bigint/double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substring(c_name, 10, 9) AS id_digits,
+           replace(c_name, 'Customer#', 'C-') AS short_name,
+           CAST(length(c_name) AS INT) AS name_len,
+           CAST(instr(c_name, '#') AS INT) AS hash_pos,
+           concat(c_mktsegment, ':', c_name) AS tagged
+    FROM customer
+    """,
+    ref="SURVEY §2 H2 (UPPER/LOWER/SUBSTRING/REPLACE/LEN/INSTR/CONCAT)",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 10, 9).alias("id_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("short_name"),
+        F.length("c_name").alias("name_len"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.concat_ws("", F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]+') AS first_word,
+           regexp_matches(text, 'spark') AS mentions_spark,
+           regexp_replace(text, ' +', '_', 'g') AS underscored
+    FROM documents
+    """,
+    ref="SURVEY §2 H2 [EXT] (regexp_* extras)",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]+", 0).alias("first_word"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.regexp_replace("text", " +", "_").alias("underscored"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_off,
+           round(l_extendedprice / 7, 2) AS rounded,
+           CAST(ceil(l_quantity / 7) AS DOUBLE) AS ceil_q,
+           CAST(floor(l_quantity / 7) AS DOUBLE) AS floor_q,
+           power(l_quantity, 2) AS q_sq,
+           sqrt(l_extendedprice) AS price_root
+    FROM lineitem
+    """,
+    ref="SURVEY §2 H3 (ABS/ROUND/CEIL/FLOOR/POWER/SQRT)",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_off"),
+        # note: round-on-double ties differ between engines (Spark rounds the
+        # shortest decimal repr, DuckDB the exact binary) — avoid tie grids.
+        F.round(F.col("l_extendedprice") / 7, 2).alias("rounded"),
+        F.ceil(F.col("l_quantity") / 7).cast("double").alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7).cast("double").alias("floor_q"),
+        F.pow("l_quantity", F.lit(2)).alias("q_sq"),
+        F.sqrt("l_extendedprice").alias("price_root"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+               AS days_since_epoch_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+    ref="SURVEY §2 H4 (YEAR/MONTH/DAY/DATEDIFF/date_trunc/interval arithmetic)",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+        .alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS INT) AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(l_linenumber AS BIGINT) AS line_big
+    FROM lineitem
+    """,
+    ref="SURVEY §2 H5 (CAST/CONVERT; l_quantity is integral so truncation-vs-"
+    "round cast semantics cannot diverge)",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_linenumber").cast("long").alias("line_big"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_label,
+           nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null
+    FROM orders
+    """,
+    ref="SURVEY §2 H6 (COALESCE/IFNULL/IIF/NULLIF)",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_label"),
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("prio_or_null"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.missing') AS absent
+    FROM events
+    """,
+    ref="SURVEY §2 H7/H14; reference `->` nested access (README.md:30,34) on a "
+    "JSON-string column maps to get_json_object (SURVEY §4.3)",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@query(
+    "fn_array_index",
+    oracle="""
+    SELECT vec_id,
+           embedding[1] AS first_dim,
+           embedding[-1] AS last_dim,
+           embedding[5] AS fifth_dim
+    FROM embeddings
+    """,
+    ref="SURVEY §2 H8; reference `a->(0)` array index → element_at (1-based) / "
+    "getItem (0-based)",
+)
+def fn_array_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.col("embedding").getItem(0).alias("first_dim"),
+        F.element_at("embedding", -1).alias("last_dim"),
+        F.element_at("embedding", 5).alias("fifth_dim"),
+    )
+
+
+@query(
+    "fn_struct_build",
+    oracle="""
+    SELECT n_nationkey,
+           to_json(struct_pack(name := n_name, region := n_regionkey)) AS obj
+    FROM nation
+    """,
+    ref="SURVEY §2 H10 (JSON object literal {a:1} → struct + to_json)",
+)
+def fn_struct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.to_json(
+            F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+        ).alias("obj"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1:3] AS first3,
+           list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b) AS l2_sq
+    FROM embeddings
+    """,
+    ref="SURVEY §2 H12 [EXT] (size/slice/transform/aggregate higher-order fns; "
+    "left-fold sum matches DuckDB list_reduce bitwise)",
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice("embedding", 1, 3).alias("first3"),
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("l2_sq"),
+    )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS BIGINT)
+               AS n_view,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+               AS n_purchase,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    ref="SURVEY §2 H13 [EXT] (map build + element_at; oracle checks the same "
+    "values computed relationally)",
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a real MapType column (event_type → count per user) with
+    map_from_entries, then read it back with element_at / size — the oracle
+    computes identical numbers without maps (DuckDB maps are dialect-odd)."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type"), F.col("cnt")))
+        ).alias("type_counts")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "view"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.size(F.map_keys("type_counts")).alias("n_types"),
+    )
+
+
+@query(
+    "flatten_explode",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, embedding[i] AS val
+    FROM (SELECT vec_id, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+    """,
+    ref="SURVEY §2 A4; reference flattens pods→containers one row per child "
+    "(ksql.js:197-213) — posexplode is the Spark-native equivalent",
+)
+def flatten_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))

@@ -1,0 +1,147 @@
+"""SURVEY.md §2.E — window functions.
+
+Absent from the reference surface (AlaSQL 0.3.1 has no OVER()); all [EXT],
+included because the north star is a full analytics engine (SURVEY §2.E).
+
+Determinism: every window ORDER BY is fully tie-broken by a unique key;
+windowed double sums use scaled-long accumulation inside the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+# Shared oracle fragment: windowed exact sum of `value` scaled to longs.
+_WIN_VAL = "CAST(round(value * 1000000, 0) AS BIGINT)"
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    ref="SURVEY §2 E1 (rank/dense_rank/ntile)",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    ref="SURVEY §2 E2 (lag/lead/first_value)",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM({_WIN_VAL}) OVER w AS DOUBLE) / 1000000.0 AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    ref="SURVEY §2 E3 (running aggregate over window; exact scaled-long sum)",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(scaled).over(w).cast("double") / 1000000.0).alias("running_value"),
+    )
+
+
+@query(
+    "win_frame_rows",
+    oracle=f"""
+    SELECT event_id, user_id,
+           (CAST(SUM({_WIN_VAL}) OVER w AS DOUBLE) / 1000000.0)
+               / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg3,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    ref="SURVEY §2 E4 (explicit ROWS frame; 3-row moving average)",
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    scaled = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    cnt = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            (F.sum(scaled).over(w).cast("double") / 1000000.0) / cnt.cast("double")
+        ).alias("moving_avg3"),
+        cnt.alias("frame_n"),
+    )
+
+
+@query(
+    "win_topn_per_group",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 2
+    """,
+    ref="SURVEY §2 E5 (top-N per group = row_number + filter)",
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .drop("rn")
+    )
