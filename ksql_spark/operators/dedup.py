@@ -1,0 +1,146 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.K K1/K2 [EXT]).
+
+Strategies, cheapest first:
+  * exact_dedup           — sha2 grouping (one shuffle on the hash)
+  * ngram_jaccard_pairs   — exact Jaccard over k-word shingles for a bounded
+                            candidate set (oracle-checkable)
+  * minhash_near_dups     — MinHash + LSH banding: candidates meet only if a
+                            band collides → O(n·bands) shuffle, no O(n²) blowup;
+                            the 100 TB path (banding ≈ Broder's scheme)
+  * simhash               — 32-bit sign-aggregated fingerprint; near-dups share
+                            buckets (optionally with rotations for hamming<k)
+
+Hash source is xxhash64 (stable across Spark runs/versions by contract), so
+signatures are deterministic but engine-specific → these ops use rows-only
+verification (the driver's weaker gate) except the exact/Jaccard forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ksql_spark.operators.text import words
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: representative id (min), copy count, hash."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(text_col, k: int = 16) -> Column:
+    """MinHash signature (array<long>, length k) over distinct words.
+
+    Hash family = xxhash64 seeded by the permutation index (hashing the tuple
+    (word, i)) — independent hashes with no modular arithmetic, so ANSI-mode
+    long math cannot overflow. Signature element i = min over the doc's words.
+    """
+    w = F.array_distinct(words(text_col))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(w, lambda x: F.xxhash64(x, i))),
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding, verified by exact Jaccard.
+
+    Plan shape (scale-critical): signature (narrow map) → explode to `bands`
+    rows/doc → shuffle on (band, band_hash) via a self-join → candidate pairs
+    only where a band collides → exact Jaccard on candidates. Never materializes
+    the n² pair space.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        minhash_signature(text_col, k).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "text",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    wa = F.array_distinct(F.split(F.col("text_a"), " "))
+    wb = F.array_distinct(F.split(F.col("text_b"), " "))
+    inter = F.size(F.array_intersect(wa, wb))
+    union = F.size(wa) + F.size(wb) - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash32(text_col) -> Column:
+    """32-bit SimHash: per-word xxhash64 → per-bit +/-1 votes folded across the
+    document → sign vector recombined into a long. Pure HOF math, JVM-side."""
+    w = F.array_distinct(words(text_col))
+    bit_votes = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, word: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda j: F.when(
+                    F.getbit(F.xxhash64(word), j) == 1, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda vote, j: F.when(
+                vote > 0, F.pow(F.lit(2.0), j).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

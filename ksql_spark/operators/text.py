@@ -1,0 +1,96 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.K K4 [EXT]).
+
+All pure Column expressions (JVM-side, whole-stage codegen — no Python UDFs in
+the hot path), so they run unchanged over 100 TB of documents. Where an
+operator needs a fold (fingerprints), Spark's higher-order functions keep it
+JVM-side too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Tiny English stopword set for quality scoring / language heuristics.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(text) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_count(text) -> Column:
+    return F.size(words(text))
+
+
+def token_count(text) -> Column:
+    """Token count under the BPE-ish regex (letters/digits/symbol singles)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def unique_word_ratio(text) -> Column:
+    w = words(text)
+    return F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
+
+
+def stopword_ratio(text) -> Column:
+    w = words(text)
+    hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(w).cast("double")
+
+
+def quality_score(text) -> Column:
+    """Composite quality heuristic in [0,1]: length saturation + lexical
+    diversity + stopword plausibility. Deterministic per-row double math."""
+    w = words(text)
+    n = F.size(w).cast("double")
+    length_component = F.least(F.lit(1.0), n / F.lit(100.0))
+    return (
+        F.lit(0.4) * length_component
+        + F.lit(0.3) * unique_word_ratio(text)
+        + F.lit(0.3) * stopword_ratio(text)
+    )
+
+
+def lang_guess(text) -> Column:
+    """Toy deterministic language-ID heuristic (stopword evidence).
+
+    A production system would use an n-gram profile model; the operator shape
+    (text → label, pure column expr) is what matters for pipeline plumbing.
+    """
+    w = words(text)
+    en_hits = F.size(F.filter(w, lambda x: x.isin("the", "a", "of")))
+    return F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text) -> Column:
+    """Order-sensitive rolling document fingerprint (polynomial hash).
+
+    Per word w: code = ascii(first char) * 31 + length(w); fold
+    acc = (acc * 131 + code) mod 1_000_000_007 over the word sequence.
+    Exact integer math → identical in any engine (DuckDB oracle: list_reduce).
+    """
+    w = words(text)
+    codes = F.transform(w, lambda x: F.ascii(F.substring(x, 1, 1)) * 31 + F.length(x))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + c.cast("long")) % 1000000007,
+    )
+
+
+def shingles(text, k: int = 3) -> Column:
+    """k-word shingles (n-grams joined by a space), distinct not applied."""
+    w = words(text)
+    n = F.size(w)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        ),
+    )

@@ -7,7 +7,9 @@ from ksql_spark.queries import (  # noqa: F401
     filters,
     functions,
     joins,
+    llm,
     setops,
     sorts,
+    streaming_batch,
     windows,
 )

@@ -1,0 +1,410 @@
+"""SURVEY.md §2.K — LLM-data-pipeline operators (all [EXT], mandated by the
+north star: dedup, similarity search, text analysis, multimodal columns).
+
+Implementations live in ksql_spark/operators/{text,vectors,dedup,multimodal}.py;
+this module binds them to driver tables + DuckDB oracles. Hash-based sketches
+(MinHash/SimHash/IVF) are engine-specific → rows-only checks; everything
+arithmetic is oracle-checked bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ksql_spark.operators import dedup, multimodal, text, vectors
+from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
+from ksql_spark.tables import load
+
+# DuckDB spelling of the same left-fold vector math used by operators.vectors
+# (list_reduce starts at the first element; 0.0 + x == x in IEEE, so folds agree).
+_DOT = """
+list_reduce(
+    list_transform(range(1, len({a}) + 1),
+                   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+    (acc, p) -> acc + p)
+"""
+_NORM = """
+sqrt(list_reduce(
+    list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+    (acc, p) -> acc + p))
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def _norm_sql(a: str) -> str:
+    return _NORM.format(a=a)
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_sha,
+           MIN(doc_id) AS rep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    ref="SURVEY §2 K1 (exact dedup: hash-group, one shuffle on the digest)",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "text", "doc_id")
+
+
+@query(
+    "llm_dedup_near",
+    oracle=None,  # xxhash64 signatures are engine-specific → rows-only
+    ref="SURVEY §2 K2 (MinHash+LSH banding near-dup; no n-squared pair space — "
+    "operators/dedup.py:minhash_near_dups)",
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(d, "text", "doc_id", k=16, bands=4, jaccard_threshold=0.5)
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint → rows-only
+    ref="SURVEY §2 K2 (SimHash fingerprint buckets — operators/dedup.py:simhash32)",
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), dedup.simhash32("text").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(
+                   list_transform(range(1, len(string_split(text,' ')) - 1),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2])) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+           / CAST(len(a.grams) + len(b.grams)
+                  - len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+               AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
+    WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x))) * 10
+          >= len(a.grams) + len(b.grams)
+            - len(list_filter(a.grams, x -> list_contains(b.grams, x)))
+    """,
+    ref="SURVEY §2 K2 (exact 3-gram Jaccard on a bounded candidate set; the "
+    "unbounded version goes through MinHash banding instead)",
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.1 for candidate pairs (same source, nearby ids).
+    Bounding the candidate set keeps this exact form scannable; at scale the
+    candidate generation is LSH (llm_dedup_near), not a blocked self-join."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.array_distinct(text.shingles("text", 3)).alias("grams")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") - F.col("a.doc_id") <= 20),
+        )
+        .where(inter * 10 >= union)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "llm_vec_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           {_norm_sql('embedding')} AS l2_norm,
+           CAST(embedding[1] AS DOUBLE) / {_norm_sql('embedding')} AS unit_dim0
+    FROM embeddings
+    """,
+    ref="SURVEY §2 K6 (embedding norms / normalization — operators/vectors.py)",
+)
+def llm_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    norm = vectors.l2_norm("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        (F.col("embedding").getItem(0).cast("double") / norm).alias("unit_dim0"),
+    )
+
+
+@query(
+    "llm_sim_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               {_dot_sql('q.embedding', 'v.embedding')}
+               / ({_norm_sql('q.embedding')} * {_norm_sql('v.embedding')}) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_dot_sql('q.embedding', 'v.embedding')}
+                            / ({_norm_sql('q.embedding')} * {_norm_sql('v.embedding')})
+                            DESC, v.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+        CROSS JOIN embeddings v
+        WHERE q.vec_id <> v.vec_id
+    ) WHERE rn <= 5
+    """,
+    ref="SURVEY §2 K3 (brute-force cosine top-k baseline; scale path = LSH/IVF "
+    "— ann_ivf_topk)",
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 3).
+    Query set is broadcast; the corpus scan is embarrassingly parallel."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).crossJoin(e).where(F.col("query_id") != F.col("vec_id"))
+    cos = vectors.dot("q_emb", "embedding") / (
+        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "llm_emb_cosine_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {_dot_sql('a.embedding', 'b.embedding')}
+           / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')}
+          / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) > 0.9
+    """,
+    ref="SURVEY §2 K2/K6 (embedding-cosine near-dup within label blocks; "
+    "unblocked version uses random-projection LSH)",
+)
+def llm_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = vectors.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        vectors.l2_norm(F.col("a.embedding")) * vectors.l2_norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") > 0.9)
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=None,  # pruned search ≠ exact → rows-only; recall tested in tests/
+    ref="SURVEY §2 K3 (IVF-style ANN: coarse centroids → cell assignment → "
+    "probe nprobe cells only; the 100 TB similarity-search path)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: every 50th vector is a coarse centroid; vectors
+    are assigned to their nearest centroid (broadcast argmin); each query probes
+    its 2 nearest cells. Search cost drops from O(n) to O(n * nprobe / cells)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    sim = vectors.dot("embedding", "cent_emb")
+
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "label", "cent_id", sim.alias("cs"))
+        .withColumn("arn", F.row_number().over(assign_w))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("qcs").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "cent_id", vectors.dot("q_emb", "cent_emb").alias("qcs"))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= 2)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    cos = vectors.dot("q_emb", "embedding") / (
+        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding")
+    )
+    topk_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        probes.join(assigned, "cent_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(topk_w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_davg("len(string_split(text, ' '))")} AS avg_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {sql_davg("len(list_distinct(string_split(text, ' '))) * 1.0 "
+                     "/ len(string_split(text, ' '))")} AS avg_uniq_ratio
+    FROM documents GROUP BY lang
+    """,
+    ref="SURVEY §2 K4 (corpus text stats per language — operators/text.py)",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(text.word_count("text").cast("double")).alias("avg_words"),
+        F.sum("n_chars").alias("total_chars"),
+        davg(text.unique_word_ratio("text")).alias("avg_uniq_ratio"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle=r"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    ref="SURVEY §2 K4 (BPE-ish regex token counting — operators/text.py:token_count)",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(text.token_count("text").cast("long")).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id,
+           0.4 * least(1.0, len(string_split(text,' ')) / 100.0)
+           + 0.3 * (len(list_distinct(string_split(text,' '))) * 1.0
+                    / len(string_split(text,' ')))
+           + 0.3 * (len(list_filter(string_split(text,' '),
+                        x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+                    / len(string_split(text,' '))) AS quality
+    FROM documents
+    """,
+    ref="SURVEY §2 K4 (quality heuristic: length/diversity/stopword ratios — "
+    "operators/text.py:quality_score)",
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    SELECT lang,
+           CASE WHEN len(list_filter(string_split(text,' '),
+                         x -> x IN ('the','a','of'))) > 0
+                THEN 'en' ELSE 'unk' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, predicted
+    """,
+    ref="SURVEY §2 K4 (language-ID heuristic vs labeled lang — "
+    "operators/text.py:lang_guess)",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_guess("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                   w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    ref="SURVEY §2 K4 (rolling polynomial document fingerprint — "
+    "operators/text.py:fingerprint; exact integer math, engine-portable)",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    ref="SURVEY §2 K5 (multimodal column convention: binary payload + typed "
+    "metadata + content address — operators/multimodal.py)",
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.attach_payload(load(spark, sf_dir, "documents"), "text")
+    return d.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.content_sha").alias("content_sha"),
+    )
+
+
+@query(
+    "llm_multimodal_features",
+    oracle=None,  # mapInPandas decode stub → rows-only (SURVEY §2 K5 contract)
+    ref="SURVEY §2 K5 (Arrow-batched mapInPandas feature extraction; decode "
+    "stubbed — no media libs in container)",
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.attach_payload(load(spark, sf_dir, "documents"), "text")
+    return multimodal.extract_features(d)
