@@ -1,0 +1,259 @@
+"""`->` SQL rewriter: AlaSQL nested access → ANSI Spark SQL (SURVEY §4.3).
+
+The reference exposes AlaSQL's `->` operator for nested object access
+(README.md:30 `pods.metadata->name`, README.md:34
+`pods.metadata->annotations->email`; array index form `a->(0)` and dynamic
+keys are AlaSQL-documented [D]). Spark SQL has no `->`; this module rewrites
+query text BEFORE spark.sql() — a pure string-level pass, no custom Catalyst
+rule needed.
+
+Mapping is schema-aware (per SURVEY §1.4's data model):
+  struct field       → dotted path            a->b        ⇒ a.b
+  map<string,_> key  → element_at(a, 'b')
+  string column      → get_json_object(a, '$.b.c[0]') — the raw-JSON escape
+                       hatch; all remaining segments fold into the JSON path
+  array + (i) index  → a[i]  (0-based, matching JS semantics)
+
+Optional JS-truthiness compat (README.md:34 `... and not pods.metadata->
+annotations->email`): `NOT <chain>` over a string-typed result becomes
+`(<expr> IS NULL OR <expr> = '')` — ANSI semantics stay the default
+(SURVEY §2 B7).
+
+The tokenizer is quote- and comment-aware: `->` inside '...', "...", `...`
+or -- / /* */ comments is never touched.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Iterator, Mapping
+
+from pyspark.sql.types import ArrayType, DataType, MapType, StringType, StructType
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<dq>"(?:[^"]|"")*")
+    | (?P<bq>`(?:[^`]|``)*`)
+    | (?P<arrow>->)
+    | (?P<num>\d+(?:\.\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
+    | (?P<punct>.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(sql: str) -> list[_Tok]:
+    out = []
+    for m in _TOKEN_RE.finditer(sql):
+        kind = m.lastgroup or "punct"
+        out.append(_Tok(kind, m.group()))
+    return out
+
+
+class RewriteError(ValueError):
+    pass
+
+
+class Rewriter:
+    """Rewrites `->` chains using the schemas of the registered views.
+
+    `schemas` maps view name → StructType (e.g. {"pods": pods_df.schema}).
+    """
+
+    def __init__(self, schemas: Mapping[str, StructType], truthiness_compat: bool = False):
+        self.schemas = {k.lower(): v for k, v in schemas.items()}
+        self.truthiness_compat = truthiness_compat
+
+    @classmethod
+    def from_session(cls, spark, views: list[str], truthiness_compat: bool = False
+                     ) -> "Rewriter":
+        return cls(
+            {v: spark.table(v).schema for v in views},
+            truthiness_compat=truthiness_compat,
+        )
+
+    # -- schema walking -----------------------------------------------------
+
+    def _base_type(self, path: list[str]) -> tuple[str, DataType] | None:
+        """Resolve the leading identifier path to (sql_prefix, datatype).
+
+        Tries `view.column[.field…]` first, then bare `column[.field…]`
+        searched across all views (must be unambiguous).
+        """
+        first = path[0].lower()
+        if first in self.schemas and len(path) >= 2:
+            dt = self._walk_struct(self.schemas[first], path[1:])
+            if dt is not None:
+                return ".".join(path), dt
+        hits = []
+        for schema in self.schemas.values():
+            dt = self._walk_struct(schema, path)
+            if dt is not None:
+                hits.append(dt)
+        if len(hits) == 1:
+            return ".".join(path), hits[0]
+        if len(hits) > 1:
+            raise RewriteError(f"ambiguous column path {'.'.join(path)!r}")
+        return None
+
+    @staticmethod
+    def _walk_struct(dt: DataType, fields: list[str]) -> DataType | None:
+        cur = dt
+        for f in fields:
+            if not isinstance(cur, StructType):
+                return None
+            match = next(
+                (sf for sf in cur.fields if sf.name.lower() == f.lower()), None
+            )
+            if match is None:
+                return None
+            cur = match.dataType
+        return cur
+
+    # -- chain rewriting ----------------------------------------------------
+
+    def _rewrite_chain(self, base_path: list[str], segments: list) -> tuple[str, DataType]:
+        """segments: list of ("key", name) | ("index", int)."""
+        resolved = self._base_type(base_path)
+        if resolved is None:
+            raise RewriteError(
+                f"cannot resolve {'.'.join(base_path)!r} against registered views "
+                f"({', '.join(sorted(self.schemas)) or 'none'})"
+            )
+        expr, dt = resolved
+        i = 0
+        while i < len(segments):
+            kind, val = segments[i]
+            if isinstance(dt, StructType) and kind == "key":
+                nxt = next(
+                    (sf for sf in dt.fields if sf.name.lower() == str(val).lower()), None
+                )
+                if nxt is None:
+                    raise RewriteError(f"no field {val!r} in struct {expr}")
+                expr, dt = f"{expr}.{nxt.name}", nxt.dataType
+            elif isinstance(dt, MapType) and kind == "key":
+                expr, dt = f"element_at({expr}, '{val}')", dt.valueType
+            elif isinstance(dt, ArrayType) and kind == "index":
+                expr, dt = f"{expr}[{val}]", dt.elementType
+            elif isinstance(dt, StringType):
+                # raw-JSON escape hatch: fold ALL remaining segments into a path
+                parts = []
+                for k, v in segments[i:]:
+                    parts.append(f"[{v}]" if k == "index" else f".{v}")
+                expr, dt = f"get_json_object({expr}, '${''.join(parts)}')", StringType()
+                i = len(segments)
+                break
+            else:
+                raise RewriteError(
+                    f"cannot apply ->{val!r} to type {dt.simpleString()} (expr {expr})"
+                )
+            i += 1
+        return expr, dt
+
+    # -- main pass ----------------------------------------------------------
+
+    def rewrite(self, sql: str) -> str:
+        toks = _tokenize(sql)
+        out: list[str] = []
+        i = 0
+        n = len(toks)
+
+        def peek_nonws(j: int) -> int:
+            while j < n and toks[j].kind in ("ws", "comment"):
+                j += 1
+            return j
+
+        while i < n:
+            t = toks[i]
+            if t.kind != "ident":
+                out.append(t.text)
+                i += 1
+                continue
+            # collect dotted identifier path
+            path = [t.text]
+            j = i + 1
+            while (
+                j + 1 < n
+                and toks[j].kind == "punct"
+                and toks[j].text == "."
+                and toks[j + 1].kind == "ident"
+            ):
+                path.append(toks[j + 1].text)
+                j += 2
+            k = peek_nonws(j)
+            if k < n and toks[k].kind == "arrow":
+                segments = []
+                while k < n and toks[k].kind == "arrow":
+                    k = peek_nonws(k + 1)
+                    if k < n and toks[k].kind == "ident":
+                        segments.append(("key", toks[k].text))
+                        k_next = k + 1
+                    elif (
+                        k + 2 < n
+                        and toks[k].text == "("
+                        and toks[k + 1].kind == "num"
+                        and toks[k + 2].text == ")"
+                    ):
+                        segments.append(("index", int(toks[k + 1].text)))
+                        k_next = k + 3
+                    else:
+                        raise RewriteError(
+                            f"expected identifier or (index) after -> near token {k}"
+                        )
+                    k = peek_nonws(k_next)
+                expr, dt = self._rewrite_chain(path, segments)
+                if self.truthiness_compat and isinstance(dt, StringType):
+                    prev = len(out) - 1
+                    while prev >= 0 and out[prev].strip() == "":
+                        prev -= 1
+                    if prev >= 0 and out[prev].upper() == "NOT":
+                        out[prev] = ""
+                        expr = f"({expr} IS NULL OR {expr} = '')"
+                out.append(expr)
+                # resume at the token after the chain (k_next may have skipped ws)
+                i = k_next
+                continue
+            out.append(t.text)
+            i += 1
+        return "".join(out)
+
+
+def rewrite(sql: str, schemas: Mapping[str, StructType],
+            truthiness_compat: bool = False) -> str:
+    """One-shot convenience: rewrite `->` chains in `sql` against `schemas`."""
+    return Rewriter(schemas, truthiness_compat=truthiness_compat).rewrite(sql)
+
+
+def compat_using(sql: str) -> str:
+    """AlaSQL allows `JOIN t USING col` (README.md:30,34); ANSI/Spark require
+    parentheses. Wraps bare single-column USING clauses, quote-aware."""
+    toks = _tokenize(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "ident" and t.text.upper() == "USING":
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            if j < len(toks) and toks[j].kind == "ident":
+                out.append(t.text)
+                out.append(" (")
+                out.append(toks[j].text)
+                out.append(")")
+                i = j + 1
+                continue
+        out.append(t.text)
+        i += 1
+    return "".join(out)

@@ -1,0 +1,87 @@
+"""HTTP query API — parity with the reference's web mode (ksql.js:294-361).
+
+GET /api?query=<sql> → 200 {"headers": [...], "data": [[...], ...]}
+(the exact shape process_result produces at ksql.js:299-305); missing query
+→ 400 (ksql.js:310-313); execution error → 500 "error: ..." (ksql.js:306-309).
+Same SparkSession serves every request (the reference shares one in-process DB
+between REPL and HTTP — ksql.js:128).
+
+Usage: python -m ksql_spark.http_api [--port 8090] [--testdata DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ksql_spark.compat.rewriter import Rewriter, compat_using
+from ksql_spark.repl import build_session, make_rewriter
+
+MAX_ROWS = 10_000  # don't collect unbounded results into the driver
+
+
+def run_query(spark, rewriter: Rewriter, query: str) -> dict:
+    sql = compat_using(rewriter.rewrite(query))
+    df = spark.sql(sql).limit(MAX_ROWS)
+    rows = df.collect()
+    headers = df.columns
+    return {"headers": headers, "data": [[row[c] for c in headers] for row in rows]}
+
+
+def make_handler(spark, rewriter: Rewriter):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            if url.path != "/api":
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b"not found")
+                return
+            params = parse_qs(url.query)
+            if "query" not in params:  # ksql.js:310-313
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(b"Query parameter is required.")
+                return
+            try:
+                result = run_query(spark, rewriter, params["query"][0])
+                body = json.dumps(result, default=str).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as exc:  # ksql.js:306-309
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(f"error: {exc}".encode())
+
+    return Handler
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--port", type=int, default=8090)  # ksql.js:358
+    ap.add_argument("--testdata", default=None)
+    ap.add_argument("--no-k8s", action="store_true")
+    ap.add_argument("--compat-truthiness", action="store_true")
+    args = ap.parse_args(argv)
+    spark = build_session(args.testdata, with_k8s=not args.no_k8s)
+    rewriter = make_rewriter(spark, args.compat_truthiness)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(spark, rewriter))
+    print(f"listening on :{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""Interactive SQL REPL — parity with the reference console (ksql.js:156-187).
+
+Pipeline per line (SURVEY §3.1): stdin → compat rewrite (`->` chains, bare
+USING, optional JS-truthiness) → spark.sql → show() as an ASCII table.
+Errors are caught and printed, the loop continues (ksql.js:172-174); EOF prints
+"shutting down" and exits 0 (ksql.js:184-187); empty results print []
+(ksql.js:160-162). Non-TTY stdin is processed line-by-line the same way
+(ksql.js:275-278).
+
+Usage: python -m ksql_spark.repl [--testdata DIR] [--no-k8s] [--compat-truthiness]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ksql_spark.compat.rewriter import Rewriter, compat_using
+
+
+def build_session(testdata: str | None, with_k8s: bool = True):
+    from ksql_spark.session import get_spark
+    from ksql_spark.tables import register_views
+
+    spark = get_spark(app_name="ksql-spark-repl")
+    if testdata:
+        register_views(spark, testdata)
+    if with_k8s:
+        from ksql_spark.sources.k8s import register_k8s_views
+
+        register_k8s_views(spark)
+    return spark
+
+
+def make_rewriter(spark, truthiness: bool) -> Rewriter:
+    views = [row["viewName"] for row in spark.sql("SHOW VIEWS").collect()]
+    return Rewriter.from_session(spark, views, truthiness_compat=truthiness)
+
+
+def handle_line(spark, rewriter: Rewriter, line: str) -> None:
+    """One query: rewrite → execute → render (ksql.js:156-176 semantics)."""
+    line = line.strip()
+    if not line:
+        return
+    try:
+        sql = compat_using(rewriter.rewrite(line))
+        df = spark.sql(sql)
+        rows = df.limit(1).collect()
+        if not rows:
+            print("[]")  # ksql.js:160-162
+        else:
+            df.show(n=1000, truncate=False)
+    except Exception as exc:  # keep the REPL alive, like ksql.js:172-174
+        print(f"error: {exc}", file=sys.stderr)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--testdata", default=None, help="register driver parquet views")
+    ap.add_argument("--no-k8s", action="store_true", help="skip k8s fixture views")
+    ap.add_argument(
+        "--compat-truthiness",
+        action="store_true",
+        help="JS-truthiness NOT on string paths (README.md:34 semantics)",
+    )
+    args = ap.parse_args(argv)
+    spark = build_session(args.testdata, with_k8s=not args.no_k8s)
+    rewriter = make_rewriter(spark, args.compat_truthiness)
+    try:
+        while True:
+            try:
+                line = input("> " if sys.stdin.isatty() else "")
+            except EOFError:
+                break
+            handle_line(spark, rewriter, line)
+    finally:
+        print("shutting down")  # ksql.js:184-187
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,331 @@
+"""`k8s` Python DataSource — snapshot reads of Kubernetes object lists.
+
+Spark-first re-expression of the reference's ingest path (ksql.js:190-255):
+the reference GETs pods/nodes/services from the API server and assigns the raw
+arrays into AlaSQL tables (ksql.js:215-216,235), stamping denormalized scalars
+(uid/node/name — ksql.js:200-201,230-234). Here the same snapshot becomes a
+PySpark DataSource (`spark.read.format("k8s").option("kind","pods")`) with an
+explicit typed schema (SURVEY §1.4): hot fields as structs, labels/annotations
+as maps, plus a `raw` JSON column so "query anything in the object" survives.
+
+Modes:
+  * fixture (default, tests/CI): option("fixtures", dir) reads the JSON list
+    files from ksql_spark/sources/fixtures.py — no cluster needed.
+  * live: option("server", "https://host:6443") [+ option("token", ...)] GETs
+    /api/v1/{kind} like the reference's Client (ksql.js:43-65,118-121).
+
+The derived `containers` view (one row per container per pod, parent uid
+carried — ksql.js:197-213) is containers_view(); it fixes the reference's
+missing-restartCount bug with coalesce(restartCount, 0) (SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_META = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("namespace", StringType()),
+        StructField("uid", StringType()),
+        StructField("creationTimestamp", TimestampType()),
+        StructField("labels", MapType(StringType(), StringType())),
+        StructField("annotations", MapType(StringType(), StringType())),
+    ]
+)
+
+POD_SCHEMA = StructType(
+    [
+        StructField("uid", StringType()),
+        StructField("node", StringType()),
+        StructField("metadata", _META),
+        StructField(
+            "spec",
+            StructType(
+                [
+                    StructField("nodeName", StringType()),
+                    StructField(
+                        "containers",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("name", StringType()),
+                                    StructField("image", StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField(
+            "status",
+            StructType(
+                [
+                    StructField("phase", StringType()),
+                    StructField(
+                        "containerStatuses",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("name", StringType()),
+                                    StructField("restartCount", IntegerType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField("raw", StringType()),
+    ]
+)
+
+NODE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("uid", StringType()),
+        StructField("metadata", _META),
+        StructField(
+            "spec",
+            StructType(
+                [
+                    StructField("podCIDR", StringType()),
+                    StructField("unschedulable", BooleanType()),
+                ]
+            ),
+        ),
+        StructField(
+            "status",
+            StructType(
+                [
+                    StructField("capacity", MapType(StringType(), StringType())),
+                    StructField(
+                        "conditions",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("type", StringType()),
+                                    StructField("status", StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField("raw", StringType()),
+    ]
+)
+
+SERVICE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("uid", StringType()),
+        StructField("metadata", _META),
+        StructField(
+            "spec",
+            StructType(
+                [
+                    StructField("clusterIP", StringType()),
+                    StructField("type", StringType()),
+                    StructField(
+                        "ports",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("port", IntegerType()),
+                                    StructField("protocol", StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField("raw", StringType()),
+    ]
+)
+
+SCHEMAS = {"pods": POD_SCHEMA, "nodes": NODE_SCHEMA, "services": SERVICE_SCHEMA}
+
+
+def _parse_ts(value):
+    if not value:
+        return None
+    return datetime.fromisoformat(value.replace("Z", "+00:00")).astimezone(
+        timezone.utc
+    ).replace(tzinfo=None)
+
+
+def _meta_tuple(meta: dict):
+    return (
+        meta.get("name"),
+        meta.get("namespace"),
+        meta.get("uid"),
+        _parse_ts(meta.get("creationTimestamp")),
+        meta.get("labels"),
+        meta.get("annotations"),
+    )
+
+
+class K8sDataSource(DataSource):
+    """spark.read.format("k8s").option("kind", "pods"|"nodes"|"services")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "k8s"
+
+    def schema(self):
+        return SCHEMAS[self.options.get("kind", "pods")]
+
+    def reader(self, schema):
+        return _K8sReader(self.options)
+
+
+class _K8sReader(DataSourceReader):
+    def __init__(self, options):
+        self.kind = options.get("kind", "pods")
+        self.fixtures = options.get("fixtures")
+        self.server = options.get("server")
+        self.token = options.get("token")
+
+    def partitions(self):
+        # One list call = one partition (a cluster snapshot is small; the big
+        # data lives in the driver tables, not here).
+        return [InputPartition(0)]
+
+    def _items(self) -> list[dict]:
+        if self.server:
+            import urllib.request
+
+            req = urllib.request.Request(f"{self.server}/api/v1/{self.kind}")
+            if self.token:
+                req.add_header("Authorization", f"Bearer {self.token}")
+            with urllib.request.urlopen(req) as resp:  # noqa: S310 (explicit opt-in)
+                return json.loads(resp.read())["items"]
+        if not self.fixtures:
+            from ksql_spark.sources.fixtures import ensure_fixtures
+
+            self.fixtures = str(ensure_fixtures())
+        with open(f"{self.fixtures}/{self.kind}.json") as f:
+            return json.load(f)["items"]
+
+    def read(self, partition):
+        items = self._items()
+        if self.kind == "pods":
+            for pod in items:
+                meta, spec, status = pod["metadata"], pod["spec"], pod["status"]
+                yield (
+                    meta.get("uid"),  # stamp: ksql.js:200
+                    spec.get("nodeName"),  # stamp: ksql.js:201
+                    _meta_tuple(meta),
+                    (
+                        spec.get("nodeName"),
+                        [(c.get("name"), c.get("image")) for c in spec.get("containers", [])],
+                    ),
+                    (
+                        status.get("phase"),
+                        [
+                            (s.get("name"), s.get("restartCount"))
+                            for s in status.get("containerStatuses", [])
+                        ],
+                    ),
+                    json.dumps(pod, sort_keys=True),
+                )
+        elif self.kind == "nodes":
+            for obj in items:
+                meta, spec, status = obj["metadata"], obj["spec"], obj["status"]
+                yield (
+                    meta.get("name"),  # stamp: ksql.js:232-233
+                    meta.get("uid"),
+                    _meta_tuple(meta),
+                    (spec.get("podCIDR"), spec.get("unschedulable")),
+                    (
+                        status.get("capacity"),
+                        [
+                            (c.get("type"), c.get("status"))
+                            for c in status.get("conditions", [])
+                        ],
+                    ),
+                    json.dumps(obj, sort_keys=True),
+                )
+        else:  # services
+            for obj in items:
+                meta, spec = obj["metadata"], obj["spec"]
+                yield (
+                    meta.get("name"),
+                    meta.get("uid"),
+                    _meta_tuple(meta),
+                    (
+                        spec.get("clusterIP"),
+                        spec.get("type"),
+                        [(p.get("port"), p.get("protocol")) for p in spec.get("ports", [])],
+                    ),
+                    json.dumps(obj, sort_keys=True),
+                )
+
+
+def containers_view(pods: DataFrame) -> DataFrame:
+    """Flatten pods → containers: (image, uid, restarts), parent uid carried
+    (ksql.js:197-213). Position-zips spec.containers with status.containerStatuses
+    and fixes the reference's undefined-restarts bug via coalesce(...,0)."""
+    zipped = F.arrays_zip(
+        F.col("spec.containers").alias("c"), F.col("status.containerStatuses").alias("s")
+    )
+    return (
+        pods.select(F.col("metadata.uid").alias("uid"), F.explode(zipped).alias("z"))
+        .select(
+            F.col("z.c.image").alias("image"),
+            "uid",
+            F.coalesce(F.col("z.s.restartCount"), F.lit(0)).alias("restarts"),
+        )
+    )
+
+
+def register(spark: SparkSession) -> None:
+    """Register the DataSource class with the session (idempotent)."""
+    try:
+        spark.dataSource.register(K8sDataSource)
+    except Exception:
+        pass  # already registered
+
+
+def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
+             server: str | None = None, token: str | None = None) -> DataFrame:
+    register(spark)
+    r = spark.read.format("k8s").option("kind", kind)
+    if fixtures:
+        r = r.option("fixtures", fixtures)
+    if server:
+        r = r.option("server", server)
+    if token:
+        r = r.option("token", token)
+    return r.load()
+
+
+def register_k8s_views(spark: SparkSession, fixtures: str | None = None,
+                       server: str | None = None, token: str | None = None) -> None:
+    """Create the reference's four tables as temp views (ksql.js:128-135):
+    pods, nodes, services + the derived containers."""
+    pods = load_k8s(spark, "pods", fixtures, server, token)
+    pods.createOrReplaceTempView("pods")
+    load_k8s(spark, "nodes", fixtures, server, token).createOrReplaceTempView("nodes")
+    load_k8s(spark, "services", fixtures, server, token).createOrReplaceTempView(
+        "services"
+    )
+    containers_view(pods).createOrReplaceTempView("containers")

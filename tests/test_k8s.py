@@ -1,0 +1,135 @@
+"""k8s DataSource + containers view + the four README golden queries.
+
+Goldens (reference README.md:19-35) run VERBATIM through the compat layer
+(`->` rewrite, bare USING, truthiness NOT) and are checked against an
+independent pure-Python evaluation of the same fixture JSON — a differential
+test with no shared code path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ksql_spark.compat.rewriter import Rewriter, compat_using
+from ksql_spark.sources.fixtures import build_pods, ensure_fixtures
+from ksql_spark.sources.k8s import register_k8s_views
+
+
+@pytest.fixture(scope="module")
+def k8s(spark):
+    ensure_fixtures()
+    register_k8s_views(spark)
+    views = ["pods", "nodes", "services", "containers"]
+    return Rewriter.from_session(spark, views, truthiness_compat=True)
+
+
+def run(spark, rw, sql):
+    return spark.sql(compat_using(rw.rewrite(sql))).collect()
+
+
+# -- pure-Python reimplementation over the same fixture dicts ---------------
+
+
+def py_containers():
+    out = []
+    for pod in build_pods()["items"]:
+        statuses = pod["status"].get("containerStatuses", [])
+        for i, c in enumerate(pod["spec"]["containers"]):
+            restarts = statuses[i].get("restartCount", 0) if i < len(statuses) else 0
+            out.append(
+                {"image": c["image"], "uid": pod["metadata"]["uid"], "restarts": restarts}
+            )
+    return out
+
+
+def test_source_counts(spark, k8s):
+    assert spark.table("pods").count() == 20
+    assert spark.table("nodes").count() == 3
+    assert spark.table("services").count() == 5
+    assert spark.table("containers").count() == len(py_containers())
+
+
+def test_missing_restart_count_coalesced(spark, k8s):
+    # pod 7 container 0 has no restartCount (reference bug ksql.js:204-211);
+    # our ingest coalesces to 0 (SURVEY §1.4).
+    rows = spark.sql(
+        "select restarts from containers where uid = 'pod-uid-0007'"
+    ).collect()
+    assert 0 in [r.restarts for r in rows]
+
+
+def test_golden_1_count_like(spark, k8s):
+    # README.md:21
+    rows = run(
+        spark, k8s,
+        "select count(*) from containers where containers.image like 'mysql%'",
+    )
+    expected = sum(1 for c in py_containers() if c["image"].startswith("mysql"))
+    assert rows[0][0] == expected
+
+
+def test_golden_2_group_by_image(spark, k8s):
+    # README.md:26
+    rows = run(
+        spark, k8s,
+        "select count(*),image from containers where containers.image like 'mysql%'"
+        " group by image",
+    )
+    expected: dict[str, int] = {}
+    for c in py_containers():
+        if c["image"].startswith("mysql"):
+            expected[c["image"]] = expected.get(c["image"], 0) + 1
+    assert {(r[1], r[0]) for r in rows} == set(expected.items())
+
+
+def test_golden_3_join_using_nested(spark, k8s):
+    # README.md:30
+    rows = run(
+        spark, k8s,
+        "select pods.metadata->name,pods.metadata->annotations->email,image"
+        " from pods join containers using uid where image like 'mysql:5.5%'",
+    )
+    pods = {p["metadata"]["uid"]: p for p in build_pods()["items"]}
+    expected = set()
+    for c in py_containers():
+        if c["image"].startswith("mysql:5.5"):
+            meta = pods[c["uid"]]["metadata"]
+            expected.add(
+                (meta["name"], meta.get("annotations", {}).get("email"), c["image"])
+            )
+    assert {tuple(r) for r in rows} == expected
+
+
+def test_golden_4_left_join_truthiness(spark, k8s):
+    # README.md:34 — JS truthiness: keep pods whose annotations.email is absent/empty
+    rows = run(
+        spark, k8s,
+        "select pods.metadata->name,image from pods left join containers using uid"
+        " where image like 'mysql%' and not pods.metadata->annotations->email",
+    )
+    pods = {p["metadata"]["uid"]: p for p in build_pods()["items"]}
+    expected = set()
+    for c in py_containers():
+        if c["image"].startswith("mysql"):
+            meta = pods[c["uid"]]["metadata"]
+            if not meta.get("annotations", {}).get("email"):
+                expected.add((meta["name"], c["image"]))
+    assert {tuple(r) for r in rows} == expected
+
+
+def test_raw_json_escape_hatch(spark, k8s):
+    # anything not in the typed schema is reachable via raw-> (SURVEY §1.4)
+    rows = run(
+        spark, k8s,
+        "select pods.raw->status->phase, uid from pods",
+    )
+    for phase, uid in rows:
+        assert phase in ("Running", "Pending", "Succeeded")
+
+
+def test_fixture_shape_matches_k8s_list_response():
+    d = ensure_fixtures()
+    data = json.loads((d / "pods.json").read_text())
+    assert "items" in data and len(data["items"]) == 20  # ksql.js:198 contract

@@ -1,0 +1,153 @@
+"""Unit tests for the `->` rewriter (pure function — no Spark needed).
+
+SURVEY §7 "hard parts" (1): quote/comment-safety and schema-aware dispatch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ksql_spark.compat.rewriter import RewriteError, Rewriter, compat_using
+
+PODS = StructType(
+    [
+        StructField("uid", StringType()),
+        StructField(
+            "metadata",
+            StructType(
+                [
+                    StructField("name", StringType()),
+                    StructField("annotations", MapType(StringType(), StringType())),
+                ]
+            ),
+        ),
+        StructField(
+            "spec",
+            StructType(
+                [
+                    StructField(
+                        "containers",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("image", StringType()),
+                                    StructField("ports", ArrayType(IntegerType())),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+        StructField("raw", StringType()),
+    ]
+)
+
+EVENTS = StructType([StructField("props", StringType())])
+
+RW = Rewriter({"pods": PODS, "events": EVENTS})
+RW_COMPAT = Rewriter({"pods": PODS}, truthiness_compat=True)
+
+
+def test_struct_field():
+    assert (
+        RW.rewrite("select pods.metadata->name from pods")
+        == "select pods.metadata.name from pods"
+    )
+
+
+def test_map_key():
+    assert (
+        RW.rewrite("select pods.metadata->annotations->email from pods")
+        == "select element_at(pods.metadata.annotations, 'email') from pods"
+    )
+
+
+def test_bare_column_resolution():
+    assert (
+        RW.rewrite("select metadata->name from pods")
+        == "select metadata.name from pods"
+    )
+
+
+def test_array_index_then_field():
+    assert (
+        RW.rewrite("select spec->containers->(0)->image from pods")
+        == "select spec.containers[0].image from pods"
+    )
+
+
+def test_nested_array_index():
+    assert (
+        RW.rewrite("select spec->containers->(1)->ports->(2) from pods")
+        == "select spec.containers[1].ports[2] from pods"
+    )
+
+
+def test_json_string_escape_hatch():
+    assert (
+        RW.rewrite("select props->k from events")
+        == "select get_json_object(props, '$.k') from events"
+    )
+    assert (
+        RW.rewrite("select raw->status->conditions->(0)->type from pods")
+        == "select get_json_object(raw, '$.status.conditions[0].type') from pods"
+    )
+
+
+def test_arrow_inside_string_untouched():
+    sql = "select '->' as lit, pods.metadata->name from pods -- a->b comment"
+    assert (
+        RW.rewrite(sql)
+        == "select '->' as lit, pods.metadata.name from pods -- a->b comment"
+    )
+
+
+def test_no_arrow_roundtrip():
+    sql = "SELECT a.b, count(*) FROM t WHERE x = 'y' GROUP BY a.b"
+    assert RW.rewrite(sql) == sql
+
+
+def test_whitespace_around_arrow():
+    assert (
+        RW.rewrite("select pods.metadata -> name from pods")
+        == "select pods.metadata.name from pods"
+    )
+
+
+def test_unresolvable_raises():
+    with pytest.raises(RewriteError):
+        RW.rewrite("select nosuch->field from pods")
+
+
+def test_truthiness_not_rewrite():
+    out = RW_COMPAT.rewrite(
+        "select uid from pods where not pods.metadata->annotations->email"
+    )
+    assert (
+        "(element_at(pods.metadata.annotations, 'email') IS NULL "
+        "OR element_at(pods.metadata.annotations, 'email') = '')" in out
+    )
+    assert "not" not in out.lower().replace("annotations", "")
+
+
+def test_truthiness_off_by_default():
+    out = RW.rewrite("select uid from pods where not pods.metadata->annotations->email")
+    assert out.startswith("select uid from pods where not ")
+
+
+def test_compat_using():
+    assert (
+        compat_using("from a join b using uid where x")
+        == "from a join b using (uid) where x"
+    )
+    assert compat_using("using (uid)") == "using (uid)"
+    assert compat_using("select 'using uid'") == "select 'using uid'"
