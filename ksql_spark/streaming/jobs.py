@@ -1,0 +1,136 @@
+"""Streaming jobs (SURVEY.md §2.I).
+
+Design: every aggregation here reuses the SAME window expressions as the batch
+queries in ksql_spark/queries/streaming_batch.py — batch/stream agreement is
+the correctness argument for the streaming path (streaming results are not
+DuckDB-checkable; SURVEY §5.2(5)).
+
+Scale posture: watermarks bound state; windowed aggs shuffle on (window, key);
+applyInPandasWithState keeps per-key state in the state store (RocksDB on a
+real cluster), never in the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+EVENTS_RAW_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, events_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """File-replayed events stream (I1). `events_dir` holds events parquet
+    file(s) with the driver layout (TIMESTAMP(NANOS) stored; read as long via
+    nanosAsLong, converted exactly like ksql_spark.tables.load)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(events_dir)
+    )
+    # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is UTC
+    # so wall-clock values match the batch path's timestamp_ntz bitwise.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(stream: DataFrame, width: str = "10 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """I2+I5: watermarked tumbling window counts — same window() expr as the
+    batch query `stream_tumbling_window`."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """I4: session windows per user — same session_window() expr as the batch
+    query `stream_session_window`."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """I6: streaming exact dedup on event_id within the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """I7: arbitrary stateful op via applyInPandasWithState — per-user running
+    event count + value sum, state kept in the store, updates emitted per batch."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str) -> None:
+    """Drain all available input into an in-memory table `name` and stop —
+    the batch-equivalence test harness (and Trigger.AvailableNow demo, I8)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def snapshot_refresh(spark: SparkSession, interval: str = "10 seconds",
+                     fixtures: str | None = None):
+    """I8: periodic snapshot refresh — the reference schedules ONE reload after
+    10 s in TTY mode (ksql.js:280, intent periodic; SURVEY §1.1). Here a rate
+    source ticks and foreachBatch re-registers the k8s views atomically.
+    Returns the StreamingQuery (caller stops it)."""
+    from ksql_spark.sources.k8s import register_k8s_views
+
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+
+    def refresh(batch_df, batch_id):
+        register_k8s_views(spark, fixtures=fixtures)
+
+    return (
+        ticks.writeStream.foreachBatch(refresh)
+        .trigger(processingTime=interval)
+        .start()
+    )

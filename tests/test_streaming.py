@@ -1,0 +1,108 @@
+"""Streaming correctness = batch/stream agreement (SURVEY §5.2(5)):
+the same window expressions must produce identical results when the events
+table is replayed as a file stream.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+
+from ksql_spark.registry import all_specs
+from ksql_spark.streaming import jobs
+
+from .conftest import SF_SMALL
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Replay dir: the sf0.001 events parquet copied in as two 'arriving' files
+    (same file twice exercises multi-batch + dedup paths)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    src = Path(SF_SMALL) / "events.parquet"
+    shutil.copy(src, d / "part-000.parquet")
+    shutil.copy(src, d / "part-001.parquet")
+    return str(d)
+
+
+def rows_set(rows, cols):
+    return {tuple(r[c] for c in cols) for r in rows}
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=1)
+    jobs.run_available_now(jobs.tumbling_counts(stream), "t_tumble", "complete")
+    got = spark.table("t_tumble").collect()
+    batch = SPECS["stream_tumbling_window"].builder(spark, SF_SMALL).collect()
+    # stream saw the file twice → every count doubles
+    want = {(r["win_start"], r["win_end"], 2 * r["n_events"]) for r in batch}
+    assert rows_set(got, ["win_start", "win_end", "n_events"]) == want
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_available_now(jobs.dedup_stream(stream), "t_dedup", "append")
+    n = spark.table("t_dedup").count()
+    import pyspark.sql.functions as F
+
+    distinct_ids = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert n == distinct_ids  # duplicates from the second file dropped
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_available_now(jobs.session_counts(stream), "t_sess", "complete")
+    got = spark.table("t_sess").collect()
+    batch = SPECS["stream_session_window"].builder(spark, SF_SMALL).collect()
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], 2 * r["n_events"])
+        for r in batch
+    }
+    assert rows_set(got, cols) == want
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_available_now(jobs.running_user_totals(stream), "t_state", "update")
+    got = {r["user_id"]: r["n_events"] for r in spark.table("t_state").collect()}
+    import pyspark.sql.functions as F
+
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # stream ingested the file twice
+    assert got == {r["user_id"]: 2 * r["n"] for r in batch}
+
+
+def test_snapshot_refresh_ticks(spark):
+    from ksql_spark.sources.fixtures import ensure_fixtures
+
+    ensure_fixtures()
+    q = jobs.snapshot_refresh(spark, interval="1 seconds")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.table("pods").count() == 20:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        else:
+            pytest.fail("refresh never registered the pods view")
+    finally:
+        q.stop()
