@@ -11,5 +11,6 @@ from ksql_spark.queries import (  # noqa: F401
     setops,
     sorts,
     streaming_batch,
+    udfs,
     windows,
 )

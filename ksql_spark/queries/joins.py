@@ -207,6 +207,30 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_natural",
+    oracle="""
+    SELECT nationkey, n_name, r_name FROM
+        (SELECT n_nationkey AS nationkey, n_name, n_regionkey AS regionkey FROM nation)
+        NATURAL JOIN
+        (SELECT r_regionkey AS regionkey, r_name FROM region)
+    """,
+    ref="SURVEY §2 C8 [D?] — verified: Spark SQL supports NATURAL JOIN",
+)
+def join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation_nat")
+    load(spark, sf_dir, "region").createOrReplaceTempView("v_region_nat")
+    return spark.sql(
+        """
+        SELECT nationkey, n_name, r_name FROM
+            (SELECT n_nationkey AS nationkey, n_name, n_regionkey AS regionkey
+             FROM v_nation_nat)
+            NATURAL JOIN
+            (SELECT r_regionkey AS regionkey, r_name FROM v_region_nat)
+        """
+    )
+
+
+@query(
     "join_range",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate

@@ -1,0 +1,92 @@
+"""SURVEY.md §2.J — user-defined function surface.
+
+The reference's extension point is `alasql.fn.name = f` then `name(x)` in SQL
+(AlaSQL-documented [D]; none registered in the repo). Spark-side:
+  J1 scalar  → Arrow-batched @pandas_udf (10-100x over row-at-a-time Python)
+  J2 agg     → pandas_udf grouped aggregate
+  J3 table   → Python UDTF (Spark 4) / mapInPandas flat-map
+
+Arbitrary-JS transparent eval (J4, `a->fn()` H9) is deliberately NOT
+reproduced — registered UDFs only (SURVEY §2 H9 security note).
+
+Oracle note: Python UDFs must produce engine-portable values to be
+hash-compared — these use exact string/integer math only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+
+@pandas_udf(StringType())
+def norm_name(s: pd.Series) -> pd.Series:
+    """Scalar Pandas UDF (Arrow batches): canonicalize a name."""
+    return s.str.strip().str.lower().str.replace("customer#", "cust:", regex=False)
+
+
+@pandas_udf(LongType())
+def int_qty_sum(q: pd.Series) -> int:
+    """Grouped-aggregate Pandas UDF: exact integer sum (order-insensitive)."""
+    return int(q.astype("int64").sum())
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT c_custkey,
+           replace(lower(trim(c_name)), 'customer#', 'cust:') AS norm
+    FROM customer
+    """,
+    ref="SURVEY §2 J1 (scalar UDF; AlaSQL alasql.fn analog → @pandas_udf)",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", norm_name("c_name").alias("norm"))
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="SURVEY §2 J2 (custom aggregate → pandas_udf grouped agg; integer math "
+    "so partition order cannot change the result)",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(int_qty_sum("l_quantity").alias("qty_total"))
+
+
+@query(
+    "udtf_flatmap",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 50
+    """,
+    ref="SURVEY §2 J3 (table function / flat-map → mapInPandas; one row in, "
+    "N rows out)",
+)
+def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-map via mapInPandas: doc → one row per word. (posexplode would be
+    the built-in route — this exercises the Python UDTF-style surface.)"""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def explode_words(batches):
+        for pdf in batches:
+            words = pdf["text"].str.split(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(words.str.len()),
+                    "word": [w for lst in words for w in lst],
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(explode_words, "doc_id long, word string")

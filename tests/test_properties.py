@@ -1,0 +1,87 @@
+"""Property-based tests (SURVEY §5.2(4)): algebraic laws on generated frames
+and rewriter round-trip safety."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ksql_spark.compat.rewriter import Rewriter
+
+RW = Rewriter({"t": StructType([StructField("x", StringType())])})
+
+sql_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "S", "Z"), blacklist_characters=">"
+    ),
+    max_size=80,
+)
+
+
+@given(sql_text)
+@settings(max_examples=200, deadline=None)
+def test_rewriter_identity_without_arrow(sql):
+    """Any text with no `->` token must round-trip unchanged."""
+    assert "->" not in sql
+    assert RW.rewrite(sql) == sql
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows, rows)
+def test_union_all_count_additivity(spark_lazy, a, b):
+    spark = spark_lazy
+    schema = "v int, k int"
+    da = spark.createDataFrame(a or [], schema=schema)
+    db = spark.createDataFrame(b or [], schema=schema)
+    assert da.unionAll(db).count() == len(a) + len(b)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows)
+def test_filter_conjunction_split(spark_lazy, a):
+    spark = spark_lazy
+    df = spark.createDataFrame(a or [], schema="v int, k int")
+    both = df.where((F.col("v") > 0) & (F.col("k") < 2)).count()
+    chained = df.where(F.col("v") > 0).where(F.col("k") < 2).count()
+    assert both == chained == sum(1 for v, k in a if v > 0 and k < 2)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows, rows)
+def test_inner_join_commutative_count(spark_lazy, a, b):
+    spark = spark_lazy
+    da = spark.createDataFrame(a or [], schema="v int, k int").select("k").alias("a")
+    db = spark.createDataFrame(b or [], schema="v int, k int").select(
+        F.col("k").alias("k2")
+    )
+    ab = da.join(db, F.col("k") == F.col("k2")).count()
+    ba = db.join(da, F.col("k") == F.col("k2")).count()
+    assert ab == ba
+
+
+# hypothesis can't use function-scoped pytest fixtures directly; expose the
+# session fixture through a module-level accessor.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def _spark_holder(spark):
+    global _SPARK
+    _SPARK = spark
+    return spark
+
+
+@pytest.fixture
+def spark_lazy(_spark_holder):
+    return _SPARK
