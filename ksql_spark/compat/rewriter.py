@@ -235,6 +235,37 @@ def rewrite(sql: str, schemas: Mapping[str, StructType],
     return Rewriter(schemas, truthiness_compat=truthiness_compat).rewrite(sql)
 
 
+def compat_top(sql: str) -> str:
+    """AlaSQL/T-SQL `SELECT TOP n …` sugar (SURVEY §2 F4) → `… LIMIT n`.
+
+    Handles the outermost SELECT only (the reference surface never nests TOP);
+    quote-aware via the shared tokenizer.
+    """
+    toks = _tokenize(sql)
+    for i, t in enumerate(toks):
+        if t.kind == "ident" and t.text.upper() == "SELECT":
+            j = i + 1
+            while j < len(toks) and toks[j].kind in ("ws", "comment"):
+                j += 1
+            if (
+                j < len(toks)
+                and toks[j].kind == "ident"
+                and toks[j].text.upper() == "TOP"
+            ):
+                k = j + 1
+                while k < len(toks) and toks[k].kind in ("ws", "comment"):
+                    k += 1
+                if k < len(toks) and toks[k].kind == "num":
+                    n = toks[k].text
+                    rest = (
+                        "".join(tok.text for tok in toks[: j])
+                        + "".join(tok.text for tok in toks[k + 1:])
+                    )
+                    return rest.rstrip().rstrip(";") + f" LIMIT {n}"
+            break
+    return sql
+
+
 def compat_using(sql: str) -> str:
     """AlaSQL allows `JOIN t USING col` (README.md:30,34); ANSI/Spark require
     parentheses. Wraps bare single-column USING clauses, quote-aware."""

@@ -16,14 +16,14 @@ import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from ksql_spark.compat.rewriter import Rewriter, compat_using
+from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
 from ksql_spark.repl import build_session, make_rewriter
 
 MAX_ROWS = 10_000  # don't collect unbounded results into the driver
 
 
 def run_query(spark, rewriter: Rewriter, query: str) -> dict:
-    sql = compat_using(rewriter.rewrite(query))
+    sql = compat_top(compat_using(rewriter.rewrite(query)))
     df = spark.sql(sql).limit(MAX_ROWS)
     rows = df.collect()
     headers = df.columns

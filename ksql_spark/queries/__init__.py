@@ -7,6 +7,7 @@ from ksql_spark.queries import (  # noqa: F401
     filters,
     functions,
     joins,
+    k8s_queries,
     llm,
     setops,
     sorts,

@@ -29,6 +29,23 @@ def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "project_nested_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_value
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    ref="SURVEY §2 B2; reference README.md:30 nested projection "
+    "(pods.metadata->name) — JSON-string flavor on events.props",
+)
+def project_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-path projection through the `->` mapping (JSON-string column)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select("event_id", k.alias("k_value")).where(k.isNotNull())
+
+
+@query(
     "project_exprs",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ksql_spark.compat.rewriter import Rewriter, compat_using
+from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
 
 
 def build_session(testdata: str | None, with_k8s: bool = True):
@@ -43,7 +43,7 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
     if not line:
         return
     try:
-        sql = compat_using(rewriter.rewrite(line))
+        sql = compat_top(compat_using(rewriter.rewrite(line)))
         df = spark.sql(sql)
         rows = df.limit(1).collect()
         if not rows:

@@ -15,7 +15,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ksql_spark.compat.rewriter import RewriteError, Rewriter, compat_using
+from ksql_spark.compat.rewriter import (
+    RewriteError,
+    Rewriter,
+    compat_top,
+    compat_using,
+)
 
 PODS = StructType(
     [
@@ -142,6 +147,15 @@ def test_truthiness_not_rewrite():
 def test_truthiness_off_by_default():
     out = RW.rewrite("select uid from pods where not pods.metadata->annotations->email")
     assert out.startswith("select uid from pods where not ")
+
+
+def test_compat_top():
+    assert (
+        compat_top("select top 5 a from t where x") == "select  a from t where x LIMIT 5"
+    )
+    assert compat_top("select a from t") == "select a from t"
+    assert compat_top("select 'top 5' from t") == "select 'top 5' from t"
+    assert compat_top("select topical from t") == "select topical from t"
 
 
 def test_compat_using():
