@@ -6,6 +6,7 @@ from ksql_spark.queries import (  # noqa: F401
     bench,
     filters,
     functions,
+    graph,
     joins,
     k8s_queries,
     llm,

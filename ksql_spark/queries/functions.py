@@ -48,6 +48,33 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_string_extra",
+    oracle="""
+    SELECT s_suppkey,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded,
+           rpad(s_name, 25, '.') AS rpadded,
+           CAST(position('#' in s_name) AS INT) AS hash_at,
+           CAST(levenshtein(s_name, 'Supplier#000000000') AS INT) AS edit_dist,
+           reverse(s_name) AS rev,
+           repeat('ab', 3) AS rep
+    FROM supplier
+    """,
+    ref="SURVEY §2 H2 [EXT] extras (lpad/rpad/position/levenshtein/reverse/repeat)",
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded"),
+        F.rpad("s_name", 25, ".").alias("rpadded"),
+        F.instr(F.col("s_name"), "#").alias("hash_at"),
+        F.levenshtein("s_name", F.lit("Supplier#000000000")).alias("edit_dist"),
+        F.reverse("s_name").alias("rev"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+    )
+
+
+@query(
     "fn_regex",
     oracle="""
     SELECT doc_id,

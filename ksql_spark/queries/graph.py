@@ -1,0 +1,70 @@
+"""SURVEY.md §2.L — graph search.
+
+AlaSQL 0.3's graph SEARCH operator is unused by the reference (SURVEY §2.L)
+but part of the delegated surface; the Spark-native mapping is iterative
+frontier expansion over DataFrame joins (the standard BFS / connected-
+components pattern — each level is one distinct-join, state stays distributed).
+
+Oracle: DuckDB WITH RECURSIVE over the same adjacency — an exact, fully
+SQL-expressible check for an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+_MAX_DEPTH = 3
+_START = 0  # BFS root supplier
+
+
+@query(
+    "graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE adj AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+    ), reach(suppkey, d) AS (
+        SELECT CAST({_START} AS BIGINT), 0
+        UNION
+        SELECT adj.s2, reach.d + 1
+        FROM reach JOIN adj ON adj.s1 = reach.suppkey
+        WHERE reach.d < {_MAX_DEPTH}
+    )
+    SELECT suppkey, CAST(MIN(d) AS INT) AS depth
+    FROM reach GROUP BY suppkey
+    """,
+    ref="SURVEY §2 L (graph SEARCH → iterative DataFrame BFS; adjacency = "
+    "suppliers sharing a part)",
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS over the 'suppliers who ship a common part' graph, depth <= 3.
+
+    The driver-side loop iterates over PLANS, not data: each level is
+    frontier ⋈ adjacency → distinct → anti-join visited. At 100 TB this is the
+    same shape large-scale connected-components/label-propagation jobs use;
+    state (visited set) lives in DataFrames, never in driver memory.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select("l_suppkey", "l_partkey").distinct()
+    adj = (
+        edges.alias("a")
+        .join(edges.alias("b"), "l_partkey")
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+    )
+    visited = spark.createDataFrame([(_START, 0)], "suppkey long, depth int")
+    frontier = visited
+    for d in range(1, _MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(adj, frontier.suppkey == adj.s1)
+            .select(F.col("s2").alias("suppkey"))
+            .distinct()
+            .join(visited, "suppkey", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

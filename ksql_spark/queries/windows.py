@@ -125,6 +125,32 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_within_1000
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+    ref="SURVEY §2 E4 (value-based RANGE frame; count is tie-order-insensitive)",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1000"),
+    )
+
+
+@query(
     "win_topn_per_group",
     oracle="""
     SELECT user_id, event_id, value FROM (
