@@ -207,6 +207,15 @@ class Rewriter:
                     ):
                         segments.append(("index", int(toks[k + 1].text)))
                         k_next = k + 3
+                    elif (
+                        k + 2 < n
+                        and toks[k].text == "("
+                        and toks[k + 1].kind == "str"
+                        and toks[k + 2].text == ")"
+                    ):
+                        # dynamic string key: a->('k') (AlaSQL-documented [D])
+                        segments.append(("key", toks[k + 1].text[1:-1].replace("''", "'")))
+                        k_next = k + 3
                     else:
                         raise RewriteError(
                             f"expected identifier or (index) after -> near token {k}"

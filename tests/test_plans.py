@@ -1,0 +1,71 @@
+"""Physical-plan quality gates (SURVEY §4.2/§4.3 "100 TB posture").
+
+These assert the properties that matter at scale, not timings:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, the big fact table never shuffles in the headline join, and
+top-k compiles to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ksql_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q_filter_count")
+    assert "PushedFilters:" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:300]
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "project_columns")
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "o_orderkey" in read_schema
+    assert "o_totalprice" not in read_schema  # unused column never read
+
+
+def test_join3_lineitem_never_shuffles(spark):
+    df = SPECS["q_join3_topk"].builder(spark, SF_DIR)
+    df.collect()  # materialize AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange allowed is the tiny post-aggregation hash exchange
+    # (and broadcast exchanges); no shuffle of the lineitem scan itself.
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for cols in shuffles:
+        assert "l_orderkey" not in cols, f"lineitem shuffled on {cols}"
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "Semi" in plan_of(spark, "join_semi")
+    assert "Anti" in plan_of(spark, "join_anti")
+
+
+def test_whole_stage_codegen_on_agg(spark):
+    df = SPECS["q_groupby_agg"].builder(spark, SF_DIR)
+    df.collect()  # AQE shows codegen spans only in the materialized final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
+
+
+def test_no_cartesian_in_equi_joins(spark):
+    for name in ["join_inner_using", "join_left", "q_join3_topk"]:
+        assert "CartesianProduct" not in plan_of(spark, name), name

@@ -149,6 +149,13 @@ def test_truthiness_off_by_default():
     assert out.startswith("select uid from pods where not ")
 
 
+def test_dynamic_string_key():
+    assert (
+        RW.rewrite("select pods.metadata->annotations->('email') from pods")
+        == "select element_at(pods.metadata.annotations, 'email') from pods"
+    )
+
+
 def test_compat_top():
     assert (
         compat_top("select top 5 a from t where x") == "select  a from t where x LIMIT 5"
