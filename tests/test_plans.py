@@ -63,7 +63,8 @@ def test_whole_stage_codegen_on_agg(spark):
     df = SPECS["q_groupby_agg"].builder(spark, SF_DIR)
     df.collect()  # AQE shows codegen spans only in the materialized final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in executedPlan toString
+    assert "*(1)" in plan and "*(2)" in plan
 
 
 def test_no_cartesian_in_equi_joins(spark):
