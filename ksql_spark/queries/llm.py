@@ -278,6 +278,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_lsh_topk",
+    oracle=None,  # LSH bucketing is approximate → rows-only; recall tested in tests/
+    ref="SURVEY §2 K3 (random-projection LSH ANN via MLlib "
+    "BucketedRandomProjectionLSH — the other 100 TB similarity-search path)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx top-5 neighbors for query vectors via MLlib's random-projection
+    LSH (approxSimilarityJoin = bucket-join, never the full n*m pair space).
+    Output: (query_id, vec_id, dist) — euclidean distance, deterministic given
+    the fixed seed."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    ).fit(e)
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    joined = model.approxSimilarityJoin(
+        q.withColumnRenamed("q_vec", "vec"), e, 3.0, distCol="dist"
+    )
+    pairs = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        "dist",
+    ).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5).drop("rn")
+
+
+@query(
     "llm_text_stats",
     oracle=f"""
     SELECT lang,

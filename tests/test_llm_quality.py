@@ -76,6 +76,25 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert avg >= 0.4, f"IVF recall@5 too low: {avg:.2f} ({recalls})"
 
 
+def test_lsh_recall_vs_bruteforce(spark):
+    """Euclidean-LSH top-5 vs exact cosine top-5: embeddings are ~unit-norm so
+    nearest-by-euclidean ≈ nearest-by-cosine; recall must beat random."""
+    specs = all_specs()
+    exact = specs["llm_sim_topk"].builder(spark, SF_DIR).collect()
+    approx = specs["ann_lsh_topk"].builder(spark, SF_DIR).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.4, f"LSH recall@5 too low: {avg:.2f} ({recalls})"
+
+
 def test_partitioned_write_layout(spark, tmp_path):
     """Scale-relevant sink: hive-partitioned parquet (partition pruning path)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
