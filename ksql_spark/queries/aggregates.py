@@ -253,6 +253,28 @@ def agg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS F,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS O,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 D [EXT] (PIVOT — df.groupBy().pivot(); oracle via "
+    "conditional aggregation)",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
     "agg_approx_distinct",
     oracle=None,  # HLL sketch value differs engine-to-engine → rows-only check
     ref="SURVEY §2 D14 [EXT] (approx_count_distinct — the 100 TB path for "

@@ -202,6 +202,32 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_bitwise",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 12 AS band,
+           n_nationkey | 1 AS bor,
+           xor(n_nationkey, 21) AS bxor,
+           n_nationkey << 2 AS shl,
+           n_nationkey >> 1 AS shr
+    FROM nation
+    """,
+    ref="SURVEY §2 H [EXT] (bitwise operators)",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("band"),
+        k.bitwiseOR(F.lit(1)).alias("bor"),
+        k.bitwiseXOR(F.lit(21)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+    )
+
+
+@query(
     "fn_json_extract",
     oracle="""
     SELECT event_id,
