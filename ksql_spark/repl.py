@@ -63,9 +63,23 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="JS-truthiness NOT on string paths (README.md:34 semantics)",
     )
+    ap.add_argument(
+        "--refresh",
+        metavar="SECONDS",
+        type=int,
+        default=0,
+        help="periodically re-snapshot the k8s views (the reference arms a "
+        "one-shot 10s reload in TTY mode — ksql.js:280; this is the intended "
+        "periodic version)",
+    )
     args = ap.parse_args(argv)
     spark = build_session(args.testdata, with_k8s=not args.no_k8s)
     rewriter = make_rewriter(spark, args.compat_truthiness)
+    refresh_q = None
+    if args.refresh and not args.no_k8s:
+        from ksql_spark.streaming.jobs import snapshot_refresh
+
+        refresh_q = snapshot_refresh(spark, interval=f"{args.refresh} seconds")
     try:
         while True:
             try:
@@ -75,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
             handle_line(spark, rewriter, line)
     finally:
         print("shutting down")  # ksql.js:184-187
+        if refresh_q is not None:
+            refresh_q.stop()
         spark.stop()
     return 0
 
