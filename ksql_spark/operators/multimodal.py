@@ -59,6 +59,81 @@ def _decode_fake(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_sha", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas image resize (stubbed decode — SURVEY §2 K5 contract).
+
+    Real impl swaps `_decode_fake` + a PIL resize into the same batch loop;
+    the Spark-side plumbing (Arrow batches, output schema, partition layout)
+    is identical either way.
+    """
+    fake = os.environ.get("KSQL_SPARK_FAKE_DECODE", "1") == "1"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires PIL")
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    # deterministic stand-in for resized pixel bytes
+                    "resized_sha": [
+                        hashlib.sha256(p + f"{width}x{height}".encode()).hexdigest()
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas video frame sampling (stubbed decode): one output row per
+    sampled frame — the flatten shape a real ffmpeg-backed sampler produces."""
+    fake = os.environ.get("KSQL_SPARK_FAKE_DECODE", "1") == "1"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame sampling requires ffmpeg")
+            rows = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                for i in range(n_frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sha"].append(
+                        hashlib.sha256(p + bytes([i])).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, payload) — Arrow-batched,
     one python worker per partition, constant memory per batch.

@@ -443,3 +443,15 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.attach_payload(load(spark, sf_dir, "documents"), "text")
     return multimodal.extract_features(d)
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle=None,  # decode stub → rows-only
+    ref="SURVEY §2 K5 (frame sampling: 1 payload → N frame rows via mapInPandas)",
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.attach_payload(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 50), "text"
+    )
+    return multimodal.sample_frames(d, n_frames=4)

@@ -72,6 +72,38 @@ def test_session_stream_matches_batch(spark, events_dir):
     assert rows_set(got, cols) == want
 
 
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "n_events")
+    )
+    jobs.run_available_now(agg, "t_slide", "complete")
+    got = spark.table("t_slide").collect()
+    batch = SPECS["stream_sliding_window"].builder(spark, SF_SMALL).collect()
+    want = {(r["win_start"], 2 * r["n_events"]) for r in batch}
+    assert rows_set(got, ["win_start", "n_events"]) == want
+
+
+def test_multimodal_resize_and_frames(spark):
+    from ksql_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20)
+    d = multimodal.attach_payload(docs, "text")
+    resized = multimodal.resize_images(d, 32, 32).collect()
+    assert len(resized) == 20 and all(r.width == 32 for r in resized)
+    frames = multimodal.sample_frames(d, n_frames=3).collect()
+    assert len(frames) == 60
+    assert {r.frame_idx for r in frames} == {0, 1, 2}
+    # determinism: same payload + index → same sha
+    again = multimodal.sample_frames(d, n_frames=3).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
 def test_stateful_running_totals(spark, events_dir):
     stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
     jobs.run_available_now(jobs.running_user_totals(stream), "t_state", "update")
