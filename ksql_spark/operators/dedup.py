@@ -13,6 +13,12 @@ Strategies, cheapest first:
 Hash source is xxhash64 (stable across Spark runs/versions by contract), so
 signatures are deterministic but engine-specific → these ops use rows-only
 verification (the driver's weaker gate) except the exact/Jaccard forms.
+
+Published basis (public knowledge): MinHash resemblance sketches and banding —
+Broder, "On the resemblance and containment of documents" (1997); LSH framing —
+Indyk & Motwani (1998); SimHash — Charikar, "Similarity estimation techniques
+from rounding algorithms" (2002), applied to web-scale dedup in Manku et al.
+(WWW 2007). See also PAPERS.md (compressed-index string similarity, ICDE 2022).
 """
 
 from __future__ import annotations
