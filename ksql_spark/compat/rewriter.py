@@ -105,6 +105,17 @@ class Rewriter:
             return ".".join(path), hits[0]
         if len(hits) > 1:
             raise RewriteError(f"ambiguous column path {'.'.join(path)!r}")
+        # unknown first id → treat it as a table ALIAS: resolve the rest of the
+        # path, keep the alias prefix verbatim (`p.metadata->name` with p an
+        # alias of pods ⇒ p.metadata.name)
+        if len(path) >= 2:
+            alias_hits = []
+            for schema in self.schemas.values():
+                dt = self._walk_struct(schema, path[1:])
+                if dt is not None:
+                    alias_hits.append(dt)
+            if len(alias_hits) == 1:
+                return ".".join(path), alias_hits[0]
         return None
 
     @staticmethod

@@ -57,9 +57,10 @@ def minhash_near_dups(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    k: int = 16,
+    k: int = 40,
     bands: int = 4,
     jaccard_threshold: float = 0.6,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding, verified by exact Jaccard.
 
@@ -67,6 +68,14 @@ def minhash_near_dups(
     rows/doc → shuffle on (band, band_hash) via a self-join → candidate pairs
     only where a band collides → exact Jaccard on candidates. Never materializes
     the n² pair space.
+
+    Tuning: rows-per-band = k/bands sets the collision sharpness
+    (P(band) = j^rows). The default 10 rows/band keeps random-pair candidates
+    rare even on corpora with high baseline similarity while catching j>=0.9
+    near-dups with P ≈ 1-(1-j^10)^bands. `max_bucket_size` is the degenerate-
+    bucket safety valve (docs/SCALE.md): a bucket holding >cap docs (e.g. one
+    boilerplate string repeated across the corpus) would alone create cap²
+    candidate pairs, so it is skipped; exact-dedup (cheaper) catches those.
     """
     rows = k // bands
     sig = df.select(
@@ -92,6 +101,13 @@ def minhash_near_dups(
                 ),
             )
         ).alias("band", "band_hash"),
+    )
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("bucket_n") <= max_bucket_size).drop("bucket_n"),
+        ["band", "band_hash"],
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -62,8 +62,9 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # fixture docs share a ~40-word vocabulary, so random pairs already hit
-    # word-jaccard ~0.6 — 0.8 keeps only genuinely near-identical pairs.
-    return dedup.minhash_near_dups(d, "text", "doc_id", k=16, bands=4, jaccard_threshold=0.8)
+    # word-jaccard ~0.6 — 0.8 keeps only genuinely near-identical pairs, and
+    # 10-row bands keep candidate generation sub-quadratic on this corpus.
+    return dedup.minhash_near_dups(d, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8)
 
 
 @query(

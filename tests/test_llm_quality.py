@@ -34,7 +34,7 @@ def test_minhash_finds_planted_near_dups(spark):
     )
     corpus = docs.unionByName(near).unionByName(exact)
     pairs = dedup.minhash_near_dups(
-        corpus, "text", "doc_id", k=16, bands=8, jaccard_threshold=0.5
+        corpus, "text", "doc_id", k=40, bands=8, jaccard_threshold=0.5
     ).collect()
     found = {(r.doc_a, r.doc_b) for r in pairs}
     for i in range(5):

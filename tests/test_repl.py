@@ -1,0 +1,57 @@
+"""REPL / HTTP API unit tests (no subprocess): handle_line semantics parity
+with ksql.js:156-176, and run_query's {headers, data} shape (ksql.js:299-305).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ksql_spark.compat.rewriter import Rewriter
+from ksql_spark.http_api import run_query
+from ksql_spark.repl import handle_line, make_rewriter
+from ksql_spark.sources.k8s import register_k8s_views
+
+
+@pytest.fixture(scope="module")
+def rw(spark):
+    register_k8s_views(spark)
+    return make_rewriter(spark, truthiness=True)
+
+
+def test_handle_line_renders_table(spark, rw, capsys):
+    handle_line(spark, rw, "select count(*) from containers")
+    out = capsys.readouterr().out
+    assert "count(1)" in out and "39" in out
+
+
+def test_handle_line_empty_result_marker(spark, rw, capsys):
+    handle_line(spark, rw, "select uid from pods where uid = 'nope'")
+    assert "[]" in capsys.readouterr().out  # ksql.js:160-162 parity
+
+
+def test_handle_line_error_continues(spark, rw, capsys):
+    handle_line(spark, rw, "select broken syntax")
+    err = capsys.readouterr().err
+    assert "error:" in err  # printed, not raised (ksql.js:172-174)
+
+
+def test_handle_line_blank_noop(spark, rw, capsys):
+    handle_line(spark, rw, "   ")
+    assert capsys.readouterr().out == ""
+
+
+def test_run_query_shape(spark, rw):
+    res = run_query(spark, rw, "select top 3 uid from pods")
+    assert res["headers"] == ["uid"]
+    assert len(res["data"]) == 3
+    assert all(isinstance(row, list) and len(row) == 1 for row in res["data"])
+
+
+def test_run_query_arrow_and_using(spark, rw):
+    res = run_query(
+        spark, rw,
+        "select pods.metadata->name,image from pods join containers using uid"
+        " where image like 'mysql:5.5%'",
+    )
+    assert res["headers"] == ["name", "image"]
+    assert all(img.startswith("mysql:5.5") for _, img in res["data"])

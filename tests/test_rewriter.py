@@ -128,6 +128,14 @@ def test_whitespace_around_arrow():
     )
 
 
+def test_alias_prefix_fallback():
+    # p is not a view; metadata.annotations resolves uniquely → alias kept
+    assert (
+        RW.rewrite("select p.metadata->annotations->email from pods p")
+        == "select element_at(p.metadata.annotations, 'email') from pods p"
+    )
+
+
 def test_unresolvable_raises():
     with pytest.raises(RewriteError):
         RW.rewrite("select nosuch->field from pods")
