@@ -178,14 +178,16 @@ def llm_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 3).
     Query set is broadcast; the corpus scan is embarrassingly parallel."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", vectors.l2_norm("embedding")
+    )  # norm computed ONCE per corpus row, not once per (query, row) pair
     q = e.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
     )
     pairs = F.broadcast(q).crossJoin(e).where(F.col("query_id") != F.col("vec_id"))
-    cos = vectors.dot("q_emb", "embedding") / (
-        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding")
-    )
+    cos = vectors.dot("q_emb", "embedding") / (F.col("q_norm") * F.col("v_norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         pairs.select("query_id", "vec_id", cos.alias("cosine"))
@@ -210,10 +212,12 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unblocked version uses random-projection LSH)",
 )
 def llm_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", vectors.l2_norm("embedding")
+    )  # per-row norm precomputed before the pair join (3x less fold work)
     a, b = e.alias("a"), e.alias("b")
     cos = vectors.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        vectors.l2_norm(F.col("a.embedding")) * vectors.l2_norm(F.col("b.embedding"))
+        F.col("a.v_norm") * F.col("b.v_norm")
     )
     return (
         a.join(
