@@ -154,7 +154,8 @@ class Rewriter:
                     raise RewriteError(f"no field {val!r} in struct {expr}")
                 expr, dt = f"{expr}.{nxt.name}", nxt.dataType
             elif isinstance(dt, MapType) and kind == "key":
-                expr, dt = f"element_at({expr}, '{val}')", dt.valueType
+                lit = str(val).replace("'", "''")  # re-escape for the SQL literal
+                expr, dt = f"element_at({expr}, '{lit}')", dt.valueType
             elif isinstance(dt, ArrayType) and kind == "index":
                 expr, dt = f"{expr}[{val}]", dt.elementType
             elif isinstance(dt, StringType):
@@ -162,7 +163,8 @@ class Rewriter:
                 parts = []
                 for k, v in segments[i:]:
                     parts.append(f"[{v}]" if k == "index" else f".{v}")
-                expr, dt = f"get_json_object({expr}, '${''.join(parts)}')", StringType()
+                path = "".join(parts).replace("'", "''")  # re-escape for SQL literal
+                expr, dt = f"get_json_object({expr}, '${path}')", StringType()
                 i = len(segments)
                 break
             else:
@@ -258,10 +260,14 @@ def rewrite(sql: str, schemas: Mapping[str, StructType],
 def compat_top(sql: str) -> str:
     """AlaSQL/T-SQL `SELECT TOP n …` sugar (SURVEY §2 F4) → `… LIMIT n`.
 
-    Handles the outermost SELECT only (the reference surface never nests TOP);
-    quote-aware via the shared tokenizer.
+    Handles statements whose FIRST keyword is SELECT only — a TOP inside a CTE
+    or subquery is left untouched (it then fails loudly at parse time rather
+    than silently applying the LIMIT at the wrong scope). The appended LIMIT
+    goes on its own line so a trailing `--` comment cannot swallow it.
     """
     toks = _tokenize(sql)
+    if _first_keyword(toks) != "SELECT":
+        return sql
     for i, t in enumerate(toks):
         if t.kind == "ident" and t.text.upper() == "SELECT":
             j = i + 1
@@ -281,15 +287,31 @@ def compat_top(sql: str) -> str:
                         "".join(tok.text for tok in toks[: j])
                         + "".join(tok.text for tok in toks[k + 1:])
                     )
-                    return rest.rstrip().rstrip(";") + f" LIMIT {n}"
+                    # newline terminates a trailing `--` comment before LIMIT
+                    return rest.rstrip().rstrip(";") + f"\nLIMIT {n}"
             break
     return sql
 
 
+def _first_keyword(toks: list[_Tok]) -> str:
+    for t in toks:
+        if t.kind == "ident":
+            return t.text.upper()
+        if t.kind not in ("ws", "comment"):
+            return ""
+    return ""
+
+
 def compat_using(sql: str) -> str:
     """AlaSQL allows `JOIN t USING col` (README.md:30,34); ANSI/Spark require
-    parentheses. Wraps bare single-column USING clauses, quote-aware."""
+    parentheses. Wraps bare single-column USING clauses, quote-aware.
+
+    Applied to SELECT statements only: DDL's `USING PARQUET` provider clause
+    (CREATE TABLE …) must pass through untouched.
+    """
     toks = _tokenize(sql)
+    if _first_keyword(toks) not in ("SELECT", "WITH"):
+        return sql
     out: list[str] = []
     i = 0
     while i < len(toks):

@@ -126,8 +126,10 @@ def minhash_near_dups(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    wa = F.array_distinct(F.split(F.col("text_a"), " "))
-    wb = F.array_distinct(F.split(F.col("text_b"), " "))
+    # same tokenizer as the signature side (operators.text.words) — candidate
+    # generation and verification must never tokenize differently
+    wa = F.array_distinct(words(F.col("text_a")))
+    wb = F.array_distinct(words(F.col("text_b")))
     inter = F.size(F.array_intersect(wa, wb))
     union = F.size(wa) + F.size(wb) - inter
     return (

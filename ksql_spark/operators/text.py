@@ -85,12 +85,19 @@ def fingerprint(text) -> Column:
 
 
 def shingles(text, k: int = 3) -> Column:
-    """k-word shingles (n-grams joined by a space), distinct not applied."""
+    """k-word shingles (n-grams joined by a space), distinct not applied.
+
+    Documents with fewer than k words yield an EMPTY array — guarded
+    explicitly because Spark's sequence(1, 0) counts DOWN ([1, 0]) and would
+    index out of range (DuckDB's range(1, 0) is empty, so the engines would
+    otherwise diverge: oracle fine, Spark crash).
+    """
     w = words(text)
     n = F.size(w)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(k)]
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))

@@ -37,19 +37,41 @@ def make_rewriter(spark, truthiness: bool) -> Rewriter:
     return Rewriter.from_session(spark, views, truthiness_compat=truthiness)
 
 
+MAX_SHOW_ROWS = 1000
+
+
+def _render(columns: list[str], rows: list, truncated: bool) -> str:
+    """ASCII table over ALREADY-COLLECTED rows (cli-table2 analog,
+    ksql.js:164-171) — the query runs exactly once."""
+    cells = [[("NULL" if v is None else str(v)) for v in row] for row in rows]
+    widths = [
+        max(len(columns[i]), *(len(r[i]) for r in cells)) if cells else len(columns[i])
+        for i in range(len(columns))
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "|" + "|".join(f" {columns[i]:<{widths[i]}} " for i in range(len(columns))) + "|", sep]
+    for r in cells:
+        out.append("|" + "|".join(f" {r[i]:<{widths[i]}} " for i in range(len(columns))) + "|")
+    out.append(sep)
+    if truncated:
+        out.append(f"(showing first {MAX_SHOW_ROWS} rows)")
+    return "\n".join(out)
+
+
 def handle_line(spark, rewriter: Rewriter, line: str) -> None:
-    """One query: rewrite → execute → render (ksql.js:156-176 semantics)."""
+    """One query: rewrite → execute ONCE → render (ksql.js:156-176 semantics)."""
     line = line.strip()
     if not line:
         return
     try:
         sql = compat_top(compat_using(rewriter.rewrite(line)))
         df = spark.sql(sql)
-        rows = df.limit(1).collect()
+        rows = df.take(MAX_SHOW_ROWS + 1)
         if not rows:
             print("[]")  # ksql.js:160-162
         else:
-            df.show(n=1000, truncate=False)
+            truncated = len(rows) > MAX_SHOW_ROWS
+            print(_render(df.columns, rows[:MAX_SHOW_ROWS], truncated))
     except Exception as exc:  # keep the REPL alive, like ksql.js:172-174
         print(f"error: {exc}", file=sys.stderr)
 

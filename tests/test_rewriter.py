@@ -164,9 +164,31 @@ def test_dynamic_string_key():
     )
 
 
+def test_dynamic_key_quote_escaped():
+    out = RW.rewrite("select pods.metadata->annotations->('it''s') from pods")
+    assert "element_at(pods.metadata.annotations, 'it''s')" in out
+
+
+def test_compat_using_leaves_ddl_alone():
+    ddl = "CREATE TABLE t (id BIGINT) USING PARQUET LOCATION '/tmp/t'"
+    assert compat_using(ddl) == ddl
+
+
+def test_compat_top_survives_trailing_comment():
+    out = compat_top("select top 3 a from t -- note")
+    assert out.endswith("\nLIMIT 3")
+    assert "-- note" in out
+
+
+def test_compat_top_skips_cte():
+    sql = "with c as (select top 5 a from t) select * from c"
+    assert compat_top(sql) == sql
+
+
 def test_compat_top():
     assert (
-        compat_top("select top 5 a from t where x") == "select  a from t where x LIMIT 5"
+        compat_top("select top 5 a from t where x")
+        == "select  a from t where x\nLIMIT 5"
     )
     assert compat_top("select a from t") == "select a from t"
     assert compat_top("select 'top 5' from t") == "select 'top 5' from t"
@@ -175,8 +197,10 @@ def test_compat_top():
 
 def test_compat_using():
     assert (
-        compat_using("from a join b using uid where x")
-        == "from a join b using (uid) where x"
+        compat_using("select * from a join b using uid where x")
+        == "select * from a join b using (uid) where x"
     )
-    assert compat_using("using (uid)") == "using (uid)"
+    assert compat_using("select * from a join b using (uid)") == (
+        "select * from a join b using (uid)"
+    )
     assert compat_using("select 'using uid'") == "select 'using uid'"
