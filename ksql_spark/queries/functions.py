@@ -202,6 +202,25 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+    ref="SURVEY §1.3 (Spark 4 VariantType as the open-schema escape hatch: "
+    "parse_json -> try_variant_get; the semi-structured path for K8s raw "
+    "objects at scale — binary variant beats repeated JSON string parsing)",
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k_int"),
+    )
+
+
+@query(
     "fn_bitwise",
     oracle="""
     SELECT n_nationkey,

@@ -120,6 +120,59 @@ def test_stateful_running_totals(spark, events_dir):
     assert got == {r["user_id"]: 2 * r["n"] for r in batch}
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """I5: real late-data semantics. Batch 1 advances the watermark far past
+    batch 2's old events; the late rows must NOT appear in append-mode output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write(name, ts_list):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": pd.to_datetime(ts_list).astype("datetime64[ns]"),
+                "user_id": [1] * len(ts_list),
+                "event_type": ["view"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+                "props": ["{}"] * len(ts_list),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), d / name)
+
+    import time as _time
+
+    # batch 1: events through 12:00 → watermark will advance to 11:50
+    write("b1.parquet", ["2024-01-01 10:00:00", "2024-01-01 12:00:00"])
+    _time.sleep(1.1)  # file-source admission orders by mod time
+    # batch 2: fresh event; watermark (11:50) now governs subsequent batches
+    write("b2.parquet", ["2024-01-01 12:05:00"])
+    _time.sleep(1.1)
+    # batch 3: one LATE event at 10:05 — far behind the watermark → dropped
+    write("b3.parquet", ["2024-01-01 10:05:00", "2024-01-01 12:30:00"])
+
+    stream = jobs.events_stream(spark, str(d), max_files_per_trigger=1)
+    agg = jobs.tumbling_counts(stream, width="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = [
+        r["n_events"] for r in spark.table("t_late").collect()
+        if r["win_start"].strftime("%H:%M") == "10:00"
+    ]
+    # the 10:00 window closed exactly once, with ONLY the on-time event —
+    # the late 10:05 arrival was neither merged nor re-emitted
+    assert emissions == [1], emissions
+
+
 def test_snapshot_refresh_ticks(spark):
     from ksql_spark.sources.fixtures import ensure_fixtures
 
