@@ -404,6 +404,75 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), tf_counts AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tf GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tf,
+           CAST(CAST(trunc(
+               tf * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS tfidf
+    FROM tf_counts JOIN dfreq USING (word) CROSS JOIN n
+    WHERE tf >= 3
+    """,
+    ref="SURVEY §2 K4 (tf-idf, exact relational formulation: explode → tf per "
+    "(doc,word) → df per word → smooth-idf weight; HashingTF+IDF is the "
+    "hashed-feature variant of the same shuffle shape)",
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (tf >= 3 to keep output bounded). Plan: one explode, two
+    hash aggs (doc,word) and (word), broadcast of the doc count — the same
+    shape at 100 TB with the word-level agg as the only wide shuffle."""
+    d = load(spark, sf_dir, "documents")
+    words_df = d.select("doc_id", F.explode(text.words("text")).alias("word"))
+    tf = words_df.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = words_df.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(dfreq, "word")
+        .where(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            # libm ln() differs by 1 ulp between JVM and DuckDB → quantize the
+            # weight to 6 decimals (same trunc spelling both sides)
+            (
+                (
+                    F.col("tf")
+                    * F.log((float(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0))
+                    * 1000000.0
+                    + 0.5
+                )
+                .cast("long")
+                .cast("double")
+                / 1000000.0
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle=None,  # RNG is engine-specific → rows-only; determinism unit-tested
+    ref="SURVEY §2 K [EXT] (seeded stratified sampling — eval-split staple; "
+    "sampleBy keeps per-stratum fractions without a full shuffle)",
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.25, "zh": 0.25, "de": 0.1, "fr": 0.1}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query(
     "llm_fingerprint",
     oracle="""
     SELECT doc_id,
