@@ -107,15 +107,22 @@ class Rewriter:
             raise RewriteError(f"ambiguous column path {'.'.join(path)!r}")
         # unknown first id → treat it as a table ALIAS: resolve the rest of the
         # path, keep the alias prefix verbatim (`p.metadata->name` with p an
-        # alias of pods ⇒ p.metadata.name)
+        # alias of pods ⇒ p.metadata.name). Multiple views may share the field
+        # (pods/nodes/services all have `metadata`): the alias pins the table,
+        # so as long as every candidate agrees on the TYPE the rewrite is safe.
         if len(path) >= 2:
             alias_hits = []
             for schema in self.schemas.values():
                 dt = self._walk_struct(schema, path[1:])
                 if dt is not None:
                     alias_hits.append(dt)
-            if len(alias_hits) == 1:
+            if alias_hits and all(h == alias_hits[0] for h in alias_hits):
                 return ".".join(path), alias_hits[0]
+            if len(alias_hits) > 1:
+                raise RewriteError(
+                    f"alias path {'.'.join(path)!r} matches views with "
+                    "conflicting types"
+                )
         return None
 
     @staticmethod
@@ -206,6 +213,7 @@ class Rewriter:
                 j += 2
             k = peek_nonws(j)
             if k < n and toks[k].kind == "arrow":
+                span_start = i  # for verbatim fallback on unresolvable chains
                 segments = []
                 while k < n and toks[k].kind == "arrow":
                     k = peek_nonws(k + 1)
@@ -234,12 +242,28 @@ class Rewriter:
                             f"expected identifier or (index) after -> near token {k}"
                         )
                     k = peek_nonws(k_next)
-                expr, dt = self._rewrite_chain(path, segments)
+                try:
+                    expr, dt = self._rewrite_chain(path, segments)
+                except RewriteError:
+                    # not a data path we know (e.g. a Spark SQL lambda `x -> x*2`,
+                    # or a typo the engine will diagnose) → pass through verbatim
+                    out.append("".join(t2.text for t2 in toks[span_start:k_next]))
+                    i = k_next
+                    continue
                 if self.truthiness_compat and isinstance(dt, StringType):
+                    # only when the chain is the WHOLE boolean operand — a
+                    # following comparison operator means NOT governs the larger
+                    # predicate, which we must not rewrite
+                    nxt = peek_nonws(k_next)
+                    operand_ends = nxt >= n or (
+                        toks[nxt].kind == "ident"
+                        and toks[nxt].text.upper()
+                        in ("AND", "OR", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION")
+                    ) or (toks[nxt].kind == "punct" and toks[nxt].text in ");,")
                     prev = len(out) - 1
                     while prev >= 0 and out[prev].strip() == "":
                         prev -= 1
-                    if prev >= 0 and out[prev].upper() == "NOT":
+                    if operand_ends and prev >= 0 and out[prev].upper() == "NOT":
                         out[prev] = ""
                         expr = f"({expr} IS NULL OR {expr} = '')"
                 out.append(expr)
@@ -267,6 +291,13 @@ def compat_top(sql: str) -> str:
     """
     toks = _tokenize(sql)
     if _first_keyword(toks) != "SELECT":
+        return sql
+    # a top-level set operation would mis-scope the appended LIMIT (TOP binds
+    # to the first SELECT, LIMIT to the union) → leave untouched, fail loudly
+    if any(
+        t.kind == "ident" and t.text.upper() in ("UNION", "INTERSECT", "EXCEPT")
+        for t in toks
+    ):
         return sql
     for i, t in enumerate(toks):
         if t.kind == "ident" and t.text.upper() == "SELECT":

@@ -66,14 +66,20 @@ def make_handler(spark, rewriter: Rewriter):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--port", type=int, default=8090)  # ksql.js:358
+    ap.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address; the endpoint executes arbitrary SQL, so exposing "
+        "it beyond localhost is an explicit opt-in",
+    )
     ap.add_argument("--testdata", default=None)
     ap.add_argument("--no-k8s", action="store_true")
     ap.add_argument("--compat-truthiness", action="store_true")
     args = ap.parse_args(argv)
     spark = build_session(args.testdata, with_k8s=not args.no_k8s)
     rewriter = make_rewriter(spark, args.compat_truthiness)
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(spark, rewriter))
-    print(f"listening on :{args.port}")
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(spark, rewriter))
+    print(f"listening on {args.host}:{args.port}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -18,9 +18,14 @@ TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def words(text) -> Column:
-    """Whitespace tokenization."""
+    """Whitespace tokenization: splits on runs of any whitespace and drops
+    empty tokens, so multi-line / multi-space corpora tokenize correctly.
+
+    (The driver fixtures are single-space separated, so DuckDB oracles may
+    spell this as string_split(text, ' ') — identical output on that data.)
+    """
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, " ")
+    return F.filter(F.split(c, "\\s+"), lambda w: w != "")
 
 
 def word_count(text) -> Column:

@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ksql_spark.registry import query
 from ksql_spark.tables import load
 
-# Shared oracle fragment: windowed exact sum of `value` scaled to longs.
-_WIN_VAL = "CAST(round(value * 1000000, 0) AS BIGINT)"
+# Shared oracle fragment: windowed exact sum of `value` scaled to longs —
+# same trunc spelling as registry.sql_dsum (round() would be slower and
+# tie-divergent across engines; see registry.py).
+_WIN_VAL = "CAST(trunc(value * 1000000 + 0.5) AS BIGINT)"
 
 
 @query(
@@ -88,7 +90,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scaled = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    scaled = (F.col("value") * 1000000.0 + 0.5).cast("long")
     return ev.select(
         "event_id",
         "user_id",
@@ -112,7 +114,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
-    scaled = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    scaled = (F.col("value") * 1000000.0 + 0.5).cast("long")
     cnt = F.count("*").over(w)
     return ev.select(
         "event_id",

@@ -40,10 +40,13 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple = ())
     def deco(fn: Builder) -> Builder:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query key: {name}")
+        # NOTE: oracle text is only stripped, never whitespace-collapsed —
+        # collapsing is not quote-aware and would corrupt string literals
+        # containing tabs/newlines/space runs.
         _REGISTRY[name] = QuerySpec(
             name=name,
             builder=fn,
-            oracle=" ".join(oracle.split()) if oracle else None,
+            oracle=oracle.strip() if oracle else None,
             ref=ref,
             tags=tuple(tags),
         )

@@ -282,17 +282,27 @@ class _K8sReader(DataSourceReader):
 
 def containers_view(pods: DataFrame) -> DataFrame:
     """Flatten pods → containers: (image, uid, restarts), parent uid carried
-    (ksql.js:197-213). Position-zips spec.containers with status.containerStatuses
-    and fixes the reference's undefined-restarts bug via coalesce(...,0)."""
-    zipped = F.arrays_zip(
-        F.col("spec.containers").alias("c"), F.col("status.containerStatuses").alias("s")
-    )
+    (ksql.js:197-213).
+
+    Statuses are matched to containers BY NAME, not by array position — the
+    kubelet does not guarantee containerStatuses order matches spec.containers
+    (the reference's positional zip at ksql.js:204-211 has both that bug and
+    the undefined-restartCount bug; coalesce(...,0) fixes the latter)."""
     return (
-        pods.select(F.col("metadata.uid").alias("uid"), F.explode(zipped).alias("z"))
+        pods.select(
+            F.col("metadata.uid").alias("uid"),
+            F.col("status.containerStatuses").alias("ss"),
+            F.explode("spec.containers").alias("c"),
+        )
         .select(
-            F.col("z.c.image").alias("image"),
+            F.col("c.image").alias("image"),
             "uid",
-            F.coalesce(F.col("z.s.restartCount"), F.lit(0)).alias("restarts"),
+            F.coalesce(
+                F.element_at(
+                    F.filter(F.col("ss"), lambda s: s["name"] == F.col("c.name")), 1
+                )["restartCount"],
+                F.lit(0),
+            ).alias("restarts"),
         )
     )
 
@@ -301,8 +311,12 @@ def register(spark: SparkSession) -> None:
     """Register the DataSource class with the session (idempotent)."""
     try:
         spark.dataSource.register(K8sDataSource)
-    except Exception:
-        pass  # already registered
+    except Exception as exc:
+        # re-registration is fine; anything else (missing Python DataSource
+        # API, classpath trouble) must surface HERE, not as a confusing
+        # "source not found" at read time
+        if "already" not in str(exc).lower() and "exists" not in str(exc).lower():
+            raise
 
 
 def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,

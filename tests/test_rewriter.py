@@ -136,9 +136,43 @@ def test_alias_prefix_fallback():
     )
 
 
-def test_unresolvable_raises():
-    with pytest.raises(RewriteError):
-        RW.rewrite("select nosuch->field from pods")
+def test_unresolvable_passes_through():
+    # lambda syntax and unknown paths fall through verbatim — Spark SQL owns
+    # the diagnosis (lambdas are VALID Spark SQL and must survive the rewrite)
+    sql = "select transform(array(1,2), x -> x * 2) from pods"
+    assert RW.rewrite(sql) == sql
+    sql2 = "select nosuch->field from pods"
+    assert RW.rewrite(sql2) == sql2
+
+
+def test_alias_fallback_with_shared_field():
+    # pods/nodes/services ALL have metadata of the same type in the real REPL;
+    # an alias prefix must still resolve when every candidate type agrees
+    nodes = PODS  # same schema → same types for the shared fields
+    rw = Rewriter({"pods": PODS, "nodes": nodes})
+    assert (
+        rw.rewrite("select p.metadata->name from pods p")
+        == "select p.metadata.name from pods p"
+    )
+
+
+def test_truthiness_not_guarded_by_comparison():
+    # NOT (path = 'x') must NOT be rewritten — the chain isn't the whole operand
+    sql = "select uid from pods where not pods.metadata->name = 'pod-1'"
+    out = RW_COMPAT.rewrite(sql)
+    assert "not pods.metadata.name = 'pod-1'" in out
+
+
+def test_truthiness_applies_before_and():
+    out = RW_COMPAT.rewrite(
+        "select uid from pods where not pods.metadata->annotations->email and uid = 'x'"
+    )
+    assert "IS NULL OR" in out and " and uid = 'x'" in out
+
+
+def test_compat_top_skips_union():
+    sql = "select top 5 a from t union all select b from u"
+    assert compat_top(sql) == sql
 
 
 def test_truthiness_not_rewrite():
