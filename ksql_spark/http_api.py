@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
@@ -30,17 +31,41 @@ def run_query(spark, rewriter: Rewriter, query: str) -> dict:
     return {"headers": headers, "data": [[row[c] for c in headers] for row in rows]}
 
 
+WWW_DIR = Path(__file__).parent / "www"
+_CONTENT_TYPES = {".html": "text/html", ".css": "text/css", ".js": "text/javascript"}
+
+
 def make_handler(spark, rewriter: Rewriter):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
 
-        def do_GET(self):  # noqa: N802 (http.server API)
-            url = urlparse(self.path)
-            if url.path != "/api":
+        def _serve_static(self, path: str) -> None:
+            # traversal guard, parity with ksql.js:316-353 ('..' rejected :321-325)
+            if ".." in path:
+                self.send_response(403)
+                self.end_headers()
+                self.wfile.write(b"forbidden")
+                return
+            rel = "index.html" if path in ("/", "") else path.lstrip("/")
+            target = (WWW_DIR / rel).resolve()
+            if not str(target).startswith(str(WWW_DIR.resolve())) or not target.is_file():
                 self.send_response(404)
                 self.end_headers()
                 self.wfile.write(b"not found")
+                return
+            body = target.read_bytes()
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", _CONTENT_TYPES.get(target.suffix, "application/octet-stream")
+            )
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            if url.path != "/api":
+                self._serve_static(url.path)
                 return
             params = parse_qs(url.query)
             if "query" not in params:  # ksql.js:310-313
