@@ -253,6 +253,31 @@ def agg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+    ref="SURVEY §2 D [EXT] (MODE with a deterministic tie-break — built-in "
+    "F.mode breaks ties arbitrarily, so it can't be hash-compared)",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order status per priority; ties broken by smallest value
+    (max count, then lexicographically first status) in BOTH engines."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("o_orderpriority").agg(
+        F.min_by(
+            "o_orderstatus", F.struct(-F.col("cnt"), F.col("o_orderstatus"))
+        ).alias("mode_status")
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT o_orderpriority,

@@ -202,6 +202,28 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    ref="SURVEY §2 H [EXT] (cryptographic digests — content addressing for "
+    "dedup/multimodal; engine-portable hex output unlike xxhash64)",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
     "fn_variant_extract",
     oracle="""
     SELECT event_id,
