@@ -253,6 +253,27 @@ def agg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+    ref="SURVEY §2 D [EXT] (UNPIVOT/melt — wide→long reshape, "
+    "DataFrame.unpivot; the inverse of agg_pivot)",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@query(
     "agg_mode",
     oracle="""
     SELECT o_orderpriority, o_orderstatus AS mode_status FROM (
