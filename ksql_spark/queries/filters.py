@@ -94,6 +94,21 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_ilike",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment ILIKE 'house%'
+    """,
+    ref="SURVEY §2 B6 [EXT] (case-insensitive LIKE)",
+)
+def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.where(F.col("c_mktsegment").ilike("house%")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
     "filter_compare",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem

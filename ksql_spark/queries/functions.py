@@ -202,6 +202,29 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_trim_variants",
+    oracle="""
+    SELECT n_nationkey,
+           ltrim(concat('  ', n_name)) AS l,
+           rtrim(concat(n_name, '  ')) AS r,
+           trim(concat(' ', n_name, ' ')) AS b,
+           trim(n_name, 'N_01') AS custom
+    FROM nation
+    """,
+    ref="SURVEY §2 H2 (LTRIM/RTRIM/TRIM incl. custom trim set)",
+)
+def fn_trim_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.ltrim(F.concat(F.lit("  "), F.col("n_name"))).alias("l"),
+        F.rtrim(F.concat(F.col("n_name"), F.lit("  "))).alias("r"),
+        F.trim(F.concat(F.lit(" "), F.col("n_name"), F.lit(" "))).alias("b"),
+        F.expr("trim(BOTH 'N_01' FROM n_name)").alias("custom"),
+    )
+
+
+@query(
     "fn_hash",
     oracle="""
     SELECT doc_id,

@@ -127,6 +127,28 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+    ref="SURVEY §2 E1 (percent_rank/cume_dist — rank-derived ratios, identical "
+    "double division in both engines)",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
     "win_range_frame",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,
