@@ -461,6 +461,34 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_length_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+                     WHEN n_chars >= 1000 THEN 21
+                     ELSE CAST(floor(n_chars / 50.0) AS INT) + 1 END AS INT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY bucket
+    """,
+    ref="SURVEY §2 K4 (corpus length histogram — width_bucket; the standard "
+    "pre-filter diagnostic before length-based quality cuts)",
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.width_bucket("n_chars", F.lit(0), F.lit(1000), F.lit(20))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
     "llm_sample_stratified",
     oracle=None,  # RNG is engine-specific → rows-only; determinism unit-tested
     ref="SURVEY §2 K [EXT] (seeded stratified sampling — eval-split staple; "
