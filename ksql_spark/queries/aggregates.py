@@ -253,6 +253,22 @@ def agg_group_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    ref="SURVEY §2 D6 (string aggregation with pinned order — "
+    "concat_ws over a sorted collect_list)",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations_csv")
+    )
+
+
+@query(
     "agg_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, metric, val

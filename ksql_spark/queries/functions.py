@@ -155,6 +155,26 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_date_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M') AS minute_str,
+           strftime(ts, '%Y-%m') AS month_str
+    FROM events
+    """,
+    ref="SURVEY §2 H4 (timestamp → string formatting; each engine spells its "
+    "own pattern dialect, outputs must agree byte-for-byte)",
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_str"),
+        F.date_format("ts", "yyyy-MM").alias("month_str"),
+    )
+
+
+@query(
     "fn_cast",
     oracle="""
     SELECT l_orderkey,
