@@ -292,6 +292,19 @@ def compat_top(sql: str) -> str:
     toks = _tokenize(sql)
     if _first_keyword(toks) != "SELECT":
         return sql
+    # an existing LIMIT/OFFSET would conflict with the appended LIMIT (two
+    # LIMIT clauses) → leave untouched so the parse error shows the user's own
+    # text, not a rewritten query they never wrote
+    depth = 0
+    for t in toks:
+        if t.kind == "punct":
+            depth += (t.text == "(") - (t.text == ")")
+        elif (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() in ("LIMIT", "OFFSET")
+        ):
+            return sql
     # a top-level set operation would mis-scope the appended LIMIT (TOP binds
     # to the first SELECT, LIMIT to the union) → leave untouched, fail loudly
     if any(

@@ -27,8 +27,10 @@ def run_query(spark, rewriter: Rewriter, query: str) -> dict:
     sql = compat_top(compat_using(rewriter.rewrite(query)))
     df = spark.sql(sql).limit(MAX_ROWS)
     rows = df.collect()
-    headers = df.columns
-    return {"headers": headers, "data": [[row[c] for c in headers] for row in rows]}
+    # positional access: Row[name] returns the FIRST field with that name, so
+    # name-based lookup silently duplicates values when a join projects two
+    # columns with the same name (headers are already in positional order)
+    return {"headers": df.columns, "data": [list(row) for row in rows]}
 
 
 WWW_DIR = Path(__file__).parent / "www"

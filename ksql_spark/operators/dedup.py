@@ -77,6 +77,11 @@ def minhash_near_dups(
     boilerplate string repeated across the corpus) would alone create cap²
     candidate pairs, so it is skipped; exact-dedup (cheaper) catches those.
     """
+    if k % bands != 0:
+        raise ValueError(
+            f"k ({k}) must be divisible by bands ({bands}); a remainder would "
+            "silently drop the trailing signature elements and degrade recall"
+        )
     rows = k // bands
     sig = df.select(
         F.col(id_col).alias("doc_id"),

@@ -108,15 +108,17 @@ def agg_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
-    ref="SURVEY §2 D6 (collect_list; array_sort'ed for order-insensitive compare)",
+    ref="SURVEY §2 D6 (collect_list; array_sort'ed for order-insensitive compare; "
+    "joined to one string because the driver's canonicalizer cannot hash an "
+    "array column — round-1 CORRECTNESS err 'unhashable type: list')",
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
     )
 
 
@@ -338,13 +340,24 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketch value differs engine-to-engine → rows-only check
+    # The HLL sketch value differs engine-to-engine, so the oracle checks a
+    # tolerance instead: Spark emits whether its estimate is within 5% of the
+    # exact distinct count; DuckDB asserts that flag must be TRUE (plus the
+    # exact row count). A >5%-off sketch hash-mismatches and fails the row.
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           TRUE AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
     ref="SURVEY §2 D14 [EXT] (approx_count_distinct — the 100 TB path for "
-    "distinct counts; exact countDistinct shuffles an Expand of every value)",
+    "distinct counts; exact countDistinct shuffles an Expand of every value. "
+    "rsd=0.02 makes the 5% tolerance hold with overwhelming probability)",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact = F.count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("n_lines"),
+        (F.abs(approx - exact) / exact < F.lit(0.05)).alias("approx_within_tol"),
     )

@@ -379,7 +379,9 @@ def fn_struct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           embedding[1:3] AS first3,
+           CAST(embedding[1:3][1] AS DOUBLE) AS first3_1,
+           CAST(embedding[1:3][2] AS DOUBLE) AS first3_2,
+           CAST(embedding[1:3][3] AS DOUBLE) AS first3_3,
            list_reduce(
                list_transform(embedding,
                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
@@ -387,17 +389,22 @@ def fn_struct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     """,
     ref="SURVEY §2 H12 [EXT] (size/slice/transform/aggregate higher-order fns; "
-    "left-fold sum matches DuckDB list_reduce bitwise)",
+    "left-fold sum matches DuckDB list_reduce bitwise. The slice is projected "
+    "element-wise: the driver's canonicalizer cannot hash an array column, and "
+    "float→double widening is IEEE-exact in both engines)",
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     sq = F.transform(
         F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
     )
+    first3 = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice("embedding", 1, 3).alias("first3"),
+        F.element_at(first3, 1).cast("double").alias("first3_1"),
+        F.element_at(first3, 2).cast("double").alias("first3_2"),
+        F.element_at(first3, 3).cast("double").alias("first3_3"),
         F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x).alias("l2_sq"),
     )
 

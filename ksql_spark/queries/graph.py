@@ -55,9 +55,15 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
         .distinct()
     )
-    visited = spark.createDataFrame([(_START, 0)], "suppkey long, depth int")
+    return bfs(spark, adj, _START, _MAX_DEPTH)
+
+
+def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> DataFrame:
+    """Frontier BFS over an adjacency DataFrame (columns s1, s2) → (suppkey,
+    depth) with depth = shortest hop count from `start`, capped at max_depth."""
+    visited = spark.createDataFrame([(start, 0)], "suppkey long, depth int")
     frontier = visited
-    for d in range(1, _MAX_DEPTH + 1):
+    for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(adj, frontier.suppkey == adj.s1)
             .select(F.col("s2").alias("suppkey"))
@@ -65,6 +71,11 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, "suppkey", "left_anti")
             .withColumn("depth", F.lit(d))
         )
+        if d < max_depth:
+            # truncate lineage per level — without this, frontier/visited plans
+            # nest exponentially (each level re-derives every prior level) and
+            # optimization time blows up past depth ~4
+            nxt = nxt.localCheckpoint(eager=False)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited

@@ -429,16 +429,20 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact TF-IDF (tf >= 3 to keep output bounded). Plan: one explode, two
-    hash aggs (doc,word) and (word), broadcast of the doc count — the same
-    shape at 100 TB with the word-level agg as the only wide shuffle."""
+    hash aggs (doc,word) and (word), plus a 1-row count aggregate cross-joined
+    in (AQE broadcasts it) — the same shape at 100 TB with the word-level agg
+    as the only wide shuffle. The doc count stays relational: building the
+    DataFrame triggers zero Spark jobs (an eager d.count() here would full-scan
+    the corpus at plan-build time)."""
     d = load(spark, sf_dir, "documents")
     words_df = d.select("doc_id", F.explode(text.words("text")).alias("word"))
     tf = words_df.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = words_df.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         tf.join(dfreq, "word")
         .where(F.col("tf") >= 3)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "word",
@@ -448,7 +452,9 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.col("tf")
-                    * F.log((float(n_docs) + 1.0) / (F.col("df").cast("double") + 1.0))
+                    * F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)
+                    )
                     * 1000000.0
                     + 0.5
                 )

@@ -18,7 +18,8 @@ import sys
 from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
 
 
-def build_session(testdata: str | None, with_k8s: bool = True):
+def build_session(testdata: str | None, with_k8s: bool = True, live: bool = False,
+                  kubeconfig: str | None = None):
     from ksql_spark.session import get_spark
     from ksql_spark.tables import register_views
 
@@ -28,7 +29,15 @@ def build_session(testdata: str | None, with_k8s: bool = True):
     if with_k8s:
         from ksql_spark.sources.k8s import register_k8s_views
 
-        register_k8s_views(spark)
+        client = None
+        if live:
+            # connect() parity (ksql.js:87-126): kubeconfig current-context,
+            # else prompt for a server URL in TTY mode
+            from ksql_spark.sources.kubeconfig import resolve_client
+
+            client = resolve_client(kubeconfig, prompt=sys.stdin.isatty())
+            print(f'Connecting to "{client.server}"')
+        register_k8s_views(spark, client=client)
     return spark
 
 
@@ -38,6 +47,38 @@ def make_rewriter(spark, truthiness: bool) -> Rewriter:
 
 
 MAX_SHOW_ROWS = 1000
+HISTORY_FILE = "~/.ksql_spark_history"
+HISTORY_MAX = 1000
+
+
+def _load_history() -> str | None:
+    """Persistent readline history — parity with the reference's
+    readline-history (ksql.js:27-31, /tmp/ksql-answer path at :70). Returns the
+    history path, or None when readline is unavailable (non-POSIX)."""
+    try:
+        import readline
+    except ImportError:
+        return None
+    import os
+
+    path = os.path.expanduser(HISTORY_FILE)
+    readline.set_history_length(HISTORY_MAX)
+    try:
+        readline.read_history_file(path)
+    except (FileNotFoundError, PermissionError, OSError):
+        pass
+    return path
+
+
+def _save_history(path: str | None) -> None:
+    if not path:
+        return
+    try:
+        import readline
+
+        readline.write_history_file(path)
+    except (ImportError, PermissionError, OSError):
+        pass
 
 
 def _render(columns: list[str], rows: list, truncated: bool) -> str:
@@ -94,9 +135,19 @@ def main(argv: list[str] | None = None) -> int:
         "one-shot 10s reload in TTY mode — ksql.js:280; this is the intended "
         "periodic version)",
     )
+    ap.add_argument(
+        "--live",
+        action="store_true",
+        help="read pods/nodes/services from a real API server: kubeconfig "
+        "current-context (x509/token), else prompt for a URL (ksql.js:87-126)",
+    )
+    ap.add_argument("--kubeconfig", default=None, help="kubeconfig path "
+                    "(default $KUBECONFIG or ~/.kube/config)")
     args = ap.parse_args(argv)
-    spark = build_session(args.testdata, with_k8s=not args.no_k8s)
+    spark = build_session(args.testdata, with_k8s=not args.no_k8s,
+                          live=args.live, kubeconfig=args.kubeconfig)
     rewriter = make_rewriter(spark, args.compat_truthiness)
+    history = _load_history() if sys.stdin.isatty() else None
     refresh_q = None
     if args.refresh and not args.no_k8s:
         from ksql_spark.streaming.jobs import snapshot_refresh
@@ -111,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             handle_line(spark, rewriter, line)
     finally:
         print("shutting down")  # ksql.js:184-187
+        _save_history(history)
         if refresh_q is not None:
             refresh_q.stop()
         spark.stop()

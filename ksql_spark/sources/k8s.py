@@ -203,6 +203,18 @@ class _K8sReader(DataSourceReader):
         self.fixtures = options.get("fixtures")
         self.server = options.get("server")
         self.token = options.get("token")
+        # mTLS material arrives as base64 PEM option strings — resolved once
+        # on the driver from kubeconfig (sources/kubeconfig.py), so executors
+        # never need ~/.kube/config on their filesystem
+        import base64
+
+        self.ca_pem = base64.b64decode(options["ca_b64"]) if options.get("ca_b64") else None
+        self.cert_pem = (
+            base64.b64decode(options["cert_b64"]) if options.get("cert_b64") else None
+        )
+        self.key_pem = (
+            base64.b64decode(options["key_b64"]) if options.get("key_b64") else None
+        )
 
     def partitions(self):
         # One list call = one partition (a cluster snapshot is small; the big
@@ -213,10 +225,21 @@ class _K8sReader(DataSourceReader):
         if self.server:
             import urllib.request
 
+            from ksql_spark.sources.kubeconfig import ClientConfig
+
+            cfg = ClientConfig(
+                server=self.server,
+                ca_pem=self.ca_pem,
+                cert_pem=self.cert_pem,
+                key_pem=self.key_pem,
+                token=self.token,
+            )
             req = urllib.request.Request(f"{self.server}/api/v1/{self.kind}")
             if self.token:
                 req.add_header("Authorization", f"Bearer {self.token}")
-            with urllib.request.urlopen(req) as resp:  # noqa: S310 (explicit opt-in)
+            with urllib.request.urlopen(  # noqa: S310 (explicit opt-in)
+                req, context=cfg.ssl_context()
+            ) as resp:
                 return json.loads(resp.read())["items"]
         if not self.fixtures:
             from ksql_spark.sources.fixtures import ensure_fixtures
@@ -320,11 +343,29 @@ def register(spark: SparkSession) -> None:
 
 
 def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
-             server: str | None = None, token: str | None = None) -> DataFrame:
+             server: str | None = None, token: str | None = None,
+             client=None) -> DataFrame:
+    """`client` is a kubeconfig.ClientConfig — its resolved server/token/PEMs
+    are serialized into DataSource options (base64) so executors need no
+    kubeconfig file. Explicit server/token arguments override it."""
+    import base64
+
     register(spark)
     r = spark.read.format("k8s").option("kind", kind)
     if fixtures:
         r = r.option("fixtures", fixtures)
+    if client is not None:
+        r = r.option("server", server or client.server)
+        if token or client.token:
+            r = r.option("token", token or client.token)
+        for opt, pem in (
+            ("ca_b64", client.ca_pem),
+            ("cert_b64", client.cert_pem),
+            ("key_b64", client.key_pem),
+        ):
+            if pem:
+                r = r.option(opt, base64.b64encode(pem).decode())
+        return r.load()
     if server:
         r = r.option("server", server)
     if token:
@@ -333,13 +374,16 @@ def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
 
 
 def register_k8s_views(spark: SparkSession, fixtures: str | None = None,
-                       server: str | None = None, token: str | None = None) -> None:
+                       server: str | None = None, token: str | None = None,
+                       client=None) -> None:
     """Create the reference's four tables as temp views (ksql.js:128-135):
     pods, nodes, services + the derived containers."""
-    pods = load_k8s(spark, "pods", fixtures, server, token)
+    pods = load_k8s(spark, "pods", fixtures, server, token, client)
     pods.createOrReplaceTempView("pods")
-    load_k8s(spark, "nodes", fixtures, server, token).createOrReplaceTempView("nodes")
-    load_k8s(spark, "services", fixtures, server, token).createOrReplaceTempView(
+    load_k8s(spark, "nodes", fixtures, server, token, client).createOrReplaceTempView(
+        "nodes"
+    )
+    load_k8s(spark, "services", fixtures, server, token, client).createOrReplaceTempView(
         "services"
     )
     containers_view(pods).createOrReplaceTempView("containers")

@@ -70,8 +70,16 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
 
 
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """I6: streaming exact dedup on event_id within the watermark horizon."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """I6: streaming exact dedup on event_id.
+
+    dropDuplicatesWithinWatermark evicts per-key state once the watermark
+    passes the key's first-seen event time. Plain dropDuplicates(["event_id"])
+    would never purge state (eviction requires the event-time column in the
+    dedup subset), growing state unboundedly on a real stream.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def running_user_totals(stream: DataFrame) -> DataFrame:

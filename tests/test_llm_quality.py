@@ -107,3 +107,10 @@ def test_partitioned_write_layout(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "lang=en" in plan or "PartitionFilters" in plan
     assert one.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_minhash_rejects_indivisible_bands():
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_near_dups(None, "text", "doc_id", k=42, bands=4)

@@ -85,3 +85,18 @@ def _spark_holder(spark):
 @pytest.fixture
 def spark_lazy(_spark_holder):
     return _SPARK
+
+
+def test_bfs_depth6_no_plan_blowup(spark_lazy):
+    """Frontier BFS at depth 6 completes quickly — localCheckpoint truncates
+    per-level lineage, otherwise optimization time explodes past depth ~4."""
+    import time
+
+    from ksql_spark.queries.graph import bfs
+
+    edges = [(i, i + 1) for i in range(8)] + [(i + 1, i) for i in range(8)]
+    adj = spark_lazy.createDataFrame(edges, "s1 long, s2 long")
+    t0 = time.monotonic()
+    got = {r.suppkey: r.depth for r in bfs(spark_lazy, adj, 0, 6).collect()}
+    assert time.monotonic() - t0 < 60
+    assert got == {i: i for i in range(7)}  # node 7 is beyond depth 6

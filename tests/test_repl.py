@@ -55,3 +55,15 @@ def test_run_query_arrow_and_using(spark, rw):
     )
     assert res["headers"] == ["name", "image"]
     assert all(img.startswith("mysql:5.5") for _, img in res["data"])
+
+
+def test_run_query_duplicate_column_names(spark, rw):
+    # Row[name] returns the FIRST field with a duplicated name; positional
+    # access must preserve both columns' distinct values (ADVICE r01)
+    res = run_query(
+        spark, rw,
+        "select a.uid as uid, b.uid as uid from pods a join pods b"
+        " on a.uid <> b.uid where a.uid < b.uid",
+    )
+    assert res["headers"] == ["uid", "uid"]
+    assert all(left != right for left, right in res["data"])

@@ -238,3 +238,19 @@ def test_compat_using():
         "select * from a join b using (uid)"
     )
     assert compat_using("select 'using uid'") == "select 'using uid'"
+
+
+def test_compat_top_skips_existing_limit():
+    # two LIMIT clauses would otherwise confuse the user with rewritten SQL
+    sql = "SELECT TOP 3 * FROM t LIMIT 5"
+    assert compat_top(sql) == sql
+
+
+def test_compat_top_skips_existing_offset():
+    sql = "select top 3 a from t limit 5 offset 2"
+    assert compat_top(sql) == sql
+
+
+def test_compat_top_rewrites_past_subquery_limit():
+    out = compat_top("select top 3 a from (select a from t limit 9) s")
+    assert out.endswith("\nLIMIT 3")
