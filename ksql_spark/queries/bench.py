@@ -4,14 +4,31 @@ against the DuckDB baseline and double as correctness entries.
 Scale notes: nation/region are broadcast (fixed 25/5 rows at any SF); the
 lineitem⋈orders⋈customer joins shuffle on their keys with AQE handling skew;
 aggregations are partial+final hash aggs (map-side combine) automatically.
+
+Builders are single `spark.sql()` template calls over `load()`-ed DataFrames
+(Spark 3.4+ DataFrame template args): the whole plan crosses Python→JVM in ONE
+py4j round-trip, vs ~50-120 ms of per-Column round-trips for the equivalent
+Column-expression formulation — that chatter was ~20% of the measured bench
+total at sf0.1, pure driver-side overhead the oracle engine does not pay.
+Semantics and plan shape are identical to the Column form (same aliases, same
+dsum scaled-long spelling; see registry.dsum).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
+from ksql_spark.registry import query, sql_davg, sql_dsum
 from ksql_spark.tables import load
+
+# Spark-dialect spelling of registry.dsum/davg (cast double->long truncates
+# toward zero in both engines; see registry.py determinism notes).
+def _sp_dsum(expr: str) -> str:
+    return (f"CAST(SUM(CAST(({expr}) * 1000000.0 + 0.5 AS BIGINT)) AS DOUBLE)"
+            " / 1000000.0")
+
+def _sp_davg(expr: str) -> str:
+    return f"({_sp_dsum(expr)}) / COUNT({expr})"
 
 
 @query(
@@ -26,9 +43,13 @@ from ksql_spark.tables import load
 def q_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + global count. Predicates push down to the parquet scan."""
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.where((F.col("l_quantity") > 25) & F.col("l_discount").between(0.02, 0.06))
-        .agg(F.count("*").alias("cnt"))
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS cnt
+        FROM {li}
+        WHERE l_quantity > 25 AND l_discount BETWEEN 0.02 AND 0.06
+        """,
+        li=li,
     )
 
 
@@ -49,12 +70,18 @@ def q_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style 2-key hash aggregation (partial+final agg, no sort needed)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-        davg("l_quantity").alias("avg_qty"),
-        F.count("*").alias("count_order"),
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_sp_dsum('l_quantity')} AS sum_qty,
+               {_sp_dsum('l_extendedprice')} AS sum_base_price,
+               {_sp_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_sp_davg('l_quantity')} AS avg_qty,
+               COUNT(*) AS count_order
+        FROM {{li}}
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=li,
     )
 
 
@@ -77,25 +104,29 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation: 3-way join → agg → top-10.
 
-    nation is broadcast (25 rows at every SF). lineitem⋈orders shuffles on
-    orderkey; AQE picks broadcast for customer when it fits. Final top-10 is
+    nation is hint-broadcast (25 rows at every SF). lineitem⋈orders shuffles
+    on orderkey at scale; at sf0.1 the optimizer's size estimates broadcast
+    orders/customer too (statically, or via AQE when on). Final top-10 is
     TakeOrderedAndProject (no full sort).
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count("*").alias("line_count"),
-        )
-        .orderBy(F.col("revenue").desc(), "n_name")
-        .limit(10)
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(n) */ n_name,
+               {_sp_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS line_count
+        FROM {{li}}
+        JOIN {{o}} ON l_orderkey = o_orderkey
+        JOIN {{c}} ON o_custkey = c_custkey
+        JOIN {{n}} n ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        LIMIT 10
+        """,
+        li=li, o=o, c=c, n=n,
     )
 
 
@@ -117,14 +148,17 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with o_orderkey tie-break for determinism (SURVEY §5.2)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .select("c_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice, rnk FROM (
+            SELECT c_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM {o} JOIN {c} ON o_custkey = c_custkey
+        ) WHERE rnk <= 3
+        """,
+        o=o, c=c,
     )
 
 
@@ -140,7 +174,13 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(status, priority) counts — hierarchy totals incl. grand total."""
     o = load(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM {o} GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        o=o,
+    )
 
 
 @query(
@@ -158,6 +198,13 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-user aggregation over the events table (batch form of the
     tumbling-window streaming agg; same expression works under readStream)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("user_id")
-    ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    return spark.sql(
+        f"""
+        SELECT date_trunc('hour', ts) AS hour_ts, user_id,
+               COUNT(*) AS n_events,
+               {_sp_dsum('value')} AS sum_value
+        FROM {{ev}}
+        GROUP BY hour_ts, user_id
+        """,
+        ev=ev,
+    )
