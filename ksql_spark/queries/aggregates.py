@@ -354,6 +354,11 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rsd=0.02 makes the 5% tolerance hold with overwhelming probability)",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form is the approx aggregate ALONE (sketch merge, no Expand).
+    The exact count_distinct alongside it exists purely to make this entry
+    driver-checkable (the tolerance flag needs both numbers in one plan) and
+    runs at oracle scale only — it is the anti-pattern the approx path
+    replaces, not part of the operator."""
     li = load(spark, sf_dir, "lineitem")
     approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     exact = F.count_distinct("l_partkey")

@@ -18,8 +18,19 @@ import sys
 from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
 
 
-def build_session(testdata: str | None, with_k8s: bool = True, live: bool = False,
-                  kubeconfig: str | None = None):
+def resolve_live_client(live: bool, kubeconfig: str | None):
+    """connect() parity (ksql.js:87-126): kubeconfig current-context, else
+    prompt for a server URL in TTY mode. None when not in live mode."""
+    if not live:
+        return None
+    from ksql_spark.sources.kubeconfig import resolve_client
+
+    client = resolve_client(kubeconfig, prompt=sys.stdin.isatty())
+    print(f'Connecting to "{client.server}"')
+    return client
+
+
+def build_session(testdata: str | None, with_k8s: bool = True, client=None):
     from ksql_spark.session import get_spark
     from ksql_spark.tables import register_views
 
@@ -29,14 +40,6 @@ def build_session(testdata: str | None, with_k8s: bool = True, live: bool = Fals
     if with_k8s:
         from ksql_spark.sources.k8s import register_k8s_views
 
-        client = None
-        if live:
-            # connect() parity (ksql.js:87-126): kubeconfig current-context,
-            # else prompt for a server URL in TTY mode
-            from ksql_spark.sources.kubeconfig import resolve_client
-
-            client = resolve_client(kubeconfig, prompt=sys.stdin.isatty())
-            print(f'Connecting to "{client.server}"')
         register_k8s_views(spark, client=client)
     return spark
 
@@ -144,15 +147,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--kubeconfig", default=None, help="kubeconfig path "
                     "(default $KUBECONFIG or ~/.kube/config)")
     args = ap.parse_args(argv)
-    spark = build_session(args.testdata, with_k8s=not args.no_k8s,
-                          live=args.live, kubeconfig=args.kubeconfig)
+    client = resolve_live_client(args.live, args.kubeconfig)
+    spark = build_session(args.testdata, with_k8s=not args.no_k8s, client=client)
     rewriter = make_rewriter(spark, args.compat_truthiness)
     history = _load_history() if sys.stdin.isatty() else None
     refresh_q = None
     if args.refresh and not args.no_k8s:
         from ksql_spark.streaming.jobs import snapshot_refresh
 
-        refresh_q = snapshot_refresh(spark, interval=f"{args.refresh} seconds")
+        # client forwarded: a live session must refresh from the live server,
+        # not silently fall back to fixture views
+        refresh_q = snapshot_refresh(
+            spark, interval=f"{args.refresh} seconds", client=client
+        )
     try:
         while True:
             try:

@@ -38,14 +38,18 @@ class ClientConfig:
     key_pem: Optional[bytes] = None
     token: Optional[str] = None
 
-    def __post_init__(self):
+    def require_transport_auth(self) -> "ClientConfig":
+        """clientFromURL parity (ksql.js:46-48): https needs a client cert+key
+        (or, our documented divergence, a bearer token). Enforced on the
+        kubeconfig/prompt connect path only — an explicit server= option may
+        legitimately target an authenticating proxy with plain verified TLS."""
         scheme = self.server.split("://", 1)[0].lower()
         if scheme == "https" and not (self.cert_pem and self.key_pem) and not self.token:
-            # ksql.js:46-48 (token escape is our documented divergence)
             raise TypeError(
                 "you must provide a client certificate and key if you use "
                 "https transport"
             )
+        return self
 
     def ssl_context(self) -> Optional[ssl.SSLContext]:
         if not self.server.lower().startswith("https"):
@@ -82,11 +86,17 @@ def _by_name(entries: list, name: str) -> Optional[dict]:
     return None
 
 
-def _pem(section: dict, data_key: str, path_key: str) -> Optional[bytes]:
+def _pem(section: dict, data_key: str, path_key: str,
+         base_dir: Optional[Path] = None) -> Optional[bytes]:
     if section.get(data_key):
         return base64.b64decode(section[data_key])
     if section.get(path_key):
-        return Path(section[path_key]).expanduser().read_bytes()
+        p = Path(section[path_key]).expanduser()
+        if not p.is_absolute() and base_dir is not None:
+            # kubectl resolves relative cert paths against the kubeconfig's
+            # own directory, not the process CWD
+            p = base_dir / p
+        return p.read_bytes()
     return None
 
 
@@ -105,6 +115,10 @@ def load_kubeconfig(path: str | os.PathLike | None = None) -> Optional[ClientCon
         doc = yaml.safe_load(p.read_text())
     except FileNotFoundError:
         return None
+    if not isinstance(doc, dict):
+        # empty or comments-only file: a clean error beats an AttributeError
+        # (kubectl also errors here rather than treating it as absent)
+        raise ValueError(f"kubeconfig {p} is empty or not a YAML mapping")
     context_name = doc.get("current-context")
     context = _by_name(doc.get("contexts"), context_name)
     if context is None:
@@ -116,13 +130,15 @@ def load_kubeconfig(path: str | os.PathLike | None = None) -> Optional[ClientCon
         )
     user = _by_name(doc.get("users"), context["context"].get("user"))
 
-    ca = _pem(cluster["cluster"], "certificate-authority-data", "certificate-authority")
+    base = p.parent
+    ca = _pem(cluster["cluster"], "certificate-authority-data",
+              "certificate-authority", base)
     cert = key = None
     token = None
     if user:
         u = user.get("user", {})
-        cert = _pem(u, "client-certificate-data", "client-certificate")
-        key = _pem(u, "client-key-data", "client-key")
+        cert = _pem(u, "client-certificate-data", "client-certificate", base)
+        key = _pem(u, "client-key-data", "client-key", base)
         # ksql.js:118-121 — 'none' is the reference's explicit no-token marker
         if u.get("token") and u["token"] != "none":
             token = u["token"]
@@ -132,12 +148,13 @@ def load_kubeconfig(path: str | os.PathLike | None = None) -> Optional[ClientCon
         cert_pem=cert,
         key_pem=key,
         token=token,
-    )
+    ).require_transport_auth()
 
 
 def prompt_for_server(input_fn: Callable[[str], str] = input) -> ClientConfig:
-    """promptForClient parity (ksql.js:67-85): ask for a plain server URL."""
-    return ClientConfig(server=input_fn("Server URL: ").strip())
+    """promptForClient parity (ksql.js:67-85): ask for a plain server URL.
+    An https answer with no credentials errors like clientFromURL would."""
+    return ClientConfig(server=input_fn("Server URL: ").strip()).require_transport_auth()
 
 
 def resolve_client(

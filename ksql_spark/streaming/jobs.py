@@ -76,6 +76,12 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     passes the key's first-seen event time. Plain dropDuplicates(["event_id"])
     would never purge state (eviction requires the event-time column in the
     dedup subset), growing state unboundedly on a real stream.
+
+    Semantics tradeoff (deliberate): a duplicate arriving AFTER the watermark
+    has evicted its key's state is re-emitted — dedup is exact only within the
+    watermark horizon. That is the only bounded-state contract a stream can
+    honor; widen `watermark` if duplicates can straggle further, or use batch
+    llm_dedup_exact downstream for a global pass.
     """
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -125,17 +131,19 @@ def run_available_now(df: DataFrame, name: str, output_mode: str) -> None:
 
 
 def snapshot_refresh(spark: SparkSession, interval: str = "10 seconds",
-                     fixtures: str | None = None):
+                     fixtures: str | None = None, client=None):
     """I8: periodic snapshot refresh — the reference schedules ONE reload after
     10 s in TTY mode (ksql.js:280, intent periodic; SURVEY §1.1). Here a rate
     source ticks and foreachBatch re-registers the k8s views atomically.
+    `client` (kubeconfig.ClientConfig) must be forwarded in live mode —
+    otherwise the refresh would silently swap live views back to fixtures.
     Returns the StreamingQuery (caller stops it)."""
     from ksql_spark.sources.k8s import register_k8s_views
 
     ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
     def refresh(batch_df, batch_id):
-        register_k8s_views(spark, fixtures=fixtures)
+        register_k8s_views(spark, fixtures=fixtures, client=client)
 
     return (
         ticks.writeStream.foreachBatch(refresh)

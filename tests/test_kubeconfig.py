@@ -210,3 +210,42 @@ def test_live_mode_kubeconfig_to_dataframe(spark, tmp_path, mtls_server):
     rows = load_k8s(spark, "pods", client=client).collect()
     assert [r.uid for r in rows] == ["mtls-pod-1"]
     assert rows[0].node == "n1"
+
+
+def test_explicit_server_option_https_is_not_strict():
+    # the parity check applies to the kubeconfig/prompt connect path only; an
+    # explicit server= option may target an authenticating proxy over plain TLS
+    cfg = ClientConfig(server="https://proxy.example:443")
+    assert cfg.server.startswith("https")
+    with pytest.raises(TypeError):
+        cfg.require_transport_auth()
+
+
+def test_empty_kubeconfig_is_clean_error(tmp_path):
+    p = tmp_path / "config"
+    p.write_text("# just a comment\n")
+    with pytest.raises(ValueError, match="empty"):
+        load_kubeconfig(p)
+
+
+def test_relative_cert_paths_resolve_against_config_dir(tmp_path):
+    (tmp_path / "certs").mkdir()
+    (tmp_path / "certs" / "ca.crt").write_bytes(b"CA PEM BYTES")
+    p = tmp_path / "config"
+    p.write_text("""\
+apiVersion: v1
+current-context: demo
+contexts:
+- name: demo
+  context: {cluster: c1, user: u1}
+clusters:
+- name: c1
+  cluster:
+    server: http://1.2.3.4:8080
+    certificate-authority: certs/ca.crt
+users:
+- name: u1
+  user: {}
+""")
+    cfg = load_kubeconfig(p)
+    assert cfg.ca_pem == b"CA PEM BYTES"

@@ -54,11 +54,11 @@ def _norm(v):
 
 
 def values_equal(a, b) -> bool:
+    # floats compare EXACTLY — the real driver hash-compares values bitwise,
+    # so any tolerance here would hide rows the driver will mark err
     a, b = _norm(a), _norm(b)
     if a is None or b is None:
         return a is b
-    if isinstance(a, float) or isinstance(b, float):
-        return a == b or (math.isfinite(a) and math.isfinite(b) and abs(a - b) < 1e-12)
     return a == b
 
 
