@@ -13,6 +13,7 @@ from ksql_spark.queries import (  # noqa: F401
     setops,
     sorts,
     streaming_batch,
+    text_pipeline,
     udfs,
     windows,
 )

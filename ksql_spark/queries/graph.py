@@ -58,6 +58,70 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(spark, adj, _START, _MAX_DEPTH)
 
 
+@query(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE adj AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+    ), reach(a, b) AS (
+        SELECT s1, s2 FROM adj
+        UNION
+        SELECT r.a, adj.s2 FROM reach r JOIN adj ON adj.s1 = r.b
+    )
+    SELECT a AS suppkey, CAST(MIN(b) AS BIGINT) AS component
+    FROM reach GROUP BY a
+    """,
+    ref="SURVEY §2 L [EXT] (connected components via min-label propagation — "
+    "the standard large-graph pattern, e.g. near-dup clustering after LSH; "
+    "oracle is the recursive transitive closure, feasible at oracle scale "
+    "only)",
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the shared-part supplier graph.
+
+    Iterative min-label propagation: each round every node takes the min label
+    among itself and its neighbors; converged when no label changes. Rounds ~
+    graph diameter; state lives in a DataFrame (suppkey → label), each round
+    is one shuffle on suppkey — the same shape GraphX/GraphFrames CC uses, so
+    it holds at 100 TB (labels table is O(nodes), never O(edges²))."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select("l_suppkey", "l_partkey").distinct()
+    adj = (
+        edges.alias("a")
+        .join(edges.alias("b"), "l_partkey")
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+    )
+    return connected_components(adj)
+
+
+def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an adjacency DataFrame (s1, s2; symmetric,
+    self-loops allowed) → (suppkey, component=min node id in component)."""
+    labels = adj.select(F.col("s1").alias("suppkey")).distinct().withColumn(
+        "component", F.col("suppkey")
+    )
+    for _ in range(max_rounds):
+        # candidate label per node: min over own label and neighbors' labels
+        nxt = (
+            adj.join(labels, adj.s2 == labels.suppkey)
+            .groupBy(F.col("s1").alias("suppkey"))
+            .agg(F.min("component").alias("neighbor_min"))
+            .join(labels, "suppkey")
+            .select(
+                "suppkey",
+                F.least("component", "neighbor_min").alias("component"),
+                (F.col("neighbor_min") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint()  # eager: truncates lineage AND lets us count changes
+        changed = nxt.where("changed").limit(1).count()
+        labels = nxt.drop("changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> DataFrame:
     """Frontier BFS over an adjacency DataFrame (columns s1, s2) → (suppkey,
     depth) with depth = shortest hop count from `start`, capped at max_depth."""

@@ -1,0 +1,178 @@
+"""[EXT] Training-data pipeline text operators beyond the reference surface:
+document chunking, PII scrubbing, repetition-based quality scoring.
+
+These are the text-side companions to queries/llm.py's dedup/similarity ops —
+the operations a 100 TB pretraining corpus pipeline runs between ingest and
+tokenization. All are JVM-side higher-order-function / regexp expressions
+(narrow, no shuffle except stated), so they scale linearly with the corpus.
+
+Reference scope note: the reference (ksql.js) delegates all SQL to AlaSQL and
+has no text-pipeline surface; these follow SURVEY.md §2 [EXT] mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.registry import query
+from ksql_spark.tables import load
+
+CHUNK = 50  # tokens per chunk
+STRIDE = 25  # tokens between chunk starts (50% overlap)
+
+# RE2-safe patterns (no backrefs/lookahead) so Spark (Java regex) and DuckDB
+# (RE2) agree byte-for-byte.
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL = "https?://[A-Za-z0-9./_-]+"
+_LONG_DIGITS = "[0-9]{7,}"
+
+
+@query(
+    "llm_chunk_sliding",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id, words,
+               unnest(range(0, greatest(len(words), 1), {STRIDE})) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start // {STRIDE} AS INT) AS chunk_idx,
+           array_to_string(words[start + 1 : start + {CHUNK}], ' ') AS chunk_text,
+           CAST(least({CHUNK}, len(words) - start) AS INT) AS n_tokens
+    FROM s
+    """,
+    ref="SURVEY §2 [EXT] corpus chunking (sliding token windows, 50% overlap "
+    "— the standard pretraining-context windowing; narrow map + explode, "
+    "no shuffle)",
+)
+def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping CHUNK-token windows every STRIDE
+    tokens. Plan: one projection with HOFs + posexplode — embarrassingly
+    parallel, output ~len/STRIDE rows per doc."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(words, s + 1, CHUNK), " "),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_text",
+            F.least(
+                F.lit(CHUNK), F.col("n_words") - F.col("chunk_idx") * STRIDE
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "llm_scrub_pii",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com via https://site' || (doc_id % 10) ||
+               '.example/path id 1234567' || doc_id AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                   '{_URL}', '<URL>', 'g'),
+               '{_LONG_DIGITS}', '<NUM>', 'g') AS scrubbed,
+           CAST(length(text) - length(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                       '{_URL}', '<URL>', 'g'),
+                   '{_LONG_DIGITS}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+    FROM dirty
+    """,
+    ref="SURVEY §2 [EXT] PII scrubbing (email/URL/long-digit redaction; "
+    "RE2-safe patterns so both engines agree. PII is injected "
+    "deterministically because the synthetic corpus contains none — the "
+    "redaction itself is what the oracle verifies)",
+)
+def llm_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, URLs and long digit runs. Narrow regexp projection —
+    at 100 TB this is scan-bound, no shuffle, fully codegen'd."""
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://site"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/path id 1234567"), F.col("doc_id").cast("string"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, _EMAIL, "<EMAIL>"), _URL, "<URL>"
+        ),
+        _LONG_DIGITS,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length(dirty) - F.length(scrub)).alias("chars_removed"),
+    )
+
+
+@query(
+    "llm_repetition_ratio",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')), 1)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]) AS bigrams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS INT) AS n_bigrams,
+           CASE WHEN len(bigrams) = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+           END AS uniq_ratio
+    FROM b
+    """,
+    ref="SURVEY §2 [EXT] repetition quality metric (distinct-bigram ratio — "
+    "low ratio flags boilerplate/spam docs; pure HOF projection, IEEE "
+    "division is identically rounded in both engines)",
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-bigram fraction per document (1.0 = no repetition)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0], not empty —
+    # single-word docs must yield an empty bigram list explicitly
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(bigrams)
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        F.when(n == 0, F.lit(1.0))
+        .otherwise(F.size(F.array_distinct(bigrams)).cast("double") / n)
+        .alias("uniq_ratio"),
+    )

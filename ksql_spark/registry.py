@@ -75,6 +75,7 @@ _FAMILY_ORDER = (
     "udfs",
     "graph",
     "llm",
+    "text_pipeline",
     "k8s_queries",
     "aggregates",
     "bench",

@@ -1,0 +1,78 @@
+"""Behavior tests for the [EXT] text-pipeline operators (chunking, scrubbing,
+repetition scoring) and connected components — oracle parity is covered by
+test_oracle.py; these pin the semantics on crafted inputs."""
+
+from __future__ import annotations
+
+from ksql_spark.queries.graph import connected_components
+from ksql_spark.queries.text_pipeline import CHUNK, STRIDE
+from ksql_spark.registry import all_specs
+
+
+def _doc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_chunking_overlap(spark, tmp_path):
+    words = [f"w{i}" for i in range(120)]
+    df = _doc_df(spark, [" ".join(words)])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_specs()["llm_chunk_sliding"].builder(spark, str(tmp_path))
+    rows = {r.chunk_idx: r for r in out.collect()}
+    # starts at 0, 25, 50, 75, 100 → 5 chunks
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text.split(" ") == words[:CHUNK]
+    assert rows[1].chunk_text.split(" ") == words[STRIDE : STRIDE + CHUNK]
+    assert rows[4].n_tokens == 20  # 120 - 100 trailing tokens
+    assert rows[4].chunk_text.split(" ") == words[100:]
+
+
+def test_chunking_short_doc_single_chunk(spark, tmp_path):
+    df = _doc_df(spark, ["only three words"])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = all_specs()["llm_chunk_sliding"].builder(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "only three words"
+    assert rows[0].n_tokens == 3
+
+
+def test_scrub_redacts_injected_pii(spark, tmp_path):
+    df = _doc_df(spark, ["clean text"])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = all_specs()["llm_scrub_pii"].builder(spark, str(tmp_path)).collect()[0]
+    assert "<EMAIL>" in row.scrubbed and "<URL>" in row.scrubbed
+    assert "<NUM>" in row.scrubbed
+    assert "@example.com" not in row.scrubbed
+    assert row.scrubbed.startswith("clean text")
+    assert row.chars_removed > 0
+
+
+def test_repetition_ratio_bounds(spark, tmp_path):
+    df = _doc_df(
+        spark,
+        [
+            "a b a b a b a b",  # 7 bigrams, 2 distinct
+            "all words here distinct",  # 3 bigrams, all distinct
+            "single",  # no bigrams → ratio 1.0 by convention
+        ],
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in all_specs()["llm_repetition_ratio"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_bigrams == 7 and abs(out[0].uniq_ratio - 2 / 7) < 1e-12
+    assert out[1].uniq_ratio == 1.0
+    assert out[2].n_bigrams == 0 and out[2].uniq_ratio == 1.0
+
+
+def test_connected_components_two_cliques(spark):
+    # nodes {1,2,3} form one component, {10,11} another (symmetric adjacency)
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    edges = pairs + [(b, a) for a, b in pairs] + [(n, n) for n in (1, 2, 3, 10, 11)]
+    adj = spark.createDataFrame(edges, "s1 long, s2 long")
+    got = {r.suppkey: r.component for r in connected_components(adj).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
