@@ -117,6 +117,53 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """I7 (Spark 4 API): same per-user running totals as running_user_totals,
+    via transformWithStateInPandas — the successor to applyInPandasWithState.
+    State is a typed ValueState in the state store (RocksDB on a real cluster);
+    the handle API adds TTL, timers and multiple state variables per key,
+    which the old API cannot express. Both variants are kept: the old one for
+    parity with existing 3.x pipelines, this one as the forward path.
+
+    Runtime requirements: RocksDBStateStoreProvider AND the `protobuf` package
+    (the state-server client speaks protobuf to the JVM). This container has
+    no protobuf, so the pipeline is exercised by a skip-gated test
+    (tests/test_streaming.py) — the plan builds and analyzes regardless."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n LONG, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str) -> None:
     """Drain all available input into an in-memory table `name` and stop —
     the batch-equivalence test harness (and Trigger.AvailableNow demo, I8)."""
