@@ -30,6 +30,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # lets Python DataSources (sources/k8s.py) receive pushFilters —
+        # EqualTo on uid/node/name becomes a server-side k8s field selector
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark only reads micros —

@@ -197,12 +197,53 @@ class K8sDataSource(DataSource):
         return _K8sReader(self.options)
 
 
+# EqualTo filters on these columns translate to Kubernetes API field
+# selectors — genuine server-side pushdown in live mode (the API server
+# filters before sending), local item filtering in fixture mode.
+_FIELD_SELECTORS = {
+    "pods": {("uid",): "metadata.uid", ("node",): "spec.nodeName"},
+    "nodes": {("uid",): "metadata.uid", ("name",): "metadata.name"},
+    "services": {("uid",): "metadata.uid", ("name",): "metadata.name"},
+}
+
+
+def _match_label_selector(selector: str, labels: dict) -> bool:
+    """Evaluate a comma-AND label selector (kubectl subset grammar):
+    `k=v`, `k==v`, `k!=v`, bare `k` (exists), `!k` (not exists)."""
+    labels = labels or {}
+    for term in filter(None, (t.strip() for t in selector.split(","))):
+        if "!=" in term:
+            k, v = term.split("!=", 1)
+            if labels.get(k.strip()) == v.strip():
+                return False
+        elif "==" in term or "=" in term:
+            k, v = term.replace("==", "=").split("=", 1)
+            if labels.get(k.strip()) != v.strip():
+                return False
+        elif term.startswith("!"):
+            if term[1:].strip() in labels:
+                return False
+        elif term not in labels:
+            return False
+    return True
+
+
+def _get_path(obj: dict, dotted: str):
+    for part in dotted.split("."):
+        obj = (obj or {}).get(part)
+    return obj
+
+
 class _K8sReader(DataSourceReader):
     def __init__(self, options):
         self.kind = options.get("kind", "pods")
         self.fixtures = options.get("fixtures")
         self.server = options.get("server")
         self.token = options.get("token")
+        #: explicit selector option (kubectl parity) — combined with any
+        #: selectors derived from pushed filters
+        self.label_selector = options.get("labelSelector")
+        self.field_selectors: list[tuple[str, str]] = []
         # mTLS material arrives as base64 PEM option strings — resolved once
         # on the driver from kubeconfig (sources/kubeconfig.py), so executors
         # never need ~/.kube/config on their filesystem
@@ -216,6 +257,26 @@ class _K8sReader(DataSourceReader):
             base64.b64decode(options["key_b64"]) if options.get("key_b64") else None
         )
 
+    def pushFilters(self, filters):
+        """Spark 4.1 DataSource pushdown: EqualTo on uid/node/name becomes a
+        Kubernetes field selector (`?fieldSelector=spec.nodeName=n1`), exactly
+        what kubectl sends — the API server filters before the snapshot ever
+        leaves it. Everything else stays with Spark."""
+        from pyspark.sql.datasource import EqualTo
+
+        pushable = _FIELD_SELECTORS.get(self.kind, {})
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute in pushable
+                and isinstance(f.value, str)
+            ):
+                self.field_selectors.append((pushable[f.attribute], f.value))
+            else:
+                remaining.append(f)
+        return remaining
+
     def partitions(self):
         # One list call = one partition (a cluster snapshot is small; the big
         # data lives in the driver tables, not here).
@@ -223,6 +284,7 @@ class _K8sReader(DataSourceReader):
 
     def _items(self) -> list[dict]:
         if self.server:
+            import urllib.parse
             import urllib.request
 
             from ksql_spark.sources.kubeconfig import ClientConfig
@@ -234,7 +296,17 @@ class _K8sReader(DataSourceReader):
                 key_pem=self.key_pem,
                 token=self.token,
             )
-            req = urllib.request.Request(f"{self.server}/api/v1/{self.kind}")
+            params = {}
+            if self.label_selector:
+                params["labelSelector"] = self.label_selector
+            if self.field_selectors:
+                params["fieldSelector"] = ",".join(
+                    f"{k}={v}" for k, v in self.field_selectors
+                )
+            qs = "?" + urllib.parse.urlencode(params) if params else ""
+            req = urllib.request.Request(
+                f"{self.server}/api/v1/{self.kind}{qs}"
+            )
             if self.token:
                 req.add_header("Authorization", f"Bearer {self.token}")
             with urllib.request.urlopen(  # noqa: S310 (explicit opt-in)
@@ -246,7 +318,19 @@ class _K8sReader(DataSourceReader):
 
             self.fixtures = str(ensure_fixtures())
         with open(f"{self.fixtures}/{self.kind}.json") as f:
-            return json.load(f)["items"]
+            items = json.load(f)["items"]
+        # fixture mode evaluates the selectors locally — pushed filters MUST
+        # be fully honored by the source, whichever backend serves the list
+        if self.label_selector:
+            items = [
+                i for i in items
+                if _match_label_selector(
+                    self.label_selector, i.get("metadata", {}).get("labels")
+                )
+            ]
+        for path, want in self.field_selectors:
+            items = [i for i in items if _get_path(i, path) == want]
+        return items
 
     def read(self, partition):
         items = self._items()
@@ -344,7 +428,7 @@ def register(spark: SparkSession) -> None:
 
 def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
              server: str | None = None, token: str | None = None,
-             client=None) -> DataFrame:
+             client=None, label_selector: str | None = None) -> DataFrame:
     """`client` is a kubeconfig.ClientConfig — its resolved server/token/PEMs
     are serialized into DataSource options (base64) so executors need no
     kubeconfig file. Explicit server/token arguments override it."""
@@ -354,6 +438,8 @@ def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
     r = spark.read.format("k8s").option("kind", kind)
     if fixtures:
         r = r.option("fixtures", fixtures)
+    if label_selector:
+        r = r.option("labelSelector", label_selector)
     if client is not None:
         r = r.option("server", server or client.server)
         if token or client.token:
