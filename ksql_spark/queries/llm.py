@@ -494,16 +494,40 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: permille kept per language stratum (eval-split staple)
+_STRATA_PERMILLE = {"en": 500, "es": 250, "zh": 250, "de": 100, "fr": 100}
+
+
 @query(
     "llm_sample_stratified",
-    oracle=None,  # RNG is engine-specific → rows-only; determinism unit-tested
-    ref="SURVEY §2 K [EXT] (seeded stratified sampling — eval-split staple; "
-    "sampleBy keeps per-stratum fractions without a full shuffle)",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PERMILLE.items())}
+               ELSE 0 END
+    """,
+    ref="SURVEY §2 K [EXT] (stratified sampling via a PORTABLE deterministic "
+    "hash — Knuth multiplicative on the key, exact int64 math both engines. "
+    "Better than engine-RNG sampleBy for corpus pipelines: the split is "
+    "reproducible across engines/runs/partitionings, membership is decidable "
+    "per row with no shuffle, and it became oracle-checkable)",
 )
 def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ~frac of each lang stratum: hash(doc_id) mod 1000 < permille[lang].
+    Narrow filter, no shuffle, no RNG state — at 100 TB the sample is stable
+    under retries/reshuffles, which seeded sampleBy cannot guarantee."""
     d = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "es": 0.25, "zh": 0.25, "de": 0.1, "fr": 0.1}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+    threshold = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in _STRATA_PERMILLE.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(0),
+    )
+    return d.where(bucket < threshold).select("doc_id", "lang")
 
 
 @query(

@@ -114,3 +114,26 @@ def test_minhash_rejects_indivisible_bands():
 
     with pytest.raises(ValueError, match="divisible"):
         dedup.minhash_near_dups(None, "text", "doc_id", k=42, bands=4)
+
+
+def test_stratified_sample_portable_and_stable(spark):
+    """The hash split must be deterministic across runs and respect per-stratum
+    rates (wide tolerance — sf0.01 strata are small)."""
+    from ksql_spark.registry import all_specs
+
+    b = all_specs()["llm_sample_stratified"].builder
+    sf = "/root/testdata/sf0.01"
+    a = {r.doc_id for r in b(spark, sf).collect()}
+    again = {r.doc_id for r in b(spark, sf).collect()}
+    assert a == again and a
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    kept = (
+        b(spark, sf)
+        .groupBy("lang").count().withColumnRenamed("count", "k").collect()
+    )
+    from ksql_spark.queries.llm import _STRATA_PERMILLE
+
+    for r in kept:
+        expect = _STRATA_PERMILLE.get(r.lang, 0) / 1000
+        assert abs(r.k / totals[r.lang] - expect) < 0.15
