@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
+from ksql_spark.registry import (davg, dsum, dsum1, query, sql_davg,
+                                 sql_dsum, sql_dsum1)
 from ksql_spark.tables import load
 
 
@@ -365,4 +366,42 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
         (F.abs(approx - exact) / exact < F.lit(0.05)).alias("approx_within_tol"),
+    )
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(CAST(trunc(
+               (COUNT(*) * ({sql_dsum1('l_quantity * l_extendedprice')})
+                - ({sql_dsum1('l_quantity')}) * ({sql_dsum1('l_extendedprice')}))
+               / sqrt(COUNT(*) * ({sql_dsum1('l_quantity * l_quantity')})
+                      - ({sql_dsum1('l_quantity')}) * ({sql_dsum1('l_quantity')}))
+               / sqrt(COUNT(*) * ({sql_dsum1('l_extendedprice * l_extendedprice')})
+                      - ({sql_dsum1('l_extendedprice')}) * ({sql_dsum1('l_extendedprice')}))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="SURVEY §2 D7 family [EXT] (Pearson correlation from integer-quantized "
+    "moments (dsum1 — the 1e6 scale would overflow long on price² sums), "
+    "result quantized to 6 decimals — F.corr's Welford streaming update is "
+    "partition-order-sensitive in the last bits and cannot be hash-compared; "
+    "engine users would call F.corr directly)",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r between quantity and price per returnflag, moment form:
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) with every Σ an exact
+    integer-quantized sum, so the value is partition-order independent."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count("*")
+    sx, sy = dsum1(x), dsum1(y)
+    sxx, syy, sxy = dsum1(x * x), dsum1(y * y), dsum1(x * y)
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return li.groupBy("l_returnflag").agg(
+        ((r * 1000000.0 + 0.5).cast("long").cast("double") / 1000000.0)
+        .alias("corr_qty_price")
     )

@@ -195,3 +195,24 @@ def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS quartile
+    FROM orders
+    """,
+    ref="SURVEY §2 E1 family (NTILE bucketing; o_orderkey tie-break makes the "
+    "bucket assignment deterministic — both engines use the same "
+    "floor-division bucket-size rule)",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))

@@ -142,6 +142,14 @@ def davg(col) -> Column:
     return dsum(c) / F.count(c)
 
 
+def dsum1(col) -> Column:
+    """Integer-quantized order-insensitive sum (scale=1) for large-magnitude
+    expressions (e.g. price², |x| up to ~1e10) where the 1e6 scale of dsum
+    would overflow the long accumulator. Same trunc-half-up spelling."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum((c + F.lit(0.5)).cast("long")).cast("double")
+
+
 # Oracle-side SQL snippets for the same helpers (bit-identical math in DuckDB).
 def sql_dsum(expr: str) -> str:
     return (
@@ -152,3 +160,7 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"({sql_dsum(expr)}) / COUNT({expr})"
+
+
+def sql_dsum1(expr: str) -> str:
+    return f"CAST(SUM(CAST(trunc(({expr}) + 0.5) AS BIGINT)) AS DOUBLE)"

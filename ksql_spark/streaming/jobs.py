@@ -117,6 +117,43 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_join(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """I-family [EXT]: watermarked stream-stream inner join — each view event
+    matched with the same user's purchases within the following hour.
+
+    Both sides carry watermarks and the join condition time-bounds buy_ts
+    against view_ts, so Spark can evict buffered state once the watermark
+    passes view_ts + 1 hour — without the interval bound a stream-stream join
+    would buffer forever. This is the canonical attribution-join shape at any
+    scale; state is per-user-per-horizon, not per-stream."""
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    return views.join(
+        buys,
+        F.expr(
+            "user_id = buyer_id AND "
+            "buy_ts >= view_ts AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "view_id", "buy_id", "view_ts", "buy_ts", "buy_value")
+
+
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     """I7 (Spark 4 API): same per-user running totals as running_user_totals,
     via transformWithStateInPandas — the successor to applyInPandasWithState.

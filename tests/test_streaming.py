@@ -239,3 +239,39 @@ def test_stateful_running_totals_tws(spark, events_dir):
         .collect()
     )
     assert got == {r["user_id"]: 2 * r["n"] for r in batch}
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join agrees with the batch join on
+    the same data (single delivery: one file, so no dedup concerns)."""
+    d = tmp_path / "ss_events"
+    d.mkdir()
+    shutil.copy(Path(SF_SMALL) / "events.parquet", d / "part-000.parquet")
+    stream = jobs.events_stream(spark, str(d), max_files_per_trigger=1)
+    jobs.run_available_now(jobs.view_purchase_join(stream), "t_ssjoin", "append")
+    got = {
+        (r.view_id, r.buy_id) for r in spark.table("t_ssjoin").collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    views = ev.where("event_type = 'view'").selectExpr(
+        "user_id", "ts as view_ts", "event_id as view_id"
+    )
+    buys = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id as buyer_id", "ts as buy_ts", "event_id as buy_id"
+    )
+    want = {
+        (r.view_id, r.buy_id)
+        for r in views.join(
+            buys,
+            F.expr(
+                "user_id = buyer_id AND buy_ts >= view_ts "
+                "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want and got
