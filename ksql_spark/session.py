@@ -30,9 +30,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # lets Python DataSources (sources/k8s.py) receive pushFilters —
-        # EqualTo on uid/node/name becomes a server-side k8s field selector
-        .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Python DataSource pushFilters stays OFF: Spark 4.1 caches the
+        # mutated reader per relation, so a pushed filter on a shared temp
+        # view silently under-returns every later query on that view
+        # (verified; see sources/k8s.py note). Selector options cover the
+        # k8s server-side-filter use case safely.
+        .config("spark.sql.python.filterPushdown.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark only reads micros —

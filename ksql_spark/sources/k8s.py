@@ -240,10 +240,12 @@ class _K8sReader(DataSourceReader):
         self.fixtures = options.get("fixtures")
         self.server = options.get("server")
         self.token = options.get("token")
-        #: explicit selector option (kubectl parity) — combined with any
-        #: selectors derived from pushed filters
+        #: explicit selector options (kubectl parity); immutable per relation
         self.label_selector = options.get("labelSelector")
-        self.field_selectors: list[tuple[str, str]] = []
+        self.field_selectors: list[tuple[str, str]] = [
+            tuple(term.split("=", 1))
+            for term in filter(None, (options.get("fieldSelector") or "").split(","))
+        ]
         # mTLS material arrives as base64 PEM option strings — resolved once
         # on the driver from kubeconfig (sources/kubeconfig.py), so executors
         # never need ~/.kube/config on their filesystem
@@ -257,25 +259,15 @@ class _K8sReader(DataSourceReader):
             base64.b64decode(options["key_b64"]) if options.get("key_b64") else None
         )
 
-    def pushFilters(self, filters):
-        """Spark 4.1 DataSource pushdown: EqualTo on uid/node/name becomes a
-        Kubernetes field selector (`?fieldSelector=spec.nodeName=n1`), exactly
-        what kubectl sends — the API server filters before the snapshot ever
-        leaves it. Everything else stays with Spark."""
-        from pyspark.sql.datasource import EqualTo
-
-        pushable = _FIELD_SELECTORS.get(self.kind, {})
-        remaining = []
-        for f in filters:
-            if (
-                isinstance(f, EqualTo)
-                and f.attribute in pushable
-                and isinstance(f.value, str)
-            ):
-                self.field_selectors.append((pushable[f.attribute], f.value))
-            else:
-                remaining.append(f)
-        return remaining
+    # NOTE deliberately NO pushFilters override. Spark 4.1's Python DataSource
+    # pushdown calls pushFilters/partitions ONCE per relation and caches the
+    # mutated reader: a temp view (or any reused DataFrame) then serves every
+    # later query from the first query's pushed-filter state — verified by
+    # probe: after `SELECT ... WHERE v='zz'` on a view, a filterless
+    # `SELECT *` on the same view returns the FILTERED rows (silent data
+    # loss). Until Spark re-plans per query, the only safe server-side
+    # filtering is the explicit, per-relation, immutable `labelSelector` /
+    # `fieldSelector` options below.
 
     def partitions(self):
         # One list call = one partition (a cluster snapshot is small; the big
@@ -428,7 +420,8 @@ def register(spark: SparkSession) -> None:
 
 def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
              server: str | None = None, token: str | None = None,
-             client=None, label_selector: str | None = None) -> DataFrame:
+             client=None, label_selector: str | None = None,
+             field_selector: str | None = None) -> DataFrame:
     """`client` is a kubeconfig.ClientConfig — its resolved server/token/PEMs
     are serialized into DataSource options (base64) so executors need no
     kubeconfig file. Explicit server/token arguments override it."""
@@ -440,6 +433,8 @@ def load_k8s(spark: SparkSession, kind: str, fixtures: str | None = None,
         r = r.option("fixtures", fixtures)
     if label_selector:
         r = r.option("labelSelector", label_selector)
+    if field_selector:
+        r = r.option("fieldSelector", field_selector)
     if client is not None:
         r = r.option("server", server or client.server)
         if token or client.token:
