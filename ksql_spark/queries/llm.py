@@ -68,6 +68,44 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_cluster",
+    oracle=None,  # xxhash64-seeded LSH candidates -> rows-only
+    ref="SURVEY §2 K2+L2 (near-dup CLUSTER resolution: LSH pair graph -> "
+    "connected components -> min-id canonical per cluster. This is the "
+    "keep-one step a dedup pipeline actually ships: pairs alone don't say "
+    "which doc to keep when dups chain A~B~C)",
+)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document mapped to its near-dup cluster representative
+    (canonical_id = min doc_id reachable through LSH-verified pairs;
+    singletons map to themselves). Filter is_canonical to materialize the
+    deduplicated corpus. Scale: pairs are sub-quadratic (banded LSH), the
+    component step is O(nodes)-state label propagation."""
+    from ksql_spark.queries.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        d, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8
+    )
+    half = pairs.select(F.col("doc_a").alias("s1"), F.col("doc_b").alias("s2"))
+    adj = half.unionByName(
+        half.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    labels = connected_components(adj).withColumnsRenamed(
+        {"suppkey": "doc_id", "component": "canonical_id"}
+    )
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+@query(
     "llm_dedup_simhash",
     oracle=None,  # xxhash64-based fingerprint → rows-only
     ref="SURVEY §2 K2 (SimHash fingerprint buckets — operators/dedup.py:simhash32)",

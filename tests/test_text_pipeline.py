@@ -76,3 +76,24 @@ def test_connected_components_two_cliques(spark):
     adj = spark.createDataFrame(edges, "s1 long, s2 long")
     got = {r.suppkey: r.component for r in connected_components(adj).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_chained_duplicates(spark, tmp_path):
+    """A~B and B~C near-dups (never A~C directly) must land in ONE cluster
+    with min doc_id canonical; unrelated docs stay singletons."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    a = base
+    b = base.replace("alpha", "ALPHA", 1)          # ~identical to a
+    c = base.replace("alpha", "ALPHA", 1).replace("beta", "BETA", 1)  # ~ b
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen") * 3
+    df = _doc_df(spark, [a, b, c, other])
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in all_specs()["llm_dedup_cluster"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True)
