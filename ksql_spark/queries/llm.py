@@ -357,6 +357,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5).drop("rn")
 
 
+def _ann_recall(spark, sf_dir, approx_builder, threshold: float) -> DataFrame:
+    """Tolerance-oracle helper (same pattern as agg_approx_distinct): compute
+    average recall@k of an ANN variant against the exact brute-force top-k in
+    ONE relational plan and emit a boolean the oracle asserts TRUE. A recall
+    regression (bad centroids, broken banding) hash-mismatches the row."""
+    exact = llm_sim_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = approx_builder(spark, sf_dir).select("query_id", "vec_id")
+    per_q = (
+        exact.join(approx.withColumnRenamed("vec_id", "a_vec"),
+                   on="query_id")
+        .groupBy("query_id")
+        .agg(
+            (F.count_distinct(
+                F.when(F.col("vec_id") == F.col("a_vec"), F.col("vec_id"))
+            ) / F.count_distinct("vec_id")).alias("recall")
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= F.lit(threshold)).alias("avg_recall_ok"),
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS avg_recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """
+
+
+@query(
+    "ann_ivf_recall",
+    oracle=_ANN_RECALL_ORACLE,
+    ref="SURVEY §2 K3 (IVF quality gate: avg recall@5 vs exact brute-force "
+    ">= 0.5, measured 0.73 at sf0.01 — tolerance oracle, the sketch itself "
+    "is engine-specific)",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall(spark, sf_dir, ann_ivf_topk, 0.5)
+
+
+@query(
+    "ann_lsh_recall",
+    oracle=_ANN_RECALL_ORACLE,
+    ref="SURVEY §2 K3 (LSH quality gate: avg recall@5 vs exact brute-force "
+    ">= 0.5, measured 0.93 at sf0.01 — tolerance oracle)",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall(spark, sf_dir, ann_lsh_topk, 0.5)
+
+
 @query(
     "llm_text_stats",
     oracle=f"""
