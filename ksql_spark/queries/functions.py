@@ -456,3 +456,44 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flatten_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://host' || (doc_id % 7) || '.example/docs/' || doc_id
+               || '?lang=' || lang || '#s' || (doc_id % 3) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM u
+    """,
+    ref="SURVEY §2 H2 family [EXT] (URL component extraction — one regexp "
+    "spelling shared by both engines, '' on no-match in both; Spark's "
+    "parse_url would differ from any DuckDB reimplementation on edge URLs, "
+    "so the portable form IS the operator. URLs synthesized: the corpus "
+    "has no URL column)",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+        F.lit("#s"), (F.col("doc_id") % 3).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1).alias("scheme"),
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1).alias("host"),
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
+        F.regexp_extract(url, r"#(.*)$", 1).alias("fragment"),
+    )
