@@ -376,10 +376,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(trunc(
                (COUNT(*) * ({sql_dsum1('l_quantity * l_extendedprice')})
                 - ({sql_dsum1('l_quantity')}) * ({sql_dsum1('l_extendedprice')}))
-               / sqrt(COUNT(*) * ({sql_dsum1('l_quantity * l_quantity')})
-                      - ({sql_dsum1('l_quantity')}) * ({sql_dsum1('l_quantity')}))
-               / sqrt(COUNT(*) * ({sql_dsum1('l_extendedprice * l_extendedprice')})
-                      - ({sql_dsum1('l_extendedprice')}) * ({sql_dsum1('l_extendedprice')}))
+               / (sqrt(COUNT(*) * ({sql_dsum1('l_quantity * l_quantity')})
+                       - ({sql_dsum1('l_quantity')}) * ({sql_dsum1('l_quantity')}))
+                  * sqrt(COUNT(*) * ({sql_dsum1('l_extendedprice * l_extendedprice')})
+                         - ({sql_dsum1('l_extendedprice')}) * ({sql_dsum1('l_extendedprice')})))
                * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS corr_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,

@@ -98,7 +98,11 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Min-label propagation over an adjacency DataFrame (s1, s2; symmetric,
-    self-loops allowed) → (suppkey, component=min node id in component)."""
+    self-loops allowed) → (suppkey, component=min node id in component).
+
+    Raises RuntimeError if labels have not converged within max_rounds —
+    returning partially-propagated labels would silently split one real
+    component into several clusters (rounds needed ≈ graph diameter)."""
     labels = adj.select(F.col("s1").alias("suppkey")).distinct().withColumn(
         "component", F.col("suppkey")
     )
@@ -118,8 +122,11 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
         changed = nxt.where("changed").limit(1).count()
         labels = nxt.drop("changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(graph diameter exceeds max_rounds); raise max_rounds"
+    )
 
 
 def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> DataFrame:

@@ -98,7 +98,7 @@ def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_replace(
                        regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
                        '{_URL}', '<URL>', 'g'),
-                   '{_LONG_DIGITS}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+                   '{_LONG_DIGITS}', '<NUM>', 'g')) AS INT) AS chars_removed
     FROM dirty
     """,
     ref="SURVEY §2 [EXT] PII scrubbing (email/URL/long-digit redaction; "

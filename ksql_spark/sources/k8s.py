@@ -197,14 +197,24 @@ class K8sDataSource(DataSource):
         return _K8sReader(self.options)
 
 
-# EqualTo filters on these columns translate to Kubernetes API field
-# selectors — genuine server-side pushdown in live mode (the API server
-# filters before sending), local item filtering in fixture mode.
-_FIELD_SELECTORS = {
-    "pods": {("uid",): "metadata.uid", ("node",): "spec.nodeName"},
-    "nodes": {("uid",): "metadata.uid", ("name",): "metadata.name"},
-    "services": {("uid",): "metadata.uid", ("name",): "metadata.name"},
-}
+def _parse_field_selector(selector: str) -> list[tuple[str, str, str]]:
+    """Parse a comma-AND field selector (kubectl grammar: `path=v`, `path==v`,
+    `path!=v`) into (path, op, value) triples; op is '=' or '!='. An invalid
+    term fails HERE (driver-side, clear message) instead of inside a task."""
+    out = []
+    for term in filter(None, (t.strip() for t in (selector or "").split(","))):
+        if "!=" in term:
+            k, v = term.split("!=", 1)
+            out.append((k.strip(), "!=", v.strip()))
+        elif "=" in term:
+            k, v = term.replace("==", "=", 1).split("=", 1)
+            out.append((k.strip(), "=", v.strip()))
+        else:
+            raise ValueError(
+                f"invalid fieldSelector term {term!r}: expected path=value, "
+                "path==value or path!=value"
+            )
+    return out
 
 
 def _match_label_selector(selector: str, labels: dict) -> bool:
@@ -228,9 +238,13 @@ def _match_label_selector(selector: str, labels: dict) -> bool:
     return True
 
 
-def _get_path(obj: dict, dotted: str):
+def _get_path(obj, dotted: str):
+    """Resolve a dotted path; None (= no match) when any step is missing or
+    the intermediate is not an object — an odd path must not crash the scan."""
     for part in dotted.split("."):
-        obj = (obj or {}).get(part)
+        if not isinstance(obj, dict):
+            return None
+        obj = obj.get(part)
     return obj
 
 
@@ -242,10 +256,7 @@ class _K8sReader(DataSourceReader):
         self.token = options.get("token")
         #: explicit selector options (kubectl parity); immutable per relation
         self.label_selector = options.get("labelSelector")
-        self.field_selectors: list[tuple[str, str]] = [
-            tuple(term.split("=", 1))
-            for term in filter(None, (options.get("fieldSelector") or "").split(","))
-        ]
+        self.field_selectors = _parse_field_selector(options.get("fieldSelector"))
         # mTLS material arrives as base64 PEM option strings — resolved once
         # on the driver from kubeconfig (sources/kubeconfig.py), so executors
         # never need ~/.kube/config on their filesystem
@@ -267,7 +278,9 @@ class _K8sReader(DataSourceReader):
     # `SELECT *` on the same view returns the FILTERED rows (silent data
     # loss). Until Spark re-plans per query, the only safe server-side
     # filtering is the explicit, per-relation, immutable `labelSelector` /
-    # `fieldSelector` options below.
+    # `fieldSelector` options (the natural pushFilters translations would
+    # have been uid→metadata.uid, node→spec.nodeName, name→metadata.name —
+    # revisit when Spark fixes the caching).
 
     def partitions(self):
         # One list call = one partition (a cluster snapshot is small; the big
@@ -293,7 +306,7 @@ class _K8sReader(DataSourceReader):
                 params["labelSelector"] = self.label_selector
             if self.field_selectors:
                 params["fieldSelector"] = ",".join(
-                    f"{k}={v}" for k, v in self.field_selectors
+                    f"{k}{op}{v}" for k, op, v in self.field_selectors
                 )
             qs = "?" + urllib.parse.urlencode(params) if params else ""
             req = urllib.request.Request(
@@ -320,8 +333,11 @@ class _K8sReader(DataSourceReader):
                     self.label_selector, i.get("metadata", {}).get("labels")
                 )
             ]
-        for path, want in self.field_selectors:
-            items = [i for i in items if _get_path(i, path) == want]
+        for path, op, want in self.field_selectors:
+            if op == "=":
+                items = [i for i in items if _get_path(i, path) == want]
+            else:  # '!=' — k8s matches objects whose field differs
+                items = [i for i in items if _get_path(i, path) != want]
         return items
 
     def read(self, partition):

@@ -176,21 +176,63 @@ def test_view_reuse_not_poisoned_by_filtered_query(spark):
     assert spark.sql("select count(*) c from pods").collect()[0].c == total
 
 
-def test_live_mode_sends_selectors(mtls_pods_url=None):
-    """Reader builds labelSelector/fieldSelector query params for live mode."""
-    from ksql_spark.sources.k8s import _K8sReader
+def test_live_mode_sends_selectors(spark):
+    """End-to-end: selector OPTIONS must reach the API server as query params
+    (exercises __init__ option parsing AND _items' URL assembly against a real
+    HTTP stub — the server does the filtering in live mode)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
 
-    r = _K8sReader(
-        {"kind": "pods", "server": "http://h:1", "labelSelector": "tier=web"}
-    )
-    r.field_selectors = [("spec.nodeName", "node-0")]
-    # _items would URL-encode both; check the param assembly inline
-    import urllib.parse
+    seen = []
 
-    params = {
-        "labelSelector": r.label_selector,
-        "fieldSelector": ",".join(f"{k}={v}" for k, v in r.field_selectors),
-    }
-    qs = urllib.parse.urlencode(params)
-    assert "labelSelector=tier%3Dweb" in qs
-    assert "fieldSelector=spec.nodeName%3Dnode-0" in qs
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):  # noqa: N802
+            seen.append(self.path)
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(_json.dumps({"items": []}).encode())
+
+    httpd = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        from ksql_spark.sources.k8s import load_k8s
+
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        load_k8s(spark, "pods", server=url, label_selector="tier=web",
+                 field_selector="spec.nodeName!=node-0").collect()
+        assert len(seen) == 1
+        assert "labelSelector=tier%3Dweb" in seen[0]
+        assert "fieldSelector=spec.nodeName%21%3Dnode-0" in seen[0]
+    finally:
+        httpd.shutdown()
+
+
+def test_field_selector_not_equals_fixture_mode(spark):
+    from ksql_spark.sources.k8s import load_k8s
+
+    eq = load_k8s(spark, "pods", field_selector="spec.nodeName=node-0").collect()
+    ne = load_k8s(spark, "pods", field_selector="spec.nodeName!=node-0").collect()
+    assert eq and ne
+    assert all(r.node != "node-0" for r in ne)
+    assert len(eq) + len(ne) == 20
+
+
+def test_field_selector_invalid_term_fails_fast(spark):
+    import pytest as _pytest
+
+    from ksql_spark.sources.k8s import _parse_field_selector
+
+    with _pytest.raises(ValueError, match="invalid fieldSelector"):
+        _parse_field_selector("metadata.name")
+
+
+def test_field_selector_weird_path_no_crash(spark):
+    # an intermediate that is a list/string must mean "no match", not a crash
+    from ksql_spark.sources.k8s import load_k8s
+
+    assert load_k8s(spark, "pods",
+                    field_selector="metadata.name.x=1").count() == 0

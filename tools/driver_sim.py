@@ -67,6 +67,13 @@ def frames_equal(s: pd.DataFrame, o: pd.DataFrame) -> tuple[bool, str]:
         return False, f"cols {list(s.columns)} != {list(o.columns)}"
     if len(s) != len(o):
         return False, f"rows {len(s)} != {len(o)}"
+    # numeric width must match too: the driver's hash is dtype-sensitive, so
+    # Spark int vs oracle BIGINT (e.g. a missing CAST ... AS INT) is an err
+    # row there even when the values agree (README width-cast convention)
+    for c in s.columns:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        if {sk, ok} <= {"i", "u", "f"} and s[c].dtype != o[c].dtype:
+            return False, f"col {c} dtype {s[c].dtype} != {o[c].dtype}"
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (x, y) in enumerate(zip(sv, ov)):
