@@ -297,3 +297,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.where(F.col("side") == 1)
         .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "asof_view_ts")
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT n_name, l.top_bal
+    FROM nation, LATERAL (
+        SELECT max(c_acctbal) AS top_bal
+        FROM customer WHERE c_nationkey = n_nationkey
+    ) l
+    """,
+    ref="SURVEY §2 C family [EXT] (correlated LATERAL subquery — Spark 3.2+ "
+    "decorrelates it into a join, so the per-row subquery never executes "
+    "row-at-a-time; same text runs in DuckDB)",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest customer balance per nation via LATERAL. Catalyst rewrites the
+    correlated subquery into an aggregate + join (decorrelation), so the plan
+    is a hash agg + broadcast join — not N executions of the inner query."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT n_name, l.top_bal
+        FROM {n}, LATERAL (
+            SELECT max(c_acctbal) AS top_bal
+            FROM {c} WHERE c_nationkey = n_nationkey
+        ) l
+        """,
+        n=n, c=c,
+    )

@@ -78,3 +78,39 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
     b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
     return a.exceptAll(b)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+    ref="SURVEY §2 G3 (INTERSECT ALL multiset semantics — min of the two "
+    "per-value multiplicities survives)",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    """,
+    ref="SURVEY §2 G4 (ANSI EXCEPT dedups before subtracting — the set form "
+    "alongside set_except's multiset EXCEPT ALL)",
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
+    b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
+    return a.subtract(b)

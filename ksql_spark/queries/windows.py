@@ -216,3 +216,32 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"), F.col("o_orderkey")
     )
     return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "win_value_fns",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(o_totalprice) OVER w AS cheapest,
+           last_value(o_totalprice) OVER w AS priciest,
+           nth_value(o_totalprice, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    ref="SURVEY §2 E2 family (first_value/last_value/nth_value over a full-"
+    "partition frame; unique tie-break keeps the frame order deterministic)",
+)
+def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
