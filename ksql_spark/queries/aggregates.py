@@ -405,3 +405,24 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r * 1000000.0 + 0.5).cast("long").cast("double") / 1000000.0)
         .alias("corr_qty_price")
     )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 D4 family [EXT] (conditional/boolean aggregates — "
+    "count_if/bool_and/bool_or, identical names both engines)",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
