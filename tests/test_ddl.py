@@ -44,3 +44,48 @@ def test_update_needs_v2_format(spark, warehouse_table):
     # A13 boundary (snapshot model; Delta would lift it)
     with pytest.raises(Exception):
         spark.sql(f"UPDATE {warehouse_table} SET score = 0 WHERE id = 1")
+
+
+def test_update_copy_on_write(spark, warehouse_table):
+    from ksql_spark.dml import update_table
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5), (3, 'c', 2.5)")
+    n = update_table(spark, t, {"score": "score * 10"}, where="id >= 2")
+    assert n == 2
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "a", 0.5), (2, "b", 15.0), (3, "c", 25.0)]
+
+
+def test_update_multiple_assignments_all_rows(spark, warehouse_table):
+    from ksql_spark.dml import update_table
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    n = update_table(spark, t, {"label": "upper(label)", "score": "0.0"})
+    assert n == 2
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "A", 0.0), (2, "B", 0.0)]
+
+
+def test_delete_copy_on_write(spark, warehouse_table):
+    from ksql_spark.dml import delete_from
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5), (3, 'c', 2.5)")
+    n = delete_from(spark, t, "score > 1.0")
+    assert n == 2
+    rows = [tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect()]
+    assert rows == [(1, "a", 0.5)]
+
+
+def test_dml_snapshot_swap_cleans_old_dir(spark, warehouse_table, tmp_path):
+    from ksql_spark.dml import _table_location, delete_from
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    before = _table_location(spark, t)
+    delete_from(spark, t, "id = 999")  # no-op delete still swaps atomically
+    after = _table_location(spark, t)
+    assert after != before and not before.exists()
+    assert spark.sql(f"SELECT count(*) c FROM {t}").collect()[0].c == 1
