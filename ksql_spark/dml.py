@@ -87,3 +87,99 @@ def delete_from(
     n = df.where(cond).count()
     _swap_snapshot(spark, table, df.where(~cond | cond.isNull()))
     return n
+
+
+# --- SQL statement front-end (REPL/HTTP surface, AlaSQL DML parity) --------
+
+import re as _re
+
+_UPDATE_RE = _re.compile(
+    r"^\s*UPDATE\s+(?P<table>[A-Za-z_][\w.]*)\s+SET\s+(?P<body>.+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_DELETE_RE = _re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def _split_set_where(body: str) -> tuple[str, str | None]:
+    """Split `a=1, b=2 WHERE c` on the LAST top-level WHERE keyword, quote- and
+    paren-aware (a WHERE inside quotes or a subquery must not split)."""
+    depth, i, where_at = 0, 0, None
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            i += 1
+            while i < n and not (body[i] == "'" and not body[i:i + 2] == "''"):
+                i += 2 if body[i:i + 2] == "''" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and body[i:i + 5].upper() == "WHERE" and (
+            i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        ) and (i + 5 == n or not (body[i + 5].isalnum() or body[i + 5] == "_")):
+            where_at = i
+        i += 1
+    if where_at is None:
+        return body, None
+    return body[:where_at], body[where_at + 5:]
+
+
+def _split_assignments(setlist: str) -> dict[str, str]:
+    """Split `a = expr, b = expr` on top-level commas (quote/paren aware)."""
+    parts, depth, cur = [], 0, []
+    i, n = 0, len(setlist)
+    while i < n:
+        ch = setlist[i]
+        if ch == "'":
+            cur.append(ch)
+            i += 1
+            while i < n:
+                cur.append(setlist[i])
+                if setlist[i] == "'" and setlist[i:i + 2] != "''":
+                    break
+                i += 2 if setlist[i:i + 2] == "''" else 1
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    out = {}
+    for p in parts:
+        if "=" not in p:
+            raise ValueError(f"malformed SET assignment: {p.strip()!r}")
+        name, expr = p.split("=", 1)
+        out[name.strip()] = expr.strip()
+    return out
+
+
+def run_dml(spark: SparkSession, sql: str) -> int | None:
+    """Execute an UPDATE/DELETE statement via copy-on-write; None if `sql` is
+    not DML (caller falls through to spark.sql). Used by the REPL/HTTP layer
+    so the reference's delegated AlaSQL DML surface works at the console."""
+    m = _UPDATE_RE.match(sql.strip().rstrip(";"))
+    if m:
+        setlist, where = _split_set_where(m.group("body"))
+        return update_table(
+            spark, m.group("table"), _split_assignments(setlist), where
+        )
+    m = _DELETE_RE.match(sql.strip().rstrip(";"))
+    if m:
+        where = m.group("where")
+        if where is None:
+            where = "true"  # DELETE FROM t — remove all rows
+        return delete_from(spark, m.group("table"), where)
+    return None

@@ -108,6 +108,12 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
     if not line:
         return
     try:
+        from ksql_spark.dml import run_dml
+
+        n = run_dml(spark, line)  # UPDATE/DELETE → copy-on-write (SURVEY A13)
+        if n is not None:
+            print(f"{n} row(s) affected")
+            return
         sql = compat_top(compat_using(rewriter.rewrite(line)))
         df = spark.sql(sql)
         rows = df.take(MAX_SHOW_ROWS + 1)

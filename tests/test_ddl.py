@@ -89,3 +89,35 @@ def test_dml_snapshot_swap_cleans_old_dir(spark, warehouse_table, tmp_path):
     after = _table_location(spark, t)
     assert after != before and not before.exists()
     assert spark.sql(f"SELECT count(*) c FROM {t}").collect()[0].c == 1
+
+
+def test_run_dml_update_statement(spark, warehouse_table):
+    from ksql_spark.dml import run_dml
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'x, where', 1.5)")
+    # quoted comma + WHERE keyword inside a string must not confuse the parser
+    n = run_dml(
+        spark,
+        f"UPDATE {t} SET label = 'x, where', score = score + 1 WHERE id = 1",
+    )
+    assert n == 1
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "x, where", 1.5), (2, "x, where", 1.5)]
+
+
+def test_run_dml_delete_statement(spark, warehouse_table):
+    from ksql_spark.dml import run_dml
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    assert run_dml(spark, f"DELETE FROM {t} WHERE id = 2;") == 1
+    assert run_dml(spark, f"DELETE FROM {t}") == 1
+    assert spark.sql(f"SELECT count(*) c FROM {t}").collect()[0].c == 0
+
+
+def test_run_dml_passthrough_for_select(spark):
+    from ksql_spark.dml import run_dml
+
+    assert run_dml(spark, "SELECT 1") is None
+    assert run_dml(spark, "  select update_time from t") is None
