@@ -100,3 +100,34 @@ def test_bfs_depth6_no_plan_blowup(spark_lazy):
     got = {r.suppkey: r.depth for r in bfs(spark_lazy, adj, 0, 6).collect()}
     assert time.monotonic() - t0 < 60
     assert got == {i: i for i in range(7)}  # node 7 is beyond depth 6
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=1, max_value=130))
+def test_chunking_invariants(spark_lazy, n_words):
+    """Sliding-window chunking laws for any doc length: chunk count matches
+    the stride grid, each chunk's token count is its split length, and every
+    chunk reproduces the original words at its stride offset (full coverage
+    + 50% overlap fall out of these)."""
+    import tempfile
+
+    from ksql_spark.queries.text_pipeline import CHUNK, STRIDE
+    from ksql_spark.registry import all_specs
+
+    spark = spark_lazy
+    words = [f"w{i}" for i in range(n_words)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, " ".join(words), "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = sorted(
+            all_specs()["llm_chunk_sliding"].builder(spark, d).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+    assert len(rows) == (max(n_words - 1, 0)) // STRIDE + 1
+    for r in rows:
+        got = r.chunk_text.split(" ")
+        start = r.chunk_idx * STRIDE
+        assert got == words[start : start + CHUNK]
+        assert r.n_tokens == len(got)
