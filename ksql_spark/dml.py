@@ -89,6 +89,58 @@ def delete_from(
     return n
 
 
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column | str] | None = None,
+    when_not_matched_insert: bool = True,
+) -> tuple[int, int]:
+    """MERGE INTO `table` USING `source` ON key columns — copy-on-write upsert.
+
+    * matched target rows get `when_matched_update` assignments (expressions
+      may reference source columns as `src.<col>`); None keeps them unchanged;
+    * unmatched source rows are appended when `when_not_matched_insert`
+      (source must then carry every target column);
+    * unmatched target rows are kept as-is.
+    Returns (rows_updated, rows_inserted). Same single-writer / full-rewrite
+    limits as update_table (a v2 ACID format does this per file).
+    """
+    target = spark.table(table)
+    src = source.alias("src")
+    tgt = target.alias("tgt")
+    cond = None
+    for k in on:
+        c = F.col(f"tgt.{k}") == F.col(f"src.{k}")
+        cond = c if cond is None else (cond & c)
+
+    joined = tgt.join(src, cond, "left")
+    matched = F.col(f"src.{on[0]}").isNotNull()
+    cols = []
+    for name in target.columns:
+        if when_matched_update and name in when_matched_update:
+            expr = when_matched_update[name]
+            col = F.expr(expr) if isinstance(expr, str) else expr
+            cols.append(
+                F.when(matched, col).otherwise(F.col(f"tgt.{name}")).alias(name)
+            )
+        else:
+            cols.append(F.col(f"tgt.{name}").alias(name))
+    updated = joined.select(*cols)
+    n_updated = (
+        joined.where(matched).count() if when_matched_update else 0
+    )
+
+    inserts = source.join(target, on, "left_anti").select(*target.columns)
+    n_inserted = inserts.count() if when_not_matched_insert else 0
+    new_df = (
+        updated.unionByName(inserts) if when_not_matched_insert else updated
+    )
+    _swap_snapshot(spark, table, new_df)
+    return n_updated, n_inserted
+
+
 # --- SQL statement front-end (REPL/HTTP surface, AlaSQL DML parity) --------
 
 import re as _re

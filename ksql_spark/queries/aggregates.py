@@ -426,3 +426,35 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@query(
+    "agg_skew_twostage",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY o_custkey
+    """,
+    ref="SURVEY §2 D3 family [EXT] (salted two-stage aggregation — THE skew "
+    "recipe at 100 TB: stage 1 aggregates (key, salt) so one hot key spreads "
+    "over 16 reducers, stage 2 folds the partials; oracle proves it equals "
+    "the plain GROUP BY bit-for-bit, incl. the scaled-long sum surviving "
+    "re-aggregation because long addition is associative)",
+)
+def agg_skew_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum per customer via explicit salt → partial → final. AQE's skew
+    handling covers joins; for aggregations whose partial combine can't keep
+    up with one hot key, this manual spread is the standard fix."""
+    o = load(spark, sf_dir, "orders")
+    salted = o.withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(16)))
+    partial = salted.groupBy("o_custkey", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(
+            (F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).alias("psum"),
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("pn").alias("n_orders"),
+        (F.sum("psum").cast("double") / F.lit(1000000.0)).alias("sum_price"),
+    )

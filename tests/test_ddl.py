@@ -121,3 +121,34 @@ def test_run_dml_passthrough_for_select(spark):
 
     assert run_dml(spark, "SELECT 1") is None
     assert run_dml(spark, "  select update_time from t") is None
+
+
+def test_merge_into_upsert(spark, warehouse_table):
+    from ksql_spark.dml import merge_into
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    source = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "id long, label string, score double"
+    )
+    n_up, n_ins = merge_into(
+        spark, t, source, on=["id"],
+        when_matched_update={"label": "src.label", "score": "src.score"},
+    )
+    assert (n_up, n_ins) == (1, 1)
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "a", 0.5), (2, "B", 20.0), (3, "c", 3.0)]
+
+
+def test_merge_into_insert_only(spark, warehouse_table):
+    from ksql_spark.dml import merge_into
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    source = spark.createDataFrame(
+        [(1, "ignored", 0.0), (9, "z", 9.0)], "id long, label string, score double"
+    )
+    n_up, n_ins = merge_into(spark, t, source, on=["id"])
+    assert (n_up, n_ins) == (0, 1)
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "a", 0.5), (9, "z", 9.0)]
