@@ -9,9 +9,12 @@ copy-on-write shape those formats perform per file, done here at table
 granularity.
 
 Guarantees and limits (documented, tested):
-  * atomic swap: the new snapshot is written to a side directory first, the
+  * snapshot swap: the new snapshot is written to a side directory first, the
     table is repointed with ALTER TABLE SET LOCATION, then the old directory
-    is dropped — readers see the old or the new snapshot, never a mix;
+    is dropped — a reader never sees a MIX of old and new rows, but a query
+    that planned its scan against the old location before the repoint can
+    fail with file-not-found once the old directory is removed (a v2 format's
+    retained snapshots fix that too);
   * single-writer: no commit protocol arbitrates concurrent writers (that is
     exactly what Delta/Iceberg add); concurrent update_table calls can lose
     one writer's changes;
@@ -62,6 +65,12 @@ def update_table(
     bounds the affected rows (None = all). Returns the number of rows updated.
     """
     df = spark.table(table)
+    unknown = set(assignments) - set(df.columns)
+    if unknown:
+        raise ValueError(
+            f"UPDATE {table}: unknown column(s) {sorted(unknown)} "
+            f"(table has {df.columns})"
+        )
     cond = F.expr(where) if isinstance(where, str) else where
     if cond is None:
         cond = F.lit(True)
@@ -99,44 +108,61 @@ def merge_into(
 ) -> tuple[int, int]:
     """MERGE INTO `table` USING `source` ON key columns — copy-on-write upsert.
 
-    * matched target rows get `when_matched_update` assignments (expressions
-      may reference source columns as `src.<col>`); None keeps them unchanged;
+    * matched target rows get `when_matched_update` assignments; string
+      expressions may use plain target column names and `src.<col>` for
+      source columns (both resolve unambiguously); None keeps matches as-is;
     * unmatched source rows are appended when `when_not_matched_insert`
       (source must then carry every target column);
-    * unmatched target rows are kept as-is.
+    * unmatched target rows are kept as-is;
+    * duplicate source keys raise (ANSI MERGE 'multiple source rows matched')
+      — a fan-out would silently duplicate target rows.
     Returns (rows_updated, rows_inserted). Same single-writer / full-rewrite
     limits as update_table (a v2 ACID format does this per file).
     """
+    import re
+
     target = spark.table(table)
-    src = source.alias("src")
-    tgt = target.alias("tgt")
+    dup = source.groupBy(*on).count().where(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(
+            f"merge_into: source has duplicate keys on {on} — each target row "
+            "must match at most one source row"
+        )
+    # prefix source columns so the joined frame has no duplicate names:
+    # target columns stay plain, `src.<col>` in expressions becomes `src_<col>`
+    src = source.select(
+        *[F.col(c).alias(f"src_{c}") for c in source.columns]
+    )
     cond = None
     for k in on:
-        c = F.col(f"tgt.{k}") == F.col(f"src.{k}")
+        c = F.col(k) == F.col(f"src_{k}")
         cond = c if cond is None else (cond & c)
 
-    joined = tgt.join(src, cond, "left")
-    matched = F.col(f"src.{on[0]}").isNotNull()
+    joined = target.join(src, cond, "left")
+    matched = F.col(f"src_{on[0]}").isNotNull()
     cols = []
     for name in target.columns:
         if when_matched_update and name in when_matched_update:
             expr = when_matched_update[name]
-            col = F.expr(expr) if isinstance(expr, str) else expr
-            cols.append(
-                F.when(matched, col).otherwise(F.col(f"tgt.{name}")).alias(name)
-            )
+            if isinstance(expr, str):
+                col = F.expr(re.sub(r"\bsrc\.(\w+)", r"src_\1", expr))
+            else:
+                col = expr
+            cols.append(F.when(matched, col).otherwise(F.col(name)).alias(name))
         else:
-            cols.append(F.col(f"tgt.{name}").alias(name))
+            cols.append(F.col(name))
     updated = joined.select(*cols)
     n_updated = (
         joined.where(matched).count() if when_matched_update else 0
     )
 
-    inserts = source.join(target, on, "left_anti").select(*target.columns)
-    n_inserted = inserts.count() if when_not_matched_insert else 0
-    new_df = (
-        updated.unionByName(inserts) if when_not_matched_insert else updated
-    )
+    if when_not_matched_insert:
+        inserts = source.join(target, on, "left_anti").select(*target.columns)
+        n_inserted = inserts.count()
+        new_df = updated.unionByName(inserts)
+    else:
+        n_inserted = 0
+        new_df = updated
     _swap_snapshot(spark, table, new_df)
     return n_updated, n_inserted
 
@@ -156,26 +182,51 @@ _DELETE_RE = _re.compile(
 )
 
 
-def _split_set_where(body: str) -> tuple[str, str | None]:
-    """Split `a=1, b=2 WHERE c` on the LAST top-level WHERE keyword, quote- and
-    paren-aware (a WHERE inside quotes or a subquery must not split)."""
-    depth, i, where_at = 0, 0, None
-    n = len(body)
+def _skip_quoted(s: str, i: int) -> int:
+    """s[i] opens a ' or " string literal; return the index just past its
+    closing quote. A doubled quote ('' or "") escapes inside either form
+    (Spark accepts both literal styles)."""
+    q = s[i]
+    i += 1
+    n = len(s)
     while i < n:
-        ch = body[i]
-        if ch == "'":
-            i += 1
-            while i < n and not (body[i] == "'" and not body[i:i + 2] == "''"):
-                i += 2 if body[i:i + 2] == "''" else 1
-        elif ch == "(":
+        if s[i] == q:
+            if s[i:i + 2] == q + q:
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n  # unterminated: treat rest as literal
+
+
+def _top_level_positions(s: str):
+    """Yield (index, char) for characters OUTSIDE string literals, with the
+    running paren depth — the one scanner both splitters share."""
+    depth, i = 0, 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            i = _skip_quoted(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and body[i:i + 5].upper() == "WHERE" and (
+        yield i, ch, depth
+        i += 1
+
+
+def _split_set_where(body: str) -> tuple[str, str | None]:
+    """Split `a=1, b=2 WHERE c` on the LAST top-level WHERE keyword, quote- and
+    paren-aware (a WHERE inside quotes or a subquery must not split)."""
+    n = len(body)
+    where_at = None
+    for i, ch, depth in _top_level_positions(body):
+        if depth == 0 and body[i:i + 5].upper() == "WHERE" and (
             i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
         ) and (i + 5 == n or not (body[i + 5].isalnum() or body[i + 5] == "_")):
             where_at = i
-        i += 1
     if where_at is None:
         return body, None
     return body[:where_at], body[where_at + 5:]
@@ -183,32 +234,15 @@ def _split_set_where(body: str) -> tuple[str, str | None]:
 
 def _split_assignments(setlist: str) -> dict[str, str]:
     """Split `a = expr, b = expr` on top-level commas (quote/paren aware)."""
-    parts, depth, cur = [], 0, []
-    i, n = 0, len(setlist)
-    while i < n:
-        ch = setlist[i]
-        if ch == "'":
-            cur.append(ch)
-            i += 1
-            while i < n:
-                cur.append(setlist[i])
-                if setlist[i] == "'" and setlist[i:i + 2] != "''":
-                    break
-                i += 2 if setlist[i:i + 2] == "''" else 1
-        elif ch == "(":
-            depth += 1
-            cur.append(ch)
-        elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-        i += 1
-    if cur:
-        parts.append("".join(cur))
+    cuts = [
+        i for i, ch, depth in _top_level_positions(setlist)
+        if ch == "," and depth == 0
+    ]
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(setlist[prev:c])
+        prev = c + 1
+    parts.append(setlist[prev:])
     out = {}
     for p in parts:
         if "=" not in p:

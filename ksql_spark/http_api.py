@@ -24,6 +24,14 @@ MAX_ROWS = 10_000  # don't collect unbounded results into the driver
 
 
 def run_query(spark, rewriter: Rewriter, query: str) -> dict:
+    from ksql_spark.dml import run_dml
+
+    # UPDATE/DELETE → copy-on-write (SURVEY A13). Single-writer limit applies:
+    # this server is threaded, so concurrent DML posts can race — same caveat
+    # as any non-ACID table; see ksql_spark/dml.py docstring.
+    n = run_dml(spark, query)
+    if n is not None:
+        return {"headers": ["rows_affected"], "data": [[n]]}
     sql = compat_top(compat_using(rewriter.rewrite(query)))
     df = spark.sql(sql).limit(MAX_ROWS)
     rows = df.collect()

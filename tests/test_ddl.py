@@ -152,3 +152,64 @@ def test_merge_into_insert_only(spark, warehouse_table):
     assert (n_up, n_ins) == (0, 1)
     rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
     assert rows == [(1, "a", 0.5), (9, "z", 9.0)]
+
+
+def test_run_dml_escaped_and_double_quotes(spark, warehouse_table):
+    from ksql_spark.dml import run_dml
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    assert run_dml(spark, f"UPDATE {t} SET label = 'it''s, ok' WHERE id = 1") == 1
+    assert spark.sql(f"SELECT label FROM {t}").collect()[0].label == "it's, ok"
+    assert run_dml(spark, f'UPDATE {t} SET label = "x, where y" WHERE id = 1') == 1
+    assert spark.sql(f"SELECT label FROM {t}").collect()[0].label == "x, where y"
+
+
+def test_update_unknown_column_errors(spark, warehouse_table):
+    from ksql_spark.dml import update_table
+
+    spark.sql(f"INSERT INTO {warehouse_table} VALUES (1, 'a', 0.5)")
+    with pytest.raises(ValueError, match="unknown column"):
+        update_table(spark, warehouse_table, {"scre": "0"})
+
+
+def test_merge_duplicate_source_keys_rejected(spark, warehouse_table):
+    from ksql_spark.dml import merge_into
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    source = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "id long, label string, score double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, t, source, on=["id"],
+                   when_matched_update={"score": "src.score"})
+
+
+def test_merge_update_only_with_narrow_source(spark, warehouse_table):
+    from ksql_spark.dml import merge_into
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    # source carries only the key + one column; plain target names and
+    # src.<col> both resolve in assignment expressions
+    source = spark.createDataFrame([(1, 10.0)], "id long, score double")
+    n_up, n_ins = merge_into(
+        spark, t, source, on=["id"],
+        when_matched_update={"score": "score + src.score"},
+        when_not_matched_insert=False,
+    )
+    assert (n_up, n_ins) == (1, 0)
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "a", 10.5), (2, "b", 1.5)]
+
+
+def test_http_run_query_dml(spark, warehouse_table):
+    from ksql_spark.http_api import run_query
+    from ksql_spark.repl import make_rewriter
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    res = run_query(spark, make_rewriter(spark, False), f"DELETE FROM {t} WHERE id = 1")
+    assert res == {"headers": ["rows_affected"], "data": [[1]]}
+    assert spark.sql(f"SELECT count(*) c FROM {t}").collect()[0].c == 1
