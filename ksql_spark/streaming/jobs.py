@@ -234,3 +234,47 @@ def snapshot_refresh(spark: SparkSession, interval: str = "10 seconds",
         .trigger(processingTime=interval)
         .start()
     )
+
+
+def upsert_stream(stream: DataFrame, table: str, on: list[str],
+                  assignments: dict[str, str], checkpoint: str):
+    """I-family [EXT]: streaming upsert — each micro-batch MERGEs into a
+    catalog table via dml.merge_into (the CDC apply pattern: the latest state
+    per key lands in a queryable table).
+
+    Semantics: REPLACE, not accumulate — `assignments` should set columns from
+    `src.<col>` (e.g. {"n": "src.n"}). Streaming aggregations already emit
+    CUMULATIVE per-key state in update mode, so an additive merge would
+    double-count; replace converges to the latest emitted state per key.
+    `checkpoint` is required: it is what makes re-starts process only NEW
+    input (and with it, exactly-once table state — the merge is idempotent
+    per key under replace).
+
+    Per-batch dedup keeps the ANSI one-source-row-per-key contract. The
+    single-writer limit of dml.py applies per batch; a v2 ACID sink lifts it.
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ksql_spark import dml
+
+    outer = stream.sparkSession  # foreachBatch hands us a CLONED session
+
+    def apply_batch(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            spark = batch_df.sparkSession
+            deduped = batch_df.dropDuplicates(on)
+            dml.merge_into(
+                spark, table, deduped, on=on,
+                when_matched_update=assignments,
+                when_not_matched_insert=True,
+            )
+            # the swap's REFRESH ran on the cloned session; the outer
+            # session's relation cache still points at the dropped snapshot
+            # dir — refresh it too or the next read file-not-founds
+            outer.sql(f"REFRESH TABLE {table}")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -275,3 +275,48 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_upsert_stream_merges_batches(spark, tmp_path):
+    """Streaming CDC-upsert: two arriving files merge into a catalog table —
+    the checkpointed second run processes only the new file, and replace
+    semantics land the cumulative per-user totals exactly once."""
+    spark.sql("DROP TABLE IF EXISTS user_totals")
+    spark.sql(
+        "CREATE TABLE user_totals (user_id BIGINT, n BIGINT) "
+        f"USING PARQUET LOCATION '{tmp_path}/user_totals'"
+    )
+    try:
+        d = tmp_path / "inc"
+        d.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        shutil.copy(Path(SF_SMALL) / "events.parquet", d / "part-000.parquet")
+        stream = jobs.events_stream(spark, str(d), max_files_per_trigger=1)
+        import pyspark.sql.functions as F
+
+        # cumulative per-user counts (streaming agg state carries across
+        # batches via the checkpoint) -> replace-merge applies latest state
+        counts = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+        q = jobs.upsert_stream(
+            counts, "user_totals", on=["user_id"],
+            assignments={"n": "src.n"}, checkpoint=ckpt,
+        )
+        q.awaitTermination()
+        single = {
+            r.user_id: r.n for r in spark.table("user_totals").collect()
+        }
+        shutil.copy(Path(SF_SMALL) / "events.parquet", d / "part-001.parquet")
+        q2 = jobs.upsert_stream(
+            counts, "user_totals", on=["user_id"],
+            assignments={"n": "src.n"}, checkpoint=ckpt,
+        )
+        q2.awaitTermination()
+
+        got = {r.user_id: r.n for r in spark.table("user_totals").collect()}
+        batch = spark.read.parquet(f"{SF_SMALL}/events.parquet").groupBy(
+            "user_id"
+        ).count().collect()
+        assert single == {r.user_id: r["count"] for r in batch}
+        assert got == {r.user_id: 2 * r["count"] for r in batch}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS user_totals")
