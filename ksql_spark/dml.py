@@ -32,25 +32,72 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
+def _describe(spark: SparkSession, table: str) -> list:
+    return spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+
+
 def _table_location(spark: SparkSession, table: str) -> Path:
-    desc = {
-        r["col_name"]: r["data_type"]
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-    }
+    desc = {r["col_name"]: r["data_type"] for r in _describe(spark, table)}
     loc = desc.get("Location")
     if not loc:
         raise ValueError(f"table {table} has no filesystem location")
     return Path(loc.removeprefix("file:"))
 
 
+def _partition_cols(spark: SparkSession, table: str) -> list[str]:
+    """Partition columns from DESCRIBE's '# Partition Information' section."""
+    rows = _describe(spark, table)
+    out, in_section = [], False
+    for r in rows:
+        name = (r["col_name"] or "").strip()
+        if name == "# Partition Information":
+            in_section = True
+            continue
+        if in_section:
+            if name.startswith("#") or not name:
+                if name == "# col_name":
+                    continue
+                break
+            out.append(name)
+    return out
+
+
 def _swap_snapshot(spark: SparkSession, table: str, new_df: DataFrame) -> None:
-    """Write new_df beside the current location, repoint, drop the old dir."""
+    """Write new_df beside the current location, repoint, drop the old dir.
+    Partitioned tables keep their layout: the new snapshot is written
+    partitionBy(...) and MSCK SYNC re-derives partition metadata under the
+    new root (stale entries pointing into the old root are dropped)."""
     old = _table_location(spark, table)
     new = old.with_name(f"{old.name}__cow_{uuid.uuid4().hex[:8]}")
-    new_df.write.mode("overwrite").parquet(str(new))
+    pcols = _partition_cols(spark, table)
+    writer = new_df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(str(new))
     spark.sql(f"ALTER TABLE {table} SET LOCATION '{new}'")
+    if pcols:
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE {table}")
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _affected_partitions(
+    spark: SparkSession, table: str, cond: Column, pcols: list[str]
+) -> list:
+    """Distinct partition-value rows holding rows matched by `cond`. The
+    collect is partition-METADATA scale, not data scale."""
+    return spark.table(table).where(cond).select(*pcols).distinct().collect()
+
+
+def _pred_from_partition_vals(pcols: list[str], vals: list) -> Column:
+    pred = None
+    for r in vals:
+        term = None
+        for c in pcols:
+            eq = F.col(c).eqNullSafe(F.lit(r[c]))
+            term = eq if term is None else (term & eq)
+        pred = term if pred is None else (pred | term)
+    return pred
 
 
 def update_table(
@@ -63,6 +110,11 @@ def update_table(
 
     `assignments` maps column name → Column or SQL expression string; `where`
     bounds the affected rows (None = all). Returns the number of rows updated.
+
+    Partitioned tables take the SCALE path: only partitions containing
+    matched rows are rewritten, via dynamic partition overwrite (static
+    partition pruning bounds the read; untouched partitions' files are never
+    rewritten). Unpartitioned tables do the full snapshot swap.
     """
     df = spark.table(table)
     unknown = set(assignments) - set(df.columns)
@@ -75,26 +127,99 @@ def update_table(
     if cond is None:
         cond = F.lit(True)
     n = df.where(cond).count()
-    cols = []
-    for name in df.columns:
-        if name in assignments:
-            expr = assignments[name]
-            col = F.expr(expr) if isinstance(expr, str) else expr
-            cols.append(F.when(cond, col).otherwise(F.col(name)).alias(name))
-        else:
-            cols.append(F.col(name))
-    _swap_snapshot(spark, table, df.select(*cols))
+
+    def updated(frame):
+        cols = []
+        for name in frame.columns:
+            if name in assignments:
+                expr = assignments[name]
+                col = F.expr(expr) if isinstance(expr, str) else expr
+                cols.append(F.when(cond, col).otherwise(F.col(name)).alias(name))
+            else:
+                cols.append(F.col(name))
+        return frame.select(*cols)
+
+    pcols = _partition_cols(spark, table)
+    if pcols and set(pcols).isdisjoint(assignments):
+        # updates never remove rows, so every affected partition stays present
+        # in the rewritten output (dynamic overwrite requires that)
+        vals = _affected_partitions(spark, table, cond, pcols)
+        if not vals:
+            return 0
+        pred = _pred_from_partition_vals(pcols, vals)
+        _overwrite_partitions(spark, table, updated(df.where(pred)))
+        return n
+    _swap_snapshot(spark, table, updated(df))
     return n
+
+
+def _overwrite_partitions(spark: SparkSession, table: str, scoped: DataFrame) -> None:
+    """Dynamic partition overwrite: only partitions present in `scoped` are
+    replaced; every other partition's files stay untouched."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        scoped.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(f"REFRESH TABLE {table}")
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
 
 
 def delete_from(
     spark: SparkSession, table: str, where: Column | str
 ) -> int:
-    """DELETE FROM `table` WHERE cond — copy-on-write. Returns rows deleted."""
+    """DELETE FROM `table` WHERE cond — copy-on-write. Returns rows deleted.
+
+    Partitioned tables rewrite only affected partitions; a partition whose
+    rows are ALL deleted is dropped via ALTER TABLE DROP PARTITION (dynamic
+    overwrite cannot touch a partition absent from the written output).
+    """
     df = spark.table(table)
     cond = F.expr(where) if isinstance(where, str) else where
     n = df.where(cond).count()
-    _swap_snapshot(spark, table, df.where(~cond | cond.isNull()))
+    keep_cond = ~cond | cond.isNull()
+
+    pcols = _partition_cols(spark, table)
+    if pcols:
+        vals = _affected_partitions(spark, table, cond, pcols)
+        if not vals:
+            return 0
+        pred = _pred_from_partition_vals(pcols, vals)
+        keep = df.where(pred).where(keep_cond)
+        surviving = {
+            tuple(r[c] for c in pcols)
+            for r in keep.select(*pcols).distinct().collect()
+        }
+        if surviving:
+            _overwrite_partitions(spark, table, keep)
+        for r in vals:
+            if tuple(r[c] for c in pcols) not in surviving:
+                spec = ", ".join(
+                    f"{c} = {_sql_literal(r[c])}" for c in pcols
+                )
+                # resolve the partition dir BEFORE dropping: DROP PARTITION on
+                # an external table removes catalog metadata but keeps files
+                part_loc = None
+                for row in spark.sql(
+                    f"DESCRIBE FORMATTED {table} PARTITION ({spec})"
+                ).collect():
+                    if (row["col_name"] or "").strip() == "Location":
+                        part_loc = row["data_type"].removeprefix("file:")
+                        break
+                spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec})")
+                if part_loc:
+                    shutil.rmtree(part_loc, ignore_errors=True)
+        spark.sql(f"REFRESH TABLE {table}")
+        return n
+    _swap_snapshot(spark, table, df.where(keep_cond))
     return n
 
 

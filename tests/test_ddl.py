@@ -213,3 +213,69 @@ def test_http_run_query_dml(spark, warehouse_table):
     res = run_query(spark, make_rewriter(spark, False), f"DELETE FROM {t} WHERE id = 1")
     assert res == {"headers": ["rows_affected"], "data": [[1]]}
     assert spark.sql(f"SELECT count(*) c FROM {t}").collect()[0].c == 1
+
+
+@pytest.fixture()
+def partitioned_table(spark, tmp_path):
+    name = "ddl_part"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (id BIGINT, score DOUBLE, day STRING) "
+        f"USING PARQUET PARTITIONED BY (day) "
+        f"LOCATION '{tmp_path}/ddl_part'"
+    )
+    spark.sql(
+        f"INSERT INTO {name} VALUES "
+        "(1, 0.5, 'mon'), (2, 1.5, 'mon'), (3, 2.5, 'tue'), (4, 3.5, 'wed')"
+    )
+    yield name, tmp_path / "ddl_part"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _partition_files(loc, part):
+    return sorted(
+        (p.name, p.stat().st_mtime_ns)
+        for p in (loc / part).glob("*.parquet")
+    )
+
+
+def test_partitioned_update_rewrites_only_affected(spark, partitioned_table):
+    from ksql_spark.dml import update_table
+
+    t, loc = partitioned_table
+    tue_before = _partition_files(loc, "day=tue")
+    wed_before = _partition_files(loc, "day=wed")
+    n = update_table(spark, t, {"score": "score * 10"}, where="id = 1")
+    assert n == 1
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT id, score FROM {t}").collect())
+    assert rows == [(1, 5.0), (2, 1.5), (3, 2.5), (4, 3.5)]
+    # untouched partitions' files are bit-identical (same names, same mtimes)
+    assert _partition_files(loc, "day=tue") == tue_before
+    assert _partition_files(loc, "day=wed") == wed_before
+    assert (loc / "day=mon").exists()
+
+
+def test_partitioned_delete_drops_emptied_partition(spark, partitioned_table):
+    from ksql_spark.dml import delete_from
+
+    t, loc = partitioned_table
+    mon_before = _partition_files(loc, "day=mon")
+    # deletes ALL of tue (partition dropped) and half of... no — wed has one
+    # row; delete tue entirely and one of mon's two rows
+    n = delete_from(spark, t, "id = 3 OR id = 1")
+    assert n == 2
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT id, day FROM {t}").collect())
+    assert rows == [(2, "mon"), (4, "wed")]
+    assert not (loc / "day=tue").exists() or not list((loc / "day=tue").glob("*.parquet"))
+    assert _partition_files(loc, "day=mon") != mon_before  # mon was rewritten
+
+
+def test_partitioned_update_touching_partition_col_full_swap(spark, partitioned_table):
+    from ksql_spark.dml import update_table
+
+    t, _ = partitioned_table
+    # moving rows across partitions falls back to the full snapshot swap
+    n = update_table(spark, t, {"day": "'thu'"}, where="id = 4")
+    assert n == 1
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT id, day FROM {t}").collect())
+    assert rows == [(1, "mon"), (2, "mon"), (3, "tue"), (4, "thu")]
