@@ -377,20 +377,68 @@ def _split_assignments(setlist: str) -> dict[str, str]:
     return out
 
 
+_MERGE_RE = _re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<table>[A-Za-z_][\w.]*)\s+"
+    r"USING\s+(?P<source>[A-Za-z_][\w.]*)\s+"
+    r"ON\s+(?P<on>.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?)?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_INSERT_CLAUSE_RE = _re.compile(
+    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?\s*$", _re.IGNORECASE
+)
+
+
+def _parse_merge_on(on: str) -> list[str]:
+    """Key columns from an ON clause: `(k1, k2)`, `k`, or equality chains
+    `t.k = s.k AND ...` where both sides name the same column."""
+    on = on.strip()
+    if on.startswith("(") and on.endswith(")"):
+        return [c.strip() for c in on[1:-1].split(",")]
+    terms = _re.split(r"\s+AND\s+", on, flags=_re.IGNORECASE)
+    keys = []
+    for t in terms:
+        if "=" in t:
+            left, right = (s.strip().rsplit(".", 1)[-1] for s in t.split("=", 1))
+            if left != right:
+                raise ValueError(
+                    f"MERGE ON term {t.strip()!r}: both sides must name the "
+                    "same column (equi-key merge only)"
+                )
+            keys.append(left)
+        else:
+            keys.append(t.strip())
+    return keys
+
+
 def run_dml(spark: SparkSession, sql: str) -> int | None:
-    """Execute an UPDATE/DELETE statement via copy-on-write; None if `sql` is
-    not DML (caller falls through to spark.sql). Used by the REPL/HTTP layer
-    so the reference's delegated AlaSQL DML surface works at the console."""
-    m = _UPDATE_RE.match(sql.strip().rstrip(";"))
+    """Execute an UPDATE/DELETE/MERGE statement via copy-on-write; None if
+    `sql` is not DML (caller falls through to spark.sql). Used by the
+    REPL/HTTP layer so the delegated AlaSQL DML surface works at the console."""
+    stmt = sql.strip().rstrip(";")
+    m = _UPDATE_RE.match(stmt)
     if m:
         setlist, where = _split_set_where(m.group("body"))
         return update_table(
             spark, m.group("table"), _split_assignments(setlist), where
         )
-    m = _DELETE_RE.match(sql.strip().rstrip(";"))
+    m = _DELETE_RE.match(stmt)
     if m:
         where = m.group("where")
         if where is None:
             where = "true"  # DELETE FROM t — remove all rows
         return delete_from(spark, m.group("table"), where)
+    m = _MERGE_RE.match(stmt)
+    if m:
+        insert = bool(_INSERT_CLAUSE_RE.search(stmt))
+        n_up, n_ins = merge_into(
+            spark,
+            m.group("table"),
+            spark.table(m.group("source")),
+            on=_parse_merge_on(m.group("on")),
+            when_matched_update=_split_assignments(m.group("set")),
+            when_not_matched_insert=insert,
+        )
+        return n_up + n_ins
     return None

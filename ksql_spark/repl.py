@@ -84,6 +84,44 @@ def _save_history(path: str | None) -> None:
         pass
 
 
+_SQL_KEYWORDS = (
+    "SELECT FROM WHERE GROUP BY ORDER HAVING LIMIT JOIN LEFT RIGHT FULL "
+    "INNER OUTER CROSS ON USING AS AND OR NOT IN IS NULL LIKE BETWEEN "
+    "UNION ALL INTERSECT EXCEPT DISTINCT CASE WHEN THEN ELSE END "
+    "INSERT INTO VALUES UPDATE SET DELETE MERGE MATCHED COUNT SUM AVG "
+    "MIN MAX TOP"
+).split()
+
+
+def install_completer(spark) -> None:
+    """Tab completion over SQL keywords + registered view/column names.
+    Completions are gathered once at install (the snapshot model: views don't
+    change mid-session except via the refresh loop, which keeps names)."""
+    try:
+        import readline
+    except ImportError:
+        return
+    words = set(_SQL_KEYWORDS)
+    try:
+        for row in spark.sql("SHOW VIEWS").collect():
+            view = row["viewName"]
+            words.add(view)
+            for f in spark.table(view).schema.fields:
+                words.add(f.name)
+    except Exception:
+        pass  # completion is best-effort; the REPL must come up regardless
+    ordered = sorted(words)
+
+    def complete(text: str, state: int):
+        lower = text.lower()
+        matches = [w for w in ordered if w.lower().startswith(lower)]
+        return matches[state] if state < len(matches) else None
+
+    readline.set_completer(complete)
+    readline.set_completer_delims(" \t\n,()=<>'\"")
+    readline.parse_and_bind("tab: complete")
+
+
 def _render(columns: list[str], rows: list, truncated: bool) -> str:
     """ASCII table over ALREADY-COLLECTED rows (cli-table2 analog,
     ksql.js:164-171) — the query runs exactly once."""
@@ -157,6 +195,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(args.testdata, with_k8s=not args.no_k8s, client=client)
     rewriter = make_rewriter(spark, args.compat_truthiness)
     history = _load_history() if sys.stdin.isatty() else None
+    if sys.stdin.isatty():
+        install_completer(spark)
     refresh_q = None
     if args.refresh and not args.no_k8s:
         from ksql_spark.streaming.jobs import snapshot_refresh

@@ -279,3 +279,40 @@ def test_partitioned_update_touching_partition_col_full_swap(spark, partitioned_
     assert n == 1
     rows = sorted(tuple(r) for r in spark.sql(f"SELECT id, day FROM {t}").collect())
     assert rows == [(1, "mon"), (2, "mon"), (3, "tue"), (4, "thu")]
+
+
+def test_run_dml_merge_statement(spark, warehouse_table):
+    from ksql_spark.dml import run_dml
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "id long, label string, score double"
+    ).createOrReplaceTempView("merge_src")
+    n = run_dml(
+        spark,
+        f"MERGE INTO {t} USING merge_src ON {t}.id = merge_src.id "
+        "WHEN MATCHED THEN UPDATE SET label = src.label, score = src.score "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert n == 2  # 1 updated + 1 inserted
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect())
+    assert rows == [(1, "a", 0.5), (2, "B", 20.0), (3, "c", 3.0)]
+
+
+def test_run_dml_merge_update_only(spark, warehouse_table):
+    from ksql_spark.dml import run_dml
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    spark.createDataFrame(
+        [(1, 9.0), (7, 7.0)], "id long, score double"
+    ).createOrReplaceTempView("merge_src2")
+    n = run_dml(
+        spark,
+        f"MERGE INTO {t} USING merge_src2 ON (id) "
+        "WHEN MATCHED THEN UPDATE SET score = src.score",
+    )
+    assert n == 1  # update only, no insert clause
+    rows = [tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect()]
+    assert rows == [(1, "a", 9.0)]

@@ -67,3 +67,20 @@ def test_run_query_duplicate_column_names(spark, rw):
     )
     assert res["headers"] == ["uid", "uid"]
     assert all(left != right for left, right in res["data"])
+
+
+def test_completer_matches_views_and_columns(spark, rw):
+    from ksql_spark.repl import install_completer
+
+    install_completer(spark)
+    import readline
+
+    comp = readline.get_completer()
+    got = set()
+    i = 0
+    while (m := comp("po", i)) is not None:
+        got.add(m)
+        i += 1
+    assert "pods" in got
+    assert comp("contai", 0) == "containers"
+    assert comp("SELE", 0) == "SELECT"
