@@ -241,8 +241,12 @@ def merge_into(
     * unmatched target rows are kept as-is;
     * duplicate source keys raise (ANSI MERGE 'multiple source rows matched')
       — a fan-out would silently duplicate target rows.
-    Returns (rows_updated, rows_inserted). Same single-writer / full-rewrite
-    limits as update_table (a v2 ACID format does this per file).
+    Returns (rows_updated, rows_inserted).
+
+    Partitioned tables (when updates don't touch partition columns) rewrite
+    only the partitions holding matched target rows; inserted rows land in
+    their own (possibly new) partitions via dynamic overwrite. Same
+    single-writer limit as update_table (a v2 ACID format does this per file).
     """
     import re
 
@@ -284,10 +288,40 @@ def merge_into(
     if when_not_matched_insert:
         inserts = source.join(target, on, "left_anti").select(*target.columns)
         n_inserted = inserts.count()
-        new_df = updated.unionByName(inserts)
     else:
+        inserts = None
         n_inserted = 0
-        new_df = updated
+
+    pcols = _partition_cols(spark, table)
+    if pcols and (
+        when_matched_update is None or set(pcols).isdisjoint(when_matched_update)
+    ):
+        # scale path: rewrite only partitions that change. The affected set is
+        # matched-row partitions PLUS insert-row partitions — an insert into
+        # an EXISTING partition means that whole partition is rewritten
+        # (dynamic overwrite replaces whole partitions, so its existing rows
+        # must be present in the output or they would be lost).
+        vals = {
+            tuple(r[c] for c in pcols)
+            for r in joined.where(matched).select(*pcols).distinct().collect()
+        }
+        if inserts is not None and n_inserted:
+            vals |= {
+                tuple(r[c] for c in pcols)
+                for r in inserts.select(*pcols).distinct().collect()
+            }
+        if not vals:
+            return n_updated, n_inserted
+        pred = _pred_from_partition_vals(
+            pcols, [dict(zip(pcols, v)) for v in vals]
+        )
+        scoped = updated.where(pred)
+        if inserts is not None and n_inserted:
+            scoped = scoped.unionByName(inserts)
+        _overwrite_partitions(spark, table, scoped)
+        return n_updated, n_inserted
+
+    new_df = updated if inserts is None else updated.unionByName(inserts)
     _swap_snapshot(spark, table, new_df)
     return n_updated, n_inserted
 

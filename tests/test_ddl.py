@@ -316,3 +316,29 @@ def test_run_dml_merge_update_only(spark, warehouse_table):
     assert n == 1  # update only, no insert clause
     rows = [tuple(r) for r in spark.sql(f"SELECT * FROM {t}").collect()]
     assert rows == [(1, "a", 9.0)]
+
+
+def test_partitioned_merge_prunes_and_preserves(spark, partitioned_table):
+    from ksql_spark.dml import merge_into
+
+    t, loc = partitioned_table
+    wed_before = _partition_files(loc, "day=wed")
+    # update a mon row; insert into EXISTING tue (its rows must survive) and
+    # into a brand-new thu partition
+    source = spark.createDataFrame(
+        [(1, 50.0, "mon"), (9, 9.0, "tue"), (10, 10.0, "thu")],
+        "id long, score double, day string",
+    )
+    n_up, n_ins = merge_into(
+        spark, t, source, on=["id"],
+        when_matched_update={"score": "src.score"},
+    )
+    assert (n_up, n_ins) == (1, 2)
+    rows = sorted(tuple(r) for r in spark.sql(f"SELECT id, score, day FROM {t}").collect())
+    assert rows == [
+        (1, 50.0, "mon"), (2, 1.5, "mon"), (3, 2.5, "tue"),
+        (4, 3.5, "wed"), (9, 9.0, "tue"), (10, 10.0, "thu"),
+    ]
+    # wed had no matched rows and no inserts — untouched files
+    assert _partition_files(loc, "day=wed") == wed_before
+    assert (loc / "day=thu").exists()
