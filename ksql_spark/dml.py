@@ -85,7 +85,9 @@ def _affected_partitions(
     spark: SparkSession, table: str, cond: Column, pcols: list[str]
 ) -> list:
     """Distinct partition-value rows holding rows matched by `cond`. The
-    collect is partition-METADATA scale, not data scale."""
+    COLLECTED result is partition-metadata sized; finding it scans the data
+    unless `cond` itself prunes on partition columns (put partition columns
+    in the WHERE to bound the read as well as the write)."""
     return spark.table(table).where(cond).select(*pcols).distinct().collect()
 
 
@@ -166,10 +168,17 @@ def _overwrite_partitions(spark: SparkSession, table: str, scoped: DataFrame) ->
 
 
 def _sql_literal(v) -> str:
+    import datetime as dt
+
     if v is None:
         return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, dt.date):
+        # unquoted 2024-01-02 parses as arithmetic in a PARTITION spec
+        return f"DATE '{v.isoformat()}'"
     return str(v)
 
 
@@ -251,8 +260,20 @@ def merge_into(
     import re
 
     target = spark.table(table)
+    if when_matched_update:
+        unknown = set(when_matched_update) - set(target.columns)
+        if unknown:
+            raise ValueError(
+                f"MERGE INTO {table}: unknown SET column(s) {sorted(unknown)} "
+                f"(table has {target.columns})"
+            )
+    # several actions below re-read the source (dup check, counts, partition
+    # collects, final write) — persist once so a streaming-aggregation or
+    # otherwise expensive source is computed once per merge
+    source = source.persist()
     dup = source.groupBy(*on).count().where(F.col("count") > 1)
     if dup.limit(1).count():
+        source.unpersist()
         raise ValueError(
             f"merge_into: source has duplicate keys on {on} — each target row "
             "must match at most one source row"
@@ -285,45 +306,53 @@ def merge_into(
         joined.where(matched).count() if when_matched_update else 0
     )
 
-    if when_not_matched_insert:
-        inserts = source.join(target, on, "left_anti").select(*target.columns)
-        n_inserted = inserts.count()
-    else:
-        inserts = None
-        n_inserted = 0
+    try:
+        if when_not_matched_insert:
+            inserts = source.join(target, on, "left_anti").select(*target.columns)
+            n_inserted = inserts.count()
+        else:
+            inserts = None
+            n_inserted = 0
 
-    pcols = _partition_cols(spark, table)
-    if pcols and (
-        when_matched_update is None or set(pcols).isdisjoint(when_matched_update)
-    ):
-        # scale path: rewrite only partitions that change. The affected set is
-        # matched-row partitions PLUS insert-row partitions — an insert into
-        # an EXISTING partition means that whole partition is rewritten
-        # (dynamic overwrite replaces whole partitions, so its existing rows
-        # must be present in the output or they would be lost).
-        vals = {
-            tuple(r[c] for c in pcols)
-            for r in joined.where(matched).select(*pcols).distinct().collect()
-        }
-        if inserts is not None and n_inserted:
-            vals |= {
-                tuple(r[c] for c in pcols)
-                for r in inserts.select(*pcols).distinct().collect()
-            }
-        if not vals:
+        pcols = _partition_cols(spark, table)
+        if pcols and (
+            when_matched_update is None
+            or set(pcols).isdisjoint(when_matched_update)
+        ):
+            # scale path: rewrite only partitions that change — matched-row
+            # partitions (only when an update clause can change them) plus
+            # insert-row partitions. An insert into an EXISTING partition
+            # forces that whole partition's rewrite (dynamic overwrite
+            # replaces whole partitions, so its existing rows must be present
+            # in the output or they would be lost).
+            vals = set()
+            if when_matched_update:
+                vals |= {
+                    tuple(r[c] for c in pcols)
+                    for r in joined.where(matched).select(*pcols)
+                    .distinct().collect()
+                }
+            if inserts is not None and n_inserted:
+                vals |= {
+                    tuple(r[c] for c in pcols)
+                    for r in inserts.select(*pcols).distinct().collect()
+                }
+            if not vals:
+                return n_updated, n_inserted
+            pred = _pred_from_partition_vals(
+                pcols, [dict(zip(pcols, v)) for v in vals]
+            )
+            scoped = updated.where(pred)
+            if inserts is not None and n_inserted:
+                scoped = scoped.unionByName(inserts)
+            _overwrite_partitions(spark, table, scoped)
             return n_updated, n_inserted
-        pred = _pred_from_partition_vals(
-            pcols, [dict(zip(pcols, v)) for v in vals]
-        )
-        scoped = updated.where(pred)
-        if inserts is not None and n_inserted:
-            scoped = scoped.unionByName(inserts)
-        _overwrite_partitions(spark, table, scoped)
-        return n_updated, n_inserted
 
-    new_df = updated if inserts is None else updated.unionByName(inserts)
-    _swap_snapshot(spark, table, new_df)
-    return n_updated, n_inserted
+        new_df = updated if inserts is None else updated.unionByName(inserts)
+        _swap_snapshot(spark, table, new_df)
+        return n_updated, n_inserted
+    finally:
+        source.unpersist()
 
 
 # --- SQL statement front-end (REPL/HTTP surface, AlaSQL DML parity) --------
@@ -416,11 +445,8 @@ _MERGE_RE = _re.compile(
     r"USING\s+(?P<source>[A-Za-z_][\w.]*)\s+"
     r"ON\s+(?P<on>.+?)\s+"
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)"
-    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?)?\s*$",
+    r"(?P<insert>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?)?\s*$",
     _re.IGNORECASE | _re.DOTALL,
-)
-_INSERT_CLAUSE_RE = _re.compile(
-    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?\s*$", _re.IGNORECASE
 )
 
 
@@ -465,7 +491,7 @@ def run_dml(spark: SparkSession, sql: str) -> int | None:
         return delete_from(spark, m.group("table"), where)
     m = _MERGE_RE.match(stmt)
     if m:
-        insert = bool(_INSERT_CLAUSE_RE.search(stmt))
+        insert = m.group("insert") is not None
         n_up, n_ins = merge_into(
             spark,
             m.group("table"),

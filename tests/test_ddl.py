@@ -342,3 +342,58 @@ def test_partitioned_merge_prunes_and_preserves(spark, partitioned_table):
     # wed had no matched rows and no inserts — untouched files
     assert _partition_files(loc, "day=wed") == wed_before
     assert (loc / "day=thu").exists()
+
+
+def test_partitioned_delete_date_partition_values(spark, tmp_path):
+    """DATE partition values must render as DATE '...' in the DROP PARTITION
+    spec — unquoted 2024-01-02 parses as arithmetic (review regression)."""
+    from ksql_spark.dml import delete_from
+
+    name = "ddl_datepart"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (id BIGINT, day DATE) USING PARQUET "
+        f"PARTITIONED BY (day) LOCATION '{tmp_path}/ddl_datepart'"
+    )
+    try:
+        spark.sql(
+            f"INSERT INTO {name} VALUES "
+            "(1, DATE '2024-01-01'), (2, DATE '2024-01-02')"
+        )
+        n = delete_from(spark, name, "id = 2")  # empties the 01-02 partition
+        assert n == 1
+        rows = [tuple(r) for r in spark.sql(f"SELECT id FROM {name}").collect()]
+        assert rows == [(1,)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_unknown_set_column_errors(spark, warehouse_table):
+    from ksql_spark.dml import merge_into
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    source = spark.createDataFrame([(1, 9.0)], "id long, score double")
+    with pytest.raises(ValueError, match="unknown SET column"):
+        merge_into(spark, t, source, on=["id"],
+                   when_matched_update={"scor": "src.score"})
+
+
+def test_partitioned_merge_insert_only_skips_matched_partitions(
+    spark, partitioned_table
+):
+    """With no update clause, matched partitions must NOT be rewritten —
+    only insert partitions change (review regression: no-op near-full
+    rewrite on broad key overlap)."""
+    from ksql_spark.dml import merge_into
+
+    t, loc = partitioned_table
+    mon_before = _partition_files(loc, "day=mon")
+    source = spark.createDataFrame(
+        [(1, 99.0, "mon"), (10, 10.0, "thu")],  # id=1 matches, id=10 inserts
+        "id long, score double, day string",
+    )
+    n_up, n_ins = merge_into(spark, t, source, on=["id"])
+    assert (n_up, n_ins) == (0, 1)
+    assert _partition_files(loc, "day=mon") == mon_before  # untouched
+    assert (loc / "day=thu").exists()
