@@ -176,3 +176,70 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.array_distinct(bigrams)).cast("double") / n)
         .alias("uniq_ratio"),
     )
+
+
+PACK_BUDGET = 128  # tokens per packed context window
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id, words,
+               unnest(range(0, greatest(len(words), 1), {STRIDE})) AS start
+        FROM w
+    ), chunks AS (
+        SELECT doc_id, CAST(start // {STRIDE} AS INT) AS chunk_idx,
+               CAST(least({CHUNK}, len(words) - start) AS INT) AS n_tokens
+        FROM s
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST((SUM(n_tokens) OVER (
+                     ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_BUDGET} AS INT) AS pack_id
+    FROM chunks
+    """,
+    ref="SURVEY §2 [EXT] sequence packing (chunks → fixed-budget context "
+    "windows by running-token offset — the pretraining batch-packing step; "
+    "one global-order window at oracle scale, range-partitioned by the sort "
+    "key at 100 TB so each partition packs independently)",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each chunk to a context-window pack: pack_id = floor(running
+    token offset / budget) over (doc_id, chunk_idx) order. Deterministic,
+    engine-portable integer math; a chunk spanning a boundary starts the next
+    pack's overflow (offset-based packing, the standard approximation)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(STRIDE)
+    )
+    chunks = (
+        d.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.posexplode(F.transform(starts, lambda s: s)).alias(
+                "chunk_idx", "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(CHUNK), F.col("n_words") - F.col("start")
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return chunks.withColumn(
+        "pack_id", F.floor(offset / PACK_BUDGET).cast("int")
+    )
