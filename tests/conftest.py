@@ -91,3 +91,35 @@ def assert_results_match(spark_res, duck_res, name=""):
         f"{name}: {len(mismatches)}/{len(srows)} rows differ; first 3: "
         + "; ".join(f"#{i} spark={a} duck={b}" for i, a, b in mismatches[:3])
     )
+
+
+#: Spark simpleString dtype → the DuckDB column type the oracle must produce.
+#: The driver's value hash is width-sensitive, so int vs BIGINT is an err row
+#: there even when values agree (see tools/driver_sim.py dtype check).
+_WIDTH_MAP = {
+    "int": {"INTEGER"},
+    "bigint": {"BIGINT"},
+    "smallint": {"SMALLINT"},
+    "float": {"FLOAT"},
+    "double": {"DOUBLE"},
+    "boolean": {"BOOLEAN"},
+}
+
+
+def assert_widths_match(df, con, sql, name=""):
+    """Numeric/boolean column widths must agree between the Spark schema and
+    the DuckDB result description."""
+    # cursor.description reports generic NUMBER; DESCRIBE gives real types
+    duck_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    for f in df.schema.fields:
+        want = _WIDTH_MAP.get(f.dataType.simpleString())
+        if want is None or f.name not in duck_types:
+            continue
+        got = duck_types[f.name].upper()
+        assert got in want, (
+            f"{name}: column {f.name} width mismatch — spark "
+            f"{f.dataType.simpleString()} vs duckdb {got} (driver hashes are "
+            "width-sensitive; add explicit casts on both sides)"
+        )

@@ -7,7 +7,8 @@ import pytest
 
 from ksql_spark.registry import all_specs
 
-from .conftest import SF_DIR, assert_results_match, duck_result, spark_result
+from .conftest import (SF_DIR, assert_results_match, assert_widths_match,
+                       duck_result, spark_result)
 
 SPECS = all_specs()
 
@@ -23,6 +24,7 @@ def test_query_matches_oracle(name, spark, duck):
         return
     dres = duck_result(duck, spec.oracle)
     assert_results_match(sres, dres, name=name)
+    assert_widths_match(df, duck, spec.oracle, name=name)
 
 
 def test_entry_smoke(spark):
