@@ -328,3 +328,39 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         n=n, c=c,
     )
+
+
+@query(
+    "join_interval_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           b.event_id AS buy_id,
+           b.value AS buy_value
+    FROM events v JOIN events b
+      ON v.user_id = b.user_id
+     AND v.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    ref="SURVEY §2 C10/I9 (interval attribution join, batch form — the exact "
+    "expression streaming/jobs.py:view_purchase_join runs under readStream "
+    "with watermarks; batch/stream agreement is tested in test_streaming.py)",
+)
+def join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each view matched with the same user's purchases in the next hour.
+    Plan: one shuffle on user_id + range condition as a post-join filter; at
+    scale the time bound is what keeps the per-key match set small."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").alias("v")
+    b = ev.where(F.col("event_type") == "purchase").alias("b")
+    return v.join(
+        b,
+        (F.col("v.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("v.ts"))
+        & (F.col("b.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("b.event_id").alias("buy_id"),
+        F.col("b.value").alias("buy_value"),
+    )
