@@ -105,3 +105,62 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_session_funnel",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(count_if(event_type = 'view') AS BIGINT) AS n_views,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+           COALESCE(
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               > MIN(CASE WHEN event_type = 'view' THEN ts END), FALSE)
+               AS converted
+    FROM numbered GROUP BY user_id, sid
+    """,
+    ref="SURVEY §2 I4/E [EXT] (session funnel: gaps-and-islands sessionization "
+    "+ view→purchase conversion per session — the standard product-analytics "
+    "query; one shuffle on user_id, windows + conditional aggs)",
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, 30-min session): views, purchases, and whether a purchase
+    followed a view inside the session (conversion). Same sessionization as
+    stream_session_window, so the streaming path can reuse the expression."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") >= prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    marked = ev.withColumn("new_session", new_session)
+    sid = F.sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.withColumn("sid", sid)
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count_if(F.col("event_type") == "view").alias("n_views"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.coalesce(first_buy > first_view, F.lit(False)).alias("converted"),
+    ).drop("sid")

@@ -243,3 +243,67 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.withColumn(
         "pack_id", F.floor(offset / PACK_BUDGET).cast("int")
     )
+
+
+@query(
+    "llm_corpus_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CASE WHEN len(string_split(text,' ')) < 2 THEN 1.0
+                    ELSE len(list_distinct(list_transform(
+                             range(1, len(string_split(text,' '))),
+                             i -> string_split(text,' ')[i] || ' ' ||
+                                  string_split(text,' ')[i+1]))) * 1.0
+                         / (len(string_split(text,' ')) - 1)
+               END AS uniq_ratio,
+               0.4 * least(1.0, len(string_split(text,' ')) / 100.0)
+               + 0.3 * (len(list_distinct(string_split(text,' '))) * 1.0
+                        / len(string_split(text,' ')))
+               + 0.3 * (len(list_filter(string_split(text,' '),
+                            x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+                        / len(string_split(text,' '))) AS quality
+        FROM documents
+    )
+    SELECT doc_id, n_words >= 20 AS len_ok, uniq_ratio >= 0.5 AS rep_ok,
+           quality >= 0.3 AS quality_ok,
+           (n_words >= 20 AND uniq_ratio >= 0.5 AND quality >= 0.3) AS keep
+    FROM scored
+    """,
+    ref="SURVEY §2 K4/K9 [EXT] (composite corpus filter — the actual "
+    "keep/drop decision a pretraining pipeline ships: length gate AND "
+    "repetition gate AND quality gate, each signal reused from its own "
+    "oracle-checked entry; one narrow pass, verdict per document)",
+)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict with per-gate booleans (auditability:
+    which gate rejected a doc matters as much as the verdict)."""
+    from ksql_spark.operators import text as t
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uniq = F.when(n_words < 2, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(bigrams)).cast("double") / (n_words - 1)
+    )
+    quality = t.quality_score("text")
+    len_ok = (n_words >= 20).alias("len_ok")
+    rep_ok = (uniq >= 0.5).alias("rep_ok")
+    q_ok = (quality >= 0.3).alias("quality_ok")
+    return d.select(
+        "doc_id",
+        len_ok,
+        rep_ok,
+        q_ok,
+        ((n_words >= 20) & (uniq >= 0.5) & (quality >= 0.3)).alias("keep"),
+    )
