@@ -337,6 +337,28 @@ def compat_top(sql: str) -> str:
     return sql
 
 
+_INTO_FILE_RE = re.compile(
+    r"\s+INTO\s+(?P<fmt>CSV|JSON|PARQUET)\s*\(\s*"
+    r"'(?P<path>(?:[^']|'')+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def split_into_file(sql: str) -> tuple[str, str | None, str | None]:
+    """AlaSQL `SELECT … INTO CSV('f')` / `INTO JSON('f')` sugar (SURVEY §2
+    A10): returns (query_without_suffix, format, path) — (sql, None, None)
+    when no INTO-file suffix is present. PARQUET accepted as an extension.
+    The suffix must be at the very end, path in single quotes ('' escapes)."""
+    m = _INTO_FILE_RE.search(sql)
+    if not m:
+        return sql, None, None
+    return (
+        sql[: m.start()],
+        m.group("fmt").lower(),
+        m.group("path").replace("''", "'"),
+    )
+
+
 def _first_keyword(toks: list[_Tok]) -> str:
     for t in toks:
         if t.kind == "ident":

@@ -146,14 +146,23 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
     if not line:
         return
     try:
+        from ksql_spark.compat.rewriter import split_into_file
         from ksql_spark.dml import run_dml
 
         n = run_dml(spark, line)  # UPDATE/DELETE → copy-on-write (SURVEY A13)
         if n is not None:
             print(f"{n} row(s) affected")
             return
+        line, fmt, path = split_into_file(line)  # SELECT … INTO CSV('f')
         sql = compat_top(compat_using(rewriter.rewrite(line)))
         df = spark.sql(sql)
+        if fmt:
+            writer = df.write.mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            getattr(writer, fmt)(path)
+            print(f"wrote {fmt} to {path}")
+            return
         rows = df.take(MAX_SHOW_ROWS + 1)
         if not rows:
             print("[]")  # ksql.js:160-162

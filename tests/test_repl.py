@@ -84,3 +84,37 @@ def test_completer_matches_views_and_columns(spark, rw):
     assert "pods" in got
     assert comp("contai", 0) == "containers"
     assert comp("SELE", 0) == "SELECT"
+
+
+def test_into_csv_export(spark, rw, tmp_path, capsys):
+    from ksql_spark.repl import handle_line
+
+    out = tmp_path / "export_csv"
+    handle_line(
+        spark, rw,
+        f"select uid, image from containers where image like 'mysql%' "
+        f"INTO CSV('{out}')",
+    )
+    assert "wrote csv" in capsys.readouterr().out
+    back = spark.read.option("header", "true").csv(str(out))
+    assert back.count() > 0
+    assert set(back.columns) == {"uid", "image"}
+
+
+def test_into_json_export(spark, rw, tmp_path, capsys):
+    from ksql_spark.repl import handle_line
+
+    out = tmp_path / "export_json"
+    handle_line(spark, rw, f"select uid from pods INTO JSON('{out}')")
+    assert "wrote json" in capsys.readouterr().out
+    assert spark.read.json(str(out)).count() == 20
+
+
+def test_into_suffix_only_at_end():
+    from ksql_spark.compat.rewriter import split_into_file
+
+    q, fmt, path = split_into_file("select 'INTO CSV(''x'')' as s from t")
+    assert fmt is None  # a string literal mentioning the syntax is untouched
+    q, fmt, path = split_into_file("select * from t INTO CSV('a''b.csv')")
+    assert (fmt, path) == ("csv", "a'b.csv")
+    assert q.rstrip() == "select * from t"
