@@ -348,12 +348,18 @@ def split_into_file(sql: str) -> tuple[str, str | None, str | None]:
     """AlaSQL `SELECT … INTO CSV('f')` / `INTO JSON('f')` sugar (SURVEY §2
     A10): returns (query_without_suffix, format, path) — (sql, None, None)
     when no INTO-file suffix is present. PARQUET accepted as an extension.
-    The suffix must be at the very end, path in single quotes ('' escapes)."""
-    m = _INTO_FILE_RE.search(sql)
+    The suffix must be at the very end (trailing `;` tolerated), path in
+    single quotes ('' escapes). A statement containing any SQL comment is
+    left untouched: a commented-out `-- INTO CSV('x')` must never trigger an
+    overwrite file write."""
+    stripped = sql.rstrip().rstrip(";")
+    if any(t.kind == "comment" for t in _tokenize(stripped)):
+        return sql, None, None
+    m = _INTO_FILE_RE.search(stripped)
     if not m:
         return sql, None, None
     return (
-        sql[: m.start()],
+        stripped[: m.start()],
         m.group("fmt").lower(),
         m.group("path").replace("''", "'"),
     )

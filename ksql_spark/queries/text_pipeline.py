@@ -27,6 +27,22 @@ _URL = "https?://[A-Za-z0-9./_-]+"
 _LONG_DIGITS = "[0-9]{7,}"
 
 
+def _bigrams(words):
+    """Word-bigram array over a single-space token split — shared by
+    llm_repetition_ratio and llm_corpus_filter so the construction (and its
+    sequence(1,0)-descending guard) cannot drift between them."""
+    n = F.size(words)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @query(
     "llm_chunk_sliding",
     oracle=f"""
@@ -157,17 +173,7 @@ def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-bigram fraction per document (1.0 = no repetition)."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    # guard: F.sequence(1, 0) would generate a DESCENDING [1, 0], not empty —
-    # single-word docs must yield an empty bigram list explicitly
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bigrams(words)
     n = F.size(bigrams)
     return d.select(
         "doc_id",
@@ -221,9 +227,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.size(words).alias("n_words"),
-            F.posexplode(F.transform(starts, lambda s: s)).alias(
-                "chunk_idx", "start"
-            ),
+            F.posexplode(starts).alias("chunk_idx", "start"),
         )
         .select(
             "doc_id",
@@ -278,25 +282,28 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keep/drop verdict with per-gate booleans (auditability:
-    which gate rejected a doc matters as much as the verdict)."""
-    from ksql_spark.operators import text as t
+    which gate rejected a doc matters as much as the verdict).
 
+    Every signal here uses the SAME single-space token split as this entry's
+    oracle — operators.text.quality_score tokenizes on \s+ (drops empties),
+    which diverges from string_split(text, ' ') on multi-space/tab text, so
+    the quality formula is spelled inline on the shared split instead."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    bigrams = F.when(
-        n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_words - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     uniq = F.when(n_words < 2, F.lit(1.0)).otherwise(
-        F.size(F.array_distinct(bigrams)).cast("double") / (n_words - 1)
+        F.size(F.array_distinct(_bigrams(words))).cast("double") / (n_words - 1)
     )
-    quality = t.quality_score("text")
+    stop = F.array([F.lit(w) for w in
+                    ("the", "a", "of", "and", "to", "in", "is")])
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.3 * (F.size(F.array_distinct(words)).cast("double") / n_words)
+        + 0.3 * (
+            F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+            .cast("double") / n_words
+        )
+    )
     len_ok = (n_words >= 20).alias("len_ok")
     rep_ok = (uniq >= 0.5).alias("rep_ok")
     q_ok = (quality >= 0.3).alias("quality_ok")

@@ -254,3 +254,19 @@ def test_compat_top_skips_existing_offset():
 def test_compat_top_rewrites_past_subquery_limit():
     out = compat_top("select top 3 a from (select a from t limit 9) s")
     assert out.endswith("\nLIMIT 3")
+
+
+def test_into_file_semicolon_tolerated():
+    from ksql_spark.compat.rewriter import split_into_file
+
+    q, fmt, path = split_into_file("select * from t INTO CSV('out');")
+    assert (fmt, path) == ("csv", "out")
+    assert q.rstrip() == "select * from t"
+
+
+def test_into_file_ignored_in_comments():
+    from ksql_spark.compat.rewriter import split_into_file
+
+    # a commented-out export must never trigger an overwrite write
+    q, fmt, path = split_into_file("select 1 -- INTO CSV('x')")
+    assert fmt is None and q == "select 1 -- INTO CSV('x')"
