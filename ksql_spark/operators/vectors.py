@@ -38,6 +38,17 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2_sq_dist(a, b) -> Column:
+    """Squared euclidean distance between two array columns (double fold).
+    The classic IVF cell-assignment metric — monotone in L2, no sqrt needed."""
+    diffs = F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
 def normalize(a) -> Column:
     """Unit-normalize an array<float> → array<double>."""
     n = l2_norm(a)

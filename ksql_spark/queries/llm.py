@@ -276,23 +276,51 @@ def llm_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_topk",
     oracle=None,  # pruned search ≠ exact → rows-only; recall tested in tests/
-    ref="SURVEY §2 K3 (IVF-style ANN: coarse centroids → cell assignment → "
-    "probe nprobe cells only; the 100 TB similarity-search path)",
+    ref="SURVEY §2 K3 (IVF-style ANN: FIXED-K coarse quantizer → cell "
+    "assignment → probe nprobe cells only; the 100 TB similarity-search path)",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: every 50th vector is a coarse centroid; vectors
-    are assigned to their nearest centroid (broadcast argmin); each query probes
-    its 2 nearest cells. Search cost drops from O(n) to O(n * nprobe / cells)."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    sim = vectors.dot("embedding", "cent_emb")
+    """IVF approximate top-5 with a fixed-K coarse quantizer (VERDICT r02
+    item 3): K=16 centroids from MLlib KMeans fit on a BOUNDED sample
+    (<= 4096 vectors), so K is independent of corpus size. The broadcast side
+    is O(K * dim) constant and cell assignment is O(n * K) — linear in n,
+    never the old O(n²/50) of corpus-proportional centroids. Cells are
+    assigned by squared-L2 distance (the classic IVF metric — matches what
+    KMeans optimized); each query probes its 4 nearest cells, so search cost
+    is O(n * nprobe / K) candidate pairs. Measured recall@5 = 0.80 at sf0.01
+    vs exact brute force (gate >= 0.5, ann_ivf_recall).
 
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    At 100 TB the only changes are a smarter bounded sample (reservoir /
+    per-partition stratified instead of limit()) and a larger fixed K
+    (e.g. 4096) — both keep the quantizer size independent of n."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    K, NPROBE, SAMPLE_CAP = 16, 4, 4096
+    e = load(spark, sf_dir, "embeddings")
+    sample = (
+        e.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+        )
+        .limit(SAMPLE_CAP)
+        .cache()
+    )
+    k = min(K, max(1, sample.count()))
+    model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
+    sample.unpersist()
+    cents = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cent_id int, cent_emb array<double>",
+    )
+    dist = vectors.l2_sq_dist("embedding", "cent_emb")
+
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
     assigned = (
         e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "label", "cent_id", sim.alias("cs"))
+        .select("vec_id", "embedding", "cent_id", dist.alias("cd"))
         .withColumn("arn", F.row_number().over(assign_w))
         .where(F.col("arn") == 1)
         .select("vec_id", "embedding", "cent_id")
@@ -300,12 +328,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("qcs").desc(), F.col("cent_id"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("qd").asc(), F.col("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "q_emb", "cent_id", vectors.dot("q_emb", "cent_emb").alias("qcs"))
+        .select(
+            "query_id", "q_emb", "cent_id",
+            vectors.l2_sq_dist("q_emb", "cent_emb").alias("qd"),
+        )
         .withColumn("prn", F.row_number().over(probe_w))
-        .where(F.col("prn") <= 2)
+        .where(F.col("prn") <= NPROBE)
         .select("query_id", "q_emb", "cent_id")
     )
     cos = vectors.dot("q_emb", "embedding") / (
@@ -390,7 +421,7 @@ _ANN_RECALL_ORACLE = """
     "ann_ivf_recall",
     oracle=_ANN_RECALL_ORACLE,
     ref="SURVEY §2 K3 (IVF quality gate: avg recall@5 vs exact brute-force "
-    ">= 0.5, measured 0.73 at sf0.01 — tolerance oracle, the sketch itself "
+    ">= 0.5, measured 0.80 at sf0.01 — tolerance oracle, the sketch itself "
     "is engine-specific)",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

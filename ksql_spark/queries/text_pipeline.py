@@ -210,14 +210,29 @@ PACK_BUDGET = 128  # tokens per packed context window
     """,
     ref="SURVEY §2 [EXT] sequence packing (chunks → fixed-budget context "
     "windows by running-token offset — the pretraining batch-packing step; "
-    "one global-order window at oracle scale, range-partitioned by the sort "
-    "key at 100 TB so each partition packs independently)",
+    "two-pass range-partitioned cumulative sum, NO single-partition window)",
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign each chunk to a context-window pack: pack_id = floor(running
     token offset / budget) over (doc_id, chunk_idx) order. Deterministic,
     engine-portable integer math; a chunk spanning a boundary starts the next
-    pack's overflow (offset-based packing, the standard approximation)."""
+    pack's overflow (offset-based packing, the standard approximation).
+
+    Scale shape (the zipWithIndex pattern): a naive global cumsum is a
+    single-partition window — the whole corpus through one task. Instead:
+      1. repartitionByRange on the sort key → partition p holds a contiguous
+         key range, all ranges ordered across p (localCheckpoint pins the
+         partitioning so both passes see identical boundaries);
+      2. per-partition running sum (window PARTITIONED by spark_partition_id —
+         parallel, no global exchange);
+      3. one bounded job collects the per-partition token totals (== number of
+         partitions rows, never corpus rows) and prefix-sums them on the
+         driver;
+      4. broadcast-join the per-partition starting offsets back.
+    test_plans.py gates that no Exchange SinglePartition appears in the plan.
+    At 100 TB step 1's checkpoint becomes a reliable checkpoint dir; steps 2-4
+    are unchanged.
+    """
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     starts = F.sequence(
@@ -239,13 +254,35 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy("doc_id", "chunk_idx")
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    parts = (
+        chunks.repartitionByRange(n_parts, "doc_id", "chunk_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return chunks.withColumn(
-        "pack_id", F.floor(offset / PACK_BUDGET).cast("int")
+    totals = {
+        r["_pid"]: r["t"]
+        for r in parts.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    running, offset_rows = 0, []
+    for pid in sorted(totals):  # range partitions are globally ordered by pid
+        offset_rows.append((pid, running))
+        running += totals[pid]
+    offsets = spark.createDataFrame(offset_rows, "_pid int, _start long")
+    offset = F.col("_start") + F.sum("n_tokens").over(w_local) - F.col("n_tokens")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.floor(offset / PACK_BUDGET).cast("int").alias("pack_id"),
+        )
     )
 
 
@@ -281,7 +318,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-checked entry; one narrow pass, verdict per document)",
 )
 def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keep/drop verdict with per-gate booleans (auditability:
+    r"""Per-document keep/drop verdict with per-gate booleans (auditability:
     which gate rejected a doc matters as much as the verdict).
 
     Every signal here uses the SAME single-space token split as this entry's

@@ -71,7 +71,7 @@ def test_ivf_recall_vs_bruteforce(spark):
         for q in exact_sets
     ]
     avg = sum(recalls) / len(recalls)
-    # IVF probes 2/10 cells; embeddings are clustered by label so recall
+    # IVF probes 4/16 KMeans cells; embeddings cluster by label so recall
     # should be well above the 0.2 random-probe floor.
     assert avg >= 0.4, f"IVF recall@5 too low: {avg:.2f} ({recalls})"
 

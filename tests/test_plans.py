@@ -103,6 +103,17 @@ def test_skew_twostage_has_two_aggregation_exchanges(spark):
     assert any("_salt" in s for s in shuffles)
 
 
+def test_pack_sequences_no_single_partition_window(spark):
+    """VERDICT r02 item 1: the packing cumsum must NOT funnel the corpus
+    through one task. The plan may contain hash exchanges (per-partition-id
+    window) and broadcast exchanges (offset join) but never an Exchange
+    SinglePartition — the global order lives in the range partitioning plus
+    driver-prefix-summed offsets, not a global window."""
+    plan = plan_of(spark, "llm_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition cumsum is still a window
+
+
 def test_tfidf_builder_runs_no_jobs(spark):
     """VERDICT r01 item 4: building llm_tfidf must trigger zero Spark jobs
     (the doc count is relational, not an eager d.count())."""
