@@ -257,8 +257,6 @@ def merge_into(
     their own (possibly new) partitions via dynamic overwrite. Same
     single-writer limit as update_table (a v2 ACID format does this per file).
     """
-    import re
-
     target = spark.table(table)
     if when_matched_update:
         unknown = set(when_matched_update) - set(target.columns)
@@ -295,7 +293,7 @@ def merge_into(
         if when_matched_update and name in when_matched_update:
             expr = when_matched_update[name]
             if isinstance(expr, str):
-                col = F.expr(re.sub(r"\bsrc\.(\w+)", r"src_\1", expr))
+                col = F.expr(_sub_src_cols(expr))
             else:
                 col = expr
             cols.append(F.when(matched, col).otherwise(F.col(name)).alias(name))
@@ -405,6 +403,25 @@ def _top_level_positions(s: str):
         i += 1
 
 
+def _sub_src_cols(expr: str) -> str:
+    """Rewrite `src.<col>` → `src_<col>` only OUTSIDE string literals, so a
+    literal like 'src.note' survives verbatim (quote-aware — same escape
+    rules as the SET/WHERE splitters via _skip_quoted)."""
+    out: list[str] = []
+    i = seg_start = 0
+    n = len(expr)
+    while i < n:
+        if expr[i] in "'\"":
+            out.append(_re.sub(r"\bsrc\.(\w+)", r"src_\1", expr[seg_start:i]))
+            j = _skip_quoted(expr, i)
+            out.append(expr[i:j])  # literal: verbatim
+            i = seg_start = j
+        else:
+            i += 1
+    out.append(_re.sub(r"\bsrc\.(\w+)", r"src_\1", expr[seg_start:]))
+    return "".join(out)
+
+
 def _split_set_where(body: str) -> tuple[str, str | None]:
     """Split `a=1, b=2 WHERE c` on the LAST top-level WHERE keyword, quote- and
     paren-aware (a WHERE inside quotes or a subquery must not split)."""
@@ -472,10 +489,36 @@ def _parse_merge_on(on: str) -> list[str]:
     return keys
 
 
+import threading
+
+# Serializes in-process writers: the HTTP server is threaded, and the
+# copy-on-write swap (write-aside + ALTER LOCATION repoint) is not safe under
+# concurrent DML on the same table. Cross-process writers still race — that
+# boundary is documented in the module docstring (a v2 ACID format fixes it).
+_DML_LOCK = threading.Lock()
+
+
+def is_dml(sql: str) -> bool:
+    """True if `sql` is an UPDATE/DELETE/MERGE statement this module executes
+    (used by front-ends to gate writes behind an explicit opt-in)."""
+    stmt = sql.strip().rstrip(";")
+    return any(
+        r.match(stmt) for r in (_UPDATE_RE, _DELETE_RE, _MERGE_RE)
+    )
+
+
 def run_dml(spark: SparkSession, sql: str) -> int | None:
     """Execute an UPDATE/DELETE/MERGE statement via copy-on-write; None if
     `sql` is not DML (caller falls through to spark.sql). Used by the
-    REPL/HTTP layer so the delegated AlaSQL DML surface works at the console."""
+    REPL/HTTP layer so the delegated AlaSQL DML surface works at the console.
+    In-process DML is serialized by _DML_LOCK (single-writer semantics)."""
+    if not is_dml(sql):
+        return None
+    with _DML_LOCK:
+        return _run_dml_locked(spark, sql)
+
+
+def _run_dml_locked(spark: SparkSession, sql: str) -> int | None:
     stmt = sql.strip().rstrip(";")
     m = _UPDATE_RE.match(stmt)
     if m:

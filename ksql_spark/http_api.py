@@ -23,14 +23,24 @@ from ksql_spark.repl import build_session, make_rewriter
 MAX_ROWS = 10_000  # don't collect unbounded results into the driver
 
 
-def run_query(spark, rewriter: Rewriter, query: str) -> dict:
-    from ksql_spark.dml import run_dml
+def run_query(
+    spark, rewriter: Rewriter, query: str, allow_dml: bool = False
+) -> dict:
+    from ksql_spark.dml import is_dml, run_dml
 
-    # UPDATE/DELETE → copy-on-write (SURVEY A13). Single-writer limit applies:
-    # this server is threaded, so concurrent DML posts can race — same caveat
-    # as any non-ACID table; see ksql_spark/dml.py docstring.
-    n = run_dml(spark, query)
-    if n is not None:
+    if is_dml(query):
+        # UPDATE/DELETE/MERGE → copy-on-write (SURVEY A13). Writes over HTTP
+        # are an explicit opt-in (--allow-dml); the default server is
+        # read-only. In-process writers are serialized by dml._DML_LOCK, so
+        # concurrent posts on the threaded server can't interleave the
+        # copy-on-write swap.
+        if not allow_dml:
+            raise PermissionError(
+                "DML over HTTP is disabled; start the server with --allow-dml"
+            )
+        n = run_dml(spark, rewriter.rewrite(query))
+        if n is None:  # rewrite broke the statement shape — be loud
+            raise ValueError("DML statement failed to parse after rewrite")
         return {"headers": ["rows_affected"], "data": [[n]]}
     sql = compat_top(compat_using(rewriter.rewrite(query)))
     df = spark.sql(sql).limit(MAX_ROWS)
@@ -45,7 +55,7 @@ WWW_DIR = Path(__file__).parent / "www"
 _CONTENT_TYPES = {".html": "text/html", ".css": "text/css", ".js": "text/javascript"}
 
 
-def make_handler(spark, rewriter: Rewriter):
+def make_handler(spark, rewriter: Rewriter, allow_dml: bool = False):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -84,7 +94,7 @@ def make_handler(spark, rewriter: Rewriter):
                 self.wfile.write(b"Query parameter is required.")
                 return
             try:
-                result = run_query(spark, rewriter, params["query"][0])
+                result = run_query(spark, rewriter, params["query"][0], allow_dml)
                 body = json.dumps(result, default=str).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -110,10 +120,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--testdata", default=None)
     ap.add_argument("--no-k8s", action="store_true")
     ap.add_argument("--compat-truthiness", action="store_true")
+    ap.add_argument(
+        "--allow-dml",
+        action="store_true",
+        help="accept UPDATE/DELETE/MERGE over HTTP (default: read-only)",
+    )
     args = ap.parse_args(argv)
     spark = build_session(args.testdata, with_k8s=not args.no_k8s)
     rewriter = make_rewriter(spark, args.compat_truthiness)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(spark, rewriter))
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(spark, rewriter, args.allow_dml)
+    )
     print(f"listening on {args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -621,7 +621,7 @@ _STRATA_PERMILLE = {"en": 500, "es": 250, "zh": 250, "de": 100, "fr": 100}
     "llm_sample_stratified",
     oracle=f"""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 <
           CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PERMILLE.items())}
                ELSE 0 END
     """,
@@ -634,9 +634,16 @@ _STRATA_PERMILLE = {"en": 500, "es": 250, "zh": 250, "de": 100, "fr": 100}
 def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep ~frac of each lang stratum: hash(doc_id) mod 1000 < permille[lang].
     Narrow filter, no shuffle, no RNG state — at 100 TB the sample is stable
-    under retries/reshuffles, which seeded sampleBy cannot guarantee."""
+    under retries/reshuffles, which seeded sampleBy cannot guarantee.
+
+    The key is reduced mod 2^31 BEFORE the Knuth multiply so the product
+    stays below 2^63 for any int64 doc_id — (2^31-1) * 2654435761 ≈ 5.7e18
+    (mod 2^32 would NOT suffice: ~1.14e19 wraps in Spark while DuckDB
+    errors — ADVICE r02). Same spelling both engines."""
     d = load(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+    bucket = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(1000)
     threshold = F.coalesce(
         F.element_at(
             F.create_map(

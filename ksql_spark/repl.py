@@ -147,10 +147,14 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
         return
     try:
         from ksql_spark.compat.rewriter import split_into_file
-        from ksql_spark.dml import run_dml
+        from ksql_spark.dml import is_dml, run_dml
 
-        n = run_dml(spark, line)  # UPDATE/DELETE → copy-on-write (SURVEY A13)
-        if n is not None:
+        if is_dml(line):
+            # DML goes through the compat rewriter too, so reference-dialect
+            # sugar (-> accessor, truthiness) works in SET/WHERE like SELECTs
+            n = run_dml(spark, rewriter.rewrite(line))
+            if n is None:  # rewrite broke the statement shape — be loud
+                raise ValueError("DML statement failed to parse after rewrite")
             print(f"{n} row(s) affected")
             return
         line, fmt, path = split_into_file(line)  # SELECT … INTO CSV('f')

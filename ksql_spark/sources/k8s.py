@@ -197,10 +197,31 @@ class K8sDataSource(DataSource):
         return _K8sReader(self.options)
 
 
-def _parse_field_selector(selector: str) -> list[tuple[str, str, str]]:
+# The real API server accepts only a small per-resource whitelist of field
+# selector paths (a 400 otherwise); fixture mode could evaluate ANY dotted
+# path, so a selector that only works on fixtures would fail first in --live
+# mode (ADVICE r02). Validate against the server's whitelist in BOTH backends
+# so fixture-green queries stay live-green. Source: k8s core/v1
+# AddFieldLabelConversionFunc registrations (public apimachinery conversions).
+_FIELD_SELECTOR_WHITELIST = {
+    "pods": {
+        "metadata.name", "metadata.namespace", "spec.nodeName",
+        "spec.restartPolicy", "spec.schedulerName", "spec.serviceAccountName",
+        "spec.hostNetwork", "status.phase", "status.podIP", "status.podIPs",
+        "status.nominatedNodeName",
+    },
+    "nodes": {"metadata.name", "spec.unschedulable"},
+    "services": {"metadata.name", "metadata.namespace"},
+}
+
+
+def _parse_field_selector(
+    selector: str, kind: str | None = None
+) -> list[tuple[str, str, str]]:
     """Parse a comma-AND field selector (kubectl grammar: `path=v`, `path==v`,
     `path!=v`) into (path, op, value) triples; op is '=' or '!='. An invalid
-    term fails HERE (driver-side, clear message) instead of inside a task."""
+    term or a path the API server would reject fails HERE (driver-side, clear
+    message) instead of inside a task / with a live-mode-only 400."""
     out = []
     for term in filter(None, (t.strip() for t in (selector or "").split(","))):
         if "!=" in term:
@@ -214,6 +235,15 @@ def _parse_field_selector(selector: str) -> list[tuple[str, str, str]]:
                 f"invalid fieldSelector term {term!r}: expected path=value, "
                 "path==value or path!=value"
             )
+    allowed = _FIELD_SELECTOR_WHITELIST.get(kind or "")
+    if allowed is not None:
+        for path, _op, _v in out:
+            if path not in allowed:
+                raise ValueError(
+                    f"fieldSelector path {path!r} is not supported for "
+                    f"{kind} (the API server would 400); supported: "
+                    f"{sorted(allowed)}"
+                )
     return out
 
 
@@ -256,7 +286,9 @@ class _K8sReader(DataSourceReader):
         self.token = options.get("token")
         #: explicit selector options (kubectl parity); immutable per relation
         self.label_selector = options.get("labelSelector")
-        self.field_selectors = _parse_field_selector(options.get("fieldSelector"))
+        self.field_selectors = _parse_field_selector(
+            options.get("fieldSelector"), self.kind
+        )
         # mTLS material arrives as base64 PEM option strings — resolved once
         # on the driver from kubeconfig (sources/kubeconfig.py), so executors
         # never need ~/.kube/config on their filesystem

@@ -140,6 +140,31 @@ def test_merge_into_upsert(spark, warehouse_table):
     assert rows == [(1, "a", 0.5), (2, "B", 20.0), (3, "c", 3.0)]
 
 
+def test_merge_set_string_literal_not_mangled(spark, warehouse_table):
+    # ADVICE r02: src.<col> inside a string LITERAL must survive verbatim —
+    # only identifier positions outside quotes are rewritten to src_<col>
+    from ksql_spark.dml import _sub_src_cols, merge_into
+
+    assert _sub_src_cols("src.label") == "src_label"
+    assert _sub_src_cols("'src.label'") == "'src.label'"
+    assert (
+        _sub_src_cols("concat(src.label, ' src.x ', \"src.y\")")
+        == "concat(src_label, ' src.x ', \"src.y\")"
+    )
+    assert _sub_src_cols("'it''s src.a' || src.b") == "'it''s src.a' || src_b"
+
+    t = warehouse_table
+    spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5)")
+    source = spark.createDataFrame([(1, "B", 2.0)], "id long, label string, score double")
+    n_up, _ = merge_into(
+        spark, t, source, on=["id"],
+        when_matched_update={"label": "'src.note'"},
+        when_not_matched_insert=False,
+    )
+    assert n_up == 1
+    assert spark.sql(f"SELECT label FROM {t}").collect()[0][0] == "src.note"
+
+
 def test_merge_into_insert_only(spark, warehouse_table):
     from ksql_spark.dml import merge_into
 
@@ -210,7 +235,12 @@ def test_http_run_query_dml(spark, warehouse_table):
 
     t = warehouse_table
     spark.sql(f"INSERT INTO {t} VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
-    res = run_query(spark, make_rewriter(spark, False), f"DELETE FROM {t} WHERE id = 1")
+    rw = make_rewriter(spark, False)
+    stmt = f"DELETE FROM {t} WHERE id = 1"
+    # default server is read-only: DML must be an explicit opt-in (ADVICE r02)
+    with pytest.raises(PermissionError):
+        run_query(spark, rw, stmt)
+    res = run_query(spark, rw, stmt, allow_dml=True)
     assert res == {"headers": ["rows_affected"], "data": [[1]]}
     assert spark.sql(f"SELECT count(*) c FROM {t}").collect()[0].c == 1
 

@@ -230,9 +230,21 @@ def test_field_selector_invalid_term_fails_fast(spark):
         _parse_field_selector("metadata.name")
 
 
-def test_field_selector_weird_path_no_crash(spark):
-    # an intermediate that is a list/string must mean "no match", not a crash
+def test_field_selector_off_whitelist_rejected(spark):
+    # ADVICE r02: a real API server only accepts a per-resource whitelist of
+    # field selector paths (400 otherwise). Fixture mode must reject the same
+    # paths driver-side, loudly, so fixture-green queries can't 400 only in
+    # --live mode.
+    import pytest
+
     from ksql_spark.sources.k8s import load_k8s
 
-    assert load_k8s(spark, "pods",
-                    field_selector="metadata.name.x=1").count() == 0
+    with pytest.raises(Exception, match="not supported"):
+        load_k8s(spark, "pods", field_selector="metadata.name.x=1").count()
+
+
+def test_field_selector_whitelist_paths_accepted(spark):
+    from ksql_spark.sources.k8s import load_k8s
+
+    df = load_k8s(spark, "pods", field_selector="status.phase=Running")
+    assert df.count() > 0
