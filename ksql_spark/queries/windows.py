@@ -139,6 +139,13 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double division in both engines)",
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table percent_rank/cume_dist — a GLOBAL-order window, which Spark
+    necessarily plans as Exchange SinglePartition (each row's rank depends on
+    all rows). Correct semantics definition at oracle scale; at 100 TB use the
+    two-stage decomposition documented in docs/SCALE.md §Windows: range
+    partition by the sort key → per-partition rank → broadcast prefix-summed
+    per-partition counts as offsets → divide by broadcast total (the same
+    shape llm_pack_sequences ships, plan-gated, for its global cumsum)."""
     s = load(spark, sf_dir, "supplier")
     w = Window.orderBy("s_acctbal", "s_suppkey")
     return s.select(
