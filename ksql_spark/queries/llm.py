@@ -715,3 +715,105 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 50), "text"
     )
     return multimodal.sample_frames(d, n_frames=4)
+
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 3),
+                                  i -> array_to_string(w[i:i+4], ' ')))) AS gram
+        FROM toks
+    ),
+    eg AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 29 = 0),
+    cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 29 <> 0)
+    SELECT cg.doc_id AS doc_id,
+           COUNT(DISTINCT cg.gram) AS n_shared_grams,
+           COUNT(DISTINCT eg.eval_id) AS n_eval_hits
+    FROM cg JOIN eg ON cg.gram = eg.gram
+    GROUP BY cg.doc_id
+    """,
+    ref="SURVEY §2 K [EXT] (benchmark decontamination: flag training docs "
+    "sharing any word-5-gram with the held-out eval split — the standard "
+    "n-gram-collision test-set-overlap check in LLM corpus pipelines)",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination. Eval split = doc_id % 29 == 0 (a
+    stand-in for an external benchmark table; the operator shape is the same).
+
+    Plan shape (scale-critical): both sides are a narrow scan -> 5-gram
+    explode; the EVAL side is tiny (a benchmark is ~1e3-1e5 docs regardless
+    of corpus size), so its distinct (eval_id, gram) set is BROADCAST and the
+    100 TB corpus side never shuffles on gram — the only wide exchange is the
+    final groupBy on doc_id, bounded by contaminated rows. Never a corpus
+    self-join.
+    """
+    d = load(spark, sf_dir, "documents")
+    grams5 = F.array_distinct(text.shingles("text", 5))
+    eval_g = (
+        d.where(F.col("doc_id") % 29 == 0)
+        .select(F.col("doc_id").alias("eval_id"), F.explode(grams5).alias("gram"))
+        .distinct()
+    )
+    corpus_g = d.where(F.col("doc_id") % 29 != 0).select(
+        "doc_id", F.explode(grams5).alias("gram")
+    )
+    return (
+        corpus_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_hits"),
+        )
+    )
+
+
+@query(
+    "llm_domain_mix",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_orig) AS n_min FROM c)
+    SELECT d.source AS source, c.n_orig AS n_orig,
+           COUNT(*) AS n_kept
+    FROM documents d JOIN c USING (source), m
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 1000
+          * c.n_orig < 1000 * m.n_min
+    GROUP BY d.source, c.n_orig
+    """,
+    ref="SURVEY §2 K [EXT] (domain-mix rebalancing: deterministic downsample "
+    "of every source domain to the smallest domain's size — the uniform-mix "
+    "special case of weighted corpus mixing)",
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a uniform domain mix: keep each document iff
+    its portable Knuth-hash permille bucket falls under ceil-free exact rate
+    n_min/n_source (integer cross-multiplied — no float rate, no rounding
+    divergence between engines; same mod-2^31 overflow guard as
+    llm_sample_stratified).
+
+    Plan shape: per-source counts are a tiny aggregate (|domains| rows) that
+    BROADCASTS back onto the corpus scan, so membership is decided in one
+    narrow pass — no shuffle of the 100 TB side, stable under retries (unlike
+    RNG sampleBy). Rates below 1/1000 round down to keeping nothing of that
+    domain (permille granularity; widen the bucket modulus if a mix needs
+    finer rates — watch the int64 headroom: bucket * n_orig must stay under
+    2^63).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("n_min"))
+    bucket = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(1000)
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .where(bucket * F.col("n_orig") < F.lit(1000) * F.col("n_min"))
+        .groupBy("source", "n_orig")
+        .agg(F.count("*").alias("n_kept"))
+    )
