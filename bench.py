@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "q_events_session",
 ]
 
-RUNS = int(os.environ.get("KSQL_BENCH_RUNS", "5"))
+RUNS = int(os.environ.get("KSQL_BENCH_RUNS", "7"))
 
 
 def materialize(df) -> None:
@@ -41,13 +41,25 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    spark = get_spark(app_name="ksql-spark-bench", shuffle_partitions=8)
-    # Small-scale profile: at sf<=0.1 every join side is statically broadcast-
-    # able and inputs are single-row-group files, so AQE's per-stage
-    # materialization barriers only add latency (~25% here). On a cluster at
-    # real scale AQE stays on (session.py default) — it's what handles skew
-    # and runtime join re-planning.
+    spark = get_spark(app_name="ksql-spark-bench", shuffle_partitions=1)
+    # Small-scale profile (docs/BENCH_NOTES.md has the A/B measurements; none
+    # of these are engine defaults — session.py keeps the cluster posture):
+    #  * AQE off: at sf<=0.1 every join side is statically broadcastable and
+    #    inputs are single-row-group files, so AQE's per-stage materialization
+    #    barriers only add latency (~25% here). On a real cluster AQE is what
+    #    handles skew and runtime re-planning — it stays on in session.py.
+    #  * shuffle_partitions=1: the widest shuffle here moves <=150k rows; at
+    #    8 partitions task-launch overhead dominates (sp=1 is ~17% faster
+    #    end-to-end, in-process A/B). Cluster guidance stays cores*3/AQE.
+    #  * whole-file splits: the driver parquet files hold ONE row group, so
+    #    Spark's size-based split planning (totalBytes/defaultParallelism)
+    #    yields ~5 splits of which 4 are EMPTY tasks — scheduling overhead
+    #    with zero data. Forcing one split per file removes them (~15%,
+    #    in-process A/B). At real scale files have many row groups and the
+    #    default split planning is correct.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
     specs = all_specs()
     names = [n for n in BENCH_QUERIES if n in specs]
 
@@ -55,14 +67,18 @@ def main() -> None:
     for n in names:
         materialize(specs[n].builder(spark, sf_dir))
 
-    per_query: dict[str, float] = {}
-    for n in names:
-        times = []
-        for _ in range(RUNS):
+    # Timed runs are ROUND-ROBIN interleaved (q1..q6, q1..q6, ...) rather than
+    # back-to-back per query: the shared host's load spikes span seconds, so
+    # consecutive runs of one query all land in the same spike and its median
+    # absorbs the whole hit. Interleaving spreads any spike across all six
+    # queries; the per-query median of RUNS is unchanged on a quiet machine.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(RUNS):
+        for n in names:
             t0 = time.perf_counter()
             materialize(specs[n].builder(spark, sf_dir))
-            times.append(time.perf_counter() - t0)
-        per_query[n] = round(statistics.median(times), 4)
+            samples[n].append(time.perf_counter() - t0)
+    per_query = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
 
     total = round(sum(per_query.values()), 4)
     print(
