@@ -12,6 +12,9 @@ real cluster), never in the driver.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
@@ -236,6 +239,54 @@ def snapshot_refresh(spark: SparkSession, interval: str = "10 seconds",
     )
 
 
+def make_upsert_batch_fn(table: str, on: list[str], assignments: dict[str, str],
+                         ledger_dir: str | None, outer: SparkSession | None = None):
+    """Build the foreachBatch(batch_df, batch_id) callable for upsert_stream.
+
+    Module-level (not a closure inside upsert_stream) so the replay guard is
+    unit-testable without driving a StreamingQuery.
+
+    Idempotence ledger: Structured Streaming re-runs the last uncommitted
+    batch WITH THE SAME batch_id after a failure/restart. When `ledger_dir`
+    is set, each applied batch drops a marker file `<ledger_dir>/<batch_id>`
+    (tmp-write + atomic rename) and a replayed batch_id whose marker exists
+    is skipped. Honest boundary: the marker lands AFTER the merge commits,
+    so a crash in between still replays that one batch — with REPLACE
+    assignments that replay converges to the same values (idempotent per
+    key); for ADDITIVE assignments the ledger narrows double-apply from
+    "every restart of an unacknowledged batch" to that single crash window.
+    Closing it fully needs the marker to commit atomically WITH the data —
+    a transactional table format (Delta/Iceberg txnAppId), out of scope for
+    the parquet copy-on-write sink (dml.py atomicity notes)."""
+    from ksql_spark import dml
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        marker = Path(ledger_dir) / str(batch_id) if ledger_dir else None
+        if marker is not None and marker.exists():
+            return  # replayed batch, already applied
+        spark = batch_df.sparkSession
+        deduped = batch_df.dropDuplicates(on)
+        dml.merge_into(
+            spark, table, deduped, on=on,
+            when_matched_update=assignments,
+            when_not_matched_insert=True,
+        )
+        # the swap's REFRESH ran on the (possibly cloned) session; the outer
+        # session's relation cache still points at the dropped snapshot
+        # dir — refresh it too or the next read file-not-founds
+        if outer is not None:
+            outer.sql(f"REFRESH TABLE {table}")
+        if marker is not None:
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            tmp = marker.with_suffix(".tmp")
+            tmp.write_text("applied")
+            os.replace(tmp, marker)
+
+    return apply_batch
+
+
 def upsert_stream(stream: DataFrame, table: str, on: list[str],
                   assignments: dict[str, str], checkpoint: str):
     """I-family [EXT]: streaming upsert — each micro-batch MERGEs into a
@@ -247,29 +298,18 @@ def upsert_stream(stream: DataFrame, table: str, on: list[str],
     CUMULATIVE per-key state in update mode, so an additive merge would
     double-count; replace converges to the latest emitted state per key.
     `checkpoint` is required: it is what makes re-starts process only NEW
-    input (and with it, exactly-once table state — the merge is idempotent
-    per key under replace).
+    input. Exactly-once table state = replace idempotence + the batch-id
+    ledger at `<checkpoint>/_applied_batches` (see make_upsert_batch_fn for
+    the replay-guard contract and its honest crash-window boundary).
 
     Per-batch dedup keeps the ANSI one-source-row-per-key contract. The
     single-writer limit of dml.py applies per batch; a v2 ACID sink lifts it.
     Returns the StreamingQuery (caller awaits/stops)."""
-    from ksql_spark import dml
-
     outer = stream.sparkSession  # foreachBatch hands us a CLONED session
-
-    def apply_batch(batch_df, batch_id):
-        if not batch_df.isEmpty():
-            spark = batch_df.sparkSession
-            deduped = batch_df.dropDuplicates(on)
-            dml.merge_into(
-                spark, table, deduped, on=on,
-                when_matched_update=assignments,
-                when_not_matched_insert=True,
-            )
-            # the swap's REFRESH ran on the cloned session; the outer
-            # session's relation cache still points at the dropped snapshot
-            # dir — refresh it too or the next read file-not-founds
-            outer.sql(f"REFRESH TABLE {table}")
+    apply_batch = make_upsert_batch_fn(
+        table, on, assignments,
+        ledger_dir=f"{checkpoint}/_applied_batches", outer=outer,
+    )
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

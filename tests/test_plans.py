@@ -122,3 +122,24 @@ def test_tfidf_builder_runs_no_jobs(spark):
     SPECS["llm_tfidf"].builder(spark, SF_DIR)
     after = tracker.getJobIdsForGroup()
     assert len(after or []) == len(before or [])
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (bounded) eval n-gram set and never
+    shuffle the corpus side on gram — the corpus self-join shape would be the
+    100 TB killer. Allowed exchanges: the final groupBy on doc_id (+ the
+    countDistinct expand)."""
+    plan = plan_of(spark, "llm_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    join_part = plan.split("BroadcastHashJoin")[0]
+    # nothing above the join (= the corpus probe side's output section of the
+    # plan string) may hash-exchange on gram
+    assert "hashpartitioning(gram" not in join_part
+
+
+def test_domain_mix_is_broadcast_narrow(spark):
+    """Domain-mix membership is decided on the corpus scan with broadcast
+    per-domain counts: no shuffle of the corpus before the filter."""
+    plan = plan_of(spark, "llm_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_min side

@@ -320,3 +320,33 @@ def test_upsert_stream_merges_batches(spark, tmp_path):
         assert got == {r.user_id: 2 * r["count"] for r in batch}
     finally:
         spark.sql("DROP TABLE IF EXISTS user_totals")
+
+
+def test_upsert_batch_replay_guard(spark, tmp_path):
+    """A replayed batch_id (same id, second delivery — what Structured
+    Streaming does for the last uncommitted batch after a restart) must not
+    re-apply its merge when the ledger has its marker. Additive assignments
+    make a double-apply observable."""
+    spark.sql("DROP TABLE IF EXISTS replay_tgt")
+    spark.sql(
+        "CREATE TABLE replay_tgt (k BIGINT, n BIGINT) "
+        f"USING PARQUET LOCATION '{tmp_path}/replay_tgt'"
+    )
+    try:
+        spark.sql("INSERT INTO replay_tgt VALUES (1, 10), (2, 20)")
+        apply_batch = jobs.make_upsert_batch_fn(
+            "replay_tgt", on=["k"], assignments={"n": "n + src.n"},
+            ledger_dir=str(tmp_path / "ledger"),
+        )
+        batch = spark.createDataFrame([(1, 1), (3, 3)], "k bigint, n bigint")
+        apply_batch(batch, 7)
+        once = {r.k: r.n for r in spark.table("replay_tgt").collect()}
+        assert once == {1: 11, 2: 20, 3: 3}
+        apply_batch(batch, 7)  # replay: marker present -> skipped
+        assert {r.k: r.n for r in spark.table("replay_tgt").collect()} == once
+        apply_batch(batch, 8)  # genuinely new batch still applies
+        assert {r.k: r.n for r in spark.table("replay_tgt").collect()} == {
+            1: 12, 2: 20, 3: 6
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS replay_tgt")
