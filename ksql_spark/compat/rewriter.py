@@ -338,7 +338,7 @@ def compat_top(sql: str) -> str:
 
 
 _INTO_FILE_RE = re.compile(
-    r"\s+INTO\s+(?P<fmt>CSV|JSON|PARQUET)\s*\(\s*"
+    r"\s+INTO\s+(?P<fmt>CSV|JSON|PARQUET|TAB)\s*\(\s*"
     r"'(?P<path>(?:[^']|'')+)'\s*\)\s*$",
     re.IGNORECASE,
 )
@@ -363,6 +363,64 @@ def split_into_file(sql: str) -> tuple[str, str | None, str | None]:
         m.group("fmt").lower(),
         m.group("path").replace("''", "'"),
     )
+
+
+#: AlaSQL table-source file formats (package.json:5 tier). XLSX is recognized
+#: so the user gets a clear boundary error instead of an unresolved-table one.
+_FILE_SRC_FMTS = frozenset({"CSV", "JSON", "PARQUET", "TAB", "XLSX"})
+
+
+def extract_from_files(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """AlaSQL `FROM CSV('f')` / `JOIN TAB('f')` table-source sugar (SURVEY §2
+    A6 [D] tier): each file source is replaced by a generated view name and
+    returned as (view_name, fmt, path) for the caller to register
+    (`spark.read.<fmt>` → temp view) before executing. Token-aware — FROM/JOIN
+    inside string literals or comments never match; path in single quotes
+    ('' escapes). XLSX raises RewriteError (documented boundary: no
+    spreadsheet reader in a Spark deployment without extra libs; export the
+    sheet to CSV)."""
+    toks = _tokenize(sql)
+    out: list[str] = []
+    sources: list[tuple[str, str, str]] = []
+
+    def _next_code(j: int) -> int:
+        while j < len(toks) and toks[j].kind in ("ws", "comment"):
+            j += 1
+        return j
+
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        out.append(t.text)
+        if t.kind == "ident" and t.text.upper() in ("FROM", "JOIN"):
+            j = _next_code(i + 1)
+            if (
+                j < len(toks)
+                and toks[j].kind == "ident"
+                and toks[j].text.upper() in _FILE_SRC_FMTS
+            ):
+                fmt = toks[j].text.upper()
+                k = _next_code(j + 1)
+                if k < len(toks) and toks[k].text == "(":
+                    p = _next_code(k + 1)
+                    if p < len(toks) and toks[p].kind == "str":
+                        q = _next_code(p + 1)
+                        if q < len(toks) and toks[q].text == ")":
+                            if fmt == "XLSX":
+                                raise RewriteError(
+                                    "XLSX file sources are not supported "
+                                    "(no spreadsheet reader available); "
+                                    "export the sheet to CSV and use "
+                                    "FROM CSV('file')"
+                                )
+                            path = toks[p].text[1:-1].replace("''", "'")
+                            name = f"_file_src_{len(sources)}"
+                            sources.append((name, fmt.lower(), path))
+                            out.append(" " + name)
+                            i = q + 1
+                            continue
+        i += 1
+    return "".join(out), sources
 
 
 def _first_keyword(toks: list[_Tok]) -> str:

@@ -146,7 +146,7 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
     if not line:
         return
     try:
-        from ksql_spark.compat.rewriter import split_into_file
+        from ksql_spark.compat.rewriter import extract_from_files, split_into_file
         from ksql_spark.dml import is_dml, run_dml
 
         if is_dml(line):
@@ -158,13 +158,31 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
             print(f"{n} row(s) affected")
             return
         line, fmt, path = split_into_file(line)  # SELECT … INTO CSV('f')
+        line, file_srcs = extract_from_files(line)  # SELECT … FROM CSV('f')
+        for view, src_fmt, src_path in file_srcs:
+            reader = spark.read
+            if src_fmt == "csv":
+                src = reader.options(header="true", inferSchema="true").csv(src_path)
+            elif src_fmt == "tab":
+                src = reader.options(header="true", inferSchema="true", sep="\t").csv(
+                    src_path
+                )
+            elif src_fmt == "json":
+                src = reader.json(src_path)
+            else:
+                src = reader.parquet(src_path)
+            src.createOrReplaceTempView(view)
         sql = compat_top(compat_using(rewriter.rewrite(line)))
         df = spark.sql(sql)
         if fmt:
             writer = df.write.mode("overwrite")
+            method = fmt
             if fmt == "csv":
                 writer = writer.option("header", "true")
-            getattr(writer, fmt)(path)
+            elif fmt == "tab":  # AlaSQL TAB() = TSV: csv writer, tab separator
+                writer = writer.options(header="true", sep="\t")
+                method = "csv"
+            getattr(writer, method)(path)
             print(f"wrote {fmt} to {path}")
             return
         rows = df.take(MAX_SHOW_ROWS + 1)

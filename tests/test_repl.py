@@ -118,3 +118,47 @@ def test_into_suffix_only_at_end():
     q, fmt, path = split_into_file("select * from t INTO CSV('a''b.csv')")
     assert (fmt, path) == ("csv", "a'b.csv")
     assert q.rstrip() == "select * from t"
+
+
+def test_into_tab_export_and_from_tab_roundtrip(spark, rw, tmp_path, capsys):
+    """AlaSQL TAB() = TSV, both directions: INTO TAB writes tab-separated
+    with header; FROM TAB() reads it back as a table source."""
+    from ksql_spark.repl import handle_line
+
+    out = tmp_path / "export_tab"
+    handle_line(spark, rw, f"select uid, image from containers INTO TAB('{out}')")
+    assert "wrote tab" in capsys.readouterr().out
+    raw = spark.read.text(str(out)).limit(1).collect()[0].value
+    assert "\t" in raw  # genuinely tab-separated
+
+    handle_line(spark, rw, f"select count(*) as n from TAB('{out}')")
+    assert str(spark.table("containers").count()) in capsys.readouterr().out
+
+
+def test_from_csv_file_source(spark, rw, tmp_path, capsys):
+    from ksql_spark.repl import handle_line
+
+    out = tmp_path / "src_csv"
+    handle_line(spark, rw, f"select uid, image from containers INTO CSV('{out}')")
+    capsys.readouterr()
+    handle_line(
+        spark, rw,
+        f"select image, count(*) as n from CSV('{out}') group by image order by n desc",
+    )
+    assert "mysql" in capsys.readouterr().out
+
+
+def test_from_file_not_matched_in_string_literal(spark, rw, capsys):
+    """A literal containing FROM CSV('x') must not trigger a file read."""
+    from ksql_spark.repl import handle_line
+
+    handle_line(spark, rw, "select 'FROM CSV(''nope'')' as s from pods limit 1")
+    got = capsys.readouterr()
+    assert "error" not in got.err
+
+
+def test_from_xlsx_is_loud_boundary(spark, rw, capsys):
+    from ksql_spark.repl import handle_line
+
+    handle_line(spark, rw, "select * from XLSX('book.xlsx')")
+    assert "XLSX" in capsys.readouterr().err
