@@ -142,10 +142,9 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table percent_rank/cume_dist — a GLOBAL-order window, which Spark
     necessarily plans as Exchange SinglePartition (each row's rank depends on
     all rows). Correct semantics definition at oracle scale; at 100 TB use the
-    two-stage decomposition documented in docs/SCALE.md §Windows: range
-    partition by the sort key → per-partition rank → broadcast prefix-summed
-    per-partition counts as offsets → divide by broadcast total (the same
-    shape llm_pack_sequences ships, plan-gated, for its global cumsum)."""
+    two-stage decomposition documented in docs/SCALE.md §Windows — IMPLEMENTED
+    here as win_distribution_scaled (oracle-exact, plan-gated against
+    Exchange SinglePartition)."""
     s = load(spark, sf_dir, "supplier")
     w = Window.orderBy("s_acctbal", "s_suppkey")
     return s.select(
@@ -251,4 +250,71 @@ def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("cheapest"),
         F.last("o_totalprice").over(w).alias("priciest"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@query(
+    "win_distribution_scaled",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    ref="SURVEY §2 E1 / docs/SCALE.md §Windows (two-stage global rank: the "
+    "scalable form of win_distribution — no Exchange SinglePartition)",
+)
+def win_distribution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank / percent_rank / cume_dist WITHOUT the single-partition
+    window win_distribution plans (there the whole table funnels through one
+    task — the documented scale boundary this entry removes).
+
+    Two-stage decomposition (same shape as llm_pack_sequences' cumsum,
+    plan-gated against Exchange SinglePartition):
+      1. repartitionByRange on the full sort key — partition p holds a
+         contiguous, globally ordered key range (localCheckpoint pins the
+         boundaries for both passes);
+      2. per-partition row_number (window PARTITIONED BY partition id —
+         parallel);
+      3. one bounded job collects per-partition row counts (|partitions|
+         rows, never table rows), prefix-summed on the driver;
+      4. broadcast the starting offsets back: global rank = local rank +
+         offset; the ratios divide by the broadcast total.
+    The (o_totalprice, o_orderkey) key is UNIQUE, so rank == row_number and
+    the rank-derived ratios are exact — with a non-unique key, ties stay
+    inside one range partition (equal keys map to the same range), so
+    rank()/dense_rank() decompose the same way with a first-tie offset.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    parts = (
+        o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    running, offset_rows = 0, []
+    for pid in sorted(counts):  # range partitions are globally ordered by pid
+        offset_rows.append((pid, running))
+        running += counts[pid]
+    n = running
+    offsets = spark.createDataFrame(offset_rows, "_pid int, _start long")
+    w_local = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    rnk = (F.row_number().over(w_local) + F.col("_start")).alias("rnk")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .select(
+            "o_orderkey",
+            rnk,
+            (
+                F.when(F.lit(n) > 1, (F.col("rnk") - 1) / F.lit(float(n - 1)))
+                .otherwise(F.lit(0.0))
+            ).alias("pct_rank"),
+            (F.col("rnk") / F.lit(float(n))).alias("cume"),
+        )
     )

@@ -143,3 +143,13 @@ def test_domain_mix_is_broadcast_narrow(spark):
     plan = plan_of(spark, "llm_domain_mix")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row n_min side
+
+
+def test_distribution_scaled_no_single_partition(spark):
+    """The two-stage global rank must not plan a single-partition window —
+    that is exactly the boundary it exists to remove (docs/SCALE.md §Windows).
+    The window partitions by _pid; offsets arrive via broadcast."""
+    plan = plan_of(spark, "win_distribution_scaled")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
