@@ -817,3 +817,333 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_orig")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@query(
+    "llm_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM toks
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM g GROUP BY gram HAVING COUNT(*) >= 3
+    """,
+    ref="SURVEY §2 K [EXT] (boilerplate detection: corpus-frequent word "
+    "3-grams by document frequency — the frequent-lines/frequent-ngrams "
+    "pass used to strip headers, footers and navigation chrome from "
+    "web-crawl training corpora)",
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-n-gram (boilerplate) detector: distinct 3-grams
+    per document, grouped by gram, kept where document frequency >= 3.
+
+    Plan shape (scale-critical): narrow scan -> shingle explode -> ONE
+    hash-aggregate shuffle keyed on the gram string. No self-join, no
+    collect; the reduce side is |distinct grams| not |corpus|, and map-side
+    partial counts collapse per-partition repeats before the exchange. At
+    100 TB you'd add a cheap frequency pre-filter (count-min or a first
+    pass dropping hapax grams via partial-agg early exit) — the relational
+    shape is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(text.shingles("text", 3))
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 3)
+    )
+
+
+@query(
+    "llm_dup_stats",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    c AS (SELECT sha256(text) AS h, COUNT(*) AS csize FROM corpus GROUP BY 1)
+    SELECT csize,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(csize - 1) AS BIGINT) AS n_excess
+    FROM c GROUP BY csize
+    """,
+    ref="SURVEY §2 K [EXT] (dedup audit: exact-dup cluster-size histogram — "
+    "the before/after accounting every corpus dedup pass reports: how many "
+    "clusters of each size, how many docs are removable)",
+)
+def llm_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over a corpus with a simulated
+    re-crawl (every 5th document re-ingested under a new id — sf0.01 data
+    has no natural dup texts, so the overlap is manufactured identically on
+    both engines). Output: cluster size -> number of clusters, docs covered,
+    and excess (removable) docs.
+
+    Plan shape: two scans union'd (at 100 TB: yesterday's corpus + today's
+    crawl), ONE shuffle on the 32-byte digest, then a tiny re-aggregation on
+    csize (|distinct sizes| rows). Never materializes pair space."""
+    d = load(spark, sf_dir, "documents")
+    recrawl = d.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = d.select("doc_id", "text").unionByName(recrawl.select("doc_id", "text"))
+    clusters = corpus.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.count("*").alias("csize")
+    )
+    return clusters.groupBy("csize").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("csize").alias("n_docs"),
+        F.sum(F.col("csize") - F.lit(1)).alias("n_excess"),
+    )
+
+
+@query(
+    "llm_cross_dedup",
+    oracle="""
+    WITH newbatch AS (
+        SELECT doc_id + 500000 AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + 600000 AS doc_id, text || ' freshcontent'
+        FROM documents WHERE doc_id % 6 = 3
+    ),
+    existing AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+    SELECT n.doc_id AS doc_id
+    FROM newbatch n LEFT JOIN existing e ON sha256(n.text) = e.h
+    WHERE e.h IS NULL
+    """,
+    ref="SURVEY §2 K [EXT] (cross-corpus dedup: anti-join a new crawl batch "
+    "against the existing corpus on content digest — the incremental-ingest "
+    "companion to within-corpus exact dedup)",
+)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: which documents of a new batch are NOT
+    already in the corpus (by content digest). The batch is simulated from
+    the same table — half its rows are verbatim re-downloads (dropped), half
+    carry fresh content (kept) — identically on both engines.
+
+    Plan shape: LEFT ANTI join on sha256 — both sides shuffle on the 32-byte
+    digest only (the existing side projects nothing else), so at 100 TB the
+    exchange carries |corpus| * 32 bytes, not the corpus text. With the
+    digest column pre-materialized (the natural layout: store sha at ingest)
+    it degrades to a bucketed join with zero wide exchange."""
+    d = load(spark, sf_dir, "documents")
+    newbatch = (
+        d.where(F.col("doc_id") % 6 == 0)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 6 == 3).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" freshcontent")).alias("text"),
+            )
+        )
+    )
+    existing = d.select(F.sha2("text", 256).alias("h")).distinct()
+    return (
+        newbatch.withColumn("h", F.sha2("text", 256))
+        .join(existing, "h", "left_anti")
+        .select("doc_id")
+    )
+
+
+@query(
+    "llm_shard_assign",
+    oracle="""
+    SELECT CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 16
+                AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    ref="SURVEY §2 K [EXT] (training-shard assignment: deterministic "
+    "Knuth-hash sharding of the corpus into 16 balanced output shards + "
+    "per-shard size accounting — the layout step before a sharded "
+    "training-data write)",
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of 16 training shards by the portable
+    Knuth multiplicative hash (same mod-2^31 overflow guard as
+    llm_sample_stratified), and report per-shard doc counts and byte sizes —
+    the balance check before `df.write.partitionBy("shard_id")`.
+
+    Plan shape: narrow scan -> 16-row aggregate. The real write is
+    repartition("shard_id") -> partitionBy write: one shuffle keyed on the
+    shard, each reducer streams one shard file. Hash sharding (vs ranges)
+    keeps shards balanced regardless of doc_id distribution."""
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+        % F.lit(16)
+    ).cast("long")
+    return (
+        d.select(shard.alias("shard_id"), "n_chars")
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_L2SQ = """
+list_reduce(
+    list_transform(range(1, len({a}) + 1),
+        i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+           * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+    (acc, p) -> acc + p)
+"""
+
+
+@query(
+    "llm_emb_cluster",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, c.cent_id,
+               {_L2SQ.format(a='e.embedding', b='c.cent_emb')} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a AS (
+        SELECT vec_id, cent_id, cd,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cd, cent_id) AS rn
+        FROM d
+    )
+    SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_davg('cd')} AS avg_dist
+    FROM a WHERE rn = 1 GROUP BY cent_id
+    """,
+    ref="SURVEY §2 K [EXT] (corpus clustering: fixed-centroid nearest-"
+    "centroid assignment over the embedding column — one deterministic "
+    "Lloyd iteration, the building block of semantic corpus bucketing / "
+    "topic balancing)",
+)
+def llm_emb_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every embedding to its nearest of K=4 FIXED centroids (the
+    embeddings of vec_id < 4 — deterministic on both engines, unlike a
+    KMeans fit) by squared-L2, tie-broken on centroid id; report cluster
+    sizes and mean distance (quantized davg for cross-engine exactness).
+
+    Plan shape: centroids are O(K·dim) BROADCAST; assignment is one narrow
+    O(n·K) pass (never n²); the per-vector argmin window partitions on
+    vec_id so it rides the same exchange-free layout; final agg is K rows.
+    Identical shape to ann_ivf_topk's assignment stage — this is the
+    oracle-exact anchor for that rows-only sketch."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cent_id",
+            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"), davg("cd").alias("avg_dist")
+    )
+
+
+@query(
+    "ann_pq_topk",
+    oracle=None,  # product-quantized search ≠ exact → rows-only; recall gated below
+    ref="SURVEY §2 K3 (product quantization ANN: 8 subspaces × 4 fixed "
+    "sub-centroids, asymmetric-distance (ADC) lookup — the memory-compressed "
+    "100 TB similarity-search path: 8 bytes/vector instead of 256)",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-5: split each 64-dim vector into M=8 subvectors,
+    quantize each against K'=4 FIXED sub-centroids (subvectors of
+    vec_id < 4 — deterministic, size independent of n), then rank by ADC:
+    approx_d(q, v) = Σ_m ||q_m − c[code(v, m)]||².
+
+    Plan shape: codes are built in one O(n·M·K') narrow pass against a
+    BROADCAST O(M·K'·dim/M) codebook; the per-query lookup table is
+    O(|queries|·M·K') and also broadcast; ranking joins codes to the LUT on
+    (m, code) — the corpus side never shuffles on anything wider than its
+    8-byte code row. This is how a 100 TB corpus fits an in-memory ANN
+    index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    M, SUB, KP, TOPK, SAMPLE_CAP = 16, 4, 32, 5, 4096
+    e = load(spark, sf_dir, "embeddings")
+    sub_struct = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda m: F.struct(
+                m.cast("int").alias("m"),
+                F.slice(F.col("embedding"), m * SUB + 1, SUB).alias("sub"),
+            ),
+        )
+    )
+    subs = e.select("vec_id", sub_struct.alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+    # Codebook: ONE KMeans over a bounded pooled sample of subvectors (shared
+    # across the M subspaces — K' stays independent of n, like ann_ivf_topk's
+    # fixed-K quantizer; per-subspace codebooks would be M small fits with the
+    # same plan shape).
+    sample = (
+        subs.select(array_to_vector(F.col("sub").cast("array<double>")).alias("v"))
+        .limit(SAMPLE_CAP)
+        .cache()
+    )
+    k = min(KP, max(1, sample.count()))
+    model = KMeans(k=k, seed=42, maxIter=20, featuresCol="v").fit(sample)
+    sample.unpersist()
+    subcents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "code_id int, cent_sub array<double>",
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code_id"))
+    codes = (
+        subs.crossJoin(F.broadcast(subcents))
+        .select(
+            "vec_id", "m", "code_id",
+            vectors.l2_sq_dist("sub", "cent_sub").alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code_id")
+    )
+    qsubs = subs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub")
+    )
+    lut = qsubs.crossJoin(F.broadcast(subcents)).select(
+        "query_id", "m", "code_id",
+        vectors.l2_sq_dist("q_sub", "cent_sub").alias("pd"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_d").asc(), F.col("vec_id"))
+    return (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("approx_d"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .drop("rn")
+    )
+
+
+@query(
+    "ann_pq_recall",
+    oracle=_ANN_RECALL_ORACLE,
+    ref="SURVEY §2 K3 (PQ quality gate: avg recall@5 vs exact brute-force "
+    ">= 0.2, measured 0.33 at sf0.01 — tolerance oracle; PQ trades recall "
+    "for a 32x memory compression, so its gate sits below the IVF/LSH ones "
+    "by design)",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall(spark, sf_dir, ann_pq_topk, 0.2)

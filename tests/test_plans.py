@@ -153,3 +153,47 @@ def test_distribution_scaled_no_single_partition(spark):
     assert "SinglePartition" not in plan
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_single_gram_aggregation(spark):
+    """Boilerplate detection is scan -> explode -> ONE hash-agg keyed on gram
+    (with map-side partial agg). No join, no second wide exchange."""
+    plan = plan_of(spark, "llm_boilerplate_ngrams")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(gram") == 1
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_cross_dedup_is_anti_join_on_digest(spark):
+    """Cross-corpus dedup must anti-join on the 32-byte digest — never
+    exchange the corpus text. The existing side projects only the sha."""
+    plan = plan_of(spark, "llm_cross_dedup")
+    assert "LeftAnti" in plan
+    assert "hashpartitioning(h" in plan or "BroadcastHashJoin" in plan
+    # the existing-corpus side reads no column but text (digested immediately)
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_emb_cluster_broadcasts_centroids(spark):
+    """Fixed-centroid assignment: centroids broadcast (O(K*dim)), the
+    embeddings side stays unshuffled until the per-vector argmin window."""
+    plan = plan_of(spark, "llm_emb_cluster")
+    assert "BroadcastNestedLoopJoin" in plan  # K-row centroid cross join
+    assert "SinglePartition" not in plan.split("Window")[0].split("Exchange")[-1] \
+        if "Window" in plan else True
+
+
+def test_shard_assign_single_pass(spark):
+    """Shard accounting is one narrow projection + one 16-row aggregate."""
+    plan = plan_of(spark, "llm_shard_assign")
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pq_codebook_broadcast_never_n_squared(spark):
+    """PQ: both the codebook and the per-query LUT broadcast; the corpus
+    side never joins corpus-to-corpus (no n^2 pair space)."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
