@@ -14,6 +14,7 @@ from ksql_spark.queries import (  # noqa: F401
     sorts,
     streaming_batch,
     text_pipeline,
+    tpch,
     udfs,
     windows,
 )

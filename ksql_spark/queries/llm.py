@@ -1147,3 +1147,60 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(spark, sf_dir, ann_pq_topk, 0.2)
+
+
+@query(
+    "llm_doc_boilerplate_ratio",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM toks
+    ),
+    df AS (SELECT gram, COUNT(*) AS gram_df FROM g GROUP BY gram)
+    SELECT g.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(count_if(df.gram_df >= 3) AS BIGINT) AS n_frequent,
+           CAST(count_if(df.gram_df >= 3) AS DOUBLE) / COUNT(*) AS boilerplate_ratio
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+    ref="SURVEY §2 K15 companion (per-document boilerplate ratio: fraction "
+    "of a doc's distinct 3-grams that are corpus-frequent — the doc-level "
+    "application of the corpus-level frequent-gram table, like tf-idf is to "
+    "idf; a high ratio flags template/chrome-heavy docs for the K12 filter)",
+)
+def llm_doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each document's distinct 3-grams that appear in >= 3 docs
+    corpus-wide. Exact integer-derived ratio (bit-stable division).
+
+    Plan shape: the gram explode happens ONCE and feeds both the document-
+    frequency aggregate and the join-back probe (same exchange on gram,
+    Spark reuses it); the final agg shuffles on doc_id bounded by |docs|.
+    At 100 TB the df table would be the materialized output of
+    llm_boilerplate_ngrams (without its HAVING) joined as a broadcast of
+    frequent grams only — flagging needs just the frequent set."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.explode(F.array_distinct(text.shingles("text", 3))).alias("gram"))
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("gram_df") >= 3).alias("n_frequent"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_frequent",
+            (F.col("n_frequent").cast("double") / F.col("n_grams")).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

@@ -164,3 +164,49 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
         F.coalesce(first_buy > first_view, F.lit(False)).alias("converted"),
     ).drop("sid")
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day AS cohort_day,
+           date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+               AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firstday f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) <= 7
+    GROUP BY 1, 2
+    """,
+    ref="SURVEY §2 D/E [EXT] (retention cohorts: first-seen day per user -> "
+    "day-offset activity matrix — the standard product-analytics retention "
+    "triangle, companion to events_session_funnel)",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0..7 retention triangle: users bucketed by first-event day, then
+    distinct active users per (cohort_day, day_offset).
+
+    Plan shape: ONE shuffle on user_id computes first-seen day; the join
+    back to events rides the same hash partitioning (ReusedExchange-able);
+    the final agg is |cohorts| x 8 rows. At 100 TB first-seen day comes from
+    an incrementally-maintained user dimension instead of a full-history
+    MIN — the query shape downstream is identical."""
+    ev = load(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    offset = F.datediff(F.to_date(F.col("ts")), F.col("cohort_day"))
+    return (
+        ev.join(firstday, "user_id")
+        .where(offset <= 7)
+        .select(
+            "cohort_day",
+            offset.cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

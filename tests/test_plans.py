@@ -197,3 +197,28 @@ def test_pq_codebook_broadcast_never_n_squared(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_fact_side_broadcast_only(spark):
+    """TPC-H Q5 shape: every dim broadcasts; the only wide exchange is the
+    25-group aggregation — lineitem never hash-shuffles pre-join."""
+    plan = plan_of(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy only
+
+
+def test_q2_join_back_no_sort_merge(spark):
+    """Min-over-group join-back: the min table broadcasts (1 BHJ); the unit
+    scan never shuffles before the join."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_retention_single_user_shuffle(spark):
+    """Retention triangle: first-seen day and the join both key on user_id;
+    no exchange wider than user_id + the final small agg."""
+    plan = plan_of(spark, "events_retention_cohort")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
