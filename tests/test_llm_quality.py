@@ -137,3 +137,81 @@ def test_stratified_sample_portable_and_stable(spark):
     for r in kept:
         expect = _STRATA_PERMILLE.get(r.lang, 0) / 1000
         assert abs(r.k / totals[r.lang] - expect) < 0.15
+
+
+def test_shard_assignment_is_complete_partition(spark):
+    """Shards partition the corpus: doc and byte counts are conserved."""
+    specs = all_specs()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_docs = docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    shards = specs["llm_shard_assign"].builder(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in shards) == total_docs
+    assert sum(r.total_chars for r in shards) == total_chars
+    assert all(0 <= r.shard_id < 16 for r in shards)
+
+
+def test_domain_mix_never_exceeds_min_domain(spark):
+    """Rebalanced domain sizes are bounded by the smallest original domain."""
+    specs = all_specs()
+    rows = specs["llm_domain_mix"].builder(spark, SF_DIR).collect()
+    n_min = min(r.n_orig for r in rows)
+    assert all(r.n_kept <= n_min for r in rows)
+    assert all(r.n_kept <= r.n_orig for r in rows)
+
+
+def test_emb_cluster_conserves_vectors_and_fixes_centroids(spark):
+    """Every vector lands in exactly one cluster; a centroid's nearest
+    centroid is itself (distance 0 beats any tie)."""
+    specs = all_specs()
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    rows = specs["llm_emb_cluster"].builder(spark, SF_DIR).collect()
+    assert sum(r.n_members for r in rows) == vecs
+    assert sorted(r.cent_id for r in rows) == [0, 1, 2, 3]
+    assert all(r.n_members >= 1 for r in rows)
+
+
+def test_dup_stats_accounting(spark):
+    """Histogram accounting: docs covered = size x clusters; totals match the
+    corpus + simulated re-crawl; excess = docs - clusters per size."""
+    specs = all_specs()
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = specs["llm_dup_stats"].builder(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == n + n // 5
+    for r in rows:
+        assert r.n_docs == r.csize * r.n_clusters
+        assert r.n_excess == r.n_docs - r.n_clusters
+
+
+def test_cross_dedup_keeps_only_fresh_content(spark):
+    """Verbatim re-downloads are dropped; modified docs all survive."""
+    specs = all_specs()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_fresh = docs.where(F.col("doc_id") % 6 == 3).count()
+    survivors = specs["llm_cross_dedup"].builder(spark, SF_DIR).collect()
+    assert len(survivors) == n_fresh
+    assert all(r.doc_id >= 600000 for r in survivors)
+
+
+def test_boilerplate_ratio_bounds(spark):
+    """Ratio is a true fraction of each doc's distinct grams."""
+    specs = all_specs()
+    rows = specs["llm_doc_boilerplate_ratio"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_frequent <= r.n_grams
+        assert abs(r.boilerplate_ratio - r.n_frequent / r.n_grams) < 1e-15
+
+
+def test_retention_day_zero_covers_cohort(spark):
+    """Every user is active on their own cohort day, so the offset-0 row of
+    each cohort equals the cohort's size; offsets stay in [0, 7]."""
+    specs = all_specs()
+    rows = specs["events_retention_cohort"].builder(spark, SF_DIR).collect()
+    by_cohort = {}
+    for r in rows:
+        assert 0 <= r.day_offset <= 7
+        by_cohort.setdefault(r.cohort_day, {})[r.day_offset] = r.n_active
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets  # day-0 row always present
+        assert all(n <= offsets[0] for n in offsets.values())
