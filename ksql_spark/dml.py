@@ -25,7 +25,9 @@ Guarantees and limits (documented, tested):
 
 from __future__ import annotations
 
+import re as _re
 import shutil
+import threading
 import uuid
 from pathlib import Path
 
@@ -355,8 +357,6 @@ def merge_into(
 
 # --- SQL statement front-end (REPL/HTTP surface, AlaSQL DML parity) --------
 
-import re as _re
-
 _UPDATE_RE = _re.compile(
     r"^\s*UPDATE\s+(?P<table>[A-Za-z_][\w.]*)\s+SET\s+(?P<body>.+)$",
     _re.IGNORECASE | _re.DOTALL,
@@ -488,8 +488,6 @@ def _parse_merge_on(on: str) -> list[str]:
             keys.append(t.strip())
     return keys
 
-
-import threading
 
 # Serializes in-process writers: the HTTP server is threaded, and the
 # copy-on-write swap (write-aside + ALTER LOCATION repoint) is not safe under

@@ -38,6 +38,13 @@ def _norm_sql(a: str) -> str:
     return _NORM.format(a=a)
 
 
+# Deterministic KMeans codebooks per (kind, sf_dir): the fit is seeded and the
+# bounded sample is file-order-stable, so the centroids are a pure function of
+# the input dir. Caching spares the second full fit when a *_recall entry
+# re-invokes its builder right after the *_topk entry (driver sweep, tests).
+_CENTROID_CACHE: dict[tuple[str, str], list] = {}
+
+
 @query(
     "llm_dedup_exact",
     oracle="""
@@ -298,23 +305,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K, NPROBE, SAMPLE_CAP = 16, 4, 4096
     e = load(spark, sf_dir, "embeddings")
-    sample = (
-        e.select(
-            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    cent_rows = _CENTROID_CACHE.get(("ivf", sf_dir))
+    if cent_rows is None:
+        sample = (
+            e.select(
+                array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+            )
+            .limit(SAMPLE_CAP)
+            .cache()
         )
-        .limit(SAMPLE_CAP)
-        .cache()
-    )
-    k = min(K, max(1, sample.count()))
-    model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
-    sample.unpersist()
-    cents = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cent_id int, cent_emb array<double>",
-    )
+        k = min(K, max(1, sample.count()))
+        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
+        sample.unpersist()
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        _CENTROID_CACHE[("ivf", sf_dir)] = cent_rows
+    cents = spark.createDataFrame(cent_rows, "cent_id int, cent_emb array<double>")
     dist = vectors.l2_sq_dist("embedding", "cent_emb")
 
     assign_w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
@@ -1058,22 +1065,24 @@ def llm_emb_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_pq_topk",
     oracle=None,  # product-quantized search ≠ exact → rows-only; recall gated below
-    ref="SURVEY §2 K3 (product quantization ANN: 8 subspaces × 4 fixed "
-    "sub-centroids, asymmetric-distance (ADC) lookup — the memory-compressed "
-    "100 TB similarity-search path: 8 bytes/vector instead of 256)",
+    ref="SURVEY §2 K3 (product quantization ANN: M=16 subspaces × K'=32 "
+    "KMeans codebook, asymmetric-distance (ADC) lookup — the memory-"
+    "compressed 100 TB similarity-search path: 16 one-byte codes per vector "
+    "instead of 256 bytes of floats, 16x compression)",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ approximate top-5: split each 64-dim vector into M=8 subvectors,
-    quantize each against K'=4 FIXED sub-centroids (subvectors of
-    vec_id < 4 — deterministic, size independent of n), then rank by ADC:
+    """PQ approximate top-5: split each 64-dim vector into M=16 4-dim
+    subvectors, quantize each against a K'=32 codebook fitted by KMeans on a
+    BOUNDED pooled sample of subvectors (shared across the M subspaces —
+    codebook size independent of n, fixed seed), then rank by ADC:
     approx_d(q, v) = Σ_m ||q_m − c[code(v, m)]||².
 
     Plan shape: codes are built in one O(n·M·K') narrow pass against a
-    BROADCAST O(M·K'·dim/M) codebook; the per-query lookup table is
+    BROADCAST O(K'·dim/M) codebook; the per-query lookup table is
     O(|queries|·M·K') and also broadcast; ranking joins codes to the LUT on
     (m, code) — the corpus side never shuffles on anything wider than its
-    8-byte code row. This is how a 100 TB corpus fits an in-memory ANN
-    index."""
+    16-byte code row. This is how a 100 TB corpus fits an in-memory ANN
+    index: 16 B of codes per vector vs 256 B of raw floats (16x)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1095,18 +1104,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across the M subspaces — K' stays independent of n, like ann_ivf_topk's
     # fixed-K quantizer; per-subspace codebooks would be M small fits with the
     # same plan shape).
-    sample = (
-        subs.select(array_to_vector(F.col("sub").cast("array<double>")).alias("v"))
-        .limit(SAMPLE_CAP)
-        .cache()
-    )
-    k = min(KP, max(1, sample.count()))
-    model = KMeans(k=k, seed=42, maxIter=20, featuresCol="v").fit(sample)
-    sample.unpersist()
-    subcents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "code_id int, cent_sub array<double>",
-    )
+    code_rows = _CENTROID_CACHE.get(("pq", sf_dir))
+    if code_rows is None:
+        sample = (
+            subs.select(array_to_vector(F.col("sub").cast("array<double>")).alias("v"))
+            .limit(SAMPLE_CAP)
+            .cache()
+        )
+        k = min(KP, max(1, sample.count()))
+        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="v").fit(sample)
+        sample.unpersist()
+        code_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        _CENTROID_CACHE[("pq", sf_dir)] = code_rows
+    subcents = spark.createDataFrame(code_rows, "code_id int, cent_sub array<double>")
     wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code_id"))
     codes = (
         subs.crossJoin(F.broadcast(subcents))
@@ -1177,12 +1189,14 @@ def llm_doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of each document's distinct 3-grams that appear in >= 3 docs
     corpus-wide. Exact integer-derived ratio (bit-stable division).
 
-    Plan shape: the gram explode happens ONCE and feeds both the document-
-    frequency aggregate and the join-back probe (same exchange on gram,
-    Spark reuses it); the final agg shuffles on doc_id bounded by |docs|.
-    At 100 TB the df table would be the materialized output of
-    llm_boilerplate_ngrams (without its HAVING) joined as a broadcast of
-    frequent grams only — flagging needs just the frequent set."""
+    Plan shape: as written, Spark plans TWO scan+explode passes (the df
+    aggregate's partial-count subplan differs from the probe side, so
+    ReuseExchange cannot fire) plus the join on gram and the final doc_id
+    agg. That is the honest cost of the self-contained oracle-checkable
+    form. The 100 TB deployment does NOT run this shape: the df table is
+    the already-materialized output of llm_boilerplate_ngrams (without its
+    HAVING), and only its FREQUENT subset (tiny) joins back — one explode
+    pass over the corpus probing a broadcast frequent-gram set."""
     d = load(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.explode(F.array_distinct(text.shingles("text", 3))).alias("gram"))

@@ -157,35 +157,47 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                 raise ValueError("DML statement failed to parse after rewrite")
             print(f"{n} row(s) affected")
             return
+        # FROM/INTO file sugar is a REPL-ONLY surface by design: the HTTP API
+        # deliberately rejects it — serving arbitrary server-path reads/writes
+        # to HTTP clients would reopen the path-traversal class the API's
+        # static-file guard closes (ksql.js:321-325 parity).
         line, fmt, path = split_into_file(line)  # SELECT … INTO CSV('f')
         line, file_srcs = extract_from_files(line)  # SELECT … FROM CSV('f')
-        for view, src_fmt, src_path in file_srcs:
-            reader = spark.read
-            if src_fmt == "csv":
-                src = reader.options(header="true", inferSchema="true").csv(src_path)
-            elif src_fmt == "tab":
-                src = reader.options(header="true", inferSchema="true", sep="\t").csv(
-                    src_path
-                )
-            elif src_fmt == "json":
-                src = reader.json(src_path)
-            else:
-                src = reader.parquet(src_path)
-            src.createOrReplaceTempView(view)
-        sql = compat_top(compat_using(rewriter.rewrite(line)))
-        df = spark.sql(sql)
-        if fmt:
-            writer = df.write.mode("overwrite")
-            method = fmt
-            if fmt == "csv":
-                writer = writer.option("header", "true")
-            elif fmt == "tab":  # AlaSQL TAB() = TSV: csv writer, tab separator
-                writer = writer.options(header="true", sep="\t")
-                method = "csv"
-            getattr(writer, method)(path)
-            print(f"wrote {fmt} to {path}")
-            return
-        rows = df.take(MAX_SHOW_ROWS + 1)
+        created: list[str] = []
+        try:
+            for view, src_fmt, src_path in file_srcs:
+                reader = spark.read
+                if src_fmt == "csv":
+                    src = reader.options(header="true", inferSchema="true").csv(src_path)
+                elif src_fmt == "tab":
+                    src = reader.options(header="true", inferSchema="true", sep="\t").csv(
+                        src_path
+                    )
+                elif src_fmt == "json":
+                    src = reader.json(src_path)
+                else:
+                    src = reader.parquet(src_path)
+                src.createOrReplaceTempView(view)
+                created.append(view)
+            sql = compat_top(compat_using(rewriter.rewrite(line)))
+            df = spark.sql(sql)
+            if fmt:
+                writer = df.write.mode("overwrite")
+                method = fmt
+                if fmt == "csv":
+                    writer = writer.option("header", "true")
+                elif fmt == "tab":  # AlaSQL TAB() = TSV: csv writer, tab separator
+                    writer = writer.options(header="true", sep="\t")
+                    method = "csv"
+                getattr(writer, method)(path)
+                print(f"wrote {fmt} to {path}")
+                return
+            rows = df.take(MAX_SHOW_ROWS + 1)
+        finally:
+            # drop the per-query file views so they can't shadow catalog
+            # tables or serve stale data to a later unrelated query
+            for view in created:
+                spark.catalog.dropTempView(view)
         if not rows:
             print("[]")  # ksql.js:160-162
         else:

@@ -268,11 +268,15 @@ def make_upsert_batch_fn(table: str, on: list[str], assignments: dict[str, str],
             return  # replayed batch, already applied
         spark = batch_df.sparkSession
         deduped = batch_df.dropDuplicates(on)
-        dml.merge_into(
-            spark, table, deduped, on=on,
-            when_matched_update=assignments,
-            when_not_matched_insert=True,
-        )
+        # Same writer lock as run_dml: the copy-on-write swap is unsafe under
+        # concurrent in-process DML (e.g. an HTTP --allow-dml server in the
+        # same process) — the micro-batch writer must serialize with them.
+        with dml._DML_LOCK:
+            dml.merge_into(
+                spark, table, deduped, on=on,
+                when_matched_update=assignments,
+                when_not_matched_insert=True,
+            )
         # the swap's REFRESH ran on the (possibly cloned) session; the outer
         # session's relation cache still points at the dropped snapshot
         # dir — refresh it too or the next read file-not-founds

@@ -162,3 +162,14 @@ def test_from_xlsx_is_loud_boundary(spark, rw, capsys):
 
     handle_line(spark, rw, "select * from XLSX('book.xlsx')")
     assert "XLSX" in capsys.readouterr().err
+
+
+def test_file_source_views_are_dropped(spark, rw, tmp_path, capsys):
+    """The per-query _file_src_N views must not outlive their query."""
+    out = str(tmp_path / "t.csv")
+    handle_line(spark, rw, f"select uid from containers INTO CSV('{out}')")
+    handle_line(spark, rw, f"select count(*) as n from CSV('{out}')")
+    capsys.readouterr()
+    assert not [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("_file_src_")
+    ]
