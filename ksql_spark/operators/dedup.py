@@ -137,8 +137,14 @@ def minhash_near_dups(
     wb = F.array_distinct(words(F.col("text_b")))
     inter = F.size(F.array_intersect(wa, wb))
     union = F.size(wa) + F.size(wb) - inter
+    # try_divide: two EMPTY docs band-collide (all-null signatures hash
+    # equal) and reach verification with union = 0 — under ANSI a plain
+    # division would abort the job. NULL jaccard fails the threshold filter,
+    # which is right: identical empties belong to exact dedup, not near-dup.
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        cand.withColumn(
+            "jaccard", F.try_divide(inter.cast("double"), union.cast("double"))
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -39,21 +39,34 @@ def token_count(text) -> Column:
 
 
 def unique_word_ratio(text) -> Column:
+    """Distinct-word share; defined as 0.0 for empty and NULL documents
+    (a real corpus has both — under ANSI mode an unguarded division would
+    abort the whole job on the first empty doc)."""
     w = words(text)
-    return F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
+    n = F.size(w)
+    return F.when(
+        n > 0, F.size(F.array_distinct(w)).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(text) -> Column:
+    """Stopword share; 0.0 for empty/NULL documents (same guard rationale
+    as unique_word_ratio)."""
     w = words(text)
+    n = F.size(w)
     hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    return hits.cast("double") / F.size(w).cast("double")
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
 
 
 def quality_score(text) -> Column:
     """Composite quality heuristic in [0,1]: length saturation + lexical
-    diversity + stopword plausibility. Deterministic per-row double math."""
+    diversity + stopword plausibility. Deterministic per-row double math;
+    empty/NULL documents score 0.0 (every component is null/empty-guarded),
+    so the downstream corpus filter drops rather than crashes on them."""
     w = words(text)
-    n = F.size(w).cast("double")
+    n = F.coalesce(F.size(w), F.lit(0)).cast("double")
     length_component = F.least(F.lit(1.0), n / F.lit(100.0))
     return (
         F.lit(0.4) * length_component

@@ -35,7 +35,10 @@ def l2_norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (try_divide
+    — a plain division would ANSI-abort the job on the first zero/empty
+    embedding; identical to `/` for every nonzero divisor)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_sq_dist(a, b) -> Column:
@@ -50,6 +53,7 @@ def l2_sq_dist(a, b) -> Column:
 
 
 def normalize(a) -> Column:
-    """Unit-normalize an array<float> → array<double>."""
+    """Unit-normalize an array<float> → array<double>; NULL elements for a
+    zero-norm vector (same try_divide rationale as cosine)."""
     n = l2_norm(a)
-    return F.transform(_c(a), lambda x: x.cast("double") / n)
+    return F.transform(_c(a), lambda x: F.try_divide(x.cast("double"), n))

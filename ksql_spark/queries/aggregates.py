@@ -458,3 +458,42 @@ def agg_skew_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_orders"),
         (F.sum("psum").cast("double") / F.lit(1000000.0)).alias("sum_price"),
     )
+
+
+@query(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 D8 family (multi-quantile: exact interpolated percentiles "
+    "per group — Spark `percentile` and DuckDB `quantile_cont` share the "
+    "h = (n-1)p linear-interpolation definition, probe-verified bit-exact "
+    "on all 20 values incl. interpolated ones)",
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75/p90 of order value per priority. Exact percentile is an
+    order statistic (selection + one interpolation), not an accumulation, so
+    it is deterministic cross-engine without dsum quantization.
+
+    Scale note: exact percentile sorts within each group (memory O(group));
+    at 100 TB per-group cardinalities this becomes approx_percentile with a
+    bounded t-digest/GK sketch — the D14 pattern (sketch + tolerance oracle)
+    already demonstrated by agg_approx_distinct."""
+    o = load(spark, sf_dir, "orders")
+    qs = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(qs.alias("_q"))
+        .select(
+            "o_orderpriority",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+            F.col("_q")[3].alias("p90"),
+        )
+    )

@@ -232,7 +232,9 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_norm").alias("q_norm"),
     )
     pairs = F.broadcast(q).crossJoin(e).where(F.col("query_id") != F.col("vec_id"))
-    cos = vectors.dot("q_emb", "embedding") / (F.col("q_norm") * F.col("v_norm"))
+    cos = F.try_divide(
+        vectors.dot("q_emb", "embedding"), F.col("q_norm") * F.col("v_norm")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         pairs.select("query_id", "vec_id", cos.alias("cosine"))
@@ -346,8 +348,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prn") <= NPROBE)
         .select("query_id", "q_emb", "cent_id")
     )
-    cos = vectors.dot("q_emb", "embedding") / (
-        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding")
+    cos = F.try_divide(
+        vectors.dot("q_emb", "embedding"),
+        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
     )
     topk_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -1,0 +1,96 @@
+"""Null / empty / degenerate-input totality for the pipeline operators.
+
+The driver fixtures contain no NULLs, empty documents, or zero vectors, so
+the oracle gate can never catch a crash on them — but a production corpus
+has all three, and Spark 4's ANSI mode turns an unguarded division into a
+job-aborting error (not a quiet NaN). These tests pin the defined semantics:
+every text/vector helper is TOTAL over null/empty input.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ksql_spark.operators import dedup, text, vectors
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "x"),
+            (5, "a b c d"),
+            (6, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_text_helpers_total_over_null_and_empty(spark, degenerate_docs):
+    rows = degenerate_docs.select(
+        "doc_id",
+        text.word_count("text").alias("wc"),
+        text.token_count("text").alias("tc"),
+        text.unique_word_ratio("text").alias("uwr"),
+        text.stopword_ratio("text").alias("swr"),
+        text.quality_score("text").alias("q"),
+        F.size(text.shingles("text", 3)).alias("nsh"),
+        text.fingerprint("text").alias("fp"),
+        text.lang_guess("text").alias("lg"),
+        dedup.simhash32("text").alias("sim"),
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # NULL text: counts/hashes are NULL, ratios/score are a defined 0.0
+    assert by_id[1].wc is None and by_id[1].fp is None
+    assert by_id[1].q == 0.0 and by_id[1].uwr == 0.0 and by_id[1].swr == 0.0
+    # empty / whitespace-only: everything 0, no DIVIDE_BY_ZERO abort
+    for i in (2, 3):
+        assert by_id[i].wc == 0 and by_id[i].q == 0.0 and by_id[i].nsh == 0
+    # sub-k-word doc: empty shingle set, not a crash
+    assert by_id[4].nsh == 0 and by_id[4].wc == 1
+    assert by_id[5].q > 0.0 and by_id[5].lg in ("en", "unk")
+
+
+def test_near_dup_pipeline_survives_empty_docs(spark, degenerate_docs):
+    """Empty docs band-collide (all-null signatures) and reach jaccard
+    verification with union=0 — must be dropped, not abort the job."""
+    pairs = dedup.minhash_near_dups(
+        degenerate_docs, "text", "doc_id", k=8, bands=2, jaccard_threshold=0.5
+    ).collect()
+    ids = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (2, 3) not in ids and (1, 2) not in ids  # empties never pair
+    assert (5, 6) in ids  # identical real docs still found
+
+
+def test_vector_helpers_total_over_null_empty_zero(spark):
+    ev = spark.createDataFrame(
+        [(1, None), (2, [3.0, 4.0]), (3, []), (4, [0.0, 0.0])],
+        "vec_id long, e array<double>",
+    )
+    rows = ev.select(
+        "vec_id",
+        vectors.dot("e", "e").alias("d"),
+        vectors.l2_norm("e").alias("n"),
+        vectors.cosine("e", "e").alias("c"),
+        vectors.normalize("e").alias("u"),
+    ).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[1].d is None and by_id[1].n is None and by_id[1].c is None
+    assert by_id[2].n == 5.0 and by_id[2].c == 1.0
+    assert by_id[2].u == [0.6, 0.8]
+    # zero-norm vectors: cosine/normalize are NULL, never an ANSI abort
+    assert by_id[3].n == 0.0 and by_id[3].c is None
+    assert by_id[4].c is None and by_id[4].u == [None, None]
+
+
+def test_exact_dedup_groups_nulls_and_empties(spark, degenerate_docs):
+    """Exact dedup: empty-string docs form a real cluster; NULL text maps to
+    a NULL digest group (sha2(NULL) is NULL) rather than crashing."""
+    groups = dedup.exact_dedup_groups(degenerate_docs, "text", "doc_id").collect()
+    sizes = sorted(g.n_copies for g in groups)
+    assert sum(sizes) == 6  # every row lands in exactly one group
+    assert max(sizes) == 2  # the identical pair clusters
