@@ -427,3 +427,38 @@ def test_partitioned_merge_insert_only_skips_matched_partitions(
     assert (n_up, n_ins) == (0, 1)
     assert _partition_files(loc, "day=mon") == mon_before  # untouched
     assert (loc / "day=thu").exists()
+
+
+def test_concurrent_dml_is_serialized(spark, warehouse_table):
+    """N threads of UPDATE statements on the same table must all land: the
+    writer lock serializes the copy-on-write swaps, so no increment is lost
+    and no reader sees a dropped snapshot dir (the threaded-HTTP race)."""
+    import threading
+
+    from ksql_spark.dml import run_dml
+
+    spark.sql(
+        f"INSERT INTO {warehouse_table} VALUES (1, 'a', 0.0), (2, 'b', 0.0)"
+    )
+    errors: list[Exception] = []
+
+    def bump(i: int) -> None:
+        try:
+            run_dml(
+                spark,
+                f"UPDATE {warehouse_table} SET score = score + 1 WHERE id = 1",
+            )
+        except Exception as exc:  # noqa: BLE001 - collected for the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=bump, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    rows = {
+        r.id: r.score
+        for r in spark.sql(f"SELECT id, score FROM {warehouse_table}").collect()
+    }
+    assert rows == {1: 6.0, 2: 0.0}  # every one of the 6 bumps landed
