@@ -5,10 +5,15 @@ Convention: a modality is an opaque `binary` payload + a typed metadata struct
 produces. Content addressing is sha2 over the payload, so dedup/join logic is
 modality-agnostic.
 
-The decode step (image/audio libs) is NOT available in this container — it is
-stubbed behind `KSQL_SPARK_FAKE_DECODE`. The Spark-side plumbing (schema,
-Arrow batch shape, mapInPandas signature, partitioning) is real and tested;
-swapping the fake for PIL/ffmpeg is a one-function change.
+Decode reality tiers (this container has no PIL/ffmpeg):
+- REAL, no deps: image dimensions by container-header parse (PNG/GIF/BMP/
+  JPEG — `sniff_image_dims`) and WAV audio metadata via stdlib `wave`
+  (`extract_audio_meta`). This is what a 100 TB metadata pass actually does —
+  dims/mime from the first KB of each blob.
+- STUBBED behind `KSQL_SPARK_FAKE_DECODE`: pixel-level transforms (resize,
+  frame sampling) and non-WAV codecs, which genuinely need PIL/ffmpeg.
+The Spark-side plumbing (schema, Arrow batch shape, mapInPandas signature,
+partitioning) is identical for both tiers and fully tested.
 """
 
 from __future__ import annotations
@@ -57,6 +62,49 @@ def _decode_fake(payload: bytes) -> tuple[int, int]:
     the content hash. Replace with PIL.Image.open(...).size in production."""
     h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def sniff_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL image-dimension decode for the common container formats, by
+    header/marker parsing alone (pure Python, no PIL). This is exactly what
+    a 100 TB metadata pass does: dims/mime come from the first KB of each
+    blob; full pixel decode is deferred to the (GPU/PIL) transform stage.
+
+    PNG: IHDR width/height at bytes 16..23 (big-endian u32).
+    GIF87a/89a: logical screen size at bytes 6..9 (little-endian u16).
+    BMP: BITMAPINFOHEADER at bytes 18..25 (little-endian i32; height may be
+    negative for top-down rows — absolute value is the pixel height).
+    JPEG: walk the marker stream to the first SOF0-3 frame header.
+    Returns None for anything unrecognized (caller decides stub vs raise).
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        return (
+            int.from_bytes(payload[18:22], "little", signed=True),
+            abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        )
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    return None
 
 
 RESIZE_SCHEMA = StructType(
@@ -138,22 +186,32 @@ def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, payload) — Arrow-batched,
     one python worker per partition, constant memory per batch.
 
-    Raises NotImplementedError for real decoding unless KSQL_SPARK_FAKE_DECODE=1
-    (no image/audio libs in this container — SURVEY §2.K K5 stub contract).
+    Dimension decode is REAL for recognized image containers (PNG/GIF/BMP/
+    JPEG header parse — sniff_image_dims, no PIL needed). Unrecognized
+    payloads fall back to the deterministic stub when KSQL_SPARK_FAKE_DECODE=1
+    (default in this container) and raise otherwise — full pixel decode of
+    other formats requires PIL (SURVEY §2.K K5 boundary).
     """
     fake = os.environ.get("KSQL_SPARK_FAKE_DECODE", "1") == "1"
+
+    def decode(payload: bytes) -> tuple[int, int]:
+        dims = sniff_image_dims(payload)
+        if dims is not None:
+            return dims
+        if not fake:
+            raise NotImplementedError(
+                "unrecognized media container: pixel-level decode requires "
+                "PIL/ffmpeg; set KSQL_SPARK_FAKE_DECODE=1 for the "
+                "deterministic stub"
+            )
+        return _decode_fake(payload)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; set "
-                    "KSQL_SPARK_FAKE_DECODE=1 for the deterministic stub"
-                )
             payloads = pdf["payload"]
-            dims = [_decode_fake(bytes(p)) for p in payloads]
+            dims = [decode(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -167,3 +225,46 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """REAL audio metadata decode for WAV payloads via the stdlib `wave`
+    module (no ffmpeg needed): channels, sample rate, frame count, duration.
+    Same mapInPandas shape as image feature extraction — Arrow batches in,
+    constant memory, one worker per partition. Non-WAV payloads raise (the
+    honest boundary: compressed codecs need ffmpeg)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_channels": [], "sample_rate": [],
+                "n_samples": [], "duration_ms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    rows["doc_id"].append(doc_id)
+                    rows["n_channels"].append(w.getnchannels())
+                    rows["sample_rate"].append(w.getframerate())
+                    rows["n_samples"].append(w.getnframes())
+                    rows["duration_ms"].append(
+                        w.getnframes() * 1000 // max(1, w.getframerate())
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

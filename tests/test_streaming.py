@@ -350,3 +350,71 @@ def test_upsert_batch_replay_guard(spark, tmp_path):
         }
     finally:
         spark.sql("DROP TABLE IF EXISTS replay_tgt")
+
+
+def test_real_image_header_decode(spark):
+    """sniff_image_dims is a REAL decoder: crafted PNG/GIF/BMP/JPEG headers
+    come back with their true dimensions through the full mapInPandas path."""
+    import struct
+
+    from ksql_spark.operators import multimodal
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 123, -77)  # negative height = top-down rows
+        + b"\x00" * 8
+    )
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17)          # SOF0
+        + b"\x08" + struct.pack(">HH", 480, 640)       # height, width
+        + b"\x03" + b"\x00" * 10
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+         (4, bytearray(jpeg)), (5, bytearray(b"not-an-image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.extract_features(df).collect()}
+    assert (rows[1].width, rows[1].height) == (640, 480)
+    assert (rows[2].width, rows[2].height) == (320, 200)
+    assert (rows[3].width, rows[3].height) == (123, 77)
+    assert (rows[4].width, rows[4].height) == (640, 480)
+    assert rows[5].width is not None  # unknown container -> deterministic stub
+
+
+def test_real_wav_audio_decode(spark):
+    """extract_audio_meta decodes genuine WAV bytes (stdlib wave writer →
+    stdlib wave reader through Arrow batches) — no stub involved."""
+    import io
+    import wave as wave_mod
+
+    from ksql_spark.operators import multimodal
+
+    def make_wav(rate: int, n: int, channels: int) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * n * channels)
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(16000, 8000, 1))),
+         (2, bytearray(make_wav(44100, 44100, 2)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.extract_audio_meta(df).collect()}
+    assert rows[1].sample_rate == 16000 and rows[1].n_samples == 8000
+    assert rows[1].duration_ms == 500 and rows[1].n_channels == 1
+    assert rows[2].sample_rate == 44100 and rows[2].duration_ms == 1000
+    assert rows[2].n_channels == 2
