@@ -338,7 +338,7 @@ def compat_top(sql: str) -> str:
 
 
 _INTO_FILE_RE = re.compile(
-    r"\s+INTO\s+(?P<fmt>CSV|JSON|PARQUET|TAB)\s*\(\s*"
+    r"\s+INTO\s+(?P<fmt>CSV|JSON|PARQUET|TAB|XLSX)\s*\(\s*"
     r"'(?P<path>(?:[^']|'')+)'\s*\)\s*$",
     re.IGNORECASE,
 )
@@ -365,8 +365,9 @@ def split_into_file(sql: str) -> tuple[str, str | None, str | None]:
     )
 
 
-#: AlaSQL table-source file formats (package.json:5 tier). XLSX is recognized
-#: so the user gets a clear boundary error instead of an unresolved-table one.
+#: AlaSQL table-source file formats (package.json:5 tier). XLSX reads via the
+#: stdlib zip+XML reader (sources/xlsx.py) on the driver — an .xlsx is not
+#: splittable and AlaSQL's use case is small interchange files.
 _FILE_SRC_FMTS = frozenset({"CSV", "JSON", "PARQUET", "TAB", "XLSX"})
 
 
@@ -374,11 +375,9 @@ def extract_from_files(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
     """AlaSQL `FROM CSV('f')` / `JOIN TAB('f')` table-source sugar (SURVEY §2
     A6 [D] tier): each file source is replaced by a generated view name and
     returned as (view_name, fmt, path) for the caller to register
-    (`spark.read.<fmt>` → temp view) before executing. Token-aware — FROM/JOIN
-    inside string literals or comments never match; path in single quotes
-    ('' escapes). XLSX raises RewriteError (documented boundary: no
-    spreadsheet reader in a Spark deployment without extra libs; export the
-    sheet to CSV)."""
+    (`spark.read.<fmt>` / sources.xlsx → temp view) before executing.
+    Token-aware — FROM/JOIN inside string literals or comments never match;
+    path in single quotes ('' escapes)."""
     toks = _tokenize(sql)
     out: list[str] = []
     sources: list[tuple[str, str, str]] = []
@@ -406,13 +405,6 @@ def extract_from_files(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
                     if p < len(toks) and toks[p].kind == "str":
                         q = _next_code(p + 1)
                         if q < len(toks) and toks[q].text == ")":
-                            if fmt == "XLSX":
-                                raise RewriteError(
-                                    "XLSX file sources are not supported "
-                                    "(no spreadsheet reader available); "
-                                    "export the sheet to CSV and use "
-                                    "FROM CSV('file')"
-                                )
                             path = toks[p].text[1:-1].replace("''", "'")
                             name = f"_file_src_{len(sources)}"
                             sources.append((name, fmt.lower(), path))

@@ -175,6 +175,13 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                     )
                 elif src_fmt == "json":
                     src = reader.json(src_path)
+                elif src_fmt == "xlsx":
+                    from ksql_spark.sources.xlsx import read_xlsx
+
+                    header, data = read_xlsx(src_path)
+                    src = spark.createDataFrame(
+                        [tuple(r) for r in data] or [], schema=header
+                    )
                 else:
                     src = reader.parquet(src_path)
                 src.createOrReplaceTempView(view)
@@ -182,6 +189,16 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
             sql = compat_top(compat_using(rewriter.rewrite(line)))
             df = spark.sql(sql)
             if fmt:
+                if fmt == "xlsx":
+                    # single-sheet interchange file: collected on the driver
+                    # (bounded by MAX_SHOW_ROWS-scale REPL usage, like AlaSQL)
+                    from ksql_spark.sources.xlsx import write_xlsx
+
+                    write_xlsx(
+                        df.columns, [list(r) for r in df.collect()], path
+                    )
+                    print(f"wrote {fmt} to {path}")
+                    return
                 writer = df.write.mode("overwrite")
                 method = fmt
                 if fmt == "csv":

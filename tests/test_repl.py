@@ -157,11 +157,54 @@ def test_from_file_not_matched_in_string_literal(spark, rw, capsys):
     assert "error" not in got.err
 
 
-def test_from_xlsx_is_loud_boundary(spark, rw, capsys):
+def test_xlsx_roundtrip_through_repl(spark, rw, tmp_path, capsys):
+    """INTO XLSX writes a real spreadsheet; FROM XLSX reads it back — the
+    full AlaSQL file-format row, stdlib-only (sources/xlsx.py)."""
     from ksql_spark.repl import handle_line
 
-    handle_line(spark, rw, "select * from XLSX('book.xlsx')")
-    assert "XLSX" in capsys.readouterr().err
+    out = str(tmp_path / "book.xlsx")
+    handle_line(
+        spark, rw,
+        f"select uid, restarts from containers order by uid limit 5 INTO XLSX('{out}')",
+    )
+    assert "wrote xlsx" in capsys.readouterr().out
+    handle_line(
+        spark, rw,
+        f"select count(*) as n, min(restarts) as mn from XLSX('{out}')",
+    )
+    shown = capsys.readouterr().out
+    assert "5" in shown and "error" not in shown
+
+
+def test_xlsx_reader_handles_shared_strings(spark, rw, tmp_path):
+    """Files written by other tools use a shared-string table (not inline
+    strings) — the reader resolves both, plus numeric/bool/blank cells."""
+    import zipfile
+
+    from ksql_spark.sources.xlsx import _STATIC_PARTS, read_xlsx
+
+    p = str(tmp_path / "ext.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(p, "w") as zf:
+        for name, content in _STATIC_PARTS.items():
+            zf.writestr(name, content)
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst {ns}><si><t>name</t></si>'
+            "<si><t>score</t></si><si><t>ann</t></si></sst>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>2.5</v></c></row>'
+            '<row r="3"><c r="A3" t="b"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    header, rows = read_xlsx(p)
+    assert header == ["name", "score"]
+    assert rows[0] == ["ann", 2.5]
+    assert rows[1] == [True, None]  # boolean cell + padded blank
 
 
 def test_file_source_views_are_dropped(spark, rw, tmp_path, capsys):
