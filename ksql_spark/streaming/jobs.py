@@ -27,16 +27,27 @@ EVENTS_RAW_DDL = (
 def events_stream(spark: SparkSession, events_dir: str,
                   max_files_per_trigger: int = 1) -> DataFrame:
     """File-replayed events stream (I1). `events_dir` holds events parquet
-    file(s) with the driver layout (TIMESTAMP(NANOS) stored; read as long via
-    nanosAsLong, converted exactly like ksql_spark.tables.load)."""
+    file(s) in either driver layout: TIMESTAMP(NANOS) (read as long via
+    nanosAsLong, truncated to micros exactly like ksql_spark.tables.load) or
+    plain TIMESTAMP(MICROS). A one-file footer probe picks the layout — the
+    probe is a batch schema read, no data scan."""
+    probe_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if probe_type == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_DDL)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(events_dir)
+        )
+        # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is
+        # UTC so wall-clock values match the batch path's timestamp_ntz bitwise.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = EVENTS_RAW_DDL.replace("ts long", f"ts {probe_type}")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_DDL)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(events_dir)
     )
-    # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is UTC
-    # so wall-clock values match the batch path's timestamp_ntz bitwise.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(stream: DataFrame, width: str = "10 minutes",

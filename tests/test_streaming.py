@@ -255,9 +255,9 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
 
     import pyspark.sql.functions as F
 
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from ksql_spark import tables
+
+    ev = tables.load(spark, SF_SMALL, "events")
     views = ev.where("event_type = 'view'").selectExpr(
         "user_id", "ts as view_ts", "event_id as view_id"
     )
