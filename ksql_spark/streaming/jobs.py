@@ -30,24 +30,43 @@ def events_stream(spark: SparkSession, events_dir: str,
     file(s) in either driver layout: TIMESTAMP(NANOS) (read as long via
     nanosAsLong, truncated to micros exactly like ksql_spark.tables.load) or
     plain TIMESTAMP(MICROS). A one-file footer probe picks the layout — the
-    probe is a batch schema read, no data scan."""
-    probe_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    probe is a batch schema read, no data scan.
+
+    One-layout-per-directory assumption: the probe inspects whichever file
+    batch inference picks and applies that schema to every file in the dir.
+    Mixing nanos-int64 and micros-timestamp files in one replay dir is not
+    supported (the later-arriving layout would be misread); stage each layout
+    in its own directory. An EMPTY dir is fine: the probe falls back to the
+    driver's documented nanos layout (EVENTS_RAW_DDL) so the stream can be
+    constructed before any files arrive — the standard replay pattern.
+    """
+    try:
+        probe_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    except Exception:  # AnalysisException: empty dir, cannot infer schema
+        probe_type = "bigint"
     if probe_type == "bigint":
-        raw = (
-            spark.readStream.schema(EVENTS_RAW_DDL)
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(events_dir)
-        )
+        # Driver nanos layout: read int64 then truncate to micros.
+        schema = EVENTS_RAW_DDL
         # TimestampType (not NTZ): watermarks require TIMESTAMP; session tz is
         # UTC so wall-clock values match the batch path's timestamp_ntz bitwise.
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    schema = EVENTS_RAW_DDL.replace("ts long", f"ts {probe_type}")
+        ts_expr = F.timestamp_micros(F.expr("ts div 1000"))
+    elif probe_type in ("timestamp", "timestamp_ntz"):
+        schema = EVENTS_RAW_DDL.replace("ts long", f"ts {probe_type}")
+        ts_expr = F.col("ts").cast("timestamp")
+    else:
+        # A missing/unexpected ts type must fail loudly here: falling through
+        # to cast(long AS timestamp) would interpret int64 as epoch SECONDS —
+        # a silent 10^6x error.
+        raise ValueError(
+            f"events dir {events_dir!r}: expected ts of type bigint/timestamp/"
+            f"timestamp_ntz, probe found {probe_type!r}"
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", ts_expr)
 
 
 def tumbling_counts(stream: DataFrame, width: str = "10 minutes",
