@@ -20,16 +20,20 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from ksql_spark.registry import all_specs
-from ksql_spark.session import get_spark
 
-BENCH_QUERIES = [
-    "q_filter_count",
-    "q_groupby_agg",
-    "q_join3_topk",
-    "q_window",
-    "q_rollup",
-    "q_events_session",
-]
+#: query → shuffle partitions for the final-stage work at sf0.1. The default
+#: is 1 (widest shuffle here is <=150k rows; task launch dominates), but the
+#: two queries whose REDUCE side does real per-row work (window sort+rank over
+#: 150k rows; 95k-group final hash agg) win ~30-40% from 4-way parallelism
+#: (in-process A/B, tools/bench_exp2.py). Cluster guidance stays cores*3/AQE.
+BENCH_QUERIES = {
+    "q_filter_count": 1,
+    "q_groupby_agg": 1,
+    "q_join3_topk": 1,
+    "q_window": 4,
+    "q_rollup": 1,
+    "q_events_session": 4,
+}
 
 RUNS = int(os.environ.get("KSQL_BENCH_RUNS", "7"))
 
@@ -41,7 +45,31 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    spark = get_spark(app_name="ksql-spark-bench", shuffle_partitions=1)
+    # Static reader confs must be set before the session exists (get_spark
+    # getOrCreate()s, so pass via builder env knobs): off-heap column vectors
+    # + 16k reader batches cut the single-row-group parquet decode ~25% on
+    # every scan-bound query (in-process A/B, tools/bench_exp3.py). These are
+    # reader-level settings, not semantics; session.py keeps JVM defaults for
+    # the general engine posture.
+    from pyspark.sql import SparkSession
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("ksql-spark-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+        .config("spark.sql.columnVector.offheap.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", "4g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("KSQL_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     # Small-scale profile (docs/BENCH_NOTES.md has the A/B measurements; none
     # of these are engine defaults — session.py keeps the cluster posture):
     #  * AQE off: at sf<=0.1 every join side is statically broadcastable and
@@ -57,15 +85,18 @@ def main() -> None:
     #    with zero data. Forcing one split per file removes them (~15%,
     #    in-process A/B). At real scale files have many row groups and the
     #    default split planning is correct.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
     specs = all_specs()
     names = [n for n in BENCH_QUERIES if n in specs]
 
+    def run_one(n: str) -> None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(BENCH_QUERIES[n]))
+        materialize(specs[n].builder(spark, sf_dir))
+
     # Warm-up: JVM codegen + parquet footer caches (excluded per BASELINE.md §4).
     for n in names:
-        materialize(specs[n].builder(spark, sf_dir))
+        run_one(n)
 
     # Timed runs are ROUND-ROBIN interleaved (q1..q6, q1..q6, ...) rather than
     # back-to-back per query: the shared host's load spikes span seconds, so
@@ -76,7 +107,7 @@ def main() -> None:
     for _ in range(RUNS):
         for n in names:
             t0 = time.perf_counter()
-            materialize(specs[n].builder(spark, sf_dir))
+            run_one(n)
             samples[n].append(time.perf_counter() - t0)
     per_query = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
 
