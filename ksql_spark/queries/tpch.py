@@ -212,3 +212,304 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    ref="TPC-H Q6 shape (forecast revenue change): pure scan query — every "
+    "predicate pushes to the parquet reader; SURVEY §2 B8/B10/D4 composite",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta if low-quantity discounts were dropped for one year.
+
+    Plan: single narrow scan — date/discount/quantity predicates all reach
+    PushedFilters, only 4 columns read, one partial+final agg, no join, no
+    wide exchange. The canonical 'is pushdown working' probe at any scale."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    ref="TPC-H Q4 shape (order priority checking): correlated EXISTS with a "
+    "non-equi condition on top of the key equality; SURVEY §2 B12/C9/D3 "
+    "composite",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that had at least one line shipped after the
+    order date, in one half-year.
+
+    Plan: LEFT SEMI join orders→lineitem on (l_orderkey = o_orderkey AND
+    l_shipdate > o_orderdate) — the equality is the hash key, the inequality
+    evaluates on matches, so no row explosion for multi-line orders. The
+    date filter prunes the probe side before the join; agg is 5 groups."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(100.0 * ({sql_dsum("CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+           / ({sql_dsum('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    ref="TPC-H Q14 shape (promotion effect): conditional aggregation over a "
+    "dimension join, ratio of two sums; SURVEY §2 B13/C1/D4 composite",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from PROMO-type parts.
+
+    Plan: part is the build side (broadcast — |part| = 0.2% of |lineitem|
+    at every SF); the month filter prunes the fact scan first. Both dsums
+    accumulate in the same partial agg pass; the ratio is a 1-row project.
+    The quantized dsum spelling makes the double division bit-identical to
+    the oracle."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / dsum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    ref="TPC-H Q18 shape (large-volume customers): IN-subquery with HAVING "
+    "threshold, 3-way join-back, top-k; SURVEY §2 B9/C1/D9/F5 composite",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 priciest orders whose total line quantity exceeds 250.
+
+    Plan: the HAVING subquery is a pre-aggregation of lineitem on its join
+    key — at scale this shuffle is reused by the subsequent join (same key).
+    The qualifying-key set is tiny (sub-percent of orders) and LEFT SEMI
+    broadcast-joins back into the fact; customer is broadcast; top-100 is
+    TakeOrderedAndProject with the o_orderkey tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(
+            F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    ref="TPC-H Q19 shape (discounted revenue, disjunctive predicates): "
+    "OR-of-ANDs across both join sides; SURVEY §2 B8/B13/C1 composite",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three disjunctive brand/size/quantity bands.
+
+    Plan: Catalyst splits the OR into per-side implied filters — the
+    p_brand IN (...) and p_size/l_quantity range envelopes push into BOTH
+    scans (CNF conversion), so neither side reads rows outside the union of
+    bands; the residual OR evaluates post-join. part broadcasts."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(band).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    ref="TPC-H Q10 shape (returned-item reporting): 4-way join, group on "
+    "customer attrs, top-20 by revenue; SURVEY §2 C1/D3/F5 composite",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns in one half-year.
+
+    Plan: returnflag filter pushes into the lineitem scan; the date filter
+    into orders; customer/nation broadcast. Grouping key includes the
+    functionally-dependent c_name/n_name so no second join-back is needed.
+    Top-20 is TakeOrderedAndProject with the c_custkey tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-15'
+      AND l_shipdate  > TIMESTAMP '1996-06-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    ref="TPC-H Q3 shape (shipping priority): segment-filtered 3-way join, "
+    "unshipped-revenue top-10; SURVEY §2 C1/D3/F5 composite",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten highest-revenue BUILDING-segment orders booked before but still
+    shipping after the cutoff date.
+
+    Plan: the segment filter shrinks customer before its broadcast; both
+    date predicates push into their scans; one hash agg on (o_orderkey,
+    o_orderdate); top-10 via TakeOrderedAndProject with key tiebreak."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
