@@ -1,0 +1,64 @@
+"""Scale-shape building blocks: distributed forms of inherently-ordered
+operations (global cumulative sums) that a naive formulation would funnel
+through a single task.
+
+The pattern here is the zipWithIndex decomposition (SURVEY.md §4.3):
+  1. repartitionByRange on the global sort key → partition p holds a
+     contiguous key range and partitions are ordered by p (localCheckpoint
+     pins the partitioning so both passes see identical boundaries);
+  2. per-partition running sum via a window PARTITIONED by
+     spark_partition_id() — parallel, no global exchange;
+  3. one bounded driver job collects the per-partition totals (#partitions
+     rows, never corpus rows) and prefix-sums them;
+  4. broadcast-join the per-partition starting offsets back.
+At 100 TB step 1's localCheckpoint becomes a reliable checkpoint dir; steps
+2-4 are unchanged. test_plans.py gates that no Exchange SinglePartition
+appears in consumers' plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def ranged_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cumsum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = INCLUSIVE global running sum of `value_col` over the
+    total order given by `order_cols` (names or Column sort exprs; the order
+    must be total — include a unique tiebreak key, or rows that compare equal
+    get an arbitrary but stable relative order within their range partition).
+
+    Returns df's columns + out_col. Internal columns are dropped.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in parts.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    running, offset_rows = 0, []
+    for pid in sorted(totals):  # range partitions are globally ordered by pid
+        offset_rows.append((pid, running))
+        running += totals[pid]
+    offsets = spark.createDataFrame(offset_rows, "_pid int, _start long")
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_start") + F.sum(value_col).over(w_local))
+        .drop("_pid", "_start")
+    )

@@ -4,6 +4,7 @@ query into ksql_spark.registry via the @query decorator."""
 from ksql_spark.queries import (  # noqa: F401
     aggregates,
     bench,
+    curation,
     filters,
     functions,
     graph,

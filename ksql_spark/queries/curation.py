@@ -1,0 +1,267 @@
+"""Corpus-curation operators (SURVEY.md §2.K [EXT]) — the selection/ordering
+decisions a pretraining data pipeline makes AFTER per-document signals exist:
+curriculum bucketing, token-budget selection, prefix dedup, vocabulary
+extraction, outlier clipping.
+
+All pure DataFrame ops (no Python in the hot path). Global-order steps use
+either broadcast quantile thresholds (no window at all) or the
+range-partitioned cumsum from operators/scale.py — never a single-partition
+window. Reference analog: the reference engine has no corpus tooling
+(ksql.js:131-134 defines only K8s tables); these extend the mandated
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ksql_spark.operators import text
+from ksql_spark.operators.scale import ranged_cumsum
+from ksql_spark.registry import davg, query, sql_davg
+from ksql_spark.tables import load
+
+#: DuckDB spelling of operators/text.py:quality_score (same formula as the
+#: llm_quality_score oracle — single-space corpora make string_split(text,' ')
+#: identical to the \s+ split).
+SQL_QUALITY = """
+    0.4 * least(1.0, len(string_split(text,' ')) / 100.0)
+    + 0.3 * (len(list_distinct(string_split(text,' '))) * 1.0
+             / len(string_split(text,' ')))
+    + 0.3 * (len(list_filter(string_split(text,' '),
+                 x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+             / len(string_split(text,' ')))
+"""
+
+TOKEN_BUDGET = 25_000
+
+
+@query(
+    "llm_curriculum",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+               ({SQL_QUALITY}) AS quality
+        FROM documents
+    ),
+    q AS (
+        SELECT quantile_cont(quality, 0.25) AS q1,
+               quantile_cont(quality, 0.50) AS q2,
+               quantile_cont(quality, 0.75) AS q3
+        FROM scored
+    )
+    SELECT CAST(CASE WHEN quality <= q1 THEN 0
+                     WHEN quality <= q2 THEN 1
+                     WHEN quality <= q3 THEN 2
+                     ELSE 3 END AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           {sql_davg('quality')} AS avg_quality
+    FROM scored, q
+    GROUP BY bucket
+    """,
+    ref="SURVEY §2 K4/K10 [EXT] (curriculum bucketing: quality quartiles → "
+    "training phases; threshold-broadcast formulation, no global window)",
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile curriculum buckets by quality score: bucket 0 = lowest
+    quality (train first / drop), bucket 3 = highest (anneal on).
+
+    Scale shape: the obvious NTILE(4) is a single-partition global window.
+    Instead the three quartile boundaries are computed in ONE aggregation
+    (exact percentile here; percentile_approx at 100 TB — same plan shape),
+    broadcast as a 1-row cross join, and the bucket is a per-row CASE —
+    scan-bound, no window anywhere. Exact interpolated percentiles match
+    DuckDB's quantile_cont bitwise (proven by the agg_quantiles entry)."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        text.word_count("text").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+    q = scored.agg(
+        F.percentile("quality", F.lit(0.25)).alias("q1"),
+        F.percentile("quality", F.lit(0.50)).alias("q2"),
+        F.percentile("quality", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("quality") <= F.col("q1"), 0)
+        .when(F.col("quality") <= F.col("q2"), 1)
+        .when(F.col("quality") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        scored.crossJoin(F.broadcast(q))
+        .select("doc_id", "n_tokens", "quality", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            davg("quality").alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "llm_token_budget",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+               ({SQL_QUALITY}) AS quality
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens < {TOKEN_BUDGET} AS selected
+    FROM scored
+    """,
+    ref="SURVEY §2 K4/K10/K11 [EXT] (token-budget selection: greedy "
+    "best-quality-first until the training budget fills; the cumsum is the "
+    "range-partitioned two-pass, not a global window)",
+)
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered selection under a total token budget: a doc is
+    selected iff the budget is not yet exhausted when its turn comes (its
+    exclusive running offset < budget). Every doc is returned with its
+    running total and verdict, so downstream can audit the cut line.
+
+    Scale shape: cumsum over (quality DESC, doc_id) via
+    operators/scale.py:ranged_cumsum — range partitioning on the sort key
+    keeps the prefix-sum parallel; no Exchange SinglePartition
+    (test_plans.py gate)."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        text.word_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+    cum = ranged_cumsum(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id")],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) < TOKEN_BUDGET).alias("selected"),
+    )
+
+
+@query(
+    "llm_dedup_prefix",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')
+                   AS prefix
+        FROM documents
+    ),
+    g AS (
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS group_size,
+               MIN(doc_id) AS canon
+        FROM p GROUP BY prefix
+    )
+    SELECT p.doc_id, g.group_size, p.doc_id = g.canon AS is_canonical
+    FROM p JOIN g USING (prefix)
+    """,
+    ref="SURVEY §2 K2 [EXT] (prefix dedup: the CommonCrawl-style "
+    "first-k-words duplicate heuristic — catches boilerplate mirrors that "
+    "differ only in tails; complements MinHash (llm_dedup_near) and exact "
+    "hash (llm_dedup_exact))",
+)
+def llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group documents by their first-8-words prefix; the minimum doc_id in
+    each group is canonical, the rest are prefix-duplicates.
+
+    Scale shape: one shuffle on the prefix for the group stats; the
+    stats-side output partitioning matches the join key so only the probe
+    side exchanges again. At 100 TB the join key should be xxhash64(prefix)
+    (8 bytes instead of a string) — same plan, smaller shuffle; the string
+    key here keeps the oracle exact."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(text.words("text"), 1, 8)).alias("prefix"),
+    )
+    g = p.groupBy("prefix").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("canon")
+    )
+    return p.join(g, "prefix").select(
+        "doc_id",
+        "group_size",
+        (F.col("doc_id") == F.col("canon")).alias("is_canonical"),
+    )
+
+
+@query(
+    "llm_vocab_topk",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 200
+    """,
+    ref="SURVEY §2 K4 [EXT] (corpus vocabulary: explode→count→top-k, the "
+    "seed step of any tokenizer/vocab build)",
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary by raw frequency (deterministic word
+    tiebreak).
+
+    Scale shape: explode→partial count (map-side combine shrinks each task's
+    output to its distinct words)→final count on the word key→
+    TakeOrderedAndProject. The only wide exchange carries (word, partial
+    count) pairs — vocabulary-sized, not corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(200)
+    )
+
+
+@query(
+    "llm_winsorize",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           least(greatest(CAST(n_chars AS DOUBLE), lo), hi)
+               AS n_chars_winsorized
+    FROM documents, q
+    """,
+    ref="SURVEY §2 K4/D8 [EXT] (winsorization: clip a numeric feature at "
+    "p05/p95 — standard outlier treatment before length-balanced sampling)",
+)
+def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip document length at the exact 5th/95th percentiles.
+
+    Scale shape: identical to llm_curriculum — percentiles in one agg
+    (percentile_approx at 100 TB), broadcast 1-row cross join, per-row
+    least/greatest. No window, no second shuffle."""
+    d = load(spark, sf_dir, "documents")
+    q = d.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return d.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "n_chars",
+        F.least(
+            F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+        ).alias("n_chars_winsorized"),
+    )

@@ -218,8 +218,9 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable integer math; a chunk spanning a boundary starts the next
     pack's overflow (offset-based packing, the standard approximation).
 
-    Scale shape (the zipWithIndex pattern): a naive global cumsum is a
-    single-partition window — the whole corpus through one task. Instead:
+    Scale shape (the zipWithIndex pattern, operators/scale.py:ranged_cumsum):
+    a naive global cumsum is a single-partition window — the whole corpus
+    through one task. Instead:
       1. repartitionByRange on the sort key → partition p holds a contiguous
          key range, all ranges ordered across p (localCheckpoint pins the
          partitioning so both passes see identical boundaries);
@@ -252,37 +253,16 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("n_tokens"),
         )
     )
-    from pyspark.sql import Window
+    from ksql_spark.operators.scale import ranged_cumsum
 
-    n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    parts = (
-        chunks.repartitionByRange(n_parts, "doc_id", "chunk_idx")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    totals = {
-        r["_pid"]: r["t"]
-        for r in parts.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    running, offset_rows = 0, []
-    for pid in sorted(totals):  # range partitions are globally ordered by pid
-        offset_rows.append((pid, running))
-        running += totals[pid]
-    offsets = spark.createDataFrame(offset_rows, "_pid int, _start long")
-    offset = F.col("_start") + F.sum("n_tokens").over(w_local) - F.col("n_tokens")
-    return (
-        parts.join(F.broadcast(offsets), "_pid")
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "n_tokens",
-            F.floor(offset / PACK_BUDGET).cast("int").alias("pack_id"),
-        )
+    offset = F.col("_cum") - F.col("n_tokens")  # exclusive running offset
+    return ranged_cumsum(
+        chunks, ["doc_id", "chunk_idx"], "n_tokens", out_col="_cum"
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.floor(offset / PACK_BUDGET).cast("int").alias("pack_id"),
     )
 
 
