@@ -59,10 +59,11 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple = ())
 # registry (rounds 1 and 2 each checked exactly the first 50 entries in
 # registration order). Expose the registry in an explicit verification-priority
 # order so every entry lands in some round's window:
-#   0. entries NEVER driver-checked (not in CORRECTNESS_r01/r02) — includes any
-#      entry added this round,
+#   0. entries NEVER driver-checked (not in CORRECTNESS_r01/r02/r03) —
+#      includes any entry added this round,
 #   1. entries last checked in round 1 (refresh),
-#   2. entries verified in round 2 (most recent signal; go last).
+#   2. entries verified in round 2,
+#   3. entries verified in round 3 (most recent signal; go last).
 # Within a group, oracle-backed entries outrank rows-only ones: a rows-only
 # check loses the least by falling outside a capped driver window.
 _R1_CHECKED = frozenset({
@@ -96,9 +97,31 @@ _R2_CHECKED = frozenset({
 })
 
 
+_R3_CHECKED = frozenset({
+    "agg_corr", "agg_conditional", "agg_skew_twostage", "agg_quantiles",
+    "fn_bitwise", "fn_json_extract", "fn_array_index", "fn_struct_build",
+    "fn_array_ops", "fn_map_ops", "flatten_explode", "fn_url_parse",
+    "ann_lsh_recall", "llm_text_stats", "llm_token_count",
+    "llm_quality_score", "llm_lang_id", "llm_tfidf", "llm_length_histogram",
+    "llm_sample_stratified", "llm_fingerprint", "llm_multimodal_meta",
+    "llm_decontaminate", "llm_domain_mix", "llm_boilerplate_ngrams",
+    "llm_dup_stats", "llm_cross_dedup", "llm_shard_assign", "llm_emb_cluster",
+    "ann_pq_recall", "llm_doc_boilerplate_ratio", "events_retention_cohort",
+    "llm_chunk_sliding", "llm_scrub_pii", "llm_repetition_ratio",
+    "llm_pack_sequences", "llm_corpus_filter", "tpch_q5_local_supplier",
+    "tpch_q2_min_cost_supplier", "tpch_q13_order_distribution",
+    "tpch_q22_dormant_customers", "win_distribution_scaled", "scan_k8s_pods",
+    "llm_dedup_near", "llm_dedup_cluster", "llm_dedup_simhash",
+    "ann_ivf_topk", "ann_lsh_topk", "llm_multimodal_features",
+    "llm_multimodal_frames",
+})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R2_CHECKED:
+    if spec.name in _R3_CHECKED:
+        group = 3
+    elif spec.name in _R2_CHECKED:
         group = 2
     elif spec.name in _R1_CHECKED:
         group = 1
