@@ -5,13 +5,14 @@ Scale notes: nation/region are broadcast (fixed 25/5 rows at any SF); the
 lineitem⋈orders⋈customer joins shuffle on their keys with AQE handling skew;
 aggregations are partial+final hash aggs (map-side combine) automatically.
 
-Builders are single `spark.sql()` template calls over `load()`-ed DataFrames
-(Spark 3.4+ DataFrame template args): the whole plan crosses Python→JVM in ONE
-py4j round-trip, vs ~50-120 ms of per-Column round-trips for the equivalent
-Column-expression formulation — that chatter was ~20% of the measured bench
-total at sf0.1, pure driver-side overhead the oracle engine does not pay.
-Semantics and plan shape are identical to the Column form (same aliases, same
-dsum scaled-long spelling; see registry.dsum).
+Builders are single plain-string `spark.sql()` calls over temp views kept
+current by tables.ensure_views (re-registered only when sf_dir changes): one
+py4j round-trip with NO plan serialization. Measured per-call build cost:
+plain-SQL-on-views ~21 ms vs DataFrame-template ~36 ms vs per-Column chatter
+~50-120 ms (tools/bench_exp3.py) — pure driver-side overhead the oracle
+engine does not pay. A view resolves at analysis time, so a built DataFrame
+is immune to later re-registration. Semantics and plan shape are identical
+to the Column form (same aliases, same dsum scaled-long spelling).
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ksql_spark.registry import query, sql_davg, sql_dsum
-from ksql_spark.tables import load
+from ksql_spark.tables import ensure_views
 
 # Spark-dialect spelling of registry.dsum/davg (cast double->long truncates
 # toward zero in both engines; see registry.py determinism notes).
@@ -42,14 +43,13 @@ def _sp_davg(expr: str) -> str:
 )
 def q_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + global count. Predicates push down to the parquet scan."""
-    li = load(spark, sf_dir, "lineitem")
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT COUNT(*) AS cnt
-        FROM {li}
+        FROM lineitem
         WHERE l_quantity > 25 AND l_discount BETWEEN 0.02 AND 0.06
-        """,
-        li=li,
+        """
     )
 
 
@@ -69,7 +69,7 @@ def q_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style 2-key hash aggregation (partial+final agg, no sort needed)."""
-    li = load(spark, sf_dir, "lineitem")
+    ensure_views(spark, sf_dir)
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
@@ -78,10 +78,9 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_sp_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
                {_sp_davg('l_quantity')} AS avg_qty,
                COUNT(*) AS count_order
-        FROM {{li}}
+        FROM lineitem
         GROUP BY l_returnflag, l_linestatus
-        """,
-        li=li,
+        """
     )
 
 
@@ -109,24 +108,20 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders/customer too (statically, or via AQE when on). Final top-10 is
     TakeOrderedAndProject (no full sort).
     """
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
+    ensure_views(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT /*+ BROADCAST(n) */ n_name,
+        SELECT /*+ BROADCAST(nation) */ n_name,
                {_sp_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
                COUNT(*) AS line_count
-        FROM {{li}}
-        JOIN {{o}} ON l_orderkey = o_orderkey
-        JOIN {{c}} ON o_custkey = c_custkey
-        JOIN {{n}} n ON c_nationkey = n_nationkey
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
         LIMIT 10
-        """,
-        li=li, o=o, c=c, n=n,
+        """
     )
 
 
@@ -146,8 +141,7 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price. row_number over (custkey, price desc)
     with o_orderkey tie-break for determinism (SURVEY §5.2)."""
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT c_custkey, o_orderkey, o_totalprice, rnk FROM (
@@ -155,10 +149,9 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROW_NUMBER() OVER (
                        PARTITION BY c_custkey
                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-            FROM {o} JOIN {c} ON o_custkey = c_custkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
         ) WHERE rnk <= 3
-        """,
-        o=o, c=c,
+        """
     )
 
 
@@ -173,13 +166,12 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(status, priority) counts — hierarchy totals incl. grand total."""
-    o = load(spark, sf_dir, "orders")
+    ensure_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
-        FROM {o} GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        """,
-        o=o,
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """
     )
 
 
@@ -197,14 +189,13 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-user aggregation over the events table (batch form of the
     tumbling-window streaming agg; same expression works under readStream)."""
-    ev = load(spark, sf_dir, "events")
+    ensure_views(spark, sf_dir)
     return spark.sql(
         f"""
         SELECT date_trunc('hour', ts) AS hour_ts, user_id,
                COUNT(*) AS n_events,
                {_sp_dsum('value')} AS sum_value
-        FROM {{ev}}
+        FROM events
         GROUP BY hour_ts, user_id
-        """,
-        ev=ev,
+        """
     )

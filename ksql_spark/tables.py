@@ -56,8 +56,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: session → sf_dir whose tables the session's temp views currently point at.
+_VIEWS_DIR: dict = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register all driver tables as temp views (mirrors ksql.js:128-135 table setup)."""
     sf_dir = sf_dir or default_sf_dir()
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_DIR[spark] = sf_dir
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """register_views, skipped when this session's views already point at
+    sf_dir. Safe because spark.sql resolves a view at ANALYSIS time — a
+    DataFrame built after ensure_views keeps its plan even if the views are
+    re-pointed later. Callers that bypass register_views and re-register
+    these view names directly would go stale — register_views is the single
+    registration path for the driver tables."""
+    if _VIEWS_DIR.get(spark) != sf_dir:
+        register_views(spark, sf_dir)
