@@ -418,3 +418,66 @@ def test_real_wav_audio_decode(spark):
     assert rows[1].duration_ms == 500 and rows[1].n_channels == 1
     assert rows[2].sample_rate == 44100 and rows[2].duration_ms == 1000
     assert rows[2].n_channels == 2
+
+
+def test_events_stream_empty_dir_starts_before_files(spark, tmp_path):
+    """ADVICE r3: the stream must be constructible on an EMPTY replay dir
+    (standard start-stream-then-feed pattern) by falling back to the driver
+    nanos layout, and must then consume files fed AFTER construction."""
+    d = tmp_path / "replay"
+    d.mkdir()
+    stream = jobs.events_stream(spark, str(d), max_files_per_trigger=4)
+    agg = jobs.tumbling_counts(stream, width="10 minutes", watermark="0 seconds")
+    # feed one nanos-layout file after the stream exists
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [(base_us + i * 60_000_000) * 1000 for i in range(3)],  # nanos
+            "user_id": [7, 7, 8],
+            "event_type": ["a", "b", "a"],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema), d / "part-0.parquet")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("empty_dir_replay")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT SUM(n_events) AS n FROM empty_dir_replay").collect()
+    assert rows[0]["n"] == 3
+
+
+def test_events_stream_rejects_unexpected_ts_type(spark, tmp_path):
+    """ADVICE r3: a ts column that is neither int64-nanos nor a timestamp
+    must fail LOUDLY at stream construction (a silent cast would misread
+    int64 as epoch seconds)."""
+    import pandas as pd
+    import pytest
+
+    d = tmp_path / "badts"
+    d.mkdir()
+    pd.DataFrame({"event_id": [1], "ts": ["2024-01-01"], "user_id": [1],
+                  "event_type": ["a"], "value": [1.0], "props": ["{}"]}
+                 ).to_parquet(d / "p.parquet")
+    with pytest.raises(ValueError, match="expected ts"):
+        jobs.events_stream(spark, str(d))
