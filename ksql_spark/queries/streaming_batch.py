@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ksql_spark.registry import dsum, query, sql_dsum
+from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
 from ksql_spark.tables import load
 
 
@@ -209,4 +209,118 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "events_resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('day', MIN(ts)) AS d0,
+               date_trunc('day', MAX(ts)) AS d1
+        FROM events GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+        FROM bounds
+    ),
+    daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, day_ts
+    )
+    SELECT s.user_id, s.day_ts,
+           COALESCE(d.n_events, 0) AS n_events,
+           d.n_events IS NULL AS was_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day_ts = d.day_ts
+    """,
+    ref="SURVEY §2 I2/C2 [EXT] composite (time-series resample with gap "
+    "fill: dense per-user daily spine, zero-filled — the standard prep step "
+    "before any per-user rate/trend model)",
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily event counts: every day between a user's first
+    and last event appears, with 0 + was_gap=true for silent days.
+
+    Scale shape: one shuffle on user_id for the bounds agg; sequence()
+    generates each user's spine INSIDE the agg output partition (narrow
+    explode — no cross join against a calendar table); the daily counts
+    shuffle on the same leading key. Spine size is bounded by
+    users x days-of-history — at 100 TB partition the left join on
+    (user_id) so both sides co-locate (the daily agg's exchange is reused).
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day_ts"),
+    )
+    daily = ev.groupBy(
+        "user_id", day.alias("day_ts")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        spine.join(daily, ["user_id", "day_ts"], "left")
+        .select(
+            "user_id",
+            F.col("day_ts").cast("timestamp_ntz").alias("day_ts"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("was_gap"),
+        )
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               {sql_davg('value')} AS mu,
+               {sql_dsum('value * value')} AS sq,
+               {sql_dsum('value')} AS s,
+               CAST(COUNT(value) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - mu) / sqrt((sq - s * s / n) / (n - 1)) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((e.value - mu) / sqrt((sq - s * s / n) / (n - 1))) > 3.0
+    """,
+    ref="SURVEY §2 D7/C1 [EXT] composite (per-group z-score outliers: "
+    "group stats broadcast back onto the stream — telemetry anomaly "
+    "flagging; variance via the quantized-sum formula so the oracle "
+    "comparison is bitwise)",
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3 sample standard deviations from their event
+    type's mean.
+
+    Deterministic variance: plain stddev_samp accumulates doubles in
+    partition order (low bits vary run to run and vs DuckDB), so the
+    variance is built from quantized dsum/davg terms —
+    (Σx² − (Σx)²/n)/(n−1) — which are bit-identical in both engines.
+
+    Scale shape: the stats table is |event types| rows → broadcast join;
+    the events side is a single narrow scan. No wide exchange at any SF."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg("value").alias("mu"),
+        dsum(F.col("value") * F.col("value")).alias("sq"),
+        dsum("value").alias("s"),
+        F.count("value").alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(
+        (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3.0)
     )
