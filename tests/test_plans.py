@@ -222,3 +222,44 @@ def test_retention_single_user_shuffle(spark):
     plan = plan_of(spark, "events_retention_cohort")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_curriculum_no_window(spark):
+    """Curriculum bucketing must use broadcast quantile thresholds, not the
+    NTILE global window it replaces: no Window node at all, thresholds
+    arrive via a broadcast join."""
+    plan = plan_of(spark, "llm_curriculum")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+
+
+def test_winsorize_no_window_broadcast_thresholds(spark):
+    plan = plan_of(spark, "llm_winsorize")
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+
+
+def test_vocab_topk_single_word_exchange(spark):
+    """Vocabulary: explode → partial count → ONE hash exchange on the word
+    key → TakeOrderedAndProject. No join, no sort of the full vocab."""
+    plan = plan_of(spark, "llm_vocab_topk")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(word") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zscore_broadcasts_stats(spark):
+    """The per-type stats table is |event types| rows — it must broadcast;
+    the events side must not hash-exchange for the join."""
+    plan = plan_of(spark, "events_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    probe_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_gapfill_spine_is_narrow_explode(spark):
+    """The per-user daily spine comes from sequence()+explode inside the
+    bounds-agg output — there must be no cartesian/calendar join."""
+    plan = plan_of(spark, "events_resample_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
