@@ -265,3 +265,41 @@ def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
         ).alias("n_chars_winsorized"),
     )
+
+
+@query(
+    "llm_sample_weighted",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, ({SQL_QUALITY}) AS quality
+        FROM documents
+    )
+    SELECT doc_id, quality,
+           (((doc_id * 2654435761) % 4294967296) / 4294967296.0) < quality
+               AS selected
+    FROM scored
+    """,
+    ref="SURVEY §2 K10 [EXT] (quality-weighted sampling: keep-probability = "
+    "quality via the Knuth multiplicative hash — deterministic, seedless, "
+    "engine-portable integer math; complements the uniform hash-mod "
+    "llm_sample_stratified)",
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus sampling: each document is kept with probability equal
+    to its quality score, decided by a deterministic per-key uniform draw
+    u = (doc_id * 2654435761 mod 2^32) / 2^32 (Knuth's multiplicative hash
+    — exact BIGINT math, so Spark and the oracle agree bitwise; a seed would
+    be an added XOR on doc_id).
+
+    Scale shape: pure narrow scan — no shuffle, no window, no join; the
+    decision is a per-row expression. The standard way to thin 100 TB to a
+    quality-weighted subset in one pass."""
+    d = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    return d.select(
+        "doc_id",
+        text.quality_score("text").alias("quality"),
+        (u < F.col("quality")).alias("selected"),
+    )
