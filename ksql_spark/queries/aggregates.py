@@ -497,3 +497,37 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_q")[3].alias("p90"),
         )
     )
+
+
+@query(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem
+    """,
+    ref="SURVEY §2 D8/D14 (approx percentile sketch vs exact, 1% tolerance "
+    "gate — the sketch is what actually runs at 100 TB, the exact form is "
+    "the small-scale oracle; same tolerance-oracle pattern as ann_*_recall)",
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate that percentile_approx (KLL-style sketch, mergeable across
+    partitions — the only formulation that scales) lands within 1% of the
+    exact interpolated percentile on p50/p90 of l_extendedprice.
+
+    The emitted booleans are computed Spark-side from BOTH estimates; the
+    oracle asserts they are TRUE — a tolerance oracle, recorded as such."""
+    l = load(spark, sf_dir, "lineitem")
+    both = l.agg(
+        F.count("*").alias("n_rows"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("e90"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("a90"),
+    )
+    tol = 0.01
+    return both.select(
+        "n_rows",
+        (F.abs(F.col("a50") - F.col("e50")) <= tol * F.abs(F.col("e50"))).alias("p50_ok"),
+        (F.abs(F.col("a90") - F.col("e90")) <= tol * F.abs(F.col("e90"))).alias("p90_ok"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ksql_spark.registry import query
+from ksql_spark.registry import davg, query, sql_davg
 from ksql_spark.tables import load
 
 
@@ -363,4 +363,159 @@ def join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.event_id").alias("view_id"),
         F.col("b.event_id").alias("buy_id"),
         F.col("b.value").alias("buy_value"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(event_type, 'view') AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM events GROUP BY k
+    ),
+    b AS (
+        SELECT NULLIF(event_type, 'view') AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM events WHERE user_id % 2 = 0 GROUP BY k
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    ref="SURVEY §2 C1/C6 (null-safe equality join: Spark `<=>` vs ANSI "
+    "IS NOT DISTINCT FROM — NULL keys MATCH each other instead of silently "
+    "dropping, the standard trap when a join key is derived via NULLIF / "
+    "failed parses)",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two aggregates on a deliberately-nullable key with eqNullSafe:
+    the NULL group survives the join (a plain `=` would drop it).
+
+    Plan note: `<=>` still hash-partitions both sides on the key (NULL
+    hashes to a bucket like any value), so the join stays a hash join —
+    no fallback to nested-loop. Same at any scale."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("NULLIF(event_type, 'view')")
+    a = ev.groupBy(k.alias("k")).agg(F.count("*").alias("n_a"))
+    b = (
+        ev.where(F.col("user_id") % 2 == 0)
+        .groupBy(k.alias("kb"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .select("k", "n_a", "n_b")
+    )
+
+
+#: Salt fan-out for the skew-join demonstration (cluster guidance: pick the
+#: hot key's row count / target-partition-size; 8-16 is typical).
+SALT_N = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(user_avg) AS user_avg
+    FROM events
+    JOIN (SELECT user_id AS du, {sql_davg('value')} AS user_avg
+          FROM events GROUP BY du) d
+      ON user_id = du
+    GROUP BY user_id
+    """,
+    ref="SURVEY §2 C1/D3 (salted skew join: fact side salts the key, dim "
+    "side replicates x SALT_N so a hot key spreads over SALT_N reducers — "
+    "the manual form of AQE's skew-join splitting, usable when the skewed "
+    "side is a JOIN input rather than a shuffle AQE can see)",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts joined with per-user average value, executed as
+    a salted join: fact key (user_id, salt = event_id mod 8), dim rows
+    replicated across all 8 salts. Result is IDENTICAL to the unsalted join
+    (the oracle spells the plain form) — the salt only changes partitioning.
+
+    Scale shape: a hot user's rows land in 8 different reduce partitions
+    instead of one; the dim replication is x8 on the SMALL side only. The
+    final re-aggregation on user_id restores per-key totals."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("user_id").alias("du")).agg(
+        davg("value").alias("user_avg")
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(SALT_N)))
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_N)]))
+    )
+    return (
+        fact.join(
+            dim_rep,
+            (F.col("user_id") == F.col("du")) & (fact["_salt"] == dim_rep["_salt"]),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.min("user_avg").alias("user_avg"))
+    )
+
+
+#: (session, sf_dir) pairs whose bucketed tables already exist this session.
+_BUCKETED: set = set()
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write bucketed+sorted copies of orders/customer ONCE per session+dir
+    (8 buckets on the join key). This is the ingest-side investment that buys
+    shuffle-free joins forever after — the Spark-native analog of a
+    co-partitioned table layout."""
+    tag = abs(hash(sf_dir)) % 10**8
+    ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    key = (id(spark), sf_dir)
+    if key in _BUCKETED and spark.catalog.tableExists(ot):
+        return ot, ct
+    (
+        load(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ot)
+    )
+    (
+        load(spark, sf_dir, "customer")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ct)
+    )
+    _BUCKETED.add(key)
+    return ot, ct
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    ref="SURVEY §2 A6/C1 + §4.3 (bucketed co-located join: both tables "
+    "bucketed+sorted on the join key at write time -> SortMergeJoin with "
+    "ZERO exchanges and ZERO sorts at read time; the physical layout "
+    "strategy for repeatedly-joined 100 TB tables)",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer via 8-bucket co-located layout, then a small
+    re-aggregation by segment (the only exchange in the plan).
+
+    The MERGE hint pins SortMergeJoin so the gate proves the bucket layout
+    (not a broadcast) is what removed the exchanges: bucket count matches on
+    both sides, sortBy matches the join key, so neither side shuffles OR
+    sorts (test_plans.py:test_bucketed_join_no_exchange_no_sort)."""
+    ot, ct = _ensure_bucketed(spark, sf_dir)
+    o = spark.table(ot)
+    c = spark.table(ct)
+    return (
+        o.hint("merge")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
     )

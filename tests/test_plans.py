@@ -263,3 +263,34 @@ def test_gapfill_spine_is_narrow_explode(spark):
     plan = plan_of(spark, "events_resample_gapfill")
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
+
+
+def test_bucketed_join_no_exchange_no_sort(spark):
+    """Bucketed+sorted tables joined on the bucket key must SortMergeJoin
+    with no Exchange and no Sort on either input: the layout IS the shuffle,
+    paid once at write time. (The only exchange allowed is the downstream
+    re-agg on c_mktsegment.)"""
+    plan = plan_of(spark, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert "SelectedBucketsCount" in plan  # scans really are bucket-pruned reads
+
+
+def test_salted_join_restores_totals(spark):
+    """The salted join's re-aggregation must equal the plain per-user counts
+    (salt is partitioning-only)."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.tables import load
+
+    df = SPECS["join_salted_skew"].builder(spark, SF_DIR)
+    got = {r["user_id"]: r["n_events"] for r in df.collect()}
+    truth = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == truth
