@@ -303,3 +303,89 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score("text").alias("quality"),
         (u < F.col("quality")).alias("selected"),
     )
+
+
+_NORM_SQL = """
+sqrt(list_reduce(
+    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+    (acc, p) -> acc + p))
+"""
+
+
+@query(
+    "llm_pipeline_e2e",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(string_split(text,' ')) AS n_tokens,
+               ({SQL_QUALITY}) AS quality
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM scored WHERE quality >= 0.3
+    ),
+    canon AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+        FROM gated GROUP BY h
+    ),
+    deduped AS (
+        SELECT g.* FROM gated g JOIN canon c
+          ON md5(g.text) = c.h AND g.doc_id = c.keep_id
+    )
+    SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens, d.quality,
+           {_NORM_SQL} AS emb_norm
+    FROM deduped d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE (((d.doc_id * 2654435761) % 4294967296) / 4294967296.0) < d.quality
+    """,
+    ref="SURVEY §2 K1/K4/K6/K10 [EXT] composite (the flagship shard-build "
+    "pipeline: quality gate -> exact dedup -> embedding join -> weighted "
+    "selection, ONE declarative plan end-to-end — what a user actually runs "
+    "nightly over the corpus)",
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard selection in a single Catalyst plan:
+
+      1. score quality + token counts (narrow scan);
+      2. gate quality >= 0.3 (filter, pushed into the scan's project);
+      3. exact dedup — keep the min doc_id per md5(text) (one shuffle on the
+         hash; the canonical set joins back on the same key, exchange
+         reused);
+      4. join the embeddings table on doc_id = vec_id (at 100 TB both sides
+         hash on the id; here the deduped side broadcasts);
+      5. weighted keep via the deterministic Knuth draw (per-row expr);
+      6. emit the shard manifest: id, tokens, quality, embedding L2 norm.
+
+    Because every stage is an engine-portable expression, the WHOLE pipeline
+    is oracle-exact — not just its pieces. One job, three exchanges total
+    (dedup agg + its join-back + embedding join), everything else narrow."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.word_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.3)
+    h = F.md5(F.col("text").cast("binary"))
+    canon = (
+        scored.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    )
+    deduped = scored.join(
+        canon,
+        (h == F.col("h")) & (F.col("doc_id") == F.col("keep_id")),
+    )
+    from ksql_spark.operators import vectors
+
+    u = (
+        (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    return (
+        deduped.join(e, F.col("doc_id") == F.col("vec_id"))
+        .where(u < F.col("quality"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            vectors.l2_norm("embedding").alias("emb_norm"),
+        )
+    )
