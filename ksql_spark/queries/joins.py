@@ -465,7 +465,11 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     (8 buckets on the join key). This is the ingest-side investment that buys
     shuffle-free joins forever after — the Spark-native analog of a
     co-partitioned table layout."""
-    tag = abs(hash(sf_dir)) % 10**8
+    import hashlib
+
+    # stable across processes (hash() is PYTHONHASHSEED-salted, which would
+    # mint new table names — and warehouse litter — every run)
+    tag = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16)
     ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
     key = (id(spark), sf_dir)
     if key in _BUCKETED and spark.catalog.tableExists(ot):

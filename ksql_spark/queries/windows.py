@@ -318,3 +318,43 @@ def win_distribution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") / F.lit(float(n))).alias("cume"),
         )
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_totalprice /
+           (CAST(SUM(CAST(o_totalprice * 1000000.0 + 0.5 AS BIGINT))
+                 OVER (PARTITION BY o_custkey) AS DOUBLE) / 1000000.0)
+               AS share_of_customer
+    FROM orders WHERE o_custkey < 200
+    """,
+    ref="SURVEY §2 E3 (ratio-to-report: each row's share of its partition "
+    "total — the classic contribution-percentage window)",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's share of its customer's total spend.
+
+    Plan: one hash exchange on o_custkey, unbounded-frame sum evaluated in a
+    single pass per partition (no sort needed for an unordered frame). The
+    partition total goes through the quantized scaled-long accumulation
+    (registry.py determinism notes) so the share is bit-identical regardless
+    of the row order the frame iterates — a raw double SUM would expose
+    shuffle-read order in the low bits."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.col("o_totalprice")
+            / (
+                F.sum(
+                    (F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+                ).over(w).cast("double")
+                / 1000000.0
+            )
+        ).alias("share_of_customer"),
+    )
