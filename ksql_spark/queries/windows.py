@@ -325,7 +325,7 @@ def win_distribution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
            o_totalprice /
-           (CAST(SUM(CAST(o_totalprice * 1000000.0 + 0.5 AS BIGINT))
+           (CAST(SUM(CAST(trunc(o_totalprice * 1000000 + 0.5) AS BIGINT))
                  OVER (PARTITION BY o_custkey) AS DOUBLE) / 1000000.0)
                AS share_of_customer
     FROM orders WHERE o_custkey < 200
