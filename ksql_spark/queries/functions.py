@@ -497,3 +497,27 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
         F.regexp_extract(url, r"#(.*)$", 1).alias("fragment"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS INT) AS d_name_brand,
+           CAST(levenshtein(p_type, 'STANDARD') AS INT) AS d_type_std
+    FROM part
+    """,
+    ref="SURVEY §2 H2 (edit-distance string similarity — fuzzy matching for "
+    "entity resolution / near-dup title detection; exact same metric in "
+    "both engines)",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distances per part row (to a sibling column and to a
+    constant). Pure codegen'd expression — scan-bound at any scale; the
+    O(len^2) DP cost is per-row, independent of corpus size."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("d_name_brand"),
+        F.levenshtein("p_type", F.lit("STANDARD")).alias("d_type_std"),
+    )
