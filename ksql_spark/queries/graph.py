@@ -150,3 +150,98 @@ def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> Data
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+_PR_ITERS = 3
+_PR_D = 0.85
+
+
+def _pr_oracle() -> str:
+    from ksql_spark.registry import sql_dsum
+
+    head = """
+    WITH adjx AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey <> b.l_suppkey
+    ),
+    nodes AS (
+        SELECT s1 AS v FROM adjx UNION SELECT s2 FROM adjx
+    ),
+    deg AS (SELECT s1, CAST(COUNT(*) AS BIGINT) AS outd FROM adjx GROUP BY s1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+    pr0 AS (SELECT v, 1.0 / cnt AS pr FROM nodes, nn)
+    """
+    for t in range(1, _PR_ITERS + 1):
+        head += f""",
+    contrib{t} AS (
+        SELECT adjx.s2 AS v, {sql_dsum(f'pr{t-1}.pr / deg.outd')} AS c
+        FROM adjx
+        JOIN pr{t-1} ON adjx.s1 = pr{t-1}.v
+        JOIN deg ON adjx.s1 = deg.s1
+        GROUP BY adjx.s2
+    ),
+    pr{t} AS (
+        SELECT nodes.v,
+               (1.0 - {_PR_D}) / cnt + {_PR_D} * COALESCE(contrib{t}.c, 0.0)
+                   AS pr
+        FROM nodes CROSS JOIN nn LEFT JOIN contrib{t} ON nodes.v = contrib{t}.v
+    )
+    """
+    return head + f"SELECT v AS suppkey, pr AS pagerank FROM pr{_PR_ITERS}"
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pr_oracle(),
+    ref="SURVEY §2 L [EXT] (PageRank over the shared-part supplier graph, "
+    "3 fixed power iterations, damping 0.85; per-iteration contribution "
+    "sums quantized so the iterative doubles stay bit-identical to the "
+    "unrolled-CTE oracle)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank on the supplier co-part graph (self-loops
+    dropped).
+
+    Scale shape: each iteration is one join (ranks ⋈ edges on the source
+    key) + one hash agg on the destination key — the canonical distributed
+    PageRank step; the driver loop iterates over PLANS (3 of them), never
+    over data. Edges and degrees are computed once and reused; at 100 TB
+    the edge list would be bucketed on s1 so every iteration's join is
+    co-located (see join_bucketed_colocated).
+
+    Determinism: each iteration's contribution sum goes through the
+    quantized scaled-long accumulation (registry dsum), so partition order
+    cannot leak into low bits and the result matches the oracle bitwise."""
+    from ksql_spark.registry import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    e = li.select("l_suppkey", "l_partkey").distinct()
+    adj = (
+        e.alias("a")
+        .join(e.alias("b"), "l_partkey")
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .where(F.col("s1") != F.col("s2"))
+        .distinct()
+    )
+    nodes = adj.select(F.col("s1").alias("v")).union(
+        adj.select(F.col("s2").alias("v"))
+    ).distinct()
+    deg = adj.groupBy("s1").agg(F.count("*").alias("outd"))
+    n_nodes = nodes.count()  # bounded: |suppliers| (a scalar the loop needs)
+    pr = nodes.select("v", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            adj.join(pr, adj["s1"] == pr["v"])
+            .join(deg, "s1")
+            .groupBy(F.col("s2").alias("cv"))
+            .agg(dsum(F.col("pr") / F.col("outd")).alias("c"))
+        )
+        pr = nodes.join(contrib, nodes["v"] == contrib["cv"], "left").select(
+            "v",
+            (
+                F.lit((1.0 - _PR_D) / n_nodes)
+                + F.lit(_PR_D) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select(F.col("v").alias("suppkey"), F.col("pr").alias("pagerank"))

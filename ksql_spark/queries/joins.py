@@ -474,6 +474,16 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (id(spark), sf_dir)
     if key in _BUCKETED and spark.catalog.tableExists(ot):
         return ot, ct
+    # A previous PROCESS may have left the warehouse directories behind while
+    # this session's (in-memory) catalog has no table entry — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS. These paths are exclusively ours
+    # (bkt_* + sf-dir digest), so clearing stale ones is safe.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (ot, ct):
+        if not spark.catalog.tableExists(t):
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (
         load(spark, sf_dir, "orders")
         .write.bucketBy(8, "o_custkey")
