@@ -531,3 +531,47 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("a50") - F.col("e50")) <= tol * F.abs(F.col("e50"))).alias("p50_ok"),
         (F.abs(F.col("a90") - F.col("e90")) <= tol * F.abs(F.col("e90"))).alias("p90_ok"),
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+    ref="SURVEY §2 D14 [EXT] (mergeable HLL sketches, Datasketches "
+    "hll_sketch_agg/hll_union_agg: per-shard sketches unioned to a global "
+    "estimate — the 100 TB distinct-count pattern where re-scanning for an "
+    "exact count is not an option; 5%-tolerance oracle)",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via per-shard HLL sketches merged with
+    hll_union_agg, gated within 5% of the exact count.
+
+    The point is the MERGE: each of 4 shards builds an independent sketch
+    (in real life: per partition / per day / per ingest batch) and the union
+    is algebraic — no re-scan of raw data to combine. The emitted boolean
+    compares the merged estimate against the exact count computed in the
+    same job; the oracle asserts it is TRUE (tolerance oracle)."""
+    ev = load(spark, sf_dir, "events")
+    per_shard = (
+        ev.withColumn("shard", F.pmod(F.col("event_id"), F.lit(4)))
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = per_shard.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_tol"),
+    )
