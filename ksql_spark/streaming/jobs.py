@@ -352,3 +352,71 @@ def upsert_stream(stream: DataFrame, table: str, on: list[str],
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_topk_types(stream: DataFrame, width: str = "10 minutes",
+                        watermark: str = "10 minutes", k: int = 3) -> DataFrame:
+    """Streaming top-k event types per tumbling window.
+
+    Structured Streaming cannot rank WITHIN an unfinished streaming
+    aggregation (a window function over a streaming agg is unsupported), so
+    the composition is: watermarked windowed counts in APPEND mode — each
+    (window, type) row emits exactly once, when the watermark closes its
+    window — then the per-window rank runs in the SINK via foreachBatch
+    (ksql_spark.streaming.jobs.run_topk_sink) where every closed window's
+    rows are complete by construction. Batch/stream agreement for the
+    identical expressions is the correctness argument (test_streaming.py).
+    """
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return counts
+
+
+def run_topk_sink(counts: DataFrame, name: str, k: int = 3) -> None:
+    """Drain `counts` (append-mode closed-window rows) ranking each batch's
+    windows into an in-memory table `name` — per batch: rank by (n_events
+    DESC, event_type) within win_start, keep top k. Rows for a given window
+    arrive in ONE batch (append fires at window close), so the per-batch
+    rank is the per-window rank."""
+    from pyspark.sql import Window as W
+
+    def rank_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        w = W.partitionBy("win_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+        out = (
+            batch_df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+        )
+        sess = out.sparkSession
+        existing = sess.catalog.tableExists(f"topk_acc_{name}")
+        if not existing:
+            # a dead prior process can leave the managed location behind with
+            # no catalog entry — clear it or saveAsTable refuses
+            import shutil
+
+            warehouse = sess.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            shutil.rmtree(f"{warehouse}/topk_acc_{name}", ignore_errors=True)
+        out.write.mode("append" if existing else "overwrite").saveAsTable(
+            f"topk_acc_{name}"
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(rank_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

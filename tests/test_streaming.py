@@ -481,3 +481,50 @@ def test_events_stream_rejects_unexpected_ts_type(spark, tmp_path):
                  ).to_parquet(d / "p.parquet")
     with pytest.raises(ValueError, match="expected ts"):
         jobs.events_stream(spark, str(d))
+
+
+def test_windowed_topk_matches_batch(spark, events_dir):
+    """Streaming windowed top-3 event types (append-mode counts ranked at
+    window close in the foreachBatch sink) must equal the batch formulation
+    of the identical expressions."""
+    from pyspark.sql import Window as W, functions as F
+
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+    counts = jobs.windowed_topk_types(stream, width="10 minutes",
+                                      watermark="0 seconds")
+    jobs.run_topk_sink(counts, "wtopk", k=3)
+
+    batch = spark.read.parquet(events_dir)
+    ts = batch.columns and dict(batch.dtypes).get("ts")
+    if ts == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    bcounts = (
+        batch.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n_events")
+    )
+    w = W.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    # append mode only emits a window once the watermark passes its END —
+    # the final (still-open) window is correctly withheld by the stream, so
+    # exclude any window not strictly closed by the max event time.
+    max_ts = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    expected = (
+        bcounts.where(
+            F.col("win_start") + F.expr("INTERVAL 10 MINUTES") <= F.lit(max_ts)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .collect()
+    )
+    got = spark.table("topk_acc_wtopk").collect()
+    key = lambda r: (r["win_start"], r["rnk"])
+    assert sorted(
+        [(r["win_start"], r["rnk"], r["event_type"], r["n_events"]) for r in got]
+    ) == sorted(
+        [(r["win_start"], r["rnk"], r["event_type"], r["n_events"]) for r in expected]
+    )
+    spark.sql("DROP TABLE IF EXISTS topk_acc_wtopk")
