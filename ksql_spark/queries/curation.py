@@ -389,3 +389,96 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             vectors.l2_norm("embedding").alias("emb_norm"),
         )
     )
+
+
+@query(
+    "llm_sample_fixed_k",
+    oracle="""
+    SELECT doc_id
+    FROM documents
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+    LIMIT 100
+    """,
+    ref="SURVEY §2 K10/F5 [EXT] (fixed-size uniform sample: the K smallest "
+    "deterministic hash draws — a seedless reservoir sample; same Knuth "
+    "draw as llm_sample_weighted)",
+)
+def llm_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-document uniform sample: order by the deterministic Knuth
+    draw, take the first 100 (doc_id tiebreak).
+
+    Scale shape: TakeOrderedAndProject — each task keeps its local top-100
+    by hash, the driver merges #partitions × 100 rows. No global sort, no
+    shuffle of the corpus; this is how you cut a fixed-size eval set from
+    100 TB in one pass."""
+    d = load(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    return d.select("doc_id").orderBy(u, "doc_id").limit(100)
+
+
+@query(
+    "llm_sample_stratified_k",
+    oracle="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    ref="SURVEY §2 K10/E5 [EXT] (stratified fixed-K: 20 uniform draws PER "
+    "LANGUAGE via per-group rank over the deterministic hash — the "
+    "balanced-eval-set builder)",
+)
+def llm_sample_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 documents per language, drawn uniformly by the
+    deterministic hash order.
+
+    Scale shape: the window partitions by lang — parallel across groups,
+    never a single-partition window; each group's rank is a local sort of
+    that group only. One shuffle on lang."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+@query(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    ref="SURVEY §2 K4/H2 [EXT] (canonical text normalization: lowercase, "
+    "strip non-alphanumerics, collapse runs of spaces — the pre-hash step "
+    "for every exact/near dedup pass)",
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized text per document (lowercase → drop non-[a-z0-9 ] → collapse
+    spaces → trim). Both engines use the same explicit character classes so
+    the regex semantics cannot diverge (POSIX classes deliberately avoided).
+
+    Scale shape: pure per-row expressions — scan-bound, codegen'd, no
+    Python."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        ).alias("norm_text"),
+    )
