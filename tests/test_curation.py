@@ -99,3 +99,16 @@ def test_winsorize_clips_to_percentiles(spark):
             assert r["n_chars_winsorized"] == float(r["n_chars"])
     # something actually got clipped on a 100+ doc corpus
     assert any(r["n_chars_winsorized"] != float(r["n_chars"]) for r in rows)
+
+
+def test_pipeline_cli_writes_manifest(spark, tmp_path):
+    """The CLI drives llm_pipeline_e2e end-to-end and writes a readable
+    manifest with the contract schema."""
+    out = str(tmp_path / "manifest")
+    from ksql_spark import pipeline
+
+    rc = pipeline.main(["--sf-dir", SF_DIR, "--out", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "n_tokens", "quality", "emb_norm"}
+    assert got.count() > 0
