@@ -482,3 +482,73 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("norm_text"),
     )
+
+
+@query(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           MIN(lang), MAX(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           MIN(source), MAX(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    ref="SURVEY §2 D1/D2/G2 [EXT] (data profiling: per-column null/distinct/"
+    "range summary — the first command anyone runs on an unfamiliar corpus; "
+    "generic over any column list)",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table: rows, nulls, distincts,
+    min/max (stringified) for each profiled column.
+
+    Scale shape: ONE aggregation pass computes every column's stats
+    simultaneously (count/count(col)/min/max are all partial-aggregable;
+    count_distinct rewrites to expand+two-phase agg); the per-column rows
+    are then a constant-width unpivot of that single result. At 100 TB swap
+    count_distinct for approx_count_distinct — same single-pass shape.
+    Generalizes to any table: the builder iterates columns, not data."""
+    d = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
