@@ -575,3 +575,26 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("within_tol"),
     )
+
+
+@query(
+    "agg_quantiles_grouped",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75
+    FROM documents GROUP BY lang
+    """,
+    ref="SURVEY §2 D8 (exact interpolated quantiles PER GROUP — length "
+    "distribution by language; grouped form of agg_quantiles)",
+)
+def agg_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75 of document length per language (exact interpolation,
+    bit-matching DuckDB quantile_cont; percentile_approx at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.50)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).alias("p75"),
+    )

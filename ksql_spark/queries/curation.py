@@ -552,3 +552,102 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "snapshot_diff_status",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 9
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 > 0
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    GROUP BY status
+    """,
+    ref="SURVEY §2 A5/C4 [EXT] (snapshot diff: the reference's refresh model "
+    "(ksql.js:280 re-loads cluster snapshots) made first-class — classify "
+    "every key across two table versions as added/removed/changed/unchanged "
+    "via one full outer join)",
+)
+def snapshot_diff_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic 'snapshots' of orders (overlapping key ranges,
+    some values mutated) into per-status counts.
+
+    Scale shape: one full outer join on the snapshot key (both sides hash on
+    it), statuses decided per-row, then a 4-group agg. This is how a
+    periodic-refresh pipeline (the reference's model) turns snapshots into a
+    change feed without CDC support from the source."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 10 < 9).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = o.where(F.col("o_orderkey") % 10 > 0).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p2"),
+    )
+    status = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "llm_source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+    ref="SURVEY §2 K4/C7 [EXT] (cross-domain vocabulary overlap: shared "
+    "distinct words per source pair — the quick domain-similarity probe "
+    "before deciding mixing weights)",
+)
+def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-vocabulary size for every (source_a < source_b) pair.
+
+    Scale shape: the distinct (source, word) projection collapses the corpus
+    to vocabulary scale BEFORE the self-join; the join keys on the word, so
+    a word shared by s sources expands to s² pairs only within its own hash
+    bucket. Output is |sources|² rows — constant."""
+    d = load(spark, sf_dir, "documents")
+    v = d.select(
+        "source", F.explode(text.words("text")).alias("w")
+    ).distinct()
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
