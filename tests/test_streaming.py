@@ -528,3 +528,78 @@ def test_windowed_topk_matches_batch(spark, events_dir):
         [(r["win_start"], r["rnk"], r["event_type"], r["n_events"]) for r in expected]
     )
     spark.sql("DROP TABLE IF EXISTS topk_acc_wtopk")
+
+
+def test_stateful_stream_with_rocksdb_state_store(spark, events_dir, tmp_path):
+    """Large-state posture (SURVEY §2.I scale note): the same windowed agg
+    must run against the RocksDB state store provider — the configuration a
+    real cluster uses when streaming state outgrows the executor heap. The
+    provider is set per-query via the checkpoint's conf, here session-wide
+    for the duration of the test."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+        agg = jobs.tumbling_counts(stream, watermark="0 seconds")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocksdb_tumble")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        total = spark.sql(
+            "SELECT SUM(n_events) AS n FROM rocksdb_tumble"
+        ).collect()[0]["n"]
+        # events_dir fixture replays the sf0.001 events file twice
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        n_src = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in Path(events_dir).glob("*.parquet")
+        )
+        assert total == n_src
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Scale gate: a fact table PARTITIONED on the join key must be pruned by
+    a filtered dim at runtime (DPP) — the plan carries a dynamicpruning
+    subquery on the partition column instead of scanning every partition."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.tables import load
+    from .conftest import SF_DIR
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    load(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("F", 1.5), ("O", 1.0)], "st string, weight double"
+    ).where(F.col("weight") > 1.2)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = fact.join(dim, fact["o_orderstatus"] == dim["st"]).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        rows = {r["o_orderstatus"]: r["count"] for r in j.collect()}
+        assert set(rows) == {"F"}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
