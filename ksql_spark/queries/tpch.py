@@ -513,3 +513,278 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    ref="TPC-H Q7 shape (volume shipping between a nation pair, both "
+    "directions, split by year): double-aliased dimension joined twice with "
+    "a symmetric disjunctive filter; SURVEY §2 C7/B13/D13 composite",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year.
+
+    Plan: nation joins twice under different aliases (both broadcast); the
+    symmetric OR filter evaluates after both nation names are bound —
+    Catalyst cannot split it per side (it genuinely spans both), but the
+    two-value IN envelopes it implies DO push into each nation scan. Group
+    key includes the derived year expression."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH all_rev AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(({sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume "
+                           "ELSE 0.0 END")})
+           / ({sql_dsum('volume')}) AS DOUBLE) AS mkt_share
+    FROM all_rev
+    GROUP BY o_year
+    """,
+    ref="TPC-H Q8 shape (national market share by year): conditional-sum "
+    "ratio inside a grouped aggregation; SURVEY §2 B13/D4/D13 composite",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of total supply revenue per order year.
+
+    Plan: one pass — both the conditional numerator and the total accumulate
+    in the SAME partial agg (no second scan, no join-back); suppliers and
+    nation broadcast. The quantized dsums make the share division bitwise
+    cross-engine."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = load(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY supplier_no
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    ref="TPC-H Q15 shape (top supplier): derived revenue view + scalar-max "
+    "join-back (returns ALL ties, unlike top-1 LIMIT); SURVEY §2 B14/D4/C1 "
+    "composite",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter's highest-revenue supplier(s) — scalar-subquery equality,
+    so ties all surface (LIMIT 1 would silently pick one).
+
+    Plan: the revenue view aggregates once; its max is a 1-row broadcast
+    joined back against the SAME aggregated result (exchange reused, no
+    second lineitem scan); supplier broadcast for the name lookup. The
+    quantized total makes the equality join-back deterministic — the reason
+    this shape is safe cross-engine at all."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    WITH pavg AS (
+        SELECT l_partkey AS pk, 0.5 * {sql_davg('l_quantity')} AS half_avg
+        FROM lineitem GROUP BY pk
+    )
+    SELECT {sql_dsum('l_extendedprice')} AS yearly_loss,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN pavg ON l_partkey = pk
+    WHERE l_quantity < half_avg
+    """,
+    ref="TPC-H Q17 shape (small-quantity-order revenue): per-group average "
+    "subquery joined back against the SAME fact rows with a sub-threshold "
+    "filter; SURVEY §2 B14/D4/C7 composite",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue tied up in orders below half a part's average quantity.
+
+    Plan: the per-part average aggregates lineitem on l_partkey; the
+    join-back hashes the fact on the same key — at scale the agg's exchange
+    is reused for the join side (one effective shuffle of lineitem). The
+    quantized davg makes the `<` threshold comparison bit-stable."""
+    l = load(spark, sf_dir, "lineitem")
+    pavg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * davg("l_quantity")).alias("half_avg")
+    )
+    return (
+        l.join(pavg, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            dsum("l_extendedprice").alias("yearly_loss"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    ref="TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS + "
+    "correlated NOT EXISTS against the same fact under different "
+    "correlation predicates; SURVEY §2 B12/C9/D3/F5 composite",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on finished multi-supplier
+    orders (late = shipped after the order date) — top 10 by count.
+
+    Plan: the EXISTS is a LEFT SEMI and the NOT EXISTS a LEFT ANTI against
+    the same lineitem relation under different correlated predicates; both
+    hash on l_orderkey, so at scale they reuse the fact's partitioning. The
+    NOT EXISTS correlation references o_orderdate from the OUTER join row —
+    passed into the anti-join condition, not re-derived."""
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    l1 = l.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_suppkey").alias("sk1"),
+        F.col("l_shipdate").alias("ship1"),
+    )
+    base = (
+        l1.join(F.broadcast(o), F.col("k1") == F.col("o_orderkey"))
+        .where(F.col("ship1") > F.col("o_orderdate"))
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = l.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    return (
+        base.join(
+            others,
+            (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("k3") == F.col("k1"))
+            & (F.col("sk3") != F.col("sk1"))
+            & (F.col("ship3") > F.col("o_orderdate")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk1"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
