@@ -598,3 +598,36 @@ def agg_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.50)).alias("p50"),
         F.percentile("n_chars", F.lit(0.75)).alias("p75"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    ref="SURVEY §2 D10 (GROUPING() markers on ROLLUP: the only reliable way "
+    "to tell a subtotal row from a genuine NULL group value — D10's "
+    "correctness footnote made queryable)",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP counts with GROUPING() flags: g_status/g_priority = 1 exactly
+    on subtotal rows where that column was rolled away. Identical semantics
+    in both engines; without these flags a NULL-valued group and a subtotal
+    are indistinguishable."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "cnt"
+        )
+    )

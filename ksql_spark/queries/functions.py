@@ -521,3 +521,56 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", "p_brand").alias("d_name_brand"),
         F.levenshtein("p_type", F.lit("STANDARD")).alias("d_type_std"),
     )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INT) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS chars_roundtrip,
+           TRY_CAST(source AS DOUBLE) IS NULL AS source_not_numeric
+    FROM documents
+    """,
+    ref="SURVEY §2 H5 (TRY_CAST totality: malformed input yields NULL "
+    "instead of aborting the job — the cast a 100 TB pipeline over dirty "
+    "data must use; complements the strict CAST entry fn_cast)",
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts over deliberately non-numeric columns: bad parses
+    become NULL, valid round-trips survive, and the job NEVER aborts —
+    the totality contract strict ANSI CAST cannot give on dirty data."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("int").alias("chars_roundtrip"),
+        F.col("source").try_cast("double").isNull().alias("source_not_numeric"),
+    )
+
+
+@query(
+    "flatten_outer",
+    oracle="""
+    SELECT d.doc_id, t.w
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 50 = 0 THEN []
+                      ELSE string_split(text, ' ')[1:3] END AS words3
+          FROM documents) d
+    LEFT JOIN LATERAL (SELECT unnest(d.words3) AS w) t ON TRUE
+    """,
+    ref="SURVEY §2 A4/H12 (OUTER explode: rows with EMPTY arrays survive "
+    "flattening as a single NULL row — plain explode silently drops them, "
+    "the classic row-loss bug in flatten pipelines)",
+)
+def flatten_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a 3-word prefix array that is EMPTY for every 50th
+    document: those docs keep one (doc_id, NULL) row. The inner-explode
+    variant (`flatten_explode`) would lose them entirely."""
+    d = load(spark, sf_dir, "documents")
+    words3 = F.when(
+        F.col("doc_id") % 50 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split(F.col("text"), " "), 1, 3))
+    return d.select("doc_id", words3.alias("words3")).select(
+        "doc_id", F.explode_outer("words3").alias("w")
+    )
