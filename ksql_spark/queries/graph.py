@@ -245,3 +245,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.select(F.col("v").alias("suppkey"), F.col("pr").alias("pagerank"))
+
+
+# UNION ALL form: Spark 4.1's native recursive CTE does not (yet) support the
+# UNION-dedup spelling, so each recursive step enumerates PATHS, not frontier
+# nodes — the subgraph is capped (suppkey < 30) to keep the path count bounded
+# at every SF, and the outer MIN(d) collapses paths back to BFS depths. The
+# frontier-dedup formulation (which scales to the full graph) is the DataFrame
+# entry `graph_bfs`.
+_BFS_RECURSIVE_SQL = f"""
+    WITH RECURSIVE adj AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey < 30 AND b.l_suppkey < 30
+          AND a.l_suppkey <> b.l_suppkey
+    ), reach(suppkey, d) AS (
+        SELECT CAST({_START} AS BIGINT), 0
+        UNION ALL
+        SELECT adj.s2, reach.d + 1
+        FROM reach JOIN adj ON adj.s1 = reach.suppkey
+        WHERE reach.d < {_MAX_DEPTH}
+    )
+    SELECT suppkey, CAST(MIN(d) AS INT) AS depth
+    FROM reach GROUP BY suppkey
+"""
+
+
+@query(
+    "graph_bfs_sql",
+    oracle=_BFS_RECURSIVE_SQL,
+    ref="SURVEY §2 L (the AlaSQL graph-SEARCH gap closed at the SQL "
+    "surface: Spark 4's native WITH RECURSIVE runs the IDENTICAL recursive "
+    "CTE the DuckDB oracle uses — same text, both engines; cross-checks the "
+    "DataFrame BFS entry graph_bfs)",
+)
+def graph_bfs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-capped BFS via a native recursive CTE — the same query string
+    as the oracle (UNION-dedup per level bounds the frontier, the d <
+    depth predicate terminates).
+
+    Scale shape: Spark plans each recursive step as a join+distinct over
+    the previous frontier — the same iterative shape the DataFrame builder
+    (graph_bfs) spells manually; state stays distributed between steps."""
+    from ksql_spark.tables import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(_BFS_RECURSIVE_SQL)
