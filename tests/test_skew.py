@@ -52,3 +52,27 @@ def test_salted_join_correct_and_spread_under_hot_key(spark):
         .collect()[0]["mx"]
     )
     assert cells <= 50_000 / SALT_N * 1.2  # even spread within 20%
+
+
+def test_dsum_partition_order_invariance(spark):
+    """The scaled-long accumulation must yield IDENTICAL doubles under any
+    partitioning/ordering of the input — the law every oracle comparison in
+    this repo rests on. Plain double SUM fails this test's spirit (low bits
+    shift with partition count); dsum must not."""
+    import random
+
+    from ksql_spark.registry import dsum
+
+    for seed in (7, 42, 1234):
+        rng = random.Random(seed)
+        vals = [(i, rng.uniform(-1e6, 1e6)) for i in range(20_000)]
+        df = spark.createDataFrame(vals, "id long, v double")
+        results = set()
+        for parts in (1, 7, 32):
+            out = (
+                df.repartition(parts)
+                .agg(dsum("v").alias("s"))
+                .collect()[0]["s"]
+            )
+            results.add(out)
+        assert len(results) == 1, f"seed {seed}: dsum varied {results}"
