@@ -278,3 +278,43 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM v_supplier_ss)
         """
     )
+
+
+@query(
+    "filter_not_in_nulls",
+    oracle="""
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderpriority NOT IN
+               (SELECT NULLIF(o_orderpriority, o_orderpriority) FROM orders
+                WHERE o_orderkey = 1)) AS cnt_with_null_list,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderpriority NOT IN ('1-URGENT')) AS cnt_clean_list
+    """,
+    ref="SURVEY §2 B9/B11 (three-valued-logic torture: NOT IN against a "
+    "list containing NULL matches NOTHING (x <> NULL is UNKNOWN for every "
+    "x) — the classic silent-empty-result trap; both engines must agree "
+    "on 0 rows, and on the sane count for a NULL-free list)",
+)
+def filter_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI NOT-IN-with-NULL pitfall, pinned: a NULL in the NOT IN
+    subquery's result annihilates every comparison (UNKNOWN), so
+    cnt_with_null_list MUST be 0 — identically in Spark and the oracle —
+    while the NULL-free list behaves normally. An engine that 'fixes' this
+    silently would break ANSI portability; this entry locks the agreement."""
+    from ksql_spark.tables import ensure_views
+
+    # deliberately the ENGINE's own NOT IN (null-aware anti join), not a
+    # hand-rolled equivalent — the entry pins Spark's semantics vs ANSI
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority NOT IN
+                   (SELECT NULLIF(o_orderpriority, o_orderpriority) FROM orders
+                    WHERE o_orderkey = 1)) AS cnt_with_null_list,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_orderpriority NOT IN ('1-URGENT')) AS cnt_clean_list
+        """
+    )
