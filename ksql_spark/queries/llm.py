@@ -307,8 +307,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K, NPROBE, SAMPLE_CAP = 16, 4, 4096
     e = load(spark, sf_dir, "embeddings")
-    cent_rows = _CENTROID_CACHE.get(("ivf", sf_dir))
-    if cent_rows is None:
+    cached = _CENTROID_CACHE.get(("ivf", sf_dir))
+    if cached is None:
         sample = (
             e.select(
                 array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
@@ -316,13 +316,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(SAMPLE_CAP)
             .cache()
         )
-        k = min(K, max(1, sample.count()))
+        n_sample = sample.count()
+        k = min(K, max(1, n_sample))
         model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
         sample.unpersist()
         cent_rows = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-        _CENTROID_CACHE[("ivf", sf_dir)] = cent_rows
+        _CENTROID_CACHE[("ivf", sf_dir)] = (cent_rows, n_sample)
+    else:
+        cent_rows, n_sample = cached
+    # Flat-search fallback (every production ANN index has one): below ~64
+    # vectors/cell the cell pruning saves nothing and costs recall — probe
+    # ALL cells (exact search) for tiny corpora. n_sample is capped at
+    # SAMPLE_CAP, so this can only trigger for corpora smaller than
+    # 64*K=1024 vectors; at any real scale nprobe stays NPROBE.
+    nprobe = K if n_sample < 64 * K else NPROBE
     cents = spark.createDataFrame(cent_rows, "cent_id int, cent_emb array<double>")
     dist = vectors.l2_sq_dist("embedding", "cent_emb")
 
@@ -345,7 +354,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             vectors.l2_sq_dist("q_emb", "cent_emb").alias("qd"),
         )
         .withColumn("prn", F.row_number().over(probe_w))
-        .where(F.col("prn") <= NPROBE)
+        .where(F.col("prn") <= nprobe)
         .select("query_id", "q_emb", "cent_id")
     )
     cos = F.try_divide(
