@@ -48,9 +48,14 @@ def ranged_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # coalesce: a range partition whose values are all NULL sums to NULL,
+    # which would TypeError the driver prefix-sum below (SUM skips NULLs, so
+    # 0 is the correct additive identity for the offsets)
     totals = {
         r["_pid"]: r["t"]
-        for r in parts.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+        for r in parts.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
+        .collect()
     }
     running, offset_rows = 0, []
     for pid in sorted(totals):  # range partitions are globally ordered by pid

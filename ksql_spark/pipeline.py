@@ -33,9 +33,16 @@ def main(argv: list[str] | None = None) -> int:
     from ksql_spark.registry import all_specs
 
     df = all_specs()["llm_pipeline_e2e"].builder(spark, args.sf_dir)
-    df.write.mode("overwrite").format(args.format).save(args.out)
-    out = spark.read.format(args.format).load(args.out) if args.format == "parquet" else df
-    n = out.count()
+    writer = df.write.mode("overwrite").format(args.format)
+    if args.format == "csv":
+        writer = writer.option("header", "true")
+    writer.save(args.out)
+    # count from the WRITTEN files (validates the output exists and is
+    # readable; re-counting df would re-execute the whole pipeline)
+    reader = spark.read.format(args.format)
+    if args.format == "csv":
+        reader = reader.option("header", "true")
+    n = reader.load(args.out).count()
     print(f"shard manifest: {n} docs -> {args.out} ({args.format})")
     return 0
 

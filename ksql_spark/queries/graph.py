@@ -281,8 +281,11 @@ _BFS_RECURSIVE_SQL = f"""
 )
 def graph_bfs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-capped BFS via a native recursive CTE — the same query string
-    as the oracle (UNION-dedup per level bounds the frontier, the d <
-    depth predicate terminates).
+    as the oracle. NOTE: this is the UNION ALL path-enumeration form (Spark
+    4.1 does not support UNION-dedup recursion), so the row count per level
+    grows with PATHS, not frontier nodes — the suppkey < 30 subgraph cap in
+    the SQL is load-bearing and must not be lifted; the frontier-dedup
+    formulation that scales to the full graph is `graph_bfs`.
 
     Scale shape: Spark plans each recursive step as a join+distinct over
     the previous frontier — the same iterative shape the DataFrame builder

@@ -40,9 +40,17 @@ def events_stream(spark: SparkSession, events_dir: str,
     driver's documented nanos layout (EVENTS_RAW_DDL) so the stream can be
     constructed before any files arrive — the standard replay pattern.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         probe_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
-    except Exception:  # AnalysisException: empty dir, cannot infer schema
+    except AnalysisException as ex:
+        # ONLY the empty/missing-dir cases fall back to the driver layout;
+        # anything else (corrupt footer, permissions) must stay loud here
+        # rather than resurface later as a confusing schema mismatch.
+        cond = (ex.getCondition() or "") if hasattr(ex, "getCondition") else ""
+        if not ("UNABLE_TO_INFER_SCHEMA" in cond or "PATH_NOT_FOUND" in cond):
+            raise
         probe_type = "bigint"
     if probe_type == "bigint":
         # Driver nanos layout: read int64 then truncate to micros.
@@ -355,7 +363,7 @@ def upsert_stream(stream: DataFrame, table: str, on: list[str],
 
 
 def windowed_topk_types(stream: DataFrame, width: str = "10 minutes",
-                        watermark: str = "10 minutes", k: int = 3) -> DataFrame:
+                        watermark: str = "10 minutes") -> DataFrame:
     """Streaming top-k event types per tumbling window.
 
     Structured Streaming cannot rank WITHIN an unfinished streaming
@@ -382,11 +390,15 @@ def windowed_topk_types(stream: DataFrame, width: str = "10 minutes",
 
 def run_topk_sink(counts: DataFrame, name: str, k: int = 3) -> None:
     """Drain `counts` (append-mode closed-window rows) ranking each batch's
-    windows into an in-memory table `name` — per batch: rank by (n_events
-    DESC, event_type) within win_start, keep top k. Rows for a given window
-    arrive in ONE batch (append fires at window close), so the per-batch
-    rank is the per-window rank."""
+    windows into a managed table `topk_acc_<name>` — per batch: rank by
+    (n_events DESC, event_type) within win_start, keep top k. Rows for a
+    given window arrive in ONE batch (append fires at window close), so the
+    per-batch rank is the per-window rank. The RUN's first batch overwrites
+    (clearing any stale table or orphaned warehouse dir from a previous
+    run/process); later batches of the same run append."""
     from pyspark.sql import Window as W
+
+    first_batch_done = {"v": False}
 
     def rank_batch(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -399,19 +411,22 @@ def run_topk_sink(counts: DataFrame, name: str, k: int = 3) -> None:
             .where(F.col("rnk") <= k)
         )
         sess = out.sparkSession
-        existing = sess.catalog.tableExists(f"topk_acc_{name}")
-        if not existing:
-            # a dead prior process can leave the managed location behind with
-            # no catalog entry — clear it or saveAsTable refuses
-            import shutil
+        if not first_batch_done["v"]:
+            # fresh run: replace stale results; also clear an orphaned
+            # managed location a dead prior PROCESS may have left behind
+            # with no catalog entry (saveAsTable refuses otherwise)
+            if not sess.catalog.tableExists(f"topk_acc_{name}"):
+                import shutil
 
-            warehouse = sess.conf.get("spark.sql.warehouse.dir").removeprefix(
-                "file:"
-            )
-            shutil.rmtree(f"{warehouse}/topk_acc_{name}", ignore_errors=True)
-        out.write.mode("append" if existing else "overwrite").saveAsTable(
-            f"topk_acc_{name}"
-        )
+                warehouse = sess.conf.get(
+                    "spark.sql.warehouse.dir"
+                ).removeprefix("file:")
+                shutil.rmtree(f"{warehouse}/topk_acc_{name}", ignore_errors=True)
+            mode = "overwrite"
+            first_batch_done["v"] = True
+        else:
+            mode = "append"
+        out.write.mode(mode).saveAsTable(f"topk_acc_{name}")
 
     q = (
         counts.writeStream.foreachBatch(rank_batch)
