@@ -631,3 +631,41 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "cnt"
         )
     )
+
+
+@query(
+    "agg_skew_detection",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key)
+    SELECT user_id, n,
+           CAST(n AS DOUBLE) / total AS share,
+           n * n_keys > 3 * total AS is_hot
+    FROM per_key, tot
+    """,
+    ref="SURVEY §2 D3/D4 + §4.3 [EXT] (skew detection: per-key share of "
+    "total + hot-key flag (>3x the uniform share) — the diagnostic that "
+    "decides WHEN join_salted_skew / AQE skew handling is needed)",
+)
+def agg_skew_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cardinality share with a hot-key flag (key is hot when its
+    count exceeds 3x the uniform share; integer cross-multiplication so the
+    flag is exact, no double threshold).
+
+    Scale shape: one groupBy on the key; the total is a 1-row broadcast
+    cross join. Run this BEFORE a big join — its output decides the salting
+    factor (SALT_N ~ hot-key share / uniform share)."""
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    return per_key.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.col("n") * F.col("n_keys") > 3 * F.col("total")).alias("is_hot"),
+    )

@@ -358,3 +358,62 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("share_of_customer"),
     )
+
+
+@query(
+    "win_sessionize_gaps",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS session_id
+    FROM gapped
+    """,
+    ref="SURVEY §2 E2/E3/I4 (gap-based sessionization: lag-gap flag + "
+    "running sum = session ids — the window-function formulation of "
+    "session_window, usable mid-pipeline where a groupBy-session shape "
+    "isn't (e.g. when later steps need per-EVENT session labels))",
+)
+def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ids: a session breaks after a >30-minute silence.
+    new_session = (gap > 30min or first event), session_id = running sum of
+    the flags — every event keeps its own row (unlike session_window, which
+    aggregates), so downstream joins can attach session context per event.
+
+    Scale shape: both windows partition by user_id (one shuffle, parallel
+    across users); the interval comparison and running sum are exact integer/
+    timestamp math — bit-identical cross-engine, no doubles anywhere."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ntz has no direct long cast; micros via an (exact, UTC-session) TIMESTAMP
+    # hop — strict > on micros == the oracle's > INTERVAL 30 MINUTE
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_flag = (
+        F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "ts", gap_flag.alias("new_session"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_session")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("int")
+            .alias("session_id"),
+        )
+    )
