@@ -651,3 +651,54 @@ def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, md5(text) AS h, ({SQL_QUALITY}) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, h, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY h ORDER BY quality DESC, doc_id
+               ) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS n_copies
+        FROM scored
+    )
+    SELECT doc_id, quality, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+    ref="SURVEY §2 K1/K4/E5 [EXT] (exact dedup keeping the BEST copy: "
+    "rank within each content-hash group by quality — what a curation "
+    "pipeline actually wants, vs llm_dedup_exact's min-id canonical)",
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct text: the highest-quality copy (doc_id tiebreak),
+    with the group's copy count.
+
+    Scale shape: one shuffle on the content hash; the rank window partitions
+    by that same hash (parallel across groups, each group tiny). Exactly the
+    top-1-per-group pattern — no second pass, no join-back."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        text.quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("h").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    cw = Window.partitionBy("h")
+    return (
+        scored.select(
+            "doc_id",
+            "quality",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cw).alias("n_copies"),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "quality", "n_copies")
+    )
