@@ -702,3 +702,53 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "quality", "n_copies")
     )
+
+
+@query(
+    "llm_rarity_score",
+    oracle=f"""
+    WITH freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+    per_word AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+        ) WHERE w <> ''
+    )
+    SELECT doc_id,
+           {sql_davg('CAST(total AS DOUBLE) / n')} AS avg_inv_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM per_word JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    ref="SURVEY §2 K4 [EXT] (document rarity: mean inverse corpus frequency "
+    "of its words — the transcendental-free perplexity proxy; high = rare "
+    "vocabulary, low = boilerplate. Exact rational per-word scores, "
+    "quantized mean)",
+)
+def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average inverse word frequency per document (total_tokens / word_count
+    per word, davg across the doc). A unigram-LM surprise proxy with NO
+    log() — every per-word score is an exact integer ratio, so the oracle
+    match is bitwise (a log-based perplexity would drift in libm low bits
+    across engines).
+
+    Scale shape: word frequencies = one explode+count (vocabulary-sized
+    output, broadcastable); the per-word join hashes on the word; the final
+    agg shuffles doc_id. Same skeleton as llm_tfidf."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(text.words("text")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            davg(F.col("total").cast("double") / F.col("n")).alias("avg_inv_freq"),
+            F.count("*").alias("n_words"),
+        )
+    )

@@ -324,3 +324,52 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .where(F.abs(F.col("z")) > 3.0)
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med_v
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med_v,
+               abs(e.value - m.med_v) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_v
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(d.value - d.med_v) > 10.0 * mad_v
+    """,
+    ref="SURVEY §2 D8/C1 [EXT] (robust outliers: median absolute deviation "
+    "— unlike the z-score (events_zscore_outliers), MAD is immune to the "
+    "outliers it hunts; two grouped exact medians + broadcast joins)",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events deviating more than 10 MADs from their type's median.
+
+    Scale shape: two grouped percentile aggs (|event types| rows each,
+    both broadcast back onto the narrow events scan) — robust statistics
+    without sorting the corpus. percentile→percentile_approx at 100 TB.
+    All comparisons are on exact interpolated medians (bitwise vs
+    quantile_cont), so the inequality cannot flip cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("et1")).agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("et1")
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med_v")))
+    mad = dev.groupBy(F.col("event_type").alias("et2")).agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_v")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("et2"))
+        .where(F.abs(F.col("value") - F.col("med_v")) > 10.0 * F.col("mad_v"))
+        .select("event_id", "event_type", "value")
+    )
