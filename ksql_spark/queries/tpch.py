@@ -788,3 +788,94 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "tpch_q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    ref="TPC-H Q12 shape (shipping modes and order priority, l_linestatus "
+    "standing in for the absent l_shipmode): conditional counting of "
+    "priority classes per status; SURVEY §2 B13/C1/D4 composite",
+)
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High- vs low-priority line counts per line status for one ship year.
+
+    Plan: both CASE counters accumulate in one partial agg pass over the
+    join (no per-class scans); the date filter prunes lineitem before the
+    join; orders broadcasts at this SF and hash-joins on o_orderkey at
+    scale."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+    ref="TPC-H Q16 shape (parts/supplier relationship counts, lineitem "
+    "standing in for the absent partsupp): COUNT DISTINCT per 3-attr group "
+    "with a NOT-IN supplier exclusion; SURVEY §2 B9/D2/D3/F5 composite",
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers shipping each qualifying (brand, type, size) part
+    class, excluding negative-balance suppliers.
+
+    Plan: part's brand/size predicates push into its scan before the
+    broadcast; the NOT IN subquery is a null-aware anti join on a tiny
+    broadcast set; COUNT(DISTINCT) expands to a two-phase agg. Top-50 with
+    full attribute tiebreak for determinism."""
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    l = load(spark, sf_dir, "lineitem")
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
