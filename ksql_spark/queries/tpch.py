@@ -879,3 +879,56 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    oracle="""
+    WITH part_supp AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk, SUM(l_quantity) AS sq
+        FROM lineitem GROUP BY pk, sk
+    ),
+    part_tot AS (
+        SELECT pk, SUM(sq) AS tq FROM part_supp GROUP BY pk
+    )
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM part_supp
+    JOIN part_tot USING (pk)
+    JOIN supplier ON s_suppkey = sk
+    WHERE sq * 2 > tq
+    GROUP BY s_suppkey, s_name
+    ORDER BY n_dominated_parts DESC, s_suppkey
+    LIMIT 25
+    """,
+    ref="TPC-H Q20 shape (suppliers holding excess share, lineitem standing "
+    "in for partsupp availability): two-level aggregation on the same fact "
+    "— per (part,supplier) totals vs per-part totals — with an exact "
+    "integer-math dominance predicate; SURVEY §2 D3/C1/F5 composite",
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping more than half of a part's total volume, ranked by
+    how many parts they dominate.
+
+    Plan: the (part, supplier) agg shuffles lineitem once on l_partkey+
+    l_suppkey; the per-part roll-up REUSES that output (aggregating the
+    aggregate — never a second fact scan); the dominance test `sq*2 > tq`
+    is integer-free-of-division so it cannot drift (l_quantity is
+    integer-valued — 1..50 — so its double SUM is exact at any partition
+    order; a fractional measure would need dsum here). Supplier broadcast
+    for names; top-25 with key tiebreak."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    part_supp = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum("l_quantity").alias("sq"))
+    part_tot = part_supp.groupBy("pk").agg(F.sum("sq").alias("tq"))
+    return (
+        part_supp.join(part_tot, "pk")
+        .where(F.col("sq") * 2 > F.col("tq"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .orderBy(F.col("n_dominated_parts").desc(), "s_suppkey")
+        .limit(25)
+    )
