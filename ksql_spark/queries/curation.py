@@ -752,3 +752,134 @@ def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
         )
     )
+
+
+def _minhash_portable_oracle(n_hash: int = 8, rows_per_band: int = 2) -> str:
+    gram = ("list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+            "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+            "|| ' ' || string_split(text,' ')[i+2]))")
+    sigs = ",\n           ".join(
+        f"list_min(list_transform(grams, x -> md5('{h}:' || x))) AS s{h}"
+        for h in range(n_hash)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(s{rows_per_band*b} || s{rows_per_band*b+1}) AS bh FROM s"
+        for b in range(n_hash // rows_per_band)
+    )
+    return f"""
+    WITH g AS (
+        SELECT doc_id, {gram} AS grams
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    ),
+    s AS (
+        SELECT doc_id, grams,
+           {sigs}
+        FROM g
+    ),
+    b AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM b a JOIN b c
+          ON a.band_idx = c.band_idx AND a.bh = c.bh AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS DOUBLE)
+           / CAST(len(ga.grams) + len(gb.grams)
+                  - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+             AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN g ga ON ga.doc_id = doc_a
+    JOIN g gb ON gb.doc_id = doc_b
+    WHERE len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) * 2
+          >= len(ga.grams) + len(gb.grams)
+            - len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+    """
+
+
+@query(
+    "llm_dedup_near_portable",
+    oracle=_minhash_portable_oracle(),
+    ref="SURVEY §2 K2 [EXT] (ENGINE-PORTABLE MinHash-LSH: md5-string min "
+    "signatures → banded candidate join → exact Jaccard >= 0.5 verify — the "
+    "full LSH pipeline, ORACLE-EXACT end to end; the production entry "
+    "llm_dedup_near keeps xxhash64 (faster, engine-specific → rows-only). "
+    "Same banding math, provably identical candidates in both engines)",
+)
+def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via portable MinHash-LSH: 8 signatures (min of
+    md5('<h>:'||shingle) hex strings — lexicographic min is identical in any
+    engine), 4 bands x 2 rows, candidates = docs sharing any band hash,
+    verified at exact 3-gram Jaccard >= 0.5.
+
+    Scale shape: identical to llm_dedup_near — signatures are a narrow
+    per-doc pass; the candidate join shuffles (band_idx, band_hash) pairs
+    (4 rows/doc); only candidate pairs pay the exact-Jaccard verify. md5 is
+    ~3x slower than xxhash64 per shingle — the price of cross-engine
+    exactness; keep the xxhash entry for production, this one for parity
+    proof."""
+    N_HASH, ROWS_PER_BAND = 8, 2
+    d = load(spark, sf_dir, "documents")
+    grams_col = F.array_distinct(text.shingles("text", 3))
+    g = (
+        d.where(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", grams_col.alias("grams"))
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda x, h=h: F.md5(
+                    F.concat(F.lit(f"{h}:"), x).cast("binary")
+                ),
+            )
+        ).alias(f"s{h}")
+        for h in range(N_HASH)
+    ]
+    s = g.select("doc_id", "grams", *sig_cols)
+    band_rows = [
+        s.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"s{ROWS_PER_BAND * b}"),
+                    F.col(f"s{ROWS_PER_BAND * b + 1}"),
+                ).cast("binary")
+            ).alias("bh"),
+        )
+        for b in range(N_HASH // ROWS_PER_BAND)
+    ]
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionAll(br)
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("da"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("db"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.col("grams_a")) + F.size(F.col("grams_b")) - inter
+    return (
+        cand.join(ga, F.col("doc_a") == F.col("da"))
+        .join(gb, F.col("doc_b") == F.col("db"))
+        .where(inter * 2 >= union)
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
