@@ -883,3 +883,65 @@ def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+
+
+@query(
+    "llm_dedup_cluster_portable",
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    sym AS (
+        SELECT doc_a AS s1, doc_b AS s2 FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+        UNION SELECT doc_a, doc_a FROM pairs
+        UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT s1, s2 FROM sym
+            UNION
+            SELECT r.a, sym.s2 FROM r JOIN sym ON sym.s1 = r.b
+        ) SELECT a, b FROM r
+    ),
+    labels AS (
+        SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           COALESCE(l.canonical_id, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(l.canonical_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """,
+    ref="SURVEY §2 K2+L2 [EXT] (ORACLE-EXACT near-dup cluster resolution: "
+    "the portable MinHash-LSH pairs chained into connected components — "
+    "closes the rows-only gap of llm_dedup_cluster; oracle = recursive "
+    "transitive closure over the identical pair graph)",
+)
+def llm_dedup_cluster_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document mapped to its near-dup cluster canonical (min doc_id
+    reachable through portable-LSH verified pairs; singletons map to
+    themselves) — the full dedup decision, bit-checkable cross-engine
+    because every stage (md5 signatures, banding, Jaccard verify, min-label
+    closure) is engine-portable math.
+
+    Scale shape: pairs are sub-quadratic (banded LSH); the component step is
+    the O(nodes)-state min-label propagation (queries/graph.py); the final
+    left join restores singleton docs."""
+    from ksql_spark.queries.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = llm_dedup_near_portable(spark, sf_dir)
+    half = pairs.select(F.col("doc_a").alias("s1"), F.col("doc_b").alias("s2"))
+    adj = half.unionByName(
+        half.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    labels = connected_components(adj).withColumnsRenamed(
+        {"suppkey": "ldoc", "component": "canonical_id"}
+    )
+    return (
+        d.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("ldoc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
