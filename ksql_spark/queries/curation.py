@@ -945,3 +945,64 @@ def llm_dedup_cluster_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
     )
+
+
+def _simhash_portable_oracle(n_bits: int = 32) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) * 2 "
+        f"> len(hs) THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM w
+    )
+    SELECT simhash, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY simhash
+    """
+
+
+@query(
+    "llm_dedup_simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    ref="SURVEY §2 K2 [EXT] (ENGINE-PORTABLE SimHash: 32-bit per-word "
+    "hashes from md5 hex (Spark conv(hex,16,10) == DuckDB '0x'::BIGINT), "
+    "strict-majority bit vote — the fingerprint is bit-identical in both "
+    "engines, closing llm_dedup_simhash's rows-only gap)",
+)
+def llm_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 fingerprint buckets with a fully portable hash: per
+    distinct word, the first 8 md5 hex chars as a 32-bit int; fingerprint
+    bit j is set iff a strict majority of the doc's words have bit j set
+    (ties → 0). Same grouping contract as llm_dedup_simhash (bucket →
+    min-id representative + count).
+
+    Scale shape: one narrow per-doc pass (HOF filters, no explode), one
+    shuffle on the 8-byte fingerprint. md5+conv costs ~3x xxhash64 — the
+    portability price, as with llm_dedup_near_portable."""
+    d = load(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")),
+        lambda x: F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    w = d.select("doc_id", hs.alias("hs"))
+    # one SQL expression mirroring the oracle's bit votes exactly
+    bit_terms = " + ".join(
+        f"(CASE WHEN size(filter(hs, h -> shiftright(h, {j}) % 2 = 1)) * 2 "
+        f"> size(hs) THEN {1 << j}L ELSE 0L END)"
+        for j in range(32)
+    )
+    return (
+        w.select("doc_id", F.expr(f"CAST({bit_terms} AS BIGINT)").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
+    )
