@@ -179,3 +179,81 @@ def simhash32(text_col) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def minhash_near_dups_portable(
+    df,
+    text_col: str,
+    id_col: str,
+    n_hash: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+):
+    """Engine-portable MinHash-LSH near-dup pairs (md5-hex-string min
+    signatures; lexicographic min is identical in any engine, unlike
+    xxhash64 in minhash_near_dups). Returns (doc_a, doc_b, jaccard) with
+    jaccard computed exactly on distinct 3-gram sets and gated at
+    `jaccard_threshold`.
+
+    Same banding math as the xxhash path: n_hash signatures, bands of
+    rows_per_band, candidates = ids sharing any band hash. ~3x slower per
+    shingle than xxhash64 — use for cross-engine parity, audits, and
+    oracle checks; the xxhash path for production throughput."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators import text as text_ops
+
+    if n_hash % rows_per_band != 0:
+        raise ValueError(f"n_hash={n_hash} not divisible by rows_per_band={rows_per_band}")
+    grams_col = F.array_distinct(text_ops.shingles(text_col, 3))
+    g = (
+        df.where(F.size(F.split(F.col(text_col), " ")) >= 3)
+        .select(F.col(id_col).alias("_id"), grams_col.alias("grams"))
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda x, h=h: F.md5(F.concat(F.lit(f"{h}:"), x).cast("binary")),
+            )
+        ).alias(f"s{h}")
+        for h in range(n_hash)
+    ]
+    s = g.select("_id", "grams", *sig_cols)
+    band_rows = [
+        s.select(
+            "_id",
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"s{rows_per_band * b + r}") for r in range(rows_per_band)]
+                ).cast("binary")
+            ).alias("bh"),
+        )
+        for b in range(n_hash // rows_per_band)
+    ]
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionAll(br)
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a._id") < F.col("c._id")),
+        )
+        .select(F.col("a._id").alias("doc_a"), F.col("c._id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("_id").alias("da"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("_id").alias("db"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.col("grams_a")) + F.size(F.col("grams_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(ga, F.col("doc_a") == F.col("da"))
+        .join(gb, F.col("doc_b") == F.col("db"))
+        .where(jac >= jaccard_threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )

@@ -821,67 +821,11 @@ def llm_dedup_near_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3x slower than xxhash64 per shingle — the price of cross-engine
     exactness; keep the xxhash entry for production, this one for parity
     proof."""
-    N_HASH, ROWS_PER_BAND = 8, 2
+    from ksql_spark.operators.dedup import minhash_near_dups_portable
+
     d = load(spark, sf_dir, "documents")
-    grams_col = F.array_distinct(text.shingles("text", 3))
-    g = (
-        d.where(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", grams_col.alias("grams"))
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("grams"),
-                lambda x, h=h: F.md5(
-                    F.concat(F.lit(f"{h}:"), x).cast("binary")
-                ),
-            )
-        ).alias(f"s{h}")
-        for h in range(N_HASH)
-    ]
-    s = g.select("doc_id", "grams", *sig_cols)
-    band_rows = [
-        s.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat(
-                    F.col(f"s{ROWS_PER_BAND * b}"),
-                    F.col(f"s{ROWS_PER_BAND * b + 1}"),
-                ).cast("binary")
-            ).alias("bh"),
-        )
-        for b in range(N_HASH // ROWS_PER_BAND)
-    ]
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionAll(br)
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.bh") == F.col("c.bh"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    ga = g.select(F.col("doc_id").alias("da"), F.col("grams").alias("grams_a"))
-    gb = g.select(F.col("doc_id").alias("db"), F.col("grams").alias("grams_b"))
-    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
-    union = F.size(F.col("grams_a")) + F.size(F.col("grams_b")) - inter
-    return (
-        cand.join(ga, F.col("doc_a") == F.col("da"))
-        .join(gb, F.col("doc_b") == F.col("db"))
-        .where(inter * 2 >= union)
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
+    return minhash_near_dups_portable(
+        d, "text", "doc_id", n_hash=8, rows_per_band=2, jaccard_threshold=0.5
     )
 
 

@@ -215,3 +215,31 @@ def test_retention_day_zero_covers_cohort(spark):
     for cohort, offsets in by_cohort.items():
         assert 0 in offsets  # day-0 row always present
         assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_portable_minhash_finds_planted_near_dups(spark):
+    """The engine-portable (md5-signature) LSH must find the same planted
+    duplicates the xxhash production path finds: exact copies always, near
+    copies (one word changed) at >= 8/10 recall."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    near = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.expr("substring(text, 5)")).alias("text"),
+    )
+    exact = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(near).unionByName(exact)
+    pairs = dedup.minhash_near_dups_portable(
+        corpus, "text", "doc_id", n_hash=16, rows_per_band=2,
+        jaccard_threshold=0.5,
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for i in range(5):
+        assert (10 + i, 200010 + i) in found, f"exact copy of doc {10+i} missed"
+    near_hits = sum(1 for i in range(10) if (i, 100000 + i) in found)
+    assert near_hits >= 8, f"only {near_hits}/10 planted near-dups found"
