@@ -950,3 +950,110 @@ def llm_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
     )
+
+
+_LSH_PLANES = 8
+
+
+def _plane_dot_duck(p: int, vec: str = "embedding") -> str:
+    """DuckDB dot(vec, plane_p) where plane components are the Knuth draw
+    u(p,i) = hash(p*1000003 + i)/2^32 - 0.5 — exact integer math, identical
+    in Spark."""
+    return f"""list_reduce(list_transform(range(1, len({vec}) + 1),
+        i -> CAST({vec}[i] AS DOUBLE) *
+             (((({p} * 1000003 + (i - 1)) * 2654435761) % 4294967296)
+              / 4294967296.0 - 0.5)),
+        (acc, x) -> acc + x)"""
+
+
+def _plane_dot_spark(p: int, vec: str = "embedding") -> str:
+    return f"""aggregate(transform(sequence(1, size({vec})),
+        i -> CAST(element_at({vec}, i) AS DOUBLE) *
+             (((({p} * 1000003 + (i - 1)) * 2654435761) % 4294967296)
+              / 4294967296.0 - 0.5)),
+        CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""
+
+
+def _lsh_portable_oracle() -> str:
+    duck_bucket = " + ".join(
+        f"(CASE WHEN {_plane_dot_duck(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    dot = """list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+        (acc, x) -> acc + x)"""
+    norm = lambda a: f"""sqrt(list_reduce(list_transform({a},
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, p) -> acc + p))"""
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, CAST({duck_bucket} AS INT) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM b WHERE vec_id < 3),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               {dot} / ({norm('q.embedding')} * {norm('c.embedding')}) AS cosine
+        FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= 5
+    """
+
+
+@query(
+    "ann_lsh_topk_portable",
+    oracle=_lsh_portable_oracle(),
+    ref="SURVEY §2 K3 [EXT] (ENGINE-PORTABLE random-hyperplane LSH: plane "
+    "components from the Knuth integer draw, sign-bit bucket, exact cosine "
+    "within bucket — the ANN bucketing fully ORACLE-EXACT, closing "
+    "ann_lsh_topk's rows-only gap; the MLlib BucketedRandomProjectionLSH "
+    "entry stays as the production path)",
+)
+def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via 8 deterministic random
+    hyperplanes: bucket = sign bits of dot(v, plane_p), candidates share the
+    bucket, exact cosine ranks them. Every number — plane components, dots,
+    buckets, cosines — is the same bit pattern in Spark and DuckDB (integer
+    Knuth draws; identical left-fold order for the double sums).
+
+    Scale shape: bucket assignment is one narrow pass; the candidate join
+    hashes on the bucket id (256 buckets at 8 planes — at scale use 16-24
+    planes so buckets stay small); only same-bucket pairs pay the exact
+    cosine."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {_plane_dot_spark(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    b = e.select(
+        "vec_id", "embedding", F.expr(f"CAST({bucket_expr} AS INT)").alias("bucket")
+    )
+    from ksql_spark.operators import vectors
+
+    q = b.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.try_divide(
+        vectors.dot("q_emb", "embedding"),
+        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        q.join(
+            b,
+            (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
