@@ -1098,3 +1098,127 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+_IVF_K, _IVF_NPROBE = 16, 4
+
+_SQL_L2SQ = """list_reduce(list_transform(range(1, len({a}) + 1),
+    i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+         * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+    (acc, x) -> acc + x)"""
+
+
+def _ivf_portable_oracle() -> str:
+    l2 = _SQL_L2SQ.format(a="v.embedding", b="c.embedding")
+    l2q = _SQL_L2SQ.format(a="q.embedding", b="c.embedding")
+    dot = """list_reduce(list_transform(range(1, len(q.embedding) + 1),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        (acc, x) -> acc + x)"""
+    norm = lambda a: f"""sqrt(list_reduce(list_transform({a},
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, p) -> acc + p))"""
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        LIMIT {_IVF_K}
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {l2}, c.cent_id) AS rn
+            FROM embeddings v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {l2q}, c.cent_id) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 3
+        ) WHERE rn <= {_IVF_NPROBE}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT p.query_id, a.vec_id,
+               {dot} / ({norm('q.embedding')} * {norm('e.embedding')}) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {dot} / ({norm('q.embedding')}
+                                           * {norm('e.embedding')}) DESC,
+                                           a.vec_id) AS rn
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+    ) WHERE rn <= 5
+    """
+
+
+@query(
+    "ann_ivf_topk_portable",
+    oracle=_ivf_portable_oracle(),
+    ref="SURVEY §2 K3 [EXT] (ENGINE-PORTABLE IVF: the coarse codebook is "
+    "the 16 hash-selected corpus vectors (random-sample quantizer — no "
+    "KMeans), cell assignment by exact L2, nprobe=4 probing, exact cosine "
+    "re-rank — the complete IVF search ORACLE-EXACT; the KMeans-fitted "
+    "entry ann_ivf_topk stays the production path)",
+)
+def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 with a deterministic random-sample codebook:
+    centroids = the 16 corpus vectors with the smallest Knuth-hash ids (a
+    random-sample quantizer — standard IVF bootstrap before any KMeans
+    refinement), cells assigned by exact squared-L2 argmin (cent_id
+    tiebreak), queries probe their 4 nearest cells, candidates re-ranked by
+    exact cosine. Every stage is portable arithmetic → bit-identical to the
+    oracle.
+
+    Scale shape: identical to ann_ivf_topk — the K-row codebook broadcasts
+    (O(K*dim)); assignment is a narrow cross-probe O(n*K); search touches
+    ~n*nprobe/K candidates. Only the codebook CONSTRUCTION differs (hash
+    sample vs fitted KMeans — recall is lower for the unfitted codebook,
+    which is why the MLlib path stays production)."""
+    e = load(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    from ksql_spark.operators import vectors
+
+    u = (F.col("vec_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    cents = (
+        e.orderBy(u, "vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+    )
+    dist = vectors.l2_sq_dist("embedding", "c_emb")
+    aw = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("embedding").alias("a_emb"), F.col("cent_id").alias("cell"))
+    )
+    qdist = vectors.l2_sq_dist("q_emb", "c_emb")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("qd").asc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "cent_id", qdist.alias("qd"))
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+    cos = F.try_divide(
+        vectors.dot("q_emb", "a_emb"),
+        vectors.l2_norm("q_emb") * vectors.l2_norm("a_emb"),
+    )
+    tw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        probes.join(assigned, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(tw))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
