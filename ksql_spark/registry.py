@@ -63,7 +63,8 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple = ())
 #      includes any entry added this round,
 #   1. entries last checked in round 1 (refresh),
 #   2. entries verified in round 2,
-#   3. entries verified in round 3 (most recent signal; go last).
+#   3. entries verified in round 3,
+#   4. entries verified in round 4 (most recent signal; go last).
 # Within a group, oracle-backed entries outrank rows-only ones: a rows-only
 # check loses the least by falling outside a capped driver window.
 _R1_CHECKED = frozenset({
@@ -117,9 +118,33 @@ _R3_CHECKED = frozenset({
 })
 
 
+_R4_CHECKED = frozenset({
+    "agg_approx_quantiles", "agg_grouping_id", "agg_hll_mergeable",
+    "agg_quantiles_grouped", "agg_skew_detection", "ann_ivf_topk_portable",
+    "ann_lsh_topk_portable", "events_anomaly_mad", "events_resample_gapfill",
+    "events_zscore_outliers", "filter_not_in_nulls", "flatten_outer",
+    "fn_string_distance", "fn_try_cast", "graph_bfs_sql", "graph_pagerank",
+    "join_bucketed_colocated", "join_null_safe", "join_salted_skew",
+    "llm_curriculum", "llm_dedup_cluster_portable", "llm_dedup_keep_best",
+    "llm_dedup_near_portable", "llm_dedup_prefix", "llm_dedup_simhash_portable",
+    "llm_pipeline_e2e", "llm_rarity_score", "llm_sample_fixed_k",
+    "llm_sample_stratified_k", "llm_sample_weighted", "llm_source_vocab_overlap",
+    "llm_text_normalize", "llm_token_budget", "llm_vocab_topk", "llm_winsorize",
+    "profile_documents", "snapshot_diff_status", "tpch_q10_returned_items",
+    "tpch_q12_priority_by_status", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q21_waiting_suppliers", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R3_CHECKED:
+    if spec.name in _R4_CHECKED:
+        group = 4
+    elif spec.name in _R3_CHECKED:
         group = 3
     elif spec.name in _R2_CHECKED:
         group = 2
