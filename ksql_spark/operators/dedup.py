@@ -206,8 +206,13 @@ def minhash_near_dups_portable(
     if n_hash % rows_per_band != 0:
         raise ValueError(f"n_hash={n_hash} not divisible by rows_per_band={rows_per_band}")
     grams_col = F.array_distinct(text_ops.shingles(text_col, 3))
+    # Gate on the SAME tokenizer that builds the shingles (words(): \s+
+    # split, empties dropped). A plain split-on-' ' count can pass a doc
+    # whose multi-space/newline text yields <3 real words — its gram array
+    # would be empty, array_min NULL, every band hash NULL, and the doc
+    # silently excluded while a space-split oracle still emits grams.
     g = (
-        df.where(F.size(F.split(F.col(text_col), " ")) >= 3)
+        df.where(F.size(text_ops.words(text_col)) >= 3)
         .select(F.col(id_col).alias("_id"), grams_col.alias("grams"))
     )
     sig_cols = [

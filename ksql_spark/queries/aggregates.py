@@ -643,7 +643,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key)
     SELECT user_id, n,
            CAST(n AS DOUBLE) / total AS share,
-           n * n_keys > 3 * total AS is_hot
+           CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             > 3.0 * CAST(total AS DOUBLE) AS is_hot
     FROM per_key, tot
     """,
     ref="SURVEY §2 D3/D4 + §4.3 [EXT] (skew detection: per-key share of "
@@ -652,8 +653,13 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_skew_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key cardinality share with a hot-key flag (key is hot when its
-    count exceeds 3x the uniform share; integer cross-multiplication so the
-    flag is exact, no double threshold).
+    count exceeds 3x the uniform share). The cross-multiplication runs in
+    DOUBLE on both engines: int64 `n * n_keys` silently wraps at the very
+    scale this diagnostic is pitched for (n ~ 1e10 on a hot key times
+    n_keys ~ 1e9 overflows 2^63 and, with Spark's default non-ANSI mode,
+    flips is_hot without an error). Doubles lose exactness only past 2^53
+    and identically under IEEE-754 on both engines, so the oracle still
+    matches bitwise.
 
     Scale shape: one groupBy on the key; the total is a 1-row broadcast
     cross join. Run this BEFORE a big join — its output decides the salting
@@ -667,5 +673,8 @@ def agg_skew_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n",
         (F.col("n").cast("double") / F.col("total")).alias("share"),
-        (F.col("n") * F.col("n_keys") > 3 * F.col("total")).alias("is_hot"),
+        (
+            F.col("n").cast("double") * F.col("n_keys").cast("double")
+            > 3.0 * F.col("total").cast("double")
+        ).alias("is_hot"),
     )

@@ -755,6 +755,12 @@ def llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle(n_hash: int = 8, rows_per_band: int = 2) -> str:
+    # NOTE: this oracle tokenizes with string_split(text, ' ') — exact parity
+    # with the Spark side (words(): \s+ split, empties dropped) holds on
+    # single-space-separated corpora, which the driver fixtures are. On
+    # multi-space/newline text the two tokenizations (hence gram sets) can
+    # differ; the Spark builder is self-consistent either way because its
+    # >=3-words gate uses the same words() tokenizer as its shingles.
     gram = ("list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
             "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
             "|| ' ' || string_split(text,' ')[i+2]))")

@@ -472,7 +472,14 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16)
     ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
     key = (id(spark), sf_dir)
-    if key in _BUCKETED and spark.catalog.tableExists(ot):
+    # fast path only when BOTH tables still exist — tests (and users) can
+    # drop one externally, and returning a name for a missing table would
+    # fail later at analysis time inside the join builder
+    if (
+        key in _BUCKETED
+        and spark.catalog.tableExists(ot)
+        and spark.catalog.tableExists(ct)
+    ):
         return ot, ct
     # A previous PROCESS may have left the warehouse directories behind while
     # this session's (in-memory) catalog has no table entry — saveAsTable then

@@ -7,10 +7,16 @@ histograms (Q13), scalar-subquery + anti-join composites (Q22). Each exercises
 several operators end-to-end in one plan — the integration counterpart to the
 per-operator entries.
 
-Scale notes are per-query; the shared posture: dims broadcast, the lineitem /
-orders fact side never shuffles except on its aggregation key, doubles
-accumulate via the quantized dsum/davg helpers (registry.py) for cross-engine
-exactness.
+Scale notes are per-query; the shared posture: only FIXED-cardinality dims
+(nation = 25 rows, region = 5 rows) and provably-1-row scalar aggregates carry
+an explicit F.broadcast() hint. Every SF-proportional side (orders, customer,
+supplier, part, and any filtered/derived subset of them) is left UNHINTED: at
+bench SF the optimizer still picks a broadcast join from size estimates — same
+measured plan and perf — while at 100 TB the same code degrades to a sane
+shuffled hash join. A forced hint cannot degrade (Spark honors it past
+autoBroadcastJoinThreshold, so it OOMs or hits the 8 GB broadcast cap), which
+is why none of these builders force one. Doubles accumulate via the quantized
+dsum/davg helpers (registry.py) for cross-engine exactness.
 """
 
 from __future__ import annotations
@@ -42,12 +48,14 @@ from ksql_spark.tables import load
     "supply; SURVEY §2 C1/C10/D4 composite",
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue from intra-nation supply per nation. Plan: region/nation/
-    customer/supplier all broadcast (each orders-of-magnitude smaller than
-    lineitem); lineitem joins orders on l_orderkey — the only wide exchange
-    is the hash-agg on n_name (25 groups). The correlated nationkey equality
-    is a join-side filter, not a post-join one, so mismatched rows never
-    materialize."""
+    """Revenue from intra-nation supply per nation. Plan: nation and region
+    (fixed 25/5 rows) are hint-broadcast; customer, the date-filtered orders,
+    and supplier are UNHINTED — at this SF the optimizer broadcasts them from
+    size estimates (identical measured plan), while at 100 TB they fall back
+    to hash joins keyed on o_orderkey / c_custkey / s_suppkey. The only
+    guaranteed wide exchange is the hash-agg on n_name (25 groups). The
+    correlated nationkey equality is a join-side filter, not a post-join one,
+    so mismatched rows never materialize."""
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -58,16 +66,14 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(
-                c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-                .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-            ),
+            c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -308,11 +314,12 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of one month's revenue from PROMO-type parts.
 
-    Plan: part is the build side (broadcast — |part| = 0.2% of |lineitem|
-    at every SF); the month filter prunes the fact scan first. Both dsums
-    accumulate in the same partial agg pass; the ratio is a 1-row project.
-    The quantized dsum spelling makes the double division bit-identical to
-    the oracle."""
+    Plan: part is the build side (|part| = 0.2% of |lineitem| at every SF,
+    but SF-proportional, so it carries no broadcast hint — size estimation
+    broadcasts it while it fits and hash-joins on p_partkey beyond); the
+    month filter prunes the fact scan first. Both dsums accumulate in the
+    same partial agg pass; the ratio is a 1-row project. The quantized dsum
+    spelling makes the double division bit-identical to the oracle."""
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -320,7 +327,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 100.0
@@ -355,9 +362,11 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the HAVING subquery is a pre-aggregation of lineitem on its join
     key — at scale this shuffle is reused by the subsequent join (same key).
-    The qualifying-key set is tiny (sub-percent of orders) and LEFT SEMI
-    broadcast-joins back into the fact; customer is broadcast; top-100 is
-    TakeOrderedAndProject with the o_orderkey tiebreak."""
+    The qualifying-key set is tiny (sub-percent of orders) but still grows
+    with SF, so it is UNHINTED — the LEFT SEMI broadcasts by size estimate
+    here and degrades to a key-partitioned semi join at scale; customer
+    likewise unhinted; top-100 is TakeOrderedAndProject with the o_orderkey
+    tiebreak."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -368,11 +377,9 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        l.join(
-            F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
-        )
+        l.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -402,10 +409,12 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: Catalyst splits the OR into per-side implied filters — the
     p_brand IN (...) and p_size/l_quantity range envelopes push into BOTH
     scans (CNF conversion), so neither side reads rows outside the union of
-    bands; the residual OR evaluates post-join. part broadcasts."""
+    bands; the residual OR evaluates post-join. part joins unhinted —
+    broadcast by size estimate while it fits, hashed on p_partkey at
+    scale."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
     band = (
         (
             (F.col("p_brand") == "Brand#13")
@@ -452,9 +461,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 20 customers by revenue lost to returns in one half-year.
 
     Plan: returnflag filter pushes into the lineitem scan; the date filter
-    into orders; customer/nation broadcast. Grouping key includes the
-    functionally-dependent c_name/n_name so no second join-back is needed.
-    Top-20 is TakeOrderedAndProject with the c_custkey tiebreak."""
+    into orders; nation (25 rows) is hint-broadcast, orders and customer are
+    unhinted (broadcast by size estimate here, hash joins on their keys at
+    scale). Grouping key includes the functionally-dependent c_name/n_name
+    so no second join-back is needed. Top-20 is TakeOrderedAndProject with
+    the c_custkey tiebreak."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -463,8 +474,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -495,9 +506,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ten highest-revenue BUILDING-segment orders booked before but still
     shipping after the cutoff date.
 
-    Plan: the segment filter shrinks customer before its broadcast; both
-    date predicates push into their scans; one hash agg on (o_orderkey,
-    o_orderdate); top-10 via TakeOrderedAndProject with key tiebreak."""
+    Plan: the segment filter shrinks customer before the join; both date
+    predicates push into their scans; orders and customer are unhinted
+    (SF-proportional — size-estimate broadcast now, hash join at scale);
+    one hash agg on (o_orderkey, o_orderdate); top-10 via
+    TakeOrderedAndProject with key tiebreak."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp")
@@ -506,8 +519,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
@@ -540,11 +553,14 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume between two nations by ship year.
 
-    Plan: nation joins twice under different aliases (both broadcast); the
-    symmetric OR filter evaluates after both nation names are bound —
-    Catalyst cannot split it per side (it genuinely spans both), but the
-    two-value IN envelopes it implies DO push into each nation scan. Group
-    key includes the derived year expression."""
+    Plan: nation joins twice under different aliases (both hint-broadcast —
+    25 rows each, the only fixed-size dims here); supplier, orders and
+    customer are unhinted (broadcast by size estimate at this SF, hash joins
+    keyed on s_suppkey/o_orderkey/c_custkey at scale). The symmetric OR
+    filter evaluates after both nation names are bound — Catalyst cannot
+    split it per side (it genuinely spans both), but the two-value IN
+    envelopes it implies DO push into each nation scan. Group key includes
+    the derived year expression."""
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -560,9 +576,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .where(pair)
@@ -603,9 +619,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATION_3's share of total supply revenue per order year.
 
     Plan: one pass — both the conditional numerator and the total accumulate
-    in the SAME partial agg (no second scan, no join-back); suppliers and
-    nation broadcast. The quantized dsums make the share division bitwise
-    cross-engine."""
+    in the SAME partial agg (no second scan, no join-back); nation is
+    hint-broadcast, supplier and the date-filtered orders unhinted (size
+    estimation broadcasts them at this SF; hash joins at scale). The
+    quantized dsums make the share division bitwise cross-engine."""
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders").where(
@@ -615,8 +632,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -652,9 +669,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quarter's highest-revenue supplier(s) — scalar-subquery equality,
     so ties all surface (LIMIT 1 would silently pick one).
 
-    Plan: the revenue view aggregates once; its max is a 1-row broadcast
-    joined back against the SAME aggregated result (exchange reused, no
-    second lineitem scan); supplier broadcast for the name lookup. The
+    Plan: the revenue view aggregates once; its max is a provably-1-row
+    global aggregate, the one case where an explicit broadcast hint is
+    scale-safe — joined back against the SAME aggregated result (exchange
+    reused, no second lineitem scan); supplier is unhinted (SF-proportional)
+    for the name lookup. The
     quantized total makes the equality join-back deterministic — the reason
     this shape is safe cross-engine at all."""
     l = load(spark, sf_dir, "lineitem").where(
@@ -669,7 +688,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -747,6 +766,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the EXISTS is a LEFT SEMI and the NOT EXISTS a LEFT ANTI against
     the same lineitem relation under different correlated predicates; both
     hash on l_orderkey, so at scale they reuse the fact's partitioning. The
+    status-filtered orders (≈half the table — SF-proportional) and supplier
+    join unhinted: broadcast by size estimate here, hash joins at scale. The
     NOT EXISTS correlation references o_orderdate from the OUTER join row —
     passed into the anti-join condition, not re-derived."""
     s = load(spark, sf_dir, "supplier")
@@ -758,7 +779,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("ship1"),
     )
     base = (
-        l1.join(F.broadcast(o), F.col("k1") == F.col("o_orderkey"))
+        l1.join(o, F.col("k1") == F.col("o_orderkey"))
         .where(F.col("ship1") > F.col("o_orderdate"))
     )
     others = l.select(
@@ -782,7 +803,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ship3") > F.col("o_orderdate")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk1"))
+        .join(s, F.col("s_suppkey") == F.col("sk1"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -813,8 +834,8 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: both CASE counters accumulate in one partial agg pass over the
     join (no per-class scans); the date filter prunes lineitem before the
-    join; orders broadcasts at this SF and hash-joins on o_orderkey at
-    scale."""
+    join; orders is unhinted — it broadcasts at this SF by size estimate and
+    hash-joins on o_orderkey at scale."""
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -822,7 +843,7 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        l.join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -855,10 +876,11 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct suppliers shipping each qualifying (brand, type, size) part
     class, excluding negative-balance suppliers.
 
-    Plan: part's brand/size predicates push into its scan before the
-    broadcast; the NOT IN subquery is a null-aware anti join on a tiny
-    broadcast set; COUNT(DISTINCT) expands to a two-phase agg. Top-50 with
-    full attribute tiebreak for determinism."""
+    Plan: part's brand/size predicates push into its scan before the join;
+    both part and the excluded-supplier set are SF-proportional so neither
+    carries a hint (size estimation broadcasts them at this SF; at scale the
+    anti join hashes on l_suppkey); COUNT(DISTINCT) expands to a two-phase
+    agg. Top-50 with full attribute tiebreak for determinism."""
     p = load(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#13")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
@@ -868,10 +890,8 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
-        )
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -915,8 +935,8 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — never a second fact scan); the dominance test `sq*2 > tq`
     is integer-free-of-division so it cannot drift (l_quantity is
     integer-valued — 1..50 — so its double SUM is exact at any partition
-    order; a fractional measure would need dsum here). Supplier broadcast
-    for names; top-25 with key tiebreak."""
+    order; a fractional measure would need dsum here). Supplier joins
+    unhinted for names (SF-proportional); top-25 with key tiebreak."""
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     part_supp = l.groupBy(
@@ -926,7 +946,7 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part_supp.join(part_tot, "pk")
         .where(F.col("sq") * 2 > F.col("tq"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
+        .join(s, F.col("s_suppkey") == F.col("sk"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_dominated_parts"))
         .orderBy(F.col("n_dominated_parts").desc(), "s_suppkey")

@@ -388,17 +388,29 @@ def windowed_topk_types(stream: DataFrame, width: str = "10 minutes",
     return counts
 
 
-def run_topk_sink(counts: DataFrame, name: str, k: int = 3) -> None:
+def run_topk_sink(
+    counts: DataFrame, name: str, k: int = 3, timeout_sec: int = 120
+) -> None:
     """Drain `counts` (append-mode closed-window rows) ranking each batch's
     windows into a managed table `topk_acc_<name>` — per batch: rank by
     (n_events DESC, event_type) within win_start, keep top k. Rows for a
     given window arrive in ONE batch (append fires at window close), so the
-    per-batch rank is the per-window rank. The RUN's first batch overwrites
-    (clearing any stale table or orphaned warehouse dir from a previous
-    run/process); later batches of the same run append."""
+    per-batch rank is the per-window rank.
+
+    Idempotent per batch_id: the table is partitioned by `_batch_id` and
+    each micro-batch dynamic-partition-OVERWRITES its own partition, so a
+    mid-run retry of a failed batch replaces its rows instead of appending
+    duplicates (exactly-once on top of the checkpoint's at-least-once). The
+    RUN's first batch overwrites the whole table (clearing any stale table
+    or orphaned warehouse dir from a previous run/process).
+
+    Raises TimeoutError if the query has not terminated within
+    `timeout_sec` — the previous behavior of returning silently left the
+    query running with the table partially populated and no signal."""
     from pyspark.sql import Window as W
 
     first_batch_done = {"v": False}
+    table = f"topk_acc_{name}"
 
     def rank_batch(batch_df, batch_id):
         if batch_df.isEmpty():
@@ -409,24 +421,35 @@ def run_topk_sink(counts: DataFrame, name: str, k: int = 3) -> None:
         out = (
             batch_df.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
+            .withColumn("_batch_id", F.lit(batch_id))
         )
         sess = out.sparkSession
         if not first_batch_done["v"]:
             # fresh run: replace stale results; also clear an orphaned
             # managed location a dead prior PROCESS may have left behind
             # with no catalog entry (saveAsTable refuses otherwise)
-            if not sess.catalog.tableExists(f"topk_acc_{name}"):
+            if not sess.catalog.tableExists(table):
                 import shutil
 
                 warehouse = sess.conf.get(
                     "spark.sql.warehouse.dir"
                 ).removeprefix("file:")
-                shutil.rmtree(f"{warehouse}/topk_acc_{name}", ignore_errors=True)
-            mode = "overwrite"
+                shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+            out.write.mode("overwrite").partitionBy("_batch_id").saveAsTable(table)
             first_batch_done["v"] = True
         else:
-            mode = "append"
-        out.write.mode(mode).saveAsTable(f"topk_acc_{name}")
+            # dynamic partition overwrite: replaces ONLY the partitions
+            # present in `out` (this batch_id) — append semantics for new
+            # batches, replace semantics for a retried one.
+            prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode")
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                # insertInto is positional: match the table's column order
+                out.select(*sess.table(table).columns).write.insertInto(
+                    table, overwrite=True
+                )
+            finally:
+                sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     q = (
         counts.writeStream.foreachBatch(rank_batch)
@@ -434,4 +457,9 @@ def run_topk_sink(counts: DataFrame, name: str, k: int = 3) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"run_topk_sink({name!r}): query did not terminate within "
+            f"{timeout_sec}s; stopped it — {table} may be partial"
+        )

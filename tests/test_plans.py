@@ -199,13 +199,85 @@ def test_pq_codebook_broadcast_never_n_squared(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q5_fact_side_broadcast_only(spark):
-    """TPC-H Q5 shape: every dim broadcasts; the only wide exchange is the
-    25-group aggregation — lineitem never hash-shuffles pre-join."""
-    plan = plan_of(spark, "tpch_q5_local_supplier")
-    assert plan.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy only
+def test_q5_degradable_broadcasts_no_sort_merge(spark):
+    """TPC-H Q5 shape after the round-5 de-hinting: only nation/region carry
+    a broadcast hint; orders/customer/supplier reach broadcast via SIZE
+    ESTIMATES + AQE. At test SF the final adaptive plan is still all-BHJ
+    with no SortMergeJoin (de-hinting cost nothing here), while at 100x the
+    SAME code degrades to shuffled hash joins instead of OOMing on a forced
+    broadcast — an explicit hint is honored past autoBroadcastJoinThreshold
+    and cannot degrade."""
+    df = SPECS["tpch_q5_local_supplier"].builder(spark, SF_DIR)
+    df.collect()  # materialize the AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in final
+
+
+def _hint_violations(df) -> list:
+    """Audit the analyzed logical plan: every ResolvedHint subtree must be
+    provably bounded at any scale factor — either (a) it contains a global
+    (empty-grouping) Aggregate, which caps the hinted side at one row, or
+    (b) its leaf relations are only the fixed-cardinality dims nation (25
+    rows) and region (5 rows). Anything else — orders, customer, supplier,
+    part, lineitem or a filtered subset — grows with SF and must NOT carry
+    a hint."""
+    _PREFIX_TO_TABLE = {
+        "n_": "nation", "r_": "region", "c_": "customer", "o_": "orders",
+        "l_": "lineitem", "s_": "supplier", "p_": "part",
+    }
+    violations = []
+
+    def leaf_tables(node, acc):
+        cls = node.getClass().getSimpleName()
+        if cls == "LogicalRelation" or "Relation" in cls and node.children().size() == 0:
+            first_col = node.output().apply(0).name()
+            for pre, table in _PREFIX_TO_TABLE.items():
+                if first_col.startswith(pre):
+                    acc.add(table)
+                    break
+            else:
+                acc.add(first_col)  # unknown leaf: surface it verbatim
+        for i in range(node.children().size()):
+            leaf_tables(node.children().apply(i), acc)
+        return acc
+
+    def has_global_agg(node):
+        if (
+            node.getClass().getSimpleName() == "Aggregate"
+            and node.groupingExpressions().isEmpty()
+        ):
+            return True
+        return any(
+            has_global_agg(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            if not has_global_agg(node):
+                bad = leaf_tables(node, set()) - {"nation", "region"}
+                if bad:
+                    violations.append(sorted(bad))
+            return  # nested hints under a legal hint are covered by it
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return violations
+
+
+def test_tpch_hints_only_on_bounded_relations(spark):
+    """No TPC-H entry may force-broadcast an SF-proportional relation (the
+    round-4 scale-killer): a hint does not degrade, so at 100x it OOMs or
+    hits the 8 GB broadcast cap. Scans every tpch_* entry's analyzed plan
+    for ResolvedHint nodes over anything but nation/region/1-row
+    aggregates."""
+    for name in [k for k in SPECS if k.startswith("tpch_")]:
+        df = SPECS[name].builder(spark, SF_DIR)
+        bad = _hint_violations(df)
+        assert not bad, f"{name} force-broadcasts SF-proportional {bad}"
 
 
 def test_q2_join_back_no_sort_merge(spark):
