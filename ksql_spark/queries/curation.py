@@ -958,10 +958,15 @@ def llm_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: 4 bands x 4 planes: a candidate shares ANY band's 4-bit sign bucket —
-#: the OR-amplification that gives LSH usable recall (a single 16-plane
-#: bucket would almost never collide on a near-uniform corpus).
-_LSH_BANDS, _LSH_PLANES_PER_BAND = 4, 4
+#: 8 bands x 3 planes: a candidate shares ANY band's 3-bit sign bucket —
+#: the OR-amplification that gives LSH usable recall (a single 24-plane
+#: bucket would almost never collide on a near-uniform corpus). Swept at
+#: sf0.01 (tools/lsh_recall_exp.py): 4x4 = 0.40 recall@5 (the round-4
+#: config, below the 0.5 bar), 5x4 = 0.53, 6x3 = 0.73, 8x3 = 0.80 —
+#: fewer planes per band = coarser buckets = more candidates = higher
+#: recall; 8x3 buys real margin over the enforced 0.5 gate
+#: (ann_lsh_portable_recall) for 8 band rows/vector instead of 4.
+_LSH_BANDS, _LSH_PLANES_PER_BAND = 8, 3
 
 
 def _plane_dot_duck(p: int, vec: str = "embedding") -> str:
@@ -1040,18 +1045,18 @@ def _lsh_portable_oracle() -> str:
 )
 def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via OR-amplified random-hyperplane
-    LSH: 4 bands of 4 deterministic planes each; a candidate shares ANY
+    LSH: 8 bands of 3 deterministic planes each; a candidate shares ANY
     band's sign-bit bucket; exact cosine ranks the candidates. Every number
     — plane components (integer Knuth draws), dots, buckets, cosines — is
     the same bit pattern in Spark and DuckDB (identical left-fold order for
     the double sums), so the WHOLE ANN path is oracle-exact.
 
-    Scale shape: band/bucket assignment is one narrow pass emitting 4 rows
+    Scale shape: band/bucket assignment is one narrow pass emitting 8 rows
     per vector; the candidate join hashes on (band, bucket); only
-    same-bucket pairs pay the exact cosine. More bands = higher recall at
-    linearly more candidates — the standard LSH dial. Measured recall@5 =
-    0.4 at sf0.01 on near-uniform embeddings (single-band was 0.0 — OR
-    amplification is what makes hyperplane LSH usable); MLlib's
+    same-bucket pairs pay the exact cosine. More bands / fewer planes =
+    higher recall at linearly more candidates — the standard LSH dial.
+    Measured recall@5 = 0.80 at sf0.01 (see the _LSH_BANDS sweep note) and
+    ENFORCED >= 0.5 by ann_lsh_portable_recall; MLlib's
     BucketedRandomProjectionLSH path (ann_lsh_topk, recall 0.93) stays the
     production entry."""
     e = load(spark, sf_dir, "embeddings")
@@ -1104,6 +1109,28 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "ann_lsh_portable_recall",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS avg_recall_ok
+    FROM embeddings WHERE vec_id < 3
+    """,
+    ref="SURVEY §2 K3 [EXT] (portable-LSH quality gate: avg recall@5 vs "
+    "exact brute-force >= 0.5, measured 0.80 at sf0.01 with the 8x3 "
+    "band config — the enforcement the round-4 'measured 0.4, noted' "
+    "footnote lacked)",
+)
+def ann_lsh_portable_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforced recall gate for ann_lsh_topk_portable (same tolerance-oracle
+    pattern as ann_ivf_recall/ann_lsh_recall): avg recall@5 against the
+    exact brute-force top-5 must clear 0.5, else the boolean row
+    hash-mismatches. Deterministic — the planes are fixed integer Knuth
+    draws, so the measured 0.80 cannot drift run-to-run."""
+    from ksql_spark.queries.llm import _ann_recall
+
+    return _ann_recall(spark, sf_dir, ann_lsh_topk_portable, 0.5)
 
 
 _IVF_K, _IVF_NPROBE = 16, 4
