@@ -104,7 +104,83 @@ def sniff_image_dims(payload: bytes) -> tuple[int, int] | None:
                     int.from_bytes(payload[i + 5 : i + 7], "big"),
                 )
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    if payload[:2] in (b"P5", b"P6"):  # binary netpbm (PGM/PPM)
+        parsed = _parse_netpbm_header(payload)
+        if parsed is not None:
+            return parsed[1], parsed[2]
     return None
+
+
+def _parse_netpbm_header(payload: bytes):
+    """Parse a binary netpbm header (P5 = grayscale PGM, P6 = RGB PPM):
+    magic, width, height, maxval as whitespace-separated ASCII tokens with
+    optional '#' comment lines. Returns (channels, width, height,
+    pixel_data_offset) or None if malformed. Pure stdlib — netpbm is the
+    one raster format fully decodable without PIL."""
+    magic = payload[:2]
+    channels = {b"P5": 1, b"P6": 3}.get(magic)
+    if channels is None:
+        return None
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(payload):
+        return None
+    w, h, maxval = fields
+    if not (0 < w and 0 < h and 0 < maxval < 256):
+        return None
+    return channels, w, h, i + 1  # exactly ONE whitespace byte after maxval
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype="uint8")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_netpbm(payload: bytes):
+    """REAL pixel decode of binary PGM/PPM: returns an (h, w, channels)
+    uint8 numpy array. Raises ValueError on malformed/truncated input."""
+    import numpy as np
+
+    parsed = _parse_netpbm_header(payload)
+    if parsed is None:
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    channels, w, h, off = parsed
+    n = w * h * channels
+    buf = payload[off : off + n]
+    if len(buf) != n:
+        raise ValueError(f"truncated netpbm pixel data: {len(buf)} != {n}")
+    return np.frombuffer(buf, dtype="uint8").reshape(h, w, channels)
+
+
+def resize_nearest(img, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, c) array to (height, width, c)
+    with the standard floor mapping src = (dst * src_extent) // dst_extent —
+    the same arithmetic a SQL oracle can state in closed form."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]
 
 
 RESIZE_SCHEMA = StructType(
@@ -126,31 +202,38 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """mapInPandas image resize (stubbed decode — SURVEY §2 K5 contract).
+    """mapInPandas image resize (SURVEY §2 K5).
 
-    Real impl swaps `_decode_fake` + a PIL resize into the same batch loop;
-    the Spark-side plumbing (Arrow batches, output schema, partition layout)
-    is identical either way.
+    Netpbm payloads (P5/P6) take the REAL path: stdlib+numpy pixel decode,
+    nearest-neighbor resample, sha over the resized pixel bytes. Other
+    containers need PIL, absent here: they fall back to the deterministic
+    stub when KSQL_SPARK_FAKE_DECODE=1 (default) and raise otherwise. The
+    Spark-side plumbing (Arrow batches, output schema, partition layout) is
+    identical on every path.
     """
     fake = os.environ.get("KSQL_SPARK_FAKE_DECODE", "1") == "1"
+
+    def one(payload: bytes) -> str:
+        if payload[:2] in (b"P5", b"P6"):
+            resized = resize_nearest(decode_netpbm(payload), width, height)
+            return hashlib.sha256(resized.tobytes()).hexdigest()
+        if not fake:
+            raise NotImplementedError(
+                "non-netpbm resize requires PIL; set KSQL_SPARK_FAKE_DECODE=1 "
+                "for the deterministic stub"
+            )
+        return hashlib.sha256(payload + f"{width}x{height}".encode()).hexdigest()
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL")
-            payloads = [bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    # deterministic stand-in for resized pixel bytes
-                    "resized_sha": [
-                        hashlib.sha256(p + f"{width}x{height}".encode()).hexdigest()
-                        for p in payloads
-                    ],
+                    "resized_sha": [one(bytes(p)) for p in pdf["payload"]],
                 }
             )
 
@@ -225,6 +308,57 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+SYNTH_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_sum", LongType()),
+    ]
+)
+
+
+def synth_ppm_resize(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL end-to-end pixel pipeline, oracle-checkable in closed form:
+    per document, synthesize a genuine binary PPM whose dims derive from
+    n_chars (w = 16 + n_chars % 48, h = 16 + 7*n_chars % 48) and whose
+    pixel (y, x, c) = (3x + 7y + c) mod 256; then round-trip the actual
+    bytes — encode_ppm → decode_netpbm (header parse + frombuffer) →
+    resize_nearest — and emit the int sum of the resized pixels. Every
+    step runs on real image bytes; the nearest-neighbor floor mapping
+    src = (dst * src_extent) // dst_extent makes the expected sum a pure
+    integer formula a SQL oracle can state, so a bug anywhere in the
+    encode/parse/resample chain hash-mismatches the result.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass, constant
+    memory per batch, no shuffle at all."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "resized_sum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 16 + int(n_chars) % 48
+                h = 16 + (int(n_chars) * 7) % 48
+                x = np.arange(w)
+                y = np.arange(h)
+                c = np.arange(3)
+                img = (
+                    (x[None, :, None] * 3 + y[:, None, None] * 7 + c[None, None, :])
+                    % 256
+                ).astype("uint8")
+                resized = resize_nearest(decode_netpbm(encode_ppm(img)), out_w, out_h)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_sum"].append(int(resized.sum(dtype="int64")))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_RESIZE_SCHEMA)
 
 
 AUDIO_SCHEMA = StructType(

@@ -715,13 +715,48 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_features",
-    oracle=None,  # mapInPandas decode stub → rows-only (SURVEY §2 K5 contract)
-    ref="SURVEY §2 K5 (Arrow-batched mapInPandas feature extraction; decode "
-    "stubbed — no media libs in container)",
+    # rows-only BY DECISION (round 5): the dims source depends on container
+    # sniffing over arbitrary bytes (PNG/GIF/BMP/JPEG/netpbm headers, else
+    # the sha-derived stub) — a SQL oracle would have to replicate the whole
+    # sniff cascade on utf-8 payloads and silently break on any text that
+    # happens to start with a magic prefix ("BM…"). The REAL decode chain is
+    # oracle-verified end-to-end by llm_multimodal_resize instead, and the
+    # header parsers by fixture goldens in tests/test_multimodal.py.
+    oracle=None,
+    ref="SURVEY §2 K5 (Arrow-batched mapInPandas feature extraction; real "
+    "header decode for PNG/GIF/BMP/JPEG/netpbm, sha stub otherwise)",
 )
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.attach_payload(load(spark, sf_dir, "documents"), "text")
     return multimodal.extract_features(d)
+
+
+@query(
+    "llm_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + n_chars % 48 AS INT) AS width,
+           CAST(16 + (n_chars * 7) % 48 AS INT) AS height,
+           CAST(list_sum(flatten(flatten(list_transform(range(0, 8), yt ->
+               list_transform(range(0, 8), xt ->
+                   list_transform(range(0, 3), c ->
+                       (((xt * (16 + n_chars % 48)) // 8) * 3
+                        + ((yt * (16 + (n_chars * 7) % 48)) // 8) * 7
+                        + c) % 256)))))) AS BIGINT) AS resized_sum
+    FROM documents
+    """,
+    ref="SURVEY §2 K5 [EXT] (REAL pixel transform, oracle-exact: synthesize "
+    "a binary PPM per doc (dims from n_chars, pixel = (3x+7y+c) mod 256), "
+    "round-trip encode -> netpbm header parse -> numpy nearest-neighbor "
+    "resize to 8x8 -> pixel sum; the floor mapping src=(dst*extent)//8 "
+    "makes the expected sum a closed-form integer the oracle states "
+    "directly — the first multimodal entry whose PIXEL path, not just its "
+    "metadata, is cross-engine verified)",
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.synth_ppm_resize(
+        load(spark, sf_dir, "documents"), out_w=8, out_h=8
+    )
 
 
 @query(

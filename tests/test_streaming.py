@@ -391,6 +391,51 @@ def test_real_image_header_decode(spark):
     assert rows[5].width is not None  # unknown container -> deterministic stub
 
 
+def test_real_netpbm_decode_and_resize(spark):
+    """The netpbm path is REAL pixel work end-to-end: encode → header parse
+    (incl. comments) → frombuffer → nearest-neighbor resample, checked
+    against hand-computed pixels, plus dims through the sniff cascade and
+    a real resize through the mapInPandas path."""
+    import hashlib
+
+    import numpy as np
+
+    from ksql_spark.operators import multimodal
+
+    # 4x2 RGB gradient, hand-checkable
+    img = np.arange(4 * 2 * 3, dtype="uint8").reshape(2, 4, 3)
+    ppm = multimodal.encode_ppm(img)
+    assert multimodal.sniff_image_dims(ppm) == (4, 2)
+    back = multimodal.decode_netpbm(ppm)
+    assert (back == img).all()
+    # comment lines in the header parse too
+    commented = b"P6\n# a comment\n4 2\n255\n" + img.tobytes()
+    assert multimodal.sniff_image_dims(commented) == (4, 2)
+    assert (multimodal.decode_netpbm(commented) == img).all()
+    # P5 grayscale
+    gray = np.arange(6, dtype="uint8").reshape(2, 3, 1)
+    pgm = b"P5\n3 2\n255\n" + gray.tobytes()
+    assert multimodal.sniff_image_dims(pgm) == (3, 2)
+    assert (multimodal.decode_netpbm(pgm) == gray).all()
+    # nearest-neighbor floor mapping: 4x2 -> 2x1 picks cols 0,2 of row 0
+    small = multimodal.resize_nearest(img, 2, 1)
+    assert (small == img[[0]][:, [0, 2]]).all()
+    # truncated pixel data is an error, not silent garbage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_netpbm(ppm[:-1])
+    # through the distributed resize path: sha must equal the local resample
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm))], "doc_id long, payload binary"
+    )
+    [row] = multimodal.resize_images(df, 2, 1).collect()
+    expect = hashlib.sha256(
+        multimodal.resize_nearest(img, 2, 1).tobytes()
+    ).hexdigest()
+    assert row.resized_sha == expect
+
+
 def test_real_wav_audio_decode(spark):
     """extract_audio_meta decodes genuine WAV bytes (stdlib wave writer →
     stdlib wave reader through Arrow batches) — no stub involved."""
