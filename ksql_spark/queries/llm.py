@@ -75,6 +75,57 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_substring_dup_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(array_to_string(w[i:i+7], ' ')) AS gram_md5
+        FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    dup AS (
+        SELECT gram_md5 FROM g GROUP BY gram_md5
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id, g.pos, g.gram_md5 FROM g JOIN dup USING (gram_md5)
+    """,
+    ref="SURVEY §2 K2 [EXT] (substring-level exact dedup, the Lee et al. "
+    "2022 'Deduplicating Training Data' shape: every 8-word window shared "
+    "verbatim by >= 2 distinct documents, with its position — the spans a "
+    "substring-dedup pass would cut, vs K1/K2's whole-document decisions)",
+)
+def llm_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 8-token spans across documents: (doc_id, pos, gram_md5)
+    for every window whose exact text occurs in at least two distinct docs.
+    Doc-level dedup (K1) misses boilerplate INSIDE otherwise-unique pages;
+    this is the span-level complement that substring dedup pipelines cut.
+
+    Scale shape: one narrow scan → posexplode of 8-word windows; the
+    frequency agg and the join-back both hash on the 16-byte md5 digest
+    (never the text), and the join-back reuses the agg's partitioning —
+    ONE effective wide exchange of digests. COUNT(DISTINCT doc_id) is the
+    standard two-phase expand. Never a doc-pair self-join; output is
+    bounded by the duplicated-span count."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(text.shingles("text", 8)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("gram").cast("binary")).alias("gram_md5"),
+    )
+    dup = (
+        g.groupBy("gram_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram_md5")
+    )
+    return g.join(dup, "gram_md5").select("doc_id", "pos", "gram_md5")
+
+
+@query(
     "llm_dedup_cluster",
     oracle=None,  # xxhash64-seeded LSH candidates -> rows-only
     ref="SURVEY §2 K2+L2 (near-dup CLUSTER resolution: LSH pair graph -> "

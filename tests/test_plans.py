@@ -280,6 +280,67 @@ def test_tpch_hints_only_on_bounded_relations(spark):
         assert not bad, f"{name} force-broadcasts SF-proportional {bad}"
 
 
+def _raw_scan_hints(df) -> list:
+    """Weaker, repo-wide audit: flag any ResolvedHint whose subtree is a RAW
+    SCAN of an SF-proportional table — no Aggregate, no Deduplicate/Distinct,
+    no Filter, no local relation anywhere beneath it, and leaves outside
+    nation/region. Bounded derived sets (grouped stats, distinct key sets,
+    literal-filtered slices, collected centroid tables) all contain one of
+    those nodes; a bare `F.broadcast(load(big_table))` contains none and is
+    always a scale bug."""
+    BOUNDING = {"Aggregate", "Deduplicate", "Distinct", "Filter",
+                "LocalRelation", "OneRowRelation", "Range", "GlobalLimit",
+                "LocalLimit",
+                # parallelized driver-local rows (spark.createDataFrame):
+                # bounded by construction — the driver already held them
+                "LogicalRDD"}
+    flags = []
+
+    def has_bounding(node):
+        if node.getClass().getSimpleName() in BOUNDING:
+            return True
+        return any(
+            has_bounding(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    def leaves(node, acc):
+        if node.children().size() == 0:
+            if node.output().size() > 0:
+                acc.add(node.output().apply(0).name())
+        for i in range(node.children().size()):
+            leaves(node.children().apply(i), acc)
+        return acc
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            if not has_bounding(node):
+                cols = leaves(node, set())
+                if not all(c.startswith(("n_", "r_")) for c in cols):
+                    flags.append(sorted(cols))
+            return
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return flags
+
+
+def test_no_entry_broadcasts_raw_fact_scan(spark):
+    """Repo-wide version of the hint audit at lower strictness: NO registry
+    entry may hint-broadcast a raw unbounded scan of an SF-proportional
+    table. (Model-fitting / table-writing builders are excluded — they run
+    jobs at build time and their hints are covered by their own plan
+    gates.)"""
+    skip = {"join_bucketed_colocated"}
+    for name, spec in SPECS.items():
+        if name in skip or name.startswith("ann_"):
+            continue
+        df = spec.builder(spark, SF_DIR)
+        bad = _raw_scan_hints(df)
+        assert not bad, f"{name} hints a raw SF-proportional scan: {bad}"
+
+
 def test_q2_join_back_no_sort_merge(spark):
     """Min-over-group join-back: the min table broadcasts (1 BHJ); the unit
     scan never shuffles before the join."""

@@ -131,3 +131,33 @@ def test_chunking_invariants(spark_lazy, n_words):
         start = r.chunk_idx * STRIDE
         assert got == words[start : start + CHUNK]
         assert r.n_tokens == len(got)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_netpbm_roundtrip_and_resize_laws(w, h, out_w, out_h, rng):
+    """encode → decode is the identity on any (h, w, 3) byte array;
+    nearest-neighbor resize to the SAME dims is also the identity, and
+    every resized pixel exists at its floor-mapped source coordinate."""
+    import numpy as np
+
+    from ksql_spark.operators import multimodal
+
+    img = np.array(
+        [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+        dtype="uint8",
+    )
+    back = multimodal.decode_netpbm(multimodal.encode_ppm(img))
+    assert back.shape == (h, w, 3) and (back == img).all()
+    assert (multimodal.resize_nearest(img, w, h) == img).all()
+    r = multimodal.resize_nearest(img, out_w, out_h)
+    assert r.shape == (out_h, out_w, 3)
+    for yt in range(out_h):
+        for xt in range(out_w):
+            assert (r[yt, xt] == img[(yt * h) // out_h, (xt * w) // out_w]).all()
