@@ -925,6 +925,55 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_orig) AS n_min FROM c)
+    SELECT d.source AS source, c.n_orig AS n_orig,
+           COUNT(*) AS n_kept
+    FROM documents d JOIN c USING (source), m
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 1000
+          * (((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 1000)
+          * c.n_orig < 1000000 * m.n_min
+    GROUP BY d.source, c.n_orig
+    """,
+    ref="SURVEY §2 K [EXT] (temperature-based source mixing, the alpha=0.5 "
+    "multilingual-sampling rebalance: keep-rate sqrt(n_min/n_s) flattens "
+    "big sources toward — not all the way to — uniform, preserving "
+    "sqrt(n_min*n_s) docs per source; llm_domain_mix is the full-flatten "
+    "alpha=0 special case)",
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) source rebalance: keep each document with
+    deterministic rate sqrt(n_min / n_source) — big sources are damped by
+    the square root instead of flattened outright, the standard temperature
+    trade-off between diversity and respecting natural abundance (expected
+    kept per source = sqrt(n_min * n_source), the geometric mean).
+
+    The sqrt never touches a float: `bucket < 1000*sqrt(n_min/n_s)` is
+    evaluated as the INTEGER cross-square `bucket^2 * n_s < 10^6 * n_min`
+    (bucket is the portable Knuth-hash permille, so bucket^2 <= ~1e6 and
+    the product stays far under 2^63 for any real per-source count).
+
+    Plan shape: identical to llm_domain_mix — per-source counts broadcast
+    back, membership decided in one narrow pass over the corpus, no shuffle
+    of the big side, retry-stable (no RNG)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_orig"))
+    n_min = counts.agg(F.min("n_orig").alias("n_min"))
+    bucket = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(1000)
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_min))
+        .where(bucket * bucket * F.col("n_orig") < F.lit(1000000) * F.col("n_min"))
+        .groupBy("source", "n_orig")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@query(
     "llm_boilerplate_ngrams",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1157,6 +1206,104 @@ def llm_emb_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("cent_id").agg(
         F.count("*").alias("n_members"), davg("cd").alias("avg_dist")
+    )
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_L2SQ.format(a='e.embedding', b='c.cent_emb')} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    m AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT vec_id, embedding, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cd, cent_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT y.vec_id
+        FROM m x JOIN m y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+        WHERE {_dot_sql('x.embedding', 'y.embedding')}
+              / ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')})
+              >= 0.35
+    )
+    SELECT m.vec_id, m.cent_id,
+           m.vec_id IN (SELECT vec_id FROM dropped) AS dropped
+    FROM m
+    """,
+    ref="SURVEY §2 K2/K6 [EXT] (SemDeDup shape — Abbas et al. 2023: cluster "
+    "the embedding space, then near-dup ONLY within clusters, so the pair "
+    "space is n²/K instead of n²; drop rule = exists a lower-id same-"
+    "cluster vector with cosine >= t. Fixed centroids keep it oracle-exact; "
+    "production swaps in a KMeans fit + the same plan)",
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, cluster-blocked: assign every
+    vector to its nearest of K=4 fixed centroids (the deterministic
+    llm_emb_cluster assignment), then flag `dropped` for any vector with a
+    lower-id neighbor in the SAME cluster at cosine >= 0.35. The threshold
+    is fixture-calibrated (these embeddings are near-uniform — max pairwise
+    cosine 0.51, so 0.35 exercises the decision on ~19% of vectors; real
+    corpora use ~0.95 on genuinely duplicated content).
+
+    Scale shape — the entire point of SemDeDup: the pair join is blocked on
+    cent_id, shrinking the pair space from n² to Σ_k n_k² ≈ n²/K; at 100 TB
+    K grows with the corpus (KMeans centroids, ~n/1000 cells) so each
+    cluster's self-join stays bounded, and the assignment pass stays the
+    broadcast O(n·K) narrow scan proven by llm_emb_cluster. The drop rule
+    is relational (EXISTS lower-id neighbor), not iterative, so the whole
+    decision is one Catalyst plan."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
+    m = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    x = m.select(
+        F.col("cent_id").alias("x_cent"),
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("x_emb"),
+    )
+    y = m.select(
+        F.col("cent_id").alias("y_cent"),
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("y_emb"),
+    )
+    cos = vectors.dot("x_emb", "y_emb") / (
+        vectors.l2_norm("x_emb") * vectors.l2_norm("y_emb")
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x_cent") == F.col("y_cent")) & (F.col("x_id") < F.col("y_id")),
+        )
+        .where(cos >= 0.35)
+        .select(F.col("y_id").alias("d_id"))
+        .distinct()
+    )
+    return (
+        m.join(dropped, m["vec_id"] == dropped["d_id"], "left")
+        .select(
+            "vec_id", "cent_id", F.col("d_id").isNotNull().alias("dropped")
+        )
     )
 
 
