@@ -80,6 +80,30 @@ def test_chunking_is_narrow(spark):
     assert "Generate" in plan  # posexplode
 
 
+def test_substring_dedup_digest_only_exchanges(spark):
+    """K38 substring dedup: every wide exchange must carry the 16-byte
+    gram_md5 digest, never the gram text or the document — at 100 TB the
+    exploded gram relation is ~100x the corpus and shuffling its strings
+    would dominate the job."""
+    plan = plan_of(spark, "llm_substring_dup_spans")
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert shuffles, "expected digest exchanges"
+    for cols in shuffles:
+        assert "gram_md5" in cols, f"shuffle not keyed on digest: {cols}"
+        assert "gram#" not in cols and "text#" not in cols, cols
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """K39 SemDeDup: the centroid assignment is a bounded broadcast
+    nested-loop (K rows); the pair join must be cluster-blocked (equi on
+    cent_id), never an unblocked CartesianProduct over the corpus."""
+    plan = plan_of(spark, "llm_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the O(n*K) assignment pass
+
+
 def test_scrub_is_narrow(spark):
     plan = plan_of(spark, "llm_scrub_pii")
     assert "Exchange" not in plan
