@@ -373,3 +373,62 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("value") - F.col("med_v")) > 10.0 * F.col("mad_v"))
         .select("event_id", "event_type", "value")
     )
+
+
+@query(
+    "events_ewma_smooth",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS vals
+        FROM events
+    )
+    SELECT user_id, event_id,
+           list_reduce(vals, (acc, x) -> acc / 2 + x) AS decay_sum,
+           list_reduce(vals, (acc, x) -> acc / 2 + x)
+           / (2.0 - power(2.0, CAST(1 - len(vals) AS DOUBLE))) AS ewma
+    FROM o
+    """,
+    ref="SURVEY §2 E3/E4 [EXT] (per-user EWMA smoothing, alpha = 1/2: the "
+    "telemetry trend line. BIT-EXACT cross-engine without quantization: "
+    "the half-life recursion S_t = x_t + S_{t-1}/2 is a LEFT FOLD over the "
+    "window-ordered value list — both engines fold the identical sequence "
+    "left-to-right under IEEE-754, and /2 is exact, so every intermediate "
+    "double matches bitwise; the normalizer 2 - 2^(1-n) is an exact power "
+    "of two. A plain windowed SUM of value*pow(.5,lag) would NOT be "
+    "order-stable)",
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (half-life decay) of each
+    user's value stream: decay_sum_t = sum_k value_k * 2^-(t-k) via the
+    fold S -> S/2 + x over the ordered prefix, normalized by the exact
+    weight total 2 - 2^(1-n).
+
+    Scale shape: one user_id exchange for the window sort (inherent to any
+    per-user ordered statistic); the fold runs JVM-side over the collected
+    prefix (higher-order aggregate, no Python). Prefix lists make this
+    O(n_user^2) memory in the worst case — fine for per-user event counts
+    (<=1e3); a 100 TB deployment with huge single-user streams would chunk
+    by session first (win_sessionize_gaps) and EWMA within sessions."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    fold = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc / F.lit(2.0) + x
+    )
+    w_sum = F.lit(2.0) - F.pow(
+        F.lit(2.0), (F.lit(1) - F.size(vals)).cast("double")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        fold.alias("decay_sum"),
+        (fold / w_sum).alias("ewma"),
+    )
