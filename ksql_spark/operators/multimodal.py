@@ -7,11 +7,15 @@ modality-agnostic.
 
 Decode reality tiers (this container has no PIL/ffmpeg):
 - REAL, no deps: image dimensions by container-header parse (PNG/GIF/BMP/
-  JPEG — `sniff_image_dims`) and WAV audio metadata via stdlib `wave`
-  (`extract_audio_meta`). This is what a 100 TB metadata pass actually does —
-  dims/mime from the first KB of each blob.
-- STUBBED behind `KSQL_SPARK_FAKE_DECODE`: pixel-level transforms (resize,
-  frame sampling) and non-WAV codecs, which genuinely need PIL/ffmpeg.
+  JPEG/netpbm — `sniff_image_dims`), WAV audio metadata via stdlib `wave`
+  (`extract_audio_meta`), FULL pixel decode + nearest-neighbor resize for
+  binary netpbm (`decode_netpbm`/`resize_nearest` — P5/P6 are raw planes
+  behind an ASCII header), and FULL frame decode + sampling for monochrome
+  YUV4MPEG2 video (`decode_y4m` — raw luma planes behind FRAME markers).
+  Both pixel paths are oracle-verified end-to-end (llm_multimodal_resize,
+  llm_multimodal_framesample).
+- STUBBED behind `KSQL_SPARK_FAKE_DECODE`: compressed codecs (JPEG pixels,
+  H.26x, non-WAV audio), which genuinely need PIL/ffmpeg.
 The Spark-side plumbing (schema, Arrow batch shape, mapInPandas signature,
 partitioning) is identical for both tiers and fully tested.
 """
@@ -241,19 +245,40 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """mapInPandas video frame sampling (stubbed decode): one output row per
-    sampled frame — the flatten shape a real ffmpeg-backed sampler produces."""
+    """mapInPandas video frame sampling: one output row per sampled frame —
+    the flatten shape a real ffmpeg-backed sampler produces.
+
+    Monochrome Y4M payloads take the REAL path: container decode
+    (`decode_y4m`), evenly-spaced frame pick by the floor mapping
+    src = (i * n_total) // n_frames, sha over the actual frame bytes.
+    Compressed codecs need ffmpeg, absent here: they fall back to the
+    deterministic stub when KSQL_SPARK_FAKE_DECODE=1 (default) and raise
+    otherwise."""
     fake = os.environ.get("KSQL_SPARK_FAKE_DECODE", "1") == "1"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
             rows = {"doc_id": [], "frame_idx": [], "frame_sha": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload)
+                if p.startswith(b"YUV4MPEG2 "):
+                    frames = decode_y4m(p)
+                    nt = frames.shape[0]
+                    for i in range(n_frames):
+                        src = (i * nt) // n_frames
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(src)
+                        rows["frame_sha"].append(
+                            hashlib.sha256(frames[src].tobytes()).hexdigest()
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-Y4M frame sampling requires ffmpeg; set "
+                        "KSQL_SPARK_FAKE_DECODE=1 for the deterministic stub"
+                    )
                 for i in range(n_frames):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
@@ -308,6 +333,114 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def encode_y4m(frames) -> bytes:
+    """Encode an (n_frames, h, w) uint8 array as monochrome YUV4MPEG2 —
+    a REAL video container (mpv/ffmpeg play it) that is fully decodable
+    with stdlib alone: ASCII stream header, then per frame a FRAME marker
+    + raw luma plane."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype="uint8")
+    n, h, w = a.shape
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[f].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """REAL video decode of monochrome Y4M: returns an (n_frames, h, w)
+    uint8 numpy array. Raises ValueError on malformed/truncated input or
+    non-mono chroma (4:2:0 etc. would need real chroma handling — out of
+    scope for the stdlib tier)."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2 "):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    mono = False
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            mono = tok[1:] == b"mono"
+    if not (w and h):
+        raise ValueError("Y4M header missing W/H")
+    if not mono:
+        raise ValueError("only Cmono Y4M is decodable without chroma handling")
+    frames = []
+    i = nl + 1
+    fsize = w * h
+    while i < len(payload):
+        j = payload.index(b"\n", i)  # FRAME line (may carry params)
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        buf = payload[j + 1 : j + 1 + fsize]
+        if len(buf) != fsize:
+            raise ValueError(f"truncated frame: {len(buf)} != {fsize}")
+        frames.append(np.frombuffer(buf, dtype="uint8").reshape(h, w))
+        i = j + 1 + fsize
+    return np.stack(frames)
+
+
+SYNTH_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def synth_y4m_frame_sample(df: DataFrame, n_out: int = 3) -> DataFrame:
+    """REAL video frame sampling, oracle-checkable in closed form: per
+    document, synthesize a genuine monochrome Y4M stream (n_frames =
+    4 + n_chars % 5, dims w = 8 + n_chars % 8, h = 8 + 3*n_chars % 8,
+    frame f pixel (y, x) = (7x + 11y + 31f) mod 256), round-trip the actual
+    bytes — encode_y4m → decode_y4m — then sample `n_out` frames by the
+    same floor mapping resize_nearest uses (src_f = (i * n_frames) //
+    n_out) and emit each sampled frame's pixel sum. A bug anywhere in the
+    container encode, the FRAME walk, or the sampling arithmetic
+    hash-mismatches the result.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass emitting n_out
+    rows per doc; no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sum": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                w, h, nf = 8 + nc % 8, 8 + (nc * 3) % 8, 4 + nc % 5
+                f = np.arange(nf)
+                y = np.arange(h)
+                x = np.arange(w)
+                vid = (
+                    (
+                        7 * x[None, None, :]
+                        + 11 * y[None, :, None]
+                        + 31 * f[:, None, None]
+                    )
+                    % 256
+                ).astype("uint8")
+                frames = decode_y4m(encode_y4m(vid))
+                for i in range(n_out):
+                    src = (i * nf) // n_out
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(src)
+                    out["frame_sum"].append(int(frames[src].sum(dtype="int64")))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_FRAMES_SCHEMA)
 
 
 SYNTH_RESIZE_SCHEMA = StructType(

@@ -812,7 +812,8 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_frames",
-    oracle=None,  # decode stub → rows-only
+    oracle=None,  # utf-8 payloads hit the stub path → rows-only (the real
+    # Y4M frame path is oracle-verified by llm_multimodal_framesample)
     ref="SURVEY §2 K5 (frame sampling: 1 payload → N frame rows via mapInPandas)",
 )
 def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,6 +821,37 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").where(F.col("doc_id") < 50), "text"
     )
     return multimodal.sample_frames(d, n_frames=4)
+
+
+@query(
+    "llm_multimodal_framesample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + n_chars % 8 AS w,
+               8 + (n_chars * 3) % 8 AS h,
+               4 + n_chars % 5 AS nf
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((i * nf) // 3 AS INT) AS frame_idx,
+           CAST(list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                   (7 * x + 11 * y + 31 * ((i * nf) // 3)) % 256))))
+             AS BIGINT) AS frame_sum
+    FROM p, unnest(range(0, 3)) AS t(i)
+    """,
+    ref="SURVEY §2 K5 [EXT] (REAL video frame sampling, oracle-exact: "
+    "synthesize a genuine monochrome YUV4MPEG2 stream per doc (frame count/"
+    "dims from n_chars, frame f pixel = (7x+11y+31f) mod 256), round-trip "
+    "encode -> FRAME-marker walk decode -> evenly-spaced floor-mapped "
+    "sample of 3 frames -> pixel sum per sampled frame; the video "
+    "counterpart of llm_multimodal_resize)",
+)
+def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.synth_y4m_frame_sample(
+        load(spark, sf_dir, "documents"), n_out=3
+    )
 
 
 @query(
