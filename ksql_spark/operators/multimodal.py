@@ -494,6 +494,53 @@ def synth_ppm_resize(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_RESIZE_SCHEMA)
 
 
+def synth_wav_meta(df: DataFrame) -> DataFrame:
+    """REAL audio round-trip, oracle-checkable in closed form: per document,
+    write a genuine RIFF/WAV via stdlib `wave` (channels = 1 + n_chars % 2,
+    rate chosen from 4 standard rates by n_chars % 4, frames = 100 +
+    n_chars % 400 of deterministic 16-bit samples), then decode the actual
+    bytes back with the same stdlib reader used by extract_audio_meta and
+    emit the recovered metadata. Every field is a pure function of n_chars,
+    so a bug in either the RIFF writer or the parser hash-mismatches.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass, no shuffle."""
+    RATES = (8000, 16000, 22050, 44100)
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_channels": [], "sample_rate": [],
+                "n_samples": [], "duration_ms": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                ch, rate, nf = 1 + nc % 2, RATES[nc % 4], 100 + nc % 400
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wr:
+                    wr.setnchannels(ch)
+                    wr.setsampwidth(2)
+                    wr.setframerate(rate)
+                    wr.writeframes(
+                        bytes((i * 31) % 256 for i in range(nf * ch * 2))
+                    )
+                with wave.open(io.BytesIO(buf.getvalue())) as rd:
+                    out["doc_id"].append(doc_id)
+                    out["n_channels"].append(rd.getnchannels())
+                    out["sample_rate"].append(rd.getframerate())
+                    out["n_samples"].append(rd.getnframes())
+                    out["duration_ms"].append(
+                        rd.getnframes() * 1000 // max(1, rd.getframerate())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, AUDIO_SCHEMA)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -855,6 +855,29 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_multimodal_audio",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + n_chars % 2 AS INT) AS n_channels,
+           CAST(CASE n_chars % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(100 + n_chars % 400 AS BIGINT) AS n_samples,
+           CAST((100 + n_chars % 400) * 1000
+                // (CASE n_chars % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    ref="SURVEY §2 K5 [EXT] (REAL audio round-trip, oracle-exact: write a "
+    "genuine RIFF/WAV per doc via stdlib wave (channels/rate/frames from "
+    "n_chars), decode the actual bytes back with the same stdlib reader "
+    "extract_audio_meta uses, emit the recovered metadata — closes the "
+    "audio corner of K5 the way resize/framesample close image/video)",
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.synth_wav_meta(load(spark, sf_dir, "documents"))
+
+
+@query(
     "llm_decontaminate",
     oracle="""
     WITH toks AS (
