@@ -430,5 +430,10 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         fold.alias("decay_sum"),
-        (fold / w_sum).alias("ewma"),
+        # try_divide: a user whose collected prefix is empty (all values
+        # NULL) has w_sum = 0, and under Spark 4's default ANSI mode a
+        # plain `/` ABORTS the whole job on that row (DIVIDE_BY_ZERO).
+        # NULL matches DuckDB, which yields NULL for x/0 — so the oracle
+        # comparison is unaffected.
+        F.try_divide(fold, w_sum).alias("ewma"),
     )

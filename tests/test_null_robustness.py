@@ -94,3 +94,33 @@ def test_exact_dedup_groups_nulls_and_empties(spark, degenerate_docs):
     sizes = sorted(g.n_copies for g in groups)
     assert sum(sizes) == 6  # every row lands in exactly one group
     assert max(sizes) == 2  # the identical pair clusters
+
+
+def test_ewma_fold_total_over_null_values(spark):
+    """events_ewma_smooth's fold skips NULL values (collect_list drops
+    them) and the normalizer tracks the same non-null count, so rows keep
+    a consistent prefix; an all-NULL user yields NULL (try_divide — a
+    plain `/` would DIVIDE_BY_ZERO-abort the whole job under Spark 4's
+    default ANSI mode, which this test caught on the first version)."""
+    from ksql_spark.registry import all_specs  # noqa: F401 (registration)
+    from ksql_spark.queries.streaming_batch import events_ewma_smooth
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", 2.0),
+            (2, 10, "2024-01-01 00:01:00", None),
+            (3, 10, "2024-01-01 00:02:00", 4.0),
+            (4, 20, "2024-01-01 00:00:00", None),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        rows = {r.event_id: r for r in events_ewma_smooth(spark, d).collect()}
+    # fold over the 2 non-null values: S = 2/2 + 4 = 5; W = 2 - 2^-1 = 1.5
+    assert rows[3].decay_sum == 5.0
+    assert abs(rows[3].ewma - 5.0 / 1.5) < 1e-12
+    # all-NULL user: NULL, not an abort
+    assert rows[4].ewma is None
