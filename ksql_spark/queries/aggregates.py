@@ -147,7 +147,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(q)
     s = dsum(q)
     ss = dsum(q * q)
-    var = (ss - s * s / n) / (n - 1)
+    # try_divide: a group with 0 or 1 non-null quantities has n or n-1 = 0,
+    # and Spark 4's default ANSI mode aborts the JOB on plain division by
+    # zero; NULL variance matches DuckDB's x/0 = NULL.
+    var = F.try_divide(ss - F.try_divide(s * s, n), n - 1)
     return li.groupBy("l_returnflag").agg(
         var.alias("var_qty"), F.sqrt(var).alias("stddev_qty")
     )
@@ -398,8 +401,11 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     sx, sy = dsum1(x), dsum1(y)
     sxx, syy, sxy = dsum1(x * x), dsum1(y * y), dsum1(x * y)
-    r = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # try_divide: a CONSTANT column zeroes a denominator sqrt and plain
+    # division would ANSI-abort; NULL r matches DuckDB's x/0 = NULL.
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
     )
     return li.groupBy("l_returnflag").agg(
         ((r * 1000000.0 + 0.5).cast("long").cast("double") / 1000000.0)

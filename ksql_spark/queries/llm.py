@@ -314,8 +314,12 @@ def llm_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_norm", vectors.l2_norm("embedding")
     )  # per-row norm precomputed before the pair join (3x less fold work)
     a, b = e.alias("a"), e.alias("b")
-    cos = vectors.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.v_norm") * F.col("b.v_norm")
+    # try_divide: zero-norm vectors must yield NULL cosine (filtered by the
+    # threshold), not an ANSI DIVIDE_BY_ZERO job abort; DuckDB x/0 is NULL
+    # too, so the oracle comparison is unchanged.
+    cos = F.try_divide(
+        vectors.dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.v_norm") * F.col("b.v_norm"),
     )
     return (
         a.join(
@@ -1342,8 +1346,12 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("y_id"),
         F.col("embedding").alias("y_emb"),
     )
-    cos = vectors.dot("x_emb", "y_emb") / (
-        vectors.l2_norm("x_emb") * vectors.l2_norm("y_emb")
+    # try_divide: a zero vector has norm 0 and plain `/` would
+    # DIVIDE_BY_ZERO-abort under ANSI mode; NULL >= t is false, so zero
+    # vectors are simply never near-dups (DuckDB x/0 is NULL — identical).
+    cos = F.try_divide(
+        vectors.dot("x_emb", "y_emb"),
+        vectors.l2_norm("x_emb") * vectors.l2_norm("y_emb"),
     )
     dropped = (
         x.join(

@@ -316,8 +316,18 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("s"),
         F.count("value").alias("n"),
     )
-    z = (F.col("value") - F.col("mu")) / F.sqrt(
-        (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    # try_divide at every step: an event type with 0/1 non-null values or a
+    # CONSTANT value column zeroes a divisor, and Spark 4's default ANSI
+    # mode aborts the whole job on plain division; NULL z matches DuckDB's
+    # x/0 = NULL, and WHERE abs(NULL) > 3 filters the row in both engines.
+    z = F.try_divide(
+        F.col("value") - F.col("mu"),
+        F.sqrt(
+            F.try_divide(
+                F.col("sq") - F.try_divide(F.col("s") * F.col("s"), F.col("n")),
+                F.col("n") - 1,
+            )
+        ),
     )
     return (
         ev.join(F.broadcast(stats), "event_type")

@@ -348,14 +348,14 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        (
-            F.col("o_totalprice")
-            / (
-                F.sum(
-                    (F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
-                ).over(w).cast("double")
-                / 1000000.0
-            )
+        # try_divide: an all-zero-price customer zeroes the report total and
+        # plain division ANSI-aborts; NULL share matches DuckDB's x/0 = NULL.
+        F.try_divide(
+            F.col("o_totalprice"),
+            F.sum(
+                (F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint")
+            ).over(w).cast("double")
+            / 1000000.0,
         ).alias("share_of_customer"),
     )
 
