@@ -247,7 +247,11 @@ def llm_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         norm.alias("l2_norm"),
-        (F.col("embedding").getItem(0).cast("double") / norm).alias("unit_dim0"),
+        # try_divide: a zero vector has norm 0 — NULL (DuckDB x/0 parity),
+        # not an ANSI DIVIDE_BY_ZERO job abort
+        F.try_divide(
+            F.col("embedding").getItem(0).cast("double"), norm
+        ).alias("unit_dim0"),
     )
 
 
