@@ -87,6 +87,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--first", type=int, default=None)
+    ap.add_argument("--skip", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -103,6 +104,8 @@ def main() -> int:
     names = list(qs)
     if args.only:
         names = [n for n in args.only.split(",") if n in qs]
+    if args.skip:
+        names = names[args.skip :]
     if args.first:
         names = names[: args.first]
 
