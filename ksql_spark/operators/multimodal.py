@@ -219,8 +219,15 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
 
     def one(payload: bytes) -> str:
         if payload[:2] in (b"P5", b"P6"):
-            resized = resize_nearest(decode_netpbm(payload), width, height)
-            return hashlib.sha256(resized.tobytes()).hexdigest()
+            try:
+                resized = resize_nearest(decode_netpbm(payload), width, height)
+                return hashlib.sha256(resized.tobytes()).hexdigest()
+            except ValueError:
+                # a 2-byte magic is a weak signal: text starting "P5 ..."
+                # or a truncated PPM must not abort the whole job in stub
+                # mode — fall through to the stub (or the strict raise)
+                if not fake:
+                    raise
         if not fake:
             raise NotImplementedError(
                 "non-netpbm resize requires PIL; set KSQL_SPARK_FAKE_DECODE=1 "
@@ -264,17 +271,26 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload)
                 if p.startswith(b"YUV4MPEG2 "):
-                    frames = decode_y4m(p)
-                    nt = frames.shape[0]
-                    for i in range(n_frames):
-                        src = (i * nt) // n_frames
-                        rows["doc_id"].append(doc_id)
-                        rows["frame_idx"].append(src)
-                        rows["frame_sha"].append(
-                            hashlib.sha256(frames[src].tobytes()).hexdigest()
-                        )
-                    continue
-                if not fake:
+                    try:
+                        frames = decode_y4m(p)
+                    except ValueError:
+                        # truncated / non-mono / prefix-coincidence payloads
+                        # must not abort the job in stub mode — fall through
+                        # to the stub (or the strict raise below)
+                        if not fake:
+                            raise
+                        frames = None
+                    if frames is not None:
+                        nt = frames.shape[0]
+                        for i in range(n_frames):
+                            src = (i * nt) // n_frames
+                            rows["doc_id"].append(doc_id)
+                            rows["frame_idx"].append(src)
+                            rows["frame_sha"].append(
+                                hashlib.sha256(frames[src].tobytes()).hexdigest()
+                            )
+                        continue
+                elif not fake:
                     raise NotImplementedError(
                         "non-Y4M frame sampling requires ffmpeg; set "
                         "KSQL_SPARK_FAKE_DECODE=1 for the deterministic stub"

@@ -1111,12 +1111,12 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ksql_spark.queries.llm import _ANN_RECALL_ORACLE
+
+
 @query(
     "ann_lsh_portable_recall",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS avg_recall_ok
-    FROM embeddings WHERE vec_id < 3
-    """,
+    oracle=_ANN_RECALL_ORACLE,
     ref="SURVEY §2 K3 [EXT] (portable-LSH quality gate: avg recall@5 vs "
     "exact brute-force >= 0.5, measured 0.80 at sf0.01 with the 8x3 "
     "band config — the enforcement the round-4 'measured 0.4, noted' "

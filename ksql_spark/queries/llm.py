@@ -1216,6 +1216,28 @@ list_reduce(
 """
 
 
+def _assign_fixed_centroids(e):
+    """Nearest-of-K=4-fixed-centroids assignment (centroids = embeddings of
+    vec_id < 4; squared-L2, tie-broken on centroid id) — the ONE place the
+    deterministic Lloyd-step arithmetic lives, shared by llm_emb_cluster and
+    llm_semantic_dedup so their matching oracle spellings cannot drift
+    across copies. Returns (vec_id, embedding, cent_id, cd)."""
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id", "cd")
+    )
+
+
 @query(
     "llm_emb_cluster",
     oracle=f"""
@@ -1253,20 +1275,7 @@ def llm_emb_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id so it rides the same exchange-free layout; final agg is K rows.
     Identical shape to ann_ivf_topk's assignment stage — this is the
     oracle-exact anchor for that rows-only sketch."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "cent_id",
-            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    assigned = _assign_fixed_centroids(load(spark, sf_dir, "embeddings"))
     return assigned.groupBy("cent_id").agg(
         F.count("*").alias("n_members"), davg("cd").alias("avg_dist")
     )
@@ -1325,21 +1334,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast O(n·K) narrow scan proven by llm_emb_cluster. The drop rule
     is relational (EXISTS lower-id neighbor), not iterative, so the whole
     decision is one Catalyst plan."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
-    m = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "embedding", "cent_id",
-            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    m = _assign_fixed_centroids(load(spark, sf_dir, "embeddings"))
     x = m.select(
         F.col("cent_id").alias("x_cent"),
         F.col("vec_id").alias("x_id"),

@@ -390,14 +390,18 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
         SELECT user_id, event_id, value,
-               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS vals
+               list_filter(
+                   list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING),
+                   x -> x IS NOT NULL) AS vals
         FROM events
     )
     SELECT user_id, event_id,
-           list_reduce(vals, (acc, x) -> acc / 2 + x) AS decay_sum,
-           list_reduce(vals, (acc, x) -> acc / 2 + x)
-           / (2.0 - power(2.0, CAST(1 - len(vals) AS DOUBLE))) AS ewma
+           CASE WHEN len(vals) > 0
+                THEN list_reduce(vals, (acc, x) -> acc / 2 + x) END AS decay_sum,
+           CASE WHEN len(vals) > 0
+                THEN list_reduce(vals, (acc, x) -> acc / 2 + x)
+                     / (2.0 - power(2.0, CAST(1 - len(vals) AS DOUBLE))) END AS ewma
     FROM o
     """,
     ref="SURVEY §2 E3/E4 [EXT] (per-user EWMA smoothing, alpha = 1/2: the "
@@ -429,9 +433,17 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # collect_list DROPS NULL values — the oracle mirrors this exactly with
+    # list_filter(..., x -> x IS NOT NULL) over DuckDB's list() window
+    # (which, unlike collect_list, KEEPS NULL elements — unfiltered, one
+    # NULL value would NULL the whole fold there while Spark skipped it).
     vals = F.collect_list("value").over(w)
-    fold = F.aggregate(
-        vals, F.lit(0.0), lambda acc, x: acc / F.lit(2.0) + x
+    # empty prefix (all values NULL so far) → NULL, matching the oracle's
+    # CASE len(vals) > 0 guard; an unguarded fold would give 0.0 here and
+    # DuckDB's list_reduce would error on the empty list.
+    fold = F.when(
+        F.size(vals) > 0,
+        F.aggregate(vals, F.lit(0.0), lambda acc, x: acc / F.lit(2.0) + x),
     )
     w_sum = F.lit(2.0) - F.pow(
         F.lit(2.0), (F.lit(1) - F.size(vals)).cast("double")
@@ -440,10 +452,8 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         fold.alias("decay_sum"),
-        # try_divide: a user whose collected prefix is empty (all values
-        # NULL) has w_sum = 0, and under Spark 4's default ANSI mode a
-        # plain `/` ABORTS the whole job on that row (DIVIDE_BY_ZERO).
-        # NULL matches DuckDB, which yields NULL for x/0 — so the oracle
-        # comparison is unaffected.
+        # try_divide: w_sum is 0 on the empty prefix, and under Spark 4's
+        # default ANSI mode a plain `/` ABORTS the whole job on that row
+        # (DIVIDE_BY_ZERO). NULL matches the oracle's CASE guard.
         F.try_divide(fold, w_sum).alias("ewma"),
     )

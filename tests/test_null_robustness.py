@@ -122,5 +122,6 @@ def test_ewma_fold_total_over_null_values(spark):
     # fold over the 2 non-null values: S = 2/2 + 4 = 5; W = 2 - 2^-1 = 1.5
     assert rows[3].decay_sum == 5.0
     assert abs(rows[3].ewma - 5.0 / 1.5) < 1e-12
-    # all-NULL user: NULL, not an abort
-    assert rows[4].ewma is None
+    # all-NULL user: NULL (both fields), not an abort — and the oracle's
+    # CASE len > 0 guard agrees
+    assert rows[4].decay_sum is None and rows[4].ewma is None

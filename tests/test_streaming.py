@@ -434,6 +434,14 @@ def test_real_netpbm_decode_and_resize(spark):
         multimodal.resize_nearest(img, 2, 1).tobytes()
     ).hexdigest()
     assert row.resized_sha == expect
+    # a payload that merely STARTS with the netpbm magic (text "P5 ...",
+    # truncated PPM) falls back to the stub in fake mode, never aborts
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"P5 is a chess engine rating")),
+         (3, bytearray(ppm[:-1]))],
+        "doc_id long, payload binary",
+    )
+    assert len(multimodal.resize_images(bad, 2, 1).collect()) == 2
 
 
 def test_real_y4m_decode_and_frame_sample(spark):
@@ -467,6 +475,15 @@ def test_real_y4m_decode_and_frame_sample(spark):
     assert [r.frame_idx for r in rows] == [0, 2]
     for r in rows:
         assert r.frame_sha == hashlib.sha256(vid[r.frame_idx].tobytes()).hexdigest()
+    # prefix-coincidence / corrupt payloads fall back to the stub in fake
+    # mode instead of aborting the job (one bad blob must not kill a pass)
+    bad = spark.createDataFrame(
+        [(8, bytearray(b"YUV4MPEG2 but not really a video")),
+         (9, bytearray(y4m[:-1]))],
+        "doc_id long, payload binary",
+    )
+    fallback = multimodal.sample_frames(bad, n_frames=2).collect()
+    assert len(fallback) == 4  # 2 stub rows per payload, no crash
 
 
 def test_real_wav_audio_decode(spark):
