@@ -34,6 +34,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--sp", type=int, default=1)
     args = ap.parse_args()
 
     import duckdb
@@ -44,7 +45,7 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master("local[32]").appName("tpch-bench")
-        .config("spark.sql.shuffle.partitions", "1")
+        .config("spark.sql.shuffle.partitions", "1")  # overridden below via --sp
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
         .config("spark.sql.columnVector.offheap.enabled", "true")
@@ -58,6 +59,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", str(args.sp))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
