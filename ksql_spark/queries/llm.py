@@ -300,6 +300,102 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_hard_negatives",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rank FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+               {_dot_sql('q.embedding', 'v.embedding')}
+               / ({_norm_sql('q.embedding')} * {_norm_sql('v.embedding')}) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_dot_sql('q.embedding', 'v.embedding')}
+                            / ({_norm_sql('q.embedding')} * {_norm_sql('v.embedding')})
+                            DESC, v.vec_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+        CROSS JOIN embeddings v
+        WHERE q.vec_id <> v.vec_id AND q.label <> v.label
+    ) WHERE rn <= 3
+    """,
+    ref="SURVEY §2 K3/K6 [EXT] (hard-negative mining for contrastive "
+    "training: per anchor, the top-3 most-similar vectors with a DIFFERENT "
+    "label — the highest-loss negatives an embedding-model batch builder "
+    "wants; the label-filtered sibling of llm_sim_topk)",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hard negatives per anchor (vec_id < 3): nearest-by-cosine
+    vectors whose label DIFFERS from the anchor's — semantically close yet
+    wrongly-labeled pairs are the informative negatives for contrastive /
+    triplet training.
+
+    Scale shape: identical to llm_sim_topk (anchors broadcast, one narrow
+    corpus pass, per-anchor window) — the label predicate just rides the
+    same join condition; at corpus scale the exact pass is replaced by the
+    ANN entries feeding the same label filter."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", vectors.l2_norm("embedding")
+    )
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("q_label") != F.col("label"))
+        )
+    )
+    cos = F.try_divide(
+        vectors.dot("q_emb", "embedding"), F.col("q_norm") * F.col("v_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pairs.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE)
+           / SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+               AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+    ref="SURVEY §2 K4 [EXT] (tokenizer fertility: characters per BPE-ish "
+    "token by language — the standard metric for how (un)fairly a tokenizer "
+    "treats each language in a multilingual corpus; ratio of two exact "
+    "integer sums, so the double division is bit-stable)",
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characters per token by language under the shared BPE-ish regex —
+    high fertility = the tokenizer fragments that language into more, less
+    meaningful pieces (costlier context, worse downstream quality).
+
+    Scale shape: one narrow scan + one |langs|-row hash agg; both sums are
+    exact integers, so the final division is partition-order invariant
+    without quantization."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(text.token_count("text").cast("long")).alias("total_tokens"),
+        F.try_divide(
+            F.sum("n_chars").cast("double"),
+            F.sum(text.token_count("text").cast("long")),
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
     "llm_emb_cosine_dup",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
