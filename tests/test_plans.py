@@ -95,6 +95,16 @@ def test_substring_dedup_digest_only_exchanges(spark):
         assert "gram#" not in cols and "text#" not in cols, cols
 
 
+def test_hard_negatives_broadcast_anchors(spark):
+    """K42 hard-negative mining: the anchor set broadcasts (bounded query
+    count) and the corpus pass stays narrow — no SortMergeJoin, no
+    unblocked CartesianProduct."""
+    plan = plan_of(spark, "llm_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_dedup_no_cartesian(spark):
     """K39 SemDeDup: the centroid assignment is a bounded broadcast
     nested-loop (K rows); the pair join must be cluster-blocked (equi on
