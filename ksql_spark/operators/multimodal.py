@@ -217,7 +217,9 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     """
     fake = os.environ.get("KSQL_SPARK_FAKE_DECODE", "1") == "1"
 
-    def one(payload: bytes) -> str:
+    def one(payload) -> str | None:
+        if payload is None:
+            return None  # dirty blob reference: NULL result, not an abort
         if payload[:2] in (b"P5", b"P6"):
             try:
                 resized = resize_nearest(decode_netpbm(payload), width, height)
@@ -244,7 +246,10 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "resized_sha": [one(bytes(p)) for p in pdf["payload"]],
+                    "resized_sha": [
+                        one(None if p is None else bytes(p))
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
@@ -269,6 +274,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_sha": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # dirty blob reference: skip, not an abort
                 p = bytes(payload)
                 if p.startswith(b"YUV4MPEG2 "):
                     try:
@@ -334,17 +341,21 @@ def extract_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            dims = [decode(bytes(p)) for p in payloads]
+            # NULL payloads (e.g. attach_payload over NULL text) yield a
+            # NULL feature row — a dirty blob reference must not kill the
+            # whole pass
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
+            dims = [None if p is None else decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": [len(bytes(p)) for p in payloads],
+                    "byte_len": [None if p is None else len(p) for p in payloads],
                     "content_sha": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in payloads
+                        None if p is None else hashlib.sha256(p).hexdigest()
+                        for p in payloads
                     ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": [None if d is None else d[0] for d in dims],
+                    "height": [None if d is None else d[1] for d in dims],
                 }
             )
 

@@ -281,7 +281,9 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k_int"),
+        # try_parse_json: malformed/empty props must yield NULL (DuckDB's
+        # json_extract_string does), not abort the scan
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k_int"),
     )
 
 
@@ -428,7 +430,14 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     map_from_entries, then read it back with element_at / size — the oracle
     computes identical numbers without maps (DuckDB maps are dialect-odd)."""
     ev = load(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # NULL event_type rows are excluded before the map build (Spark map keys
+    # cannot be NULL — an unfiltered build ABORTS on the first null key);
+    # matches the oracle, whose FILTER counts and COUNT(DISTINCT) skip NULLs.
+    per_type = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
     maps = per_type.groupBy("user_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("event_type"), F.col("cnt")))

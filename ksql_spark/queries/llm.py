@@ -196,7 +196,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS jaccard
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 20
-    WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x))) * 10
+    WHERE len(a.grams) + len(b.grams)
+            - len(list_filter(a.grams, x -> list_contains(b.grams, x))) > 0
+      AND len(list_filter(a.grams, x -> list_contains(b.grams, x))) * 10
           >= len(a.grams) + len(b.grams)
             - len(list_filter(a.grams, x -> list_contains(b.grams, x)))
     """,
@@ -221,7 +223,10 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.doc_id") - F.col("a.doc_id") <= 20),
         )
-        .where(inter * 10 >= union)
+        # union > 0 first: a pair of sub-3-word docs has two EMPTY gram
+        # sets — 0/0 would ANSI-abort, and "two empty docs" is not a dup
+        # signal; the oracle carries the same guard.
+        .where((union > 0) & (inter * 10 >= union))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
