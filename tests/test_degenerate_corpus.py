@@ -26,12 +26,13 @@ from .conftest import SF_SMALL
 
 SPECS = all_specs()
 
-#: entries excluded from the sweep (mirrors the raw-scan audit exclusions):
-#: model-fitting builders need non-degenerate geometry guarantees the real
-#: fixtures give (their degenerate-input behavior is bounded by their own
-#: fallbacks), bucketed-join writes warehouse tables, k8s ignores sf_dir.
+#: entries excluded from the sweep: the bucketed join writes warehouse
+#: tables (covered by its own suite) and the k8s scan ignores sf_dir.
+#: The ann_* model-fitting entries ARE included — their flat-search /
+#: bounded-sample fallbacks must hold on a 201-vector corpus with a zero
+#: vector, and do.
 SKIP = {"join_bucketed_colocated"}
-SKIP_PREFIXES = ("ann_", "scan_k8s")
+SKIP_PREFIXES = ("scan_k8s",)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
