@@ -21,7 +21,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType, StringType
 
 from ksql_spark.registry import query
-from ksql_spark.tables import load
+from ksql_spark.tables import ensure_views, load
 
 
 @pandas_udf(StringType())
@@ -90,3 +90,48 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.select("doc_id", "text").mapInPandas(explode_words, "doc_id long, word string")
+
+
+@query(
+    "udtf_native",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           string_split(text, ' ')[i] AS word
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+          FROM documents WHERE doc_id < 50)
+    """,
+    ref="SURVEY §2 J3 (NATIVE Spark 4 Python UDTF — @udtf class with eval(), "
+    "registered and callable from SQL via LATERAL; the modern surface over "
+    "the mapInPandas route of udtf_flatmap)",
+)
+def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's first-class Python UDTF: a class with eval() yielding rows,
+    registered in the session catalog and invoked from SQL with LATERAL —
+    one (pos, word) row per token.
+
+    Scale shape: the UDTF executes per-row in the Python worker over Arrow
+    batches, pipelined with the scan (no shuffle). A pure-performance
+    implementation would be posexplode(split(...)) — fully JVM-side; this
+    entry exists to pin the extension SURFACE the reference's AlaSQL
+    user-functions offered, on the engine-native API."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )
