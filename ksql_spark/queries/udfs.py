@@ -135,3 +135,70 @@ def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+@query(
+    "udf_sql_function",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(trunc(l_extendedprice * (1.0 - l_discount)
+                * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+               AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    ref="SURVEY §2 J1/J2 [EXT] (SQL-language UDF: CREATE FUNCTION ... "
+    "RETURNS ... RETURN expr — the declarative user-function surface "
+    "AlaSQL exposed as alasql.fn, here as a catalog function Catalyst "
+    "INLINES into the plan, so unlike a Python UDF it costs nothing)",
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-language scalar function (quantized discounted price) created
+    in the catalog and used inside an aggregate. Catalyst inlines the body
+    — the plan is identical to writing the expression inline (whole-stage
+    codegen, pushdown intact), which is why SQL UDFs are the FIRST choice
+    for user logic at 100 TB; Python UDFs are for logic SQL cannot say."""
+    ensure_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q_disc_price(p DOUBLE, d DOUBLE)
+        RETURNS BIGINT RETURN CAST(p * (1.0 - d) * 1000000 + 0.5 AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(q_disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+               / 1000000.0 AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "param_query",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 200000.0
+    GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 B [EXT] (parameterized SQL: spark.sql(query, args=...) "
+    "named-parameter binding — the injection-safe templating surface the "
+    "reference's string-concatenated REPL queries lacked; parameters bind "
+    "as literals so pushdown/pruning see constants)",
+)
+def param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL: the threshold arrives via args binding, not
+    string interpolation. The bound value is a LITERAL to the optimizer,
+    so predicate pushdown and partition pruning work exactly as if it were
+    inlined — and the text is injection-safe for REPL/HTTP use."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :threshold
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 200000.0},
+    )
