@@ -158,6 +158,43 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_ewma(stream: DataFrame) -> DataFrame:
+    """I7 [EXT]: per-user EWMA (alpha = 1/2) as CROSS-BATCH float state —
+    the streaming twin of the batch entry events_ewma_smooth. State =
+    (decay_sum, n over non-null values); each micro-batch folds its rows in
+    (ts, event_id) order on top of the carried state, so after the last
+    batch the state equals the batch fold over the full history — bitwise
+    (Python floats are IEEE doubles and the fold sequence is identical).
+    Emits the running state per key per batch (update mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, decay_sum double, n long"
+    state_schema = "s double, n long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        s, n = (state.get if state.exists else (0.0, 0))
+        # a key's batch rows may arrive as MULTIPLE chunks: concatenate
+        # before sorting, or the fold order would only be chunk-local
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                if pd.isna(v):
+                    continue  # collect_list parity: NULL values are skipped
+                s = s / 2.0 + float(v)
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "decay_sum": [s], "n": [n]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def view_purchase_join(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """I-family [EXT]: watermarked stream-stream inner join — each view event
     matched with the same user's purchases within the following hour.

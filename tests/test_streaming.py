@@ -120,6 +120,68 @@ def test_stateful_running_totals(spark, events_dir):
     assert got == {r["user_id"]: 2 * r["n"] for r in batch}
 
 
+def test_stateful_ewma_matches_batch_fold(spark, tmp_path):
+    """Cross-batch FLOAT state: the streaming EWMA (applyInPandasWithState,
+    two time-split micro-batches) must finish with EXACTLY the batch entry's
+    final fold per user — bitwise, because both fold the identical value
+    sequence under IEEE-754 doubles."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ts_type = dict(src.dtypes).get("ts")
+    if ts_type == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = src.agg(F.median(us).alias("m")).collect()[0]["m"]
+    d = tmp_path / "ewma_stream"
+    d.mkdir()
+    # two files split at the median ts, written early-first so the file
+    # source admits them in event-time order (one micro-batch each)
+    src.where(us <= F.lit(cutoff)).coalesce(1).write.parquet(str(d / "f1"))
+    import shutil
+    import time as _time
+
+    src.where(us > F.lit(cutoff)).coalesce(1).write.parquet(str(d / "f2"))
+    # flatten: the file source streams a directory of parquet FILES
+    replay = tmp_path / "ewma_replay"
+    replay.mkdir()
+    for i, sub in enumerate(["f1", "f2"]):
+        [pf] = [p for p in (d / sub).glob("*.parquet")]
+        shutil.copy(pf, replay / f"part-{i:03d}.parquet")
+        _time.sleep(1.1)
+
+    stream = jobs.events_stream(spark, str(replay), max_files_per_trigger=1)
+    jobs.run_available_now(jobs.running_user_ewma(stream), "t_ewma", "update")
+    got = {}
+    for r in spark.table("t_ewma").collect():
+        # update mode emits one row per key per batch: keep the latest (max n)
+        if r["user_id"] not in got or r["n"] > got[r["user_id"]][1]:
+            got[r["user_id"]] = (r["decay_sum"], r["n"])
+
+    batch = SPECS["events_ewma_smooth"].builder(spark, SF_SMALL)
+    # final fold per user = the decay_sum of the user's LAST event in
+    # (ts, event_id) order; recover it via the batch entry joined to events
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    last = (
+        ev.groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("last_ev"))
+    )
+    want = {
+        r["user_id"]: r["decay_sum"]
+        for r in batch.join(
+            last,
+            (batch["user_id"] == last["user_id"])
+            & (batch["event_id"] == last["last_ev"]),
+        ).select(batch["user_id"], "decay_sum").collect()
+    }
+    assert set(got) == set(want)
+    for uid, expect in want.items():
+        assert got[uid][0] == expect, (uid, got[uid][0], expect)  # bitwise
+    spark.sql("DROP TABLE IF EXISTS t_ewma")
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """I5: real late-data semantics. Batch 1 advances the watermark far past
     batch 2's old events; the late rows must NOT appear in append-mode output."""
