@@ -149,6 +149,18 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
         from ksql_spark.compat.rewriter import extract_from_files, split_into_file
         from ksql_spark.dml import is_dml, run_dml
 
+        if line.lower().startswith(".explain"):
+            # engine-native plan visibility (no reference analog — AlaSQL
+            # has no EXPLAIN): `.explain SELECT ...` prints the formatted
+            # physical plan after the compat rewrite, so users can check
+            # pushdown/broadcast/exchange shape from the console.
+            sql = line[len(".explain"):].strip()
+            if not sql:
+                print("usage: .explain <query>")
+                return
+            spark.sql(rewriter.rewrite(sql)).explain("formatted")
+            return
+
         if is_dml(line):
             # DML goes through the compat rewriter too, so reference-dialect
             # sugar (-> accessor, truthiness) works in SET/WHERE like SELECTs

@@ -216,3 +216,13 @@ def test_file_source_views_are_dropped(spark, rw, tmp_path, capsys):
     assert not [
         v.name for v in spark.catalog.listTables() if v.name.startswith("_file_src_")
     ]
+
+
+def test_handle_line_explain_command(spark, rw, capsys):
+    """.explain prints the formatted physical plan (through the compat
+    rewrite) instead of executing the query."""
+    handle_line(spark, rw, ".explain select count(*) from containers")
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    handle_line(spark, rw, ".explain")
+    assert "usage: .explain" in capsys.readouterr().out
