@@ -300,6 +300,52 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS next_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+    ref="SURVEY §2 C10 [EXT] (FORWARD as-of join — the earliest right-side "
+    "row at-or-after each left row; pandas merge_asof direction='forward'. "
+    "Same union+window plan as join_asof with the scan order reversed)",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched with the user's FIRST view at or
+    after it (the 'what did they do next' direction; join_asof is backward).
+
+    Scale: identical to join_asof — ONE user_id shuffle, one sequential
+    window scan ordered ts DESC so last(view_ts) carries the SMALLEST
+    view ts >= purchase ts; views sort before purchases at equal ts for the
+    inclusive >= semantics. No row explosion at any SF."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "next_view_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        tagged.where(F.col("side") == 1)
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "next_view_ts")
+    )
+
+
+@query(
     "join_lateral",
     oracle="""
     SELECT n_name, l.top_bal
