@@ -140,6 +140,11 @@ _R4_CHECKED = frozenset({
 })
 
 
+# ROUND RITUAL: when CORRECTNESS_r0N.json lands, add its key set here as
+# _RN_CHECKED and give it the highest group number below, so never-sampled
+# keys keep sorting to the front of the driver's bounded window.
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
     if spec.name in _R4_CHECKED:
