@@ -84,6 +84,36 @@ def make_handler(spark, rewriter: Rewriter, allow_dml: bool = False):
 
         def do_GET(self):  # noqa: N802 (http.server API)
             url = urlparse(self.path)
+            if url.path == "/explain":
+                # read-only plan introspection (mirror of the REPL's
+                # .explain): formatted physical plan for the rewritten query
+                params = parse_qs(url.query)
+                if "query" not in params:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b"Query parameter is required.")
+                    return
+                try:
+                    sql = compat_top(
+                        compat_using(rewriter.rewrite(params["query"][0]))
+                    )
+                    plan = (
+                        spark.sql(sql)
+                        ._jdf.queryExecution()
+                        .explainString(
+                            spark._jvm.org.apache.spark.sql.execution
+                            .ExplainMode.fromString("formatted")
+                        )
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.end_headers()
+                    self.wfile.write(plan.encode())
+                except Exception as exc:
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(f"error: {exc}".encode())
+                return
             if url.path != "/api":
                 self._serve_static(url.path)
                 return

@@ -1109,3 +1109,79 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value").desc(), "ps_partkey")
         .limit(50)
     )
+
+
+@query(
+    "tpch_q2_official_shape",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    eu AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    mins AS (
+        SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+        FROM eu GROUP BY ps_partkey
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           eu.ps_partkey AS p_partkey, eu.ps_supplycost
+    FROM eu JOIN mins ON eu.ps_partkey = mins.ps_partkey
+                     AND eu.ps_supplycost = mins.min_cost
+    JOIN part ON p_partkey = eu.ps_partkey
+    WHERE p_size IN (1, 5, 10, 15, 20, 25)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    ref="TPC-H Q2 OFFICIAL shape (min-cost supplier within a region, "
+    "supplier details, ALL ties): correlated region-filtered scalar MIN "
+    "per part with join-back — now expressible on the derived partsupp; "
+    "tpch_q2_min_cost_supplier remains the lineitem-adapted variant; "
+    "SURVEY §2 B14/C1/D4/F5 composite",
+)
+def tpch_q2_official_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine Q2 formulation: for qualifying part sizes, the ASIA
+    supplier(s) achieving the regional minimum supply cost, ordered by
+    account balance — ties all surface (equality join-back, not top-1).
+
+    Plan: the region-filtered partsupp subtree builds once and feeds BOTH
+    the per-part MIN and the join-back (exchange reused on ps_partkey at
+    scale); nation/region hinted, everything else unhinted per the round-5
+    degradable posture; full-column sort tiebreak keeps the LIMIT 100 cut
+    deterministic (s_name is unique)."""
+    l = load(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(l)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    eu = (
+        ps.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    mins = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"), "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )

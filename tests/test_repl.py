@@ -226,3 +226,34 @@ def test_handle_line_explain_command(spark, rw, capsys):
     assert "Physical Plan" in out
     handle_line(spark, rw, ".explain")
     assert "usage: .explain" in capsys.readouterr().out
+
+
+def test_http_explain_endpoint(spark, rw):
+    """GET /explain returns the formatted physical plan (read-only, mirrors
+    the REPL's .explain); missing query → 400."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from ksql_spark.http_api import make_handler
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(spark, rw))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/explain?query="
+            "select%20count(*)%20from%20containers"
+        ) as resp:
+            body = resp.read().decode()
+        assert "Physical Plan" in body
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/explain")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
