@@ -215,15 +215,20 @@ def minhash_near_dups_portable(
         df.where(F.size(text_ops.words(text_col)) >= 3)
         .select(F.col(id_col).alias("_id"), grams_col.alias("grams"))
     )
-    sig_cols = [
-        F.array_min(
+    def _sig(h: int):
+        # NB: a `lambda x, h=h` would be a TWO-parameter lambda — PySpark
+        # passes the array INDEX as the second argument, silently replacing
+        # the intended "h:" prefix with a Column repr string. Capture the
+        # prefix as a closure free variable instead.
+        prefix = f"{h}:"
+        return F.array_min(
             F.transform(
                 F.col("grams"),
-                lambda x, h=h: F.md5(F.concat(F.lit(f"{h}:"), x).cast("binary")),
+                lambda x: F.md5(F.concat(F.lit(prefix), x).cast("binary")),
             )
         ).alias(f"s{h}")
-        for h in range(n_hash)
-    ]
+
+    sig_cols = [_sig(h) for h in range(n_hash)]
     s = g.select("_id", "grams", *sig_cols)
     band_rows = [
         s.select(

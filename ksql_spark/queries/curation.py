@@ -1255,3 +1255,108 @@ def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+def _minhash_estimate_oracle(n_hash: int = 8) -> str:
+    gram = ("list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+            "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+            "|| ' ' || string_split(text,' ')[i+2]))")
+    sigs = ",\n           ".join(
+        f"list_min(list_transform(grams, x -> md5('{h}:' || x))) AS s{h}"
+        for h in range(n_hash)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.s{h} = b.s{h} THEN 1 ELSE 0 END)" for h in range(n_hash)
+    )
+    return f"""
+    WITH g AS (
+        SELECT doc_id, source, {gram} AS grams
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    ),
+    s AS (
+        SELECT doc_id, source,
+           {sigs}
+        FROM g
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({matches} AS INT) AS est_matches,
+           CAST({matches} AS DOUBLE) / {n_hash} AS est_jaccard
+    FROM s a JOIN s b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+     AND b.doc_id - a.doc_id <= 20
+    WHERE {matches} >= 1
+    """
+
+
+@query(
+    "llm_minhash_estimate",
+    oracle=_minhash_estimate_oracle(),
+    ref="SURVEY §2 K2 [EXT] (MinHash JACCARD ESTIMATOR: similarity "
+    "estimated as the fraction of matching signature components — the "
+    "production fast path that skips exact set intersection entirely; "
+    "completes the portable MinHash story: banding candidates "
+    "(llm_dedup_near_portable), exact verify (same), estimator (this))",
+)
+def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard from 8 portable md5 min-signatures over blocked
+    candidate pairs (same source, nearby ids — the llm_ngram_jaccard
+    block): est = |matching components| / n_hash. E[est] = true Jaccard;
+    at scale this replaces the exact intersection re-rank when +-1/8
+    resolution suffices (standard MinHash estimator).
+
+    Scale shape: signatures are one narrow per-doc pass (n_hash folds over
+    the gram array); the pair join carries 8 fixed-width hex strings per
+    side, never gram sets; the comparison is 8 equality checks per pair."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators import text as text_ops
+
+    n_hash = 8
+    d = load(spark, sf_dir, "documents")
+    grams_col = F.array_distinct(text_ops.shingles("text", 3))
+    def _sig(h: int):
+        # NB: a `lambda x, h=h` would be a TWO-parameter lambda — PySpark
+        # passes the array INDEX as the second argument, silently replacing
+        # the intended "h:" prefix with a Column repr string. Capture the
+        # prefix as a closure free variable instead.
+        prefix = f"{h}:"
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda x: F.md5(F.concat(F.lit(prefix), x).cast("binary")),
+            )
+        ).alias(f"s{h}")
+
+    sig_cols = [_sig(h) for h in range(n_hash)]
+    s = (
+        d.where(F.size(text_ops.words("text")) >= 3)
+        .select("doc_id", "source", grams_col.alias("grams"))
+        .select("doc_id", "source", *sig_cols)
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        *[F.col(f"s{h}").alias(f"a{h}") for h in range(n_hash)],
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        *[F.col(f"s{h}").alias(f"b{h}") for h in range(n_hash)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(n_hash)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("doc_b") - F.col("doc_a") <= 20),
+        )
+        .select(
+            "doc_a", "doc_b",
+            matches.cast("int").alias("est_matches"),
+            (matches.cast("double") / n_hash).alias("est_jaccard"),
+        )
+        .where(F.col("est_matches") >= 1)
+    )
