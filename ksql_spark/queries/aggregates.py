@@ -684,3 +684,28 @@ def agg_skew_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 3.0 * F.col("total").cast("double")
         ).alias("is_hot"),
     )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY ALL
+    """,
+    ref="SURVEY §2 D3 [EXT] (GROUP BY ALL: every non-aggregate select item "
+    "becomes a grouping key — the DuckDB-originated sugar Spark 4 adopted; "
+    "compiles to the identical hash aggregate as the explicit spelling)",
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL at the SQL surface — analyzer sugar only: the physical
+    plan is byte-identical to GROUP BY o_orderstatus, o_orderpriority, so
+    every scale property of agg_group_by carries over."""
+    from ksql_spark.tables import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL
+        """
+    )

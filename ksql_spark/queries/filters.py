@@ -318,3 +318,34 @@ def filter_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE o_orderpriority NOT IN ('1-URGENT')) AS cnt_clean_list
         """
     )
+
+
+@query(
+    "project_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 0.9 AS discounted,
+           discounted * 0.07 AS tax
+    FROM orders
+    """,
+    ref="SURVEY §2 B3 [EXT] (lateral column alias: a select item referencing "
+    "an alias defined earlier in the SAME select list — Spark 4 analyzer "
+    "feature, identical semantics in DuckDB; avoids nesting a subquery "
+    "just to reuse a computed column)",
+)
+def project_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: `tax` is computed from the sibling alias
+    `discounted` — pure analyzer sugar, the plan inlines the expression, so
+    the scan/projection shape is unchanged. Double math is a fixed IEEE
+    sequence, bit-identical in both engines."""
+    from ksql_spark.tables import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_totalprice * 0.9 AS discounted,
+               discounted * 0.07 AS tax
+        FROM orders
+        """
+    )
