@@ -14,6 +14,7 @@ LLM-pipeline surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as SparkWindow
 
 from ksql_spark.operators import text
 from ksql_spark.operators.scale import ranged_cumsum
@@ -1359,4 +1360,214 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches.cast("double") / n_hash).alias("est_jaccard"),
         )
         .where(F.col("est_matches") >= 1)
+    )
+
+
+@query(
+    "llm_gopher_rules",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / n_words
+               AS mean_word_len,
+           CAST(len(list_filter(w,
+                x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+               AS stop_hits,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / n_words AS alpha_ratio,
+           n_words BETWEEN 40 AND 100000 AS ok_len,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / n_words
+               BETWEEN 2.0 AND 12.0 AS ok_mean_len,
+           len(list_filter(w,
+               x -> x IN ('the','a','of','and','to','in','is'))) >= 2 AS ok_stop,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / n_words >= 0.8 AS ok_alpha,
+           (n_words BETWEEN 40 AND 100000)
+           AND (CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                / n_words BETWEEN 2.0 AND 12.0)
+           AND (len(list_filter(w,
+                x -> x IN ('the','a','of','and','to','in','is'))) >= 2)
+           AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / n_words >= 0.8) AS keep
+    FROM s
+    """,
+    ref="SURVEY §2 K44 [EXT] (Gopher-style quality rule set — Rae et al. "
+    "2021 table A1 shape: word-count bounds, mean-word-length bounds, "
+    "min stopword evidence, min alphabetic-word share, with per-rule "
+    "booleans for filter auditability)",
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style quality rules with auditable per-rule
+    verdicts: a doc passes iff word count is in [40, 100000], mean word
+    length in [2, 12], it contains >= 2 stopwords, and >= 80% of its words
+    contain an alphabetic character. All integer counts and exact-operand
+    IEEE divisions, so both engines agree bitwise.
+
+    Scale shape: one narrow scan — every signal is a per-row HOF over the
+    word array (no explode, no shuffle, no UDF). The keep decision is
+    scan-bound at any corpus size; empty/NULL docs yield NULL signals and
+    keep=false rather than an ANSI abort."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words("text")
+    n = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.when(n > 0, sum_len.cast("double") / n.cast("double"))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS)))
+    alpha_ratio = F.when(
+        n > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n.cast("double"),
+    )
+    ok_len = n.between(40, 100000)
+    ok_mean_len = mean_len.between(2.0, 12.0)
+    ok_stop = stop_hits >= 2
+    ok_alpha = alpha_ratio >= 0.8
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        alpha_ratio.alias("alpha_ratio"),
+        ok_len.alias("ok_len"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_stop.alias("ok_stop"),
+        ok_alpha.alias("ok_alpha"),
+        F.coalesce(ok_len & ok_mean_len & ok_stop & ok_alpha, F.lit(False)).alias(
+            "keep"
+        ),
+    )
+
+
+@query(
+    "llm_quality_calibrate",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, ({SQL_QUALITY}) AS quality FROM documents
+    )
+    SELECT doc_id, source, quality,
+           percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)
+               AS source_pctl,
+           percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)
+               >= 0.5 AS keep_top_half
+    FROM scored
+    """,
+    ref="SURVEY §2 K45 [EXT] (source-calibrated quality percentile: a raw "
+    "quality threshold over-prunes low-scoring domains; ranking WITHIN each "
+    "source makes the cut source-fair — the percentile-calibration step "
+    "quality-filter pipelines apply before mixing domains)",
+)
+def llm_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile (percent_rank over each source
+    partition, ties broken by doc_id) + a top-half keep flag. percent_rank
+    is (rank-1)/(n-1) — exact integer operands, one IEEE division —
+    so both engines agree bitwise.
+
+    Scale shape: one shuffle on source, sequential rank scan per partition.
+    A pathologically large single source makes that partition wide — the
+    two-stage pattern of win_distribution_scaled (per-range ranks + offset
+    broadcast) applies unchanged if a real corpus hits it."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", text.quality_score("text").alias("quality")
+    )
+    wspec = SparkWindow.partitionBy("source").orderBy("quality", "doc_id")
+    pr = F.percent_rank().over(wspec)
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        pr.alias("source_pctl"),
+        (pr >= 0.5).alias("keep_top_half"),
+    )
+
+
+@query(
+    "llm_dsir_weight",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    tgt AS (SELECT w, COUNT(*) AS t_n FROM toks WHERE source = 'src0' GROUP BY w),
+    raw AS (SELECT w, COUNT(*) AS r_n FROM toks GROUP BY w),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM toks WHERE source = 'src0') AS t_tot,
+               (SELECT COUNT(*) FROM toks) AS r_tot
+    ),
+    ratio AS (
+        SELECT t.doc_id,
+               CAST(COALESCE(g.t_n, 0) * tot.r_tot AS DOUBLE)
+               / CAST(r.r_n * tot.t_tot AS DOUBLE) AS ratio
+        FROM toks t
+        JOIN raw r USING (w)
+        LEFT JOIN tgt g USING (w)
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           {sql_davg('ratio')} AS importance
+    FROM ratio GROUP BY doc_id
+    """,
+    ref="SURVEY §2 K46 [EXT] (DSIR-shaped importance weight — Xie et al. "
+    "2023: per-doc mean target/raw unigram frequency ratio, the "
+    "transcendental-free spelling of the log-likelihood-ratio importance "
+    "score; at 100 TB the unigram would be Knuth-hashed into bounded "
+    "feature buckets, same plan)",
+)
+def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-Selection-via-Importance-Resampling weight: treating source
+    'src0' as the high-quality target distribution, each doc scores the
+    mean over its word occurrences of (target_freq * raw_total) /
+    (raw_freq * target_total). >1 means the doc looks more target-like
+    than the average corpus doc. Integer cross-multiplied frequencies
+    (products < 2^53, exactly representable) and one IEEE division per
+    word keep it bit-identical cross-engine; the quantized dsum makes the
+    per-doc mean partition-order invariant.
+
+    Scale shape: the two frequency tables are vocabulary-sized (bounded —
+    at 100 TB DSIR hashes features into 2^20 buckets first, same plan) and
+    BROADCAST onto the corpus token stream; the only wide exchange is the
+    final doc_id re-agg, with map-side partial aggregation. The corpus
+    never shuffles on the word."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(text.words("text")).alias("w"))
+    tgt = (
+        toks.where(F.col("source") == "src0")
+        .groupBy("w")
+        .agg(F.count("*").alias("t_n"))
+    )
+    raw = toks.groupBy("w").agg(F.count("*").alias("r_n"))
+    tot = toks.agg(
+        F.count("*").alias("r_tot"),
+        F.count(F.when(F.col("source") == "src0", F.lit(1))).alias("t_tot"),
+    )
+    ratio_expr = (
+        (F.coalesce(F.col("t_n"), F.lit(0)) * F.col("r_tot")).cast("double")
+        / (F.col("r_n") * F.col("t_tot")).cast("double")
+    )
+    ratio = (
+        toks.join(F.broadcast(raw), "w")
+        .join(F.broadcast(tgt), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        # t_tot = 0 (no target docs at all) is a degenerate corpus: the
+        # ratio would be x/0.0 = Inf and the quantizing cast would abort
+        # under ANSI — define the weight as 0.0 there instead.
+        .select(
+            "doc_id",
+            F.when(F.col("t_tot") > 0, ratio_expr).otherwise(F.lit(0.0)).alias(
+                "ratio"
+            ),
+        )
+    )
+    return ratio.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        davg("ratio").alias("importance"),
     )

@@ -346,6 +346,85 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         b AS (
+             SELECT p.event_id, v.ts AS back_ts
+             FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+         ),
+         f AS (
+             SELECT p.event_id, v.ts AS fwd_ts
+             FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+         )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN (p.ts - back_ts) <= (fwd_ts - p.ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_view_ts
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+    ref="SURVEY §2 C10 [EXT] (NEAREST as-of join — pandas merge_asof "
+    "direction='nearest': closest right-side row in either direction, ties "
+    "to the backward match. Completes the backward/forward/nearest triple)",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each purchase matched with the user's temporally
+    CLOSEST view, looking both directions; equidistant candidates resolve
+    to the backward (at-or-before) match, pandas merge_asof's tie rule.
+
+    Scale: still ONE user_id shuffle — both directional candidates come
+    from the same tagged union, via two window passes that share the
+    exchange (same partitioning, opposite sort orders), then a per-row
+    interval comparison picks the winner. No row explosion, no second
+    shuffle, no driver-side merge."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    # Backward scan: views sort before purchases at equal ts -> inclusive <=.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward scan: ts DESC, views first at equal ts -> inclusive >=.
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("side") == 0, F.col("ts"))
+    tagged = (
+        views.unionByName(purchases)
+        .withColumn("back_ts", F.last(view_ts, ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.last(view_ts, ignorenulls=True).over(w_fwd))
+    )
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(
+            (F.col("ts") - F.col("back_ts")) <= (F.col("fwd_ts") - F.col("ts")),
+            F.col("back_ts"),
+        )
+        .otherwise(F.col("fwd_ts"))
+    )
+    return tagged.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.alias("nearest_view_ts"),
+    )
+
+
+@query(
     "join_lateral",
     oracle="""
     SELECT n_name, l.top_bal

@@ -1626,3 +1626,259 @@ def llm_doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_top_ngram_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(replace(text, ' ', '')) AS total_chars
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS gram
+        FROM toks
+    ),
+    c2 AS (
+        SELECT doc_id, MAX(cnt * chars) AS top2_chars
+        FROM (SELECT doc_id, COUNT(*) AS cnt, len(gram) - 1 AS chars
+              FROM g2 GROUP BY doc_id, gram, len(gram) - 1)
+        GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> array_to_string(w[i:i+2], ' '))) AS gram
+        FROM toks
+    ),
+    c3 AS (
+        SELECT doc_id,
+               COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * chars END), 0)
+                   AS dup3_chars
+        FROM (SELECT doc_id, COUNT(*) AS cnt, len(gram) - 2 AS chars
+              FROM g3 GROUP BY doc_id, gram, len(gram) - 2)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id AS doc_id,
+           CAST(t.total_chars AS BIGINT) AS total_chars,
+           CAST(COALESCE(c2.top2_chars, 0) AS DOUBLE) / t.total_chars
+               AS top2_cov,
+           CAST(COALESCE(c3.dup3_chars, 0) AS DOUBLE) / t.total_chars
+               AS dup3_frac
+    FROM toks t
+    LEFT JOIN c2 ON t.doc_id = c2.doc_id
+    LEFT JOIN c3 ON t.doc_id = c3.doc_id
+    """,
+    ref="SURVEY §2 K47 [EXT] (Gopher repetition signals — Rae et al. 2021 "
+    "table A1: fraction of characters in the most frequent word 2-gram, "
+    "fraction of characters in duplicated word 3-grams; the n-gram-level "
+    "complement of llm_repetition_ratio's distinct-bigram share)",
+)
+def llm_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram repetition coverage: top2_cov = (occurrences x
+    non-space chars) of the doc's most frequent word 2-gram over total
+    non-space chars; dup3_frac = the same char mass summed over every
+    3-gram that occurs at least twice. High values flag boilerplate /
+    template docs that a distinct-word ratio misses. MAX of exact integer
+    products makes the top-gram tie-free; divisions are exact-operand IEEE.
+
+    Scale shape: two explode -> (doc_id, gram) hash aggs with map-side
+    combine, each re-agged on doc_id — all shuffles carry doc-local gram
+    counts (corpus-size bound, never a gram self-join); the two signal
+    tables join back to the narrow base scan on doc_id. Docs shorter than
+    the gram width coalesce to 0 coverage."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "total_chars"
+        ),
+    )
+    g2 = d.select("doc_id", F.explode(text.shingles("text", 2)).alias("gram"))
+    c2 = (
+        g2.groupBy("doc_id", "gram")
+        .agg((F.count("*") * (F.length(F.col("gram")) - 1)).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.max("cov").alias("top2_chars"))
+    )
+    g3 = d.select("doc_id", F.explode(text.shingles("text", 3)).alias("gram"))
+    c3 = (
+        g3.groupBy("doc_id", "gram")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.length(F.col("gram")) - 2).alias("chars"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2, F.col("cnt") * F.col("chars")
+                    )
+                ),
+                F.lit(0),
+            ).alias("dup3_chars")
+        )
+    )
+    return (
+        base.join(c2, "doc_id", "left")
+        .join(c3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.when(
+                F.col("total_chars") > 0,
+                F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
+                / F.col("total_chars").cast("double"),
+            ).alias("top2_cov"),
+            F.when(
+                F.col("total_chars") > 0,
+                F.coalesce(F.col("dup3_chars"), F.lit(0)).cast("double")
+                / F.col("total_chars").cast("double"),
+            ).alias("dup3_frac"),
+        )
+    )
+
+
+#: Bloom geometry: m = 4096 bit positions packed 32 bits per BIGINT word
+#: (sign bit never used — DuckDB << on the sign bit of a BIGINT is the
+#: hazard this sidesteps), k = 3 positions per gram from disjoint 8-hex-char
+#: slices of one md5 (Spark conv(hex,16,10) == DuckDB '0x'::BIGINT).
+_BLOOM_BITS, _BLOOM_WORD = 4096, 32
+
+
+def _bloom_pos_duck(i: int) -> str:
+    return (
+        f"('0x' || substr(md5(gram), {1 + 8 * i}, 8))::BIGINT % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "llm_bloom_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 3),
+                                  i -> array_to_string(w[i:i+4], ' ')))) AS gram
+        FROM toks
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+    epos AS (
+        SELECT unnest([{_bloom_pos_duck(0)},
+                       {_bloom_pos_duck(1)},
+                       {_bloom_pos_duck(2)}]) AS pos
+        FROM eg
+    ),
+    bloom AS (
+        SELECT pos // {_BLOOM_WORD} AS word_idx,
+               bit_or(CAST(1 AS BIGINT)
+                      << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+        FROM epos GROUP BY pos // {_BLOOM_WORD}
+    ),
+    cpos AS (
+        SELECT doc_id, gram,
+               unnest([{_bloom_pos_duck(0)},
+                       {_bloom_pos_duck(1)},
+                       {_bloom_pos_duck(2)}]) AS pos
+        FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 29 <> 0)
+    ),
+    probe AS (
+        SELECT doc_id, gram,
+               MIN(CASE WHEN (COALESCE(b.bits, 0)
+                              & (CAST(1 AS BIGINT)
+                                 << CAST(pos % {_BLOOM_WORD} AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS all_hit
+        FROM cpos LEFT JOIN bloom b ON cpos.pos // {_BLOOM_WORD} = b.word_idx
+        GROUP BY doc_id, gram
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM probe WHERE all_hit = 1
+    GROUP BY doc_id
+    """,
+    ref="SURVEY §2 K48 [EXT] (Bloom-filter decontamination sketch: the "
+    "eval split's 5-grams compressed into a 4096-bit broadcastable bitmap "
+    "via bit_or aggregation — the mergeable-sketch formulation of "
+    "llm_decontaminate for when even the eval gram SET is too big to "
+    "broadcast; deliberately one-sided: supersets llm_decontaminate's "
+    "exact hits with deterministic false positives)",
+)
+def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch benchmark decontamination. Build: each distinct eval
+    5-gram sets k=3 bit positions (disjoint 8-hex-char md5 slices mod
+    4096); the filter is 128 BIGINT words of 32 used bits, built by
+    bit_or aggregation (associative + commutative = map-side partial
+    merge — the same mergeability HLL gets from datasketches). Probe: a
+    train doc's gram is flagged iff all 3 of its bits are set; output is
+    flagged-gram counts per doc. Every hash, shift, and mask is exact
+    integer math — both engines agree bitwise, false positives included.
+
+    Scale shape: the WHOLE filter is 1 KiB regardless of eval-set size —
+    it broadcasts where llm_decontaminate's distinct gram set (GBs for a
+    large benchmark suite) might not; the corpus side stays a narrow
+    explode joined against 128 broadcast rows, and the only wide exchange
+    is the final doc_id re-agg. At 100 TB you size m up (2^30 bits = 128
+    MiB broadcast) and the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    grams5 = F.array_distinct(text.shingles("text", 5))
+
+    def pos_col(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("gram").cast("binary")), 1 + 8 * i, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+
+    positions = F.array(*[pos_col(i) for i in range(3)])
+    # PySpark's F.shiftleft wants a literal int shift; the SQL form takes a
+    # column (pos % 32 <= 31, so the BIGINT sign bit is never touched).
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+    )
+    eval_pos = (
+        d.where(F.col("doc_id") % 29 == 0)
+        .select(F.explode(grams5).alias("gram"))
+        .distinct()
+        .select(F.explode(positions).alias("pos"))
+    )
+    bloom = eval_pos.groupBy(
+        (F.col("pos") / _BLOOM_WORD).cast("long").alias("word_idx")
+    ).agg(F.bit_or(mask).alias("bits"))
+    corpus_pos = (
+        d.where(F.col("doc_id") % 29 != 0)
+        .select("doc_id", F.explode(grams5).alias("gram"))
+        .distinct()
+        .select("doc_id", "gram", F.explode(positions).alias("pos"))
+    )
+    probe = (
+        corpus_pos.join(
+            F.broadcast(bloom),
+            (F.col("pos") / _BLOOM_WORD).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "gram",
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask) != 0, 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    return (
+        probe.where(F.col("all_hit") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_flagged"))
+    )

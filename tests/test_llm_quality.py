@@ -243,3 +243,61 @@ def test_portable_minhash_finds_planted_near_dups(spark):
         assert (10 + i, 200010 + i) in found, f"exact copy of doc {10+i} missed"
     near_hits = sum(1 for i in range(10) if (i, 100000 + i) in found)
     assert near_hits >= 8, f"only {near_hits}/10 planted near-dups found"
+
+
+def test_bloom_supersets_exact_decontamination(spark):
+    """The Bloom sketch is one-sided: every doc/gram the exact n-gram
+    decontamination flags MUST also be flagged by the filter (no false
+    negatives); false positives are allowed and deterministic."""
+    specs = all_specs()
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in specs["llm_decontaminate"].builder(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in specs["llm_bloom_decontaminate"].builder(spark, SF_DIR).collect()
+    }
+    assert set(exact) <= set(bloom), "bloom missed exactly-contaminated docs"
+    for doc, n_exact in exact.items():
+        assert bloom[doc] >= n_exact, f"doc {doc}: bloom {bloom[doc]} < exact {n_exact}"
+
+
+def test_gopher_rules_verdict_consistency(spark):
+    """keep must be the conjunction of the four per-rule booleans, and the
+    real corpus must exercise both branches of at least one rule."""
+    rows = all_specs()["llm_gopher_rules"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == bool(
+            r["ok_len"] and r["ok_mean_len"] and r["ok_stop"] and r["ok_alpha"]
+        )
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}, "thresholds never discriminate on this corpus"
+
+
+def test_quality_calibrate_is_per_source_uniform(spark):
+    """Percentile calibration must be source-local: every source's top-half
+    keep rate is ~50% regardless of the source's absolute quality level."""
+    rows = all_specs()["llm_quality_calibrate"].builder(spark, SF_DIR).collect()
+    by_src: dict = {}
+    for r in rows:
+        kept, n = by_src.get(r["source"], (0, 0))
+        by_src[r["source"]] = (kept + (1 if r["keep_top_half"] else 0), n + 1)
+    assert len(by_src) >= 2
+    for src, (kept, n) in by_src.items():
+        assert 0.4 <= kept / n <= 0.6, f"{src}: keep rate {kept/n}"
+
+
+def test_dsir_weight_separates_target_source(spark):
+    """Docs drawn from the target source must average a higher importance
+    weight than the rest of the corpus (they ARE the target distribution)."""
+    rows = all_specs()["llm_dsir_weight"].builder(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    tgt = [r["importance"] for r in rows if src[r["doc_id"]] == "src0"]
+    rest = [r["importance"] for r in rows if src[r["doc_id"]] != "src0"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)

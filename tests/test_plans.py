@@ -461,3 +461,34 @@ def test_salted_join_restores_totals(spark):
         .collect()
     }
     assert got == truth
+
+
+def test_bloom_decontaminate_broadcast_sketch(spark):
+    """The bloom probe must join the corpus gram stream against the 128-row
+    sketch by BROADCAST — never shuffle the corpus on gram/pos, never
+    sort-merge. The only hash exchanges allowed carry doc-scoped keys."""
+    plan = plan_of(spark, "llm_bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    join_part = plan.split("BroadcastHashJoin")[0]
+    assert "hashpartitioning(gram" not in join_part
+    assert "hashpartitioning(pos" not in join_part
+
+
+def test_dsir_freq_tables_broadcast(spark):
+    """DSIR's target/raw frequency tables are vocabulary-bounded and must
+    broadcast onto the token stream; the corpus side never sort-merges."""
+    plan = plan_of(spark, "llm_dsir_weight")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """Both directional window passes must share ONE user_id exchange —
+    a second shuffle would double the cost of the 100 TB formulation."""
+    import re
+
+    plan = plan_of(spark, "join_asof_nearest")
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(shuffles) == 1, f"expected one user_id shuffle, got {shuffles}"
+    assert "user_id" in shuffles[0]
