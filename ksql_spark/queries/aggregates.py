@@ -709,3 +709,46 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY ALL
         """
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    ref="SURVEY §2 D+ [EXT] (EXACT mergeable distinct count via bitmap "
+    "bit_or aggregation — the RoaringBitmap pattern for bounded id "
+    "domains; the exact complement of agg_hll_mergeable's approximate "
+    "sketch. Oracle is CROSS-METHOD: plain COUNT(DISTINCT), so the "
+    "bitmap math is checked against an independent algorithm)",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type counted EXACTLY through a bitmap:
+    each user_id sets bit (id % 32) of word (id / 32); per-group bitmaps
+    merge with bit_or (associative + commutative = map-side partial
+    aggregation, and shard-parallel at scale, like any sketch — but this
+    one is exact); the final count is the sum of per-word popcounts.
+
+    Scale shape: the shuffle carries (event_type, word_idx, 8-byte word)
+    rows — domain/32 words per group regardless of row count, vs
+    COUNT(DISTINCT)'s expand-and-reshuffle of every distinct pair. Works
+    whenever ids are dictionary-bounded (user/doc/entity ids at 100 TB are
+    dense dictionary codes; for sparse 64-bit ids this is what Roaring
+    containers generalize). Cross-method oracle: COUNT(DISTINCT)."""
+    ev = load(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"))
+    )

@@ -1756,6 +1756,44 @@ def _bloom_pos_duck(i: int) -> str:
     )
 
 
+def _bloom_positions():
+    """Array of the k=3 bit positions for the `gram` column."""
+
+    def pos_col(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("gram").cast("binary")), 1 + 8 * i, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+
+    return F.array(*[pos_col(i) for i in range(3)])
+
+
+def _bloom_mask():
+    # PySpark's F.shiftleft wants a literal int shift; the SQL form takes a
+    # column (pos % 32 <= 31, so the BIGINT sign bit is never touched).
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+    )
+
+
+def bloom_sketch(grams: DataFrame) -> DataFrame:
+    """(word_idx, bits) bloom words for a one-column `gram` DataFrame.
+
+    bit_or is associative + commutative, so sketches built over shards (or
+    streaming micro-batches) merge with another bit_or groupBy into exactly
+    the single-pass sketch — the mergeability law tests/test_llm_quality.py
+    asserts bitwise."""
+    return (
+        grams.select(F.explode(_bloom_positions()).alias("pos"))
+        .groupBy((F.col("pos") / _BLOOM_WORD).cast("long").alias("word_idx"))
+        .agg(F.bit_or(_bloom_mask()).alias("bits"))
+    )
+
+
 @query(
     "llm_bloom_decontaminate",
     oracle=f"""
@@ -1827,32 +1865,13 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     MiB broadcast) and the plan is unchanged."""
     d = load(spark, sf_dir, "documents")
     grams5 = F.array_distinct(text.shingles("text", 5))
-
-    def pos_col(i: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.col("gram").cast("binary")), 1 + 8 * i, 8),
-                16,
-                10,
-            ).cast("long")
-            % _BLOOM_BITS
-        )
-
-    positions = F.array(*[pos_col(i) for i in range(3)])
-    # PySpark's F.shiftleft wants a literal int shift; the SQL form takes a
-    # column (pos % 32 <= 31, so the BIGINT sign bit is never touched).
-    mask = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
-    )
-    eval_pos = (
+    positions = _bloom_positions()
+    mask = _bloom_mask()
+    bloom = bloom_sketch(
         d.where(F.col("doc_id") % 29 == 0)
         .select(F.explode(grams5).alias("gram"))
         .distinct()
-        .select(F.explode(positions).alias("pos"))
     )
-    bloom = eval_pos.groupBy(
-        (F.col("pos") / _BLOOM_WORD).cast("long").alias("word_idx")
-    ).agg(F.bit_or(mask).alias("bits"))
     corpus_pos = (
         d.where(F.col("doc_id") % 29 != 0)
         .select("doc_id", F.explode(grams5).alias("gram"))
@@ -1881,4 +1900,92 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe.where(F.col("all_hit") == 1)
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_flagged"))
+    )
+
+
+#: Count-Min geometry: d = 4 hash rows from the 4 disjoint 8-hex-char md5
+#: slices, w = 512 counters per row. Deterministic and engine-portable —
+#: both engines compute the identical sketch, collisions included.
+_CMS_ROWS, _CMS_WIDTH = 4, 512
+
+
+@query(
+    "llm_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    exact AS (SELECT w, COUNT(*) AS exact_n FROM toks GROUP BY w),
+    top AS (SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 20),
+    tok4 AS (SELECT w, unnest([0, 1, 2, 3]) AS j FROM toks),
+    sk AS (
+        SELECT j,
+               ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT % {_CMS_WIDTH}
+                   AS pos,
+               COUNT(*) AS cnt
+        FROM tok4 GROUP BY 1, 2
+    ),
+    tpos AS (
+        SELECT t.w, t.exact_n, q.j,
+               ('0x' || substr(md5(t.w), 1 + 8 * q.j, 8))::BIGINT
+                   % {_CMS_WIDTH} AS pos
+        FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j) q
+    )
+    SELECT tpos.w AS word,
+           CAST(tpos.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(sk.cnt) AS BIGINT) AS cms_n,
+           CAST(MIN(sk.cnt) - tpos.exact_n AS BIGINT) AS overcount
+    FROM tpos JOIN sk ON sk.j = tpos.j AND sk.pos = tpos.pos
+    GROUP BY tpos.w, tpos.exact_n
+    """,
+    ref="SURVEY §2 K49 [EXT] (portable Count-Min sketch: d=4 x w=512 "
+    "counter grid from md5-slice hashes, estimate = min over rows — "
+    "completes the mergeable-sketch family: HLL approximates distinct, "
+    "Bloom membership, CMS frequency. One-sided by construction "
+    "(cms_n >= exact_n, enforced in tests); collisions deterministic "
+    "and bit-identical cross-engine)",
+)
+def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency estimates for the corpus's 20 most
+    frequent words, with the exact count and the (always >= 0) sketch
+    overcount beside them. Each token occurrence increments one counter
+    per hash row; a word's estimate is the MIN of its d counters — the
+    overcount is exactly the hash-collision mass, identical in both
+    engines because the hashes are.
+
+    Scale shape: the sketch is a (j, pos)-keyed aggregation capped at
+    d x w = 2048 rows NO MATTER the corpus size (SUM-mergeable — shards
+    sketch independently and the partial aggs combine, like the HLL
+    union); the probe side is 20 x 4 rows joined against the broadcast
+    sketch. The exact-count branch is vocabulary-bounded. Nothing wide
+    ever shuffles except the token->vocab agg that any exact top-k
+    needs anyway."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.words("text")).alias("w"))
+    exact = toks.groupBy("w").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)
+    js = F.array(*[F.lit(j) for j in range(_CMS_ROWS)])
+    pos = F.expr(
+        "CAST(conv(substring(md5(CAST(w AS BINARY)), 1 + 8 * j, 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_WIDTH}"
+    )
+    sk = (
+        toks.select("w", F.explode(js).alias("j"))
+        .select("j", pos.alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tpos = top.select("w", "exact_n", F.explode(js).alias("j")).select(
+        "w", "exact_n", "j", pos.alias("pos")
+    )
+    return (
+        tpos.join(F.broadcast(sk), ["j", "pos"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("cms_n").cast("bigint").alias("cms_n"),
+            (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
     )

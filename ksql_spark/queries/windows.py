@@ -417,3 +417,41 @@ def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("session_id"),
         )
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM events
+    """,
+    ref="SURVEY §2 E+ [EXT] (rolling exact median over a 7-row trailing "
+    "frame — the robust smoother; Spark's median() refuses a frame but "
+    "percentile(x, 0.5) accepts one, and its h=(n-1)p interpolation is "
+    "bit-identical to DuckDB quantile_cont, as agg_quantiles proved for "
+    "the aggregate form)",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of the last 7 events (ties in ts broken by
+    event_id): the outlier-immune alternative to a rolling mean — one
+    spike moves a 7-row mean by spike/7, the median not at all.
+
+    Scale shape: ONE user_id shuffle + sequential frame scan; the frame
+    holds <= 7 values, so per-row cost is O(frame log frame) regardless
+    of partition size, and the exact-percentile buffer never grows."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percentile("value", F.lit(0.5)).over(w).alias("rolling_median"),
+    )

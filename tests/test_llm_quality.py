@@ -301,3 +301,48 @@ def test_dsir_weight_separates_target_source(spark):
     rest = [r["importance"] for r in rows if src[r["doc_id"]] != "src0"]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_cms_estimate_is_one_sided(spark):
+    """Count-Min never undercounts: cms_n >= exact_n for every probed word,
+    and at least the top word's estimate should be exact or near (d=4 rows
+    over a 512-wide grid on a ~200-word vocabulary collides rarely)."""
+    rows = all_specs()["llm_cms_heavy_hitters"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], (r["word"], r["cms_n"], r["exact_n"])
+        assert r["overcount"] == r["cms_n"] - r["exact_n"]
+
+
+def test_bloom_sketch_merges_across_shards(spark):
+    """Sketch mergeability law: bloom words built per shard and bit_or-merged
+    must equal the single-pass build BITWISE — the property that makes the
+    sketch shard-parallel at 100 TB and micro-batch-incremental in streaming."""
+    import pyspark.sql.functions as F
+
+    from ksql_spark.operators import text
+    from ksql_spark.queries.llm import bloom_sketch
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.shingles("text", 5))).alias("gram"),
+    )
+    full = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_sketch(grams.select("gram").distinct()).collect()
+    }
+    shard_a = bloom_sketch(
+        grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
+    )
+    shard_b = bloom_sketch(
+        grams.where(F.col("doc_id") % 2 == 1).select("gram").distinct()
+    )
+    merged = {
+        r["word_idx"]: r["bits"]
+        for r in shard_a.unionByName(shard_b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    assert merged == full

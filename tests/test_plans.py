@@ -492,3 +492,21 @@ def test_asof_nearest_single_shuffle(spark):
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(shuffles) == 1, f"expected one user_id shuffle, got {shuffles}"
     assert "user_id" in shuffles[0]
+
+
+def test_cms_sketch_broadcast_probe(spark):
+    """The CMS probe must join 80 candidate rows against the <=2048-row
+    broadcast sketch — never a sort-merge, never a corpus-side shuffle on
+    the sketch key."""
+    plan = plan_of(spark, "llm_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_distinct_no_expand(spark):
+    """The bitmap formulation must NOT use COUNT(DISTINCT)'s expand plan:
+    the exchanges carry (event_type, word_idx) bitmap words, and no Expand
+    node appears."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "bit_or" in plan or "bitor" in plan.lower()
