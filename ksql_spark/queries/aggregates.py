@@ -752,3 +752,40 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("event_type")
         .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 D [EXT] (the SQL:2003 FILTER (WHERE ...) aggregate "
+    "modifier — the standard spelling of conditional aggregation; the "
+    "same text runs in Spark 4 and DuckDB, and Catalyst compiles it to "
+    "the identical plan as the CASE WHEN form agg_conditional uses)",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the standard FILTER clause at the SQL
+    surface. Semantically identical to CASE WHEN inside the aggregate
+    (agg_conditional) — this entry pins that the standard syntax parses
+    and produces the same hash-aggregate plan, so users porting ANSI SQL
+    need not rewrite."""
+    from ksql_spark.tables import ensure_views
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+                   AS n_big,
+               CAST(SUM(CAST(o_totalprice * 1000000 + 0.5 AS LONG)) AS DOUBLE)
+                   / 1000000.0 AS total_price,
+               COUNT(*) AS n_all
+        FROM orders GROUP BY o_orderpriority
+        """
+    )

@@ -1989,3 +1989,75 @@ def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
         )
     )
+
+
+@query(
+    "llm_bigram_coherence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS gram
+        FROM toks
+    ),
+    c2 AS (SELECT gram, COUNT(*) AS n2 FROM bg GROUP BY gram),
+    c1 AS (
+        SELECT split_part(gram, ' ', 1) AS w1, COUNT(*) AS n1
+        FROM bg GROUP BY 1
+    ),
+    r AS (
+        SELECT bg.doc_id,
+               CAST(c2.n2 AS DOUBLE) / CAST(c1.n1 AS DOUBLE) AS p
+        FROM bg
+        JOIN c2 USING (gram)
+        JOIN c1 ON split_part(bg.gram, ' ', 1) = c1.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {sql_davg('p')} AS coherence
+    FROM r GROUP BY doc_id
+    """,
+    ref="SURVEY §2 K50 [EXT] (bigram LM coherence — the CCNet/KenLM "
+    "perplexity-filter shape without transcendentals: mean corpus-level "
+    "conditional bigram probability P(w2|w1) = C(w1 w2)/C(w1 *) per doc; "
+    "word-salad docs score near the unigram baseline, natural text "
+    "scores high. Exact integer counts, one IEEE division per bigram, "
+    "quantized mean)",
+)
+def llm_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram coherence under the corpus's own bigram language
+    model: the mean conditional probability of each consecutive word pair.
+    The transcendental-free stand-in for a perplexity filter (CCNet uses
+    KenLM log-scores; the ORDERING of docs is what the filter consumes,
+    and a monotone probability mean preserves it engine-exactly).
+
+    Scale shape: bigram and prefix count tables are vocabulary-bounded
+    (hashed to fixed buckets at 100 TB) and BROADCAST onto the doc bigram
+    stream; the only wide exchange is the final doc_id re-agg with
+    map-side combine. The corpus never self-joins and never shuffles on
+    the gram."""
+    d = load(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(text.shingles("text", 2)).alias("gram"))
+    c2 = bg.groupBy("gram").agg(F.count("*").alias("n2"))
+    c1 = (
+        bg.select(F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n1"))
+    )
+    r = (
+        bg.join(F.broadcast(c2), "gram")
+        .join(
+            F.broadcast(c1),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n2").cast("double") / F.col("n1").cast("double")).alias("p"),
+        )
+    )
+    return r.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        davg("p").alias("coherence"),
+    )

@@ -457,3 +457,66 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (DIVIDE_BY_ZERO). NULL matches the oracle's CASE guard.
         F.try_divide(fold, w_sum).alias("ewma"),
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    )
+    SELECT day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP) <= days.day)
+                AS BIGINT) AS cum_users
+    FROM days
+    """,
+    ref="SURVEY §2 I/K [EXT] (cumulative distinct users by day — running "
+    "EXACT distinct via windowed bitmap OR, the growth-accounting query "
+    "naive plans re-scan the whole history for, per day. CROSS-METHOD "
+    "oracle: correlated COUNT(DISTINCT) re-derivation)",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cumulative distinct users through each day. The naive plan is
+    a per-day rescan of all history (O(days x corpus)); this one builds one
+    DAILY user bitmap (day, word_idx, bits), densifies missing (day, word)
+    cells to 0 over the small day x word grid, runs bit_or as a RUNNING
+    WINDOW per word_idx (each word's history accumulates independently —
+    parallel across the id domain, sequential only in days), and popcounts
+    per day. One fact shuffle + a grid-sized window; history is never
+    re-read.
+
+    Scale: the grid is n_days x (id_domain/32) rows = the total size of
+    n_days bitmap snapshots — the same state any exact running-distinct
+    must carry; it lives distributed, partitioned by word_idx."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    days = daily.select("day").distinct()
+    widx = daily.select("word_idx").distinct()
+    grid = days.crossJoin(widx)
+    dense = grid.join(daily, ["day", "word_idx"], "left").select(
+        "day", "word_idx", F.coalesce("bits", F.lit(0)).alias("bits")
+    )
+    w = (
+        Window.partitionBy("word_idx")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.withColumn("cum_bits", F.bit_or("bits").over(w))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("cum_bits")).cast("bigint").alias("cum_users"))
+    )

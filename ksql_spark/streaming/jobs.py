@@ -500,3 +500,79 @@ def run_topk_sink(
             f"run_topk_sink({name!r}): query did not terminate within "
             f"{timeout_sec}s; stopped it — {table} may be partial"
         )
+
+
+def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) -> None:
+    """Maintain an INCREMENTAL Bloom decontamination sketch over a document
+    stream: each micro-batch's distinct 5-gram bloom words (queries/llm.py:
+    bloom_sketch) bit_or-merge into the managed table `bloom_acc_<name>`.
+
+    Why this is the right streaming shape for a sketch: bit_or is
+    associative, commutative AND idempotent, so the merge is replay-safe by
+    construction — an at-least-once redelivery of a batch ORs the same bits
+    again and changes nothing (no batch-id ledger needed, unlike the top-k
+    sink). The accumulator is <= 128 rows by the sketch geometry, so the
+    per-batch collect-and-rewrite is driver-bounded by design (the same
+    rationale as operators/scale.py's #partitions-row offset collect); the
+    heavy work — gram explode + position hashing — stays distributed in the
+    batch plan. tests/test_streaming.py asserts the stream-maintained
+    sketch equals the single-pass batch sketch BITWISE."""
+    from ksql_spark.operators import text
+    from ksql_spark.queries.llm import bloom_sketch
+
+    table = f"bloom_acc_{name}"
+    first_batch_done = {"v": False}
+    outer = docs_stream.sparkSession  # foreachBatch hands us a CLONED session
+
+    def merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        words = bloom_sketch(
+            batch_df.select(
+                F.explode(F.array_distinct(text.shingles("text", 5))).alias(
+                    "gram"
+                )
+            ).distinct()
+        )
+        have_prev = first_batch_done["v"] and sess.catalog.tableExists(table)
+        if have_prev:
+            words = (
+                sess.table(table)
+                .unionByName(words)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        # materialize before overwriting the table the plan reads from;
+        # bounded at 128 rows — see docstring
+        rows = words.collect()
+        if not first_batch_done["v"] and not sess.catalog.tableExists(table):
+            import shutil
+
+            warehouse = sess.conf.get("spark.sql.warehouse.dir").removeprefix(
+                "file:"
+            )
+            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+        sess.createDataFrame(
+            rows, schema="word_idx bigint, bits bigint"
+        ).write.mode("overwrite").saveAsTable(table)
+        # the overwrite replaced the table's files under the same path —
+        # drop the stale file-listing/metadata cache in BOTH the cloned
+        # micro-batch session and the caller's outer session, or the next
+        # read hits FAILED_READ_FILE on the vanished old part files
+        sess.catalog.refreshTable(table)
+        outer.catalog.refreshTable(table)
+        first_batch_done["v"] = True
+
+    q = (
+        docs_stream.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"run_bloom_sink({name!r}): query did not terminate within "
+            f"{timeout_sec}s"
+        )

@@ -760,3 +760,69 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_bloom_sketch_stream_matches_batch(spark, tmp_path):
+    """The stream-maintained bloom sketch (two micro-batches, bit_or merge
+    per batch) must equal the single-pass batch sketch BITWISE — and a
+    replayed batch must change nothing (idempotent merge)."""
+    import pyspark.sql.functions as F
+
+    from ksql_spark.operators import text
+    from ksql_spark.queries.llm import bloom_sketch
+    from ksql_spark.streaming import jobs
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    src.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    src.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+    import shutil
+
+    replay = tmp_path / "docs_replay"
+    replay.mkdir()
+    for i, sub in enumerate(["f1", "f2"]):
+        [pf] = [p for p in (d / sub).glob("*.parquet")]
+        shutil.copy(pf, replay / f"part-{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    jobs.run_bloom_sink(stream, "t_bloom")
+    got = {
+        r["word_idx"]: r["bits"]
+        for r in spark.table("bloom_acc_t_bloom").collect()
+    }
+    want = {
+        r["word_idx"]: r["bits"]
+        for r in bloom_sketch(
+            src.select(
+                F.explode(F.array_distinct(text.shingles("text", 5))).alias(
+                    "gram"
+                )
+            ).distinct()
+        ).collect()
+    }
+    assert got == want  # bitwise
+
+    # replay the whole stream against the EXISTING accumulator from a new
+    # query (fresh checkpoint => every batch redelivered): idempotent merge
+    # must leave the sketch unchanged
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    jobs.run_bloom_sink(stream2, "t_bloom")
+    got2 = {
+        r["word_idx"]: r["bits"]
+        for r in spark.table("bloom_acc_t_bloom").collect()
+    }
+    assert got2 == want
+    spark.sql("DROP TABLE IF EXISTS bloom_acc_t_bloom")
