@@ -583,3 +583,37 @@ def flatten_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", words3.alias("words3")).select(
         "doc_id", F.explode_outer("words3").alias("w")
     )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+    FROM orders
+    """,
+    ref="SURVEY §2 H4 [EXT] (calendar arithmetic breadth beyond fn_date: "
+    "month addition with end-of-month clamping — add_months == DuckDB "
+    "+INTERVAL MONTH, both clamp Jan 31 + 1 mo to Feb end — last_day, "
+    "quarter, ISO day-of-week and ISO week number. Day-of-week numbering "
+    "is an engine trap: Spark dayofweek() is 1=Sunday, DuckDB dayofweek() "
+    "is 0=Sunday; the ISO forms (Mon=1..Sun=7) agree, so the entry pins "
+    "the portable spelling: Spark weekday()+1 == DuckDB isodow())",
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar functions beyond the fn_date basics, each spelled in its
+    cross-engine-deterministic form (see ref note on the day-of-week trap).
+    All narrow per-row expressions — scan-bound at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 2).cast("timestamp").alias("plus2m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+    )

@@ -304,3 +304,61 @@ def graph_bfs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_views(spark, sf_dir)
     return spark.sql(_BFS_RECURSIVE_SQL)
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    keep AS (SELECT p FROM e0 GROUP BY p HAVING COUNT(*) <= 5),
+    e1 AS (SELECT s, p FROM e0 JOIN keep USING (p)),
+    adj AS (
+        SELECT DISTINCT a.s AS s1, b.s AS s2
+        FROM e1 a JOIN e1 b ON a.p = b.p AND a.s < b.s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM adj ab
+    JOIN adj bc ON bc.s1 = ab.s2
+    JOIN adj ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2
+    """,
+    ref="SURVEY §2 L5 [EXT] (triangle counting on the supplier co-ship "
+    "graph — the clustering-coefficient / community-density primitive; "
+    "ordered-wedge enumeration (s1<s2<s3 counts each triangle once) with "
+    "HUB-PART PRUNING: parts shipped by more than 5 suppliers are dropped "
+    "before the edge build, the standard high-degree-vertex mitigation "
+    "that bounds the wedge blow-up at any scale)",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles among suppliers connected by co-shipping a part.
+    Edges come only from parts with <= 5 distinct suppliers (hub pruning:
+    a part shipped by k suppliers contributes O(k²) edges and O(k³)
+    wedges — dropping hubs is how production triangle counts stay
+    tractable; the answer is then 'triangles through niche parts', the
+    community signal hubs would drown anyway).
+
+    Plan: degree filter reuses the distinct (s, p) projection's exchange;
+    the ordered adjacency (s1 < s2) makes each triangle one wedge +
+    one closing-edge probe — two hash joins, no direction double-count."""
+    li = load(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    keep = e0.groupBy("p").agg(F.count("*").alias("d")).where(F.col("d") <= 5)
+    e1 = e0.join(keep.select("p"), "p")
+    adj = (
+        e1.alias("a")
+        .join(e1.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    ab, bc, ac = adj.alias("ab"), adj.alias("bc"), adj.alias("ac")
+    return (
+        ab.join(bc, F.col("bc.s1") == F.col("ab.s2"))
+        .join(
+            ac,
+            (F.col("ac.s1") == F.col("ab.s1"))
+            & (F.col("ac.s2") == F.col("bc.s2")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

@@ -2061,3 +2061,70 @@ def llm_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         davg("p").alias("coherence"),
     )
+
+
+@query(
+    "llm_emb_outliers",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(dim := i,
+                                       val := CAST(embedding[i] AS DOUBLE))),
+                      recursive := true)
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, dim, {sql_davg('val')} AS c
+        FROM ex GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT vec_id, ex.label AS label,
+               {sql_dsum('(val - c) * (val - c)')} AS dist2
+        FROM ex JOIN cent USING (label, dim)
+        GROUP BY vec_id, ex.label
+    ),
+    thr AS (SELECT label, {sql_davg('dist2')} AS mean_d FROM dist GROUP BY label)
+    SELECT vec_id, label, dist2, dist2 > 2 * mean_d AS is_outlier
+    FROM dist JOIN thr USING (label)
+    """,
+    ref="SURVEY §2 K51 [EXT] (embedding-space outlier detection: squared "
+    "L2 distance to the per-label centroid, flagged past 2x the label's "
+    "mean distance — the mislabeled/garbage-vector screen run before "
+    "contrastive training or ANN index build; per-dim quantized means "
+    "keep the centroid bit-identical cross-engine)",
+)
+def llm_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance outliers: explode vectors to
+    (vec_id, label, dim, val), average per (label, dim) into an exact
+    quantized centroid, re-aggregate each vector's quantized squared
+    distance, and flag vectors beyond 2x their label's mean distance.
+
+    Scale shape: the explode is narrow (dim fan-out, no shuffle); the
+    centroid agg shuffles on (label, dim) with map-side combine; the
+    distance re-agg shuffles on vec_id; the K-row threshold table
+    BROADCASTS back. No pairwise distances anywhere — O(n·dim), the same
+    cost envelope as llm_emb_cluster's assignment pass."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    cent = ex.groupBy("label", "dim").agg(davg("val").alias("c"))
+    diff = F.col("val") - F.col("c")
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(dsum(diff * diff).alias("dist2"))
+    )
+    thr = dist.groupBy("label").agg(davg("dist2").alias("mean_d"))
+    return dist.join(F.broadcast(thr), "label").select(
+        "vec_id",
+        "label",
+        "dist2",
+        (F.col("dist2") > 2 * F.col("mean_d")).alias("is_outlier"),
+    )
