@@ -1571,3 +1571,116 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_words"),
         davg("ratio").alias("importance"),
     )
+
+
+@query(
+    "llm_train_eval_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY source, split
+    """,
+    ref="SURVEY §2 K52 [EXT] (deterministic 80/10/10 train/val/test split "
+    "by Knuth-hash centile — content-stable across runs AND engines "
+    "(re-crawls keep a doc in its split: no eval contamination from "
+    "re-shuffling), audited per source so domain shift between splits "
+    "is visible)",
+)
+def llm_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-centile train/val/test assignment with per-(source, split)
+    accounting. The split is a pure function of doc_id — re-running the
+    pipeline (or running it in another engine) never migrates a document
+    across the eval boundary, which is the property decontamination
+    audits depend on.
+
+    Scale shape: membership is a per-row expression on the narrow scan;
+    the audit agg shuffles only (source, split) group rows. The split
+    column itself costs nothing at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "llm_source_interleave",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) - 1 AS rk,
+               DENSE_RANK() OVER (ORDER BY source) - 1 AS src_idx,
+               (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rk * n_src + src_idx AS BIGINT) AS interleave_pos
+    FROM r
+    """,
+    ref="SURVEY §2 K53 [EXT] (training-order interleaving: stripe the "
+    "sources round-robin so no gradient window sees one domain clumped "
+    "— position = within-source rank x n_sources + source index, a "
+    "closed-form global order with NO global sort)",
+)
+def llm_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin training order across sources: document
+    k of source j lands at global position k*n_sources + j. Consecutive
+    training positions cycle through all sources, so a data-loader
+    reading in interleave_pos order never feeds the model a long
+    single-domain run (the source-clumping failure mode of naive
+    concatenation). Within each source, order is the usual Knuth-hash
+    shuffle.
+
+    Scale shape: the within-source rank partitions by source (parallel
+    across domains; a pathologically dominant source takes the
+    win_distribution_scaled two-stage form); the source index and count
+    are a |domains|-row broadcast. The global order is COMPUTED, not
+    sorted — no global exchange anywhere."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    hash_col = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(hash_col.asc(), F.col("doc_id"))
+    srcs = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.dense_rank().over(Window.orderBy("source")) - 1).alias("src_idx"),
+        )
+    )
+    n_src = d.select("source").distinct().count()
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rk") * F.lit(n_src) + F.col("src_idx"))
+            .cast("bigint")
+            .alias("interleave_pos"),
+        )
+    )

@@ -2128,3 +2128,77 @@ def llm_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist2",
         (F.col("dist2") > 2 * F.col("mean_d")).alias("is_outlier"),
     )
+
+
+@query(
+    "llm_tokenize_ids",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                      i -> struct_pack(pos := i,
+                                       w := string_split(text, ' ')[i])),
+                      recursive := true)
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) - 1 AS id
+        FROM toks GROUP BY w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(id ORDER BY pos), ',') AS token_ids
+    FROM toks JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+    ref="SURVEY §2 K54 [EXT] (tokenize-to-ids: frequency-ranked dense "
+    "vocabulary (id 0 = most frequent, BPE-merge-table ordering) mapped "
+    "over every document in position order — the text→tensor boundary "
+    "step after which the pipeline hands off to training)",
+)
+def llm_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every document to its dense token-id sequence under a
+    frequency-ranked corpus vocabulary (ties broken lexicographically, so
+    the id assignment is total and engine-identical). Output keeps
+    position order — the actual model input, not a bag of words.
+
+    Scale shape: the vocabulary rank is a window over the VOCAB table
+    (bounded; a web-scale vocab takes the win_distribution_scaled
+    two-stage form), then broadcasts onto the token stream; the id
+    sequences reassemble via sort_array(struct(pos, id)) per doc — one
+    doc_id shuffle, arrays never cross docs."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(text.words("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "w",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("n").desc(), F.col("w"))
+                )
+                - 1
+            ).alias("id"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # serialized as CSV, not a raw array: the driver's value hash
+            # (and pandas sort) can't take list cells — agg_collect set the
+            # same convention
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda x: x["id"].cast("string"),
+                ),
+            ).alias("token_ids"),
+        )
+    )

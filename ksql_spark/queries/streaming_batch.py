@@ -520,3 +520,52 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum(F.bit_count("cum_bits")).cast("bigint").alias("cum_users"))
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         m AS (
+             SELECT p.user_id, p.ts AS pts, v.ts AS vts
+             FROM p ASOF LEFT JOIN v
+               ON p.user_id = v.user_id AND v.ts <= p.ts
+         )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           quantile_cont(epoch_us(pts) - epoch_us(vts), 0.5) AS median_lag_us
+    FROM m WHERE vts IS NOT NULL
+    GROUP BY user_id
+    """,
+    ref="SURVEY §2 I/K [EXT] (view→purchase conversion latency: per-user "
+    "median of each purchase's lag behind its as-of view — the funnel "
+    "latency metric; exact integer microsecond lags, interpolated "
+    "median bit-identical cross-engine)",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time from the last view to each purchase, per user —
+    composes the backward as-of join (join_asof's single-shuffle window
+    formulation, reused directly) with an exact median over integer
+    microsecond lags. Purchases with no prior view are excluded.
+
+    Scale shape: inherits join_asof's ONE user_id shuffle; the median
+    re-agg rides the same user_id partitioning."""
+    from ksql_spark.queries.joins import join_asof
+
+    m = join_asof(spark, sf_dir).where(F.col("asof_view_ts").isNotNull())
+    # unix_micros refuses TIMESTAMP_NTZ; the session TZ is UTC, so the
+    # ntz->tz cast is value-preserving (same convention as the streaming
+    # EWMA test)
+    lag_us = F.unix_micros(F.col("purchase_ts").cast("timestamp")) - F.unix_micros(
+        F.col("asof_view_ts").cast("timestamp")
+    )
+    return (
+        m.select("user_id", lag_us.alias("lag_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.percentile("lag_us", F.lit(0.5)).alias("median_lag_us"),
+        )
+    )
