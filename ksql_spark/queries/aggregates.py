@@ -789,3 +789,29 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    ref="SURVEY §2 D [EXT] (boolean aggregates bool_and/bool_or — the "
+    "SQL:1999 EVERY/ANY forms; Spark and DuckDB share the bool_and/"
+    "bool_or spelling, and both short-circuit as partial aggs)",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level invariant checks via boolean aggregation — the idiom
+    data-quality assertions compile to (is every order over the floor,
+    did any breach the cap). Partial+final hash agg like any other
+    aggregate; short-circuits map-side."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count("*").alias("n"),
+    )

@@ -569,3 +569,64 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("lag_us", F.lit(0.5)).alias("median_lag_us"),
         )
     )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    )
+    SELECT day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP) <= days.day
+                   AND CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                       >= days.day - INTERVAL 6 DAY) AS BIGINT) AS wau
+    FROM days
+    """,
+    ref="SURVEY §2 I/K [EXT] (rolling 7-day active users — WAU — via a "
+    "7-row trailing bit_or window over daily user bitmaps: the sliding "
+    "EXACT distinct that pairs with events_cumulative_users' unbounded "
+    "form. CROSS-METHOD oracle: correlated windowed COUNT(DISTINCT))",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-users per day, exactly: daily user bitmaps, then a
+    ROWS 6 PRECEDING bit_or window per bitmap word (the dense day x word
+    grid makes row-frames equal day-frames), popcounted per day. Naive
+    WAU re-scans 7 days of history per day; this touches each daily
+    bitmap once.
+
+    Scale: same envelope as events_cumulative_users — the grid is
+    n_days x id_domain/32, partitioned by word_idx; only the frame
+    differs (trailing 7 vs unbounded)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") / 32).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    grid = daily.select("day").distinct().crossJoin(
+        daily.select("word_idx").distinct()
+    )
+    dense = grid.join(daily, ["day", "word_idx"], "left").select(
+        "day", "word_idx", F.coalesce("bits", F.lit(0)).alias("bits")
+    )
+    w = (
+        Window.partitionBy("word_idx")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        dense.withColumn("wk_bits", F.bit_or("bits").over(w))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("wk_bits")).cast("bigint").alias("wau"))
+    )
