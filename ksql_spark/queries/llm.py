@@ -1909,6 +1909,28 @@ def llm_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_ROWS, _CMS_WIDTH = 4, 512
 
 
+def _cms_pos_expr():
+    return F.expr(
+        "CAST(conv(substring(md5(CAST(w AS BINARY)), 1 + 8 * j, 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+def cms_sketch(toks: DataFrame) -> DataFrame:
+    """(j, pos, cnt) Count-Min counters for a one-column `w` token
+    DataFrame. SUM-mergeable: sketches built over shards (or streaming
+    micro-batches) re-aggregate with SUM(cnt) into exactly the single-pass
+    sketch — the law tests/test_llm_quality.py pins, mirroring
+    bloom_sketch's bit_or merge."""
+    js = F.array(*[F.lit(j) for j in range(_CMS_ROWS)])
+    return (
+        toks.select("w", F.explode(js).alias("j"))
+        .select("j", _cms_pos_expr().alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 @query(
     "llm_cms_heavy_hitters",
     oracle=f"""
@@ -1965,18 +1987,9 @@ def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy("w").agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)
     js = F.array(*[F.lit(j) for j in range(_CMS_ROWS)])
-    pos = F.expr(
-        "CAST(conv(substring(md5(CAST(w AS BINARY)), 1 + 8 * j, 8), 16, 10)"
-        f" AS BIGINT) % {_CMS_WIDTH}"
-    )
-    sk = (
-        toks.select("w", F.explode(js).alias("j"))
-        .select("j", pos.alias("pos"))
-        .groupBy("j", "pos")
-        .agg(F.count("*").alias("cnt"))
-    )
+    sk = cms_sketch(toks)
     tpos = top.select("w", "exact_n", F.explode(js).alias("j")).select(
-        "w", "exact_n", "j", pos.alias("pos")
+        "w", "exact_n", "j", _cms_pos_expr().alias("pos")
     )
     return (
         tpos.join(F.broadcast(sk), ["j", "pos"])

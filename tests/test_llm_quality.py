@@ -346,3 +346,29 @@ def test_bloom_sketch_merges_across_shards(spark):
         .collect()
     }
     assert merged == full
+
+
+def test_cms_sketch_merges_across_shards(spark):
+    """CMS mergeability law: counters built per shard and SUM-merged must
+    equal the single-pass sketch exactly — integer counters, so bitwise."""
+    import pyspark.sql.functions as F
+
+    from ksql_spark.operators import text
+    from ksql_spark.queries.llm import cms_sketch
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = d.select("doc_id", F.explode(text.words("text")).alias("w"))
+    full = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in cms_sketch(toks.select("w")).collect()
+    }
+    shard_a = cms_sketch(toks.where(F.col("doc_id") % 2 == 0).select("w"))
+    shard_b = cms_sketch(toks.where(F.col("doc_id") % 2 == 1).select("w"))
+    merged = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in shard_a.unionByName(shard_b)
+        .groupBy("j", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == full

@@ -510,3 +510,35 @@ def test_bitmap_distinct_no_expand(spark):
     plan = plan_of(spark, "agg_bitmap_distinct")
     assert "Expand" not in plan
     assert "bit_or" in plan or "bitor" in plan.lower()
+
+
+def test_tokenize_ids_vocab_broadcast(spark):
+    """The vocab-id map must BROADCAST onto the token stream — the corpus
+    never sort-merges or shuffles on the word."""
+    plan = plan_of(spark, "llm_tokenize_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interleave_no_global_sort_of_corpus(spark):
+    """The interleave position is COMPUTED, never globally sorted: no Sort
+    node over the full corpus without a partition key (the only
+    single-partition window allowed is over the |domains|-row source list)."""
+    import re
+
+    plan = plan_of(spark, "llm_source_interleave")
+    # the corpus-side window partitions by source; a global corpus sort
+    # would show as Exchange rangepartitioning on doc rows
+    assert "rangepartitioning" not in plan.lower()
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("source" in s for s in shuffles)
+
+
+def test_rolling_distinct_windows_partition_by_word(spark):
+    """Both bitmap running-distinct entries must run their window
+    partitioned by word_idx — parallel across the id domain, never a
+    single-partition window over the grid."""
+    for name in ("events_cumulative_users", "events_rolling_wau"):
+        plan = plan_of(spark, name)
+        assert "Window" in plan
+        assert "Exchange SinglePartition" not in plan, name
