@@ -815,3 +815,74 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "abc_analysis_parts",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS t
+            FROM lineitem),
+    c AS (
+        SELECT l_partkey, revenue,
+               CAST(SUM(CAST(trunc(revenue * 1000000 + 0.5) AS BIGINT)) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 1000000.0 AS cum
+        FROM rev
+    )
+    SELECT l_partkey, revenue,
+           cum / t AS cum_share,
+           CASE WHEN cum / t <= 0.5 THEN 'A'
+                WHEN cum / t <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c, tot
+    """,
+    ref="SURVEY §2 D/E [EXT] (ABC / Pareto analysis: parts classified by "
+    "cumulative revenue share — A carries the first 50%, B to 80%, C the "
+    "tail; the classic inventory-prioritization query. The global cumsum "
+    "is operators/scale.py:ranged_cumsum — range-partitioned two-pass, "
+    "never a single-partition window)",
+)
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto classification of parts by revenue contribution. Revenue and
+    its global running sum are quantized (dsum / exact long accumulation),
+    the total is a 1-row broadcast, and the share division is
+    exact-operand IEEE — class boundaries cannot flip on a ulp between
+    engines.
+
+    Scale shape: one l_partkey agg, then the two-pass ranged cumsum
+    (range partition on the sort key -> per-partition window ->
+    #partitions-row offset broadcast) — the same scaled shape
+    llm_token_budget uses; no Exchange SinglePartition."""
+    from ksql_spark.operators.scale import ranged_cumsum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_partkey").agg(dsum(rev_expr).alias("revenue"))
+    tot = li.agg(dsum(rev_expr).alias("t"))
+    # ranged_cumsum accumulates LONGS — run it over the 1e6-scaled integer
+    # form of the (already 6-dp-quantized) revenue and descale after; the
+    # oracle windows the identical scaled sum
+    scaled = rev.withColumn(
+        "rev_scaled", (F.col("revenue") * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+    c = ranged_cumsum(
+        scaled,
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        "rev_scaled",
+        out_col="cum_scaled",
+    ).withColumn("cum", F.col("cum_scaled").cast("double") / 1_000_000.0)
+    share = F.col("cum") / F.col("t")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

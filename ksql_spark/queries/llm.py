@@ -2215,3 +2215,62 @@ def llm_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM toks
+    ),
+    firstseen AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE g.doc_id = f.first_doc) AS BIGINT)
+               AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE g.doc_id = f.first_doc) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM g JOIN firstseen f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    ref="SURVEY §2 K56 [EXT] (n-gram novelty: share of a doc's distinct "
+    "3-grams it is the FIRST to contribute (min doc_id order = crawl "
+    "order) — the incremental-crawl marginal-value score: a re-crawl of "
+    "known content scores ~0, fresh content ~1; the per-doc view of "
+    "llm_cross_dedup's batch decision)",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much NEW n-gram content each doc adds to the corpus, treating
+    doc_id as arrival order: novelty = fraction of the doc's distinct
+    3-grams whose first occurrence is this doc.
+
+    Scale shape: one gram-keyed MIN agg (map-side combined; exchanges
+    carry grams once, not occurrences), joined back to the same gram
+    stream — Catalyst reuses the exchange — then a doc_id re-agg. At
+    100 TB the gram key would be its md5 digest, as in
+    llm_substring_dup_spans."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.shingles("text", 3))).alias("gram"),
+    )
+    firstseen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    )
+    return (
+        g.join(firstseen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

@@ -114,3 +114,36 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.where(F.col("c_acctbal") > 9500).select(F.col("c_nationkey").alias("nationkey"))
     b = s.where(F.col("s_acctbal") > 9500).select(F.col("s_nationkey").alias("nationkey"))
     return a.subtract(b)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+        UNION ALL BY NAME
+        SELECT o_totalprice, o_orderkey FROM orders
+        WHERE o_orderstatus = 'O'
+    )
+    """,
+    ref="SURVEY §2 G [EXT] (UNION BY NAME: position-independent union "
+    "that matches columns by NAME and null-fills the missing ones — "
+    "DuckDB's UNION ALL BY NAME == Spark's "
+    "unionByName(allowMissingColumns=True); the schema-drift-safe union "
+    "every multi-source ingest needs)",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two projections with DIFFERENT column orders and one missing
+    column: rows align by column name, the absent o_orderpriority
+    null-fills on the second branch. The positional UNION ALL would have
+    mis-zipped o_totalprice under o_orderkey silently — this is the
+    ingest-safety surface, not sugar."""
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b = o.where(F.col("o_orderstatus") == "O").select(
+        "o_totalprice", "o_orderkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True)

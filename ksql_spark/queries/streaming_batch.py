@@ -630,3 +630,57 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum(F.bit_count("wk_bits")).cast("bigint").alias("wau"))
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pairs GROUP BY prev_type)
+    SELECT pairs.prev_type AS prev_type, next_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / t AS p
+    FROM pairs JOIN tot USING (prev_type)
+    """,
+    ref="SURVEY §2 E/K [EXT] (behavioral Markov chain: event-type "
+    "transition counts and conditional probabilities from each user's "
+    "time-ordered stream — the session-model fit behind next-action "
+    "prediction and funnel anomaly detection)",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for every
+    consecutive (prev -> next) pair within a user's (ts, event_id)-ordered
+    stream, the count and the row-normalized probability P(next|prev).
+    Exact integer counts and one IEEE division — bit-identical.
+
+    Scale shape: one user_id shuffle for the lag window; the pair agg is
+    |event_types|²-bounded, its row totals a broadcast join back."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("t")).alias("p"),
+    )

@@ -455,3 +455,41 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.percentile("value", F.lit(0.5)).over(w).alias("rolling_median"),
     )
+
+
+@query(
+    "win_distinct_in_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ))) AS INT) AS distinct_types_10
+    FROM events
+    """,
+    ref="SURVEY §2 E+ [EXT] (distinct count over a moving frame — neither "
+    "engine supports COUNT(DISTINCT) OVER, but both can collect the frame "
+    "and dedup it: Spark size(collect_set() OVER) == DuckDB "
+    "len(list_distinct(list() OVER)) — behavioral-diversity signal over "
+    "each user's trailing 10 events)",
+)
+def win_distinct_in_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many DISTINCT event types each user's last 10 events span — the
+    windowed-distinct shape SQL engines refuse as COUNT(DISTINCT) OVER,
+    expressed portably via frame collection + dedup.
+
+    Scale: one user_id shuffle; the frame buffer holds <= 10 values per
+    row, so memory is O(frame), not O(partition)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("distinct_types_10"),
+    )
