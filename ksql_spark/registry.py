@@ -144,10 +144,22 @@ _R4_CHECKED = frozenset({
 # _RN_CHECKED and give it the highest group number below, so never-sampled
 # keys keep sorting to the front of the driver's bounded window.
 
+#: The five keys no driver round r1-r4 ever sampled (VERDICT r4 "what's
+#: wrong" #3). Round 5's additions grew the never-checked group past the
+#: driver's 50-entry window, so these get an explicit front-of-line tier —
+#: otherwise ann_pq_topk (rows-only, so sorted last in its group) would
+#: fall outside the window AGAIN and stay driver-unverified forever.
+_NEVER_ANY_ROUND = frozenset({
+    "ann_pq_topk", "tpch_q16_supplier_counts", "tpch_q20_dominant_suppliers",
+    "win_ratio_to_report", "win_sessionize_gaps",
+})
+
 
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R4_CHECKED:
+    if spec.name in _NEVER_ANY_ROUND:
+        group = -1
+    elif spec.name in _R4_CHECKED:
         group = 4
     elif spec.name in _R3_CHECKED:
         group = 3
