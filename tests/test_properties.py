@@ -161,3 +161,89 @@ def test_netpbm_roundtrip_and_resize_laws(w, h, out_w, out_h, rng):
     for yt in range(out_h):
         for xt in range(out_w):
             assert (r[yt, xt] == img[(yt * h) // out_h, (xt * w) // out_w]).all()
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        max_size=40,
+    )
+)
+def test_bitmap_distinct_law(spark_lazy, pairs):
+    """The bitmap popcount distinct must equal COUNT(DISTINCT) on ANY
+    (group, id) multiset with ids in the dictionary-bounded domain — the
+    law behind agg_bitmap_distinct, checked on generated frames."""
+    spark = spark_lazy
+    df = spark.createDataFrame(pairs or [("a", 0)], schema="g string, id long")
+    words = (
+        df.select(
+            "g",
+            (F.col("id") / 32).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 32 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("g", "w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    got = {
+        r["g"]: r["n"]
+        for r in words.groupBy("g")
+        .agg(F.sum(F.bit_count("bits")).alias("n"))
+        .collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("id").alias("n")).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(["w%d" % i for i in range(30)]), max_size=60),
+    st.lists(st.sampled_from(["w%d" % i for i in range(30)]), max_size=60),
+)
+def test_cms_one_sided_and_merge_laws(spark_lazy, ws_a, ws_b):
+    """On ANY generated token multiset: (1) every word's CMS estimate is
+    >= its true count (one-sidedness); (2) shard sketches SUM-merge into
+    the single-pass sketch exactly."""
+    from ksql_spark.queries.llm import cms_sketch
+
+    spark = spark_lazy
+    all_ws = ws_a + ws_b
+    if not all_ws:
+        return
+    toks = spark.createDataFrame([(w,) for w in all_ws], schema="w string")
+    sk = {(r["j"], r["pos"]): r["cnt"] for r in cms_sketch(toks).collect()}
+    # one-sidedness: min over the word's 4 counters >= exact count
+    import hashlib
+    from collections import Counter
+
+    exact = Counter(all_ws)
+    for w, n in exact.items():
+        digest = hashlib.md5(w.encode()).hexdigest()
+        est = min(
+            sk[(j, int(digest[8 * j : 8 * j + 8], 16) % 512)] for j in range(4)
+        )
+        assert est >= n, (w, est, n)
+    # merge law
+    sa = cms_sketch(
+        spark.createDataFrame([(w,) for w in ws_a] or [("x",)], schema="w string")
+    )
+    sb = cms_sketch(
+        spark.createDataFrame([(w,) for w in ws_b] or [("x",)], schema="w string")
+    )
+    merged = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in sa.unionByName(sb)
+        .groupBy("j", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    if ws_a and ws_b:
+        assert merged == sk
