@@ -736,18 +736,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     whenever ids are dictionary-bounded (user/doc/entity ids at 100 TB are
     dense dictionary codes; for sparse 64-bit ids this is what Roaring
     containers generalize). Cross-method oracle: COUNT(DISTINCT)."""
+    from ksql_spark.operators.bitmaps import bitmap_words
+
     ev = load(spark, sf_dir, "events")
-    words = (
-        ev.select(
-            "event_type",
-            (F.col("user_id") / 32).cast("long").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
-                "mask"
-            ),
-        )
-        .groupBy("event_type", "word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
+    words = bitmap_words(ev, "user_id", ["event_type"])
     return (
         words.groupBy("event_type")
         .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"))

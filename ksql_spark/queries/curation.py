@@ -1505,8 +1505,10 @@ def llm_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ratio AS (
         SELECT t.doc_id,
-               CAST(COALESCE(g.t_n, 0) * tot.r_tot AS DOUBLE)
-               / CAST(r.r_n * tot.t_tot AS DOUBLE) AS ratio
+               CASE WHEN tot.t_tot > 0
+                    THEN CAST(COALESCE(g.t_n, 0) * tot.r_tot AS DOUBLE)
+                         / CAST(r.r_n * tot.t_tot AS DOUBLE)
+                    ELSE 0.0 END AS ratio
         FROM toks t
         JOIN raw r USING (w)
         LEFT JOIN tgt g USING (w)
@@ -1658,28 +1660,32 @@ def llm_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_distribution_scaled two-stage form); the source index and count
     are a |domains|-row broadcast. The global order is COMPUTED, not
     sorted — no global exchange anywhere."""
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     hash_col = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    w = Window.partitionBy("source").orderBy(hash_col.asc(), F.col("doc_id"))
+    w = SparkWindow.partitionBy("source").orderBy(hash_col.asc(), F.col("doc_id"))
     srcs = (
         d.select("source")
         .distinct()
         .select(
             "source",
-            (F.dense_rank().over(Window.orderBy("source")) - 1).alias("src_idx"),
+            (F.dense_rank().over(SparkWindow.orderBy("source")) - 1).alias(
+                "src_idx"
+            ),
         )
     )
-    n_src = d.select("source").distinct().count()
+    # n_src stays a lazy 1-row broadcast — an eager .count() here would
+    # launch a Spark job during PLAN CONSTRUCTION (dump_plans/test_plans
+    # only want the plan)
+    n_src = srcs.agg((F.max("src_idx") + 1).alias("n_src"))
     return (
         d.select("doc_id", "source")
         .withColumn("rk", F.row_number().over(w) - 1)
         .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_src))
         .select(
             "doc_id",
             "source",
-            (F.col("rk") * F.lit(n_src) + F.col("src_idx"))
+            (F.col("rk") * F.col("n_src") + F.col("src_idx"))
             .cast("bigint")
             .alias("interleave_pos"),
         )

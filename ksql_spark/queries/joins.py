@@ -253,6 +253,42 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(o, cond).select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
 
 
+def _asof_tagged(ev: DataFrame) -> DataFrame:
+    """Tagged union shared by the as-of join family (backward / forward /
+    nearest): views carry side=0, purchases side=1, so views sort BEFORE
+    purchases at equal ts in BOTH scan directions — the inclusive <= / >=
+    boundary convention lives here, in exactly one place."""
+    views = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    return views.unionByName(purchases)
+
+
+def _asof_window(direction: str):
+    """Per-user full-history frame for one as-of direction: 'back' scans ts
+    ascending (last view <= current), 'fwd' descending (last view >= current);
+    `side` is the equal-ts tiebreak in both."""
+    order = ["ts", "side"] if direction == "back" else [F.col("ts").desc(), "side"]
+    return (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def _asof_view_ts():
+    """The carried value: the most recent view-side ts in scan order.
+    (A function, not a module constant — building a Column needs an active
+    SparkContext, which doesn't exist at import time.)"""
+    return F.when(F.col("side") == 0, F.col("ts"))
+
+
 @query(
     "join_asof",
     oracle="""
@@ -274,24 +310,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     key group in one worker's memory; this streams).
     """
     ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("side")
-    )
-    # side=0 sorts before side=1 at equal ts → "v.ts <= p.ts" (inclusive as-of).
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = views.unionByName(purchases).withColumn(
+    tagged = _asof_tagged(ev).withColumn(
         "asof_view_ts",
-        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+        F.last(_asof_view_ts(), ignorenulls=True).over(_asof_window("back")),
     )
     return (
         tagged.where(F.col("side") == 1)
@@ -321,23 +342,9 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     view ts >= purchase ts; views sort before purchases at equal ts for the
     inclusive >= semantics. No row explosion at any SF."""
     ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("side")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = views.unionByName(purchases).withColumn(
+    tagged = _asof_tagged(ev).withColumn(
         "next_view_ts",
-        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+        F.last(_asof_view_ts(), ignorenulls=True).over(_asof_window("fwd")),
     )
     return (
         tagged.where(F.col("side") == 1)
@@ -380,32 +387,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval comparison picks the winner. No row explosion, no second
     shuffle, no driver-side merge."""
     ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("side")
-    )
-    # Backward scan: views sort before purchases at equal ts -> inclusive <=.
-    w_back = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Forward scan: ts DESC, views first at equal ts -> inclusive >=.
-    w_fwd = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    view_ts = F.when(F.col("side") == 0, F.col("ts"))
     tagged = (
-        views.unionByName(purchases)
-        .withColumn("back_ts", F.last(view_ts, ignorenulls=True).over(w_back))
-        .withColumn("fwd_ts", F.last(view_ts, ignorenulls=True).over(w_fwd))
+        _asof_tagged(ev)
+        .withColumn(
+            "back_ts",
+            F.last(_asof_view_ts(), ignorenulls=True).over(_asof_window("back")),
+        )
+        .withColumn(
+            "fwd_ts",
+            F.last(_asof_view_ts(), ignorenulls=True).over(_asof_window("fwd")),
+        )
     )
     nearest = (
         F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))

@@ -492,18 +492,17 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     must carry; it lives distributed, partitioned by word_idx."""
     from pyspark.sql import Window
 
+    from ksql_spark.operators.bitmaps import bitmap_words
+
     ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.date_trunc("day", "ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("day", "word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
+    daily = bitmap_words(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        "user_id",
+        ["day"],
     )
+    # observed days suffice here (unlike events_rolling_wau's calendar
+    # spine): the unbounded frame accumulates ALL history regardless of
+    # how many calendar days separate grid rows
     days = daily.select("day").distinct()
     widx = daily.select("word_idx").distinct()
     grid = days.crossJoin(widx)
@@ -602,21 +601,28 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs (trailing 7 vs unbounded)."""
     from pyspark.sql import Window
 
+    from ksql_spark.operators.bitmaps import bitmap_words
+
     ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.date_trunc("day", "ts").alias("day"),
-            (F.col("user_id") / 32).cast("long").alias("word_idx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("day", "word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
+    daily = bitmap_words(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        "user_id",
+        ["day"],
     )
-    grid = daily.select("day").distinct().crossJoin(
-        daily.select("word_idx").distinct()
+    # the day spine must be the CALENDAR sequence, not just observed days:
+    # with a zero-event calendar day, a row frame over observed days would
+    # reach further back than INTERVAL 6 DAY and overcount (the oracle's
+    # calendar window is the contract)
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
     )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    grid = spine.crossJoin(daily.select("word_idx").distinct())
     dense = grid.join(daily, ["day", "word_idx"], "left").select(
         "day", "word_idx", F.coalesce("bits", F.lit(0)).alias("bits")
     )
@@ -625,11 +631,13 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
-    return (
+    wau = (
         dense.withColumn("wk_bits", F.bit_or("bits").over(w))
         .groupBy("day")
         .agg(F.sum(F.bit_count("wk_bits")).cast("bigint").alias("wau"))
     )
+    # emit only observed days, matching the oracle's day list
+    return wau.join(daily.select("day").distinct(), "day", "left_semi")
 
 
 @query(

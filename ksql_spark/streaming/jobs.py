@@ -511,12 +511,17 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
     associative, commutative AND idempotent, so the merge is replay-safe by
     construction — an at-least-once redelivery of a batch ORs the same bits
     again and changes nothing (no batch-id ledger needed, unlike the top-k
-    sink). The accumulator is <= 128 rows by the sketch geometry, so the
-    per-batch collect-and-rewrite is driver-bounded by design (the same
-    rationale as operators/scale.py's #partitions-row offset collect); the
-    heavy work — gram explode + position hashing — stays distributed in the
-    batch plan. tests/test_streaming.py asserts the stream-maintained
-    sketch equals the single-pass batch sketch BITWISE."""
+    sink). The accumulator RESUMES across invocations: if bloom_acc_<name>
+    already exists, every batch — including the first — merges into it
+    (grams only ever accumulate; a decontamination filter must never
+    forget). Start fresh by DROP TABLE first. The accumulator is <= 128
+    rows by the sketch geometry, so the per-batch collect-and-rewrite is
+    driver-bounded by design (the same rationale as operators/scale.py's
+    #partitions-row offset collect); the heavy work — gram explode +
+    position hashing — stays distributed in the batch plan.
+    tests/test_streaming.py asserts the stream-maintained sketch equals
+    the single-pass batch sketch BITWISE and that re-running the whole
+    stream against the existing accumulator changes nothing."""
     from ksql_spark.operators import text
     from ksql_spark.queries.llm import bloom_sketch
 
@@ -535,24 +540,29 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
                 )
             ).distinct()
         )
-        have_prev = first_batch_done["v"] and sess.catalog.tableExists(table)
-        if have_prev:
+        # merge with ANY existing accumulator — not just this run's: a new
+        # invocation RESUMES the sketch (an earlier revision gated this on
+        # a process-local flag, silently discarding prior state on every
+        # fresh call, which is exactly wrong for a never-forget filter)
+        if sess.catalog.tableExists(table):
             words = (
                 sess.table(table)
                 .unionByName(words)
                 .groupBy("word_idx")
                 .agg(F.bit_or("bits").alias("bits"))
             )
-        # materialize before overwriting the table the plan reads from;
-        # bounded at 128 rows — see docstring
-        rows = words.collect()
-        if not first_batch_done["v"] and not sess.catalog.tableExists(table):
+        elif not first_batch_done["v"]:
+            # no catalog entry: clear an orphaned managed location a dead
+            # prior PROCESS may have left (saveAsTable refuses otherwise)
             import shutil
 
             warehouse = sess.conf.get("spark.sql.warehouse.dir").removeprefix(
                 "file:"
             )
             shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+        # materialize before overwriting the table the plan reads from;
+        # bounded at 128 rows — see docstring
+        rows = words.collect()
         sess.createDataFrame(
             rows, schema="word_idx bigint, bits bigint"
         ).write.mode("overwrite").saveAsTable(table)

@@ -372,3 +372,32 @@ def test_cms_sketch_merges_across_shards(spark):
         .collect()
     }
     assert merged == full
+
+
+def test_rolling_wau_respects_calendar_gaps(spark, tmp_path):
+    """The WAU window is CALENDAR days, not observed-day rows: with a
+    zero-event gap (days 6-9 empty), day 10's 7-day window must cover
+    only days 4-10 — an observed-day row frame would reach back to day 1
+    and overcount. (The driver fixtures are gap-free, so only this
+    synthetic corpus exercises the contract.)"""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, d), d % 3, "view", 1.0, "{}")
+        for i, d in enumerate([1, 2, 3, 4, 5, 10])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["day"].day: r["wau"]
+        for r in all_specs()["events_rolling_wau"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 10}  # only observed days emitted
+    assert out[5] == 3  # days 1-5: users {1,2,0,1,2} -> 3 distinct
+    assert out[10] == 2  # days 4-10: users {1,2,1} -> 2, NOT 3

@@ -537,8 +537,10 @@ def test_interleave_no_global_sort_of_corpus(spark):
 def test_rolling_distinct_windows_partition_by_word(spark):
     """Both bitmap running-distinct entries must run their window
     partitioned by word_idx — parallel across the id domain, never a
-    single-partition window over the grid."""
+    single-partition window over the grid. (A 1-row scalar aggregate
+    elsewhere in the plan may legitimately SinglePartition-exchange —
+    the WAU calendar-bounds min/max does — so the gate checks the window
+    spec itself, not the whole plan.)"""
     for name in ("events_cumulative_users", "events_rolling_wau"):
         plan = plan_of(spark, name)
-        assert "Window" in plan
-        assert "Exchange SinglePartition" not in plan, name
+        assert "windowspecdefinition(word_idx" in plan, name

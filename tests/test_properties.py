@@ -177,19 +177,11 @@ def test_bitmap_distinct_law(spark_lazy, pairs):
     """The bitmap popcount distinct must equal COUNT(DISTINCT) on ANY
     (group, id) multiset with ids in the dictionary-bounded domain — the
     law behind agg_bitmap_distinct, checked on generated frames."""
+    from ksql_spark.operators.bitmaps import bitmap_words
+
     spark = spark_lazy
     df = spark.createDataFrame(pairs or [("a", 0)], schema="g string, id long")
-    words = (
-        df.select(
-            "g",
-            (F.col("id") / 32).cast("long").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 32 AS INT))").alias(
-                "m"
-            ),
-        )
-        .groupBy("g", "w")
-        .agg(F.bit_or("m").alias("bits"))
-    )
+    words = bitmap_words(df, "id", ["g"])
     got = {
         r["g"]: r["n"]
         for r in words.groupBy("g")

@@ -825,4 +825,23 @@ def test_bloom_sketch_stream_matches_batch(spark, tmp_path):
         for r in spark.table("bloom_acc_t_bloom").collect()
     }
     assert got2 == want
+
+    # resume across SEPARATE invocations each seeing only part of the data:
+    # run half-1 alone, then half-2 alone against the existing accumulator —
+    # the union must equal the full sketch (this is the check that catches a
+    # sink discarding prior state on a fresh call)
+    spark.sql("DROP TABLE IF EXISTS bloom_acc_t_bloom")
+    for i in range(2):
+        part_dir = tmp_path / f"docs_half{i}"
+        part_dir.mkdir()
+        shutil.copy(replay / f"part-{i:03d}.parquet", part_dir / "f.parquet")
+        jobs.run_bloom_sink(
+            spark.readStream.schema(src.schema).parquet(str(part_dir)),
+            "t_bloom",
+        )
+    got3 = {
+        r["word_idx"]: r["bits"]
+        for r in spark.table("bloom_acc_t_bloom").collect()
+    }
+    assert got3 == want
     spark.sql("DROP TABLE IF EXISTS bloom_acc_t_bloom")
