@@ -452,3 +452,95 @@ def compat_using(sql: str) -> str:
         out.append(t.text)
         i += 1
     return "".join(out)
+
+
+def compat_qualify(sql: str) -> str:
+    """DuckDB/Snowflake/BigQuery `QUALIFY <pred>` — filter applied AFTER
+    window evaluation, which Spark SQL lacks — rewritten to a subquery:
+
+      * predicate without a window call (references select-list aliases):
+          SELECT ... QUALIFY p [tail]
+        → SELECT * FROM (SELECT ...) __q WHERE p [tail]
+      * predicate with an inline OVER(...):
+          SELECT <sel> FROM <rest> QUALIFY p [tail]
+        → SELECT * EXCEPT (__qualify) FROM (
+              SELECT <sel>, (p) AS __qualify FROM <rest>) __q
+          WHERE __qualify [tail]
+
+    `tail` = trailing top-level ORDER BY / LIMIT / OFFSET, re-applied on the
+    outer query (they sort/limit the filtered result, matching QUALIFY
+    semantics). Scope is conservative, matching compat_top: top-level
+    statements whose first keyword is SELECT, no top-level set operation,
+    no SELECT DISTINCT (appending the hidden column would change the
+    distinct key) — anything else passes through untouched and fails
+    loudly at parse time with the user's own text.
+    """
+    toks = _tokenize(sql)
+    if _first_keyword(toks) != "SELECT":
+        return sql
+    depth = 0
+    q_idx = None
+    for i, t in enumerate(toks):
+        if t.kind == "punct":
+            depth += (t.text == "(") - (t.text == ")")
+        elif depth == 0 and t.kind == "ident":
+            u = t.text.upper()
+            if u in ("UNION", "INTERSECT", "EXCEPT"):
+                return sql
+            if u == "QUALIFY" and q_idx is None:
+                q_idx = i
+    if q_idx is None:
+        return sql
+    # SELECT DISTINCT guard
+    j = 1
+    while j < len(toks) and toks[j].kind in ("ws", "comment"):
+        j += 1
+    if j < len(toks) and toks[j].kind == "ident" and toks[j].text.upper() == "DISTINCT":
+        return sql
+    # split: inner | predicate | tail (top-level ORDER BY / LIMIT / OFFSET)
+    depth = 0
+    tail_idx = len(toks)
+    for i in range(q_idx + 1, len(toks)):
+        t = toks[i]
+        if t.kind == "punct":
+            depth += (t.text == "(") - (t.text == ")")
+        elif (
+            depth == 0
+            and t.kind == "ident"
+            and t.text.upper() in ("ORDER", "LIMIT", "OFFSET")
+        ):
+            tail_idx = i
+            break
+    inner = "".join(t.text for t in toks[:q_idx]).strip()
+    pred = "".join(t.text for t in toks[q_idx + 1 : tail_idx]).strip()
+    tail = "".join(t.text for t in toks[tail_idx:]).strip().rstrip(";")
+    pred = pred.rstrip(";").strip()
+    if not pred:
+        return sql
+    pred_has_window = any(
+        t.kind == "ident" and t.text.upper() == "OVER"
+        for t in _tokenize(pred)
+    )
+    if not pred_has_window:
+        out = f"SELECT * FROM ({inner}) __q WHERE {pred}"
+        return out + (f"\n{tail}" if tail else "")
+    # hoist the whole predicate as a hidden boolean window column: find the
+    # inner query's top-level FROM and splice the column into its select list
+    inner_toks = _tokenize(inner)
+    depth = 0
+    from_idx = None
+    for i, t in enumerate(inner_toks):
+        if t.kind == "punct":
+            depth += (t.text == "(") - (t.text == ")")
+        elif depth == 0 and t.kind == "ident" and t.text.upper() == "FROM":
+            from_idx = i
+            break
+    if from_idx is None:
+        return sql
+    sel_part = "".join(t.text for t in inner_toks[:from_idx]).rstrip()
+    rest_part = "".join(t.text for t in inner_toks[from_idx:])
+    inner2 = f"{sel_part}, ({pred}) AS __qualify {rest_part}"
+    out = (
+        f"SELECT * EXCEPT (__qualify) FROM ({inner2}) __q WHERE __qualify"
+    )
+    return out + (f"\n{tail}" if tail else "")

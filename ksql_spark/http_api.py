@@ -17,7 +17,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
-from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
+from ksql_spark.compat.rewriter import (Rewriter, compat_qualify, compat_top,
+                                         compat_using)
 from ksql_spark.repl import build_session, make_rewriter
 
 MAX_ROWS = 10_000  # don't collect unbounded results into the driver
@@ -42,7 +43,7 @@ def run_query(
         if n is None:  # rewrite broke the statement shape — be loud
             raise ValueError("DML statement failed to parse after rewrite")
         return {"headers": ["rows_affected"], "data": [[n]]}
-    sql = compat_top(compat_using(rewriter.rewrite(query)))
+    sql = compat_qualify(compat_top(compat_using(rewriter.rewrite(query))))
     df = spark.sql(sql).limit(MAX_ROWS)
     rows = df.collect()
     # positional access: Row[name] returns the FIRST field with that name, so
@@ -94,8 +95,10 @@ def make_handler(spark, rewriter: Rewriter, allow_dml: bool = False):
                     self.wfile.write(b"Query parameter is required.")
                     return
                 try:
-                    sql = compat_top(
-                        compat_using(rewriter.rewrite(params["query"][0]))
+                    sql = compat_qualify(
+                        compat_top(
+                            compat_using(rewriter.rewrite(params["query"][0]))
+                        )
                     )
                     plan = (
                         spark.sql(sql)

@@ -15,7 +15,8 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ksql_spark.compat.rewriter import Rewriter, compat_top, compat_using
+from ksql_spark.compat.rewriter import (Rewriter, compat_qualify, compat_top,
+                                         compat_using)
 
 
 def resolve_live_client(live: bool, kubeconfig: str | None):
@@ -198,7 +199,7 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                     src = reader.parquet(src_path)
                 src.createOrReplaceTempView(view)
                 created.append(view)
-            sql = compat_top(compat_using(rewriter.rewrite(line)))
+            sql = compat_qualify(compat_top(compat_using(rewriter.rewrite(line))))
             df = spark.sql(sql)
             if fmt:
                 if fmt == "xlsx":

@@ -270,3 +270,64 @@ def test_into_file_ignored_in_comments():
     # a commented-out export must never trigger an overwrite write
     q, fmt, path = split_into_file("select 1 -- INTO CSV('x')")
     assert fmt is None and q == "select 1 -- INTO CSV('x')"
+
+
+def test_compat_qualify_alias_predicate():
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    out = compat_qualify(
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+        "QUALIFY n > 3 ORDER BY user_id LIMIT 5"
+    )
+    assert out.startswith("SELECT * FROM (")
+    assert "WHERE n > 3" in out
+    assert out.rstrip().endswith("ORDER BY user_id LIMIT 5")
+    assert "QUALIFY" not in out.upper()
+
+
+def test_compat_qualify_inline_window_hoisted():
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    out = compat_qualify(
+        "SELECT user_id, ts FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1"
+    )
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (")
+    assert "AS __qualify" in out
+    assert "WHERE __qualify" in out
+
+
+def test_compat_qualify_passthrough():
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    for sql in (
+        "SELECT 1",
+        "SELECT DISTINCT a FROM t QUALIFY rank() OVER (ORDER BY a) = 1",
+        "SELECT a FROM t UNION ALL SELECT a FROM u",
+        "WITH x AS (SELECT 1) SELECT * FROM x",
+        "CREATE TABLE t (a INT)",
+    ):
+        assert compat_qualify(sql) == sql
+
+
+def test_compat_qualify_end_to_end_matches_duckdb(spark, duck):
+    """The rewritten QUALIFY query in Spark must return exactly what DuckDB
+    returns running the ORIGINAL text natively (its own QUALIFY support)."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    from .conftest import SF_DIR, assert_results_match, duck_result, spark_result
+
+    q = (
+        "SELECT user_id, event_id "
+        "FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) = 1 "
+        "ORDER BY user_id NULLS LAST LIMIT 50"
+    )
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    sres = spark_result(spark.sql(compat_qualify(q)))
+    dres = duck_result(duck, q)
+    assert_results_match(sres, dres, name="compat_qualify_e2e")
+    spark.catalog.dropTempView("events")
