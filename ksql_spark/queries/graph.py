@@ -362,3 +362,46 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    adj AS (
+        SELECT DISTINCT a.s AS s1, b.s AS s2
+        FROM e0 a JOIN e0 b ON a.p = b.p AND a.s <> b.s
+    ),
+    deg AS (SELECT s1, COUNT(*) AS degree FROM adj GROUP BY s1)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    ref="SURVEY §2 L6 [EXT] (degree distribution of the supplier co-ship "
+    "graph — the first diagnostic run on any production graph: it sizes "
+    "the skew the join/triangle/CC jobs must survive and decides the "
+    "hub-pruning threshold graph_triangle_count applies)",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of node degrees in the undirected co-ship graph. This is
+    the pre-flight for every other graph op here: a heavy tail in this
+    output is exactly what motivates graph_triangle_count's hub pruning
+    and join_salted_skew's salting.
+
+    Plan: distinct edge build (one exchange), per-node count riding the
+    same key, then a tiny degree-keyed re-agg."""
+    li = load(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    adj = (
+        e0.alias("a")
+        .join(e0.alias("b"), "p")
+        .where(F.col("a.s") != F.col("b.s"))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+    )
+    deg = adj.groupBy("s1").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")

@@ -692,3 +692,70 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / F.col("t")).alias("p"),
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - INTERVAL (ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d)) DAY AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(d) AS streak_start
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, len AS longest_streak, streak_start
+    FROM (
+        SELECT user_id, len, streak_start,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY len DESC, streak_start
+               ) AS rn
+        FROM streaks
+    ) WHERE rn = 1
+    """,
+    ref="SURVEY §2 E/K [EXT] (longest consecutive-day activity streak per "
+    "user — the canonical gaps-and-islands shape: day minus its per-user "
+    "row_number is constant exactly within a consecutive run; earliest "
+    "longest streak wins ties)",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user (ties -> the
+    earliest streak). The island anchor (day - row_number days) is exact
+    date arithmetic — identical in both engines.
+
+    Scale shape: one user_id shuffle; distinct days, the anchor window,
+    and both aggregations all ride the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    grp = days.withColumn("rn", rn).withColumn(
+        "anchor", F.col("d") - F.expr("make_interval(0, 0, 0, rn)")
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn2", F.row_number().over(w))
+        .where(F.col("rn2") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak"),
+            "streak_start",
+        )
+    )
