@@ -239,3 +239,15 @@ def test_cms_one_sided_and_merge_laws(spark_lazy, ws_a, ws_b):
     }
     if ws_a and ws_b:
         assert merged == sk
+
+
+@given(sql_text)
+@settings(max_examples=200, deadline=None)
+def test_compat_qualify_identity_without_keyword(sql):
+    """compat_qualify must be the identity on any text not containing the
+    QUALIFY keyword at the top level of a SELECT (the conservative-scope
+    contract: it only ever rewrites what it fully understands)."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    if "qualify" not in sql.lower():
+        assert compat_qualify(sql) == sql
