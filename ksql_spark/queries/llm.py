@@ -2252,10 +2252,12 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-grams whose first occurrence is this doc.
 
     Scale shape: one gram-keyed MIN agg (map-side combined; exchanges
-    carry grams once, not occurrences), joined back to the same gram
-    stream — Catalyst reuses the exchange — then a doc_id re-agg. At
-    100 TB the gram key would be its md5 digest, as in
-    llm_substring_dup_spans."""
+    carry distinct grams once, not occurrences) joined back to the gram
+    stream — at bench SF the min-table broadcasts so the corpus side
+    never shuffles on gram; at scale both sides hash on the gram (the
+    first-occurrence question inherently joins on it, like
+    llm_dup_stats), keyed by its md5 digest as in
+    llm_substring_dup_spans. Then a doc_id re-agg."""
     d = load(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",

@@ -544,3 +544,21 @@ def test_rolling_distinct_windows_partition_by_word(spark):
     for name in ("events_cumulative_users", "events_rolling_wau"):
         plan = plan_of(spark, name)
         assert "windowspecdefinition(word_idx" in plan, name
+
+
+def test_abc_analysis_uses_ranged_cumsum(spark):
+    """The Pareto cumsum must take ranged_cumsum's partitioned path: the
+    window partitions by the internal _pid range-partition id (never a
+    partition-free global window); the only SinglePartition exchange in the
+    plan is the 1-row scalar revenue total."""
+    plan = plan_of(spark, "abc_analysis_parts")
+    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(revenue" not in plan  # no global window
+
+
+def test_ngram_novelty_no_cartesian_or_self_join(spark):
+    """First-occurrence detection must stay a gram-keyed agg + join —
+    never an all-pairs corpus comparison."""
+    plan = plan_of(spark, "llm_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
