@@ -405,3 +405,89 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_nodes")
     ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford CTEs (d0..dN) — same unrolling trick as the
+    PageRank oracle; DuckDB 1.0's recursive CTE cannot keep a running MIN
+    per node, the unrolled form can."""
+    parts = [
+        f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    adj AS (
+        SELECT DISTINCT a.s AS s1, b.s AS s2,
+               1 + (a.s * 7 + b.s * 13) % 5 AS w
+        FROM e0 a JOIN e0 b ON a.p = b.p AND a.s <> b.s
+    ),
+    d0 AS (SELECT CAST({_START} AS BIGINT) AS s, CAST(0 AS BIGINT) AS dist)
+    """
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    d{i + 1} AS (
+        SELECT s, MIN(dist) AS dist FROM (
+            SELECT s, dist FROM d{i}
+            UNION ALL
+            SELECT adj.s2 AS s, d{i}.dist + adj.w AS dist
+            FROM d{i} JOIN adj ON d{i}.s = adj.s1
+        ) GROUP BY s
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s AS suppkey, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle=_sssp_oracle(),
+    ref="SURVEY §2 L7 [EXT] (weighted single-source shortest paths: 4 "
+    "Bellman-Ford relaxation rounds over the co-ship graph with "
+    "deterministic integer edge weights — the weighted companion of "
+    "graph_bfs; oracle = the same recursion unrolled into CTEs, the "
+    "graph_pagerank technique)",
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest weighted distance from supplier 0 after 4 relaxation
+    rounds (edge weight = 1 + (7*s1 + 13*s2) % 5, exact integer math both
+    engines; 4 rounds = paths of up to 4 hops, the depth-capped contract
+    graph_bfs also uses).
+
+    Scale shape: per round, ONE join of the frontier-distance table
+    (O(nodes)) against the adjacency on s1 + a min re-agg — state lives
+    distributed, the driver loops over PLANS only, and localCheckpoint
+    truncates lineage per round exactly as bfs/connected_components do."""
+    li = load(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    adj = (
+        e0.alias("a")
+        .join(e0.alias("b"), "p")
+        .where(F.col("a.s") != F.col("b.s"))
+        .select(
+            F.col("a.s").alias("s1"),
+            F.col("b.s").alias("s2"),
+            (1 + (F.col("a.s") * 7 + F.col("b.s") * 13) % 5).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    d = spark.createDataFrame([( _START, 0)], "s long, dist long")
+    for _ in range(4):
+        relaxed = d.join(adj, d.s == adj.s1).select(
+            F.col("s2").alias("s"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("s")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return d.select(
+        F.col("s").alias("suppkey"), F.col("dist").cast("bigint").alias("dist")
+    )

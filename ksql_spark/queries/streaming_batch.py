@@ -759,3 +759,57 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+@query(
+    "events_pattern_vvp",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(event_id) AS BIGINT) AS first_match_event
+    FROM seq
+    WHERE event_type = 'purchase' AND prev1 = 'view' AND prev2 = 'view'
+    GROUP BY user_id
+    """,
+    ref="SURVEY §2 E/I [EXT] (sequence pattern detection — the "
+    "MATCH_RECOGNIZE-lite CEP shape: find every view,view,purchase run of "
+    "3 consecutive events per user via lag chains; one user_id shuffle)",
+)
+def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count view→view→purchase patterns in each user's consecutive event
+    stream (the 'browsed then bought' CEP signal). A lag-chain over the
+    (ts, event_id) total order is the portable spelling of the simplest
+    MATCH_RECOGNIZE pattern — neither engine has the full operator, both
+    have lag.
+
+    Scale shape: one user_id shuffle, sequential scan, no joins; longer
+    patterns add lags, not passes."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev1") == "view")
+            & (F.col("prev2") == "view")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("event_id").cast("bigint").alias("first_match_event"),
+        )
+    )

@@ -188,6 +188,8 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                     )
                 elif src_fmt == "json":
                     src = reader.json(src_path)
+                elif src_fmt == "orc":
+                    src = reader.orc(src_path)
                 elif src_fmt == "xlsx":
                     from ksql_spark.sources.xlsx import read_xlsx
 

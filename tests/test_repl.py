@@ -257,3 +257,18 @@ def test_http_explain_endpoint(spark, rw):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_orc_roundtrip_through_repl(spark, rw, tmp_path, capsys):
+    """ORC both directions (r5b): INTO ORC writes columnar ORC via Spark's
+    native writer; FROM ORC() reads it back as a table source — the second
+    columnar interchange format beside parquet."""
+    from ksql_spark.repl import handle_line
+
+    out = tmp_path / "export_orc"
+    handle_line(spark, rw, f"select uid, image from containers INTO ORC('{out}')")
+    assert "wrote orc" in capsys.readouterr().out
+    assert spark.read.orc(str(out)).count() == spark.table("containers").count()
+
+    handle_line(spark, rw, f"select count(*) as n from ORC('{out}')")
+    assert str(spark.table("containers").count()) in capsys.readouterr().out
