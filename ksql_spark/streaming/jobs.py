@@ -525,31 +525,91 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
     from ksql_spark.operators import text
     from ksql_spark.queries.llm import bloom_sketch
 
-    table = f"bloom_acc_{name}"
-    first_batch_done = {"v": False}
-    outer = docs_stream.sparkSession  # foreachBatch hands us a CLONED session
-
-    def merge(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        sess = batch_df.sparkSession
-        words = bloom_sketch(
+    def batch_sketch(batch_df):
+        return bloom_sketch(
             batch_df.select(
                 F.explode(F.array_distinct(text.shingles("text", 5))).alias(
                     "gram"
                 )
             ).distinct()
         )
+
+    _run_sketch_sink(
+        docs_stream,
+        table=f"bloom_acc_{name}",
+        batch_sketch=batch_sketch,
+        key_cols=["word_idx"],
+        merge_agg=lambda: F.bit_or("bits").alias("bits"),
+        schema="word_idx bigint, bits bigint",
+        timeout_sec=timeout_sec,
+        job="run_bloom_sink",
+    )
+
+
+def run_cms_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) -> None:
+    """Maintain an INCREMENTAL Count-Min frequency sketch over a document
+    stream: each micro-batch's word counters (queries/llm.py:cms_sketch)
+    SUM-merge into the managed table `cms_acc_<name>` — the frequency
+    companion of run_bloom_sink's membership filter, same resume semantics.
+
+    NOTE the one semantic difference from the bloom sink: SUM is associative
+    and commutative but NOT idempotent, so a replayed micro-batch double-
+    counts. The availableNow checkpoint delivers each batch once per run;
+    across full-stream re-runs the caller owns dedup (DROP TABLE first, or
+    accept upper-bound counts — CMS is one-sided anyway, so a double-count
+    stays a valid over-estimate). tests/test_streaming.py pins stream ==
+    batch equality for a single pass."""
+    from ksql_spark.operators import text
+    from ksql_spark.queries.llm import cms_sketch
+
+    def batch_sketch(batch_df):
+        return cms_sketch(
+            batch_df.select(F.explode(text.words("text")).alias("w"))
+        )
+
+    _run_sketch_sink(
+        docs_stream,
+        table=f"cms_acc_{name}",
+        batch_sketch=batch_sketch,
+        key_cols=["j", "pos"],
+        merge_agg=lambda: F.sum("cnt").alias("cnt"),
+        schema="j int, pos bigint, cnt bigint",
+        timeout_sec=timeout_sec,
+        job="run_cms_sink",
+    )
+
+
+def _run_sketch_sink(
+    stream: DataFrame,
+    *,
+    table: str,
+    batch_sketch,
+    key_cols: list[str],
+    merge_agg,
+    schema: str,
+    timeout_sec: int,
+    job: str,
+) -> None:
+    """Shared engine for incremental mergeable-sketch maintenance: per
+    micro-batch, build the batch's sketch rows (distributed), merge them
+    with the existing accumulator under `merge_agg` over `key_cols`, and
+    rewrite the (sketch-geometry-bounded) accumulator table. Resumes any
+    existing accumulator — see run_bloom_sink for the rationale."""
+    first_batch_done = {"v": False}
+    outer = stream.sparkSession  # foreachBatch hands us a CLONED session
+
+    def merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        sk = batch_sketch(batch_df)
         # merge with ANY existing accumulator — not just this run's: a new
         # invocation RESUMES the sketch (an earlier revision gated this on
         # a process-local flag, silently discarding prior state on every
         # fresh call, which is exactly wrong for a never-forget filter)
         if sess.catalog.tableExists(table):
-            words = (
-                sess.table(table)
-                .unionByName(words)
-                .groupBy("word_idx")
-                .agg(F.bit_or("bits").alias("bits"))
+            sk = sess.table(table).unionByName(sk).groupBy(*key_cols).agg(
+                merge_agg()
             )
         elif not first_batch_done["v"]:
             # no catalog entry: clear an orphaned managed location a dead
@@ -561,11 +621,11 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
             )
             shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
         # materialize before overwriting the table the plan reads from;
-        # bounded at 128 rows — see docstring
-        rows = words.collect()
-        sess.createDataFrame(
-            rows, schema="word_idx bigint, bits bigint"
-        ).write.mode("overwrite").saveAsTable(table)
+        # bounded by the sketch geometry (128 bloom words / 2048 CMS rows)
+        rows = sk.collect()
+        sess.createDataFrame(rows, schema=schema).write.mode(
+            "overwrite"
+        ).saveAsTable(table)
         # the overwrite replaced the table's files under the same path —
         # drop the stale file-listing/metadata cache in BOTH the cloned
         # micro-batch session and the caller's outer session, or the next
@@ -575,7 +635,7 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
         first_batch_done["v"] = True
 
     q = (
-        docs_stream.writeStream.foreachBatch(merge)
+        stream.writeStream.foreachBatch(merge)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -583,6 +643,5 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(
-            f"run_bloom_sink({name!r}): query did not terminate within "
-            f"{timeout_sec}s"
+            f"{job}({table!r}): query did not terminate within {timeout_sec}s"
         )

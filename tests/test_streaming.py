@@ -845,3 +845,43 @@ def test_bloom_sketch_stream_matches_batch(spark, tmp_path):
     }
     assert got3 == want
     spark.sql("DROP TABLE IF EXISTS bloom_acc_t_bloom")
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """The stream-maintained CMS (two micro-batches, SUM merge per batch)
+    must equal the single-pass batch sketch exactly for one pass of the
+    stream — the frequency companion of the bloom sink agreement."""
+    import pyspark.sql.functions as F
+
+    from ksql_spark.operators import text
+    from ksql_spark.queries.llm import cms_sketch
+    from ksql_spark.streaming import jobs
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    d = tmp_path / "cms_stream"
+    d.mkdir()
+    import shutil
+
+    for i, pred in enumerate((F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)):
+        src.where(pred).coalesce(1).write.parquet(str(d / f"f{i}"))
+        [pf] = [p for p in (d / f"f{i}").glob("*.parquet")]
+        shutil.copy(pf, d / f"part-{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    spark.sql("DROP TABLE IF EXISTS cms_acc_t_cms")
+    jobs.run_cms_sink(stream, "t_cms")
+    got = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in spark.table("cms_acc_t_cms").collect()
+    }
+    want = {
+        (r["j"], r["pos"]): r["cnt"]
+        for r in cms_sketch(
+            src.select(F.explode(text.words("text")).alias("w"))
+        ).collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS cms_acc_t_cms")
