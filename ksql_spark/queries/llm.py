@@ -2276,3 +2276,112 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+@query(
+    "llm_emb_cluster_iter2",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, c.cent_id,
+               {_L2SQ.format(a='e.embedding', b='c.cent_emb')} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a1 AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cd, cent_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    ex AS (
+        SELECT a1.cent_id,
+               unnest(list_transform(range(1, len(e.embedding) + 1),
+                      i -> struct_pack(dim := i,
+                                       val := CAST(e.embedding[i] AS DOUBLE))),
+                      recursive := true)
+        FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id
+    ),
+    c1 AS (
+        SELECT cent_id, dim, {sql_davg('val')} AS c
+        FROM ex GROUP BY cent_id, dim
+    ),
+    vex AS (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(dim := i,
+                                       val := CAST(embedding[i] AS DOUBLE))),
+                      recursive := true)
+        FROM embeddings
+    ),
+    d2 AS (
+        SELECT vex.vec_id, c1.cent_id,
+               {sql_dsum('(val - c) * (val - c)')} AS cd
+        FROM vex JOIN c1 USING (dim)
+        GROUP BY vex.vec_id, c1.cent_id
+    ),
+    a2 AS (
+        SELECT vec_id, cent_id, cd FROM (
+            SELECT vec_id, cent_id, cd,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cd, cent_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    )
+    SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_davg('cd')} AS avg_dist
+    FROM a2 GROUP BY cent_id
+    """,
+    ref="SURVEY §2 K61 [EXT] (TWO Lloyd iterations with RECOMPUTED "
+    "centroids — the genuinely iterative step llm_emb_cluster's single "
+    "fixed-centroid pass omits: assign, average per (cluster, dim) into "
+    "new quantized centroids, re-assign. The full train-the-index loop, "
+    "oracle-exact cross-engine)",
+)
+def llm_emb_cluster_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means after a second Lloyd iteration: iteration-1 assignment to
+    the fixed seed centroids (vec_id < 4), per-(cluster, dim) quantized
+    mean as the NEW centroids, then re-assignment by quantized squared-L2
+    against them. Cluster sizes shift between iterations exactly when a
+    vector is nearer its neighbors' mean than its seed — the convergence
+    behavior itself is now cross-engine bit-checked.
+
+    Scale shape: iteration-1 is the K19 broadcast pass; the centroid
+    recompute is a (cluster, dim) hash agg (K x dim rows out); the
+    re-assignment joins the exploded vectors to the K x dim centroid
+    table on dim (bounded broadcast) and re-aggs per (vec, cluster) —
+    O(n·K·dim) narrow work, no pairwise stage anywhere."""
+    e = load(spark, sf_dir, "embeddings")
+    a1 = _assign_fixed_centroids(e).select("vec_id", "cent_id")
+    ex = (
+        e.join(a1, "vec_id")
+        .select("cent_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "cent_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("v").cast("double").alias("val"),
+        )
+    )
+    c1 = ex.groupBy("cent_id", "dim").agg(davg("val").alias("c"))
+    vex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("v").cast("double").alias("val"),
+    )
+    diff = F.col("val") - F.col("c")
+    d2 = (
+        vex.join(F.broadcast(c1), "dim")
+        .groupBy("vec_id", "cent_id")
+        .agg(dsum(diff * diff).alias("cd"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("cd", "cent_id")
+    a2 = d2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return a2.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"), davg("cd").alias("avg_dist")
+    )
