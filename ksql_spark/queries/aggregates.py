@@ -878,3 +878,44 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@query(
+    "orders_monthly_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - lag(revenue) OVER (ORDER BY month))
+               / lag(revenue) OVER (ORDER BY month) AS mom_growth
+    FROM m
+    """,
+    ref="SURVEY §2 D/E [EXT] (month-over-month revenue growth — the "
+    "canonical BI trend query: monthly quantized totals + lag + relative "
+    "delta; the only global window runs over |months| rows, bounded by "
+    "the calendar, not the data)",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with its month-over-month growth rate. The lag
+    window is GLOBAL but over the month table (|months| rows — calendar-
+    bounded at any data scale, so the single partition is fine and
+    permanent, unlike data-proportional global windows). Quantized
+    monthly sums make the growth division exact-operand IEEE."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )

@@ -272,3 +272,23 @@ def test_orc_roundtrip_through_repl(spark, rw, tmp_path, capsys):
 
     handle_line(spark, rw, f"select count(*) as n from ORC('{out}')")
     assert str(spark.table("containers").count()) in capsys.readouterr().out
+
+
+def test_qualify_through_repl_chain(spark, rw, tmp_path, capsys):
+    """QUALIFY must work end-to-end through handle_line's rewrite chain
+    (rewriter -> USING -> TOP -> QUALIFY), not just as a bare function."""
+    from ksql_spark.repl import handle_line
+
+    handle_line(
+        spark,
+        rw,
+        "select uid, image from containers "
+        "QUALIFY row_number() OVER (PARTITION BY uid ORDER BY image) = 1",
+    )
+    out = capsys.readouterr().out
+    assert "error" not in out.lower()
+    # one row per distinct pod uid survives the filter
+    n_uids = spark.table("containers").select("uid").distinct().count()
+    import re
+
+    assert len(re.findall(r"\n\|", out)) - 1 == n_uids  # header row + n rows
