@@ -331,3 +331,69 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ok,
         ((n_words >= 20) & (uniq >= 0.5) & (quality >= 0.3)).alias("keep"),
     )
+
+
+@query(
+    "llm_pack_efficiency",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+        SELECT doc_id, words,
+               unnest(range(0, greatest(len(words), 1), {STRIDE})) AS start
+        FROM w
+    ), chunks AS (
+        SELECT doc_id, CAST(start // {STRIDE} AS INT) AS chunk_idx,
+               CAST(least({CHUNK}, len(words) - start) AS INT) AS n_tokens
+        FROM s
+    ), packed AS (
+        SELECT n_tokens,
+               (SUM(n_tokens) OVER (
+                    ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // {PACK_BUDGET} AS pack_id
+        FROM chunks
+    ),
+    per_pack AS (
+        SELECT pack_id, SUM(n_tokens) AS fill FROM packed GROUP BY pack_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(fill) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN fill < {PACK_BUDGET}
+                         THEN {PACK_BUDGET} - fill ELSE 0 END) AS BIGINT)
+               AS padding_waste,
+           CAST(SUM(least(fill, {PACK_BUDGET})) AS DOUBLE)
+               / (COUNT(*) * {PACK_BUDGET}) AS utilization
+    FROM per_pack
+    """,
+    ref="SURVEY §2 K62 [EXT] (packing-efficiency audit: per-window fill, "
+    "padding waste, and utilization of llm_pack_sequences' assignment — "
+    "the metric batch-packing is tuned against; padding waste is compute "
+    "burned on pad tokens at training time)",
+)
+def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How full the packed context windows are: window count, total packed
+    tokens, padding waste (budget minus fill for underfull windows — the
+    boundary-overflow windows that exceed budget pad nothing), and overall
+    utilization. This single row is what you tune CHUNK/STRIDE/BUDGET
+    against. Built on llm_pack_sequences' own assignment, so the audit
+    can't drift from the packer.
+
+    Scale shape: inherits the packer's two-pass cumsum; the efficiency
+    agg collapses to |packs| rows then one scalar row."""
+    packed = llm_pack_sequences(spark, sf_dir)
+    per_pack = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("fill"))
+    fill = F.col("fill")
+    return per_pack.agg(
+        F.count("*").cast("bigint").alias("n_packs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(fill < PACK_BUDGET, PACK_BUDGET - fill).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("padding_waste"),
+        (
+            F.sum(F.least(fill, F.lit(PACK_BUDGET))).cast("double")
+            / (F.count("*") * PACK_BUDGET)
+        ).alias("utilization"),
+    )
