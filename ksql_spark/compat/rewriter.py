@@ -472,14 +472,33 @@ def compat_qualify(sql: str) -> str:
     semantics). Scope is conservative, matching compat_top: top-level
     statements whose first keyword is SELECT, no top-level set operation,
     no SELECT DISTINCT (appending the hidden column would change the
-    distinct key) — anything else passes through untouched and fails
-    loudly at parse time with the user's own text.
+    distinct key), and — since `qualify` is NOT a reserved word in Spark —
+    the token is treated as the clause keyword only in clause position: a
+    top-level FROM precedes it, the previous code token ends an expression
+    (identifier / number / string / `)`), and the next token can begin a
+    predicate. `SELECT a, qualify FROM t` and `WHERE qualify = 1` pass
+    through untouched. Aliases referenced inside an OVER() in the
+    predicate (legal in DuckDB, LATERAL_COLUMN_ALIAS_IN_WINDOW in Spark)
+    also pass through, so the user sees Spark's parse error on THEIR text,
+    never an error naming rewrite internals.
     """
     toks = _tokenize(sql)
     if _first_keyword(toks) != "SELECT":
         return sql
+    _CLAUSE_PRED = frozenset(
+        {
+            "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "BY", "ON", "AS",
+            "JOIN", "HAVING", "CASE", "WHEN", "THEN", "ELSE", "IN", "LIKE",
+            "BETWEEN", "IS", "ORDER", "GROUP", "LIMIT", "OFFSET", "USING",
+        }
+    )
+    _BAD_NEXT_KW = frozenset(
+        {"FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING"}
+    )
     depth = 0
     q_idx = None
+    from_seen = False
+    prev_code = None  # last non-ws/comment token at any depth
     for i, t in enumerate(toks):
         if t.kind == "punct":
             depth += (t.text == "(") - (t.text == ")")
@@ -487,8 +506,35 @@ def compat_qualify(sql: str) -> str:
             u = t.text.upper()
             if u in ("UNION", "INTERSECT", "EXCEPT"):
                 return sql
-            if u == "QUALIFY" and q_idx is None:
-                q_idx = i
+            if u == "FROM":
+                from_seen = True
+            if u == "QUALIFY" and q_idx is None and from_seen:
+                # clause position: previous code token ends an expression...
+                prev_ok = prev_code is not None and (
+                    prev_code.kind in ("num", "str", "bq")
+                    or (prev_code.kind == "punct" and prev_code.text == ")")
+                    or (
+                        prev_code.kind == "ident"
+                        and prev_code.text.upper() not in _CLAUSE_PRED
+                    )
+                )
+                # ...and the next code token can begin a predicate
+                k = i + 1
+                while k < len(toks) and toks[k].kind in ("ws", "comment"):
+                    k += 1
+                nxt = toks[k] if k < len(toks) else None
+                next_ok = nxt is not None and not (
+                    (nxt.kind == "ident" and nxt.text.upper() in _BAD_NEXT_KW)
+                    or (
+                        nxt.kind == "punct"
+                        and nxt.text in (",", ")", "=", "<", ">", "+", "*",
+                                          "/", "%", ";")
+                    )
+                )
+                if prev_ok and next_ok:
+                    q_idx = i
+        if t.kind not in ("ws", "comment"):
+            prev_code = t
     if q_idx is None:
         return sql
     # SELECT DISTINCT guard
@@ -517,12 +563,15 @@ def compat_qualify(sql: str) -> str:
     pred = pred.rstrip(";").strip()
     if not pred:
         return sql
+    pred_toks = _tokenize(pred)
     pred_has_window = any(
-        t.kind == "ident" and t.text.upper() == "OVER"
-        for t in _tokenize(pred)
+        t.kind == "ident" and t.text.upper() == "OVER" for t in pred_toks
     )
+    # every splice point below starts a NEW LINE so a trailing `--` comment
+    # in the user's text can never swallow the spliced SQL (the same defence
+    # compat_top documents for its appended LIMIT)
     if not pred_has_window:
-        out = f"SELECT * FROM ({inner}) __q WHERE {pred}"
+        out = f"SELECT * FROM ({inner}\n) __q WHERE {pred}"
         return out + (f"\n{tail}" if tail else "")
     # hoist the whole predicate as a hidden boolean window column: find the
     # inner query's top-level FROM and splice the column into its select list
@@ -538,9 +587,27 @@ def compat_qualify(sql: str) -> str:
     if from_idx is None:
         return sql
     sel_part = "".join(t.text for t in inner_toks[:from_idx]).rstrip()
+    # select-list aliases referenced inside the windowed predicate hit
+    # Spark's LATERAL_COLUMN_ALIAS_IN_WINDOW after the rewrite — pass
+    # through so the user sees a parse error on THEIR text instead of an
+    # error naming __qualify (see docstring)
+    sel_toks = _tokenize(sel_part)
+    aliases = set()
+    d2 = 0
+    for i, t in enumerate(sel_toks):
+        if t.kind == "punct":
+            d2 += (t.text == "(") - (t.text == ")")
+        elif d2 == 0 and t.kind == "ident" and t.text.upper() == "AS":
+            k = i + 1
+            while k < len(sel_toks) and sel_toks[k].kind in ("ws", "comment"):
+                k += 1
+            if k < len(sel_toks) and sel_toks[k].kind == "ident":
+                aliases.add(sel_toks[k].text.upper())
+    if any(t.kind == "ident" and t.text.upper() in aliases for t in pred_toks):
+        return sql
     rest_part = "".join(t.text for t in inner_toks[from_idx:])
-    inner2 = f"{sel_part}, ({pred}) AS __qualify {rest_part}"
+    inner2 = f"{sel_part}\n, ({pred}\n) AS __qualify {rest_part}"
     out = (
-        f"SELECT * EXCEPT (__qualify) FROM ({inner2}) __q WHERE __qualify"
+        f"SELECT * EXCEPT (__qualify) FROM ({inner2}\n) __q WHERE __qualify"
     )
     return out + (f"\n{tail}" if tail else "")

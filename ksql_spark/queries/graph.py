@@ -20,6 +20,35 @@ _MAX_DEPTH = 3
 _START = 0  # BFS root supplier
 
 
+def coship_pairs(li: DataFrame) -> DataFrame:
+    """Distinct (supplier, part) incidence pairs — the base every co-ship
+    graph entry builds from (oracles spell the same `SELECT DISTINCT`)."""
+    return li.select(
+        F.col("l_suppkey").alias("s1"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+
+def coship_adj(
+    li: DataFrame, exclude_self: bool = True, checkpoint: bool = False
+) -> DataFrame:
+    """Undirected supplier co-ship adjacency (s1, s2): suppliers sharing at
+    least one part. THE one definition of the edge build (previously
+    hand-copied per entry, where the copies had already drifted on the
+    self-loop filter): incidence pairs self-joined on the part.
+    `exclude_self` drops s1 == s2 loops (BFS/CC keep them — harmless there
+    and part of their oracles' spelling); `checkpoint` materializes the
+    edge list once for iterative consumers — without it, lineage re-runs
+    the |lineitem| self-join per iteration (the measured-minutes-at-sf0.1
+    PageRank regression)."""
+    a = coship_pairs(li)
+    b = a.select(F.col("s1").alias("s2"), "p")
+    adj = a.join(b, "p").select("s1", "s2")
+    if exclude_self:
+        adj = adj.where(F.col("s1") != F.col("s2"))
+    adj = adj.distinct()
+    return adj.localCheckpoint() if checkpoint else adj
+
+
 @query(
     "graph_bfs",
     oracle=f"""
@@ -48,14 +77,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (visited set) lives in DataFrames, never in driver memory.
     """
     li = load(spark, sf_dir, "lineitem")
-    edges = li.select("l_suppkey", "l_partkey").distinct()
-    adj = (
-        edges.alias("a")
-        .join(edges.alias("b"), "l_partkey")
-        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
-        .distinct()
-    )
-    return bfs(spark, adj, _START, _MAX_DEPTH)
+    return bfs(spark, coship_adj(li, exclude_self=False), _START, _MAX_DEPTH)
 
 
 @query(
@@ -86,14 +108,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one shuffle on suppkey — the same shape GraphX/GraphFrames CC uses, so
     it holds at 100 TB (labels table is O(nodes), never O(edges²))."""
     li = load(spark, sf_dir, "lineitem")
-    edges = li.select("l_suppkey", "l_partkey").distinct()
-    adj = (
-        edges.alias("a")
-        .join(edges.alias("b"), "l_partkey")
-        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
-        .distinct()
-    )
-    return connected_components(adj)
+    return connected_components(coship_adj(li, exclude_self=False))
 
 
 def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -219,21 +234,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.registry import dsum
 
     li = load(spark, sf_dir, "lineitem")
-    e = li.select("l_suppkey", "l_partkey").distinct()
-    adj = (
-        e.alias("a")
-        .join(e.alias("b"), "l_partkey")
-        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
-        .where(F.col("s1") != F.col("s2"))
-        .distinct()
-        # materialize the edge list ONCE: without this, declarative lineage
-        # re-runs the |lineitem|-self-join (tens of millions of intermediate
-        # rows at sf0.1, quadratic in per-part supplier count) for EVERY
-        # iteration AND for deg/nodes — measured minutes at sf0.1 vs seconds
-        # materialized. The edge list itself is bounded by |suppliers|^2.
-        # Same pattern as operators/scale.py:ranged_cumsum.
-        .localCheckpoint()
-    )
+    adj = coship_adj(li, checkpoint=True)
     nodes = adj.select(F.col("s1").alias("v")).union(
         adj.select(F.col("s2").alias("v"))
     ).distinct()
@@ -340,16 +341,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered adjacency (s1 < s2) makes each triangle one wedge +
     one closing-edge probe — two hash joins, no direction double-count."""
     li = load(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    e0 = coship_pairs(li)  # (s1, p)
     keep = e0.groupBy("p").agg(F.count("*").alias("d")).where(F.col("d") <= 5)
     e1 = e0.join(keep.select("p"), "p")
     adj = (
-        e1.alias("a")
-        .join(e1.alias("b"), "p")
-        .where(F.col("a.s") < F.col("b.s"))
-        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        e1.join(e1.select(F.col("s1").alias("s2"), "p"), "p")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
         .distinct()
     )
     ab, bc, ac = adj.alias("ab"), adj.alias("bc"), adj.alias("ac")
@@ -391,16 +389,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: distinct edge build (one exchange), per-node count riding the
     same key, then a tiny degree-keyed re-agg."""
     li = load(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    adj = (
-        e0.alias("a")
-        .join(e0.alias("b"), "p")
-        .where(F.col("a.s") != F.col("b.s"))
-        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .distinct()
-    )
+    adj = coship_adj(li)
     deg = adj.groupBy("s1").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_nodes")
@@ -462,20 +451,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed, the driver loops over PLANS only, and localCheckpoint
     truncates lineage per round exactly as bfs/connected_components do."""
     li = load(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    adj = (
-        e0.alias("a")
-        .join(e0.alias("b"), "p")
-        .where(F.col("a.s") != F.col("b.s"))
-        .select(
-            F.col("a.s").alias("s1"),
-            F.col("b.s").alias("s2"),
-            (1 + (F.col("a.s") * 7 + F.col("b.s") * 13) % 5).alias("w"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    # weight is a pure function of (s1, s2), so it layers on the shared
+    # adjacency after the checkpoint
+    adj = coship_adj(li, checkpoint=True).withColumn(
+        "w", 1 + (F.col("s1") * 7 + F.col("s2") * 13) % 5
     )
     d = spark.createDataFrame([( _START, 0)], "s long, dist long")
     for _ in range(4):

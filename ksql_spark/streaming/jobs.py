@@ -546,21 +546,38 @@ def run_bloom_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) ->
     )
 
 
-def run_cms_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) -> None:
+def run_cms_sink(
+    docs_stream: DataFrame,
+    name: str,
+    timeout_sec: int = 120,
+    resume: bool = False,
+) -> None:
     """Maintain an INCREMENTAL Count-Min frequency sketch over a document
     stream: each micro-batch's word counters (queries/llm.py:cms_sketch)
     SUM-merge into the managed table `cms_acc_<name>` — the frequency
-    companion of run_bloom_sink's membership filter, same resume semantics.
+    companion of run_bloom_sink's membership filter.
 
-    NOTE the one semantic difference from the bloom sink: SUM is associative
-    and commutative but NOT idempotent, so a replayed micro-batch double-
-    counts. The availableNow checkpoint delivers each batch once per run;
-    across full-stream re-runs the caller owns dedup (DROP TABLE first, or
-    accept upper-bound counts — CMS is one-sided anyway, so a double-count
-    stays a valid over-estimate). tests/test_streaming.py pins stream ==
-    batch equality for a single pass."""
+    THE semantic difference from the bloom sink: SUM is associative and
+    commutative but NOT idempotent, so re-running the whole stream into a
+    surviving accumulator silently doubles every counter. That hazard is
+    structural here, not documentation-only: with resume=False (default)
+    this function REFUSES to start if `cms_acc_<name>` already exists —
+    DROP TABLE for a fresh sketch, or pass resume=True when the new
+    invocation genuinely carries only unseen data (counts then accumulate;
+    a replayed batch over-estimates, which CMS's one-sidedness tolerates
+    but never silently by default). tests/test_streaming.py pins stream ==
+    batch equality for a single pass AND the refusal."""
     from ksql_spark.operators import text
     from ksql_spark.queries.llm import cms_sketch
+
+    table = f"cms_acc_{name}"
+    if not resume and docs_stream.sparkSession.catalog.tableExists(table):
+        raise ValueError(
+            f"run_cms_sink({name!r}): accumulator table {table} already "
+            "exists and SUM-merge is not idempotent — a re-run would "
+            "double-count. DROP TABLE it for a fresh sketch, or pass "
+            "resume=True if this stream carries only unseen data."
+        )
 
     def batch_sketch(batch_df):
         return cms_sketch(
@@ -569,7 +586,7 @@ def run_cms_sink(docs_stream: DataFrame, name: str, timeout_sec: int = 120) -> N
 
     _run_sketch_sink(
         docs_stream,
-        table=f"cms_acc_{name}",
+        table=table,
         batch_sketch=batch_sketch,
         key_cols=["j", "pos"],
         merge_agg=lambda: F.sum("cnt").alias("cnt"),

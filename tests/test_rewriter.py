@@ -331,3 +331,58 @@ def test_compat_qualify_end_to_end_matches_duckdb(spark, duck):
     dres = duck_result(duck, q)
     assert_results_match(sres, dres, name="compat_qualify_e2e")
     spark.catalog.dropTempView("events")
+
+
+def test_compat_qualify_bare_identifier_passthrough():
+    """'qualify' is not reserved in Spark: as a column, alias, or reference
+    it must pass through untouched — only clause position rewrites."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    for sql in (
+        "SELECT a, qualify FROM t",
+        "SELECT qualify FROM t",
+        "SELECT t.qualify FROM t",
+        "SELECT a AS qualify FROM t",
+        "SELECT a FROM t WHERE qualify = 1",
+        "SELECT a FROM t WHERE x = qualify",
+    ):
+        assert compat_qualify(sql) == sql, sql
+
+
+def test_compat_qualify_comment_safe_splices(spark, duck):
+    """A trailing -- comment in the select list or before QUALIFY must not
+    swallow the spliced SQL: every splice starts a new line, and the result
+    still matches DuckDB running the original text."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    from .conftest import SF_DIR, assert_results_match, duck_result, spark_result
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    q = (
+        "SELECT user_id, event_id -- first per user\n"
+        "FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) = 1"
+    )
+    assert_results_match(
+        spark_result(spark.sql(compat_qualify(q))),
+        duck_result(duck, q),
+        name="qualify_comment",
+    )
+    spark.catalog.dropTempView("events")
+
+
+def test_compat_qualify_alias_in_window_passthrough():
+    """A select-list alias referenced INSIDE the predicate's OVER() is
+    legal in DuckDB but LATERAL_COLUMN_ALIAS_IN_WINDOW in Spark — the
+    rewriter must pass it through so the user sees an error on their own
+    text, never one naming __qualify."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    s = (
+        "SELECT user_id, count(*) AS n FROM t GROUP BY user_id "
+        "QUALIFY row_number() OVER (ORDER BY n DESC) = 1"
+    )
+    assert compat_qualify(s) == s

@@ -884,4 +884,10 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+    # non-idempotent merge: a second invocation against the surviving
+    # accumulator must REFUSE (it would double-count) unless resume=True
+    stream2 = spark.readStream.schema(src.schema).parquet(str(d))
+    with pytest.raises(ValueError, match="double-count"):
+        jobs.run_cms_sink(stream2, "t_cms")
     spark.sql("DROP TABLE IF EXISTS cms_acc_t_cms")
