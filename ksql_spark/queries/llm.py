@@ -2385,3 +2385,48 @@ def llm_emb_cluster_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.groupBy("cent_id").agg(
         F.count("*").alias("n_members"), davg("cd").alias("avg_dist")
     )
+
+
+@query(
+    "llm_lang_label_audit",
+    oracle="""
+    WITH det AS (
+        SELECT doc_id, lang AS declared,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of'))) > 0
+                    THEN 'en' ELSE 'unk' END AS detected
+        FROM documents
+    )
+    SELECT declared, detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM det GROUP BY declared, detected
+    """,
+    ref="SURVEY §2 K63 [EXT] (metadata-vs-content label audit: the "
+    "declared lang column cross-tabulated against the content-derived "
+    "language guess — the label-noise screen run before trusting "
+    "upstream metadata for mixing/filtering decisions; one narrow scan "
+    "+ a |langs|² agg)",
+)
+def llm_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of declared vs detected language with an example
+    doc per cell. Off-diagonal cells are label noise: docs whose metadata
+    disagrees with their content — exactly what silently corrupts
+    temperature mixing (K40) and per-language fertility stats (K43) if
+    trusted unaudited.
+
+    Scale shape: detection is the same narrow HOF pass as llm_lang_id;
+    the cross-tab is bounded by |langs|² rows."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("declared"),
+            text.lang_guess("text").alias("detected"),
+        )
+        .groupBy("declared", "detected")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )

@@ -813,3 +813,64 @@ def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("bigint").alias("first_match_event"),
         )
     )
+
+
+@query(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type, {sql_davg('value')} AS mu FROM events
+        GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.ts, e.value, s.mu,
+               CAST(SUM(CAST(trunc((e.value - s.mu) * 1000000 + 0.5)
+                             AS BIGINT)) OVER (
+                   PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 1000000.0 AS cusum
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type, event_id, cusum,
+           abs(cusum) > 50.0 AS drifted
+    FROM dev
+    """,
+    ref="SURVEY §2 K64 [EXT] (CUSUM drift detection: running sum of "
+    "per-type mean deviations — the classic change-point monitor; a "
+    "sustained shift in the value distribution accumulates linearly "
+    "while noise cancels. Quantized running sum, threshold can't flip "
+    "on a ulp)",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point signal per event type: the running sum of
+    (value - type mean) over time order. Under a stable distribution the
+    deviations cancel; after a level shift the cusum ramps linearly and
+    crosses the alarm threshold — the standard production-metric drift
+    monitor, here with a quantized accumulation so both engines agree
+    bitwise on every partial sum and on the flag.
+
+    Scale shape: type means broadcast back onto the scan; the running
+    window partitions by event_type (parallel across types; a single
+    dominant type takes the two-stage cumsum form)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(davg("value").alias("mu"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev_scaled = (
+        (F.col("value") - F.col("mu")) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    cusum = F.sum(dev_scaled).over(w).cast("double") / F.lit(1_000_000.0)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            cusum.alias("cusum"),
+            (F.abs(cusum) > 50.0).alias("drifted"),
+        )
+    )
