@@ -919,3 +919,87 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
+
+
+@query(
+    "basket_brand_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    b AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+               COUNT(*) AS n_ab
+        FROM ob a JOIN ob c
+          ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * n.n_orders AS DOUBLE)
+               / CAST(ba.n_b * bb.n_b AS DOUBLE) AS lift
+    FROM pairs
+    JOIN b ba ON ba.p_brand = brand_a
+    JOIN b bb ON bb.p_brand = brand_b
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    """,
+    ref="SURVEY §2 D19 [EXT] (market-basket association: brand-pair "
+    "co-occurrence lift across orders — the Apriori/FP-growth 2-itemset "
+    "shape. lift = P(ab)/(P(a)P(b)) spelled as the exact integer "
+    "cross-ratio n_ab*N/(n_a*n_b), one IEEE division; the pair space is "
+    "|brands|²-bounded because baskets collapse to DISTINCT "
+    "(order, brand) FIRST, never a lineitem self-join)",
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which part brands are ordered together more than chance predicts:
+    support count and lift for every brand pair with >= 5 co-occurring
+    orders. Lift > 1 = affinity, < 1 = substitution — the association
+    signal recommenders and assortment planning start from.
+
+    Scale shape (the thing naive basket mining gets wrong): collapse to
+    DISTINCT (order, brand) BEFORE pairing — the self-join is then
+    per-order over <= |brands| rows, and the pair agg is |brands|²-bounded
+    regardless of corpus size. The brand marginals and the order count
+    broadcast back onto that bounded pair table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ob = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    b = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a, c = ob.alias("a"), ob.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("c.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("c.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    ba = b.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    bb = b.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
