@@ -824,7 +824,7 @@ def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dev AS (
         SELECT e.event_type, e.event_id, e.ts, e.value, s.mu,
-               CAST(SUM(CAST(trunc((e.value - s.mu) * 1000000 + 0.5)
+               CAST(SUM(CAST(floor((e.value - s.mu) * 1000000 + 0.5)
                              AS BIGINT)) OVER (
                    PARTITION BY e.event_type ORDER BY e.ts, e.event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -861,7 +861,14 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dev_scaled = (
+    # floor(x + 0.5), NOT the dsum helper's trunc-based cast: deviations are
+    # sign-symmetric (half the rows are negative), and cast-to-long truncates
+    # TOWARD ZERO — that would round every negative deviation one quantum
+    # high, a deterministic +0.5e-6/row bias that ramps a drift-free cusum
+    # into the alarm at ~1e8 rows. floor is symmetric round-half-up and
+    # bit-identical in DuckDB. (dsum's users are positive-valued, where
+    # trunc == floor.)
+    dev_scaled = F.floor(
         (F.col("value") - F.col("mu")) * F.lit(1_000_000.0) + F.lit(0.5)
     ).cast("long")
     cusum = F.sum(dev_scaled).over(w).cast("double") / F.lit(1_000_000.0)
