@@ -881,3 +881,48 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(cusum) > 50.0).alias("drifted"),
         )
     )
+
+
+@query(
+    "events_anomaly_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id, e.value,
+           e.value < q1 - 1.5 * (q3 - q1)
+           OR e.value > q3 + 1.5 * (q3 - q1) AS is_outlier
+    FROM events e JOIN q USING (event_type)
+    """,
+    ref="SURVEY §2 K65 [EXT] (Tukey-fence IQR outliers — the third robust "
+    "screen beside z-score (K30, mean/stddev: fast, outlier-sensitive) "
+    "and MAD (K35, most robust): quartile fences at 1.5·IQR, the boxplot "
+    "rule. Exact interpolated quartiles bit-match DuckDB quantile_cont)",
+)
+def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's boxplot rule per event type: values outside
+    [q1 - 1.5·IQR, q3 + 1.5·IQR] flag as outliers. Completes the robust-
+    outlier trio — pick z-score for speed, IQR for the standard boxplot
+    contract, MAD when even the quartiles may be contaminated.
+
+    Scale shape: per-type exact quartiles (percentile_approx at 100 TB —
+    same plan) broadcast back onto the scan; the flag is a per-row
+    comparison on quantized-free exact-operand doubles."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        ).alias("is_outlier"),
+    )
