@@ -562,3 +562,31 @@ def test_ngram_novelty_no_cartesian_or_self_join(spark):
     plan = plan_of(spark, "llm_ngram_novelty")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_lift_no_cartesian_and_bounded_pairing(spark):
+    """Basket mining must pair AFTER collapsing to distinct (order, brand)
+    — no cartesian, and the marginals/order-count broadcast onto the
+    bounded pair table."""
+    plan = plan_of(spark, "basket_brand_lift")
+    assert "CartesianProduct" not in plan
+    # (the 1-row n_orders cross join legitimately compiles to a broadcast
+    # nested loop; the brand marginals must broadcast-hash)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_outlier_screens_broadcast_stats(spark):
+    """All three robust-outlier screens must broadcast their per-type
+    stats back onto the scan — never shuffle the fact side on stats."""
+    for name in ("events_zscore_outliers", "events_anomaly_iqr"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_cusum_window_partitioned_by_type(spark):
+    """The CUSUM running sum must partition by event_type (parallel across
+    types), with the type means arriving by broadcast."""
+    plan = plan_of(spark, "events_cusum_drift")
+    assert "windowspecdefinition(event_type" in plan
+    assert "BroadcastHashJoin" in plan
