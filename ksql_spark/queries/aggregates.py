@@ -740,9 +740,16 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     words = bitmap_words(ev, "user_id", ["event_type"])
+    # coalesce: a group whose ids are ALL NULL yields one (group, NULL,
+    # NULL-bits) word — its popcount sum is NULL where COUNT(DISTINCT)
+    # reports 0 (the hypothesis bitmap law caught this edge)
     return (
         words.groupBy("event_type")
-        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_users"))
+        .agg(
+            F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+            .cast("bigint")
+            .alias("n_users")
+        )
     )
 
 
