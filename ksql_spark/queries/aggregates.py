@@ -1010,3 +1010,66 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "orders_concurrency_curve",
+    oracle="""
+    WITH bounds AS (
+        SELECT o.o_orderkey, o.o_orderdate AS open_ts,
+               MAX(l.l_shipdate) AS close_ts
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    ev AS (
+        SELECT open_ts AS ts, 1 AS delta FROM bounds
+        UNION ALL
+        SELECT close_ts AS ts, -1 AS delta FROM bounds
+    ),
+    curve AS (
+        SELECT ts, SUM(delta) AS net FROM ev GROUP BY ts
+    )
+    SELECT ts,
+           CAST(SUM(net) OVER (
+               ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS active_orders
+    FROM curve
+    """,
+    ref="SURVEY §2 D20 [EXT] (interval concurrency via sweep-line: +1 at "
+    "each order's open, -1 at its last shipment, running sum = orders "
+    "in flight at every boundary — the occupancy/staffing/backlog "
+    "operator. Coalescing deltas per timestamp FIRST makes the curve "
+    "well-defined under simultaneous opens/closes and shrinks the "
+    "cumsum input to |distinct timestamps|)",
+)
+def orders_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are simultaneously in flight (opened, not yet
+    fully shipped) at every time boundary — the sweep-line concurrency
+    curve behind occupancy, staffing, and backlog questions. Exact
+    integer deltas; ties collapse per timestamp before the running sum,
+    so the curve is total-order deterministic.
+
+    Scale shape: the +1/-1 event stream is 2 rows per order; per-ts
+    coalescing is one hash agg; the global running sum is
+    operators/scale.py:ranged_cumsum (range-partitioned two-pass — a
+    data-proportional global window would be the naive single-partition
+    killer here)."""
+    from ksql_spark.operators.scale import ranged_cumsum
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bounds = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+    )
+    ev = bounds.select(
+        F.col("o_orderdate").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        bounds.select(F.col("close_ts").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    curve = ev.groupBy("ts").agg(F.sum("delta").alias("net"))
+    return ranged_cumsum(curve, ["ts"], "net", out_col="active_orders").select(
+        "ts", F.col("active_orders").cast("bigint").alias("active_orders")
+    )
