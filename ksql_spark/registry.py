@@ -144,14 +144,42 @@ _R4_CHECKED = frozenset({
 # _RN_CHECKED and give it the highest group number below, so never-sampled
 # keys keep sorting to the front of the driver's bounded window.
 
-#: The five keys no driver round r1-r4 ever sampled (VERDICT r4 "what's
-#: wrong" #3). Round 5's additions grew the never-checked group past the
-#: driver's 50-entry window, so these get an explicit front-of-line tier —
-#: otherwise ann_pq_topk (rows-only, so sorted last in its group) would
-#: fall outside the window AGAIN and stay driver-unverified forever.
+_R5_CHECKED = frozenset({
+    "tpch_q16_supplier_counts", "tpch_q20_dominant_suppliers",
+    "win_ratio_to_report", "win_sessionize_gaps", "ann_pq_topk",
+    "agg_group_by_all", "agg_bitmap_distinct", "agg_filter_clause",
+    "agg_bool", "abc_analysis_parts", "orders_monthly_growth",
+    "basket_brand_lift", "orders_concurrency_curve",
+    "llm_substring_dup_spans", "llm_hard_negatives",
+    "llm_tokenizer_fertility", "llm_multimodal_resize",
+    "llm_multimodal_framesample", "llm_multimodal_audio",
+    "llm_temperature_mix", "llm_semantic_dedup", "llm_top_ngram_coverage",
+    "llm_bloom_decontaminate", "llm_cms_heavy_hitters",
+    "llm_bigram_coherence", "llm_emb_outliers", "llm_tokenize_ids",
+    "llm_ngram_novelty", "llm_emb_cluster_iter2", "llm_lang_label_audit",
+    "ann_lsh_portable_recall", "llm_minhash_estimate", "llm_gopher_rules",
+    "llm_quality_calibrate", "llm_dsir_weight", "llm_train_eval_split",
+    "llm_source_interleave", "project_lateral_alias", "fn_date_arith",
+    "graph_triangle_count", "graph_degree_distribution",
+    "graph_sssp_weighted", "join_asof_forward", "join_asof_nearest",
+    "set_union_by_name", "events_ewma_smooth", "events_cumulative_users",
+    "events_time_to_convert", "events_rolling_wau",
+    "events_markov_transitions",
+})
+
+
+#: The 13 keys no driver round r1-r5 ever sampled (VERDICT r5 "what's
+#: wrong" #1). The r5 window refreshed 50 keys including the whole previous
+#: front-line tier, but these (registered late, several rows-only-sorted)
+#: have still never produced a driver CORRECTNESS row. Explicit
+#: front-of-line tier so all 13 land inside the r6 window ahead of the
+#: 45 r5-refreshed keys.
 _NEVER_ANY_ROUND = frozenset({
-    "ann_pq_topk", "tpch_q16_supplier_counts", "tpch_q20_dominant_suppliers",
-    "win_ratio_to_report", "win_sessionize_gaps",
+    "events_longest_streak", "events_pattern_vvp", "events_cusum_drift",
+    "events_anomaly_iqr", "llm_pack_efficiency", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q2_official_shape", "udtf_native",
+    "udf_sql_function", "param_query", "win_rolling_median",
+    "win_distinct_in_frame",
 })
 
 
@@ -159,6 +187,8 @@ def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
     if spec.name in _NEVER_ANY_ROUND:
         group = -1
+    elif spec.name in _R5_CHECKED:
+        group = 5
     elif spec.name in _R4_CHECKED:
         group = 4
     elif spec.name in _R3_CHECKED:
