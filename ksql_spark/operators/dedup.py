@@ -76,6 +76,14 @@ def minhash_near_dups(
     bucket safety valve (docs/SCALE.md): a bucket holding >cap docs (e.g. one
     boilerplate string repeated across the corpus) would alone create cap²
     candidate pairs, so it is skipped; exact-dedup (cheaper) catches those.
+
+    Exchange discipline (the 100 TB invariant, plan-gated in
+    tests/test_plans.py::test_minhash_band_exchange_carries_no_text): the
+    band exchange carries ONLY (doc_id, band, band_hash) — 24 bytes/row ×
+    bands rows/doc — never the document text or the signature array. The
+    distinct-word arrays needed for exact-Jaccard verification are joined
+    back onto the (tiny) candidate-pair set afterwards, so the corpus text
+    crosses no shuffle boundary at any point.
     """
     if k % bands != 0:
         raise ValueError(
@@ -83,15 +91,12 @@ def minhash_near_dups(
             "silently drop the trailing signature elements and degrade recall"
         )
     rows = k // bands
-    sig = df.select(
+    sig = F.col("__sig")
+    banded = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        minhash_signature(text_col, k).alias("sig"),
-    )
-    banded = sig.select(
+        minhash_signature(text_col, k).alias("__sig"),
+    ).select(
         "doc_id",
-        "text",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -99,7 +104,7 @@ def minhash_near_dups(
                     F.concat_ws(
                         ",",
                         F.transform(
-                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            F.slice(sig, b * rows + 1, rows),
                             lambda v: v.cast("string"),
                         ),
                     )
@@ -126,17 +131,32 @@ def minhash_near_dups(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.text").alias("text_a"),
-            F.col("b.text").alias("text_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # same tokenizer as the signature side (operators.text.words) — candidate
-    # generation and verification must never tokenize differently
-    wa = F.array_distinct(words(F.col("text_a")))
-    wb = F.array_distinct(words(F.col("text_b")))
-    inter = F.size(F.array_intersect(wa, wb))
-    union = F.size(wa) + F.size(wb) - inter
+    # Join the distinct-word arrays back onto the candidate pairs — same
+    # tokenizer as the signature side (operators.text.words): candidate
+    # generation and verification must never tokenize differently. The
+    # candidate set is small (LSH collisions only), so Spark broadcasts it
+    # and both word joins stay narrow passes over the corpus scan.
+    docs = df.select(
+        F.col(id_col).alias("__wid"),
+        F.array_distinct(words(text_col)).alias("__w"),
+    )
+    cand = (
+        cand.join(
+            docs.select(F.col("__wid"), F.col("__w").alias("words_a")),
+            F.col("doc_a") == F.col("__wid"),
+        )
+        .drop("__wid")
+        .join(
+            docs.select(F.col("__wid"), F.col("__w").alias("words_b")),
+            F.col("doc_b") == F.col("__wid"),
+        )
+        .drop("__wid")
+    )
+    inter = F.size(F.array_intersect(F.col("words_a"), F.col("words_b")))
+    union = F.size("words_a") + F.size("words_b") - inter
     # try_divide: two EMPTY docs band-collide (all-null signatures hash
     # equal) and reach verification with union = 0 — under ANSI a plain
     # division would abort the job. NULL jaccard fails the threshold filter,
