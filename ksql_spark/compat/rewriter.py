@@ -492,8 +492,17 @@ def compat_qualify(sql: str) -> str:
             "BETWEEN", "IS", "ORDER", "GROUP", "LIMIT", "OFFSET", "USING",
         }
     )
+    # keywords that can legally FOLLOW a table alias named `qualify` but can
+    # never BEGIN a predicate — includes every join-clause starter and ON,
+    # so `FROM t qualify JOIN u ON ...` (qualify as a bare alias, valid
+    # Spark SQL since the word is unreserved) passes through untouched
     _BAD_NEXT_KW = frozenset(
-        {"FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING"}
+        {
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING",
+            "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "NATURAL",
+            "SEMI", "ANTI", "LATERAL", "ON", "USING", "WINDOW", "UNION",
+            "INTERSECT", "EXCEPT", "AND", "OR",
+        }
     )
     depth = 0
     q_idx = None
@@ -523,8 +532,22 @@ def compat_qualify(sql: str) -> str:
                 while k < len(toks) and toks[k].kind in ("ws", "comment"):
                     k += 1
                 nxt = toks[k] if k < len(toks) else None
+                bad_kw = (
+                    nxt is not None
+                    and nxt.kind == "ident"
+                    and nxt.text.upper() in _BAD_NEXT_KW
+                )
+                # LEFT/RIGHT are also Spark string functions; `qualify
+                # LEFT(...)` with an immediate `(` is a predicate, while
+                # `qualify LEFT JOIN ...` is a join clause after an alias
+                if bad_kw and nxt.text.upper() in ("LEFT", "RIGHT"):
+                    m = k + 1
+                    while m < len(toks) and toks[m].kind in ("ws", "comment"):
+                        m += 1
+                    if m < len(toks) and toks[m].kind == "punct" and toks[m].text == "(":
+                        bad_kw = False
                 next_ok = nxt is not None and not (
-                    (nxt.kind == "ident" and nxt.text.upper() in _BAD_NEXT_KW)
+                    bad_kw
                     or (
                         nxt.kind == "punct"
                         and nxt.text in (",", ")", "=", "<", ">", "+", "*",
@@ -594,15 +617,45 @@ def compat_qualify(sql: str) -> str:
     sel_toks = _tokenize(sel_part)
     aliases = set()
     d2 = 0
+    prev_sel = None  # last non-ws/comment token at any depth in sel_part
     for i, t in enumerate(sel_toks):
         if t.kind == "punct":
             d2 += (t.text == "(") - (t.text == ")")
-        elif d2 == 0 and t.kind == "ident" and t.text.upper() == "AS":
-            k = i + 1
-            while k < len(sel_toks) and sel_toks[k].kind in ("ws", "comment"):
-                k += 1
-            if k < len(sel_toks) and sel_toks[k].kind == "ident":
-                aliases.add(sel_toks[k].text.upper())
+        elif d2 == 0 and t.kind == "ident":
+            u = t.text.upper()
+            if u == "AS":
+                k = i + 1
+                while k < len(sel_toks) and sel_toks[k].kind in ("ws", "comment"):
+                    k += 1
+                if k < len(sel_toks) and sel_toks[k].kind == "ident":
+                    aliases.add(sel_toks[k].text.upper())
+            elif u not in _CLAUSE_PRED:
+                # BARE alias (no AS): identifier in alias position — the
+                # previous code token ends an expression and the next code
+                # token is `,` or the end of the select list. Collecting
+                # these (conservatively, possibly over-collecting words
+                # like END) makes the alias-in-windowed-predicate guard
+                # pass through, per the docstring's promise.
+                prev_ok = prev_sel is not None and (
+                    prev_sel.kind in ("num", "str", "bq")
+                    or (prev_sel.kind == "punct" and prev_sel.text == ")")
+                    or (
+                        prev_sel.kind == "ident"
+                        and prev_sel.text.upper() not in _CLAUSE_PRED
+                        and prev_sel.text.upper() != "DISTINCT"
+                    )
+                )
+                if prev_ok:
+                    k = i + 1
+                    while k < len(sel_toks) and sel_toks[k].kind in ("ws", "comment"):
+                        k += 1
+                    at_end = k >= len(sel_toks)
+                    if at_end or (
+                        sel_toks[k].kind == "punct" and sel_toks[k].text == ","
+                    ):
+                        aliases.add(u)
+        if t.kind not in ("ws", "comment"):
+            prev_sel = t
     if any(t.kind == "ident" and t.text.upper() in aliases for t in pred_toks):
         return sql
     rest_part = "".join(t.text for t in inner_toks[from_idx:])

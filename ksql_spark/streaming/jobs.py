@@ -630,13 +630,21 @@ def _run_sketch_sink(
             )
         elif not first_batch_done["v"]:
             # no catalog entry: clear an orphaned managed location a dead
-            # prior PROCESS may have left (saveAsTable refuses otherwise)
-            import shutil
+            # prior PROCESS may have left (saveAsTable refuses otherwise).
+            # Scope (ADVICE r5): this cleanup applies ONLY to local file:
+            # warehouses — the default-database path join below doesn't
+            # model custom database locations or URI encoding, and
+            # shutil can't touch hdfs:/s3: anyway. On any other scheme we
+            # skip and let saveAsTable fail loudly on the orphan, which
+            # the operator must clear with their own FS tooling.
+            warehouse = sess.conf.get("spark.sql.warehouse.dir")
+            if warehouse.startswith("file:") or "://" not in warehouse:
+                import shutil
 
-            warehouse = sess.conf.get("spark.sql.warehouse.dir").removeprefix(
-                "file:"
-            )
-            shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+                shutil.rmtree(
+                    f"{warehouse.removeprefix('file:')}/{table}",
+                    ignore_errors=True,
+                )
         # materialize before overwriting the table the plan reads from;
         # bounded by the sketch geometry (128 bloom words / 2048 CMS rows)
         rows = sk.collect()

@@ -168,15 +168,16 @@ def test_netpbm_roundtrip_and_resize_laws(w, h, out_w, out_h, rng):
     st.lists(
         st.tuples(
             st.sampled_from(["a", "b", "c"]),
-            st.one_of(st.none(), st.integers(min_value=0, max_value=500)),
+            st.one_of(st.none(), st.integers(min_value=-500, max_value=500)),
         ),
         max_size=40,
     )
 )
 def test_bitmap_distinct_law(spark_lazy, pairs):
     """The bitmap popcount distinct must equal COUNT(DISTINCT) on ANY
-    (group, id) multiset with ids in the dictionary-bounded domain — the
-    law behind agg_bitmap_distinct, checked on generated frames. NULL ids
+    (group, id) multiset — INCLUDING negative ids (ADVICE r5: pmod +
+    floor-div keep the packing a bijection over all of BIGINT; truncating
+    `%` would touch the sign bit and collide -k with +k). NULL ids
     must be ignored exactly as COUNT(DISTINCT) ignores them (they produce
     NULL words whose NULL bits the popcount sum skips)."""
     from ksql_spark.operators.bitmaps import bitmap_words

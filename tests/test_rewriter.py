@@ -386,3 +386,56 @@ def test_compat_qualify_alias_in_window_passthrough():
         "QUALIFY row_number() OVER (ORDER BY n DESC) = 1"
     )
     assert compat_qualify(s) == s
+
+
+def test_compat_qualify_bare_alias_in_window_passthrough():
+    """Same guard for BARE aliases (no AS): `count(*) n` is an alias too,
+    and referencing it inside the predicate's OVER() must pass through
+    (ADVICE r5)."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    for s in (
+        "SELECT user_id, count(*) n FROM t GROUP BY user_id "
+        "QUALIFY row_number() OVER (ORDER BY n DESC) = 1",
+        "SELECT user_id, sum(x) total FROM t GROUP BY user_id "
+        "QUALIFY rank() OVER (ORDER BY total) = 1",
+        "SELECT a, b cnt FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY cnt ORDER BY a) = 1",
+    ):
+        assert compat_qualify(s) == s, s
+
+
+def test_compat_qualify_bare_alias_rewrite_still_fires():
+    """Bare-alias collection must not over-trigger: a windowed predicate
+    that references only real columns still rewrites."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    s = (
+        "SELECT user_id, count(*) n FROM t GROUP BY user_id "
+        "QUALIFY row_number() OVER (ORDER BY user_id) = 1"
+    )
+    out = compat_qualify(s)
+    assert out != s and "__qualify" in out
+
+
+def test_compat_qualify_table_alias_before_join_passthrough():
+    """`FROM t qualify JOIN u ...` — qualify as a bare TABLE alias followed
+    by a join clause (valid Spark SQL) must pass through (ADVICE r5)."""
+    from ksql_spark.compat.rewriter import compat_qualify
+
+    for sql in (
+        "SELECT a FROM t qualify JOIN u ON qualify.x = u.x",
+        "SELECT a FROM t qualify LEFT JOIN u ON qualify.x = u.x",
+        "SELECT a FROM t qualify RIGHT JOIN u ON qualify.x = u.x",
+        "SELECT a FROM t qualify INNER JOIN u ON qualify.x = u.x",
+        "SELECT a FROM t qualify FULL JOIN u ON qualify.x = u.x",
+        "SELECT a FROM t qualify CROSS JOIN u",
+        "SELECT a FROM t qualify NATURAL JOIN u",
+        "SELECT a FROM t JOIN u qualify ON t.x = qualify.x",
+        "SELECT a FROM t JOIN u qualify USING (x)",
+    ):
+        assert compat_qualify(sql) == sql, sql
+    # ...but LEFT/RIGHT as STRING FUNCTIONS still begin a predicate
+    s = "SELECT a, b FROM t QUALIFY LEFT(b, 1) = 'x'"
+    out = compat_qualify(s)
+    assert out != s and "WHERE LEFT(b, 1) = 'x'" in out
