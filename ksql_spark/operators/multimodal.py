@@ -201,6 +201,10 @@ FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame_sha", StringType()),
+        # luma-plane pixel sum for REAL decodes, NULL on the stub path —
+        # the oracle-able product of a frame decode (sha is not SQL-
+        # expressible: DuckDB 1.0 sha256 only hashes VARCHAR)
+        StructField("frame_sum", LongType()),
     ]
 )
 
@@ -272,7 +276,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_sha": []}
+            rows = {"doc_id": [], "frame_idx": [], "frame_sha": [], "frame_sum": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue  # dirty blob reference: skip, not an abort
@@ -296,6 +300,9 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                             rows["frame_sha"].append(
                                 hashlib.sha256(frames[src].tobytes()).hexdigest()
                             )
+                            rows["frame_sum"].append(
+                                int(frames[src].sum(dtype="int64"))
+                            )
                         continue
                 elif not fake:
                     raise NotImplementedError(
@@ -308,6 +315,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     rows["frame_sha"].append(
                         hashlib.sha256(p + bytes([i])).hexdigest()
                     )
+                    rows["frame_sum"].append(None)  # no real decode happened
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
@@ -414,6 +422,70 @@ def decode_y4m(payload: bytes):
         frames.append(np.frombuffer(buf, dtype="uint8").reshape(h, w))
         i = j + 1 + fsize
     return np.stack(frames)
+
+
+_PAYLOAD_SCHEMA = "doc_id long, payload binary"
+
+
+def synth_payload_ppm(df: DataFrame) -> DataFrame:
+    """(doc_id, payload): a genuine binary PPM per document — dims
+    w = 16 + n_chars % 48, h = 16 + 7*n_chars % 48, pixel (y, x, c) =
+    (3x + 7y + c) mod 256 (the synth_ppm_resize conventions). Feeds the
+    PRODUCTION operators (extract_features, resize_images) real image
+    bytes whose decode products are closed-form, so the operators
+    themselves become oracle-checkable — not just their synth_* twins."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                w, h = 16 + nc % 48, 16 + (nc * 7) % 48
+                x, y, c = np.arange(w), np.arange(h), np.arange(3)
+                img = (
+                    (x[None, :, None] * 3 + y[:, None, None] * 7 + c[None, None, :])
+                    % 256
+                ).astype("uint8")
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_ppm(img))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, _PAYLOAD_SCHEMA)
+
+
+def synth_payload_y4m(df: DataFrame) -> DataFrame:
+    """(doc_id, payload): a genuine monochrome Y4M stream per document —
+    n_frames = 4 + n_chars % 5, w = 8 + n_chars % 8, h = 8 + 3*n_chars % 8,
+    frame f pixel (y, x) = (7x + 11y + 31f) mod 256 (the
+    synth_y4m_frame_sample conventions). Feeds the PRODUCTION sample_frames
+    operator real video bytes with closed-form frame sums."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                w, h, nf = 8 + nc % 8, 8 + (nc * 3) % 8, 4 + nc % 5
+                f, y, x = np.arange(nf), np.arange(h), np.arange(w)
+                vid = (
+                    (
+                        7 * x[None, None, :]
+                        + 11 * y[None, :, None]
+                        + 31 * f[:, None, None]
+                    )
+                    % 256
+                ).astype("uint8")
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_y4m(vid))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, _PAYLOAD_SCHEMA)
 
 
 SYNTH_FRAMES_SCHEMA = StructType(

@@ -875,20 +875,31 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_features",
-    # rows-only BY DECISION (round 5): the dims source depends on container
-    # sniffing over arbitrary bytes (PNG/GIF/BMP/JPEG/netpbm headers, else
-    # the sha-derived stub) — a SQL oracle would have to replicate the whole
-    # sniff cascade on utf-8 payloads and silently break on any text that
-    # happens to start with a magic prefix ("BM…"). The REAL decode chain is
-    # oracle-verified end-to-end by llm_multimodal_resize instead, and the
-    # header parsers by fixture goldens in tests/test_multimodal.py.
-    oracle=None,
-    ref="SURVEY §2 K5 (Arrow-batched mapInPandas feature extraction; real "
-    "header decode for PNG/GIF/BMP/JPEG/netpbm, sha stub otherwise)",
+    oracle="""
+    SELECT doc_id,
+           CAST(9 + length(CAST(16 + n_chars % 48 AS VARCHAR))
+                  + length(CAST(16 + (n_chars * 7) % 48 AS VARCHAR))
+                  + 3 * (16 + n_chars % 48) * (16 + (n_chars * 7) % 48)
+               AS INT) AS byte_len,
+           CAST(16 + n_chars % 48 AS INT) AS width,
+           CAST(16 + (n_chars * 7) % 48 AS INT) AS height
+    FROM documents
+    """,
+    ref="SURVEY §2 K5 [EXT] (the PRODUCTION extract_features operator made "
+    "oracle-exact, round 6: real synthetic PPM payloads — dims from "
+    "n_chars, 'P6\\n{w} {h}\\n255\\n' header + 3wh pixel bytes — flow "
+    "through the Arrow mapInPandas sniff cascade (netpbm branch of "
+    "sniff_image_dims), so byte_len/width/height are closed-form; the "
+    "content_sha column stays Spark-side only — DuckDB 1.0 sha256 can't "
+    "hash BLOBs — and is verified by llm_multimodal_meta + unit goldens. "
+    "Sniffing over ARBITRARY bytes (PNG/GIF/BMP/JPEG/stub) remains "
+    "covered by fixture goldens in tests/test_streaming.py)",
 )
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = multimodal.attach_payload(load(spark, sf_dir, "documents"), "text")
-    return multimodal.extract_features(d)
+    d = multimodal.synth_payload_ppm(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(d).select(
+        "doc_id", "byte_len", "width", "height"
+    )
 
 
 @query(
@@ -921,15 +932,38 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_frames",
-    oracle=None,  # utf-8 payloads hit the stub path → rows-only (the real
-    # Y4M frame path is oracle-verified by llm_multimodal_framesample)
-    ref="SURVEY §2 K5 (frame sampling: 1 payload → N frame rows via mapInPandas)",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + n_chars % 8 AS w,
+               8 + (n_chars * 3) % 8 AS h,
+               4 + n_chars % 5 AS nf
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST((i * nf) // 4 AS INT) AS frame_idx,
+           CAST(list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                   (7 * x + 11 * y + 31 * ((i * nf) // 4)) % 256))))
+             AS BIGINT) AS frame_sum
+    FROM p, unnest(range(0, 4)) AS t(i)
+    """,
+    ref="SURVEY §2 K5 [EXT] (the PRODUCTION sample_frames operator made "
+    "oracle-exact, round 6: real synthetic Y4M payloads — frame count/dims "
+    "from n_chars, frame f pixel (7x+11y+31f) mod 256 — flow through the "
+    "operator's own container sniff, FRAME-marker decode, and floor-mapped "
+    "even sampling src=(i*nf)//4, emitting closed-form luma sums; "
+    "frame_sha stays Spark-side only (not SQL-hashable) and is pinned by "
+    "tests/test_streaming.py's hashlib recomputation; the STUB fallback "
+    "path keeps its own unit coverage)",
 )
 def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = multimodal.attach_payload(
-        load(spark, sf_dir, "documents").where(F.col("doc_id") < 50), "text"
+    d = multimodal.synth_payload_y4m(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     )
-    return multimodal.sample_frames(d, n_frames=4)
+    return multimodal.sample_frames(d, n_frames=4).select(
+        "doc_id", "frame_idx", "frame_sum"
+    )
 
 
 @query(
