@@ -338,7 +338,7 @@ def compat_top(sql: str) -> str:
 
 
 _INTO_FILE_RE = re.compile(
-    r"\s+INTO\s+(?P<fmt>CSV|JSON|PARQUET|TAB|XLSX|ORC)\s*\(\s*"
+    r"\s+INTO\s+(?P<fmt>CSV|JSONL|JSON|PARQUET|TAB|XLSX|ORC)\s*\(\s*"
     r"'(?P<path>(?:[^']|'')+)'\s*\)\s*$",
     re.IGNORECASE,
 )
@@ -367,8 +367,13 @@ def split_into_file(sql: str) -> tuple[str, str | None, str | None]:
 
 #: AlaSQL table-source file formats (package.json:5 tier). XLSX reads via the
 #: stdlib zip+XML reader (sources/xlsx.py) on the driver — an .xlsx is not
-#: splittable and AlaSQL's use case is small interchange files.
-_FILE_SRC_FMTS = frozenset({"CSV", "JSON", "PARQUET", "TAB", "XLSX", "ORC"})
+#: splittable and AlaSQL's use case is small interchange files. JSONL is the
+#: round-6 addition (training corpora ship as JSON Lines); JSON sniffs
+#: whole-document arrays (AlaSQL semantics) vs line-delimited — see
+#: repl._read_json_source.
+_FILE_SRC_FMTS = frozenset(
+    {"CSV", "JSON", "JSONL", "PARQUET", "TAB", "XLSX", "ORC"}
+)
 
 
 def extract_from_files(sql: str) -> tuple[str, list[tuple[str, str, str]]]:

@@ -51,6 +51,23 @@ def make_rewriter(spark, truthiness: bool) -> Rewriter:
 
 
 MAX_SHOW_ROWS = 1000
+
+
+def _read_json_source(spark, path: str):
+    """`FROM JSON('f')` reader: AlaSQL's JSON() reads a whole-document JSON
+    ARRAY; Spark's native reader reads JSON LINES. Sniff the first non-space
+    byte of a single file — `[` means array-document (multiLine mode, one
+    row per element, reference parity), anything else means JSONL. A
+    directory (e.g. a Spark-written json dataset) is always JSONL."""
+    import os
+
+    head = b""
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            head = f.read(64).lstrip()
+    if head[:1] == b"[":
+        return spark.read.option("multiLine", "true").json(path)
+    return spark.read.json(path)
 HISTORY_FILE = "~/.ksql_spark_history"
 HISTORY_MAX = 1000
 
@@ -155,11 +172,25 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
             # has no EXPLAIN): `.explain SELECT ...` prints the formatted
             # physical plan after the compat rewrite, so users can check
             # pushdown/broadcast/exchange shape from the console.
+            # `.explain analyze SELECT ...` EXECUTES the query (noop sink,
+            # no driver collect) and prints the AQE FINAL executed plan —
+            # the runtime-re-planned shape, with actual join strategies.
             sql = line[len(".explain"):].strip()
+            analyze = sql.lower().startswith("analyze ")
+            if analyze:
+                sql = sql[len("analyze "):].strip()
             if not sql:
-                print("usage: .explain <query>")
+                print("usage: .explain [analyze] <query>")
                 return
-            spark.sql(rewriter.rewrite(sql)).explain("formatted")
+            df = spark.sql(rewriter.rewrite(sql))
+            if analyze:
+                df.write.mode("overwrite").format("noop").save()
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                # AQE toString carries "== Final Plan ==" + "== Initial
+                # Plan ==" sections; the final one is what actually ran
+                print(plan.split("== Initial Plan ==")[0].rstrip())
+            else:
+                df.explain("formatted")
             return
 
         if is_dml(line):
@@ -187,6 +218,10 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                         src_path
                     )
                 elif src_fmt == "json":
+                    src = _read_json_source(spark, src_path)
+                elif src_fmt == "jsonl":
+                    # explicit JSON Lines (training-corpus interchange):
+                    # Spark's native line-delimited reader, splittable
                     src = reader.json(src_path)
                 elif src_fmt == "orc":
                     src = reader.orc(src_path)
@@ -221,6 +256,8 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                 elif fmt == "tab":  # AlaSQL TAB() = TSV: csv writer, tab separator
                     writer = writer.options(header="true", sep="\t")
                     method = "csv"
+                elif fmt == "jsonl":  # Spark's json writer IS JSON Lines
+                    method = "json"
                 getattr(writer, method)(path)
                 print(f"wrote {fmt} to {path}")
                 return

@@ -110,6 +110,52 @@ def test_into_json_export(spark, rw, tmp_path, capsys):
     assert spark.read.json(str(out)).count() == 20
 
 
+def test_into_jsonl_and_from_jsonl_roundtrip(spark, rw, tmp_path, capsys):
+    """Round-6 JSONL surface: INTO JSONL writes JSON Lines (Spark's json
+    writer), FROM JSONL reads it back — the training-corpus interchange
+    format."""
+    from ksql_spark.repl import handle_line
+
+    out = tmp_path / "export_jsonl"
+    handle_line(spark, rw, f"select uid, image from containers INTO JSONL('{out}')")
+    assert "wrote jsonl" in capsys.readouterr().out
+    raw = spark.read.text(str(out)).limit(1).collect()[0].value
+    assert raw.lstrip().startswith("{")  # line-delimited objects, no array
+
+    handle_line(spark, rw, f"select count(*) as n from JSONL('{out}')")
+    assert str(spark.table("containers").count()) in capsys.readouterr().out
+
+
+def test_from_json_array_document(spark, rw, tmp_path, capsys):
+    """AlaSQL's JSON() source is a whole-document ARRAY — FROM JSON('f')
+    must sniff that shape and emit one row per element, while still
+    reading Spark-style JSONL files via the same keyword."""
+    from ksql_spark.repl import handle_line
+
+    arr = tmp_path / "doc.json"
+    arr.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, {"a": 3, "b": "z"}]')
+    handle_line(spark, rw, f"select count(*) as n from JSON('{arr}')")
+    assert "3" in capsys.readouterr().out
+
+    lines = tmp_path / "lines.json"
+    lines.write_text('{"a": 1}\n{"a": 2}\n')
+    handle_line(spark, rw, f"select count(*) as n from JSON('{lines}')")
+    assert "2" in capsys.readouterr().out
+
+
+def test_explain_analyze_prints_final_plan(spark, rw, capsys):
+    """`.explain analyze` executes the query and prints the AQE final
+    executed plan — join strategies as they actually ran."""
+    from ksql_spark.repl import handle_line
+
+    handle_line(
+        spark, rw, ".explain analyze select count(*) as n from containers"
+    )
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out or "Aggregate" in out
+    assert "== Initial Plan ==" not in out
+
+
 def test_into_suffix_only_at_end():
     from ksql_spark.compat.rewriter import split_into_file
 
