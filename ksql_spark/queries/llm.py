@@ -2464,3 +2464,148 @@ def llm_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("example_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K66 (round 6): BM25 lexical retrieval — the sparse complement of the
+# embedding ANN family (llm_sim_topk / ann_*). Okapi BM25 per Robertson &
+# Spärck Jones probabilistic relevance framework (public knowledge; the
+# Lucene-style smoothed idf ln(1 + (N - df + 0.5)/(df + 0.5))).
+# ---------------------------------------------------------------------------
+
+#: Fixed query workload: literal strings over the corpus vocabulary, so the
+#: retrieval math (not a query parser) is what the oracle checks.
+_BM25_QUERIES = [
+    ("q1", "fast table scan"),
+    ("q2", "window merge batch"),
+    ("q3", "stream filter sort"),
+]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS dl
+        FROM documents WHERE text IS NOT NULL
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM docs
+    ), queries(query_id, qtext) AS (
+        VALUES {", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)}
+    ), qterms AS (
+        SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+        FROM queries
+    ), posting AS (
+        SELECT d.doc_id, w.term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(d.dl) AS dl
+        FROM docs d, unnest(string_split(d.text, ' ')) AS w(term)
+        WHERE w.term IN (SELECT term FROM qterms)
+        GROUP BY d.doc_id, w.term
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM posting GROUP BY term
+    ), contrib AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(trunc(
+                   ln(1.0 + (t.n_docs - df + 0.5) / (df + 0.5))
+                   * (p.tf * ({_BM25_K1} + 1.0))
+                   / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * p.dl / t.avgdl))
+                   * 1000000 + 0.5) AS BIGINT) AS c
+        FROM posting p
+        JOIN qterms q USING (term)
+        JOIN dfreq USING (term)
+        CROSS JOIN totals t
+    ), scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(c) AS DOUBLE) / 1000000.0 AS score
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, score
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_BM25_TOPK}
+    """,
+    ref="SURVEY §2 K66 [EXT] (Okapi BM25 top-k lexical retrieval — the "
+    "sparse-retrieval complement of the dense ANN family; Robertson/"
+    "Spärck Jones weighting, Lucene-smoothed idf)",
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a bounded query workload over the corpus.
+
+    Scale shape (the inverted-index pattern without materializing one):
+    the query-term dictionary (|terms| ~ 10) BROADCASTS; the exploded
+    term stream is semi-filtered against it BEFORE any shuffle, so the
+    posting aggregation exchanges only matching-term rows — at 100 TB the
+    wide shuffles carry (doc, query_term) postings, never the corpus
+    vocabulary. Doc length dl is computed narrowly per row (size(words)),
+    avgdl/N in a broadcast 1-row aggregate; scores quantize each term
+    contribution to 6 decimals and accumulate exactly in longs (the
+    registry dsum discipline), making the ranking deterministic across
+    partition orders and engines. Top-k is a per-query window over
+    |queries| x |matched docs| rows, partitioned by query_id."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = d.select(
+        "doc_id",
+        F.explode(text.words("text")).alias("term"),
+        F.size(text.words("text")).alias("dl"),
+    )
+    totals = d.select(F.size(text.words("text")).alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    qterms = d.sparkSession.createDataFrame(
+        sorted({(qid, t) for qid, q in _BM25_QUERIES for t in q.split()}),
+        "query_id string, term string",
+    )
+    posting = (
+        docs.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = posting.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        posting.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        (F.sum("c").cast("double") / 1000000.0).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score")
+    )

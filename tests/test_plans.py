@@ -128,6 +128,22 @@ def test_minhash_band_exchange_carries_no_text(spark):
         )
 
 
+def test_bm25_filters_terms_before_posting_shuffle(spark):
+    """K66 BM25: the query-term dictionary broadcasts and semi-filters the
+    exploded term stream BEFORE the posting aggregation's exchange, so wide
+    shuffles carry only query-term postings — never the corpus vocabulary
+    or text. No sort-merge joins, no cartesian products (the 1-row totals
+    cross-join must be a broadcast NLJ)."""
+    plan = plan_of(spark, "llm_bm25_topk")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the term semi-filter
+    import re
+
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in cols, cols
+
+
 def test_hard_negatives_broadcast_anchors(spark):
     """K42 hard-negative mining: the anchor set broadcasts (bounded query
     count) and the corpus pass stays narrow — no SortMergeJoin, no
