@@ -1690,3 +1690,183 @@ def llm_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("interleave_pos"),
         )
     )
+
+
+@query(
+    "llm_source_kl",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source, w
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY source
+    ), vocab AS (SELECT DISTINCT w FROM cnt),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    dense AS (
+        SELECT t.source, vocab.w,
+               (CAST(COALESCE(c.c, 0) + 1 AS DOUBLE))
+                   / CAST(t.tot + vs.v AS DOUBLE) AS p
+        FROM tot t
+        CROSS JOIN vocab
+        CROSS JOIN vsize vs
+        LEFT JOIN cnt c ON c.source = t.source AND c.w = vocab.w
+    )
+    SELECT a.source AS source_p, b.source AS source_q,
+           CAST(SUM(CAST(trunc(a.p * ln(a.p / b.p) * 100000000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100000000.0 AS kl_nats
+    FROM dense a JOIN dense b ON a.w = b.w AND a.source <> b.source
+    GROUP BY source_p, source_q
+    """,
+    ref="SURVEY §2 K14/K40 family [EXT] (pairwise KL divergence between "
+    "Laplace-smoothed source unigram distributions — the asymmetric "
+    "domain-distance matrix behind mixing/reweighting decisions; "
+    "complements llm_dsir_weight's importance ratios and "
+    "llm_source_vocab_overlap's set overlap)",
+)
+def llm_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || Q_source) in nats for every ordered source pair,
+    over add-one-smoothed unigram distributions on the union vocabulary
+    (smoothing keeps every q(w) > 0, so the divergence is finite and the
+    sum ranges over the full vocabulary for both sides).
+
+    Determinism: p and q are exact rationals evaluated identically in
+    both engines ((c+1)/(tot+V) in IEEE double); each word's contribution
+    p·ln(p/q) is quantized to 8 decimals (contributions are tiny — 1e-4
+    scale — so the dsum discipline needs the finer grid; |sum| stays
+    far inside the long range) and accumulated exactly in longs.
+
+    Scale shape: the corpus collapses to (source, word) counts in ONE
+    gram-keyed shuffle (the llm_dup_stats exchange); everything after is
+    vocabulary-scale — the dense |S|xV probability matrix self-joins on
+    the word, expanding each word only to its |S|² pair bucket, and the
+    final agg is |S|² rows. V-proportional, never corpus-proportional;
+    the vocab-bounded posture llm_vocab_topk documents."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(text.words("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = cnt.select("w").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    dense = (
+        tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    contrib = (
+        F.col("a.p") * F.log(F.col("a.p") / F.col("b.p")) * 100000000.0
+        + 0.5
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_p"),
+            F.col("b.source").alias("source_q"),
+        )
+        .agg(
+            (F.sum(contrib).cast("double") / 100000000.0).alias("kl_nats")
+        )
+    )
+
+
+@query(
+    "llm_zipf_slope",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source, w
+    ), ranked AS (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, w) AS rnk
+        FROM cnt
+    ), q AS (
+        SELECT source,
+               CAST(CAST(trunc(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS x,
+               CAST(CAST(trunc(ln(c)   * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS y
+        FROM ranked
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(CAST(trunc(
+               (COUNT(*) * (CAST(SUM(CAST(trunc(x * y * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                - (CAST(SUM(CAST(trunc(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                  * (CAST(SUM(CAST(trunc(y * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0))
+               / (COUNT(*) * (CAST(SUM(CAST(trunc(x * x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                  - (CAST(SUM(CAST(trunc(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+                    * (CAST(SUM(CAST(trunc(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS zipf_slope
+    FROM q GROUP BY source
+    """,
+    ref="SURVEY §2 K4 family [EXT] (Zipf's-law slope per source: OLS fit of "
+    "ln(freq) on ln(rank) over the source's frequency-ranked vocabulary — "
+    "the distributional-health screen that flags template/boilerplate "
+    "sources (slope near 0) and artificially truncated vocabularies "
+    "(slope << -1) before mixing)",
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) per source — natural
+    corpora track Zipf's law with slope ~ -1.
+
+    Determinism: x = ln(rank) and y = ln(freq) are quantized to the 1e6
+    grid FIRST (identical in both engines), then every moment sum
+    accumulates trunc-quantized products exactly in longs, and the final
+    slope quantizes to 6 decimals — the agg_corr discipline, applied to
+    OLS. Rank ties break on the word, so the ranking is total.
+
+    Scale shape: one gram-keyed shuffle to (source, word) counts, a
+    VOCAB-bounded per-source window for the ranks (llm_vocab_topk's
+    posture: |S| partitions of |V_s| rows, never corpus rows), and a
+    |S|-group moment agg. Nothing after the first agg touches corpus
+    scale."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(text.words("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    rw = SparkWindow.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w")
+    )
+    ranked = cnt.withColumn("rnk", F.row_number().over(rw))
+
+    def q6(col):
+        return (col * 1000000.0 + 0.5).cast("long").cast("double") / 1000000.0
+
+    qd = ranked.select(
+        "source",
+        q6(F.log(F.col("rnk").cast("double"))).alias("x"),
+        q6(F.log(F.col("c").cast("double"))).alias("y"),
+    )
+    n = F.count("*")
+
+    def s6(col):
+        return F.sum((col * 1000000.0 + 0.5).cast("long")).cast("double") / 1000000.0
+
+    sx, sy = s6(F.col("x")), s6(F.col("y"))
+    sxx, sxy = s6(F.col("x") * F.col("x")), s6(F.col("x") * F.col("y"))
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    return qd.groupBy("source").agg(
+        n.cast("bigint").alias("n_words"),
+        q6(slope).alias("zipf_slope"),
+    )

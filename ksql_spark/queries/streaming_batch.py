@@ -926,3 +926,84 @@ def events_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("value") > F.col("q3") + 1.5 * iqr)
         ).alias("is_outlier"),
     )
+
+
+_ACF_OVER = "OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, value,
+               lag(value, 1) {_ACF_OVER} AS y1,
+               lag(value, 2) {_ACF_OVER} AS y2,
+               lag(value, 3) {_ACF_OVER} AS y3
+        FROM events
+    ), pairs AS (
+        SELECT event_type, 1 AS lag, value AS x, y1 AS y FROM base WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, value, y2 FROM base WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, value, y3 FROM base WHERE y3 IS NOT NULL
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(trunc(
+               (COUNT(*) * ({sql_dsum('x * y')})
+                - ({sql_dsum('x')}) * ({sql_dsum('y')}))
+               / (sqrt(COUNT(*) * ({sql_dsum('x * x')})
+                       - ({sql_dsum('x')}) * ({sql_dsum('x')}))
+                  * sqrt(COUNT(*) * ({sql_dsum('y * y')})
+                         - ({sql_dsum('y')}) * ({sql_dsum('y')})))
+               * 1000000 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS acf
+    FROM pairs GROUP BY event_type, lag
+    """,
+    ref="SURVEY §2 K57 family [EXT] (autocorrelation function at lags 1-3 "
+    "per event-type series — the stationarity/seasonality screen run "
+    "before trusting EWMA (K41) or CUSUM (K64) parameters; Pearson "
+    "moment form over lag-paired values, the agg_corr discipline)",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..3) per event_type: pair each value with its lag-k predecessor
+    in (ts, event_id) order, then Pearson r per (type, lag) in moment form
+    with every sum an exact integer-quantized accumulation (partition-order
+    and engine independent, like agg_corr).
+
+    Scale shape: ONE per-type window pass computes all three lag columns
+    (no self-joins), stack() unpivots them narrowly, and the final agg is
+    a (|types| x 3)-group hash agg. Windows partition by the series key —
+    per-series sequential work, parallel across series, the same posture
+    as every events_* window entry (a 100 TB deployment keys series at
+    sensor/entity granularity, millions of partitions)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.lag("value", 1).over(w).alias("y1"),
+        F.lag("value", 2).over(w).alias("y2"),
+        F.lag("value", 3).over(w).alias("y3"),
+    )
+    pairs = base.select(
+        "event_type",
+        "x",
+        F.expr("stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)"),
+    ).where(F.col("y").isNotNull())
+    n = F.count("*")
+    sx, sy = dsum("x"), dsum("y")
+    sxx, syy, sxy = (
+        dsum(F.col("x") * F.col("x")),
+        dsum(F.col("y") * F.col("y")),
+        dsum(F.col("x") * F.col("y")),
+    )
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+    )
+    return pairs.groupBy("event_type", F.col("lag").cast("int").alias("lag")).agg(
+        n.cast("bigint").alias("n_pairs"),
+        ((r * 1000000.0 + 0.5).cast("long").cast("double") / 1000000.0).alias("acf"),
+    )
