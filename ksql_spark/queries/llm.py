@@ -2609,3 +2609,214 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+_RRF_K = 60
+_RRF_N_PER = 20
+_RRF_TOPK = 10
+
+
+@query(
+    "llm_rrf_hybrid",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS dl
+        FROM documents WHERE text IS NOT NULL
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM docs
+    ), qterms AS (
+        SELECT DISTINCT doc_id AS query_id,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 3
+    ), posting AS (
+        SELECT d.doc_id, w.term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(d.dl) AS dl
+        FROM docs d, unnest(string_split(d.text, ' ')) AS w(term)
+        WHERE w.term IN (SELECT term FROM qterms)
+        GROUP BY d.doc_id, w.term
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM posting GROUP BY term
+    ), contrib AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(trunc(
+                   ln(1.0 + (t.n_docs - df + 0.5) / (df + 0.5))
+                   * (p.tf * ({_BM25_K1} + 1.0))
+                   / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * p.dl / t.avgdl))
+                   * 1000000 + 0.5) AS BIGINT) AS c
+        FROM posting p
+        JOIN qterms q USING (term)
+        JOIN dfreq USING (term)
+        CROSS JOIN totals t
+        WHERE p.doc_id <> q.query_id
+    ), sparse AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY SUM(c) DESC, doc_id) AS r
+        FROM contrib GROUP BY query_id, doc_id
+    ), srn AS (SELECT * FROM sparse WHERE r <= {_RRF_N_PER}),
+    dense AS (
+        SELECT query_id, doc_id, rn FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_dot_sql('q.embedding', 'v.embedding')}
+                                / ({_norm_sql('q.embedding')}
+                                   * {_norm_sql('v.embedding')})
+                                DESC, v.vec_id) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+            CROSS JOIN embeddings v
+            WHERE q.vec_id <> v.vec_id
+        ) WHERE rn <= {_RRF_N_PER}
+    ), fused AS (
+        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+               COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r AS sparse_rank, d.rn AS dense_rank,
+               CAST(CAST(trunc(
+                   (COALESCE(1.0 / ({_RRF_K} + s.r), 0.0)
+                    + COALESCE(1.0 / ({_RRF_K} + d.rn), 0.0))
+                   * 100000000 + 0.5) AS BIGINT) AS DOUBLE) / 100000000.0
+                   AS rrf_score
+        FROM srn s FULL JOIN dense d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(sparse_rank AS INT) AS sparse_rank,
+           CAST(dense_rank AS INT) AS dense_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS final_r
+        FROM fused
+    ) WHERE final_r <= {_RRF_TOPK}
+    """,
+    ref="SURVEY §2 K70 [EXT] (reciprocal-rank fusion of sparse BM25 (K66) "
+    "and dense cosine (K3) rankings — query-by-document hybrid retrieval, "
+    "RRF(d) = sum over rankers of 1/(60 + rank); Cormack/Clarke/Buettcher "
+    "fusion, the standard hybrid-search combiner)",
+)
+def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for query docs 0..2: each query's OWN text drives a
+    BM25 ranking and its OWN embedding drives a cosine ranking (self
+    excluded from both); the two top-20 lists fuse by reciprocal rank and
+    the top-10 fused results are returned with the per-ranker ranks.
+
+    Determinism: BM25 scores use the quantized-contribution discipline of
+    llm_bm25_topk; cosine uses the bit-reproducible fold of llm_sim_topk;
+    RRF terms 1/(60+rank) are rationals of small integers evaluated
+    identically in IEEE, quantized to 8 decimals before the final ordering.
+
+    Scale shape: the sparse side is K66's broadcast-term-filtered posting
+    pipeline (per-query-doc term sets are bounded by doc length); the
+    dense side is K3's broadcast-query narrow corpus pass; the fusion is
+    a full outer join of two |queries| x 20 rank lists — trivially
+    broadcastable at any corpus size."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # ---- sparse: BM25 with the query docs' distinct words as terms
+    qterms = d.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(text.words("text"))).alias("term"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.explode(text.words("text")).alias("term"),
+        F.size(text.words("text")).alias("dl"),
+    )
+    totals = d.select(F.size(text.words("text")).alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    posting = (
+        docs.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = posting.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        posting.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    srn = (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+        .withColumn("sparse_rank", F.row_number().over(sw))
+        .where(F.col("sparse_rank") <= _RRF_N_PER)
+        .select("query_id", "doc_id", "sparse_rank")
+    )
+    # ---- dense: cosine top-N per query embedding (llm_sim_topk shape)
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", vectors.l2_norm("embedding")
+    )
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    cos = F.try_divide(
+        vectors.dot("q_emb", "embedding"), F.col("q_norm") * F.col("v_norm")
+    )
+    dw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    dense = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .withColumn("dense_rank", F.row_number().over(dw))
+        .where(F.col("dense_rank") <= _RRF_N_PER)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+    # ---- fuse
+    fused = srn.join(dense, ["query_id", "doc_id"], "full")
+    rrf = (
+        (
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sparse_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("dense_rank")), F.lit(0.0))
+        )
+        * 100000000.0
+        + 0.5
+    ).cast("long").cast("double") / 100000000.0
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("final_r", F.row_number().over(fw))
+        .where(F.col("final_r") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.col("sparse_rank").cast("int").alias("sparse_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+        )
+    )
