@@ -596,6 +596,49 @@ def run_cms_sink(
     )
 
 
+def run_hll_sink(
+    events_stream: DataFrame, name: str, timeout_sec: int = 120
+) -> None:
+    """Maintain an INCREMENTAL per-event-type HyperLogLog user-cardinality
+    sketch over an event stream: each micro-batch's Datasketches HLL
+    (hll_sketch_agg over user_id, grouped by event_type) merges into the
+    managed table `hll_acc_<name>` via hll_union_agg — completing the
+    sketch-sink trio: Bloom = membership, CMS = frequency, HLL =
+    cardinality.
+
+    Replay semantics sit with Bloom on the idempotent side of the split:
+    HLL union takes the register-wise MAX, so it is associative,
+    commutative AND idempotent — an at-least-once redelivery merges the
+    same registers again and every estimate ever read is unchanged; the
+    accumulator RESUMES across invocations exactly like run_bloom_sink
+    (cardinality only ever grows; DROP TABLE to start fresh). One caveat
+    vs bloom's bit words: below the dense-HLL threshold Datasketches
+    serializes the coupon LIST/SET in insertion order, so the stored BYTES
+    are not canonical across replays even though the represented set — and
+    thus hll_sketch_estimate — is (the test pins estimate-invariance). The accumulator is |event_types|
+    rows of one bounded binary sketch each, so the per-batch
+    collect-and-rewrite is driver-bounded by the sketch geometry while the
+    heavy distinct-hashing stays distributed in the batch plan.
+    tests/test_streaming.py pins stream estimate == single-pass batch
+    estimate per type, replay invariance, and split-invocation resume."""
+
+    def batch_sketch(batch_df):
+        return batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+
+    _run_sketch_sink(
+        events_stream,
+        table=f"hll_acc_{name}",
+        batch_sketch=batch_sketch,
+        key_cols=["event_type"],
+        merge_agg=lambda: F.hll_union_agg("sk").alias("sk"),
+        schema="event_type string, sk binary",
+        timeout_sec=timeout_sec,
+        job="run_hll_sink",
+    )
+
+
 def _run_sketch_sink(
     stream: DataFrame,
     *,

@@ -891,3 +891,83 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="double-count"):
         jobs.run_cms_sink(stream2, "t_cms")
     spark.sql("DROP TABLE IF EXISTS cms_acc_t_cms")
+
+
+def test_hll_sketch_stream_matches_batch(spark, tmp_path):
+    """The stream-maintained per-type HLL (two micro-batches, register-max
+    union per batch) must estimate EXACTLY what the single-pass batch
+    sketch estimates, a replayed stream must leave the accumulator
+    unchanged (idempotent union, like bloom, unlike CMS), and split
+    invocations must resume into the same sketch."""
+    import pyspark.sql.functions as F
+
+    from ksql_spark.streaming import jobs
+
+    src = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_id", "event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+    )
+    d = tmp_path / "hll_stream"
+    d.mkdir()
+    import shutil
+
+    for i, pred in enumerate((F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)):
+        src.where(pred).coalesce(1).write.parquet(str(d / f"f{i}"))
+        [pf] = [p for p in (d / f"f{i}").glob("*.parquet")]
+        shutil.copy(pf, d / f"part-{i:03d}.parquet")
+        shutil.rmtree(d / f"f{i}")
+    spark.sql("DROP TABLE IF EXISTS hll_acc_t_hll")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    jobs.run_hll_sink(stream, "t_hll")
+
+    def estimates(df):
+        return {
+            r["event_type"]: r["est"]
+            for r in df.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+            )
+            .collect()
+        }
+
+    got = estimates(spark.table("hll_acc_t_hll"))
+    want = estimates(
+        src.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    assert got == want  # exact estimate agreement, not approximate
+    exact = {
+        r["event_type"]: r["n"]
+        for r in src.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, est in got.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05  # sketch accuracy
+
+    # idempotent union: a full replay must leave the sketch SEMANTICALLY
+    # unchanged — same estimate per type. (Not bitwise: below the dense-HLL
+    # threshold Datasketches serializes the coupon LIST/SET in insertion
+    # order, so equal sets can carry different bytes; the register-max
+    # semantics, and therefore every estimate ever read, are replay-proof.)
+    stream2 = spark.readStream.schema(src.schema).parquet(str(d))
+    jobs.run_hll_sink(stream2, "t_hll")
+    assert estimates(spark.table("hll_acc_t_hll")) == want
+
+    # split-invocation resume: each half alone, then union must estimate
+    # the same as the full pass
+    spark.sql("DROP TABLE IF EXISTS hll_acc_t_hll")
+    for i in range(2):
+        part_dir = tmp_path / f"hll_half{i}"
+        part_dir.mkdir()
+        shutil.copy(d / f"part-{i:03d}.parquet", part_dir / "f.parquet")
+        jobs.run_hll_sink(
+            spark.readStream.schema(src.schema).parquet(str(part_dir)),
+            "t_hll",
+        )
+    assert estimates(spark.table("hll_acc_t_hll")) == want
+    spark.sql("DROP TABLE IF EXISTS hll_acc_t_hll")
