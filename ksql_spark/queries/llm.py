@@ -2820,3 +2820,134 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dense_rank").cast("int").alias("dense_rank"),
         )
     )
+
+
+@query(
+    "llm_substring_dedup_apply",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(array_to_string(w[i:i+7], ' ')) AS gram_md5
+        FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    dupg AS (
+        SELECT gram_md5 FROM g GROUP BY gram_md5
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    occ AS (SELECT g.* FROM g JOIN dupg USING (gram_md5)),
+    canon AS (
+        SELECT gram_md5, min({'d': doc_id, 'p': pos}) AS c
+        FROM occ GROUP BY gram_md5
+    ),
+    noncanon AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN canon USING (gram_md5)
+        WHERE NOT (o.doc_id = c['d'] AND o.pos = c['p'])
+    ),
+    cut AS (
+        SELECT DISTINCT doc_id, pos + CAST(k AS INT) AS p
+        FROM noncanon, unnest(range(0, 8)) AS t(k)
+    ),
+    tok AS (
+        SELECT doc_id, CAST(i AS INT) AS p, w[i] AS tk
+        FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.p, t.tk
+        FROM tok t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.p IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nc.n_cut, 0) AS BIGINT) AS n_cut,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text_clean
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cut FROM cut GROUP BY doc_id)
+        nc USING (doc_id)
+    """,
+    ref="SURVEY §2 K38 [EXT] (the APPLY step of Lee et al. 2022 substring "
+    "dedup: cut every token covered by a non-canonical occurrence of a "
+    "cross-document duplicated 8-gram — canonical = lexicographic-min "
+    "(doc, pos) — and reassemble the kept tokens; completes K38's span "
+    "DETECTION with the surgery a pipeline actually ships)",
+)
+def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-deduplicated corpus: every occurrence of a cross-document
+    duplicated 8-token window is removed except the single canonical one
+    (global lexicographic-min (doc_id, pos) per gram), and each document's
+    surviving tokens are reassembled in order. Returns (doc_id, n_tokens,
+    n_cut, text_clean) for EVERY document, untouched docs included.
+
+    Scale shape: gram digests shuffle exactly as llm_substring_dup_spans
+    (16-byte md5 keys, never gram text); the canonical pick is a min-STRUCT
+    AGG per gram — a hash agg, deliberately not a per-gram window, so a
+    boilerplate gram with millions of occurrences partial-aggregates
+    map-side instead of sorting one giant partition; span->position
+    coverage is a bounded x8 explode; the rebuild is a document-scoped
+    collect_list (bounded by doc length, the llm_chunk_sliding posture)."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(text.shingles("text", 8)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("gram").cast("binary")).alias("gram_md5"),
+    )
+    dupg = (
+        g.groupBy("gram_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram_md5")
+    )
+    occ = g.join(dupg, "gram_md5")
+    canon = occ.groupBy("gram_md5").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+        ).alias("c")
+    )
+    noncanon = (
+        occ.join(canon, "gram_md5")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("c.d"))
+                & (F.col("pos") == F.col("c.p"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cut = noncanon.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
+    ).distinct()
+    tok = d.select(
+        "doc_id", F.posexplode(text.words("text")).alias("pos0", "tk")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tk")
+    kept = tok.join(cut, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                lambda x: x["tk"],
+            ),
+        ).alias("text_clean")
+    )
+    ncut = cut.groupBy("doc_id").agg(F.count("*").alias("n_cut"))
+    return (
+        d.select(
+            "doc_id", F.size(text.words("text")).cast("bigint").alias("n_tokens")
+        )
+        .join(clean, "doc_id", "left")
+        .join(ncut, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_cut"), F.lit(0)).cast("bigint").alias("n_cut"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
