@@ -1007,3 +1007,78 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_pairs"),
         ((r * 1000000.0 + 0.5).cast("long").cast("double") / 1000000.0).alias("acf"),
     )
+
+
+@query(
+    "events_holt_linear",
+    oracle="""
+    WITH RECURSIVE series AS (
+        SELECT user_id,
+               list_filter(list(value ORDER BY ts, event_id),
+                           x -> x IS NOT NULL) AS vals
+        FROM events GROUP BY user_id
+    ), nonempty AS (
+        SELECT user_id, vals, len(vals) AS n FROM series WHERE len(vals) >= 1
+    ), step AS (
+        SELECT user_id, vals, n, 1 AS i,
+               CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM nonempty
+        UNION ALL
+        SELECT user_id, vals, n, i + 1,
+               vals[i + 1] / 2.0 + (l + b) / 2.0,
+               ((vals[i + 1] / 2.0 + (l + b) / 2.0) - l) / 2.0 + b / 2.0
+        FROM step WHERE i < n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           l AS level, b AS trend, l + b AS forecast_next
+    FROM step WHERE i = n
+    """,
+    ref="SURVEY §2 K72 [EXT] (Holt linear double-exponential smoothing, "
+    "alpha = beta = 1/2: level+trend recursion per user series, the "
+    "trend-aware upgrade of events_ewma_smooth's single smoother; "
+    "BIT-EXACT cross-engine — halving is IEEE-exact and both engines "
+    "evaluate the identical add/subtract sequence, Spark as a struct-state "
+    "left fold, DuckDB as a recursive CTE)",
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method per user: l_t = x_t/2 + (l_{t-1}+b_{t-1})/2,
+    b_t = (l_t - l_{t-1})/2 + b_{t-1}/2, initialized l_1 = x_1, b_1 = 0;
+    returns the final state and the one-step forecast l + b.
+
+    Scale shape: ONE user_id shuffle into a per-user sorted list, then an
+    O(n) JVM-side struct fold — no prefix lists (unlike the per-row EWMA
+    entry), so memory is O(series length) per user and the output is one
+    row per user. Huge single-user streams chunk by session first, the
+    events_ewma_smooth caveat."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.filter(
+        F.transform(arr, lambda x: x["value"]), lambda v: v.isNotNull()
+    )
+    series = (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .where(F.size("vals") >= 1)
+        .withColumn("n", F.size("vals"))
+    )
+    init = F.struct(
+        F.element_at("vals", 1).cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    rest = F.slice(F.col("vals"), 2, F.greatest(F.col("n") - 1, F.lit(0)))
+
+    def _step(acc, x):
+        new_l = x / F.lit(2.0) + (acc["l"] + acc["b"]) / F.lit(2.0)
+        return F.struct(
+            new_l.alias("l"),
+            ((new_l - acc["l"]) / F.lit(2.0) + acc["b"] / F.lit(2.0)).alias("b"),
+        )
+
+    state = F.aggregate(rest, init, _step)
+    return series.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_obs"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + state["b"]).alias("forecast_next"),
+    )
