@@ -144,6 +144,32 @@ def test_bm25_filters_terms_before_posting_shuffle(spark):
         assert "text#" not in cols, cols
 
 
+def test_substring_apply_digest_or_position_exchanges(spark):
+    """K71 substring-dedup apply: every wide exchange must be keyed on the
+    16-byte gram digest or on (doc_id[, p]) integer positions — never the
+    gram text or the document text (the K38 invariant extended to the
+    apply step; the rebuilt text only ever flows through doc_id-keyed
+    joins, where it rides as payload of an already-narrow key)."""
+    plan = plan_of(spark, "llm_substring_dedup_apply")
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert shuffles, "expected digest/position exchanges"
+    for cols in shuffles:
+        assert "gram#" not in cols and "text#" not in cols, cols
+        assert ("gram_md5" in cols) or ("doc_id" in cols), cols
+
+
+def test_rrf_no_unblocked_cartesian(spark):
+    """K70 RRF: the dense side is a broadcast nested-loop over the bounded
+    query set (K3's shape), the sparse side is K66's broadcast-term
+    pipeline — no SortMergeJoin on the corpus, no unblocked
+    CartesianProduct anywhere."""
+    plan = plan_of(spark, "llm_rrf_hybrid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_hard_negatives_broadcast_anchors(spark):
     """K42 hard-negative mining: the anchor set broadcasts (bounded query
     count) and the corpus pass stays narrow — no SortMergeJoin, no
