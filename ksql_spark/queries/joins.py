@@ -656,3 +656,79 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 1) AS blk_word, p_size
+        FROM part
+    )
+    SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.blk_word = b.blk_word AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    ref="SURVEY §2 C14 [EXT] (blocked fuzzy join / record linkage: "
+    "edit-distance matching made tractable by equi-key blocking — the "
+    "standard entity-resolution shape; Levenshtein is identical classic "
+    "edit distance in Spark and DuckDB)",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: near-identical part names within (first-word, size)
+    blocks, Levenshtein <= 3.
+
+    Scale shape: a naive fuzzy join is O(n²) string comparisons — never
+    materialized here. The EQUI part of the join condition (block word +
+    exact size) hashes both sides, so Catalyst plans a plain hash/SMJ on
+    the block key and evaluates levenshtein only WITHIN co-partitioned
+    blocks; pair space is sum(|block|²), bounded because the block key is
+    (bounded first-token vocabulary × bounded size domain). The skew
+    diagnostic for oversized blocks is `graph_degree_distribution`'s
+    histogram shape (SURVEY L6); production multi-pass linkage adds a
+    second blocking key rather than widening a block. The `a < b` and
+    distance predicates ride along as join residuals — no post-filter scan
+    of a wider pair set (plan-gated: single equi-join, no
+    CartesianProduct / BroadcastNestedLoop)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk_word"),
+        "p_size",
+    )
+    a = p.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        "blk_word",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        "blk_word",
+        "p_size",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            on=[
+                a["blk_word"] == b["blk_word"],
+                a["p_size"] == b["p_size"],
+                F.col("partkey_a") < F.col("partkey_b"),
+                dist <= 3,
+            ],
+        )
+        .select(
+            "partkey_a",
+            "partkey_b",
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+        )
+    )

@@ -2951,3 +2951,128 @@ def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+@query(
+    "llm_keycollision_dedup",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))),
+                   ' ') AS ckey
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(len(string_split(MIN(ckey), ' ')) AS INT) AS n_key_tokens
+    FROM keyed
+    GROUP BY ckey
+    HAVING COUNT(*) > 1
+    """,
+    ref="SURVEY §2 K73 [EXT] (key-collision canonicalization dedup — the "
+    "OpenRefine fingerprint-clustering method: canonical key = sorted "
+    "distinct token set, so reorderings and repetitions of the same "
+    "vocabulary collapse; the normalization-based layer between exact "
+    "sha dedup (K1) and MinHash near-dup (K2))",
+)
+def llm_keycollision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint key-collision dedup: docs sharing a sorted-distinct-word
+    key are duplicates regardless of word order or repetition counts.
+
+    Scale shape: the canonical key is computed NARROWLY per row
+    (split -> array_distinct -> array_sort, all JVM codegen), then hashed
+    to a 32-byte sha2 digest so the single group-by exchange carries
+    digests, never key text (the K1 exact-dedup posture; keys can be
+    longer than the documents for short-vocab corpora). min/count
+    partial-aggregate map-side, so a pathological key shared by 1e6 docs
+    arrives at the reducer as one row per map partition. Key-token count
+    is recomputed from the key itself (size of the array) rather than
+    carried per row."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    key_arr = F.array_sort(F.array_distinct(text.words("text")))
+    keyed = d.select(
+        "doc_id",
+        F.sha2(F.array_join(key_arr, " "), 256).alias("ckey_digest"),
+        F.size(key_arr).alias("nk"),
+    )
+    return (
+        keyed.groupBy("ckey_digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.min("nk").cast("int").alias("n_key_tokens"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select("canonical_doc_id", "n_docs", "n_key_tokens")
+    )
+
+
+@query(
+    "llm_eval_overlap_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 3),
+                                  i -> array_to_string(w[i:i+4], ' ')))) AS gram
+        FROM toks
+    ),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+    cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 29 <> 0)
+    SELECT cg.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(eg.gram) AS BIGINT) AS n_overlap,
+           CAST(trunc(CAST(COUNT(eg.gram) AS DOUBLE) / COUNT(*) * 1000000
+                      + 0.5) AS BIGINT) AS overlap_ppm
+    FROM cg LEFT JOIN eg ON cg.gram = eg.gram
+    GROUP BY cg.doc_id
+    """,
+    ref="SURVEY §2 K74 [EXT] (contamination severity: per-train-doc "
+    "fraction of distinct 5-grams shared with the eval split — the "
+    "graded score behind K13's binary drop; the number reported in "
+    "dataset cards as 'n-gram overlap with benchmarks')",
+)
+def llm_eval_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document eval-overlap severity: |distinct 5-grams ∩ eval grams|
+    / |distinct 5-grams|, in ppm (exact integer — the registry quantization
+    discipline; 0 for clean docs, which ARE reported, unlike K13).
+
+    Scale shape: identical to llm_decontaminate — the eval gram set is
+    benchmark-sized regardless of corpus size, deduplicated and BROADCAST;
+    the corpus side stays a narrow scan -> per-doc distinct-gram explode
+    -> left join against the broadcast -> one groupBy(doc_id) exchange
+    whose width is the corpus doc count, not the gram count. The ratio
+    denominator comes from the same aggregation (COUNT(*) over the doc's
+    grams) — no second pass over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    grams5 = F.array_distinct(text.shingles("text", 5))
+    eval_g = (
+        d.where(F.col("doc_id") % 29 == 0)
+        .select(F.explode(grams5).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_g = d.where(F.col("doc_id") % 29 != 0).select(
+        "doc_id", F.explode(grams5).alias("gram")
+    )
+    joined = corpus_g.join(F.broadcast(eval_g), "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_overlap"),
+            (
+                F.count("hit").cast("double")
+                / F.count("*")
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+        .select("doc_id", "n_grams", "n_overlap", "overlap_ppm")
+    )
