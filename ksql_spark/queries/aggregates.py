@@ -1073,3 +1073,137 @@ def orders_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranged_cumsum(curve, ["ts"], "net", out_col="active_orders").select(
         "ts", F.col("active_orders").cast("bigint").alias("active_orders")
     )
+
+
+_HIST_BINS = 64
+
+
+def price_histogram(li: DataFrame, bounds: DataFrame) -> DataFrame:
+    """The histogram SKETCH itself: bin every l_extendedprice against the
+    broadcast (mn, width) bounds, hash-agg to <= _HIST_BINS rows. Shards
+    sketched with the SAME bounds SUM-merge into the single-pass sketch
+    (test-pinned, the CMS merge-law discipline)."""
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("width")),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "agg_histogram_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (MAX(l_extendedprice) - MIN(l_extendedprice)) / {_HIST_BINS}.0
+                   AS width
+        FROM lineitem
+    ), binned AS (
+        SELECT least({_HIST_BINS - 1},
+                     CAST(floor((l_extendedprice - b.mn) / b.width)
+                          AS BIGINT)) AS bin
+        FROM lineitem, b
+    ), hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist
+    ), qs(quantile, q) AS (
+        VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)
+    ), tgt AS (
+        SELECT quantile, CAST(ceil(q * b.n) AS BIGINT) AS target, b.n,
+               b.mn, b.width
+        FROM qs, b
+    ), pick AS (
+        SELECT t.quantile, t.target, t.n, t.mn, t.width,
+               MIN(c.bin) AS bin
+        FROM tgt t JOIN cum c ON c.cum >= t.target
+        GROUP BY t.quantile, t.target, t.n, t.mn, t.width
+    )
+    SELECT p.quantile, p.n, CAST(p.bin AS INT) AS bin,
+           CAST(trunc(
+               (p.mn + (CAST(p.bin AS DOUBLE)
+                        + CAST(p.target - (c.cum - c.cnt) AS DOUBLE)
+                          / CAST(c.cnt AS DOUBLE)) * p.width)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS estimate
+    FROM pick p JOIN cum c ON p.bin = c.bin
+    """,
+    ref="SURVEY §2 D21 [EXT] (mergeable equi-width histogram quantile "
+    "sketch — the quantile member of the mergeable-sketch family "
+    "(HLL/bloom/CMS/bitmap): per-shard bin counts SUM-merge, p50/p90/p99 "
+    "read off the merged cdf with linear interpolation; error bounded by "
+    "one bin width, test-pinned)",
+)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice from a 64-bin equi-width histogram
+    sketch — approximate quantiles whose STATE is SUM-mergeable across
+    shards/micro-batches (unlike exact percentile, whose state is the
+    data). Estimate = linear cdf interpolation inside the target bin;
+    |error| <= one bin width by construction (tests pin this vs the exact
+    percentile).
+
+    Scale shape: pass 1 is a 1-row min/max/count agg (broadcast); pass 2
+    bins every row NARROWLY and hash-aggregates to <= 64 rows — the only
+    data-wide exchange carries bin ids, and partial aggregation collapses
+    each map task to <= 64 rows before it. Everything after (cumsum,
+    quantile pick, interpolation) operates on the 64-row sketch: the
+    window is sketch-sized, never data-sized (same bounded-state argument
+    as the CMS grid, llm_cms_heavy_hitters). Merging shards = summing bin
+    counts; bounds come from the ingest min/max stats at 100 TB. All
+    arithmetic is IEEE-identical cross-engine; the final estimate is
+    quantized to 1e-6 (registry discipline)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+        (
+            (F.max("l_extendedprice") - F.min("l_extendedprice"))
+            / float(_HIST_BINS)
+        ).alias("width"),
+    )
+    hist = price_histogram(li, b)
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qs = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], "quantile string, q double"
+    )
+    tgt = qs.crossJoin(F.broadcast(b)).select(
+        "quantile",
+        F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("target"),
+        "n",
+        "mn",
+        "width",
+    )
+    pick = (
+        tgt.join(cum.select(F.col("bin").alias("cbin"), F.col("cum").alias("ccum")),
+                 F.col("ccum") >= F.col("target"))
+        .groupBy("quantile", "target", "n", "mn", "width")
+        .agg(F.min("cbin").alias("bin"))
+    )
+    est = (
+        F.col("mn")
+        + (
+            F.col("bin").cast("double")
+            + (F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double")
+            / F.col("cnt").cast("double")
+        )
+        * F.col("width")
+    )
+    return (
+        pick.join(cum, "bin")
+        .select(
+            "quantile",
+            "n",
+            F.col("bin").cast("int").alias("bin"),
+            ((est * 1000000 + 0.5).cast("bigint") / 1000000.0).alias("estimate"),
+        )
+    )

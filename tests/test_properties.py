@@ -254,3 +254,55 @@ def test_compat_qualify_identity_without_keyword(sql):
 
     if "qualify" not in sql.lower():
         assert compat_qualify(sql) == sql
+
+
+def test_histogram_quantile_error_bound_and_merge(spark_lazy):
+    """D21 laws on real data: (1) every histogram quantile estimate is
+    within ONE bin width of the exact nearest-rank percentile (the
+    sketch's accuracy contract); (2) shard sketches built with the same
+    bounds SUM-merge into the single-pass sketch exactly (what makes the
+    state mergeable across shards/micro-batches)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ksql_spark.queries.aggregates import (
+        _HIST_BINS,
+        agg_histogram_quantile,
+        price_histogram,
+    )
+    from ksql_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    spark = spark_lazy
+    vals = np.sort(
+        pq.read_table(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])
+        .column(0)
+        .to_numpy()
+    )
+    width = (vals[-1] - vals[0]) / _HIST_BINS
+    n = len(vals)
+    est = {r["quantile"]: r["estimate"]
+           for r in agg_histogram_quantile(spark, sf).collect()}
+    for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        exact = vals[int(np.ceil(q * n)) - 1]
+        assert abs(est[label] - exact) <= width + 1e-6, (label, est[label], exact)
+
+    li = load(spark, sf, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+        ((F.max("l_extendedprice") - F.min("l_extendedprice"))
+         / float(_HIST_BINS)).alias("width"),
+    )
+    full = {r["bin"]: r["cnt"] for r in price_histogram(li, b).collect()}
+    sa = price_histogram(li.where(F.col("l_orderkey") % 2 == 0), b)
+    sb = price_histogram(li.where(F.col("l_orderkey") % 2 == 1), b)
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in sa.unionByName(sb)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == full
