@@ -3076,3 +3076,115 @@ def llm_eval_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_grams", "n_overlap", "overlap_ppm")
     )
+
+
+_KEYNESS_TOPK = 5
+
+
+@query(
+    "llm_source_keyness",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ), sw AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+        FROM toks GROUP BY source, w
+    ), stot AS (
+        SELECT source, CAST(SUM(a) AS BIGINT) AS c FROM sw GROUP BY source
+    ), wtot AS (
+        SELECT w, CAST(SUM(a) AS BIGINT) AS ab FROM sw GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS cd FROM sw
+    ), scored AS (
+        SELECT sw.source, sw.w, sw.a,
+               CAST(trunc(2.0 * (
+                   CAST(sw.a AS DOUBLE)
+                   * ln(CAST(sw.a AS DOUBLE)
+                        / (CAST(stot.c AS DOUBLE) * CAST(wtot.ab AS DOUBLE)
+                           / CAST(tot.cd AS DOUBLE)))
+                   + CASE WHEN wtot.ab - sw.a = 0 THEN 0.0
+                     ELSE CAST(wtot.ab - sw.a AS DOUBLE)
+                          * ln(CAST(wtot.ab - sw.a AS DOUBLE)
+                               / (CAST(tot.cd - stot.c AS DOUBLE)
+                                  * CAST(wtot.ab AS DOUBLE)
+                                  / CAST(tot.cd AS DOUBLE)))
+                     END) * 1000000 + 0.5) AS BIGINT) AS g2_q6
+        FROM sw
+        JOIN stot USING (source)
+        JOIN wtot USING (w)
+        CROSS JOIN tot
+    )
+    SELECT source, w AS term, a AS n_in_source,
+           CAST(g2_q6 AS DOUBLE) / 1000000.0 AS g2,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY g2_q6 DESC, w) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_KEYNESS_TOPK}
+    """,
+    ref="SURVEY §2 K75 [EXT] (per-source keyness: Dunning 1993 "
+    "log-likelihood G² of each term's source-vs-rest contingency — the "
+    "corpus-linguistics keyword statistic; surfaces what makes a source "
+    "DISTINCTIVE, complementing KL divergence (K68) which scores whole "
+    "distributions)",
+)
+def llm_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 signature terms per source by Dunning G² keyness (observed
+    vs expected token counts, source vs rest-of-corpus). The two G² terms
+    use observed counts a and (ab - a) against expectations proportional
+    to source/rest token mass; zero-observed terms contribute 0 (the
+    x·ln(x) → 0 limit). Scores quantize to 1e-6 BEFORE ranking so the
+    top-k is deterministic cross-engine; ties break on the term.
+
+    Scale shape: one (source, word) hash agg with map-side combine is the
+    only corpus-wide exchange (output is vocab × sources, not tokens);
+    source totals (|sources| rows), word totals (vocab rows — at 100 TB a
+    HAVING floor or CMS pre-filter bounds this, the llm_vocab_topk
+    argument), and the 1-row grand total all BROADCAST back onto the
+    vocab-sized frame. The rank window partitions by source over
+    vocab-bounded rows — never data-sized."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("source", F.explode(text.words("text")).alias("w"))
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("a"))
+    stot = sw.groupBy("source").agg(F.sum("a").alias("c"))
+    wtot = sw.groupBy("w").agg(F.sum("a").alias("ab"))
+    tot = sw.agg(F.sum("a").alias("cd"))
+    ad = F.col("a").cast("double")
+    bd = (F.col("ab") - F.col("a")).cast("double")
+    e1 = F.col("c").cast("double") * F.col("ab").cast("double") / F.col("cd").cast("double")
+    e2 = (
+        (F.col("cd") - F.col("c")).cast("double")
+        * F.col("ab").cast("double")
+        / F.col("cd").cast("double")
+    )
+    g2 = 2.0 * (
+        ad * F.log(ad / e1)
+        + F.when(F.col("ab") - F.col("a") == 0, F.lit(0.0)).otherwise(
+            bd * F.log(bd / e2)
+        )
+    )
+    scored = (
+        sw.join(F.broadcast(stot), "source")
+        .join(wtot, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "a",
+            (g2 * 1000000 + 0.5).cast("bigint").alias("g2_q6"),
+        )
+    )
+    rw = Window.partitionBy("source").orderBy(F.col("g2_q6").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= _KEYNESS_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("a").alias("n_in_source"),
+            (F.col("g2_q6").cast("double") / 1000000.0).alias("g2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

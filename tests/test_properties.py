@@ -306,3 +306,27 @@ def test_histogram_quantile_error_bound_and_merge(spark_lazy):
         .collect()
     }
     assert merged == full
+
+
+def test_kcore_fixpoint_reached(spark_lazy):
+    """L8: the 4 unrolled peeling rounds actually CONVERGE at test scale —
+    a fifth round removes nothing (so the unroll count is a converged
+    fixpoint, not a truncation), and every core node's degree >= k."""
+    from ksql_spark.queries.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _weighted_adj,
+        kcore_round,
+    )
+    from ksql_spark.tables import load
+
+    spark = spark_lazy
+    li = load(spark, "/root/testdata/sf0.01", "lineitem")
+    adj = _weighted_adj(li).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        adj = kcore_round(adj, _KCORE_K).localCheckpoint()
+    extra = kcore_round(adj, _KCORE_K)
+    assert extra.count() == adj.count() > 0
+    degs = [r["d"] for r in
+            adj.groupBy("s1").agg(F.count("*").alias("d")).collect()]
+    assert min(degs) >= _KCORE_K
