@@ -1082,3 +1082,118 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["b"].alias("trend"),
         (state["l"] + state["b"]).alias("forecast_next"),
     )
+
+
+@query(
+    "events_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), series AS (
+        SELECT event_type, list(x ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+    ), ready AS (
+        SELECT event_type, vals, len(vals) AS n,
+               (vals[1] + vals[2] + vals[3] + vals[4] + vals[5] + vals[6]
+                + vals[7]) / 7.0 AS l0
+        FROM series WHERE len(vals) >= 7
+    ), step AS (
+        SELECT event_type, vals, n, 7 AS i,
+               l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+               list_transform(vals[1:7], v -> v - l0) AS seas
+        FROM ready
+        UNION ALL
+        SELECT event_type, vals, n, i + 1,
+               (vals[i + 1] - seas[1]) / 2.0 + (l + b) / 2.0,
+               (((vals[i + 1] - seas[1]) / 2.0 + (l + b) / 2.0) - l) / 2.0
+                   + b / 2.0,
+               seas[2:7] ||
+               [(vals[i + 1]
+                 - ((vals[i + 1] - seas[1]) / 2.0 + (l + b) / 2.0)) / 2.0
+                + seas[1] / 2.0]
+        FROM step WHERE i < n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           l AS level, b AS trend,
+           l + b + seas[1] AS forecast_next
+    FROM step WHERE i = n
+    """,
+    ref="SURVEY §2 K76 [EXT] (Holt-Winters additive triple-exponential "
+    "smoothing, period 7, alpha = beta = gamma = 1/2: level+trend+seasonal "
+    "recursion per event-type daily series — the seasonality-aware top of "
+    "the EWMA (K41) / Holt (K72) smoother ladder; BIT-EXACT cross-engine: "
+    "both engines evaluate the identical IEEE op sequence, Spark as a "
+    "struct-state fold carrying a rolling 7-slot seasonal array, DuckDB "
+    "as a recursive CTE carrying the same list)",
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive per event type on daily counts, m = 7:
+    l_t = (x_t - s_{t-7})/2 + (l+b)/2, b_t = (l_t - l)/2 + b/2,
+    s_t = (x_t - l_t)/2 + s_{t-7}/2; initialized after the first season
+    with l = mean(x_1..x_7) (explicit left-associated sum, so the fold
+    and the SQL chain are the same IEEE sequence), b = 0, s_i = x_i - l.
+    Forecast = l + b + next season slot.
+
+    Scale shape: the daily pre-aggregation collapses the event stream to
+    |types| x |days| rows BEFORE any per-series state; then one shuffle
+    to per-type sorted lists and an O(n) JVM fold whose state is
+    (l, b, 7-slot array) — constant per series, no prefix lists. The
+    seasonal array rolls via slice+append inside the fold (the same
+    bounded-state discipline as the CMS grid). Per-type series are
+    calendar-bounded; a 100 TB corpus adds width (more types), not
+    series length."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "x"))),
+                lambda s: s["x"],
+            ).alias("vals")
+        )
+        .where(F.size("vals") >= 7)
+        .withColumn("n", F.size("vals"))
+    )
+    first7 = F.slice(F.col("vals"), 1, 7)
+    l0 = F.aggregate(first7, F.lit(0.0), lambda a, v: a + v) / F.lit(7.0)
+    ready = series.select(
+        "event_type", "vals", "n", l0.alias("l0")
+    )
+    init = F.struct(
+        F.col("l0").alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(
+            F.slice(F.col("vals"), 1, 7), lambda v: v - F.col("l0")
+        ).alias("seas"),
+    )
+    rest = F.slice(
+        F.col("vals"), 8, F.greatest(F.col("n") - 7, F.lit(0))
+    )
+
+    def _step(acc, x):
+        s_old = F.element_at(acc["seas"], 1)
+        new_l = (x - s_old) / F.lit(2.0) + (acc["l"] + acc["b"]) / F.lit(2.0)
+        new_b = (new_l - acc["l"]) / F.lit(2.0) + acc["b"] / F.lit(2.0)
+        new_s = (x - new_l) / F.lit(2.0) + s_old / F.lit(2.0)
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            F.concat(F.slice(acc["seas"], 2, 6), F.array(new_s)).alias("seas"),
+        )
+
+    state = F.aggregate(rest, init, _step)
+    return ready.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + state["b"] + F.element_at(state["seas"], 1)).alias(
+            "forecast_next"
+        ),
+    )
