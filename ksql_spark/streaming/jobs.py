@@ -639,6 +639,71 @@ def run_hll_sink(
     )
 
 
+def run_histogram_sink(
+    stream: DataFrame,
+    name: str,
+    col: str,
+    mn: float,
+    width: float,
+    bins: int = 64,
+    timeout_sec: int = 120,
+    resume: bool = False,
+) -> None:
+    """Maintain an INCREMENTAL equi-width histogram quantile sketch over a
+    numeric stream column: each micro-batch's bin counts SUM-merge into the
+    managed table `hist_acc_<name>` — the quantile member of the sketch-sink
+    family (bloom = membership, CMS = frequency, HLL = cardinality,
+    histogram = quantiles; queries/aggregates.py:agg_histogram_quantile is
+    the batch twin whose cdf-interpolation read applies unchanged to the
+    accumulator).
+
+    Bin BOUNDS are parameters, not computed: a stream cannot know its final
+    min/max, so the caller pins (mn, width) from ingest stats — the honest
+    streaming contract for any bounded-geometry sketch (same reason the CMS
+    grid and bloom bit count are fixed up front). Values below mn clamp to
+    bin 0, above the top to bin bins-1, so the cdf stays total. SUM-merge
+    is NOT idempotent: like run_cms_sink this REFUSES to start over an
+    existing accumulator unless resume=True (a replayed batch would double
+    counts and silently shift every quantile — worse than CMS, where
+    one-sidedness at least bounds the lie). tests/test_streaming.py pins
+    stream == batch bin-count equality and the refusal."""
+    table = f"hist_acc_{name}"
+    if not resume and stream.sparkSession.catalog.tableExists(table):
+        raise ValueError(
+            f"run_histogram_sink({name!r}): accumulator table {table} "
+            "already exists and SUM-merge is not idempotent — a re-run "
+            "would double-count. DROP TABLE it for a fresh sketch, or "
+            "pass resume=True if this stream carries only unseen data."
+        )
+
+    def batch_sketch(batch_df):
+        return (
+            batch_df.where(F.col(col).isNotNull())
+            .select(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(bins - 1),
+                        F.floor((F.col(col) - F.lit(mn)) / F.lit(width)),
+                    ),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    _run_sketch_sink(
+        stream,
+        table=table,
+        batch_sketch=batch_sketch,
+        key_cols=["bin"],
+        merge_agg=lambda: F.sum("cnt").alias("cnt"),
+        schema="bin bigint, cnt bigint",
+        timeout_sec=timeout_sec,
+        job="run_histogram_sink",
+    )
+
+
 def _run_sketch_sink(
     stream: DataFrame,
     *,

@@ -971,3 +971,55 @@ def test_hll_sketch_stream_matches_batch(spark, tmp_path):
         )
     assert estimates(spark.table("hll_acc_t_hll")) == want
     spark.sql("DROP TABLE IF EXISTS hll_acc_t_hll")
+
+
+def test_histogram_sketch_stream_matches_batch(spark, tmp_path):
+    """The stream-maintained histogram (two micro-batches, SUM merge per
+    batch, caller-pinned bounds) must equal the single-pass batch bin
+    counts exactly, and a second invocation over the surviving accumulator
+    must REFUSE (SUM is not idempotent — a replay would shift quantiles)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from ksql_spark.streaming import jobs
+
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    stats = src.agg(F.min("value"), F.max("value")).first()
+    mn, width = stats[0], (stats[1] - stats[0]) / 64.0
+    d = tmp_path / "hist_stream"
+    d.mkdir()
+    for i, pred in enumerate(
+        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+    ):
+        src.where(pred).coalesce(1).write.parquet(str(d / f"f{i}"))
+        [pf] = [p for p in (d / f"f{i}").glob("*.parquet")]
+        shutil.copy(pf, d / f"part-{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    spark.sql("DROP TABLE IF EXISTS hist_acc_t_hist")
+    jobs.run_histogram_sink(stream, "t_hist", "value", mn, width)
+    got = {
+        r["bin"]: r["cnt"] for r in spark.table("hist_acc_t_hist").collect()
+    }
+    want = {
+        r["bin"]: r["cnt"]
+        for r in src.select(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(63), F.floor((F.col("value") - F.lit(mn)) / F.lit(width))),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == src.count()
+
+    stream2 = spark.readStream.schema(src.schema).parquet(str(d))
+    with pytest.raises(ValueError, match="double-count"):
+        jobs.run_histogram_sink(stream2, "t_hist", "value", mn, width)
+    spark.sql("DROP TABLE IF EXISTS hist_acc_t_hist")
