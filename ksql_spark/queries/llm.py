@@ -3188,3 +3188,243 @@ def llm_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "llm_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ), wc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM wc
+    ), per_tok AS (
+        SELECT t.doc_id,
+               CAST(trunc(-ln(CAST(wc.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS s_q6
+        FROM toks t JOIN wc USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s_q6) AS DOUBLE) / COUNT(*) / 1000000.0
+               AS mean_surprisal_nats
+    FROM per_tok GROUP BY doc_id
+    """,
+    ref="SURVEY §2 K77 [EXT] (unigram surprisal: per-doc mean -ln p(w) "
+    "under the corpus MLE unigram LM — the cheapest perplexity proxy in "
+    "the quality-filter ladder, below bigram coherence (K50); low = "
+    "repetitive/boilerplate, high = rare-token noise)",
+)
+def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token surprisal per document under the corpus's own unigram
+    distribution (MLE — every corpus token has p > 0 by construction).
+    Per-token surprisals quantize to 1e-6 and accumulate in exact longs,
+    so the per-doc mean is partition-order deterministic.
+
+    Scale shape: one vocab-sized word-count agg (map-side combined); the
+    count table joins back onto the exploded token stream — broadcast
+    while the vocabulary fits (it does by orders of magnitude at any
+    corpus size once HAVING-floored; un-floored web vocab would shuffle
+    on the word key, the llm_vocab_topk argument), then ONE groupBy
+    (doc_id) whose width is the doc count. The 1-row total broadcasts."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(text.words("text")).alias("w"))
+    wc = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").alias("n"))
+    per_tok = (
+        toks.join(F.broadcast(wc), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                -F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("s_q6"),
+        )
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("s_q6").cast("double") / F.count("*") / 1000000.0).alias(
+            "mean_surprisal_nats"
+        ),
+    )
+
+
+_COLLOC_MIN_COUNT = 5
+_COLLOC_TOPK = 20
+
+
+@query(
+    "llm_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ), big AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS r(i)
+    ), bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM big GROUP BY w1, w2
+    ), tot AS (
+        SELECT CAST(SUM(nb) AS BIGINT) AS n FROM bc
+    ), u1 AS (
+        SELECT w1 AS w, CAST(SUM(nb) AS BIGINT) AS c1 FROM bc GROUP BY w1
+    ), u2 AS (
+        SELECT w2 AS w, CAST(SUM(nb) AS BIGINT) AS c2 FROM bc GROUP BY w2
+    ), scored AS (
+        SELECT bc.w1, bc.w2, bc.nb,
+               CAST(trunc(ln(CAST(bc.nb AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                             / (CAST(u1.c1 AS DOUBLE)
+                                * CAST(u2.c2 AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) AS pmi_q6
+        FROM bc
+        JOIN u1 ON bc.w1 = u1.w
+        JOIN u2 ON bc.w2 = u2.w
+        CROSS JOIN tot
+        WHERE bc.nb >= {_COLLOC_MIN_COUNT}
+    )
+    SELECT w1, w2, nb AS n_pair,
+           CAST(pmi_q6 AS DOUBLE) / 1000000.0 AS pmi,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi_q6 DESC, w1, w2) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_COLLOC_TOPK}
+    """,
+    ref="SURVEY §2 K78 [EXT] (PMI collocation extraction: top bigrams by "
+    "pointwise mutual information with a count floor — Church & Hanks "
+    "1990, the classic multiword-expression detector; the PAIR-level "
+    "association complement of bigram coherence (K50), which scores "
+    "docs, not pairs)",
+)
+def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI = ln(p(w1,w2) / p(w1·)p(·w2)) over
+    adjacent-token bigrams, count floor 5 (PMI without a floor top-ranks
+    hapax pairs — the textbook failure mode). Unigram margins are the
+    bigram table's own row sums, so numerator and denominators live on one
+    vocabulary-sized frame. PMI quantizes to 1e-6 before ranking.
+
+    Scale shape: bigrams are a NARROW per-doc zip (no self-join); the one
+    corpus-wide exchange is the (w1, w2) hash agg with map-side combine —
+    output is bigram-vocabulary-sized. Margins re-aggregate that table
+    (two vocab-sized aggs) and join back; at 100 TB the count floor is
+    applied BEFORE the margin joins, collapsing the frame to frequent
+    pairs. The final top-k is TakeOrderedAndProject-sized (rank over the
+    floored pair set)."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = text.words("text")
+    big = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    tot = bc.agg(F.sum("nb").alias("n"))
+    u1 = bc.groupBy("w1").agg(F.sum("nb").alias("c1"))
+    u2 = bc.groupBy("w2").agg(F.sum("nb").alias("c2"))
+    pmi = F.log(
+        F.col("nb").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    scored = (
+        bc.where(F.col("nb") >= _COLLOC_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "nb",
+            (pmi * 1000000 + 0.5).cast("bigint").alias("pmi_q6"),
+        )
+    )
+    rw = Window.orderBy(F.col("pmi_q6").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= _COLLOC_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("nb").alias("n_pair"),
+            (F.col("pmi_q6").cast("double") / 1000000.0).alias("pmi"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
+    "llm_lang_source_mi",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell
+    ), ml AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cell GROUP BY lang
+    ), ms AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cell GROUP BY source
+    ), terms AS (
+        SELECT CAST(trunc(
+                   (CAST(cell.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * ln(CAST(cell.c AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                        / (CAST(ml.cl AS DOUBLE) * CAST(ms.cs AS DOUBLE)))
+                   * 1000000000 + 0.5) AS BIGINT) AS t_q9
+        FROM cell
+        JOIN ml USING (lang)
+        JOIN ms USING (source)
+        CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_docs,
+           CAST(SUM(t_q9) AS DOUBLE) / 1000000000.0 AS mi_nats
+    FROM terms
+    """,
+    ref="SURVEY §2 K79 [EXT] (lang x source mutual information: "
+    "I(lang; source) in nats over the document metadata contingency — "
+    "the single-number redundancy check behind the K63 confusion matrix: "
+    "MI ~ 0 means language adds nothing a source label doesn't already "
+    "say, high MI means per-source language mixes diverge)",
+)
+def llm_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the declared language and source labels:
+    sum over cells of p(l,s)·ln(p(l,s)/(p(l)p(s))), per-cell terms
+    quantized to 1e-9 (terms are < 1) and summed exactly.
+
+    Scale shape: ONE (lang, source) hash agg is the only corpus-wide
+    exchange; everything after operates on the |langs| x |sources| cell
+    table (both label domains are bounded), margins re-aggregated from
+    the cells and broadcast back. Output is one row."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    ml = cell.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = cell.groupBy("source").agg(F.sum("c").alias("cs"))
+    term = (
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("cl").cast("double") * F.col("cs").cast("double"))
+        )
+        * 1000000000
+        + 0.5
+    ).cast("bigint")
+    terms = (
+        cell.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("n"), term.alias("t_q9"))
+    )
+    return terms.groupBy("n").agg(
+        (F.sum("t_q9").cast("double") / 1000000000.0).alias("mi_nats")
+    ).select(F.col("n").alias("n_docs"), "mi_nats")
