@@ -1207,3 +1207,126 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((est * 1000000 + 0.5).cast("bigint") / 1000000.0).alias("estimate"),
         )
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               {sql_dsum('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    ), ref AS (
+        SELECT MAX(o_orderdate) AS refd FROM orders
+    ), met AS (
+        SELECT custkey,
+               CAST(date_diff('day', CAST(last_order AS DATE),
+                              CAST(refd AS DATE)) AS BIGINT) AS recency_days,
+               frequency, monetary
+        FROM per, ref
+    ), thr AS (
+        SELECT quantile_cont(recency_days, 0.2) AS r20,
+               quantile_cont(recency_days, 0.4) AS r40,
+               quantile_cont(recency_days, 0.6) AS r60,
+               quantile_cont(recency_days, 0.8) AS r80,
+               quantile_cont(frequency, 0.2) AS f20,
+               quantile_cont(frequency, 0.4) AS f40,
+               quantile_cont(frequency, 0.6) AS f60,
+               quantile_cont(frequency, 0.8) AS f80,
+               quantile_cont(monetary, 0.2) AS m20,
+               quantile_cont(monetary, 0.4) AS m40,
+               quantile_cont(monetary, 0.6) AS m60,
+               quantile_cont(monetary, 0.8) AS m80
+        FROM met
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(CASE WHEN recency_days <= r20 THEN 5
+                     WHEN recency_days <= r40 THEN 4
+                     WHEN recency_days <= r60 THEN 3
+                     WHEN recency_days <= r80 THEN 2
+                     ELSE 1 END AS INT) AS r_score,
+           CAST(CASE WHEN frequency > f80 THEN 5
+                     WHEN frequency > f60 THEN 4
+                     WHEN frequency > f40 THEN 3
+                     WHEN frequency > f20 THEN 2
+                     ELSE 1 END AS INT) AS f_score,
+           CAST(CASE WHEN monetary > m80 THEN 5
+                     WHEN monetary > m60 THEN 4
+                     WHEN monetary > m40 THEN 3
+                     WHEN monetary > m20 THEN 2
+                     ELSE 1 END AS INT) AS m_score
+    FROM met, thr
+    """,
+    ref="SURVEY §2 D22 [EXT] (RFM customer segmentation: "
+    "recency/frequency/monetary quintile scores — the classic "
+    "marketing-analytics segmentation; broadcast-threshold bucketing, "
+    "the llm_curriculum no-window discipline, NOT ntile)",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scores per customer: days since last order (lower = better),
+    order count, and exact-quantized spend, each bucketed 1-5 against
+    interpolated quintile thresholds. Boundary semantics: recency uses
+    <= (a customer AT the good-side threshold gets the better score),
+    frequency/monetary use > — both spelled identically in the oracle,
+    and threshold doubles are bitwise cross-engine (F.percentile ==
+    quantile_cont, the agg_quantiles pin).
+
+    Scale shape: ONE customer-keyed hash agg builds the metric table
+    (map-side combined); the quintile thresholds are a 1-row aggregate
+    BROADCAST back (percentile -> percentile_approx at 100 TB, same plan
+    shape — the llm_curriculum argument); scoring is a narrow CASE pass.
+    No window, no ntile, no global sort anywhere."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("refd"))
+    met = per.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        F.datediff(F.to_date("refd"), F.to_date("last_order"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    thr = met.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c[0]}{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def down(col, t):  # lower is better (recency)
+        return (
+            F.when(F.col(col) <= F.col(f"{t}20"), 5)
+            .when(F.col(col) <= F.col(f"{t}40"), 4)
+            .when(F.col(col) <= F.col(f"{t}60"), 3)
+            .when(F.col(col) <= F.col(f"{t}80"), 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    def up(col, t):  # higher is better
+        return (
+            F.when(F.col(col) > F.col(f"{t}80"), 5)
+            .when(F.col(col) > F.col(f"{t}60"), 4)
+            .when(F.col(col) > F.col(f"{t}40"), 3)
+            .when(F.col(col) > F.col(f"{t}20"), 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    return met.crossJoin(F.broadcast(thr)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        down("recency_days", "r").alias("r_score"),
+        up("frequency", "f").alias("f_score"),
+        up("monetary", "m").alias("m_score"),
+    )

@@ -1197,3 +1197,77 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ue AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM ue GROUP BY user_id
+    ), cell AS (
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, ue.day) AS BIGINT)
+                   AS day_offset,
+               ue.user_id
+        FROM ue JOIN cohort c USING (user_id)
+    ), sized AS (
+        SELECT cohort_day, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS cohort_size
+        FROM cohort GROUP BY cohort_day
+        -- cohort table: cohort_day is per-user MIN, one row per user
+    )
+    SELECT cell.cohort_day, cell.day_offset,
+           CAST(COUNT(DISTINCT cell.user_id) AS BIGINT) AS active_users,
+           s.cohort_size
+    FROM cell JOIN (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY cohort_day
+    ) s USING (cohort_day)
+    GROUP BY cell.cohort_day, cell.day_offset, s.cohort_size
+    """,
+    ref="SURVEY §2 K80 [EXT] (retention cohort matrix: users grouped by "
+    "first-active day, activity counted per day offset — the product-"
+    "analytics retention triangle; the cohort-relative counterpart of "
+    "rolling WAU (I14))",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: for each first-active-day cohort and day
+    offset, how many of the cohort's users were active — plus the cohort
+    size for computing retention rates downstream.
+
+    Scale shape: per-user first day is one user-keyed hash agg; the join
+    back is user-keyed (co-partitioned with the dedup that follows);
+    per-(cohort, offset) distinct users collapses via a (cohort, offset,
+    user) dedup agg BEFORE the counting agg, so the count never plans an
+    Expand over raw events. Cohort sizes are a calendar-bounded re-agg of
+    the per-user table, joined on cohort_day (broadcastable: |days|
+    rows). Output is the |days| x |offsets| triangle — calendar-bounded
+    at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    cohort = ue.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cell = (
+        ue.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        cell.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select("cohort_day", "day_offset", "active_users", "cohort_size")
+    )
