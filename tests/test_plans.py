@@ -665,3 +665,85 @@ def test_cusum_window_partitioned_by_type(spark):
     plan = plan_of(spark, "events_cusum_drift")
     assert "windowspecdefinition(event_type" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """C14: the fuzzy join must plan as an EQUI join on the block key with
+    the Levenshtein predicate as a residual — never CartesianProduct or
+    BroadcastNestedLoopJoin (the O(n²) spellings)."""
+    plan = plan_of(spark, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # residual rides inside the join
+
+
+def test_keycollision_exchange_carries_digest_not_key(spark):
+    """K73: the group-by exchange must carry the 32-byte sha2 digest, not
+    the sorted-token canonical key (which can exceed the document size)."""
+    plan = plan_of(spark, "llm_keycollision_dedup")
+    import re
+
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "ckey_digest" in cols or "text" not in cols, cols
+    # the key text itself never appears as an exchange-partitioning column
+    assert not re.search(r"Exchange hashpartitioning\([^)]*\btext\b", plan)
+
+
+def test_keyness_margins_broadcast(spark):
+    """K75: source totals and the grand total broadcast; the only
+    sort-merge-eligible join is the vocab-sized word-margin join."""
+    df = SPECS["llm_source_keyness"].builder(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_surprisal_vocab_broadcast(spark):
+    """K77: the word-count table joins back onto the token stream as a
+    BROADCAST — the corpus token stream must not shuffle on the word."""
+    plan = plan_of(spark, "llm_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan
+    # the vocab-count agg legitimately exchanges on w (vocab-sized, partial
+    # agged); what must NOT happen is the token stream sort-merge-joining
+    # against the counts — that would shuffle the corpus on the word key
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_quantile_no_expand_bin_only_exchange(spark):
+    """D21: the sketch build must not plan an Expand (it is not a
+    count-distinct) and the data-wide exchange carries only the bin id."""
+    plan = plan_of(spark, "agg_histogram_quantile")
+    assert "Expand" not in plan
+    import re
+
+    wide = [
+        c
+        for c in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "bin" in c
+    ]
+    for cols in wide:
+        assert "l_extendedprice" not in cols, cols
+
+
+def test_retention_no_expand(spark):
+    """K80: distinct users per (cohort, offset) must come from the dedup
+    agg, never a COUNT(DISTINCT) Expand over raw events."""
+    plan = plan_of(spark, "events_retention_cohorts")
+    assert "Expand" not in plan
+
+
+def test_rfm_no_window_no_sort(spark):
+    """D22: quintile bucketing is broadcast-threshold CASE logic — the
+    plan must contain no Window and no global Sort."""
+    plan = plan_of(spark, "orders_rfm_segments")
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kcore_no_cartesian(spark):
+    """L8: every peeling round is a keyed semi-join; the weighted
+    adjacency build self-joins on the part key — nothing may plan as a
+    cartesian/nested-loop product."""
+    plan = plan_of(spark, "graph_kcore")
+    assert "CartesianProduct" not in plan
