@@ -3428,3 +3428,134 @@ def llm_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("n").agg(
         (F.sum("t_q9").cast("double") / 1000000000.0).alias("mi_nats")
     ).select(F.col("n").alias("n_docs"), "mi_nats")
+
+
+_BPE_TOPK = 5
+
+
+@query(
+    "llm_bpe_merges",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ), wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY word
+    ), p1 AS (
+        SELECT c[i] AS s1, c[i + 1] AS s2, n
+        FROM (SELECT string_split(word, '') AS c, n FROM wc),
+             unnest(range(1, len(c))) AS r(i)
+    ), stats1 AS (
+        SELECT s1, s2, CAST(SUM(n) AS BIGINT) AS weight
+        FROM p1 GROUP BY s1, s2
+    ), best1 AS (
+        SELECT s1 AS b1, s2 AS b2 FROM stats1
+        ORDER BY weight DESC, s1, s2 LIMIT 1
+    ), wc2 AS (
+        SELECT replace(word, b1 || b2, chr(1)) AS word, n
+        FROM wc, best1
+    ), p2 AS (
+        SELECT c[i] AS s1, c[i + 1] AS s2, n
+        FROM (SELECT string_split(word, '') AS c, n FROM wc2),
+             unnest(range(1, len(c))) AS r(i)
+    ), stats2 AS (
+        SELECT s1, s2, CAST(SUM(n) AS BIGINT) AS weight
+        FROM p2 GROUP BY s1, s2
+    ), top1 AS (
+        SELECT 1 AS iteration, s1, s2, weight,
+               row_number() OVER (ORDER BY weight DESC, s1, s2) AS rnk
+        FROM stats1
+    ), top2 AS (
+        SELECT 2 AS iteration, s1, s2, weight,
+               row_number() OVER (ORDER BY weight DESC, s1, s2) AS rnk
+        FROM stats2
+    ), unioned AS (
+        SELECT * FROM top1 WHERE rnk <= {_BPE_TOPK}
+        UNION ALL
+        SELECT * FROM top2 WHERE rnk <= {_BPE_TOPK}
+    )
+    SELECT CAST(iteration AS INT) AS iteration,
+           CASE WHEN u.s1 = chr(1) THEN b.b1 || b.b2 ELSE u.s1 END AS sym1,
+           CASE WHEN u.s2 = chr(1) THEN b.b1 || b.b2 ELSE u.s2 END AS sym2,
+           u.weight, CAST(u.rnk AS INT) AS rank
+    FROM unioned u CROSS JOIN best1 b
+    """,
+    ref="SURVEY §2 K81 [EXT] (BPE merge training, two genuine iterations: "
+    "count adjacent symbol pairs over the word-frequency dictionary, "
+    "apply the best merge (left-to-right non-overlapping replace — the "
+    "canonical Sennrich et al. 2016 behavior), recount — the actual "
+    "tokenizer-training step behind K34 token counting / K43 fertility)",
+)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two iterations of byte-pair-encoding training: top-5 pair stats
+    before and after applying the first merge (merged symbol displayed as
+    the concatenated pair). Iteration 2's counts genuinely reflect the
+    applied merge — pairs overlapping the merged symbol disappear, new
+    (merged, next) pairs appear — so this pins the iterative training
+    loop, not just one pair count.
+
+    Scale shape: classic BPE trains on the word-frequency DICTIONARY, not
+    the corpus — the one corpus-wide exchange is the word-count agg
+    (vocab-sized output, map-side combined). Everything after (char pair
+    explode x ~avg-word-length, the 1-row argmax merge broadcast back,
+    the replace + recount) is vocabulary-scale work repeated per merge;
+    production BPE runs ~30k merges over exactly this loop shape with the
+    dictionary cached. The merge marker is chr(1), outside the token
+    alphabet."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wc = (
+        d.select(F.explode(text.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def pair_stats(words: DataFrame) -> DataFrame:
+        c = F.split(F.col("word"), "")
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(c, 1, F.size(c) - 1),
+                    F.slice(c, 2, F.size(c) - 1),
+                    lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+                )
+            ).alias("p"),
+            "n",
+        ).select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "n")
+        return pairs.groupBy("s1", "s2").agg(F.sum("n").alias("weight"))
+
+    def topk(stats: DataFrame, it: int) -> DataFrame:
+        w = Window.orderBy(F.col("weight").desc(), "s1", "s2")
+        return (
+            stats.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _BPE_TOPK)
+            .select(F.lit(it).alias("iteration"), "s1", "s2", "weight", "rnk")
+        )
+
+    stats1 = pair_stats(wc).localCheckpoint()
+    best1 = (
+        stats1.orderBy(F.col("weight").desc(), "s1", "s2")
+        .limit(1)
+        .select(F.col("s1").alias("b1"), F.col("s2").alias("b2"))
+    )
+    marker = F.expr("char(1)")
+    wc2 = wc.crossJoin(F.broadcast(best1)).select(
+        F.replace(
+            F.col("word"), F.concat(F.col("b1"), F.col("b2")), marker
+        ).alias("word"),
+        "n",
+    )
+    stats2 = pair_stats(wc2)
+    unioned = topk(stats1, 1).unionByName(topk(stats2, 2))
+
+    def disp(col):
+        return F.when(
+            F.col(col) == marker, F.concat(F.col("b1"), F.col("b2"))
+        ).otherwise(F.col(col))
+
+    return unioned.crossJoin(F.broadcast(best1)).select(
+        F.col("iteration").cast("int").alias("iteration"),
+        disp("s1").alias("sym1"),
+        disp("s2").alias("sym2"),
+        "weight",
+        F.col("rnk").cast("int").alias("rank"),
+    )

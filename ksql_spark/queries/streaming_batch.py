@@ -1271,3 +1271,73 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "cohort_day")
         .select("cohort_day", "day_offset", "active_users", "cohort_size")
     )
+
+
+@query(
+    "events_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), dow AS (
+        SELECT event_type, CAST(isodow(day) AS INT) AS iso_dow,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type, isodow(day)
+    ), base AS (
+        SELECT event_type,
+               CAST(SUM(n_events) AS DOUBLE) / CAST(SUM(n_days) AS DOUBLE)
+                   AS overall_daily_mean
+        FROM dow GROUP BY event_type
+    )
+    SELECT d.event_type, d.iso_dow, d.n_events,
+           CAST(trunc(
+               (CAST(d.n_events AS DOUBLE) / CAST(d.n_days AS DOUBLE))
+               / b.overall_daily_mean * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS seasonal_index
+    FROM dow d JOIN base b USING (event_type)
+    """,
+    ref="SURVEY §2 K82 [EXT] (day-of-week seasonality index: mean daily "
+    "count per ISO weekday / overall daily mean, per event type — the "
+    "classical-decomposition seasonal factor that CALIBRATES Holt-Winters "
+    "(K76) period choice and gap-fill expectations (K29); uses the "
+    "weekday()+1 == isodow() portability pin from fn_date_arith)",
+)
+def events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index per (event_type, ISO weekday): a value of 1.1 means
+    that weekday runs 10% above the type's average day. Denominator is
+    the type's overall daily mean recomputed from the same per-dow
+    aggregate (sum of events / sum of observed days), so the index is
+    self-consistent and day-count-weighted.
+
+    Scale shape: the event stream collapses to |types| x |days| in ONE
+    hash agg; the per-dow and per-type re-aggregations and the join back
+    operate on calendar-bounded rows (<= types x 7). Nothing after the
+    first agg is data-sized."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").alias("c"))
+    dow = daily.groupBy(
+        "event_type", (F.weekday("day") + 1).cast("int").alias("iso_dow")
+    ).agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+    base = dow.groupBy("event_type").agg(
+        (
+            F.sum("n_events").cast("double") / F.sum("n_days").cast("double")
+        ).alias("overall_daily_mean")
+    )
+    idx = (
+        (F.col("n_events").cast("double") / F.col("n_days").cast("double"))
+        / F.col("overall_daily_mean")
+        * 1000000
+        + 0.5
+    ).cast("bigint").cast("double") / 1000000.0
+    return (
+        dow.join(F.broadcast(base), "event_type")
+        .select("event_type", "iso_dow", "n_events", idx.alias("seasonal_index"))
+    )
