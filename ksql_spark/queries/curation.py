@@ -1870,3 +1870,140 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_words"),
         q6(slope).alias("zipf_slope"),
     )
+
+
+_PQ_M, _PQ_SUB, _PQ_KP, _PQ_TOPK = 8, 8, 16, 5
+
+
+def _pq_portable_oracle() -> str:
+    l2 = _SQL_L2SQ.format(a="s.sub", b="c.cent_sub")
+    l2q = _SQL_L2SQ.format(a="q.sub", b="c.cent_sub")
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS code_id, embedding FROM embeddings
+        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        LIMIT {_PQ_KP}
+    ), csubs AS (
+        SELECT r.m, code_id,
+               embedding[r.m * {_PQ_SUB} + 1 : (r.m + 1) * {_PQ_SUB}]
+                   AS cent_sub
+        FROM cents, unnest(range(0, {_PQ_M})) AS r(m)
+    ), subs AS (
+        SELECT vec_id, r.m,
+               embedding[r.m * {_PQ_SUB} + 1 : (r.m + 1) * {_PQ_SUB}] AS sub
+        FROM embeddings, unnest(range(0, {_PQ_M})) AS r(m)
+    ), codes AS (
+        SELECT vec_id, m, code_id FROM (
+            SELECT s.vec_id, s.m, c.code_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {l2}, c.code_id) AS rn
+            FROM subs s JOIN csubs c USING (m)
+        ) WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, q.m, c.code_id,
+               CAST(trunc({l2q} * 1000000 + 0.5) AS BIGINT) AS pd_q6
+        FROM subs q JOIN csubs c USING (m)
+        WHERE q.vec_id < 3
+    )
+    SELECT query_id, vec_id,
+           CAST(approx_q6 AS DOUBLE) / 1000000.0 AS approx_d,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT l.query_id, k.vec_id,
+               SUM(l.pd_q6) AS approx_q6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.query_id
+                   ORDER BY SUM(l.pd_q6), k.vec_id) AS rnk
+        FROM codes k
+        JOIN lut l ON l.m = k.m AND l.code_id = k.code_id
+        WHERE l.query_id <> k.vec_id
+        GROUP BY l.query_id, k.vec_id
+    ) WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@query(
+    "ann_pq_topk_portable",
+    oracle=_pq_portable_oracle(),
+    ref="SURVEY §2 K3 [EXT] (ENGINE-PORTABLE product quantization: "
+    "per-subspace codebooks are the sub-slices of 16 hash-selected corpus "
+    "vectors (random-sample quantizer, no KMeans), exact-L2 encoding, "
+    "quantized asymmetric-distance lookup — the complete PQ ADC search "
+    "ORACLE-EXACT, closing the last ANN strategy without a cross-engine "
+    "check; the KMeans-fitted ann_pq_topk stays the production path)",
+)
+def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-5, fully deterministic: M=8 subspaces x 8 dims,
+    per-subspace K'=16 codebook = sub-slices of the 16 smallest-Knuth-hash
+    corpus vectors; encode by exact squared-L2 argmin (code_id tiebreak);
+    rank by ADC = sum over subspaces of the query's distance to the
+    assigned centroid. Per-cell LUT distances quantize to 1e-6 longs
+    BEFORE the sum, so the ADC total and the ranking are exact integers —
+    partition-order- and engine-independent.
+
+    Scale shape: identical to ann_pq_topk — the codebook is O(M*K'*SUB)
+    broadcast, encoding is one narrow O(n*M*K') pass, the corpus side of
+    the ranking join carries only (vec_id, m, code_id) rows (the 16x
+    memory compression that makes 100 TB ANN feasible), and the LUT
+    (|queries|*M*K' rows) broadcasts. No corpus-corpus join anywhere."""
+    from pyspark.sql import Window
+
+    from ksql_spark.operators import vectors
+
+    e = load(spark, sf_dir, "embeddings")
+    u = (F.col("vec_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    cents = (
+        e.orderBy(u, "vec_id")
+        .limit(_PQ_KP)
+        .select(F.col("vec_id").alias("code_id"), F.col("embedding").alias("c_emb"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    csubs = cents.select("code_id", "c_emb", ms).select(
+        "m",
+        "code_id",
+        F.slice(F.col("c_emb"), F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("cent_sub"),
+    )
+    subs = e.select("vec_id", "embedding", ms).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("embedding"), F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+    )
+    d = vectors.l2_sq_dist("sub", "cent_sub")
+    enc_w = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code_id"))
+    codes = (
+        subs.join(F.broadcast(csubs), "m")
+        .select("vec_id", "m", "code_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code_id")
+    )
+    lut = (
+        subs.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub"))
+        .join(F.broadcast(csubs.withColumnRenamed("cent_sub", "c_sub")), "m")
+        .select(
+            "query_id",
+            "m",
+            "code_id",
+            (vectors.l2_sq_dist("q_sub", "c_sub") * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("pd_q6"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_q6").asc(), F.col("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd_q6").alias("approx_q6"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("approx_q6").cast("double") / 1000000.0).alias("approx_d"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
