@@ -1330,3 +1330,52 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         up("frequency", "f").alias("f_score"),
         up("monetary", "m").alias("m_score"),
     )
+
+
+@query(
+    "supplier_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS ship_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           quantile_cont(ship_days, 0.5) AS p50_days,
+           quantile_cont(ship_days, 0.9) AS p90_days,
+           MAX(ship_days) AS max_days
+    FROM lat GROUP BY suppkey
+    """,
+    ref="SURVEY §2 D23 [EXT] (supplier order-to-ship latency percentiles: "
+    "p50/p90/max days from order date to line shipment per supplier — the "
+    "operational SLA view; interpolated percentiles bitwise cross-engine, "
+    "the agg_quantiles pin)",
+)
+def supplier_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per supplier (p50/p90/max days).
+
+    Scale shape: the lineitem-orders join shuffles both sides on the
+    orderkey — the canonical co-located-join candidate: at 100 TB both
+    tables are bucketed on orderkey at write (join_bucketed_colocated's
+    layout) and the join costs zero exchanges; here Catalyst picks
+    broadcast/SMJ by size. The per-supplier percentile agg shuffles
+    |lineitem| narrow (suppkey, days) pairs once; exact percentile state
+    is per-group sorted values — swap percentile_approx at 100 TB for
+    constant-memory state, same plan shape (the llm_curriculum note)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("ship_days"),
+    )
+    return lat.groupBy("suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.percentile("ship_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("ship_days", F.lit(0.9)).alias("p90_days"),
+        F.max("ship_days").alias("max_days"),
+    )

@@ -1341,3 +1341,99 @@ def events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.join(F.broadcast(base), "event_type")
         .select("event_type", "iso_dow", "n_events", idx.alias("seasonal_index"))
     )
+
+
+@query(
+    "events_ab_proportion_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase'
+                             AND ts < TIMESTAMP '2024-01-03'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY variant
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+            MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+            MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+            MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(trunc(CAST(c0 AS DOUBLE) / n0 * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS rate0,
+           CAST(trunc(CAST(c1 AS DOUBLE) / n1 * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS rate1,
+           CAST(trunc(
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS z_stat
+    FROM wide
+    """,
+    ref="SURVEY §2 K83 [EXT] (two-proportion z-test on conversion: "
+    "user-level A/B arms by id parity, pooled-variance z statistic — the "
+    "experiment-readout primitive behind every product launch decision; "
+    "user-level conversion FIRST so heavy users can't inflate an arm)",
+)
+def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test comparing purchase conversion between
+    the even/odd user-id arms (a stand-in for a real assignment column —
+    the operator shape is identical); conversion = purchased within the
+    first two days (an unbounded horizon saturates both arms at 100% and
+    degenerates the pooled variance to zero). Conversion is per USER (max
+    over events), the denominator is users, not events — the
+    unit-of-analysis correctness that naive event-level rates get wrong.
+    try_divide keeps a degenerate split (pp in {0,1}) a NULL z rather
+    than an ANSI abort, matching SQL x/0 semantics.
+
+    Scale shape: one user-keyed hash agg (map-side combined) collapses
+    the stream to per-user rows; the arm totals are a 2-row re-agg; the
+    z arithmetic is a 1-row projection, quantized to 1e-6. Nothing after
+    the first agg is data-sized."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+
+    def q6(c):
+        return (c * 1000000 + 0.5).cast("bigint").cast("double") / 1000000.0
+
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        q6(p0).alias("rate0"),
+        q6(p1).alias("rate1"),
+        q6(z).alias("z_stat"),
+    )
