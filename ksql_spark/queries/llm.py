@@ -3559,3 +3559,59 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.col("rnk").cast("int").alias("rank"),
     )
+
+
+@query(
+    "llm_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE text IS NOT NULL
+    ), cc AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id
+    )
+    SELECT cc.doc_id, MAX(tot.n) AS n_chars,
+           CAST(SUM(CAST(trunc(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0
+               AS entropy_nats
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id
+    """,
+    ref="SURVEY §2 K85 [EXT] (character-level Shannon entropy per doc — "
+    "the mojibake/binary-junk screen in the quality ladder: natural text "
+    "sits in a narrow entropy band, base64/random bytes score high, "
+    "run-length junk scores near zero; the CHARACTER-alphabet complement "
+    "of word-level surprisal K77)",
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's character distribution.
+    Per-character terms -p·ln(p) quantize to 1e-9 (each < 1/e) and sum
+    exactly, so the per-doc entropy is partition-order deterministic.
+
+    Scale shape: one (doc_id, char) hash agg over the exploded character
+    stream (map-side combine collapses each task to <= |alphabet| rows
+    per doc), a doc-keyed total re-agg, and a co-partitioned join back —
+    all exchanges carry (doc, char) or (doc) keys. Per-doc alphabet is
+    bounded (<= 256 for bytes, small multiples for unicode text), so
+    state never grows with doc length."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = (-p * F.log(p) * 1000000000 + 0.5).cast("bigint")
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            (F.sum(term).cast("double") / 1000000000.0).alias("entropy_nats"),
+        )
+    )

@@ -1437,3 +1437,70 @@ def events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(p1).alias("rate1"),
         q6(z).alias("z_stat"),
     )
+
+
+@query(
+    "events_type_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY date_trunc('day', ts), event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(a.c AS DOUBLE) AS x, CAST(b.c AS DOUBLE) AS y
+        FROM daily a JOIN daily b USING (day)
+        WHERE a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(trunc(
+               (COUNT(*) * ({sql_dsum('x * y')})
+                - ({sql_dsum('x')}) * ({sql_dsum('y')}))
+               / (sqrt(COUNT(*) * ({sql_dsum('x * x')})
+                       - ({sql_dsum('x')}) * ({sql_dsum('x')}))
+                  * sqrt(COUNT(*) * ({sql_dsum('y * y')})
+                         - ({sql_dsum('y')}) * ({sql_dsum('y')})))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS pearson_r
+    FROM pairs GROUP BY type_a, type_b
+    """,
+    ref="SURVEY §2 K84 [EXT] (cross-type correlation matrix: Pearson r "
+    "between daily count series of every event-type pair — the co-"
+    "movement screen behind alert grouping and root-cause triage; the "
+    "CROSS-series companion of K67's per-series autocorrelation)",
+)
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between each pair of event types' daily count
+    series (type_a < type_b — each pair once), exact-moment formulation
+    with scaled-long sums (the K67/agg_stats discipline), quantized to
+    1e-6.
+
+    Scale shape: the stream collapses to |types| x |days| in one hash
+    agg; the pair build is a day-keyed self-join of that CALENDAR-BOUNDED
+    table (|types|² x |days| rows max — never event-sized), then one
+    bounded-output agg. At 100 TB only the first agg's exchange grows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    a = daily.select(
+        "day", F.col("event_type").alias("type_a"), F.col("c").cast("double").alias("x")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("type_b"), F.col("c").cast("double").alias("y")
+    )
+    pairs = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    n = F.count("*")
+    sx, sy = dsum("x"), dsum("y")
+    sxx, syy, sxy = dsum(F.col("x") * F.col("x")), dsum(F.col("y") * F.col("y")), dsum(
+        F.col("x") * F.col("y")
+    )
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        n.cast("bigint").alias("n_days"),
+        ((r * 1000000 + 0.5).cast("bigint").cast("double") / 1000000.0).alias(
+            "pearson_r"
+        ),
+    )
