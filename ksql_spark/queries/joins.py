@@ -732,3 +732,88 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH ok AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS w
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), lk AS (
+        SELECT CAST(l_orderkey AS VARCHAR) AS w FROM lineitem
+    ), oj AS (SELECT w, unnest([0, 1, 2, 3]) AS j FROM ok),
+    lj AS (SELECT w, unnest([0, 1, 2, 3]) AS j FROM lk),
+    ska AS (
+        SELECT j, ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT % 512 AS pos,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM oj GROUP BY 1, 2
+    ), skb AS (
+        SELECT j, ('0x' || substr(md5(w), 1 + 8 * j, 8))::BIGINT % 512 AS pos,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lj GROUP BY 1, 2
+    ), prod AS (
+        SELECT a.j, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+        FROM ska a JOIN skb b ON a.j = b.j AND a.pos = b.pos
+        GROUP BY a.j
+    ), est AS (SELECT MIN(ip) AS estimate_rows FROM prod),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT exact_rows, estimate_rows,
+           estimate_rows >= exact_rows AS one_sided_ok
+    FROM exact, est
+    """,
+    ref="SURVEY §2 C15 [EXT] (join cardinality estimation via Count-Min "
+    "inner product: |A join B| on a key = <f_A, f_B> frequency-vector "
+    "inner product, upper-bounded by min over CMS rows of the counter "
+    "inner products (Cormode & Muthukrishnan 2005) — the sketch an "
+    "optimizer consults BEFORE committing a join order or a broadcast "
+    "decision; one-sidedness structural and asserted in the output)",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the urgent-orders x lineitem join size from two 4x512
+    Count-Min sketches WITHOUT running the join, next to the exact count
+    (here the oracle proof runs both; an optimizer would run only the
+    sketch side). Estimate = min over hash rows of the counter-vector
+    inner product — an upper bound on the true inner product, the
+    standard CMS join-size bound.
+
+    Scale shape: each side collapses to a <= 2048-row sketch in one
+    map-side-combined agg (key strings hash; no join executes to
+    estimate); the inner product joins two 2048-row grids. Sketches are
+    the SUM-mergeable kind, so per-shard/per-partition sketches combine
+    — a catalog can maintain them incrementally (run_cms_sink) and
+    answer join-size queries for any key pair in O(d*w). The exact
+    branch exists for the cross-engine proof and the one-sided gate.
+    Accuracy scales with width: expected overcount per row is
+    ~|A|*|B|/w, so the demo's w=512 is deliberately loose at sf0.01
+    (~30x) — an optimizer sizes w to the key cardinality (w ~ 1/eps),
+    trading the same sketch rows for a tighter bound."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    from ksql_spark.queries.llm import cms_sketch
+
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    ska = cms_sketch(
+        urgent.select(F.col("o_orderkey").cast("string").alias("w"))
+    )
+    skb = cms_sketch(li.select(F.col("l_orderkey").cast("string").alias("w")))
+    prod = (
+        ska.alias("a")
+        .join(skb.alias("b"), ["j", "pos"])
+        .groupBy("j")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    est = prod.agg(F.min("ip").alias("estimate_rows"))
+    exact = (
+        urgent.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count("*").alias("exact_rows"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_rows",
+        "estimate_rows",
+        (F.col("estimate_rows") >= F.col("exact_rows")).alias("one_sided_ok"),
+    )

@@ -747,3 +747,54 @@ def test_kcore_no_cartesian(spark):
     cartesian/nested-loop product."""
     plan = plan_of(spark, "graph_kcore")
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB posture proof for runtime filtering: when a selective dim
+    side joins a large fact through a SHUFFLE join (no broadcast), Spark's
+    runtime bloom filter must be injected on the fact side — the engine
+    mechanism that prunes fact-scan rows/row-groups by the build side's
+    actual keys at execution time. The engine keeps the feature on
+    (session default); this pins that our join shapes remain eligible:
+    equi-key, selective creation side, no blocking hint. Results must be
+    unchanged by the filter (it is one-sided by construction)."""
+    import pyspark.sql.functions as F
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        [row] = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+        # one-sidedness: the filtered count equals the unfiltered join count
+        want = (
+            li.join(
+                spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ).hint("broadcast"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).count()
+        )
+        assert row["n"] == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
