@@ -1379,3 +1379,49 @@ def supplier_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("ship_days", F.lit(0.9)).alias("p90_days"),
         F.max("ship_days").alias("max_days"),
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, n AS group_size,
+           n < {_KANON_K} AS violates_k
+    FROM groups
+    """,
+    ref="SURVEY §2 D24 [EXT] (k-anonymity audit, k=5: equivalence-class "
+    "sizes over the quasi-identifier tuple (nation, market segment) with "
+    "per-class violation flags — the Sweeney 2002 re-identification "
+    "check run before any data release; the privacy complement of PII "
+    "scrubbing K8, which removes direct identifiers but not "
+    "quasi-identifier joins)",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every quasi-identifier equivalence class with its size and whether
+    it violates k=5 anonymity — a class of fewer than k customers is
+    re-identifiable by joining (nation, segment) against any external
+    dataset. The release decision (suppress, generalize nation -> region,
+    or pass) consumes exactly this table.
+
+    Scale shape: ONE hash agg on the quasi-identifier tuple (map-side
+    combined; output bounded by the QI domain product, here 25 x 5), flag
+    is a narrow projection. Wider QI sets stay the same single-agg shape
+    with a larger bounded domain; continuous QIs get bucketed first (the
+    D21 histogram binning)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < _KANON_K).alias("violates_k"),
+        )
+    )

@@ -676,6 +676,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_types|²-bounded, its row totals a broadcast join back."""
     from pyspark.sql import Window
 
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -790,6 +792,8 @@ def events_pattern_vvp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user_id shuffle, sequential scan, no joins; longer
     patterns add lags, not passes."""
+    from pyspark.sql import Window
+
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
@@ -1503,4 +1507,67 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r * 1000000 + 0.5).cast("bigint").cast("double") / 1000000.0).alias(
             "pearson_r"
         ),
+    )
+
+
+_PATH_TOPK = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), triples AS (
+        SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n_occurrences, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                                     e1, e2, e3) AS rnk
+        FROM triples
+    ) WHERE rnk <= {_PATH_TOPK}
+    """,
+    ref="SURVEY §2 K86 [EXT] (sequential path mining: top 3-step event "
+    "paths by occurrence over per-user time-ordered streams — the "
+    "navigation-flow / funnel-discovery primitive; generalizes the "
+    "first-order Markov view (K57) to path n-grams, and longer paths "
+    "add lags, not passes — the K60 CEP argument)",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten most common consecutive 3-event paths across all users (ties
+    broken lexicographically). Paths come from TWO leads over one
+    per-user window pass — no self-joins; a k-step path is k-1 leads in
+    the same pass.
+
+    Scale shape: one user-keyed window shuffle (the per-user sort is the
+    same exchange every sessionize/CEP entry rides), then a hash agg
+    whose output is |types|³-bounded, then a TakeOrdered-sized rank over
+    that bounded table. Per-user stream length bounds window memory; the
+    K41 chunk-by-session caveat applies to degenerate single-key
+    streams."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    triples = seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    rw = Window.orderBy(F.col("n_occurrences").desc(), "e1", "e2", "e3")
+    return (
+        triples.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= _PATH_TOPK)
+        .select("e1", "e2", "e3", "n_occurrences",
+                F.col("rank").cast("int").alias("rank"))
     )
