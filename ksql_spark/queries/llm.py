@@ -3318,11 +3318,13 @@ def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored pair set)."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     w = text.words("text")
+    # greatest(…, 0): an empty/whitespace-only doc has size(w) = 0 and a
+    # raw size-1 length aborts slice (degenerate-corpus net)
     big = d.select(
         F.explode(
             F.zip_with(
-                F.slice(w, 1, F.size(w) - 1),
-                F.slice(w, 2, F.size(w) - 1),
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p")

@@ -1499,8 +1499,11 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = dsum(F.col("x") * F.col("x")), dsum(F.col("y") * F.col("y")), dsum(
         F.col("x") * F.col("y")
     )
-    r = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # try_divide: a constant series has zero variance — NULL r (SQL x/0
+    # semantics), not an ANSI job abort (the degenerate-corpus net)
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
     )
     return pairs.groupBy("type_a", "type_b").agg(
         n.cast("bigint").alias("n_days"),
