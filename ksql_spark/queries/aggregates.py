@@ -1425,3 +1425,117 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < _KANON_K).alias("violates_k"),
         )
     )
+
+
+@query(
+    "orders_ltv_curve",
+    oracle=f"""
+    WITH om AS (
+        SELECT o_custkey AS custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS ym,
+               o_totalprice
+        FROM orders
+    ), first AS (
+        SELECT custkey, MIN(ym) AS cohort_ym FROM om GROUP BY custkey
+    ), sizes AS (
+        SELECT cohort_ym, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY cohort_ym
+    ), rev AS (
+        SELECT f.cohort_ym, om.ym - f.cohort_ym AS month_offset,
+               {sql_dsum('om.o_totalprice')} AS r
+        FROM om JOIN first f USING (custkey)
+        GROUP BY f.cohort_ym, om.ym - f.cohort_ym
+    ), spine AS (
+        SELECT s.cohort_ym, s.cohort_size, CAST(g.o AS BIGINT) AS month_offset
+        FROM sizes s,
+             unnest(range(0, (SELECT MAX(ym) FROM om)
+                             - s.cohort_ym + 1)) AS g(o)
+    ), filled AS (
+        SELECT sp.cohort_ym, sp.cohort_size, sp.month_offset,
+               COALESCE(rev.r, 0.0) AS r
+        FROM spine sp LEFT JOIN rev USING (cohort_ym, month_offset)
+    ), cum AS (
+        SELECT cohort_ym, cohort_size, month_offset,
+               SUM(CAST(trunc(r * 1000000 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY cohort_ym ORDER BY month_offset)
+                   AS cum_q6
+        FROM filled
+    )
+    SELECT cohort_ym, month_offset, cohort_size,
+           CAST(cum_q6 AS DOUBLE) / 1000000.0 AS cum_revenue,
+           CAST(trunc(CAST(cum_q6 AS DOUBLE) / cohort_size / 1000000.0
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS ltv_per_customer
+    FROM cum
+    """,
+    ref="SURVEY §2 D25 [EXT] (cohort LTV curve: cumulative revenue per "
+    "first-order-month cohort at every month offset, divided by cohort "
+    "size — the lifetime-value readout behind CAC payback decisions; "
+    "the REVENUE companion of the K80 retention triangle)",
+)
+def orders_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average cumulative revenue per customer by acquisition cohort
+    (first-order month, encoded year*12+month) and month offset, on a
+    DENSE offset spine (a cohort with a quiet month still gets a row —
+    its curve plateaus instead of skipping). Monthly revenue quantizes
+    to 1e-6 longs before the running sum, so the curve is exact.
+
+    Scale shape: one customer-keyed agg for cohorts, one
+    (cohort, offset)-keyed agg for revenue (both map-side combined);
+    the spine is generated per cohort row by sequence() — the
+    events_resample_gapfill narrow-explode pattern, never a cross join;
+    the cumulative window partitions by cohort over CALENDAR-bounded
+    offsets. Output is |cohorts| x |offsets|."""
+    o = load(spark, sf_dir, "orders")
+    om = o.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+        "o_totalprice",
+    )
+    first = om.groupBy("custkey").agg(F.min("ym").alias("cohort_ym"))
+    sizes = first.groupBy("cohort_ym").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        om.join(first, "custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset"))
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    max_ym = om.agg(F.max("ym").alias("max_ym"))
+    spine = (
+        sizes.crossJoin(F.broadcast(max_ym))
+        .select(
+            "cohort_ym",
+            "cohort_size",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("max_ym") - F.col("cohort_ym"))
+            ).alias("month_offset"),
+        )
+    )
+    filled = spine.join(rev, ["cohort_ym", "month_offset"], "left").select(
+        "cohort_ym",
+        "cohort_size",
+        "month_offset",
+        F.coalesce(F.col("r"), F.lit(0.0)).alias("r"),
+    )
+    from pyspark.sql import Window
+
+    cw = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_q6 = F.sum((F.col("r") * 1000000 + 0.5).cast("bigint")).over(cw)
+    return filled.select(
+        "cohort_ym",
+        "month_offset",
+        "cohort_size",
+        (cum_q6.cast("double") / 1000000.0).alias("cum_revenue"),
+        (
+            (cum_q6.cast("double") / F.col("cohort_size") / 1000000.0 * 1000000 + 0.5)
+            .cast("bigint")
+            .cast("double")
+            / 1000000.0
+        ).alias("ltv_per_customer"),
+    )

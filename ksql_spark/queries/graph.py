@@ -575,3 +575,103 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.groupBy(F.col("s1").alias("suppkey")).agg(
         F.count("*").alias("core_degree")
     )
+
+
+_AA_TOPK = 20
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH inc AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pair AS (
+        SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM inc a JOIN inc b USING (p)
+        WHERE a.s <> b.s GROUP BY a.s, b.s
+    ), adj AS (
+        SELECT s1, s2 FROM pair
+        WHERE shared >= 1.05 * (SELECT AVG(shared) FROM pair)
+    ), deg AS (
+        SELECT s1 AS z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY s1
+    ), wedge AS (
+        SELECT e1.s1 AS a, e2.s2 AS b, e1.s2 AS z
+        FROM adj e1 JOIN adj e2 ON e1.s2 = e2.s1
+        WHERE e1.s1 < e2.s2
+    ), nonedge AS (
+        SELECT w.a, w.b, w.z FROM wedge w
+        LEFT JOIN adj e ON e.s1 = w.a AND e.s2 = w.b
+        WHERE e.s1 IS NULL
+    ), scored AS (
+        SELECT a, b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(trunc(1.0 / ln(CAST(d AS DOUBLE))
+                                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS aa_q6
+        FROM nonedge JOIN deg USING (z)
+        GROUP BY a, b
+    )
+    SELECT a AS suppkey_a, b AS suppkey_b, common_neighbors,
+           CAST(aa_q6 AS DOUBLE) / 1000000.0 AS adamic_adar,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY aa_q6 DESC, a, b) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_AA_TOPK}
+    """,
+    ref="SURVEY §2 L9 [EXT] (Adamic-Adar link prediction: for NON-edges "
+    "of the thresholded co-ship graph, sum 1/ln(deg) over common "
+    "neighbors — the classic 'who should be connected' score; wedge "
+    "enumeration bounded by the same degree profile that sizes L5's "
+    "hub pruning)",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links (a < b, not currently adjacent) by
+    Adamic-Adar: Σ_z 1/ln(deg(z)) over common neighbors z. A common
+    neighbor has degree >= 2 by construction, so ln(deg) > 0 and every
+    contribution is finite; contributions quantize to 1e-6 and sum
+    exactly, making the ranking deterministic.
+
+    Scale shape: wedges are one self-join of the (already thresholded,
+    L8) adjacency on the middle node — Σ deg(z)² rows, the quantity L6's
+    degree histogram diagnoses and hub pruning bounds; the non-edge
+    filter is an anti-join on the pair key; scoring joins the |V|-row
+    degree table (broadcastable). Output is top-k over the candidate
+    pair set."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    adj = _weighted_adj(li).localCheckpoint()
+    deg = adj.groupBy(F.col("s1").alias("z")).agg(F.count("*").alias("d"))
+    e1 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("z"))
+    e2 = adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
+    wedge = e1.join(e2, "z").where(F.col("a") < F.col("b"))
+    nonedge = wedge.join(
+        adj,
+        (adj["s1"] == wedge["a"]) & (adj["s2"] == wedge["b"]),
+        "left_anti",
+    )
+    contrib = (
+        (1.0 / F.log(F.col("d").cast("double"))) * 1000000 + 0.5
+    ).cast("bigint")
+    scored = (
+        nonedge.join(F.broadcast(deg), "z")
+        .select("a", "b", contrib.alias("c_q6"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("c_q6").alias("aa_q6"),
+        )
+    )
+    rw = Window.orderBy(F.col("aa_q6").desc(), "a", "b")
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= _AA_TOPK)
+        .select(
+            F.col("a").alias("suppkey_a"),
+            F.col("b").alias("suppkey_b"),
+            "common_neighbors",
+            (F.col("aa_q6").cast("double") / 1000000.0).alias("adamic_adar"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

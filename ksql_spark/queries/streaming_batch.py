@@ -1574,3 +1574,87 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e1", "e2", "e3", "n_occurrences",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query(
+    "events_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), idx AS (
+        SELECT event_type, day, c,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS x
+        FROM daily
+    ), framed AS (
+        SELECT event_type, day, x,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(c) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * c) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n AS n_days,
+           CAST(trunc(
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) / 1000000.0 AS slope_per_day
+    FROM framed WHERE n >= 2
+    """,
+    ref="SURVEY §2 K87 [EXT] (rolling OLS trend: 7-day moving regression "
+    "slope of daily counts per event type from exact integer moments in "
+    "one window pass — the trend detector between EWMA smoothing (K41) "
+    "and CUSUM alarms (K64): slope sign/magnitude is directly "
+    "actionable where a smoothed level is not)",
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling least-squares slope (events/day per day) of each
+    type's daily count series. All window moments (n, Σx, Σy, Σxy, Σx²)
+    are exact integers — x is the day's rank, y the count — so the slope
+    is one deterministic double division, quantized to 1e-6. Frames with
+    a single day are dropped (zero variance denominator).
+
+    Scale shape: the stream collapses to |types| x |days| in one hash
+    agg; BOTH window passes (rank, then the 7-row frame) ride a single
+    event_type-keyed exchange over that calendar-bounded table. Window
+    state is the 7-row frame — constant."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").alias("c"))
+    rw = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("x", F.row_number().over(rw).cast("bigint"))
+    fw = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = idx.select(
+        "event_type",
+        "day",
+        F.count("*").over(fw).alias("n"),
+        F.sum("x").over(fw).alias("sx"),
+        F.sum("c").over(fw).alias("sy"),
+        F.sum(F.col("x") * F.col("c")).over(fw).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fw).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * 1000000
+        + 0.5
+    ).cast("bigint").cast("double") / 1000000.0
+    return framed.where(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_per_day"),
+    )
