@@ -519,9 +519,9 @@ def _kcore_sql_rounds(k: int, rounds: int) -> str:
     prev = "adj0"
     for r in range(1, rounds + 1):
         parts.append(
-            f"keep{r} AS (SELECT s1 FROM {prev} GROUP BY s1"
+            f"keep{r} AS MATERIALIZED (SELECT s1 FROM {prev} GROUP BY s1"
             f" HAVING COUNT(*) >= {k}), "
-            f"adj{r} AS (SELECT a.s1, a.s2 FROM {prev} a"
+            f"adj{r} AS MATERIALIZED (SELECT a.s1, a.s2 FROM {prev} a"
             f" JOIN keep{r} x ON a.s1 = x.s1"
             f" JOIN keep{r} y ON a.s2 = y.s1)"
         )
@@ -535,13 +535,13 @@ _KCORE_CTES, _KCORE_FINAL = _kcore_sql_rounds(_KCORE_K, _KCORE_ROUNDS)
 @query(
     "graph_kcore",
     oracle=f"""
-    WITH inc AS (
+    WITH inc AS MATERIALIZED (
         SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-    ), pair AS (
+    ), pair AS MATERIALIZED (
         SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
         FROM inc a JOIN inc b USING (p)
         WHERE a.s <> b.s GROUP BY a.s, b.s
-    ), adj0 AS (
+    ), adj0 AS MATERIALIZED (
         SELECT s1, s2 FROM pair
         WHERE shared >= 1.05 * (SELECT AVG(shared) FROM pair)
     ), {_KCORE_CTES}
@@ -583,13 +583,13 @@ _AA_TOPK = 20
 @query(
     "graph_adamic_adar",
     oracle=f"""
-    WITH inc AS (
+    WITH inc AS MATERIALIZED (
         SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-    ), pair AS (
+    ), pair AS MATERIALIZED (
         SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
         FROM inc a JOIN inc b USING (p)
         WHERE a.s <> b.s GROUP BY a.s, b.s
-    ), adj AS (
+    ), adj AS MATERIALIZED (
         SELECT s1, s2 FROM pair
         WHERE shared >= 1.05 * (SELECT AVG(shared) FROM pair)
     ), deg AS (
