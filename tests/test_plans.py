@@ -798,3 +798,58 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_adamic_adar_no_cartesian_broadcast_degrees(spark):
+    """L9: wedges are an equi-self-join on the middle node; the degree
+    table joins as a broadcast; nothing may plan a cartesian product."""
+    plan = plan_of(spark, "graph_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ltv_spine_no_calendar_cross_join(spark):
+    """D25: the dense offset spine is a sequence() explode per cohort row
+    (narrow Generate) — never a cohort x calendar cross/nested-loop join;
+    the only BNLJ allowed is the 1-row max_ym broadcast."""
+    plan = plan_of(spark, "orders_ltv_curve")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode(sequence" in plan
+
+
+def test_top_paths_single_user_window_exchange(spark):
+    """K86: both leads ride ONE user-keyed window pass — exactly one
+    hashpartitioning(user_id) exchange, no self-joins of the stream."""
+    plan = plan_of(spark, "events_top_paths")
+    import re
+
+    user_shuffles = [
+        c
+        for c in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "user_id" in c
+    ]
+    assert len(user_shuffles) == 1, user_shuffles
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_slope_single_type_exchange(spark):
+    """K87: rank and frame windows share the event_type-keyed exchange
+    over the calendar-bounded daily table — one type-keyed shuffle."""
+    plan = plan_of(spark, "events_rolling_slope")
+    import re
+
+    type_shuffles = [
+        c
+        for c in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "event_type" in c and "day" not in c and "_groupingexpression" not in c
+    ]
+    assert len(type_shuffles) == 1, type_shuffles
+
+
+def test_join_cardinality_sketch_sized_grids(spark):
+    """C15: the estimate side joins two sketch grids (<= 2048 rows each);
+    the only data-sized work is the two sketch aggs and the exact-branch
+    proof join — no corpus-key sort-merge for the ESTIMATE path. The
+    sketch inner-product join must be broadcastable."""
+    plan = plan_of(spark, "join_cardinality_estimate")
+    assert "CartesianProduct" not in plan
