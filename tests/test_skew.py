@@ -76,3 +76,71 @@ def test_dsum_partition_order_invariance(spark):
             )
             results.add(out)
         assert len(results) == 1, f"seed {seed}: dsum varied {results}"
+
+
+def test_keycollision_dedup_survives_pathological_hot_key(spark):
+    """K73 under attack: 50k documents sharing ONE canonical key (plus a
+    cold tail) must partial-aggregate map-side into a single group — the
+    op completes and reports the hot group exactly, rather than timing
+    out sorting one giant window partition (the skew mode the min-STRUCT
+    agg design avoids)."""
+    from ksql_spark.queries.llm import llm_keycollision_dedup  # noqa: F401
+    from ksql_spark.operators import text as _t
+    import pyspark.sql.functions as F
+
+    hot = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma").alias("text"),
+    )
+    cold = spark.range(1_000).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("unique"), F.col("id").cast("string")).alias("text"),
+    )
+    d = hot.unionByName(cold)
+    key_arr = F.array_sort(F.array_distinct(_t.words("text")))
+    got = (
+        d.select(
+            "doc_id",
+            F.sha2(F.array_join(key_arr, " "), 256).alias("ckey_digest"),
+        )
+        .groupBy("ckey_digest")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0]["canonical_doc_id"] == 0 and got[0]["n_docs"] == 50_000
+
+
+def test_fuzzy_join_block_residual_under_hot_block(spark):
+    """C14 under attack: one block holding 2,000 identical-key rows would
+    naively be a 4M-pair comparison; the equi-join + residual must
+    complete and return only residual-passing pairs (here: distance <= 1
+    between 'name N' variants) without a cartesian plan."""
+    import pyspark.sql.functions as F
+
+    rows = spark.range(2_000).select(
+        F.col("id").alias("pk"),
+        F.lit("blk").alias("blk_word"),
+        F.lit(1).alias("p_size"),
+        F.concat(F.lit("name"), (F.col("id") % 10).cast("string")).alias("nm"),
+    )
+    a = rows.select(
+        F.col("pk").alias("pa"), "blk_word", "p_size", F.col("nm").alias("na")
+    )
+    b = rows.select(
+        F.col("pk").alias("pb"), "blk_word", "p_size", F.col("nm").alias("nb")
+    )
+    j = a.join(
+        b,
+        on=[
+            a["blk_word"] == b["blk_word"],
+            a["p_size"] == b["p_size"],
+            F.col("pa") < F.col("pb"),
+            F.levenshtein(F.col("na"), F.col("nb")) <= 0,
+        ],
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # identical-name pairs only: per name variant C(200,2) pairs x 10
+    assert j.count() == 10 * (200 * 199 // 2)
