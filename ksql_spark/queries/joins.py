@@ -817,3 +817,88 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "estimate_rows",
         (F.col("estimate_rows") >= F.col("exact_rows")).alias("one_sided_ok"),
     )
+
+
+_ER_PAIR_SQL = """
+    SELECT a.p_partkey AS pa, b.p_partkey AS pb
+    FROM (SELECT p_partkey, p_name,
+                 split_part(p_name, ' ', 1) AS blk_word, p_size FROM part) a
+    JOIN (SELECT p_partkey, p_name,
+                 split_part(p_name, ' ', 1) AS blk_word, p_size FROM part) b
+      ON a.blk_word = b.blk_word AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query(
+    "er_resolve_parts",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED ({_ER_PAIR_SQL}),
+    sym AS MATERIALIZED (
+        SELECT pa AS s1, pb AS s2 FROM pairs
+        UNION SELECT pb, pa FROM pairs
+        UNION SELECT pa, pa FROM pairs
+        UNION SELECT pb, pb FROM pairs
+    ),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT s1, s2 FROM sym
+            UNION
+            SELECT r.a, sym.s2 FROM r JOIN sym ON sym.s1 = r.b
+        ) SELECT a, b FROM r
+    ),
+    labels AS (
+        SELECT a AS p_partkey, MIN(b) AS entity_id FROM reach GROUP BY a
+    )
+    SELECT p.p_partkey,
+           COALESCE(l.entity_id, p.p_partkey) AS entity_id,
+           p.p_partkey = COALESCE(l.entity_id, p.p_partkey) AS is_canonical
+    FROM part p LEFT JOIN labels l USING (p_partkey)
+    """,
+    ref="SURVEY §2 C16 [EXT] (entity resolution end-to-end: C14's "
+    "block+match pairs chained through connected components (L2) into "
+    "transitive entity ids — the complete Fellegi-Sunter-shaped ER "
+    "pipeline (block, compare, CLUSTER), because pairwise matches alone "
+    "leave A~B~C unresolved; oracle = recursive transitive closure over "
+    "the identical pair graph, the llm_dedup_cluster_portable technique)",
+)
+def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part mapped to a transitive entity id (min partkey of its
+    fuzzy-match component) with a canonical flag — the table an ER
+    pipeline actually ships. Match rule = the C14 blocked Levenshtein
+    join; chains (A~B, B~C, never A~C) land in ONE entity, which is the
+    point of the clustering step.
+
+    Scale shape: pairs inherit C14's blocked-equi-join posture;
+    components run min-label propagation with O(nodes) state and one
+    node-keyed shuffle per round, rounds ~ component diameter — fuzzy-dup
+    components are shallow (name variants of one product), so
+    convergence is fast and ASSERTED (connected_components raises rather
+    than returning split entities). Singletons never enter the
+    propagation: they fall out of the final left join at zero cost."""
+    from ksql_spark.queries.graph import connected_components
+
+    p = load(spark, sf_dir, "part")
+    pairs = join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("partkey_a").alias("pa"), F.col("partkey_b").alias("pb")
+    )
+    adj = (
+        pairs.select(F.col("pa").alias("s1"), F.col("pb").alias("s2"))
+        .unionByName(pairs.select(F.col("pb").alias("s1"), F.col("pa").alias("s2")))
+        .unionByName(pairs.select(F.col("pa").alias("s1"), F.col("pa").alias("s2")))
+        .unionByName(pairs.select(F.col("pb").alias("s1"), F.col("pb").alias("s2")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = connected_components(adj).select(
+        F.col("suppkey").alias("p_partkey"), F.col("component").alias("entity_id")
+    )
+    return p.select("p_partkey").join(labels, "p_partkey", "left").select(
+        "p_partkey",
+        F.coalesce(F.col("entity_id"), F.col("p_partkey")).alias("entity_id"),
+        (
+            F.col("p_partkey")
+            == F.coalesce(F.col("entity_id"), F.col("p_partkey"))
+        ).alias("is_canonical"),
+    )
