@@ -1539,3 +1539,67 @@ def orders_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("ltv_per_customer"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt
+        FROM lineitem
+    ), tot AS (
+        SELECT l_returnflag, SUM(wt) AS total_w FROM w GROUP BY l_returnflag
+    ), cum AS (
+        SELECT l_returnflag, v, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY v, wt) AS cw
+        FROM w
+    )
+    SELECT c.l_returnflag,
+           CAST(t.total_w AS DOUBLE) AS total_weight,
+           MIN(c.v) AS weighted_median
+    FROM cum c JOIN tot t USING (l_returnflag)
+    WHERE c.cw >= t.total_w / 2.0
+    GROUP BY c.l_returnflag, t.total_w
+    """,
+    ref="SURVEY §2 D26 [EXT] (weighted median: smallest value whose "
+    "cumulative weight crosses half the total — quantity-weighted price "
+    "medians, the inequality/index-number workhorse plain percentile "
+    "cannot express; cum-weight window formulation, not per-group "
+    "collect)",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of l_extendedprice per return flag: the
+    smallest price at which cumulative shipped quantity reaches half the
+    group's total. Weights are TPC-H integer-valued quantities, so the
+    running and total sums are exact in doubles and the crossing point is
+    deterministic (ties inside one price can't change the min picked).
+
+    Scale shape: ONE group-keyed window (sorted runs within each hash
+    partition — the E-family posture) for the cumulative weight, one
+    group agg for totals (broadcast back), one filtered min. No
+    per-group collect_list: state is the external sort run, which
+    spills, where a collected array would OOM on a 100 TB group."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    tot = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total_w"))
+    cw = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_quantity"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(cw).alias("cw"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .where(F.col("cw") >= F.col("total_w") / 2.0)
+        .groupBy("l_returnflag", "total_w")
+        .agg(F.min("v").alias("weighted_median"))
+        .select(
+            "l_returnflag",
+            F.col("total_w").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+    )

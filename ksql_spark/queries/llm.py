@@ -3617,3 +3617,76 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term).cast("double") / 1000000000.0).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "llm_export_sft_records",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w, source, lang
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8
+    )
+    SELECT doc_id,
+           '{"meta":{"id":' || CAST(doc_id AS VARCHAR)
+           || ',"source":"' || source || '","lang":"' || lang
+           || '"},"prompt":"'
+           || replace(replace(array_to_string(w[1:4], ' '),
+                              chr(92), chr(92) || chr(92)),
+                      '"', chr(92) || '"')
+           || '","completion":"'
+           || replace(replace(array_to_string(w[5:len(w)], ' '),
+                              chr(92), chr(92) || chr(92)),
+                      '"', chr(92) || '"')
+           || '"}' AS record
+    FROM base
+    """,
+    ref="SURVEY §2 K88 [EXT] (SFT record export: split each doc into a "
+    "4-token prompt prefix and a completion tail, emit one escaped "
+    "JSONL training record with metadata — the terminal step of every "
+    "curation pipeline (the REPL's INTO JSONL sink writes exactly these "
+    "rows); manual field-ordered assembly, because engine to_json key "
+    "order is not a cross-engine contract)",
+)
+def llm_export_sft_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt/completion JSONL records with metadata, one per sufficiently
+    long document. Escaping handles backslash-then-quote in that order
+    (the JSON-string minimum; corpus text is pre-scrubbed by K8 upstream)
+    and the record is assembled with explicit field order — to_json's key
+    ordering and whitespace are engine-internal, so a byte-stable export
+    spells the layout itself.
+
+    Scale shape: pure narrow projection (split, slice, replace, concat —
+    all codegen), zero exchanges: export scales with scan bandwidth.
+    Writing shards = repartition(n) + write, the K18 posture."""
+    d = load(spark, sf_dir, "documents")
+    w = text.words("text")
+    base = d.where(
+        F.col("text").isNotNull() & (F.size(w) >= 8)
+    ).select("doc_id", w.alias("w"), "source", "lang")
+
+    def esc(c):
+        return F.replace(
+            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+        )
+
+    prompt = esc(F.array_join(F.slice(F.col("w"), 1, 4), " "))
+    completion = esc(
+        F.array_join(
+            F.slice(F.col("w"), 5, F.greatest(F.size("w") - 4, F.lit(0))), " "
+        )
+    )
+    record = F.concat(
+        F.lit('{"meta":{"id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"source":"'),
+        F.col("source"),
+        F.lit('","lang":"'),
+        F.col("lang"),
+        F.lit('"},"prompt":"'),
+        prompt,
+        F.lit('","completion":"'),
+        completion,
+        F.lit('"}'),
+    )
+    return base.select("doc_id", record.alias("record"))
