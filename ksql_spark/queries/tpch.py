@@ -669,10 +669,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quarter's highest-revenue supplier(s) — scalar-subquery equality,
     so ties all surface (LIMIT 1 would silently pick one).
 
-    Plan: the revenue view aggregates once; its max is a provably-1-row
-    global aggregate, the one case where an explicit broadcast hint is
-    scale-safe — joined back against the SAME aggregated result (exchange
-    reused, no second lineitem scan); supplier is unhinted (SF-proportional)
+    Plan: the revenue view aggregates once and is MATERIALIZED
+    (localCheckpoint, supplier-count-sized) so its two consumers — the
+    1-row max (broadcast-hinted, scale-safe) and the equality join-back —
+    share one fact scan; supplier is unhinted (SF-proportional)
     for the name lookup. The
     quantized total makes the equality join-back deterministic — the reason
     this shape is safe cross-engine at all."""
@@ -683,7 +683,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
-    )
+    ).localCheckpoint()  # two consumers (max + join-back): without
+    # materialization Catalyst plans them as separate subtrees and scans
+    # lineitem twice (ReuseExchange does not fire across them)
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -931,17 +933,23 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many parts they dominate.
 
     Plan: the (part, supplier) agg shuffles lineitem once on l_partkey+
-    l_suppkey; the per-part roll-up REUSES that output (aggregating the
-    aggregate — never a second fact scan); the dominance test `sq*2 > tq`
-    is integer-free-of-division so it cannot drift (l_quantity is
-    integer-valued — 1..50 — so its double SUM is exact at any partition
-    order; a fractional measure would need dsum here). Supplier joins
-    unhinted for names (SF-proportional); top-25 with key tiebreak."""
+    l_suppkey and is MATERIALIZED (localCheckpoint) because it feeds two
+    consumers (the per-part roll-up and the join back) — Catalyst plans
+    the two subtrees separately and ReuseExchange does not fire across
+    them, so without materialization the FACT IS SCANNED TWICE (measured:
+    3 FileScans -> 2, ~0.3 s at sf0.1; at 100 TB a second fact scan
+    dominates the query). The materialized state is |part x supplier|
+    rows — aggregate-sized, the standard persist-the-intermediate
+    posture. The dominance test `sq*2 > tq` is integer-free-of-division
+    so it cannot drift (l_quantity is integer-valued — 1..50 — so its
+    double SUM is exact at any partition order; a fractional measure
+    would need dsum here). Supplier joins unhinted for names
+    (SF-proportional); top-25 with key tiebreak."""
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     part_supp = l.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(F.sum("l_quantity").alias("sq"))
+    ).agg(F.sum("l_quantity").alias("sq")).localCheckpoint()
     part_tot = part_supp.groupBy("pk").agg(F.sum("sq").alias("tq"))
     return (
         part_supp.join(part_tot, "pk")
@@ -1097,7 +1105,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("val_q")
         )
-    )
+    ).localCheckpoint()  # two consumers (total + threshold filter): one
+    # materialized per-part aggregate instead of deriving partsupp twice
     tot = v.agg(F.sum("val_q").alias("total_q"))
     return (
         v.crossJoin(F.broadcast(tot))
@@ -1147,11 +1156,14 @@ def tpch_q2_official_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) achieving the regional minimum supply cost, ordered by
     account balance — ties all surface (equality join-back, not top-1).
 
-    Plan: the region-filtered partsupp subtree builds once and feeds BOTH
-    the per-part MIN and the join-back (exchange reused on ps_partkey at
-    scale); nation/region hinted, everything else unhinted per the round-5
-    degradable posture; full-column sort tiebreak keeps the LIMIT 100 cut
-    deterministic (s_name is unique)."""
+    Plan: the region-filtered partsupp subtree is MATERIALIZED
+    (localCheckpoint, region-filtered-partsupp-sized) because it feeds
+    BOTH the per-part MIN and the join-back — Catalyst plans the
+    consumers as separate subtrees and would derive partsupp (a fact
+    scan + distinct) twice; nation/region hinted, everything else
+    unhinted per the round-5 degradable posture; full-column sort
+    tiebreak keeps the LIMIT 100 cut deterministic (s_name is
+    unique)."""
     l = load(spark, sf_dir, "lineitem")
     ps = _derived_partsupp(l)
     s = load(spark, sf_dir, "supplier")
@@ -1165,7 +1177,7 @@ def tpch_q2_official_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
-    )
+    ).localCheckpoint()
     mins = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
