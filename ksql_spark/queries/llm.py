@@ -3124,9 +3124,10 @@ _KEYNESS_TOPK = 5
         FROM scored
     ) WHERE rnk <= {_KEYNESS_TOPK}
     """,
-    ref="SURVEY §2 K75 [EXT] (per-source keyness: Dunning 1993 "
-    "log-likelihood G² of each term's source-vs-rest contingency — the "
-    "corpus-linguistics keyword statistic; surfaces what makes a source "
+    ref="SURVEY §2 K75 [EXT] (per-source keyness: the Rayson & Garside "
+    "2000 two-term log-likelihood (the corpus-linguistics keyness form "
+    "of Dunning 1993 G², using the two observed-presence cells) of each "
+    "term's source-vs-rest contingency; surfaces what makes a source "
     "DISTINCTIVE, complementing KL divergence (K68) which scores whole "
     "distributions)",
 )
