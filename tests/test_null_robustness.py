@@ -125,3 +125,60 @@ def test_ewma_fold_total_over_null_values(spark):
     # all-NULL user: NULL (both fields), not an abort — and the oracle's
     # CASE len > 0 guard agrees
     assert rows[4].decay_sum is None and rows[4].ewma is None
+
+
+def test_weighted_median_semantics_with_null_weights(spark):
+    """D26 semantics pin: NULL weights contribute nothing to either the
+    running or the total weight (SUM skips NULLs in both engines), so the
+    weighted median over (v,w) pairs with NULL weights equals the median
+    over the non-null subset — and a group whose weights are ALL NULL
+    yields no output row (total NULL, comparison never true) rather than
+    an abort."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = spark.createDataFrame(
+        [("A", 1.0, 1.0), ("A", 2.0, None), ("A", 3.0, 1.0),
+         ("B", 9.0, None)],
+        "g string, v double, wt double",
+    )
+    tot = rows.groupBy("g").agg(F.sum("wt").alias("total_w"))
+    cw = Window.partitionBy("g").orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rows.select("g", "v", F.sum("wt").over(cw).alias("cw"))
+    got = (
+        cum.join(tot, "g")
+        .where(F.col("cw") >= F.col("total_w") / 2.0)
+        .groupBy("g")
+        .agg(F.min("v").alias("wm"))
+        .collect()
+    )
+    by_g = {r.g: r.wm for r in got}
+    assert by_g == {"A": 1.0}  # cum weight 1.0 >= 2.0/2 at v=1.0; B absent
+
+
+def test_holt_winters_requires_full_first_season(spark):
+    """K76 semantics pin: a series shorter than one season (7 days) is
+    excluded — the recursion has no seasonal baseline to subtract; it
+    must not emit a row with garbage init state."""
+    from ksql_spark.queries.streaming_batch import events_holt_winters
+
+    import pandas as pd
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {
+                "event_id": range(3),
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03"]
+                ),
+                "user_id": [1, 1, 1],
+                "event_type": ["short"] * 3,
+                "value": [1.0, 2.0, 3.0],
+                "props": ["{}"] * 3,
+            }
+        ).to_parquet(os.path.join(d, "events.parquet"))
+        out = events_holt_winters(spark, d).collect()
+    assert out == []  # 3 days < one season -> no row, no abort
