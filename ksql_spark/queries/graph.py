@@ -675,3 +675,85 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH inc AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pair AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM inc a JOIN inc b USING (p)
+        WHERE a.s <> b.s GROUP BY a.s, b.s
+    ), adj AS MATERIALIZED (
+        SELECT s1, s2 FROM pair
+        WHERE shared >= 1.05 * (SELECT AVG(shared) FROM pair)
+    ), deg AS MATERIALIZED (
+        SELECT s1 AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM adj GROUP BY s1
+    ), ends AS (
+        SELECT CAST(da.d AS BIGINT) AS x, CAST(db.d AS BIGINT) AS y
+        FROM adj JOIN deg da ON adj.s1 = da.node
+                 JOIN deg db ON adj.s2 = db.node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+           CAST(trunc(
+               (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+               / (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)
+                            AS DOUBLE))
+                  * sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)
+                              AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS assortativity
+    FROM ends
+    """,
+    ref="SURVEY §2 L10 [EXT] (degree assortativity: Pearson correlation "
+    "of endpoint degrees over the symmetric edge list (Newman 2002) — "
+    "positive = hubs link hubs (social), negative = hub-and-spoke "
+    "(technological); the one-number structure summary that decides "
+    "whether L5's hub pruning or C12's salting is the right mitigation)",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the thresholded co-ship graph:
+    Pearson r of (deg(u), deg(v)) over all directed edge occurrences
+    (the symmetric list counts each undirected edge in both directions,
+    which is exactly Newman's definition). Integer degree moments —
+    sums are exact, one quantized double division at the end.
+
+    Scale shape: degrees are one node-keyed agg; the two endpoint joins
+    broadcast the |V|-row degree table onto the edge list; the final
+    correlation is a 1-row aggregate of integer moments. Edge-list
+    sized narrow work, nothing quadratic."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = _weighted_adj(li).localCheckpoint()
+    deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
+    ends = (
+        adj.join(
+            F.broadcast(deg.select(F.col("node").alias("s1"), F.col("d").alias("x"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("s2"), F.col("d").alias("y"))),
+            "s2",
+        )
+        .select("x", "y")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx, syy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("y") * F.col("y"))
+    # try_divide: a degree-regular (or empty) graph has zero variance —
+    # NULL r (SQL x/0 semantics), not an ANSI abort; sf0.001's thresholded
+    # graph is exactly this case
+    r = (
+        F.try_divide(
+            (n * sxy - sx * sy).cast("double"),
+            F.sqrt((n * sxx - sx * sx).cast("double"))
+            * F.sqrt((n * syy - sy * sy).cast("double")),
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint").cast("double") / 1000000.0
+    return ends.agg(
+        n.cast("bigint").alias("n_directed_edges"), r.alias("assortativity")
+    )

@@ -1658,3 +1658,85 @@ def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         slope.alias("slope_per_day"),
     )
+
+
+@query(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), base AS (
+        SELECT a.event_type, a.day, a.c,
+               CAST(COUNT(b.day) AS BIGINT) AS n_baseline,
+               CAST(SUM(b.c) AS BIGINT) AS baseline_sum
+        FROM daily a
+        LEFT JOIN daily b
+          ON a.event_type = b.event_type
+         AND isodow(a.day) = isodow(b.day)
+         AND b.day < a.day
+        GROUP BY a.event_type, a.day, a.c
+    )
+    SELECT event_type, day, c AS n_events, n_baseline,
+           CAST(trunc(CAST(c AS DOUBLE)
+                      / (CAST(baseline_sum AS DOUBLE) / n_baseline)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS rate_ratio,
+           CAST(c AS DOUBLE)
+               > 1.5 * (CAST(baseline_sum AS DOUBLE) / n_baseline)
+               AS is_spike
+    FROM base WHERE n_baseline >= 2
+    """,
+    ref="SURVEY §2 K89 [EXT] (seasonal-baseline spike detection: each "
+    "day's count vs the mean of PRIOR same-weekday days — the "
+    "seasonality-aware anomaly screen that plain z-score (K30) and IQR "
+    "(K65) get wrong on weekly-patterned streams (every Monday looks "
+    "anomalous against an all-days baseline); requires >= 2 prior "
+    "baseline days before judging)",
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag days running >1.5x their own weekday's historical mean, per
+    event type. The baseline is strictly PRIOR same-dow days (no
+    lookahead — the streaming-legal formulation) and a day is only judged
+    once it has >= 2 baseline observations.
+
+    Scale shape: the stream collapses to |types| x |days| in one agg; the
+    baseline self-join is (type, dow)-blocked over that CALENDAR-BOUNDED
+    table (per-cell ~|weeks|² pairs — a few thousand rows at any corpus
+    size), then one bounded re-agg. At very long horizons the baseline
+    join swaps for a running per-(type,dow) mean window — same output,
+    O(1) state; spelled here as the join for oracle clarity."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").alias("c"))
+    a = daily.select(
+        "event_type", F.col("day").alias("d_a"), F.col("c").alias("c_a"),
+        (F.weekday("day") + 1).alias("dow"),
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d_b"), F.col("c").alias("c_b"),
+        (F.weekday("day") + 1).alias("dow"),
+    )
+    base = (
+        a.join(b, ["event_type", "dow"], "left")
+        .where(F.col("d_b").isNull() | (F.col("d_b") < F.col("d_a")))
+        .groupBy("event_type", "d_a", "c_a")
+        .agg(
+            F.count("d_b").alias("n_baseline"),
+            F.sum(F.when(F.col("d_b") < F.col("d_a"), F.col("c_b"))).alias(
+                "baseline_sum"
+            ),
+        )
+    )
+    mean_b = F.col("baseline_sum").cast("double") / F.col("n_baseline")
+    return base.where(F.col("n_baseline") >= 2).select(
+        "event_type",
+        F.col("d_a").alias("day"),
+        F.col("c_a").alias("n_events"),
+        "n_baseline",
+        ((F.col("c_a").cast("double") / mean_b * 1000000 + 0.5).cast("bigint")
+         .cast("double") / 1000000.0).alias("rate_ratio"),
+        (F.col("c_a").cast("double") > 1.5 * mean_b).alias("is_spike"),
+    )
