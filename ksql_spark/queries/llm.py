@@ -2616,104 +2616,12 @@ _RRF_N_PER = 20
 _RRF_TOPK = 10
 
 
-@query(
-    "llm_rrf_hybrid",
-    oracle=f"""
-    WITH docs AS (
-        SELECT doc_id, text, len(string_split(text, ' ')) AS dl
-        FROM documents WHERE text IS NOT NULL
-    ), totals AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        FROM docs
-    ), qterms AS (
-        SELECT DISTINCT doc_id AS query_id,
-               unnest(string_split(text, ' ')) AS term
-        FROM documents WHERE doc_id < 3
-    ), posting AS (
-        SELECT d.doc_id, w.term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(d.dl) AS dl
-        FROM docs d, unnest(string_split(d.text, ' ')) AS w(term)
-        WHERE w.term IN (SELECT term FROM qterms)
-        GROUP BY d.doc_id, w.term
-    ), dfreq AS (
-        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-        FROM posting GROUP BY term
-    ), contrib AS (
-        SELECT q.query_id, p.doc_id,
-               CAST(trunc(
-                   ln(1.0 + (t.n_docs - df + 0.5) / (df + 0.5))
-                   * (p.tf * ({_BM25_K1} + 1.0))
-                   / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                      + {_BM25_B} * p.dl / t.avgdl))
-                   * 1000000 + 0.5) AS BIGINT) AS c
-        FROM posting p
-        JOIN qterms q USING (term)
-        JOIN dfreq USING (term)
-        CROSS JOIN totals t
-        WHERE p.doc_id <> q.query_id
-    ), sparse AS (
-        SELECT query_id, doc_id,
-               row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY SUM(c) DESC, doc_id) AS r
-        FROM contrib GROUP BY query_id, doc_id
-    ), srn AS (SELECT * FROM sparse WHERE r <= {_RRF_N_PER}),
-    dense AS (
-        SELECT query_id, doc_id, rn FROM (
-            SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY {_dot_sql('q.embedding', 'v.embedding')}
-                                / ({_norm_sql('q.embedding')}
-                                   * {_norm_sql('v.embedding')})
-                                DESC, v.vec_id) AS rn
-            FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
-            CROSS JOIN embeddings v
-            WHERE q.vec_id <> v.vec_id
-        ) WHERE rn <= {_RRF_N_PER}
-    ), fused AS (
-        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
-               COALESCE(s.doc_id, d.doc_id) AS doc_id,
-               s.r AS sparse_rank, d.rn AS dense_rank,
-               CAST(CAST(trunc(
-                   (COALESCE(1.0 / ({_RRF_K} + s.r), 0.0)
-                    + COALESCE(1.0 / ({_RRF_K} + d.rn), 0.0))
-                   * 100000000 + 0.5) AS BIGINT) AS DOUBLE) / 100000000.0
-                   AS rrf_score
-        FROM srn s FULL JOIN dense d
-          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
-    )
-    SELECT query_id, doc_id, rrf_score,
-           CAST(sparse_rank AS INT) AS sparse_rank,
-           CAST(dense_rank AS INT) AS dense_rank
-    FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY rrf_score DESC, doc_id) AS final_r
-        FROM fused
-    ) WHERE final_r <= {_RRF_TOPK}
-    """,
-    ref="SURVEY §2 K70 [EXT] (reciprocal-rank fusion of sparse BM25 (K66) "
-    "and dense cosine (K3) rankings — query-by-document hybrid retrieval, "
-    "RRF(d) = sum over rankers of 1/(60 + rank); Cormack/Clarke/Buettcher "
-    "fusion, the standard hybrid-search combiner)",
-)
-def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval for query docs 0..2: each query's OWN text drives a
-    BM25 ranking and its OWN embedding drives a cosine ranking (self
-    excluded from both); the two top-20 lists fuse by reciprocal rank and
-    the top-10 fused results are returned with the per-ranker ranks.
-
-    Determinism: BM25 scores use the quantized-contribution discipline of
-    llm_bm25_topk; cosine uses the bit-reproducible fold of llm_sim_topk;
-    RRF terms 1/(60+rank) are rationals of small integers evaluated
-    identically in IEEE, quantized to 8 decimals before the final ordering.
-
-    Scale shape: the sparse side is K66's broadcast-term-filtered posting
-    pipeline (per-query-doc term sets are bounded by doc length); the
-    dense side is K3's broadcast-query narrow corpus pass; the fusion is
-    a full outer join of two |queries| x 20 rank lists — trivially
-    broadcastable at any corpus size."""
+def _query_doc_rankings(spark: SparkSession, sf_dir: str):
+    """Shared sparse/dense top-N rankings for the query docs (<3): BM25
+    over each query doc's own words and cosine over its embedding, self
+    excluded, ranks 1.._RRF_N_PER — ONE definition consumed by RRF fusion
+    (K70) and the retriever-agreement diagnostic (K91), mirrored by the
+    shared _QDOC_RANK_CTES oracle prefix."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     # ---- sparse: BM25 with the query docs' distinct words as terms
     qterms = d.where(F.col("doc_id") < 3).select(
@@ -2795,6 +2703,111 @@ def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dense_rank") <= _RRF_N_PER)
         .select("query_id", "doc_id", "dense_rank")
     )
+    return srn, dense
+
+
+_QDOC_RANK_CTES = f"""docs AS (
+        SELECT doc_id, text, len(string_split(text, ' ')) AS dl
+        FROM documents WHERE text IS NOT NULL
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM docs
+    ), qterms AS (
+        SELECT DISTINCT doc_id AS query_id,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 3
+    ), posting AS (
+        SELECT d.doc_id, w.term, CAST(COUNT(*) AS BIGINT) AS tf, MAX(d.dl) AS dl
+        FROM docs d, unnest(string_split(d.text, ' ')) AS w(term)
+        WHERE w.term IN (SELECT term FROM qterms)
+        GROUP BY d.doc_id, w.term
+    ), dfreq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM posting GROUP BY term
+    ), contrib AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(trunc(
+                   ln(1.0 + (t.n_docs - df + 0.5) / (df + 0.5))
+                   * (p.tf * ({_BM25_K1} + 1.0))
+                   / (p.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * p.dl / t.avgdl))
+                   * 1000000 + 0.5) AS BIGINT) AS c
+        FROM posting p
+        JOIN qterms q USING (term)
+        JOIN dfreq USING (term)
+        CROSS JOIN totals t
+        WHERE p.doc_id <> q.query_id
+    ), sparse AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY SUM(c) DESC, doc_id) AS r
+        FROM contrib GROUP BY query_id, doc_id
+    ), srn AS (SELECT * FROM sparse WHERE r <= {_RRF_N_PER}),
+    dense AS (
+        SELECT query_id, doc_id, rn FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_dot_sql('q.embedding', 'v.embedding')}
+                                / ({_norm_sql('q.embedding')}
+                                   * {_norm_sql('v.embedding')})
+                                DESC, v.vec_id) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+            CROSS JOIN embeddings v
+            WHERE q.vec_id <> v.vec_id
+        ) WHERE rn <= {_RRF_N_PER}
+    )"""
+
+
+@query(
+    "llm_rrf_hybrid",
+    oracle=f"""
+    WITH {_QDOC_RANK_CTES}, fused AS (
+        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+               COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.r AS sparse_rank, d.rn AS dense_rank,
+               CAST(CAST(trunc(
+                   (COALESCE(1.0 / ({_RRF_K} + s.r), 0.0)
+                    + COALESCE(1.0 / ({_RRF_K} + d.rn), 0.0))
+                   * 100000000 + 0.5) AS BIGINT) AS DOUBLE) / 100000000.0
+                   AS rrf_score
+        FROM srn s FULL JOIN dense d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(sparse_rank AS INT) AS sparse_rank,
+           CAST(dense_rank AS INT) AS dense_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS final_r
+        FROM fused
+    ) WHERE final_r <= {_RRF_TOPK}
+    """,
+    ref="SURVEY §2 K70 [EXT] (reciprocal-rank fusion of sparse BM25 (K66) "
+    "and dense cosine (K3) rankings — query-by-document hybrid retrieval, "
+    "RRF(d) = sum over rankers of 1/(60 + rank); Cormack/Clarke/Buettcher "
+    "fusion, the standard hybrid-search combiner)",
+)
+def llm_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for query docs 0..2: each query's OWN text drives a
+    BM25 ranking and its OWN embedding drives a cosine ranking (self
+    excluded from both); the two top-20 lists fuse by reciprocal rank and
+    the top-10 fused results are returned with the per-ranker ranks.
+
+    Determinism: BM25 scores use the quantized-contribution discipline of
+    llm_bm25_topk; cosine uses the bit-reproducible fold of llm_sim_topk;
+    RRF terms 1/(60+rank) are rationals of small integers evaluated
+    identically in IEEE, quantized to 8 decimals before the final ordering.
+
+    Scale shape: the sparse side is K66's broadcast-term-filtered posting
+    pipeline (per-query-doc term sets are bounded by doc length); the
+    dense side is K3's broadcast-query narrow corpus pass; the fusion is
+    a full outer join of two |queries| x 20 rank lists — trivially
+    broadcastable at any corpus size."""
+    srn, dense = _query_doc_rankings(spark, sf_dir)
     # ---- fuse
     fused = srn.join(dense, ["query_id", "doc_id"], "full")
     rrf = (
@@ -3691,3 +3704,163 @@ def llm_export_sft_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"}'),
     )
     return base.select("doc_id", record.alias("record"))
+
+
+_PSI_BINS = 10
+
+
+@query(
+    "llm_score_drift_psi",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(doc_id % 29 = 0 AS INT) AS is_eval,
+               CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   / greatest(n_chars, 1) AS score
+        FROM documents WHERE text IS NOT NULL
+    ), b AS (
+        SELECT MIN(score) AS mn,
+               (MAX(score) - MIN(score)) / {_PSI_BINS}.0 AS width
+        FROM scored
+    ), binned AS (
+        SELECT is_eval,
+               least({_PSI_BINS - 1},
+                     CAST(floor((score - b.mn) / b.width) AS BIGINT)) AS bin
+        FROM scored, b
+    ), counts AS (
+        SELECT bin,
+               CAST(SUM(1 - is_eval) AS BIGINT) AS n_train,
+               CAST(SUM(is_eval) AS BIGINT) AS n_eval
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(SUM(n_train) AS BIGINT) AS tt,
+               CAST(SUM(n_eval) AS BIGINT) AS te,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM counts
+    ), terms AS (
+        SELECT bin,
+               (CAST(n_train AS DOUBLE) + 0.5) / (tt + 0.5 * nb) AS p,
+               (CAST(n_eval AS DOUBLE) + 0.5) / (te + 0.5 * nb) AS q
+        FROM counts, tot
+    )
+    SELECT CAST(SUM(CAST(trunc(
+               (p - q) * ln(p / q) * 1000000000 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1000000000.0 AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM terms
+    """,
+    ref="SURVEY §2 K90 [EXT] (population stability index between the "
+    "train and eval splits' quality-score distributions: "
+    "sum (p-q)*ln(p/q) over equi-width score deciles with add-half "
+    "Laplace smoothing — THE production drift gate (<0.1 stable, >0.25 "
+    "shifted); the distribution-level complement of the K63 label audit "
+    "and K68 source KL)",
+)
+def llm_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row PSI between train and eval on a cheap quality proxy
+    (tokens-per-char). Deciles are equi-width bins over the pooled score
+    range (the D21 binning); both distributions are add-half smoothed so
+    an empty bin contributes a finite term; per-bin terms quantize at
+    1e-9 and sum exactly.
+
+    Scale shape: one narrow scoring pass, a 1-row bounds agg broadcast
+    back, one bin-keyed count agg (<= 10 output rows, map-side
+    combined), then constant-size math. The same sketch rows SUM-merge
+    across shards, so PSI is computable incrementally (run_histogram_sink
+    with a class column is the streaming form)."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = d.select(
+        (F.col("doc_id") % 29 == 0).cast("int").alias("is_eval"),
+        (
+            F.size(text.words("text")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("score"),
+    )
+    b = scored.agg(
+        F.min("score").alias("mn"),
+        ((F.max("score") - F.min("score")) / float(_PSI_BINS)).alias("width"),
+    )
+    binned = scored.crossJoin(F.broadcast(b)).select(
+        "is_eval",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor((F.col("score") - F.col("mn")) / F.col("width")),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(1 - F.col("is_eval")).alias("n_train"),
+        F.sum("is_eval").alias("n_eval"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").alias("tt"),
+        F.sum("n_eval").alias("te"),
+        F.count("*").alias("nb"),
+    )
+    p = (F.col("n_train").cast("double") + 0.5) / (
+        F.col("tt") + 0.5 * F.col("nb")
+    )
+    q = (F.col("n_eval").cast("double") + 0.5) / (
+        F.col("te") + 0.5 * F.col("nb")
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        (((p - q) * F.log(p / q)) * 1000000000 + 0.5).cast("bigint").alias("t_q9")
+    )
+    return terms.agg(
+        (F.sum("t_q9").cast("double") / 1000000000.0).alias("psi"),
+        F.count("*").alias("n_bins"),
+    )
+
+
+_AGREE_K = 5
+
+
+@query(
+    "llm_retriever_agreement",
+    oracle=f"""
+    WITH {_QDOC_RANK_CTES}
+    SELECT s.query_id,
+           CAST({_AGREE_K} AS INT) AS k,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_common,
+           CAST(COUNT(d.doc_id) AS DOUBLE) / {_AGREE_K} AS overlap_at_k
+    FROM (SELECT * FROM srn WHERE r <= {_AGREE_K}) s
+    LEFT JOIN (SELECT * FROM dense WHERE rn <= {_AGREE_K}) d
+      ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    GROUP BY s.query_id
+    """,
+    ref="SURVEY §2 K91 [EXT] (retriever agreement diagnostic: "
+    "intersection@5 between the BM25 (K66) and dense-cosine (K3) top "
+    "lists per query — low overlap is WHY hybrid fusion (K70) wins: the "
+    "rankers see different evidence; high overlap says one retriever "
+    "suffices. Reuses ONE shared ranking definition with the RRF entry "
+    "on both the Spark and oracle sides)",
+)
+def llm_retriever_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query doc: how many of the sparse top-5 also appear in the
+    dense top-5 (and the overlap ratio). The rankings are the SAME
+    builders RRF fuses — this is the diagnostic read before deciding a
+    hybrid stack is worth its cost.
+
+    Scale shape: inherits the shared rankings' postures (broadcast-term
+    BM25, broadcast-query dense pass); the agreement join is over two
+    |queries| x 5 rank lists — constant-sized at any corpus size."""
+    srn, dense = _query_doc_rankings(spark, sf_dir)
+    s5 = srn.where(F.col("sparse_rank") <= _AGREE_K)
+    d5 = dense.where(F.col("dense_rank") <= _AGREE_K).select(
+        "query_id", F.col("doc_id").alias("d_doc")
+    )
+    return (
+        s5.join(
+            d5,
+            (s5["query_id"] == d5["query_id"]) & (s5["doc_id"] == d5["d_doc"]),
+            "left",
+        )
+        .groupBy(s5["query_id"].alias("query_id"))
+        .agg(F.count("d_doc").alias("n_common"))
+        .select(
+            "query_id",
+            F.lit(_AGREE_K).cast("int").alias("k"),
+            "n_common",
+            (F.col("n_common").cast("double") / float(_AGREE_K)).alias(
+                "overlap_at_k"
+            ),
+        )
+    )
