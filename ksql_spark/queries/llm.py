@@ -3864,3 +3864,131 @@ def llm_retriever_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_dedup_savings",
+    oracle="""
+    WITH g AS (
+        SELECT sha256(text) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(n_chars) AS BIGINT) AS sz
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY sha256(text)
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed,
+           CAST(SUM(n * sz) AS BIGINT) AS bytes_before,
+           CAST(SUM(sz) AS BIGINT) AS bytes_after,
+           CAST(trunc((1.0 - CAST(SUM(sz) AS DOUBLE) / SUM(n * sz))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS savings_ratio
+    FROM g
+    """,
+    ref="SURVEY §2 K92 [EXT] (dedup savings report: corpus-level doc and "
+    "byte reduction from exact dedup — the one-row summary every "
+    "pipeline run logs before/after the K1 pass; per-group sizes are "
+    "exact because exact-dup texts share n_chars (MIN = the one size))",
+)
+def llm_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup buys: docs and bytes before/after keeping one
+    copy per sha256 group, plus the savings ratio. Group size uses
+    MIN(n_chars) — well-defined because byte-identical texts have one
+    length.
+
+    Scale shape: ONE digest-keyed hash agg (the K1 exchange — 32-byte
+    keys, map-side combined), then a 1-row re-agg. Nothing else."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    g = d.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.count("*").alias("n"), F.min("n_chars").alias("sz")
+    )
+    return g.agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        (F.sum("n") - F.count("*")).alias("n_removed"),
+        F.sum(F.col("n") * F.col("sz")).alias("bytes_before"),
+        F.sum("sz").alias("bytes_after"),
+        (
+            (
+                (1.0 - F.sum("sz").cast("double") / F.sum(F.col("n") * F.col("sz")))
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .cast("double")
+            / 1000000.0
+        ).alias("savings_ratio"),
+    )
+
+
+_CTX_WINDOWS = (16, 32, 64, 128)
+
+
+@query(
+    "llm_context_window_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    ), w(win) AS (VALUES {", ".join(f"({w})" for w in _CTX_WINDOWS)})
+    SELECT CAST(w.win AS INT) AS window_tokens,
+           CAST(SUM(CASE WHEN n_tok <= w.win THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_fitting,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(least(n_tok, w.win)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(trunc((1.0 - CAST(SUM(least(n_tok, w.win)) AS DOUBLE)
+                       / SUM(n_tok)) * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS truncation_loss
+    FROM toks CROSS JOIN w
+    GROUP BY w.win
+    """,
+    ref="SURVEY §2 K93 [EXT] (context-window planning table: per candidate "
+    "window size, the fraction of docs fitting and of TOKENS surviving "
+    "truncation — the decision table behind CHUNK/STRIDE (K7) and packing "
+    "budget (K11) configuration; token loss, not doc counts, is what "
+    "moves the training distribution)",
+)
+def llm_context_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each candidate context window: docs fitting whole, tokens kept
+    under truncate-to-window, and the token-level truncation loss. The
+    windows are a 4-row constant dimension.
+
+    Scale shape: one narrow token-count pass; the windows table
+    cross-joins as a broadcast 4-row dimension (row explosion x4, then
+    map-side combine collapses to 4 output rows). One bounded agg."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(F.size(text.words("text")).cast("long").alias("n_tok"))
+    w = spark.createDataFrame([(x,) for x in _CTX_WINDOWS], "win int")
+    j = toks.crossJoin(F.broadcast(w))
+    kept = F.least(F.col("n_tok"), F.col("win").cast("long"))
+    return (
+        j.groupBy("win")
+        .agg(
+            F.sum(F.when(F.col("n_tok") <= F.col("win"), 1).otherwise(0)).alias(
+                "docs_fitting"
+            ),
+            F.count("*").alias("docs_total"),
+            F.sum(kept).alias("tokens_kept"),
+            F.sum("n_tok").alias("tokens_total"),
+            (
+                (
+                    (1.0 - F.sum(kept).cast("double") / F.sum("n_tok"))
+                    * 1000000
+                    + 0.5
+                )
+                .cast("bigint")
+                .cast("double")
+                / 1000000.0
+            ).alias("truncation_loss"),
+        )
+        .select(
+            F.col("win").cast("int").alias("window_tokens"),
+            "docs_fitting",
+            "docs_total",
+            "tokens_kept",
+            "tokens_total",
+            "truncation_loss",
+        )
+    )
