@@ -1740,3 +1740,96 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double") / 1000000.0).alias("rate_ratio"),
         (F.col("c_a").cast("double") > 1.5 * mean_b).alias("is_spike"),
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    )
+    SELECT day,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                       = days.day) AS BIGINT) AS dau,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                 WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP) <= days.day
+                   AND CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                       >= days.day - INTERVAL 27 DAY) AS BIGINT) AS mau,
+           CAST(trunc(
+               CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                     WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                           = days.day) AS DOUBLE)
+               / (SELECT COUNT(DISTINCT user_id) FROM events e
+                  WHERE CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                        <= days.day
+                    AND CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+                        >= days.day - INTERVAL 27 DAY)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS stickiness
+    FROM days
+    """,
+    ref="SURVEY §2 K94 [EXT] (DAU/MAU stickiness: daily actives over "
+    "trailing-28-day actives, exact, per day — the canonical product "
+    "engagement ratio; BOTH frames read the same daily-bitmap grid "
+    "(I13/I14 machinery), so the day's popcount and the 28-day bit_or "
+    "cost one grid pass; cross-method oracle = correlated windowed "
+    "COUNT(DISTINCT))",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness per observed day: exact DAU / exact trailing-28-day MAU
+    from the shared daily user-bitmap grid — the day's own popcount and a
+    ROWS 27 PRECEDING bit_or over the dense calendar spine (zero-event
+    days can't stretch the frame, the I14 pin), quantized to 1e-6.
+
+    Scale: the grid is n_days x id_domain/32 words partitioned by
+    word_idx (the I13/I14 envelope); both aggregates ride ONE window
+    exchange. MAU at 100 TB id domains swaps the bitmap words for HLL
+    sketches with the same frame shape — approximate where exact stops
+    fitting (documented trade, agg_approx_distinct)."""
+    from pyspark.sql import Window
+
+    from ksql_spark.operators.bitmaps import bitmap_words
+
+    ev = load(spark, sf_dir, "events")
+    daily = bitmap_words(
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+        "user_id",
+        ["day"],
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    grid = spine.crossJoin(daily.select("word_idx").distinct())
+    dense = grid.join(daily, ["day", "word_idx"], "left").select(
+        "day", "word_idx", F.coalesce("bits", F.lit(0)).alias("bits")
+    )
+    w28 = (
+        Window.partitionBy("word_idx")
+        .orderBy("day")
+        .rowsBetween(-27, Window.currentRow)
+    )
+    per_day = (
+        dense.withColumn("m_bits", F.bit_or("bits").over(w28))
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("bigint").alias("dau"),
+            F.sum(F.bit_count("m_bits")).cast("bigint").alias("mau"),
+        )
+    )
+    out = per_day.select(
+        "day",
+        "dau",
+        "mau",
+        (
+            (F.col("dau").cast("double") / F.col("mau") * 1000000 + 0.5)
+            .cast("bigint")
+            .cast("double")
+            / 1000000.0
+        ).alias("stickiness"),
+    )
+    return out.join(daily.select("day").distinct(), "day", "left_semi")
