@@ -1603,3 +1603,143 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median",
         )
     )
+
+
+@query(
+    "orders_survival_km",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate) AS rn
+        FROM orders
+    ), per AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+               MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS t2
+        FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ), horizon AS (
+        SELECT MAX(o_orderdate) AS hi FROM orders
+    ), subjects AS (
+        SELECT CASE WHEN t2 IS NOT NULL
+                    THEN CAST(date_diff('day', CAST(t1 AS DATE),
+                                        CAST(t2 AS DATE)) AS BIGINT)
+                    ELSE CAST(date_diff('day', CAST(t1 AS DATE),
+                                        CAST(hi AS DATE)) AS BIGINT)
+               END AS dur,
+               CAST(t2 IS NOT NULL AS INT) AS event
+        FROM per, horizon
+    ), by_dur AS (
+        SELECT dur,
+               CAST(SUM(event) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_leaving
+        FROM subjects GROUP BY dur
+    ), risk AS (
+        SELECT dur, n_events,
+               CAST((SELECT COUNT(*) FROM subjects s
+                     WHERE s.dur >= by_dur.dur) AS BIGINT) AS n_risk
+        FROM by_dur
+    ), terms AS (
+        SELECT dur, n_events, n_risk,
+               SUM(CASE WHEN n_events = n_risk THEN 0
+                   ELSE CAST(trunc(
+                        ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                        * 1000000000 + 0.5) AS BIGINT) END)
+                   OVER (ORDER BY dur) AS lnsum_q9,
+               MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur) AS hit_zero
+        FROM risk WHERE n_events > 0
+    )
+    SELECT dur AS duration_days, n_risk, n_events,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE CAST(trunc(exp(CAST(lnsum_q9 AS DOUBLE) / 1000000000.0)
+                           * 1000000 + 0.5) AS BIGINT) / 1000000.0
+           END AS survival
+    FROM terms
+    """,
+    ref="SURVEY §2 D27 [EXT] (Kaplan-Meier product-limit estimator on "
+    "time-to-repeat-purchase with RIGHT CENSORING at the observation "
+    "horizon — the survival curve behind churn/repeat analyses; naive "
+    "'average days between orders' silently drops one-order customers "
+    "and biases low. Log-space product: per-step ln terms quantized at "
+    "1e-9, exact cumulative sum, one exp)",
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival S(d) of 'still no second order after d days': subjects
+    = customers, duration = first-to-second order days (repeaters) or
+    first-order-to-horizon days (censored singles), risk sets counted on
+    BOTH. The product over event times runs in log space with the
+    registry quantization discipline so the curve is engine- and
+    partition-order-exact.
+
+    Scale shape: one customer-keyed agg builds subjects (map-side
+    combined); per-duration tallies are a calendar-bounded agg; the risk
+    set is total-minus-prefix over SORTED distinct durations (spelled as
+    a correlated count in the oracle, a descending cumulative here —
+    both exact); the KM window runs over <= |distinct durations| rows.
+    Nothing after the first agg is data-sized."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    ranked = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 2)
+    per = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("hi"))
+    subjects = per.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.to_date("t2"), F.to_date("t1")),
+        )
+        .otherwise(F.datediff(F.to_date("hi"), F.to_date("t1")))
+        .cast("bigint")
+        .alias("dur"),
+        F.col("t2").isNotNull().cast("int").alias("event"),
+    )
+    by_dur = subjects.groupBy("dur").agg(
+        F.sum("event").alias("n_events"),
+        F.count("*").alias("n_leaving"),
+    )
+    dw = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_dur.withColumn("n_risk", F.sum("n_leaving").over(dw))
+    # the final event time can have n_events == n_risk (everyone left
+    # leaves with an event): S hits exactly 0 there — an absorbing flag,
+    # not a ln(0) (which would abort/NaN in either engine)
+    ln_q9 = F.when(F.col("n_events") == F.col("n_risk"), F.lit(0).cast("bigint")).otherwise(
+        (
+            F.log(1.0 - F.col("n_events").cast("double") / F.col("n_risk"))
+            * 1000000000
+            + 0.5
+        ).cast("bigint")
+    )
+    zero = F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0)
+    kw = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    terms = (
+        risk.where(F.col("n_events") > 0)
+        .withColumn("lnsum_q9", F.sum(ln_q9).over(kw))
+        .withColumn("hit_zero", F.max(zero).over(kw))
+    )
+    surv = F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+        (
+            F.exp(F.col("lnsum_q9").cast("double") / 1000000000.0)
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    return terms.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        surv.alias("survival"),
+    )
