@@ -757,3 +757,85 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.agg(
         n.cast("bigint").alias("n_directed_edges"), r.alias("assortativity")
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH inc AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pair AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM inc a JOIN inc b USING (p)
+        WHERE a.s <> b.s GROUP BY a.s, b.s
+    ), adj AS MATERIALIZED (
+        SELECT s1, s2 FROM pair
+        WHERE shared >= 1.05 * (SELECT AVG(shared) FROM pair)
+    ), deg AS MATERIALIZED (
+        SELECT s1 AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM adj GROUP BY s1
+    ), tri AS (
+        SELECT e1.s1 AS node, CAST(COUNT(*) AS BIGINT) AS n_closed
+        FROM adj e1
+        JOIN adj e2 ON e1.s2 = e2.s1
+        JOIN adj e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        GROUP BY e1.s1
+    )
+    SELECT deg.node AS suppkey, deg.d AS degree,
+           CAST(COALESCE(tri.n_closed, 0) / 2 AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d < 2 THEN 0.0
+                ELSE CAST(trunc(
+                    CAST(COALESCE(tri.n_closed, 0) AS DOUBLE)
+                    / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tri ON deg.node = tri.node
+    """,
+    ref="SURVEY §2 L11 [EXT] (local clustering coefficient: closed wedges "
+    "/ possible wedges per node (Watts-Strogatz 1998) — how clique-like "
+    "each supplier's neighborhood is; the per-node refinement of L5's "
+    "global triangle count, sharing the thresholded adjacency and the "
+    "wedge-enumeration posture)",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C(v) = 2*triangles(v) / (deg(v)*(deg(v)-1)) over the thresholded
+    co-ship graph. Closed wedges centered at v are counted directed (each
+    triangle contributes 2 per vertex), so n_triangles = closed/2 exactly
+    and the coefficient uses the directed count over d*(d-1) — the same
+    ratio, no halving error. Degree-<2 nodes get 0 by convention.
+
+    Scale shape: the wedge join (e1: v-a, e2: a-b) is the L9 self-join,
+    closed by an equi-join back onto the edge list (v-b) — all three legs
+    keyed, no cartesian; wedge volume is the L6-diagnosed sum of deg²,
+    bounded by the same thresholding/hub arguments as L5/L9. Output is
+    |V|-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = _weighted_adj(li).localCheckpoint()
+    deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
+    e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
+    e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    wedge = e1.join(e2, "a")
+    closed = wedge.join(
+        adj, (adj["s1"] == wedge["v"]) & (adj["s2"] == wedge["b"])
+    )
+    tri = closed.groupBy(F.col("v").alias("node")).agg(
+        F.count("*").alias("n_closed")
+    )
+    nc = F.coalesce(F.col("n_closed"), F.lit(0))
+    coeff = F.when(F.col("d") < 2, F.lit(0.0)).otherwise(
+        (
+            nc.cast("double")
+            / (F.col("d").cast("double") * (F.col("d") - 1))
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .cast("double")
+        / 1000000.0
+    )
+    return deg.join(tri, "node", "left").select(
+        F.col("node").alias("suppkey"),
+        F.col("d").alias("degree"),
+        (nc / 2).cast("bigint").alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )
