@@ -1743,3 +1743,151 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         surv.alias("survival"),
     )
+
+
+@query(
+    "orders_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i
+        FROM rev
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(rev_c AS DECIMAL(38, 0))) AS DOUBLE) AS s0,
+               CAST(SUM(CAST(i AS DECIMAL(38, 0)) * rev_c) AS DOUBLE) AS s1
+        FROM ranked
+    )
+    SELECT n_customers,
+           CAST(trunc(s0 / 100.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS total_revenue,
+           CAST(trunc((2.0 * s1 / (n_customers * s0)
+                       - (n_customers + 1.0) / n_customers)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS gini
+    FROM s
+    """,
+    ref="SURVEY §2 D28 [EXT] (Gini coefficient of customer revenue "
+    "concentration via the rank-based estimator G = 2*Σ(i·x_i)/(n·Σx) - "
+    "(n+1)/n over ascending revenues — the concentration complement of "
+    "the D22 ABC/Pareto cut: ABC says WHERE the cut falls, Gini scores "
+    "HOW concentrated the whole curve is in one number)",
+)
+def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row revenue-concentration report: customer count, total
+    revenue, and the Gini coefficient of per-customer revenue. Revenue
+    is quantized to exact cents at the first aggregate, the global
+    ascending rank comes from the two-pass ranged cumulative sum (never
+    a single-partition window), and Σ i·x_i accumulates in
+    decimal(38,0) — exact in both engines, so the final double division
+    is bit-identical.
+
+    Scale shape: one o_custkey hash agg (map-side combined), then the
+    operators/scale.py ranged_cumsum decomposition for the global rank
+    (range-partitioned local windows + a #partitions-row offset join),
+    then a single 1-row reduction. The decimal accumulator is the
+    overflow headroom: rank·cents products reach ~1e16 at sf0.1 and
+    ~1e26 at the 100 TB customer count — past bigint, inside
+    decimal(38,0)."""
+    from ksql_spark.operators.scale import ranged_cumsum
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c")
+    )
+    ranked = ranged_cumsum(
+        rev.withColumn("_one", F.lit(1)),
+        ["rev_c", "o_custkey"],
+        "_one",
+        "i",
+    )
+    s = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s0"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev_c"))
+        .cast("double")
+        .alias("s1"),
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    n = F.col("n_customers").cast("double")
+    return s.select(
+        "n_customers",
+        q6(F.col("s0") / 100.0).alias("total_revenue"),
+        q6(
+            2.0 * F.col("s1") / (n * F.col("s0")) - (n + 1.0) / n
+        ).alias("gini"),
+    )
+
+
+_LDIV_L = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 3000 THEN 'low'
+                    WHEN c_acctbal < 7000 THEN 'mid'
+                    ELSE 'high' END AS balance_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT balance_band) AS BIGINT)
+               AS distinct_sensitive,
+           COUNT(DISTINCT balance_band) < {_LDIV_L} AS violates_l
+    FROM tagged GROUP BY c_nationkey, c_mktsegment
+    """,
+    ref="SURVEY §2 D29 [EXT] (l-diversity audit, l=3: distinct sensitive "
+    "values — banded account balance — per quasi-identifier equivalence "
+    "class; the Machanavajjhala et al. 2007 strengthening of D24 "
+    "k-anonymity: a class can be large yet still leak when every member "
+    "shares one sensitive value)",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each (nation, segment) equivalence class with its size, the count
+    of distinct sensitive balance-bands present, and whether it violates
+    l=3 diversity — k-anonymity's blind spot is the homogeneous class
+    (10 members, all 'negative') where membership alone discloses the
+    sensitive attribute.
+
+    Scale shape: the sensitive band is a narrow projection, then ONE
+    hash agg on the QI tuple with an exact distinct over a 4-value
+    domain (Spark plans this as the two-phase Expand only over the
+    bounded band domain; output rows bounded by the QI product). Wider
+    sensitive domains swap the exact distinct for the D15 bitmap or
+    D14 HLL — same single-agg shape."""
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select("c_nationkey", "c_mktsegment", band.alias("balance_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct(F.col("balance_band")).alias(
+                "distinct_sensitive"
+            ),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") < _LDIV_L).alias("violates_l"),
+        )
+    )

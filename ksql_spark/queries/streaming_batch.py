@@ -1833,3 +1833,44 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stickiness"),
     )
     return out.join(daily.select("day").distinct(), "day", "left_semi")
+
+
+@query(
+    "events_power_user_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP))
+                    AS BIGINT) AS active_days
+        FROM events GROUP BY user_id
+    )
+    SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY active_days
+    """,
+    ref="SURVEY §2 K95 [EXT] (power-user curve: the engagement histogram "
+    "n_users by distinct-active-days — the distribution BEHIND the K94 "
+    "DAU/MAU ratio; a product reads the two together to tell a broad-but-"
+    "shallow corpus from a narrow-but-deep one)",
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many users were active exactly k distinct days — the
+    power-user curve (Andreessen-Horowitz 'L30' shape). Two hash
+    aggregations: (user, day) distinct collapse, then the per-user day
+    count, then the bounded histogram (≤ horizon days rows).
+
+    Scale shape: the (user_id, day) distinct and the per-user count ride
+    the SAME user_id-keyed exchange (partial aggregation map-side
+    combines the duplicate (user, day) pairs before the shuffle); the
+    final histogram agg is over |users| rows → ≤ |days| groups. No
+    windows, no joins — this survives any corpus size that the user-id
+    domain itself fits."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("active_days"))
+    )
+    return per_user.groupBy("active_days").agg(
+        F.count("*").alias("n_users")
+    )
