@@ -2007,3 +2007,86 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "llm_quality_roc_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(trunc(({SQL_QUALITY}) * 1000000 + 0.5) AS BIGINT) AS sq,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), by_s AS (
+        SELECT sq, CAST(SUM(pos) AS BIGINT) AS np_s,
+               CAST(SUM(1 - pos) AS BIGINT) AS nn_s
+        FROM scored GROUP BY sq
+    ), cum AS (
+        SELECT sq, np_s, nn_s,
+               CAST(SUM(nn_s) OVER (ORDER BY sq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nn_s AS BIGINT) AS nn_below
+        FROM by_s
+    )
+    SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
+           CAST(SUM(nn_s) AS BIGINT) AS n_neg,
+           CAST(trunc(SUM(np_s * (nn_below + nn_s / 2.0))
+                      / NULLIF(CAST(SUM(np_s) AS DOUBLE) * SUM(nn_s), 0)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS auc
+    FROM cum
+    """,
+    ref="SURVEY §2 K97 [EXT] (ROC-AUC of the K4 quality score against the "
+    "lang='en' pseudo-label via the Mann-Whitney U rank-sum identity "
+    "AUC = U/(n_pos*n_neg) with the standard half-credit tie correction "
+    "— the one-number answer to 'does the quality classifier actually "
+    "separate the corpus?', the threshold-free complement of K45's "
+    "calibration table)",
+)
+def llm_quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row classifier evaluation: AUC of the quality score for
+    discriminating English documents, computed from the rank-sum
+    identity — for each distinct (1e-6-quantized) score, positives at
+    that score earn one credit per negative BELOW it plus half per
+    negative TIED with it; AUC = total credit / (n_pos · n_neg).
+    Degenerate corpora (no positives or no negatives) yield NULL.
+
+    Scale shape: the corpus collapses to ≤1e6+1 rows at the score-value
+    agg (map-side combined — the quantization bounds the domain
+    regardless of corpus size); the exclusive running negative count
+    rides the operators/scale.py ranged_cumsum decomposition (no
+    single-partition window), then one 1-row reduction. Credits are
+    exact multiples of 0.5 well inside 2^52, so the double sum is
+    bit-identical cross-engine."""
+    from ksql_spark.operators.scale import ranged_cumsum
+    from ksql_spark.operators import text
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        (text.quality_score("text") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("sq"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    by_s = scored.groupBy("sq").agg(
+        F.sum("pos").alias("np_s"),
+        F.sum(1 - F.col("pos")).alias("nn_s"),
+    )
+    cum = ranged_cumsum(by_s, ["sq"], "nn_s", "nn_incl").withColumn(
+        "nn_below", F.col("nn_incl") - F.col("nn_s")
+    )
+    u = F.sum(
+        F.col("np_s") * (F.col("nn_below") + F.col("nn_s") / F.lit(2.0))
+    )
+    denom = F.sum("np_s").cast("double") * F.sum("nn_s")
+    return cum.agg(
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+        (
+            (
+                F.try_divide(u, F.when(denom != 0, denom)) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("auc"),
+    )

@@ -1874,3 +1874,127 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("active_days").agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "events_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ), w AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER pw AS k,
+               SUM(x) OVER pw AS sx,
+               SUM(x * x) OVER pw AS sx2,
+               LEAD(day) OVER pw AS next_day,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(x) OVER (PARTITION BY event_type) AS s,
+               SUM(x * x) OVER (PARTITION BY event_type) AS s2
+        FROM daily
+        WINDOW pw AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), costs AS (
+        SELECT *,
+               CAST(trunc(((sx2 - CAST(sx AS DOUBLE) * sx / k)
+                           + ((s2 - sx2)
+                              - CAST(s - sx AS DOUBLE) * (s - sx) / (n - k)))
+                          * 1000000 + 0.5) AS BIGINT) AS cost_q,
+               CAST(trunc((s2 - CAST(s AS DOUBLE) * s / n)
+                          * 1000000 + 0.5) AS BIGINT) AS total_q
+        FROM w WHERE n >= 4 AND k BETWEEN 2 AND n - 2
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY cost_q, day) AS rn
+        FROM costs
+    )
+    SELECT event_type, next_day AS split_day, CAST(n AS BIGINT) AS n_days,
+           total_q / 1000000.0 AS sse_total,
+           cost_q / 1000000.0 AS sse_split,
+           CAST(trunc((1.0 - cost_q / NULLIF(CAST(total_q AS DOUBLE), 0))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS gain
+    FROM best WHERE rn = 1
+    """,
+    ref="SURVEY §2 K96 [EXT] (single binary-segmentation changepoint per "
+    "event-type daily series: argmin over split points of "
+    "SSE_left+SSE_right from exact prefix sums of x and x² — the "
+    "level-shift LOCATOR complementing K63 CUSUM's drift DETECTOR; "
+    "Scott-Knott / binary segmentation, one window pass, no per-split "
+    "rescan)",
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best mean-shift changepoint per event-type daily-count series by
+    binary segmentation: for every split k the pooled SSE of the two
+    segments comes from running prefix sums (Σx, Σx²) — evaluating ALL
+    n-3 candidate splits costs ONE ordered pass, not n rescans. Both
+    segments must hold ≥2 points; ties in quantized cost break to the
+    earliest day; split_day is the first day of the new regime. gain is
+    the SSE fraction explained (NULL for constant series, try_divide).
+
+    Scale shape: the series collapses to |types| × |days| rows at the
+    first agg (map-side combined); every window rides ONE event_type
+    exchange (per-type partitions are calendar-bounded, never
+    corpus-sized). All window inputs are exact bigints, so the double
+    cost math is bit-identical cross-engine; comparisons happen on the
+    1e-6-quantized integer cost."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("x"))
+    po = Window.partitionBy("event_type").orderBy("day")
+    pw = po.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    d = F.col
+    w = (
+        daily.withColumn("k", F.row_number().over(po))
+        .withColumn("sx", F.sum("x").over(pw))
+        .withColumn("sx2", F.sum(d("x") * d("x")).over(pw))
+        .withColumn("next_day", F.lead("day").over(po))
+        .withColumn("n", F.count("*").over(wall))
+        .withColumn("s", F.sum("x").over(wall))
+        .withColumn("s2", F.sum(d("x") * d("x")).over(wall))
+    )
+    cost = (
+        d("sx2") - d("sx").cast("double") * d("sx") / d("k")
+    ) + (
+        (d("s2") - d("sx2"))
+        - (d("s") - d("sx")).cast("double")
+        * (d("s") - d("sx"))
+        / (d("n") - d("k"))
+    )
+    total = d("s2") - d("s").cast("double") * d("s") / d("n")
+    costs = w.where(
+        (d("n") >= 4) & (d("k") >= 2) & (d("k") <= d("n") - 2)
+    ).select(
+        "event_type",
+        "day",
+        "next_day",
+        "n",
+        (cost * 1000000 + F.lit(0.5)).cast("long").alias("cost_q"),
+        (total * 1000000 + F.lit(0.5)).cast("long").alias("total_q"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("cost_q", "day")
+    )
+    best = costs.withColumn("rn", rn).where(d("rn") == 1)
+    ratio = F.try_divide(
+        d("cost_q").cast("double"),
+        F.when(d("total_q") != 0, d("total_q").cast("double")),
+    )
+    return best.select(
+        "event_type",
+        d("next_day").alias("split_day"),
+        d("n").alias("n_days"),
+        (d("total_q").cast("double") / 1000000.0).alias("sse_total"),
+        (d("cost_q").cast("double") / 1000000.0).alias("sse_split"),
+        (
+            ((F.lit(1.0) - ratio) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("gain"),
+    )
