@@ -2090,3 +2090,58 @@ def llm_quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("auc"),
     )
+
+
+_BLOCKLIST = ("slow", "dup", "stale")
+
+
+@query(
+    "llm_blocklist_filter",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN {str(tuple(_BLOCKLIST))})) AS BIGINT)
+                   AS blocked_hits,
+               CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                        x -> x IN {str(tuple(_BLOCKLIST))})) AS BIGINT)
+                   AS distinct_blocked_terms
+        FROM documents
+    )
+    SELECT doc_id, source, blocked_hits, distinct_blocked_terms
+    FROM hits WHERE blocked_hits > 0
+    """,
+    ref="SURVEY §2 K98 [EXT] (blocklist / unsafe-term filter: per-doc hit "
+    "count and distinct-term count against a broadcast denylist, "
+    "emitting only flagged docs — the safety-filter stage every "
+    "production corpus pipeline runs between K8 PII scrubbing and K12 "
+    "corpus filtering; absent terms cost nothing, the list is a "
+    "plan-time literal)",
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing any blocklisted term, with total occurrence
+    count and distinct-term count — the audit table a safety review
+    reads (high distinct_blocked_terms = systematic, high hits with one
+    term = topical). The blocklist is a literal array folded into the
+    row expression; real deployments broadcast a few-MB list the same
+    way (or join a bloom filter for multi-GB lists — K48 machinery).
+
+    Scale shape: one narrow whole-stage-codegen pass over (doc_id,
+    source, text); the filter drops clean docs before anything
+    shuffles. No joins, no windows, no UDFs."""
+    from ksql_spark.operators.text import words
+
+    d = load(spark, sf_dir, "documents")
+    w = words("text")
+    bl = list(_BLOCKLIST)
+    out = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(w, lambda x: x.isin(*bl))).cast("long").alias(
+            "blocked_hits"
+        ),
+        F.size(
+            F.filter(F.array_distinct(w), lambda x: x.isin(*bl))
+        ).cast("long").alias("distinct_blocked_terms"),
+    )
+    return out.where(F.col("blocked_hits") > 0)

@@ -3992,3 +3992,110 @@ def llm_context_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "truncation_loss",
         )
     )
+
+
+@query(
+    "llm_emb_centroid_drift",
+    oracle="""
+    WITH comp AS (
+        SELECT label, t.i AS dim,
+               CAST(trunc(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), cent AS (
+        SELECT label, dim,
+               CAST(trunc(CAST(SUM(vq) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cq
+        FROM comp GROUP BY label, dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot,
+               CAST(SUM(a.cq * a.cq) AS BIGINT) AS na,
+               CAST(SUM(b.cq * b.cq) AS BIGINT) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           CAST(trunc(CAST(dot AS DOUBLE)
+                / NULLIF(sqrt(CAST(na AS DOUBLE))
+                         * sqrt(CAST(nb AS DOUBLE)), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS centroid_cosine
+    FROM pairs
+    """,
+    ref="SURVEY §2 K100 [EXT] (embedding centroid drift: cosine between "
+    "per-label mean vectors for every label pair — the batch-vs-batch / "
+    "model-version drift monitor over the embedding column; the "
+    "distribution-level complement of K51 outliers (point-level) and "
+    "K90 PSI (scalar-score-level))",
+)
+def llm_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between the mean embedding of every label pair
+    — labels standing in for corpus batches / embedding-model versions;
+    a pair drifting below ~0.95 is the re-embed trigger. Component sums
+    accumulate in exact 1e-6-quantized integers and each centroid
+    component re-quantizes after the mean, so the pairwise dot/norm math
+    is exact integer arithmetic and the single double division at the
+    end is bit-identical cross-engine (zero-norm centroids yield NULL).
+
+    Scale shape: the (label, dim) mean is ONE map-side-combined agg over
+    the exploded components (n·dim rows in, |labels|·dim out — the only
+    corpus-sized pass); the pair join runs over that bounded table
+    (|labels|²·dim products, broadcast-sized at any corpus size). Never
+    an n² row pass."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        (F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        (
+            (F.sum("vq").cast("double") / F.count("*")) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("cq").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("cq").alias("cb"),
+    )
+    pairs = (
+        a.join(b, ["dim"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb"),
+        )
+    )
+    denom = F.sqrt(F.col("na").cast("double")) * F.sqrt(
+        F.col("nb").cast("double")
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        (
+            (
+                F.try_divide(
+                    F.col("dot").cast("double"),
+                    F.when(denom != 0, denom),
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("centroid_cosine"),
+    )

@@ -397,3 +397,88 @@ def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * PACK_BUDGET)
         ).alias("utilization"),
     )
+
+
+_BATCH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@query(
+    "llm_batch_bucketing",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents
+    ), assigned AS (
+        SELECT CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32
+                    WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+                    WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512
+                    WHEN t <= 1024 THEN 1024 ELSE 2048 END AS bucket_len,
+               LEAST(t, 2048) AS kept
+        FROM toks
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS tokens_kept,
+           CAST(SUM(bucket_len - kept) AS BIGINT) AS padding_tokens,
+           CAST(trunc(CAST(SUM(bucket_len - kept) AS DOUBLE)
+                      / (COUNT(*) * bucket_len) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS pad_frac
+    FROM assigned GROUP BY bucket_len
+    """,
+    ref="SURVEY §2 K99 [EXT] (length-bucketed batch planning: docs binned "
+    "to power-of-two sequence buckets with per-bucket padding-waste "
+    "fraction — the dynamic-batching decision table; the bucketed "
+    "alternative to K11's packing (packing concatenates, bucketing pads "
+    "— pad_frac is exactly the compute a trainer burns on pad tokens), "
+    "over-cap docs truncate to the 2048 cap)",
+)
+def llm_batch_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per power-of-two bucket (16..2048): document count, real tokens
+    kept, pad tokens burned, and the padding fraction of a batch built
+    at that length — the table that decides whether to train with
+    bucketed batches (simple, pad_frac waste) or packed sequences (K11,
+    zero pad, attention-mask complexity). Docs past the 2048 cap
+    truncate to the cap (kept = least(t, cap)).
+
+    Scale shape: the bucket is a literal CASE chain in whole-stage
+    codegen (no join, no log2 float edge-cases at exact powers of two);
+    ONE map-side-combined agg with ≤8 output rows. Nothing here grows
+    with the corpus."""
+    d = load(spark, sf_dir, "documents")
+    from ksql_spark.operators.text import words
+
+    t = F.size(words("text")).cast("long")
+    expr = None
+    for b in _BATCH_BUCKETS[:-1]:
+        expr = (
+            F.when(t <= b, F.lit(b))
+            if expr is None
+            else expr.when(t <= b, F.lit(b))
+        )
+    bucket_len = expr.otherwise(F.lit(_BATCH_BUCKETS[-1])).cast("long")
+    kept = F.least(t, F.lit(_BATCH_BUCKETS[-1]).cast("long"))
+    assigned = d.select(
+        bucket_len.alias("bucket_len"), kept.alias("kept")
+    )
+    g = assigned.groupBy("bucket_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("tokens_kept"),
+        F.sum(F.col("bucket_len") - F.col("kept")).alias("padding_tokens"),
+    )
+    return g.select(
+        "bucket_len",
+        "n_docs",
+        "tokens_kept",
+        "padding_tokens",
+        (
+            (
+                F.col("padding_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_len"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("pad_frac"),
+    )
