@@ -11,7 +11,7 @@ SQL-expressible check for an iterative algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ksql_spark.registry import query
 from ksql_spark.tables import load
@@ -839,3 +839,80 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nc / 2).cast("bigint").alias("n_triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+_LPA_ADJ_SQL = """
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey <> b.l_suppkey
+"""
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round in SQL: each node adopts the most frequent
+    label among its neighbors, ties broken to the smallest label."""
+    return f"""
+    c_{out} AS (
+        SELECT e.s2 AS node, l.label, COUNT(*) AS c
+        FROM adjd e JOIN {prev} l ON l.node = e.s1
+        GROUP BY e.s2, l.label
+    ), p_{out} AS (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c_{out}
+    ), {out} AS (SELECT node, label FROM p_{out} WHERE rn = 1)
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH adjd AS ({_LPA_ADJ_SQL}),
+    l0 AS (SELECT DISTINCT s1 AS node, s1 AS label FROM adjd),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')}
+    SELECT node, CAST(label AS BIGINT) AS community FROM l2
+    """,
+    ref="SURVEY §2 L12 [EXT] (Raghavan et al. 2007 label propagation, 2 "
+    "synchronous rounds over the co-ship graph with the deterministic "
+    "(count DESC, label ASC) tie-break — COMMUNITIES where L2/L4 "
+    "connected components find only reachability: LPA splits a "
+    "connected graph along its dense regions)",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community id per supplier after two synchronous label-propagation
+    rounds: start with label = own id, each round every node adopts its
+    neighbors' most frequent label (most-frequent → count DESC; ties →
+    smallest label, making the async-random textbook algorithm
+    deterministic and therefore oracle-checkable). Two rounds is where
+    the co-ship graph's label histogram stabilizes at test scales; the
+    round count is the same documented unroll knob as L7's Bellman-Ford.
+
+    Scale shape: each round is ONE edges⋈labels equi-join (labels table
+    is O(nodes), shuffled on the node key), one (node, label) hash agg,
+    and a node-partitioned argmax window riding the agg's exchange — no
+    per-round edge rebuild (adjacency localCheckpointed once). At 100 TB
+    the join degrades to shuffled-hash by size estimate; nothing is
+    ever all-pairs."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = coship_adj(li, exclude_self=True, checkpoint=True)
+    labels = adj.select(F.col("s1").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        counts = (
+            adj.join(labels, adj["s1"] == labels["node"])
+            .groupBy(F.col("s2").alias("nd"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("nd").orderBy(
+            F.col("c").desc(), F.col("label")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -902,3 +902,57 @@ def er_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.coalesce(F.col("entity_id"), F.col("p_partkey"))
         ).alias("is_canonical"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH b AS (
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               v.ts AS asof_view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts FROM events
+              WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT event_id, user_id, purchase_ts,
+           CASE WHEN asof_view_ts IS NOT NULL
+                     AND purchase_ts - asof_view_ts <= INTERVAL 2 DAY
+                THEN asof_view_ts END AS asof_view_ts
+    FROM b
+    """,
+    ref="SURVEY §2 C10 [EXT] (as-of join with tolerance — pandas "
+    "merge_asof's `tolerance` parameter: a backward match older than "
+    "the cutoff is a NON-match, the stale-quote guard in market-data "
+    "and attribution joins; same one-shuffle union+window plan as "
+    "join_asof with a gap post-filter)",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 2-day staleness tolerance: each purchase
+    takes the user's latest view at-or-before it ONLY if that view is
+    within 2 days — an older view is treated as no context, not stale
+    context (NULL, matching merge_asof tolerance semantics).
+
+    Scale: identical plan to join_asof — ONE user_id shuffle, one
+    sequential window carry, then a narrow row-local gap comparison.
+    The tolerance never becomes a range-join explosion because the
+    candidate is already unique per row before the gap test."""
+    ev = load(spark, sf_dir, "events")
+    tagged = _asof_tagged(ev).withColumn(
+        "asof_view_ts_raw",
+        F.last(_asof_view_ts(), ignorenulls=True).over(_asof_window("back")),
+    )
+    within = F.col("asof_view_ts_raw") >= F.col("ts") - F.expr(
+        "INTERVAL 2 DAY"
+    )
+    return tagged.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(
+            F.col("asof_view_ts_raw").isNotNull() & within,
+            F.col("asof_view_ts_raw"),
+        ).alias("asof_view_ts"),
+    )

@@ -4099,3 +4099,87 @@ def llm_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("centroid_cosine"),
     )
+
+
+@query(
+    "llm_silhouette",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ), d AS (
+        SELECT e.vec_id, c.cent_id,
+               {_L2SQ.format(a='e.embedding', b='c.cent_emb')} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ), r AS (
+        SELECT vec_id, cent_id, cd,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cd, cent_id) AS rn
+        FROM d
+    ), ab AS (
+        SELECT vec_id,
+               MIN(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,
+               MIN(CASE WHEN rn = 1 THEN cd END) AS a_sq,
+               MIN(CASE WHEN rn > 1 THEN cd END) AS b_sq
+        FROM r GROUP BY vec_id
+    ), s AS (
+        SELECT cent_id,
+               CASE WHEN greatest(sqrt(a_sq), sqrt(b_sq)) = 0 THEN 0.0
+                    ELSE (sqrt(b_sq) - sqrt(a_sq))
+                         / greatest(sqrt(a_sq), sqrt(b_sq)) END AS sil
+        FROM ab
+    )
+    SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_davg('sil')} AS avg_silhouette
+    FROM s GROUP BY cent_id
+    """,
+    ref="SURVEY §2 K101 [EXT] (simplified silhouette per cluster over the "
+    "K19 fixed centroids: a = L2 to own centroid, b = L2 to the nearest "
+    "OTHER centroid, s = (b-a)/max(a,b) — the Hruschka et al. "
+    "centroid-based silhouette that replaces the O(n²) pairwise "
+    "original; the cluster-quality gate read before trusting K19/K39 "
+    "bucketing decisions)",
+)
+def llm_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report: per fixed centroid, member count and mean
+    simplified silhouette — s near 1 = compact and separated, near 0 =
+    boundary-straddling, negative = likely mis-assigned. Distances are
+    true L2 (sqrt of the shared deterministic squared-distance
+    arithmetic); a point equidistant-at-zero scores 0 by convention.
+
+    Scale shape: centroids are O(K·dim) broadcast; the distance pass is
+    the same narrow O(n·K) cross join as llm_emb_cluster (never n² —
+    the simplification is exactly what makes silhouette feasible at
+    100 TB); per-point a/b collapse in one vec_id-keyed agg, final agg
+    is K rows with quantized davg."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    d = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cd").asc(), F.col("cent_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    ab = r.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cent_id"))).alias("cent_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("cd"))).alias("a_sq"),
+        F.min(F.when(F.col("rn") > 1, F.col("cd"))).alias("b_sq"),
+    )
+    big = F.greatest(F.sqrt("a_sq"), F.sqrt("b_sq"))
+    sil = F.when(big == 0, F.lit(0.0)).otherwise(
+        (F.sqrt("b_sq") - F.sqrt("a_sq")) / big
+    )
+    return (
+        ab.select("cent_id", sil.alias("sil"))
+        .groupBy("cent_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            davg("sil").alias("avg_silhouette"),
+        )
+    )
