@@ -901,3 +901,64 @@ def test_clustering_coeff_all_joins_keyed(spark):
     """L11: wedge enumeration + closure are equi-joins; no cartesian."""
     plan = plan_of(spark, "graph_clustering_coefficient")
     assert "CartesianProduct" not in plan
+
+
+def test_gini_rank_never_single_partition_window(spark):
+    """D28 Gini: the global ascending rank comes from ranged_cumsum — every
+    Window in the plan partitions on the internal _pid key (parallel local
+    windows), never an unpartitioned global-sort window. The only
+    SinglePartition exchange is the final 1-row reduction."""
+    plan = plan_of(spark, "orders_gini_revenue")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected ranged_cumsum local windows"
+    for s in specs:
+        assert "_pid" in s, s
+
+
+def test_auc_cumsum_not_single_partition(spark):
+    """K97 ROC-AUC: the running negative count over the quantized score
+    domain rides ranged_cumsum — every window partitions on _pid, and the
+    only join is the bounded offsets broadcast."""
+    plan = plan_of(spark, "llm_quality_roc_auc")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected ranged_cumsum local windows"
+    for s in specs:
+        assert "_pid" in s, s
+    assert "SortMergeJoin" not in plan
+
+
+def test_changepoint_one_type_exchange_for_windows(spark):
+    """K96 changepoint: all prefix/total windows ride event_type-keyed
+    exchanges over the calendar-bounded daily table — no SinglePartition
+    window, no joins at all."""
+    plan = plan_of(spark, "events_changepoint_binseg")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_lpa_rounds_are_equi_joins(spark):
+    """L12 LPA: each propagation round is an edges⋈labels equi-join plus a
+    node-keyed argmax window — never a cartesian product."""
+    plan = plan_of(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_drift_pair_join_is_bounded(spark):
+    """K100 centroid drift: the only corpus-sized pass is the (label, dim)
+    mean agg; the label-pair join runs over that bounded table and must
+    never plan a cartesian over embeddings rows."""
+    plan = plan_of(spark, "llm_emb_centroid_drift")
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_centroids_broadcast(spark):
+    """K101 silhouette: the K-centroid side is an explicit broadcast — the
+    distance pass must be a BroadcastNestedLoopJoin over O(K) rows, never
+    a shuffled cartesian of embeddings × embeddings."""
+    plan = plan_of(spark, "llm_silhouette")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" in plan
