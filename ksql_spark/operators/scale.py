@@ -67,3 +67,62 @@ def ranged_cumsum(
         .withColumn(out_col, F.col("_start") + F.sum(value_col).over(w_local))
         .drop("_pid", "_start")
     )
+
+
+def ranged_cummax_excl(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cummax_excl",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = EXCLUSIVE global running max of `value_col` over the
+    total order given by `order_cols`: the max over all STRICTLY PRECEDING
+    rows (NULL for the globally first row). Same zipWithIndex decomposition
+    as ranged_cumsum — max is associative, so the per-partition offset is
+    the prefix max of partition totals instead of the prefix sum; the
+    exclusive frame is local (rowsBetween(unboundedPreceding, -1)) and the
+    offset is itself exclusive at the partition level.
+
+    The skyline/dominance family builds on this: "is any earlier point
+    higher?" without an Exchange SinglePartition window.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_excl = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in parts.groupBy("_pid")
+        .agg(F.max(value_col).alias("t"))
+        .collect()
+    }
+    best, offset_rows = None, []
+    for pid in sorted(totals):  # range partitions are globally ordered by pid
+        offset_rows.append((pid, best))
+        t = totals[pid]
+        if t is not None and (best is None or t > best):
+            best = t
+    offsets = spark.createDataFrame(offset_rows, "_pid int, _prior long")
+    local = F.max(value_col).over(w_excl)
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_prior").isNull(), local
+            ).when(local.isNull(), F.col("_prior")).otherwise(
+                F.greatest(local, F.col("_prior"))
+            ),
+        )
+        .drop("_pid", "_prior")
+    )

@@ -75,3 +75,60 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "part_skyline_2d",
+    oracle="""
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size)
+    )
+    """,
+    ref="SURVEY §2 F6 [EXT] (2-D skyline / Pareto-frontier operator "
+    "(Börzsönyi et al. ICDE 2001): parts not dominated on (price min, "
+    "size max) — the multi-criteria shortlist SQL cannot express "
+    "without a quadratic NOT EXISTS; the Spark plan is the sort-filter "
+    "skyline: ONE pass over price groups with an exclusive running max "
+    "of size, via the ranged_cummax_excl scale primitive)",
+)
+def part_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over parts: keep a part iff nothing is at-most-as-
+    expensive AND at-least-as-big with one strict inequality. Dominance
+    decomposes by price group: p is dominated iff the max size among
+    STRICTLY cheaper parts reaches p's size, or a SAME-priced part is
+    strictly bigger. Both tests read one price-grouped table — no pair
+    join, no quadratic pass (the oracle IS the quadratic NOT EXISTS:
+    independent semantics, not a re-spelling of this algorithm).
+
+    Scale shape: one price_q hash agg (map-side combined, output =
+    distinct prices), the operators/scale.py ranged_cummax_excl
+    two-pass for the strict-prior max (range-partitioned local windows
+    + a #partitions-row offset broadcast — no SinglePartition window),
+    then a keyed join of parts back onto their price group. Prices are
+    exact cents, so price_q is a lossless bigint key."""
+    from ksql_spark.operators.scale import ranged_cummax_excl
+
+    p = load(spark, sf_dir, "part")
+    pq = (F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    rows = p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+        pq.alias("price_q"),
+    )
+    groups = rows.groupBy("price_q").agg(F.max("p_size").alias("gmax"))
+    groups = ranged_cummax_excl(groups, ["price_q"], "gmax", "rmax_excl")
+    joined = rows.join(groups, "price_q")
+    dominated = (
+        F.col("rmax_excl").isNotNull()
+        & (F.col("rmax_excl") >= F.col("p_size"))
+    ) | (F.col("gmax") > F.col("p_size"))
+    return joined.where(~dominated).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )

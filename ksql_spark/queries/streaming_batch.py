@@ -1998,3 +1998,172 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("gain"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM u GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM u a JOIN u b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           ta.n AS n_a, tb.n AS n_b,
+           COALESCE(i.n_overlap, 0) AS n_overlap,
+           CAST(trunc(CAST(COALESCE(i.n_overlap, 0) AS DOUBLE)
+                      / (ta.n + tb.n - COALESCE(i.n_overlap, 0))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jaccard
+    FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = ta.event_type AND i.type_b = tb.event_type
+    """,
+    ref="SURVEY §2 K102 [EXT] (audience overlap: exact user-set "
+    "intersection size and Jaccard for every event-type pair from "
+    "bitmap AND over the I13/I14 per-type user-bitmap grids — the "
+    "audience-segmentation question ('do purchasers also view?') that "
+    "COUNT(DISTINCT CASE…) re-scans the corpus per pair to answer; "
+    "bitmaps answer ALL pairs from one grid build)",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event-type pair with exact audience sizes, intersection
+    count, and Jaccard similarity. The corpus collapses ONCE into
+    per-type user bitmaps; the pairwise intersection is bit_and over
+    words shared by word_idx — |types|²·words bounded work, zero
+    additional corpus passes. The type-pair spine comes from the
+    bounded per-type totals (broadcast), so zero-overlap pairs emit 0
+    rather than vanishing.
+
+    Scale: the grid agg is the one corpus-sized exchange (map-side
+    combined on (type, word_idx)); the word join is keyed on word_idx
+    over grid-sized inputs; at 100 TB id domains the exact bitmaps swap
+    for the D14 HLL registers with the same pair-join shape (union via
+    register max, intersection via inclusion-exclusion — documented
+    trade, approximate)."""
+    from ksql_spark.operators.bitmaps import bitmap_words
+
+    ev = load(spark, sf_dir, "events")
+    grid = bitmap_words(
+        ev.select("event_type", "user_id"), "user_id", ["event_type"]
+    ).localCheckpoint()
+    totals = grid.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n")
+    )
+    ga = grid.select(
+        F.col("event_type").alias("type_a"), "word_idx",
+        F.col("bits").alias("bits_a"),
+    )
+    gb = grid.select(
+        F.col("event_type").alias("type_b"), "word_idx",
+        F.col("bits").alias("bits_b"),
+    )
+    inter = (
+        ga.join(gb, "word_idx")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("bits_a").bitwiseAND(F.col("bits_b"))))
+            .cast("long")
+            .alias("n_overlap")
+        )
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    spine = ta.crossJoin(tb).where(F.col("type_a") < F.col("type_b"))
+    out = spine.join(inter, ["type_a", "type_b"], "left").withColumn(
+        "n_overlap", F.coalesce("n_overlap", F.lit(0))
+    )
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_overlap")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_overlap",
+        (
+            (F.col("n_overlap").cast("double") / union_n * 1000000
+             + F.lit(0.5))
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("jaccard"),
+    )
+
+
+@query(
+    "events_hourly_chisq",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, hour(ts)
+    ), t AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS total
+        FROM obs GROUP BY event_type
+    ), spine AS (
+        SELECT t.event_type, t.total, CAST(g.h AS BIGINT) AS h
+        FROM t, unnest(range(0, 24)) AS g(h)
+    ), filled AS (
+        SELECT s.event_type, s.total, s.h, COALESCE(obs.o, 0) AS o
+        FROM spine s LEFT JOIN obs
+          ON obs.event_type = s.event_type AND obs.h = s.h
+    )
+    SELECT event_type, CAST(MIN(total) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(trunc(
+               (o - total / 24.0) * (o - total / 24.0) / (total / 24.0)
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0
+               AS chi_sq,
+           CAST(23 AS BIGINT) AS dof
+    FROM filled GROUP BY event_type
+    """,
+    ref="SURVEY §2 K103 [EXT] (hour-of-day uniformity chi-square per "
+    "event type: goodness-of-fit against the uniform 24-bin "
+    "expectation, zero-observation hours included via a dense spine — "
+    "the bot-traffic screen (organic traffic fails uniformity hard, "
+    "scripted traffic doesn't); the TEST companion to K83's descriptive "
+    "dow seasonality index)",
+)
+def events_hourly_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic per event type for 'hourly volume is
+    uniform' (E = total/24, 23 dof) — large values on human traffic,
+    small on uniformly-scripted load; read against the χ²₂₃ table.
+    Hours with zero events enter the sum at full weight (the spine —
+    omitting them biases toward uniformity exactly when traffic is most
+    concentrated). Per-term 1e-6 quantization BEFORE the sum keeps the
+    reduction order-insensitive and cross-engine exact.
+
+    Scale shape: corpus collapses to ≤ |types|·24 rows in one map-side-
+    combined agg; the spine is a 24-row per-type expansion of the
+    bounded totals table; final agg is |types| rows. Nothing downstream
+    of the first agg scales with the corpus."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count("*").alias("o"))
+    t = obs.groupBy("event_type").agg(F.sum("o").alias("total"))
+    spine = t.select(
+        "event_type",
+        "total",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"),
+    ).select("event_type", "total", F.col("h").cast("long").alias("h"))
+    filled = spine.join(obs, ["event_type", "h"], "left").withColumn(
+        "o", F.coalesce("o", F.lit(0))
+    )
+    e = F.col("total") / 24.0
+    term = (
+        ((F.col("o") - e) * (F.col("o") - e) / e) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return filled.groupBy("event_type").agg(
+        F.min("total").cast("long").alias("n_events"),
+        (F.sum(term).cast("double") / 1000000.0).alias("chi_sq"),
+        F.lit(23).cast("long").alias("dof"),
+    )

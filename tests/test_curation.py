@@ -112,3 +112,24 @@ def test_pipeline_cli_writes_manifest(spark, tmp_path):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"doc_id", "n_tokens", "quality", "emb_norm"}
     assert got.count() > 0
+
+
+def test_ranged_cummax_excl_matches_serial_truth(spark):
+    """The two-pass exclusive running max must equal the serial strict-prior
+    max for an arbitrary order with duplicates, NULL for the first row, and
+    correct carry across empty-prefix partitions."""
+    from ksql_spark.operators.scale import ranged_cummax_excl
+
+    vals = [5, 3, 8, 8, 1, 9, 2, 9, 7, 0, 4, 6] * 20
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v long")
+    got = {
+        r["id"]: r["m"]
+        for r in ranged_cummax_excl(
+            df, ["id"], "v", out_col="m", n_parts=7
+        ).collect()
+    }
+    best = None
+    for i, v in rows:
+        assert got[i] == best, f"id={i}: {got[i]} != {best}"
+        best = v if best is None or v > best else best
