@@ -1891,3 +1891,108 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("distinct_sensitive") < _LDIV_L).alias("violates_l"),
         )
     )
+
+
+_TCLOSE_T = 0.2
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 0
+                    WHEN c_acctbal < 3000 THEN 1
+                    WHEN c_acctbal < 7000 THEN 2
+                    ELSE 3 END AS band
+        FROM customer
+    ), cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM tagged GROUP BY c_nationkey, c_mktsegment
+    ), gl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+               CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+               CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+               CAST(SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2
+        FROM tagged
+    ), emd AS (
+        SELECT c_nationkey, c_mktsegment, n,
+               (abs(CAST(c0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
+                + abs(CAST(c0 + c1 AS DOUBLE) / n
+                      - CAST(g0 + g1 AS DOUBLE) / gn)
+                + abs(CAST(c0 + c1 + c2 AS DOUBLE) / n
+                      - CAST(g0 + g1 + g2 AS DOUBLE) / gn)) / 3.0 AS e
+        FROM cls, gl
+    )
+    SELECT c_nationkey, c_mktsegment, n AS group_size,
+           CAST(trunc(e * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS emd,
+           e > {_TCLOSE_T} AS violates_t
+    FROM emd
+    """,
+    ref="SURVEY §2 D30 [EXT] (t-closeness audit, t=0.2: ordered-domain "
+    "earth-mover distance between each quasi-identifier class's "
+    "sensitive balance-band distribution and the global one — Li et "
+    "al. 2007, closing the privacy trio after D24 k-anonymity and D29 "
+    "l-diversity: a class can be large AND diverse yet still leak by "
+    "skewing toward one end of the sensitive scale)",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (nation, segment) class: the EMD between its balance-band
+    distribution and the corpus-wide one, over the ordered 4-band
+    domain (EMD for ordinal discrete = mean |cumulative difference|,
+    normalized by m-1=3), with the t=0.2 violation flag. The three
+    cumulative terms are spelled explicitly from conditional counts —
+    no aggregation-order float summation anywhere.
+
+    Scale shape: ONE hash agg on the QI tuple with 4 conditional sums
+    (map-side combined, output bounded by the QI domain), one 1-row
+    global agg broadcast back. Same single-agg envelope as D24/D29 —
+    the whole privacy trio reads one pass."""
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 3000, 1)
+        .when(F.col("c_acctbal") < 7000, 2)
+        .otherwise(3)
+    )
+    tagged = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    conds = [
+        F.sum(F.when(F.col("band") == i, 1).otherwise(0)).alias(f"c{i}")
+        for i in range(3)
+    ]
+    cls = tagged.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"), *conds
+    )
+    glob = tagged.agg(
+        F.count("*").alias("gn"),
+        *[
+            F.sum(F.when(F.col("band") == i, 1).otherwise(0)).alias(f"g{i}")
+            for i in range(3)
+        ],
+    )
+    j = cls.crossJoin(F.broadcast(glob))
+    dn = F.col("n").cast("double")
+    dg = F.col("gn").cast("double")
+    e = (
+        F.abs(F.col("c0") / dn - F.col("g0") / dg)
+        + F.abs(
+            (F.col("c0") + F.col("c1")) / dn
+            - (F.col("g0") + F.col("g1")) / dg
+        )
+        + F.abs(
+            (F.col("c0") + F.col("c1") + F.col("c2")) / dn
+            - (F.col("g0") + F.col("g1") + F.col("g2")) / dg
+        )
+    ) / 3.0
+    return j.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").alias("group_size"),
+        ((e * 1000000 + F.lit(0.5)).cast("long").cast("double") / 1000000.0)
+        .alias("emd"),
+        (e > _TCLOSE_T).alias("violates_t"),
+    )

@@ -2145,3 +2145,72 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("distinct_blocked_terms"),
     )
     return out.where(F.col("blocked_hits") > 0)
+
+
+@query(
+    "llm_source_diversity",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source
+    ), t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MAX(t.n) AS n_docs,
+           CAST(SUM(CAST(trunc(
+               -(CAST(c AS DOUBLE) / t.n) * ln(CAST(c AS DOUBLE) / t.n)
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000.0
+               AS shannon_nats,
+           CAST(trunc(CAST(SUM(c * c) AS DOUBLE)
+                      / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS simpson,
+           CAST(trunc((CAST(MAX(t.n) AS DOUBLE) * MAX(t.n))
+                      / CAST(SUM(c * c) AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS effective_sources
+    FROM s, t
+    """,
+    ref="SURVEY §2 K105 [EXT] (corpus-mix diversity indices: Shannon "
+    "entropy, Simpson concentration Σp², and the effective source "
+    "count 1/Σp² over the source proportions — the one-row mix-health "
+    "monitor read alongside K14 domain-mix planning: effective_sources "
+    "collapsing toward 1 is the early warning that one crawl dominates "
+    "the corpus)",
+)
+def llm_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus mix report: source count, document count, Shannon
+    entropy (nats, 1e-9-quantized terms summed exactly — the K85
+    idiom), Simpson concentration from EXACT integer Σc² (no float
+    proportions until the single final division), and the effective
+    number of equally-weighted sources. 'Ten sources, 1.3 effective' is
+    the shape the domain-mix rebalancer exists to fix.
+
+    Scale shape: one source hash agg (map-side combined, |sources|
+    rows), a 1-row total, a |sources|-row final reduction. Σc² stays in
+    bigint — exact to ~3e9 docs per source; the decimal(38) swap is the
+    documented headroom past that."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("c"))
+    t = s.agg(F.sum("c").alias("n"))
+    j = s.crossJoin(F.broadcast(t))
+    p = F.col("c").cast("double") / F.col("n")
+    term = (-p * F.log(p) * 1000000000 + F.lit(0.5)).cast("long")
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    agg = j.agg(
+        F.count("*").alias("n_sources"),
+        F.max("n").alias("n_docs"),
+        (F.sum(term).cast("double") / 1000000000.0).alias("sh"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    nn = F.col("n_docs").cast("double") * F.col("n_docs")
+    return agg.select(
+        "n_sources",
+        "n_docs",
+        (
+            (F.col("sh") * 1000000000 + F.lit(0.5)).cast("long")
+            .cast("double") / 1000000000.0
+        ).alias("shannon_nats"),
+        q6(F.col("c2").cast("double") / nn).alias("simpson"),
+        q6(nn / F.col("c2").cast("double")).alias("effective_sources"),
+    )

@@ -4183,3 +4183,88 @@ def llm_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("sil").alias("avg_silhouette"),
         )
     )
+
+
+def _int8_err_sql(x: str, am: str) -> str:
+    """One component's int8-dequantization error, DuckDB spelling (shared
+    sub-expression spelled twice — err * err, never libm pow)."""
+    e = (
+        f"(CAST({x} AS DOUBLE) - least(127.0, greatest(-127.0, "
+        f"round(CAST({x} AS DOUBLE) / ({am} / 127.0)))) * ({am} / 127.0))"
+    )
+    return f"({e} * {e})"
+
+
+@query(
+    "llm_emb_quantization_error",
+    oracle=f"""
+    WITH v AS (
+        SELECT label, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS am
+        FROM embeddings
+    ), e AS (
+        SELECT label,
+               CASE WHEN am = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(trunc(
+                        list_reduce(list_transform(embedding,
+                            x -> {_int8_err_sql('x', 'am')}),
+                            (a, b) -> a + b) / len(embedding)
+                        * 1000000000 + 0.5) AS BIGINT)
+               END AS mq
+        FROM v
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(mq) AS DOUBLE) / COUNT(*) / 1000000000.0 AS avg_mse,
+           CAST(MAX(mq) AS DOUBLE) / 1000000000.0 AS max_mse
+    FROM e GROUP BY label
+    """,
+    ref="SURVEY §2 K106 [EXT] (int8 symmetric-quantization error audit: "
+    "per-vector MSE of quantize-dequantize at scale = max|v|/127, "
+    "aggregated per label — the decision table for shipping embeddings "
+    "at 4× smaller storage, the ERROR side of the trade K32e PQ "
+    "measures as RECALL; per-vector MSE quantizes at 1e-9 before the "
+    "group reduction)",
+)
+def llm_emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would int8 embeddings be good enough: per label, the mean and
+    worst per-vector MSE introduced by symmetric int8 quantization
+    (component → round(v/scale) clamped to ±127, scale = max|v|/127
+    per vector). Zero vectors quantize losslessly by convention. The
+    fold runs in fixed array order with a 0.0 seed, so the double
+    arithmetic is bit-identical cross-engine before the 1e-9 term
+    quantization.
+
+    Scale shape: one narrow whole-stage-codegen HOF pass over the
+    embedding column (no explode — per-row array fold), then a
+    |labels|-row agg. Nothing shuffles but the bounded group keys."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    am = F.array_max(
+        F.transform(emb, lambda x: F.abs(x.cast("double")))
+    )
+    v = e.select("label", "embedding", am.alias("am"))
+    scale = F.col("am") / 127.0
+
+    def err2(x):
+        q = F.least(
+            F.lit(127.0),
+            F.greatest(F.lit(-127.0), F.round(x.cast("double") / scale)),
+        )
+        d = x.cast("double") - q * scale
+        return d * d
+
+    fold = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + err2(x)
+    ) / F.size(emb)
+    mq = F.when(F.col("am") == 0, F.lit(0).cast("long")).otherwise(
+        (fold * 1000000000 + F.lit(0.5)).cast("long")
+    )
+    per = v.select("label", mq.alias("mq"))
+    return per.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum("mq").cast("double") / F.count("*") / 1000000000.0).alias(
+            "avg_mse"
+        ),
+        (F.max("mq").cast("double") / 1000000000.0).alias("max_mse"),
+    )

@@ -2167,3 +2167,95 @@ def events_hourly_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(term).cast("double") / 1000000.0).alias("chi_sq"),
         F.lit(23).cast("long").alias("dof"),
     )
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+        FROM pairs GROUP BY prev_type
+    ), g AS (SELECT CAST(SUM(n) AS BIGINT) AS gt FROM pairs),
+    h AS (
+        SELECT p.prev_type, MAX(t.t) AS t,
+               CAST(SUM(CAST(trunc(
+                   -(CAST(n AS DOUBLE) / t.t)
+                   * ln(CAST(n AS DOUBLE) / t.t)
+                   * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000000.0 AS h_nats
+        FROM pairs p JOIN tot t USING (prev_type)
+        GROUP BY p.prev_type
+    )
+    SELECT prev_type, t AS n_transitions,
+           CAST(trunc(h_nats * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS branch_entropy_nats,
+           CAST(trunc(CAST(t AS DOUBLE) / g.gt * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS weight,
+           CAST(trunc(CAST(t AS DOUBLE) / g.gt * h_nats * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS rate_contribution
+    FROM h, g
+    """,
+    ref="SURVEY §2 K104 [EXT] (Markov entropy rate: per-state branch "
+    "entropy H(next|prev) and its stationary-weighted contribution to "
+    "the chain's entropy rate Σ p(s)·H(·|s) — the predictability "
+    "number over K59's transition matrix: near 0 = scripted journeys, "
+    "near ln(|types|) = aimless; summing rate_contribution gives the "
+    "corpus-level rate)",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the next event given the current one: per
+    source state, the Shannon entropy (nats) of its outgoing transition
+    distribution, the state's empirical weight, and weight × entropy —
+    the state's contribution to the chain entropy rate. Per-transition
+    terms -p·ln(p) quantize at 1e-9 and sum exactly (the K85 idiom), so
+    the |types|-bounded reduction is order-insensitive.
+
+    Scale shape: one user_id shuffle for the lag window (the K59
+    machinery), then everything is |types|²-bounded: pair agg
+    (map-side combined), per-state totals broadcast back, a 1-row
+    grand-total broadcast. Nothing after the lag pass scales with the
+    corpus."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    term = (-p * F.log(p) * 1000000000 + F.lit(0.5)).cast("long")
+    h = (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.max("t").alias("t"),
+            (F.sum(term).cast("double") / 1000000000.0).alias("h_nats"),
+        )
+    )
+    g = pairs.agg(F.sum("n").alias("gt"))
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return h.crossJoin(F.broadcast(g)).select(
+        "prev_type",
+        F.col("t").alias("n_transitions"),
+        q6(F.col("h_nats")).alias("branch_entropy_nats"),
+        q6(F.col("t").cast("double") / F.col("gt")).alias("weight"),
+        q6(
+            F.col("t").cast("double") / F.col("gt") * F.col("h_nats")
+        ).alias("rate_contribution"),
+    )
