@@ -962,3 +962,54 @@ def test_silhouette_centroids_broadcast(spark):
     plan = plan_of(spark, "llm_silhouette")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" in plan
+
+
+def test_skyline_windows_partition_on_pid(spark):
+    """F6 skyline: the strict-prior size max comes from ranged_cummax_excl
+    — every window partitions on _pid; the parts→price-group join is
+    keyed (no cartesian)."""
+    plan = plan_of(spark, "part_skyline_2d")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected ranged_cummax_excl local windows"
+    for s in specs:
+        assert "_pid" in s, s
+    assert "CartesianProduct" not in plan
+
+
+def test_audience_overlap_word_joins_only(spark):
+    """K102 audience overlap: the corpus-sized exchange is the (type,
+    word_idx) grid agg; the pair join is keyed on word_idx and the
+    type-pair spine is a broadcast of the bounded totals — never a
+    shuffled cartesian."""
+    plan = plan_of(spark, "events_audience_overlap")
+    assert "CartesianProduct" not in plan
+    import re
+
+    for cols in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "user_id" not in cols, cols  # grid agg keys on (type, word)
+
+
+def test_hourly_chisq_bounded_after_first_agg(spark):
+    """K103 χ²: everything after the (type, hour) agg is bounded — no
+    window at all, no sort-merge join (the spine join is broadcast)."""
+    plan = plan_of(spark, "events_hourly_chisq")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_markov_entropy_bounded_tail(spark):
+    """K104: after the lag window's one user_id exchange, the pair/total/
+    grand-total joins are broadcasts over |types|²-bounded tables."""
+    plan = plan_of(spark, "events_markov_entropy_rate")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantization_error_no_explode(spark):
+    """K106: the per-vector MSE is a fixed-order array fold — no Generate
+    (explode) node, no join; the only exchange is the label agg."""
+    plan = plan_of(spark, "llm_emb_quantization_error")
+    assert "Generate" not in plan
+    assert "Join" not in plan
