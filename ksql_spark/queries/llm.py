@@ -4268,3 +4268,154 @@ def llm_emb_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("mq").cast("double") / 1000000000.0).alias("max_mse"),
     )
+
+
+@query(
+    "llm_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), wc AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE word <> '' GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(trunc(CAST(COUNT(*) AS DOUBLE) / SUM(n)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS ttr,
+           CAST(trunc(ln(CAST(COUNT(*) AS DOUBLE)) / ln(CAST(SUM(n) AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS herdan_c,
+           CAST(trunc(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS hapax_ratio
+    FROM wc
+    GROUP BY source
+    """,
+    ref="SURVEY §2 K107 [EXT] (corpus-level lexical diversity per source: "
+    "type-token ratio, Herdan's C = ln V / ln N (the size-robust TTR), "
+    "hapax-legomena ratio — the vocabulary-richness triple screening "
+    "sources for template spam (low TTR) vs OCR noise (hapax spikes); "
+    "corpus-level counterpart of the per-doc unique_word_ratio in K4)",
+)
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness over the POOLED source corpus (not
+    per-doc averages): N tokens, V types, hapax count, TTR = V/N,
+    Herdan's C = ln V / ln N, hapax/V. All counts are exact integers;
+    the three ratios are single double divisions quantized once — no
+    order-sensitive accumulation anywhere.
+
+    Scale shape: explode -> (source, word) hash agg with map-side combine
+    (the llm_vocab_topk posture: the wide exchange carries vocabulary-
+    sized partial counts, not corpus tokens), then a |sources|-group
+    rollup. Nothing scales beyond |vocab| after the first agg."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(text.words("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    v = F.count("*").cast("bigint")
+    n = F.sum("n").cast("bigint")
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint")
+    return wc.groupBy("source").agg(
+        n.alias("n_tokens"),
+        v.alias("vocab"),
+        hapax.alias("hapax"),
+        q6(v.cast("double") / n).alias("ttr"),
+        q6(F.log(v.cast("double")) / F.log(n.cast("double"))).alias(
+            "herdan_c"
+        ),
+        q6(hapax.cast("double") / v).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "llm_vocab_growth",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents
+    ), tok AS (
+        SELECT source,
+               CAST(least(9, trunc(doc_id * 10.0 / n_docs)) AS INT) AS decile,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents, tot
+    ), firsts AS (
+        SELECT source, word, MIN(decile) AS first_dec
+        FROM tok WHERE word <> '' GROUP BY source, word
+    ), new_v AS (
+        SELECT source, first_dec AS decile,
+               CAST(COUNT(*) AS BIGINT) AS new_vocab
+        FROM firsts GROUP BY source, first_dec
+    ), toks AS (
+        SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok WHERE word <> '' GROUP BY source, decile
+    )
+    SELECT t.source, t.decile,
+           CAST(SUM(t.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(v.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab,
+           CAST(COALESCE(v.new_vocab, 0) AS BIGINT) AS new_vocab
+    FROM toks t LEFT JOIN new_v v USING (source, decile)
+    WINDOW w AS (PARTITION BY t.source ORDER BY t.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    ref="SURVEY §2 K108 [EXT] (Heaps'-law vocabulary growth curve: corpus "
+    "split into doc-id deciles per source, each word attributed to the "
+    "decile where it FIRST appears, cumulative vocab vs cumulative "
+    "tokens — the V(N) ~ K*N^beta curve whose flattening says a source "
+    "is exhausted / templated and more of it adds no new signal)",
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth per source across ten doc-id deciles: cumulative
+    distinct words vs cumulative tokens (Heaps' law curve) plus the
+    per-decile new-word count. "First appearance" is computed as
+    MIN(decile) per (source, word) — an agg, not an ordered scan — so no
+    window ever sees corpus-sized data: the only windows run over the
+    10-row-per-source decile frame.
+
+    Scale shape: one explode -> (source, word) MIN-agg (vocabulary-sized
+    exchange, map-side combined), one (source, decile) token count, then
+    a |sources|x10 cumsum. The decile boundary is a 1-row broadcast
+    (max doc_id), the llm_curriculum threshold posture."""
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
+    tok = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(9),
+            F.floor(F.col("doc_id") * 10.0 / F.col("n_docs")),
+        )
+        .cast("int")
+        .alias("decile"),
+        F.explode(text.words("text")).alias("word"),
+    )
+    firsts = tok.groupBy("source", "word").agg(
+        F.min("decile").alias("first_dec")
+    )
+    new_v = firsts.groupBy(
+        "source", F.col("first_dec").alias("decile")
+    ).agg(F.count("*").cast("bigint").alias("new_vocab"))
+    toks = tok.groupBy("source", "decile").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nv = F.coalesce(F.col("new_vocab"), F.lit(0))
+    return (
+        toks.join(new_v, ["source", "decile"], "left")
+        .select(
+            "source",
+            "decile",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(nv).over(w).cast("bigint").alias("cum_vocab"),
+            nv.cast("bigint").alias("new_vocab"),
+        )
+    )

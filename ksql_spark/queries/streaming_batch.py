@@ -2259,3 +2259,166 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").cast("double") / F.col("gt") * F.col("h_nats")
         ).alias("rate_contribution"),
     )
+
+
+@query(
+    "events_interarrival_dist",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ))) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(trunc(quantile_cont(gap_us, 0.50) / 1000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS p50_s,
+           CAST(trunc(quantile_cont(gap_us, 0.90) / 1000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS p90_s,
+           CAST(trunc(quantile_cont(gap_us, 0.99) / 1000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS p99_s,
+           CAST(trunc(AVG(gap_us) / 1000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS mean_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    ref="SURVEY §2 D31 [EXT] (inter-arrival time distribution: per-user "
+    "same-type event gaps -> exact p50/p90/p99 per type — the cadence "
+    "profile behind rate-limit/alerting thresholds and the Poisson-ness "
+    "screen for K41/K64 parameter choices; percentile interpolation "
+    "bit-identical cross-engine per the agg_quantiles proof)",
+)
+def events_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often does a user repeat each action: per (user, event_type)
+    consecutive-event gaps, summarized per type as exact interpolated
+    p50/p90/p99 and mean, in seconds. Gaps are exact integer microsecond
+    differences (unix_micros, the win_sessionize_gaps idiom); percentile
+    interpolation over exact-integer inputs is the same IEEE expression in
+    both engines (agg_quantiles proof), and mean_us is an exact integer
+    mean quantized once at the end — no order-sensitive double sums.
+
+    Scale shape: ONE window pass partitioned by (user_id, event_type) —
+    finer-grained than any per-user window, millions of independent
+    partitions at 100 TB — then a |types|-group hash agg with map-side
+    partial aggregation. Exact percentiles over a |types|-bounded group
+    count; at petabyte row counts per type the same plan takes
+    percentile_approx with identical shape."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    q6s = lambda c: (c / 1000000.0 * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        q6s(F.expr("percentile(gap_us, 0.50)")).alias("p50_s"),
+        q6s(F.expr("percentile(gap_us, 0.90)")).alias("p90_s"),
+        q6s(F.expr("percentile(gap_us, 0.99)")).alias("p99_s"),
+        q6s(F.sum("gap_us").cast("double") / F.count("*")).alias("mean_s"),
+    )
+
+
+@query(
+    "events_entry_exit_matrix",
+    oracle="""
+    WITH gapped AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), labeled AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gapped
+    ), sessions AS (
+        SELECT user_id, session_id,
+               first_value(event_type) OVER ws AS entry_type,
+               last_value(event_type) OVER ws AS exit_type,
+               COUNT(*) OVER ws AS n_events,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, session_id ORDER BY ts, event_id
+               ) AS rn
+        FROM labeled
+        WINDOW ws AS (
+            PARTITION BY user_id, session_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(trunc(CAST(SUM(n_events) AS DOUBLE) / COUNT(*)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS avg_session_len
+    FROM sessions WHERE rn = 1
+    GROUP BY entry_type, exit_type
+    """,
+    ref="SURVEY §2 D32 [EXT] (session entry->exit matrix: gap-sessionize "
+    "(E2/E3 rule), reduce each session to its first and last action, "
+    "count the |types|x|types| landing matrix — the bounce/handoff "
+    "analysis on top of the win_sessionize_gaps machinery)",
+)
+def events_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do sessions start and end: 30-minute-gap sessionization (the
+    exact win_sessionize_gaps rule), then each session reduced to
+    (entry_type, exit_type, n_events) and aggregated into the
+    |types|x|types| matrix with session counts and mean session length.
+
+    Scale shape: two window passes both partitioned by user_id (ONE
+    shuffle — the session window is a subpartition of the user window so
+    Spark reuses the exchange), then the session reduction rides the same
+    partitioning and the final matrix agg is |types|²-bounded with
+    map-side combine. No collect, no global window anywhere."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_flag = (
+        F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    labeled = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(gap_flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wfull = ws.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sessions = labeled.select(
+        F.first("event_type").over(wfull).alias("entry_type"),
+        F.last("event_type").over(wfull).alias("exit_type"),
+        F.count("*").over(wfull).alias("n_events"),
+        F.row_number().over(ws).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return sessions.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        (
+            (
+                F.sum("n_events").cast("double") / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("avg_session_len"),
+    )
