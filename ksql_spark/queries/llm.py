@@ -4378,9 +4378,11 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ever sees corpus-sized data: the only windows run over the
     10-row-per-source decile frame.
 
-    Scale shape: one explode -> (source, word) MIN-agg (vocabulary-sized
-    exchange, map-side combined), one (source, decile) token count, then
-    a |sources|x10 cumsum. The decile boundary is a 1-row broadcast
+    Scale shape: ONE corpus pass — explode -> (source, word, decile)
+    count with map-side combine — materialized (localCheckpoint, it is
+    vocabulary-sized) so the two consumers (first-decile MIN-agg and
+    per-decile token totals) never re-scan the corpus; then a
+    |sources|x10 cumsum. The decile boundary is a 1-row broadcast
     (max doc_id), the llm_curriculum threshold posture."""
     d = load(spark, sf_dir, "documents")
     tot = d.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
@@ -4394,14 +4396,23 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decile"),
         F.explode(text.words("text")).alias("word"),
     )
-    firsts = tok.groupBy("source", "word").agg(
+    # ONE corpus pass: (source, word, decile) counts, then everything
+    # downstream is vocabulary-sized. localCheckpoint stops Catalyst from
+    # re-running the corpus scan for the two consumers below (the tpch_q20
+    # dual-consumer materialization pattern).
+    wdc = (
+        tok.groupBy("source", "word", "decile")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    firsts = wdc.groupBy("source", "word").agg(
         F.min("decile").alias("first_dec")
     )
     new_v = firsts.groupBy(
         "source", F.col("first_dec").alias("decile")
     ).agg(F.count("*").cast("bigint").alias("new_vocab"))
-    toks = tok.groupBy("source", "decile").agg(
-        F.count("*").cast("bigint").alias("n_tokens")
+    toks = wdc.groupBy("source", "decile").agg(
+        F.sum("n").cast("bigint").alias("n_tokens")
     )
     w = (
         Window.partitionBy("source")
@@ -4418,4 +4429,202 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nv).over(w).cast("bigint").alias("cum_vocab"),
             nv.cast("bigint").alias("new_vocab"),
         )
+    )
+
+
+@query(
+    "llm_emb_gram",
+    oracle="""
+    WITH comp AS (
+        SELECT CAST(ti.i - 1 AS INT) AS i, CAST(tj.j - 1 AS INT) AS j,
+               CAST(trunc(CAST(embedding[ti.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS xi,
+               CAST(trunc(CAST(embedding[tj.j] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS xj
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS ti(i),
+             unnest(range(1, len(embedding) + 1)) AS tj(j)
+        WHERE tj.j >= ti.i
+    )
+    SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(trunc(CAST(SUM(xi * xj) AS DOUBLE) / COUNT(*)
+                / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS e_xy,
+           CAST(trunc((CAST(SUM(xi * xj) AS DOUBLE) / COUNT(*)
+                       - (CAST(SUM(xi) AS DOUBLE) / COUNT(*))
+                         * (CAST(SUM(xj) AS DOUBLE) / COUNT(*)))
+                / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS cov
+    FROM comp GROUP BY i, j
+    """,
+    ref="SURVEY §2 K109 [EXT] (exact second-moment / covariance matrix of "
+    "the embedding column, upper triangle — the d x d statistic behind "
+    "PCA whitening, Mahalanobis outlier scoring and ZCA decorrelation; "
+    "components quantize to 1e-6 integers first so every sum is exact "
+    "integer arithmetic, the K100 centroid-drift discipline)",
+)
+def llm_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram/covariance matrix of the corpus embeddings:
+    per dimension pair (i <= j), E[x_i * x_j] and cov(x_i, x_j) with all
+    accumulation in exact integers (components quantized at 1e-6, so
+    products sit at the 1e-12 scale; the sums use a decimal(38,0)
+    accumulator that cannot overflow at any corpus size) and exactly one
+    double division chain at the end, spelled identically in DuckDB.
+
+    Scale shape: ONE narrow pass — each row explodes into its own
+    d(d+1)/2 = 2080 (i, j, product) terms via nested sequence/transform
+    (no self-join, no shuffle of vectors) — then a d²-bounded hash agg
+    with map-side combine. The exchange carries at most
+    #partitions x 2080 partial rows regardless of corpus size. At much
+    larger d the same plan chunks the pair space by i-block; the
+    per-row term generation is embarrassingly parallel either way."""
+    e = load(spark, sf_dir, "embeddings")
+    terms = e.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, size(embedding) - 1), i ->
+                    transform(sequence(i, size(embedding) - 1), j ->
+                        struct(
+                            CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                            CAST(CAST(embedding[i] AS DOUBLE) * 1000000
+                                 + 0.5 AS BIGINT) AS xi,
+                            CAST(CAST(embedding[j] AS DOUBLE) * 1000000
+                                 + 0.5 AS BIGINT) AS xj))))
+                """
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.xi", "t.xj")
+    g = terms.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)")).alias("sp"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sxi"),
+        F.sum(F.col("xj").cast("decimal(38,0)")).alias("sxj"),
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    e_xy = F.col("sp").cast("double") / F.col("n") / 1e12
+    cov = (
+        F.col("sp").cast("double") / F.col("n")
+        - (F.col("sxi").cast("double") / F.col("n"))
+        * (F.col("sxj").cast("double") / F.col("n"))
+    ) / 1e12
+    return g.select(
+        "i", "j", "n", q6(e_xy).alias("e_xy"), q6(cov).alias("cov")
+    )
+
+
+@query(
+    "llm_emb_anisotropy",
+    oracle="""
+    WITH base AS (
+        SELECT label, embedding,
+               list_sum(list_transform(embedding, x ->
+                   CAST(trunc(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   * CAST(trunc(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               )) AS n2
+        FROM embeddings
+    ), comp AS (
+        SELECT label, CAST(t.i - 1 AS INT) AS dim,
+               CAST(trunc(
+                   CAST(CAST(trunc(CAST(embedding[t.i] AS DOUBLE) * 1000000
+                                   + 0.5) AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(n2 AS DOUBLE)) * 1000000 + 0.5
+               ) AS BIGINT) AS vq
+        FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
+        WHERE n2 > 0
+    ), per_dim AS (
+        SELECT label, dim, SUM(vq) AS s, SUM(vq * vq) AS r,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM comp GROUP BY label, dim
+    ), per_label AS (
+        SELECT label, MAX(c) AS n, SUM(s * s) AS q, SUM(r) AS r2
+        FROM per_dim GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n_vectors,
+           CAST(trunc((CAST(q AS DOUBLE) - CAST(r2 AS DOUBLE))
+                / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0)
+                / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_pairwise_cosine,
+           CAST(trunc(sqrt(CAST(q AS DOUBLE)) / CAST(n AS DOUBLE)
+                / 1000000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_dir_norm
+    FROM per_label
+    """,
+    ref="SURVEY §2 K110 [EXT] (embedding anisotropy per label: mean "
+    "pairwise cosine among unit-normalized vectors via the closed form "
+    "sum_pairs cos = ||Sum v_hat||^2 - n — Ethayarajh 2019's isotropy "
+    "diagnostic, computed in ONE pass with no pair enumeration; "
+    "mean_dir_norm = ||mean direction|| is the equivalent "
+    "concentration number (0 = isotropic, 1 = collapsed))",
+)
+def llm_emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How directionally collapsed is each label's embedding cloud: the
+    exact mean pairwise cosine over all n(n-1) ordered pairs of
+    unit-normalized vectors, WITHOUT enumerating pairs — for unit
+    vectors sum_{a!=b} cos(a,b) = ||sum v_hat||^2 - n. Components
+    normalize against the exact integer-quantized norm, re-quantize at
+    1e-6, and every subsequent sum is exact integer math (decimal
+    accumulators), so the identity holds bitwise cross-engine; the two
+    output ratios are single double chains quantized once.
+
+    Scale shape: one narrow explode -> (label, dim) agg (map-side
+    combined, |labels| x d out) -> |labels| rollup. The n² pair space is
+    never materialized — that is the point. Zero-norm vectors drop (the
+    cosine is undefined there), single-vector labels yield NULL."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "label",
+        "embedding",
+        F.expr(
+            """
+            aggregate(
+                transform(embedding, x ->
+                    CAST(CAST(x AS DOUBLE) * 1000000 + 0.5 AS BIGINT)),
+                CAST(0 AS BIGINT), (a, qv) -> a + qv * qv)
+            """
+        ).alias("n2"),
+    ).where(F.col("n2") > 0)
+    comp = base.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                """
+                transform(embedding, x ->
+                    CAST(
+                        CAST(CAST(CAST(x AS DOUBLE) * 1000000 + 0.5
+                             AS BIGINT) AS DOUBLE)
+                        / sqrt(CAST(n2 AS DOUBLE)) * 1000000 + 0.5
+                    AS BIGINT))
+                """
+            )
+        ).alias("dim", "vq"),
+    )
+    per_dim = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("vq") * F.col("vq")).cast("decimal(38,0)")).alias("r"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.max("c").alias("n"),
+        F.sum(F.col("s") * F.col("s")).alias("q"),
+        F.sum("r").alias("r2"),
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    mpc = (
+        F.try_divide(
+            F.col("q").cast("double") - F.col("r2").cast("double"),
+            F.nullif(F.col("n").cast("double") * (F.col("n") - 1), F.lit(0.0)),
+        )
+        / 1e12
+    )
+    mdn = F.sqrt(F.col("q").cast("double")) / F.col("n").cast("double") / 1e6
+    return per_label.select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        q6(mpc).alias("mean_pairwise_cosine"),
+        q6(mdn).alias("mean_dir_norm"),
     )

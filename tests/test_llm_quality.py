@@ -401,3 +401,59 @@ def test_rolling_wau_respects_calendar_gaps(spark, tmp_path):
     assert set(out) == {1, 2, 3, 4, 5, 10}  # only observed days emitted
     assert out[5] == 3  # days 1-5: users {1,2,0,1,2} -> 3 distinct
     assert out[10] == 2  # days 4-10: users {1,2,1} -> 2, NOT 3
+
+
+def test_anisotropy_matches_bruteforce_pairwise(spark):
+    """K110's closed form equals the literal n² pairwise mean cosine over
+    the same quantized unit vectors (sf0.001, small enough to enumerate)."""
+    import itertools
+
+    import numpy as np
+
+    from ksql_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["label"]: r
+        for r in all_specs()["llm_emb_anisotropy"]
+        .builder(spark, sf)
+        .collect()
+    }
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    by_label = {}
+    for r in rows:
+        q = np.trunc(np.array(r["embedding"], dtype=np.float64) * 1e6 + 0.5)
+        n2 = float((q * q).sum())
+        if n2 == 0:
+            continue
+        vq = np.trunc(q / np.sqrt(n2) * 1e6 + 0.5)
+        by_label.setdefault(r["label"], []).append(vq)
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        if n < 2:
+            assert out[label]["mean_pairwise_cosine"] is None
+            continue
+        s = sum(
+            float(np.dot(a, b))
+            for a, b in itertools.permutations(vecs, 2)
+        )
+        expected = s / (n * (n - 1)) / 1e12
+        got = out[label]["mean_pairwise_cosine"]
+        assert abs(got - expected) < 2e-6, (label, got, expected)
+
+
+def test_emb_gram_diagonal_is_nonnegative_variance(spark):
+    """K109 sanity: cov(i,i) >= 0 for every dimension and e_xy(i,i) >=
+    cov(i,i) - the mean-square always dominates the variance."""
+    from ksql_spark.registry import all_specs
+
+    rows = (
+        all_specs()["llm_emb_gram"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .where("i = j")
+        .collect()
+    )
+    assert len(rows) == 64
+    for r in rows:
+        assert r["cov"] >= -1e-6, r
+        assert r["e_xy"] >= r["cov"] - 1e-6, r

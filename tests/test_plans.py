@@ -1013,3 +1013,76 @@ def test_quantization_error_no_explode(spark):
     plan = plan_of(spark, "llm_emb_quantization_error")
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_interarrival_windows_partition_user_type(spark):
+    """D31: the gap window partitions by (user_id, event_type) — finer than
+    any per-user window — and nothing plans a single partition."""
+    plan = plan_of(spark, "events_interarrival_dist")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    import re
+
+    wins = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("user_id" in w and "event_type" in w for w in wins)
+
+
+def test_entry_exit_reuses_user_exchange(spark):
+    """D32: session window is a subpartition of the user window, so both
+    window layers ride ONE user_id exchange; final matrix agg is the only
+    other shuffle."""
+    plan = plan_of(spark, "events_entry_exit_matrix")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    user_shuffles = [s for s in shuffles if "user_id" in s]
+    assert len(user_shuffles) == 1, user_shuffles
+
+
+def test_lexical_diversity_vocab_sized_exchanges(spark):
+    """K107: explode feeds a map-side-combined (source, word) agg — the
+    wide exchanges carry vocabulary-sized partials; no window, no join."""
+    plan = plan_of(spark, "llm_lexical_diversity")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_vocab_growth_single_corpus_pass(spark):
+    """K108: ONE corpus-sized Generate (explode) — the (source, word,
+    decile) count is checkpointed so neither consumer re-scans; the only
+    SinglePartition exchange is the 1-row max(doc_id) scalar; windows are
+    10-rows-per-source bounded."""
+    plan = plan_of(spark, "llm_vocab_growth")
+    assert plan.count("Generate explode") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_gram_no_join_single_agg_exchange(spark):
+    """K109: the pair space is generated per-row (nested transform ->
+    ONE Generate), never by self-join; the only exchange is the
+    d²-bounded (i, j) agg with map-side partial_sum."""
+    plan = plan_of(spark, "llm_emb_gram")
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(shuffles) == 1 and "i#" in shuffles[0]
+    assert "partial_sum" in plan
+
+
+def test_emb_anisotropy_no_pair_enumeration(spark):
+    """K110: closed-form identity — no join, no n² anything; exchanges are
+    the (label, dim) and label aggs only."""
+    plan = plan_of(spark, "llm_emb_anisotropy")
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(shuffles) == 2
