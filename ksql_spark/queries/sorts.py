@@ -132,3 +132,106 @@ def part_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(~dominated).select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+def _interleave_sql(x: str, y: str, bits: int, shr: str) -> str:
+    """Bit-interleave expression: z = sum_k ((x>>k)&1)<<2k | ((y>>k)&1)<<2k+1.
+
+    Same exact integer arithmetic in both engines; `shr` picks the spelling
+    ('spark' -> shiftright/shiftleft functions, 'duck' -> >> / << operators).
+    """
+    terms = []
+    for k in range(bits):
+        if shr == "spark":
+            terms.append(
+                f"shiftleft(shiftright({x}, {k}) & 1, {2 * k})"
+                f" + shiftleft(shiftright({y}, {k}) & 1, {2 * k + 1})"
+            )
+        else:
+            terms.append(
+                f"((({x} >> {k}) & 1) << {2 * k})"
+                f" + ((({y} >> {k}) & 1) << {2 * k + 1})"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_DUCK = _interleave_sql("dq", "cq", 12, "duck")
+_Z_SPARK = _interleave_sql("dq", "cq", 12, "spark")
+
+
+@query(
+    "sort_zorder_locality",
+    oracle=f"""
+    WITH mx AS (
+        SELECT CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
+                    + 1 AS BIGINT) AS max_d,
+               CAST(MAX(o_custkey) + 1 AS BIGINT) AS max_c
+        FROM orders
+    ), q AS (
+        SELECT CAST(trunc(date_diff('day', DATE '1995-01-01', o_orderdate)
+                          * 4096.0 / max_d) AS BIGINT) AS dq,
+               CAST(trunc(o_custkey * 4096.0 / max_c) AS BIGINT) AS cq
+        FROM orders, mx
+    ), z AS (
+        SELECT dq, cq, {_Z_DUCK} >> 12 AS bucket FROM q
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(dq) AS BIGINT) AS min_day_q,
+           CAST(MAX(dq) AS BIGINT) AS max_day_q,
+           CAST(MIN(cq) AS BIGINT) AS min_cust_q,
+           CAST(MAX(cq) AS BIGINT) AS max_cust_q,
+           CAST(MAX(dq) - MIN(dq) AS BIGINT) AS day_span,
+           CAST(MAX(cq) - MIN(cq) AS BIGINT) AS cust_span
+    FROM z GROUP BY bucket
+    """,
+    ref="SURVEY §2 F7 [EXT] (Z-order / Morton clustering key: interleave "
+    "the bits of two quantized sort dimensions so one physical order "
+    "bounds BOTH dims per file — the multi-dimensional data-skipping "
+    "layout (Delta/Iceberg Z-ORDER); the per-bucket min/max table IS "
+    "the zone map a 100 TB writer would persist, and the <=64 span "
+    "in each dimension per 4096-bucket is the skipping guarantee)",
+)
+def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-order locality audit over orders: quantize (orderdate-day,
+    custkey) into 12 bits each against broadcast maxima, interleave into a
+    24-bit z-value, bucket by the top 12 bits (= top 6 bits of EACH dim),
+    and report the per-bucket zone map. Because a bucket fixes 6 high
+    bits per dimension, every bucket's span is < 2^6 = 64 quantization
+    steps in BOTH dims — the property that lets a scan on either
+    predicate skip ~63/64 of files; tests/test_properties.py asserts it.
+
+    All arithmetic is exact integer (quantization is one trunc against an
+    exact 1-row max; the interleave is pure shifts/masks), so the oracle
+    matches bitwise. Scale shape: 1-row scalar broadcast + one narrow
+    scan + a 4096-bounded hash agg with map-side combine; writing the
+    actual layout is `df.repartitionByRange(N, zkey).sortWithinPartitions
+    (zkey)` — same expression, no new machinery."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(
+        (
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))) + 1
+        )
+        .cast("bigint")
+        .alias("max_d"),
+        (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
+    )
+    q = o.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
+            " / max_d AS BIGINT)"
+        ).alias("dq"),
+        F.expr("CAST(o_custkey * 4096.0 / max_c AS BIGINT)").alias("cq"),
+    )
+    z = q.select(
+        "dq", "cq", F.expr(f"shiftright({_Z_SPARK}, 12)").alias("bucket")
+    )
+    return z.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("dq").cast("bigint").alias("min_day_q"),
+        F.max("dq").cast("bigint").alias("max_day_q"),
+        F.min("cq").cast("bigint").alias("min_cust_q"),
+        F.max("cq").cast("bigint").alias("max_cust_q"),
+        (F.max("dq") - F.min("dq")).cast("bigint").alias("day_span"),
+        (F.max("cq") - F.min("cq")).cast("bigint").alias("cust_span"),
+    )

@@ -1086,3 +1086,14 @@ def test_emb_anisotropy_no_pair_enumeration(spark):
 
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(shuffles) == 2
+
+
+def test_zorder_scalar_broadcast_bounded_agg(spark):
+    """F7: the quantization maxima are a 1-row broadcast (the only
+    SinglePartition exchange); the z computation is a narrow scan feeding
+    a 4096-bounded hash agg — no window, no sort, no data-sized join."""
+    plan = plan_of(spark, "sort_zorder_locality")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "partial_count" in plan or "partial_min" in plan

@@ -330,3 +330,21 @@ def test_kcore_fixpoint_reached(spark_lazy):
     degs = [r["d"] for r in
             adj.groupBy("s1").agg(F.count("*").alias("d")).collect()]
     assert min(degs) >= _KCORE_K
+
+
+def test_zorder_bucket_bounds_both_dimensions(spark):
+    """F7's skipping guarantee: a 12-bit z-bucket fixes the top 6 bits of
+    EACH dimension, so min/max span per bucket < 64 quantization steps in
+    both dims — the zone-map property that makes either-predicate scans
+    skip ~63/64 of the data."""
+    from ksql_spark.registry import all_specs
+
+    rows = (
+        all_specs()["sort_zorder_locality"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) > 100  # orders spread across many z-buckets
+    for r in rows:
+        assert 0 <= r["day_span"] < 64, dict(r.asDict())
+        assert 0 <= r["cust_span"] < 64, dict(r.asDict())
