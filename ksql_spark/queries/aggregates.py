@@ -1996,3 +1996,118 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("emd"),
         (e > _TCLOSE_T).alias("violates_t"),
     )
+
+
+@query(
+    "orders_priority_mix_jsd",
+    oracle="""
+    WITH mc AS (
+        SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ), months AS (
+        SELECT month, CAST(SUM(c) AS BIGINT) AS nm FROM mc GROUP BY month
+    ), gdist AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS g,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS ng
+        FROM orders GROUP BY o_orderpriority
+    ), spine AS (
+        SELECT m.month, m.nm, gl.o_orderpriority, gl.g, gl.ng,
+               COALESCE(mc.c, 0) AS c
+        FROM months m CROSS JOIN gdist gl
+        LEFT JOIN mc ON mc.month = m.month
+                    AND mc.o_orderpriority = gl.o_orderpriority
+    ), terms AS (
+        SELECT month, nm,
+               CAST(CASE WHEN c > 0 THEN
+                   0.5 * (CAST(c AS DOUBLE) / nm)
+                   * ln(2.0 * (CAST(c AS DOUBLE) / nm)
+                        / (CAST(c AS DOUBLE) / nm + CAST(g AS DOUBLE) / ng))
+                   * 1000000000 + 0.5 ELSE 0.0 END AS BIGINT)
+               + CAST(CASE WHEN g > 0 THEN
+                   0.5 * (CAST(g AS DOUBLE) / ng)
+                   * ln(2.0 * (CAST(g AS DOUBLE) / ng)
+                        / (CAST(c AS DOUBLE) / nm + CAST(g AS DOUBLE) / ng))
+                   * 1000000000 + 0.5 ELSE 0.0 END AS BIGINT) AS tq
+        FROM spine
+    )
+    SELECT month, CAST(MAX(nm) AS BIGINT) AS n_orders,
+           CAST(trunc(CAST(SUM(tq) AS DOUBLE) / 1000000000.0
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jsd_nats,
+           CAST(trunc(CAST(SUM(tq) AS DOUBLE) / 1000000000.0 / ln(2.0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jsd_bits
+    FROM terms GROUP BY month
+    """,
+    ref="SURVEY §2 D34 [EXT] (categorical composition drift: "
+    "Jensen-Shannon divergence between each month's order-priority mix "
+    "and the global mix — the bounded, symmetric drift number for "
+    "CATEGORICAL columns, complementing K90's PSI which needs binned "
+    "numeric scores; JSD in bits is in [0,1], alert above ~0.1)",
+)
+def orders_priority_mix_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-vs-global priority-mix drift as Jensen-Shannon divergence:
+    JSD(p‖q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) over the dense
+    month × priority spine (absent cells contribute only the q half).
+    Each of the two per-cell terms quantizes at 1e-9 independently, so
+    the |priorities|-bounded per-month reduction is order-insensitive
+    and the nats→bits conversion is one spelled-identically division.
+
+    Scale shape: a calendar-bounded (month, priority) agg and a
+    |priorities| global agg (both map-side combined), a months×5 spine
+    via broadcast cross join, and a months-bounded final agg. After the
+    two first-pass aggs nothing scales with the order count."""
+    o = load(spark, sf_dir, "orders")
+    # ONE orders scan: the (month, priority) count is calendar-bounded, so
+    # checkpoint it and derive the month totals, the global priority mix
+    # AND the grand total from it (the tpch_q20 dual-consumer pattern —
+    # without this, Catalyst re-scans orders once per consumer).
+    mc = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    months = mc.groupBy("month").agg(
+        F.sum("c").cast("bigint").alias("nm")
+    )
+    glob = (
+        mc.groupBy("o_orderpriority")
+        .agg(F.sum("c").cast("bigint").alias("g"))
+        .crossJoin(
+            F.broadcast(mc.agg(F.sum("c").cast("bigint").alias("ng")))
+        )
+    )
+    spine = (
+        months.crossJoin(F.broadcast(glob))
+        .join(F.broadcast(mc), ["month", "o_orderpriority"], "left")
+        .select(
+            "month",
+            "nm",
+            "g",
+            "ng",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c").cast("double") / F.col("nm")
+    q = F.col("g").cast("double") / F.col("ng")
+    t1 = F.when(
+        F.col("c") > 0,
+        0.5 * p * F.log(2.0 * p / (p + q)) * 1000000000 + F.lit(0.5),
+    ).otherwise(F.lit(0.0)).cast("long")
+    t2 = F.when(
+        F.col("g") > 0,
+        0.5 * q * F.log(2.0 * q / (p + q)) * 1000000000 + F.lit(0.5),
+    ).otherwise(F.lit(0.0)).cast("long")
+    terms = spine.select("month", "nm", (t1 + t2).alias("tq"))
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return terms.groupBy("month").agg(
+        F.max("nm").cast("bigint").alias("n_orders"),
+        q6(F.sum("tq").cast("double") / 1000000000.0).alias("jsd_nats"),
+        q6(
+            F.sum("tq").cast("double") / 1000000000.0 / F.log(F.lit(2.0))
+        ).alias("jsd_bits"),
+    )

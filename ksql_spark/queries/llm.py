@@ -4628,3 +4628,235 @@ def llm_emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(mpc).alias("mean_pairwise_cosine"),
         q6(mdn).alias("mean_dir_norm"),
     )
+
+
+@query(
+    "llm_lang_kappa",
+    oracle="""
+    WITH det AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of'))) > 0
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ), cm AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM det GROUP BY source
+    )
+    SELECT source, n, n11, n10, n01, n00,
+           CAST(trunc(CAST(n11 + n00 AS DOUBLE) / n * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS po,
+           CAST(trunc(
+               (CAST(n11 + n00 AS DOUBLE) / n
+                - (CAST(n11 + n10 AS DOUBLE) / n * (CAST(n11 + n01 AS DOUBLE) / n)
+                   + CAST(n01 + n00 AS DOUBLE) / n * (CAST(n10 + n00 AS DOUBLE) / n)))
+               / NULLIF(1.0 - (CAST(n11 + n10 AS DOUBLE) / n * (CAST(n11 + n01 AS DOUBLE) / n)
+                   + CAST(n01 + n00 AS DOUBLE) / n * (CAST(n10 + n00 AS DOUBLE) / n)), 0)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS kappa
+    FROM cm
+    """,
+    ref="SURVEY §2 K111 [EXT] (Cohen's kappa between declared lang "
+    "metadata and content-derived detection, per source — the "
+    "chance-corrected version of K63's raw agreement: a source that is "
+    "95% English shows high raw agreement even with a broken detector; "
+    "kappa strips that marginal-rate credit (Cohen 1960))",
+)
+def llm_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected metadata/content agreement per source: binary
+    rater A = (declared lang == en), rater B = (stopword detector says
+    en); kappa = (po - pe) / (1 - pe) from the exact 2x2 confusion
+    counts. pe credits what two random raters with the same marginals
+    would agree on — kappa near 0 with high po flags a degenerate
+    detector, not good metadata. All-counts-integer, one double chain
+    quantized once; pe = 1 (a constant-label source) yields NULL.
+
+    Scale shape: one narrow HOF scan -> |sources|-group agg with
+    map-side combine. Nothing after the scan exceeds |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    det = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(
+                F.filter(
+                    text.words("text"),
+                    lambda w: w.isin("the", "a", "of"),
+                )
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cm = det.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        / nd
+        * ((F.col("n11") + F.col("n01")).cast("double") / nd)
+    ) + (
+        (F.col("n01") + F.col("n00")).cast("double")
+        / nd
+        * ((F.col("n10") + F.col("n00")).cast("double") / nd)
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return cm.select(
+        "source",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        q6(po).alias("po"),
+        q6((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
+    )
+
+
+@query(
+    "llm_perplexity_holdout",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents
+    ), tok AS (
+        SELECT source,
+               CAST(least(9, trunc(doc_id * 10.0 / n_docs)) AS INT) AS decile,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents, tot
+    ), train AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE word <> '' AND decile < 9 GROUP BY source, word
+    ), test AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS t
+        FROM tok WHERE word <> '' AND decile = 9 GROUP BY source, word
+    ), scal AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN decile < 9 AND word <> '' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(COUNT(DISTINCT CASE WHEN word <> '' THEN word END)
+                    AS BIGINT) AS v_all
+        FROM tok GROUP BY source
+    ), scored AS (
+        SELECT te.source, te.t,
+               CASE WHEN tr.c IS NULL THEN te.t ELSE 0 END AS oov_t,
+               te.t * CAST(trunc(
+                   -ln((CAST(COALESCE(tr.c, 0) + 1 AS DOUBLE))
+                       / (s.n_train + s.v_all))
+                   * 1000000000 + 0.5) AS BIGINT) AS sq
+        FROM test te
+        LEFT JOIN train tr USING (source, word)
+        JOIN scal s USING (source)
+    )
+    SELECT source,
+           CAST(SUM(t) AS BIGINT) AS test_tokens,
+           CAST(trunc(CAST(SUM(oov_t) AS DOUBLE) / SUM(t)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS oov_rate,
+           CAST(trunc(CAST(SUM(sq) AS DOUBLE) / 1000000000.0 / SUM(t)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mean_surprisal,
+           CAST(trunc(exp(CAST(trunc(CAST(SUM(sq) AS DOUBLE) / 1000000000.0
+                    / SUM(t) * 1000000 + 0.5) AS BIGINT) / 1000000.0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS perplexity
+    FROM scored GROUP BY source
+    """,
+    ref="SURVEY §2 K112 [EXT] (hold-out unigram perplexity per source: "
+    "add-one-smoothed LM fit on doc-id deciles 0-8, scored on decile 9 "
+    "— the train/test generalization gap that separates repetitive "
+    "sources (low ppl: more adds nothing) from genuinely diverse ones; "
+    "the predictive companion to K77's in-sample surprisal and K108's "
+    "vocabulary growth)",
+)
+def llm_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hold-out perplexity: train an add-one-smoothed unigram
+    LM on the first nine doc-id deciles, score the tenth —
+    p(w) = (c_train(w)+1) / (N_train + V_source); report test-token
+    count, OOV mass, mean surprisal (nats) and its exp (perplexity).
+    Per-word -ln p quantizes at 1e-9 BEFORE weighting by the integer
+    test count, so the accumulation is exact integer math and the
+    mean/exp chain is one identically-spelled double expression.
+
+    Scale shape: one corpus explode -> three vocabulary-sized aggs
+    (train counts, test counts, per-source scalars), a vocabulary-keyed
+    (source, word) LEFT join between two agg outputs, and a broadcast
+    |sources|-row scalar join. No window, nothing corpus-sized after
+    the first agg; the decile boundary is the K108 1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
+    tok = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(9), F.floor(F.col("doc_id") * 10.0 / F.col("n_docs"))
+        )
+        .cast("int")
+        .alias("decile"),
+        F.explode(text.words("text")).alias("word"),
+    )
+    swd = (
+        tok.groupBy("source", "word", "decile")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    train = swd.where("decile < 9").groupBy("source", "word").agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    test = swd.where("decile = 9").groupBy("source", "word").agg(
+        F.sum("n").cast("bigint").alias("t")
+    )
+    scal = swd.groupBy("source").agg(
+        F.sum(F.when(F.col("decile") < 9, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.count_distinct(F.col("word")).cast("bigint").alias("v_all"),
+    )
+    scored = (
+        test.join(train, ["source", "word"], "left")
+        .join(F.broadcast(scal), "source")
+        .select(
+            "source",
+            "t",
+            F.when(F.col("c").isNull(), F.col("t"))
+            .otherwise(0)
+            .alias("oov_t"),
+            (
+                F.col("t")
+                * (
+                    -F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("n_train") + F.col("v_all"))
+                    )
+                    * 1000000000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("sq"),
+        )
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    mean_s = q6(
+        F.sum("sq").cast("double") / 1000000000.0 / F.sum("t")
+    )
+    return scored.groupBy("source").agg(
+        F.sum("t").cast("bigint").alias("test_tokens"),
+        q6(F.sum("oov_t").cast("double") / F.sum("t")).alias("oov_rate"),
+        mean_s.alias("mean_surprisal"),
+        q6(F.exp(mean_s)).alias("perplexity"),
+    )

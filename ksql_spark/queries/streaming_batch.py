@@ -2422,3 +2422,55 @@ def events_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("avg_session_len"),
     )
+
+
+@query(
+    "events_props_value_bands",
+    oracle=f"""
+    WITH px AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               value
+        FROM events
+    )
+    SELECT event_type,
+           CAST(k // 10 AS INT) AS k_band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k,
+           {sql_davg('value')} AS avg_value
+    FROM px WHERE k IS NOT NULL
+    GROUP BY event_type, CAST(k // 10 AS INT)
+    """,
+    ref="SURVEY §2 D33 [EXT] (semi-structured payload analytics: extract "
+    "a numeric field from the JSON props column INSIDE the aggregation "
+    "pipeline — get_json_object stays JVM-side/codegen'd, no UDF — and "
+    "band it into deciles per event type; the everyday 'group by a "
+    "field buried in the payload' query every event pipeline runs)",
+)
+def events_props_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric field extracted from the JSON payload (props->'$.k'),
+    banded by tens, aggregated per (event_type, band): count, k range,
+    exact-quantized mean value. Extraction uses get_json_object — a
+    JVM expression inside whole-stage codegen, not a Python UDF — and
+    malformed/missing payloads drop via the NULL filter (try-cast
+    semantics on the extracted string).
+
+    Scale shape: one narrow scan (props + two columns read), extraction
+    fused into the scan stage, then a |types|x10-bounded hash agg with
+    map-side combine. At 100 TB the JSON parse is the scan cost itself;
+    a hot deployment would materialize k as a typed column at ingest —
+    same query, zero parse."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    px = ev.select(
+        "event_type", k.alias("k"), F.col("value")
+    ).where(F.col("k").isNotNull())
+    return px.groupBy(
+        "event_type", F.expr("CAST(k div 10 AS INT)").alias("k_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        davg("value").alias("avg_value"),
+    )

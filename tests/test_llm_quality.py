@@ -457,3 +457,36 @@ def test_emb_gram_diagonal_is_nonnegative_variance(spark):
     for r in rows:
         assert r["cov"] >= -1e-6, r
         assert r["e_xy"] >= r["cov"] - 1e-6, r
+
+
+def test_kappa_bounded_and_chance_corrected(spark):
+    """K111: kappa in [-1, 1] and never exceeds raw agreement po when
+    agreement beats chance (the chance correction only subtracts)."""
+    from ksql_spark.registry import all_specs
+
+    rows = (
+        all_specs()["llm_lang_kappa"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        if r["kappa"] is None:
+            continue
+        assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9, dict(r.asDict())
+        assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+
+
+def test_jsd_bits_bounded_zero_one(spark):
+    """D34: Jensen-Shannon divergence in bits is bounded [0, 1] — the
+    property that makes it an alertable drift score."""
+    from ksql_spark.registry import all_specs
+
+    rows = (
+        all_specs()["orders_priority_mix_jsd"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["jsd_bits"] <= 1.0 + 1e-6, dict(r.asDict())

@@ -1097,3 +1097,47 @@ def test_zorder_scalar_broadcast_bounded_agg(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_lang_kappa_single_source_agg(spark):
+    """K111: one narrow scan, one |sources|-group exchange, no join."""
+    plan = plan_of(spark, "llm_lang_kappa")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_perplexity_holdout_vocab_keyed_joins(spark):
+    """K112: the LM join is (source, word)-keyed between two agg outputs
+    and the per-source scalars broadcast — no sort-merge join, no window,
+    no single partition; the corpus explode happened once upstream of the
+    checkpoint."""
+    plan = plan_of(spark, "llm_perplexity_holdout")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_props_bands_extraction_stays_in_scan_stage(spark):
+    """D33: get_json_object is a JVM expression — no BatchEvalPython /
+    ArrowEval (Python UDF) node anywhere; single bounded agg exchange."""
+    plan = plan_of(spark, "events_props_value_bands")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_priority_jsd_one_orders_scan(spark):
+    """D34: the (month, priority) count is checkpointed; months, global
+    mix and grand total all derive from it — exactly ONE orders FileScan
+    in the plan, everything downstream calendar-bounded broadcasts."""
+    df = SPECS["orders_priority_mix_jsd"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 1  # checkpointed RDD + <=1 residual
+    assert "SortMergeJoin" not in plan
+    # the only SinglePartition is the 1-row grand total over the bounded
+    # checkpointed table
+    assert plan.count("Exchange SinglePartition") <= 1
