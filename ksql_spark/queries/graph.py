@@ -916,3 +916,91 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+_LANDMARKS = [0, 1, 2, 3]
+_LM_ROUNDS = 3
+
+
+def _landmark_oracle() -> str:
+    """Unrolled multi-source BFS CTEs — the _sssp_oracle technique with a
+    (landmark, node) composite state key."""
+    seeds = " UNION ALL ".join(
+        f"SELECT CAST({x} AS BIGINT) AS lm, CAST({x} AS BIGINT) AS s, "
+        f"CAST(0 AS BIGINT) AS dist"
+        for x in _LANDMARKS
+    )
+    parts = [
+        f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    adj AS (
+        SELECT DISTINCT a.s AS s1, b.s AS s2
+        FROM e0 a JOIN e0 b ON a.p = b.p AND a.s <> b.s
+    ),
+    l0 AS ({seeds})
+    """
+    ]
+    for i in range(_LM_ROUNDS):
+        parts.append(
+            f""",
+    l{i + 1} AS (
+        SELECT lm, s, MIN(dist) AS dist FROM (
+            SELECT lm, s, dist FROM l{i}
+            UNION ALL
+            SELECT l{i}.lm, adj.s2 AS s, l{i}.dist + 1 AS dist
+            FROM l{i} JOIN adj ON l{i}.s = adj.s1
+        ) GROUP BY lm, s
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT lm AS landmark, s AS suppkey, CAST(dist AS BIGINT) AS dist
+    FROM l{_LM_ROUNDS}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_landmark_distances",
+    oracle=_landmark_oracle(),
+    ref="SURVEY §2 L13 [EXT] (multi-source landmark BFS: hop distances "
+    "from 4 pivot nodes in ONE shared traversal — the landmark/sketch "
+    "technique (Potamias et al. CIKM 2009) that answers approximate "
+    "point-to-point distance as min over landmarks d(u,l)+d(l,v) "
+    "without per-query traversals; oracle = the L7 unrolled-CTE "
+    "technique with a composite (landmark, node) state key)",
+)
+def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from each of 4 landmark suppliers to every node
+    within 3 BFS rounds, computed in ONE traversal whose state is keyed
+    (landmark, node) — k traversals for the price of one scan pattern.
+    The output table IS the distance sketch: approximate d(u,v) <=
+    min_l d(u,l) + d(l,v), the standard trick for shortest-path
+    estimation on graphs too large for per-query BFS.
+
+    Scale shape: identical to graph_bfs/graph_sssp_weighted — per round
+    one equi-join of the O(|landmarks|·|nodes|) state against the
+    checkpointed adjacency on s1 plus a min re-agg; the composite key
+    multiplies state rows by |landmarks| (4), never the edge pass
+    count. The driver loop runs over PLANS only."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = coship_adj(li, checkpoint=True)
+    d = spark.createDataFrame(
+        [(x, x, 0) for x in _LANDMARKS], "lm long, s long, dist long"
+    )
+    for _ in range(_LM_ROUNDS):
+        relaxed = d.join(adj, d.s == adj.s1).select(
+            "lm", F.col("s2").alias("s"), (F.col("dist") + 1).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("lm", "s")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return d.select(
+        F.col("lm").alias("landmark"),
+        F.col("s").alias("suppkey"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

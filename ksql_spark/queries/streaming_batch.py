@@ -2474,3 +2474,129 @@ def events_props_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("int").alias("max_k"),
         davg("value").alias("avg_value"),
     )
+
+
+@query(
+    "events_stl_daily_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), tr AS (
+        SELECT event_type, day, c,
+               CASE WHEN COUNT(*) OVER w7 = 7 THEN
+                   CAST(trunc(CAST(SUM(c) OVER w7 AS DOUBLE) / 7.0
+                        * 1000000 + 0.5) AS BIGINT)
+               END AS t_int
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT event_type, day, c,
+               CAST(t_int AS DOUBLE) / 1000000.0 AS trend,
+               dayofweek(day) + 1 AS dow,
+               c * 1000000 - t_int AS dq
+        FROM tr
+    ), seas AS (
+        SELECT event_type, dow,
+               CAST(trunc(CAST(SUM(dq) AS DOUBLE) / COUNT(dq) + 0.5)
+                    AS BIGINT) AS s_int
+        FROM det WHERE dq IS NOT NULL GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, d.c, d.trend,
+           CAST(s.s_int AS DOUBLE) / 1000000.0 AS seasonal,
+           CASE WHEN d.trend IS NOT NULL THEN
+               CAST(d.dq - s.s_int AS DOUBLE) / 1000000.0
+           END AS resid
+    FROM det d LEFT JOIN seas s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    """,
+    ref="SURVEY §2 D35 [EXT] (additive STL-lite decomposition of the "
+    "daily count series per event type: trend = centered 7-day moving "
+    "average (NULL at edges), seasonal = day-of-week mean of the "
+    "detrended series, residual = the anomaly channel K66's seasonal "
+    "spike detector thresholds — the decomposition VIEW of what K83 "
+    "(seasonality index) and K82 (Holt-Winters) consume)",
+)
+def events_stl_daily_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition per event type over the daily
+    grid: observed = trend + seasonal + residual. Trend is the exact
+    7-day centered mean (integer window sum / 7, quantized once; NULL
+    where the frame is incomplete); the detrended values are EXACT
+    1e-6-scaled integers (c*1e6 - trend*1e6 in doubles is exact below
+    2^53), so the day-of-week seasonal means accumulate in integers and
+    every output is one identically-spelled double chain.
+
+    Scale shape: one (type, day) agg over events (the only corpus-sized
+    pass, map-side combined), then all windows/joins run on the
+    calendar-bounded daily table: a per-type 7-row window, a |types|x7
+    seasonal agg joined back by broadcast. The dual consumers of the
+    daily table sit under one checkpoint."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    # trend carried as its 1e-6-scaled INTEGER so the detrended values
+    # (and later the residuals) are pure bigint arithmetic — recombining
+    # q6 doubles puts the rounding on exact .5 boundaries where one ulp
+    # of float error flips the trunc differently per engine
+    tr = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.when(
+            F.count("*").over(w7) == 7,
+            (F.sum("c").over(w7).cast("double") / 7.0 * 1000000 + F.lit(0.5))
+            .cast("long"),
+        ).alias("t_int"),
+    )
+    det = tr.select(
+        "event_type",
+        "day",
+        "c",
+        (F.col("t_int").cast("double") / 1000000.0).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+        (F.col("c") * 1000000 - F.col("t_int")).alias("dq"),
+    ).localCheckpoint()
+    # seasonal mean kept as its 1e-6-scaled INTEGER so the residual
+    # recombination c - trend - seasonal stays in the integer domain —
+    # recombining the three q6 doubles directly lands the *1e6 + 0.5
+    # rounding on an exact .5 boundary that float error flips per engine
+    seas = (
+        det.where(F.col("dq").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            (F.sum("dq").cast("double") / F.count("dq") + F.lit(0.5))
+            .cast("long")
+            .alias("s_int")
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            "c",
+            "trend",
+            (F.col("s_int").cast("double") / 1000000.0).alias("seasonal"),
+            F.when(
+                F.col("trend").isNotNull(),
+                (F.col("dq") - F.col("s_int")).cast("double") / 1000000.0,
+            ).alias("resid"),
+        )
+    )

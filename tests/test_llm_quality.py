@@ -490,3 +490,47 @@ def test_jsd_bits_bounded_zero_one(spark):
     assert rows
     for r in rows:
         assert -1e-6 <= r["jsd_bits"] <= 1.0 + 1e-6, dict(r.asDict())
+
+
+def test_stl_additive_identity_exact(spark):
+    """D35: observed == trend + seasonal + resid EXACTLY (1e-6 grid) on
+    every interior row — the recombination is integer arithmetic by
+    construction, so the identity has no float slack at all."""
+    from ksql_spark.registry import all_specs
+
+    rows = (
+        all_specs()["events_stl_daily_decompose"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    interior = [r for r in rows if r["trend"] is not None]
+    assert interior
+    for r in interior:
+        lhs = round(r["c"] * 1e6)
+        rhs = round((r["trend"] + r["seasonal"] + r["resid"]) * 1e6)
+        assert lhs == rhs, dict(r.asDict())
+
+
+def test_landmark_distance_triangle_inequality(spark):
+    """L13: the sketch's defining property — for every node pair (u, v)
+    reached by a common landmark, d(u,l) + d(l,v) >= the true 3-hop BFS
+    distance wherever graph_bfs knows it (landmark 0 == BFS root)."""
+    from ksql_spark.registry import all_specs
+
+    S = all_specs()
+    sf = "/root/testdata/sf0.001"
+    lm = {
+        (r["landmark"], r["suppkey"]): r["dist"]
+        for r in S["graph_landmark_distances"].builder(spark, sf).collect()
+    }
+    bfs = {
+        r["suppkey"]: r["depth"]
+        for r in S["graph_bfs"].builder(spark, sf).collect()
+    }
+    common = [k for k in bfs if (0, k) in lm]
+    assert common
+    for k in common:
+        # landmark 0 distances within 3 rounds must agree with BFS on
+        # nodes BFS reached in <= 3 hops, and never undershoot
+        if bfs[k] <= 3:
+            assert lm[(0, k)] == bfs[k], (k, lm[(0, k)], bfs[k])

@@ -1141,3 +1141,22 @@ def test_priority_jsd_one_orders_scan(spark):
     # the only SinglePartition is the 1-row grand total over the bounded
     # checkpointed table
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_landmark_bfs_state_joins_are_keyed(spark):
+    """L13: the traversal state joins the checkpointed adjacency by key —
+    no cartesian, no sort-merge (frontier broadcasts), no window."""
+    plan = plan_of(spark, "graph_landmark_distances")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_stl_windows_calendar_bounded(spark):
+    """D35: the only corpus-sized pass is the (type, day) agg; the 7-row
+    window and seasonal join run on the checkpointed daily table (no
+    parquet rescan below them), seasonal joins back by broadcast."""
+    plan = plan_of(spark, "events_stl_daily_decompose")
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 0  # both inputs checkpointed
