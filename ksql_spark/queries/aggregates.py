@@ -2111,3 +2111,70 @@ def orders_priority_mix_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tq").cast("double") / 1000000000.0 / F.log(F.lit(2.0))
         ).alias("jsd_bits"),
     )
+
+
+@query(
+    "orders_nrr_cohort",
+    oracle=f"""
+    WITH first_o AS (
+        SELECT o_custkey,
+               CAST(MIN(date_part('year', o_orderdate)) AS INT) AS cohort
+        FROM orders GROUP BY o_custkey
+    ), rev AS (
+        SELECT f.cohort,
+               CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+               {sql_dsum('o.o_totalprice')} AS revenue
+        FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort, yr, revenue,
+           CAST(trunc(revenue / NULLIF(LAG(revenue) OVER (
+                    PARTITION BY cohort ORDER BY yr), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS nrr
+    FROM rev
+    """,
+    ref="SURVEY §2 D36 [EXT] (net revenue retention: each acquisition-"
+    "year cohort's revenue ratioed against its own prior year — the "
+    "expansion/contraction read on D25's cohort LTV curve (LTV says "
+    "how much a cohort is worth, NRR says which direction it is "
+    "moving); first-year rows have NULL NRR by construction)",
+)
+def orders_nrr_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention by acquisition cohort: customers grouped by
+    first-order year, cohort revenue per calendar year, and each year's
+    revenue over the cohort's previous year. Revenue accumulates via
+    the exact scaled-long dsum; the ratio is one double division over
+    two already-quantized values (spelled identically), NULL on a
+    zero/absent prior year.
+
+    Scale shape: ONE orders scan — the cohort stamp is min(year) OVER
+    (PARTITION BY o_custkey), so the customer grouping costs one
+    o_custkey shuffle instead of an agg + self-join (two scans); then a
+    (cohort × year) agg and a lag window on the years×cohorts-bounded
+    grid. Nothing after the stamp window scales with order count."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey")
+    rev = (
+        o.select(
+            F.min(F.year("o_orderdate")).over(wc).cast("int").alias("cohort"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            "o_totalprice",
+        )
+        .groupBy("cohort", "yr")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("cohort").orderBy("yr")
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return rev.select(
+        "cohort",
+        "yr",
+        "revenue",
+        q6(
+            F.col("revenue")
+            / F.nullif(F.lag("revenue").over(w), F.lit(0.0))
+        ).alias("nrr"),
+    )

@@ -4860,3 +4860,175 @@ def llm_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_s.alias("mean_surprisal"),
         q6(F.exp(mean_s)).alias("perplexity"),
     )
+
+
+@query(
+    "llm_source_shingle_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest(
+            list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> string_split(text, ' ')[i] || ' '
+                     || string_split(text, ' ')[i+1] || ' '
+                     || string_split(text, ' ')[i+2])) AS g
+        FROM documents
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS nv FROM sh GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_shared,
+           sa.nv AS n_a, sb.nv AS n_b,
+           CAST(trunc(CAST(i.n_shared AS DOUBLE)
+                / (sa.nv + sb.nv - i.n_shared)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    ref="SURVEY §2 K113 [EXT] (cross-source template sharing: Jaccard "
+    "over distinct 3-word shingles for every source pair — phrase-level "
+    "where K34's vocab overlap is word-level, so shared TEMPLATES "
+    "(mirrors, boilerplate farms) light up while mere same-language "
+    "pairs stay low; the source-granular screen run before K17's "
+    "cross-corpus dedup decides what to collapse)",
+)
+def llm_source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|shingles(a) ∩ shingles(b)| and Jaccard for every source pair,
+    over distinct 3-word shingles. High Jaccard = shared templates /
+    mirrored content between sources; the pairing happens inside each
+    shingle's (≤|sources|-sized) source set, so no shingle ever meets
+    another shingle.
+
+    Scale shape: explode -> distinct (shingle, source) — the corpus
+    collapses to shingle-vocabulary scale first; per-shingle source
+    sets are |sources|-bounded, pairs explode from the sorted set via
+    nested transform (the K109 per-row pair-generation trick, no
+    self-join); sizes join back as a |sources|-row broadcast. Output
+    is |sources|² rows."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source", F.explode(text.shingles("text", 3)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nv")
+    )
+    pairs = (
+        sh.groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(sequence(0, size(ss) - 2), i ->
+                        transform(sequence(i + 1, size(ss) - 1), j ->
+                            struct(ss[i] AS src_a, ss[j] AS src_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("n_b"))
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            q6(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "llm_vocab_coverage_cutoff",
+    oracle="""
+    WITH wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS vt
+        FROM wc
+    ), cuts AS (
+        SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS cutoff
+    )
+    SELECT c.cutoff,
+           CAST(SUM(CASE WHEN w.n >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_kept,
+           CAST(SUM(CASE WHEN w.n >= c.cutoff THEN w.n ELSE 0 END) AS BIGINT)
+               AS tokens_covered,
+           CAST(trunc(CAST(SUM(CASE WHEN w.n >= c.cutoff THEN w.n ELSE 0 END)
+                    AS DOUBLE) / MAX(t.nt) * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS coverage
+    FROM wc w CROSS JOIN cuts c CROSS JOIN tot t
+    GROUP BY c.cutoff
+    """,
+    ref="SURVEY §2 K114 [EXT] (tokenizer vocab-threshold curve: for each "
+    "min-frequency cutoff, surviving vocabulary size and fraction of "
+    "corpus tokens still covered — the Zipf-CDF table that picks the "
+    "vocab pruning threshold (coverage cliffs = bad cutoffs); the "
+    "CUTOFF-parameterized complement of K47's top-N coverage)",
+)
+def llm_vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage as a function of the minimum word frequency kept:
+    for cutoffs 1..256 (powers of two), how many vocabulary types
+    survive and what fraction of all corpus tokens they cover. All
+    integer counts; one double ratio per row quantized once.
+
+    Scale shape: ONE vocabulary agg (map-side combined), then the
+    9-cutoff evaluation is a broadcast cross join over the vocab table
+    folded straight back into a 9-row agg — no rank, no sort, no
+    global window (the cutoff parameterization is what makes the
+    rank-free formulation possible, unlike top-N coverage)."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(text.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    tot = wc.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("vt"),
+    )
+    cuts = wc.sparkSession.createDataFrame(
+        [(c,) for c in [1, 2, 4, 8, 16, 32, 64, 128, 256]],
+        "cutoff int",
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    kept = F.when(F.col("n") >= F.col("cutoff"), F.col("n")).otherwise(0)
+    return (
+        wc.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cutoff")
+        .agg(
+            F.sum(F.when(F.col("n") >= F.col("cutoff"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("vocab_kept"),
+            F.sum(kept).cast("bigint").alias("tokens_covered"),
+            q6(F.sum(kept).cast("double") / F.max("nt")).alias("coverage"),
+        )
+    )

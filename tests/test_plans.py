@@ -1160,3 +1160,41 @@ def test_stl_windows_calendar_bounded(spark):
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") == 0  # both inputs checkpointed
+
+
+def test_shingle_overlap_no_self_join_of_shingles(spark):
+    """K113: pairing happens inside each shingle's bounded source set —
+    no sort-merge join, no cartesian; the only joins are the two
+    broadcast size lookups; corpus inputs sit under the checkpoint."""
+    plan = plan_of(spark, "llm_source_shingle_overlap")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_vocab_coverage_rank_free(spark):
+    """K114: the cutoff parameterization needs no rank and no sort — no
+    Window/Sort nodes; the cutoff table and the 1-row total broadcast."""
+    plan = plan_of(spark, "llm_vocab_coverage_cutoff")
+    assert "Window" not in plan
+    assert "TakeOrdered" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_nrr_single_orders_scan(spark):
+    """D36: the cohort stamp is a window, not an agg+self-join — exactly
+    one orders scan, one o_custkey shuffle; everything after the
+    (cohort, yr) agg is grid-bounded."""
+    plan = plan_of(spark, "orders_nrr_cohort")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    import re
+
+    cust_shuffles = [
+        c
+        for c in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "o_custkey" in c
+    ]
+    assert len(cust_shuffles) == 1
