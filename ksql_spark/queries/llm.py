@@ -5032,3 +5032,86 @@ def llm_vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(F.sum(kept).cast("double") / F.max("nt")).alias("coverage"),
         )
     )
+
+
+from ksql_spark.queries.curation import SQL_QUALITY as _OLS_QUALITY
+
+
+@query(
+    "llm_quality_length_ols",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               CAST(trunc(ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS x,
+               ({_OLS_QUALITY}) AS y
+        FROM documents
+    ), m AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+               {sql_dsum('x * x')} AS sxx, {sql_dsum('x * y')} AS sxy,
+               {sql_dsum('y * y')} AS syy
+        FROM scored GROUP BY source
+    )
+    SELECT source, n,
+           CAST(trunc((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS slope,
+           CAST(trunc((sy - sx * ((n * sxy - sx * sy)
+                       / NULLIF(n * sxx - sx * sx, 0))) / n
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS intercept,
+           CAST(trunc(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS r2
+    FROM m
+    """,
+    ref="SURVEY §2 K115 [EXT] (quality-vs-length regression audit: OLS "
+    "of the quality score on ln(token count) per source — slope and r² "
+    "expose a quality score that is length in disguise (r² near 1 = "
+    "the filter is just a length filter; K25's winsorize would then be "
+    "the honest operator); closed-form moments, the agg_corr "
+    "discipline)",
+)
+def llm_quality_length_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source least-squares fit quality ~ ln(tokens): slope,
+    intercept and r². A high r² means the quality score carries almost
+    no signal beyond document length — the classic failure mode of
+    hand-rolled quality heuristics, worth auditing before the score
+    gates a corpus. x quantizes at 1e-6 (ln is engine-identical IEEE),
+    every moment accumulates via the exact scaled-long dsum, and the
+    three outputs are single double chains over those exact sums.
+
+    Scale shape: one narrow HOF scan -> |sources|-group moment agg with
+    map-side combine; closed-form solve per group. No second pass, no
+    window, no join."""
+    d = load(spark, sf_dir, "documents")
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    scored = d.select(
+        "source",
+        q6(F.log(text.word_count("text").cast("double"))).alias("x"),
+        text.quality_score("text").alias("y"),
+    )
+    m = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return m.select(
+        "source",
+        "n",
+        q6(slope).alias("slope"),
+        q6((sy - sx * slope) / n).alias("intercept"),
+        q6(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            )
+        ).alias("r2"),
+    )

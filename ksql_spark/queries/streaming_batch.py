@@ -2600,3 +2600,75 @@ def events_stl_daily_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid"),
         )
     )
+
+
+_DYN_GAP_SQL = """CASE event_type WHEN 'click' THEN INTERVAL 10 MINUTE
+               WHEN 'view' THEN INTERVAL 20 MINUTE
+               ELSE INTERVAL 30 MINUTE END"""
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH ext AS (
+        SELECT user_id, ts, event_id,
+               ts + {_DYN_GAP_SQL} AS ev_end
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, ev_end,
+               CASE WHEN MAX(ev_end) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts >= MAX(ev_end) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ext
+    ), numbered AS (
+        SELECT user_id, ts, ev_end,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ev_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    ref="SURVEY §2 I15 [EXT] (dynamic-gap session window: per-event gap "
+    "from the event's own type — clicks cool off in 10 min, views 20, "
+    "the rest 30 — Spark 3.2 session_window(ts, gapExpr); sessions are "
+    "the UNION of [ts, ts+gap) intervals, so the oracle is the "
+    "running-max-end gaps-and-islands form, not the lag-gap one)",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose idle gap depends on each event's type —
+    the engagement-aware sessionization Spark exposes as
+    session_window(ts, <expr>): an event extends its session to
+    ts + gap(type), and the session closes when the next event starts
+    at-or-after the maximum extended end so far (interval union, pinned
+    by the running-max oracle — a plain lag-gap oracle is WRONG here
+    because a short-gap event can sit inside a longer event's tail).
+
+    Scale shape: identical to the static session window — one user_id
+    shuffle, per-user sequential merge, parallel across users; the
+    same expression runs under readStream with a watermark (the I4
+    machinery), which is the point of using session_window instead of
+    the window-function formulation."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.expr(
+        """CASE event_type WHEN 'click' THEN '10 minutes'
+           WHEN 'view' THEN '20 minutes' ELSE '30 minutes' END"""
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -493,3 +493,66 @@ def win_distinct_in_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("distinct_types_10"),
     )
+
+
+@query(
+    "win_locf_ignore_nulls",
+    oracle="""
+    WITH masked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 5 <> 0 THEN value END AS reading
+        FROM events
+    )
+    SELECT user_id, event_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf,
+           first_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS nocb
+    FROM masked
+    """,
+    ref="SURVEY §2 E8 [EXT] (IGNORE NULLS window semantics: last "
+    "observation carried forward + next observation carried backward "
+    "over a sparse sensor column — the gap-fill staple K29's resampler "
+    "applies on the dense grid, here exposed as the declarative window "
+    "form; Spark spells it last(col, ignorenulls=True) OVER)",
+)
+def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF and NOCB over a sparse reading (every 5th event's value is
+    masked to NULL deterministically): per user in time order, carry the
+    last non-null value forward and the next non-null value backward —
+    the two imputation primitives every sparse-telemetry pipeline needs.
+    No arithmetic at all: the imputed values are the stored doubles, so
+    cross-engine equality is bit-trivial; what is being pinned is the
+    IGNORE NULLS frame semantics themselves.
+
+    Scale shape: one user_id-partitioned window pass (both directions
+    share the same partitioning — one shuffle, two sorts), parallel
+    across users."""
+    ev = load(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("reading"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(fwd).alias("locf"),
+        F.first("reading", ignorenulls=True).over(bwd).alias("nocb"),
+    )

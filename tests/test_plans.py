@@ -1198,3 +1198,31 @@ def test_nrr_single_orders_scan(spark):
         if "o_custkey" in c
     ]
     assert len(cust_shuffles) == 1
+
+
+def test_dynamic_session_single_user_shuffle(spark):
+    """I15: session_window with a gap expression plans exactly like the
+    static one — one user_id exchange, no single partition."""
+    plan = plan_of(spark, "stream_session_dynamic_gap")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_quality_ols_one_moment_pass(spark):
+    """K115: closed-form OLS — one scan, one |sources|-group agg with
+    map-side partials, no join/window/second pass."""
+    plan = plan_of(spark, "llm_quality_length_ols")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_locf_shares_one_user_exchange(spark):
+    """E8: LOCF (forward) and NOCB (backward) windows share the user_id
+    partitioning — exactly one exchange."""
+    plan = plan_of(spark, "win_locf_ignore_nulls")
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(shuffles) == 1 and "user_id" in shuffles[0]
