@@ -2019,16 +2019,16 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND mc.o_orderpriority = gl.o_orderpriority
     ), terms AS (
         SELECT month, nm,
-               CAST(CASE WHEN c > 0 THEN
+               CAST(trunc(CASE WHEN c > 0 THEN
                    0.5 * (CAST(c AS DOUBLE) / nm)
                    * ln(2.0 * (CAST(c AS DOUBLE) / nm)
                         / (CAST(c AS DOUBLE) / nm + CAST(g AS DOUBLE) / ng))
-                   * 1000000000 + 0.5 ELSE 0.0 END AS BIGINT)
-               + CAST(CASE WHEN g > 0 THEN
+                   * 1000000000 + 0.5 ELSE 0.0 END) AS BIGINT)
+               + CAST(trunc(CASE WHEN g > 0 THEN
                    0.5 * (CAST(g AS DOUBLE) / ng)
                    * ln(2.0 * (CAST(g AS DOUBLE) / ng)
                         / (CAST(c AS DOUBLE) / nm + CAST(g AS DOUBLE) / ng))
-                   * 1000000000 + 0.5 ELSE 0.0 END AS BIGINT) AS tq
+                   * 1000000000 + 0.5 ELSE 0.0 END) AS BIGINT) AS tq
         FROM spine
     )
     SELECT month, CAST(MAX(nm) AS BIGINT) AS n_orders,

@@ -5115,3 +5115,106 @@ def llm_quality_length_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+
+
+@query(
+    "llm_bigram_entropy_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT source, doc_id, string_split(text, ' ') AS w
+        FROM documents
+    ), big AS (
+        SELECT source, w[i] AS w1, w[i + 1] AS w2
+        FROM tok, unnest(range(1, len(w))) AS t(i)
+    ), pc AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM big GROUP BY source, w1, w2
+    ), st AS (
+        SELECT source, w1, CAST(SUM(n) AS BIGINT) AS t
+        FROM pc GROUP BY source, w1
+    ), terms AS (
+        SELECT pc.source,
+               pc.w1,
+               pc.n,
+               CAST(trunc(-(CAST(pc.n AS DOUBLE) / st.t)
+                    * ln(CAST(pc.n AS DOUBLE) / st.t)
+                    * 1000000000 + 0.5) AS BIGINT) AS hq,
+               st.t
+        FROM pc JOIN st ON pc.source = st.source AND pc.w1 = st.w1
+    ), branch AS (
+        SELECT source, t,
+               CAST(SUM(hq) AS DOUBLE) / 1000000000.0 AS h
+        FROM terms GROUP BY source, w1, t
+    )
+    SELECT source,
+           CAST(SUM(t) AS BIGINT) AS n_bigrams,
+           CAST(trunc(SUM(CAST(trunc(CAST(t AS DOUBLE) * h * 1000000 + 0.5)
+                    AS BIGINT)) / 1000000.0 / CAST(SUM(t) AS DOUBLE)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS entropy_rate_nats
+    FROM branch GROUP BY source
+    """,
+    ref="SURVEY §2 K116 [EXT] (word-bigram entropy rate per source: "
+    "H(w2|w1) = Σ p(w1)·H(·|w1), the text-level analog of K104's event "
+    "Markov entropy — low = templated/scripted text, high = diverse "
+    "prose; sits between K85 (character level) and K50 (coherence "
+    "scoring) in the text-statistics ladder)",
+)
+def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-word entropy per source: per state w1 the
+    Shannon entropy of its successor distribution, weighted by state
+    frequency — the corpus's word-level predictability. Per-transition
+    terms -p·ln p quantize at 1e-9 (the K104 idiom); each branch
+    entropy is then weighted by the integer state count and quantized
+    at 1e-6 before the final exact-integer reduction, so nothing
+    order-sensitive survives.
+
+    Scale shape: one corpus pass explodes bigrams into a
+    (source, w1, w2)-keyed count agg (map-side combined, the only
+    corpus-sized exchange); state totals join back keyed on
+    (source, w1) — vocabulary-sized, co-partitioned with the pair
+    table; everything after is |vocab|- then |sources|-bounded."""
+    d = load(spark, sf_dir, "documents")
+    big = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                """
+                transform(
+                    sequence(0, size(split(text, '\\\\s+')) - 2),
+                    i -> struct(split(text, '\\\\s+')[i] AS w1,
+                                split(text, '\\\\s+')[i + 1] AS w2))
+                """
+            )
+        ).alias("b"),
+    ).select("source", "b.w1", "b.w2")
+    pc = big.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    st = pc.groupBy("source", "w1").agg(
+        F.sum("n").cast("bigint").alias("t")
+    )
+    p = F.col("n").cast("double") / F.col("t")
+    hq = (-p * F.log(p) * 1000000000 + F.lit(0.5)).cast("long")
+    terms = pc.join(st, ["source", "w1"]).select(
+        "source", "w1", "t", hq.alias("hq")
+    )
+    branch = terms.groupBy("source", "w1", "t").agg(
+        (F.sum("hq").cast("double") / 1000000000.0).alias("h")
+    )
+    wq = (
+        F.col("t").cast("double") * F.col("h") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return branch.select("source", "t", wq.alias("wq")).groupBy(
+        "source"
+    ).agg(
+        F.sum("t").cast("bigint").alias("n_bigrams"),
+        q6(
+            F.sum("wq").cast("double")
+            / 1000000.0
+            / F.sum("t").cast("double")
+        ).alias("entropy_rate_nats"),
+    )

@@ -2672,3 +2672,59 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_daily_max_gap",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type, ts,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    )
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(CASE WHEN MAX(gap_us) > 3600000000
+                THEN 1 ELSE 0 END AS INT) AS outage_flag
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    ref="SURVEY §2 D37 [EXT] (ingest-outage screen: per (type, day) the "
+    "maximum inter-event silence across the WHOLE type stream — a "
+    "pipeline stall shows up as one giant gap even while per-user "
+    "cadence (D31) looks normal; gap > 1 h flags the day, attributed "
+    "to the day the stream RESUMED)",
+)
+def events_daily_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational freshness monitor: the longest silence within each
+    event type per day (gap attributed to the day of the resuming
+    event), with a 1-hour outage flag. Gaps are exact integer
+    microseconds — no float anywhere.
+
+    Scale shape: one window pass partitioned by event_type (the
+    type-level stream IS the unit of monitoring; a 100 TB deployment
+    monitors per topic-partition, same plan keyed finer), then a
+    (type × day)-bounded hash agg with map-side combine."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "event_type",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.when(F.max("gap_us") > 3600 * 1_000_000, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("outage_flag"),
+    )

@@ -556,3 +556,53 @@ def win_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("reading", ignorenulls=True).over(fwd).alias("locf"),
         F.first("reading", ignorenulls=True).over(bwd).alias("nocb"),
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(trunc(value * 1000000 + 0.5) AS BIGINT)) OVER w
+                AS DOUBLE) / 1000000.0 AS sum_value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    ref="SURVEY §2 E9 [EXT] (TIME-interval RANGE frame: rolling 1-hour "
+    "per-user count/sum — the sliding-by-event-time window every "
+    "rate-limit and rolling-exposure query needs; Spark has no "
+    "INTERVAL range frames, so the idiomatic spelling is rangeBetween "
+    "over unix microseconds — semantically identical peers-inclusive "
+    "frames, pinned here against DuckDB's native INTERVAL form)",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour trailing event count and exact-quantized value sum
+    per user, as an event-time RANGE frame (peers at the same timestamp
+    all join the frame — ROWS frames can't express this). Spark lacks
+    INTERVAL bounds on range frames; ordering by unix_micros with a
+    numeric 3600-second lower bound is the standard equivalent — both
+    engines include rows with ts in [current - 1h, current], endpoints
+    inclusive. The sum accumulates 1e-6-quantized integers inside the
+    frame, so frame-internal order can't leak.
+
+    Scale shape: one user_id-partitioned window pass; the frame scan is
+    per-user sequential (Spark's sliding range frame is O(n) amortized
+    per partition), parallel across users."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    vq = (F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        (F.sum(vq).over(w).cast("double") / 1000000.0).alias(
+            "sum_value_last_hour"
+        ),
+    )

@@ -1226,3 +1226,33 @@ def test_locf_shares_one_user_exchange(spark):
 
     shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(shuffles) == 1 and "user_id" in shuffles[0]
+
+
+def test_time_range_frame_single_user_exchange(spark):
+    """E9: the event-time range frame runs in one user_id-partitioned
+    window pass — one exchange, no join."""
+    plan = plan_of(spark, "win_time_range_frame")
+    assert "Join" not in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(shuffles) == 1 and "user_id" in shuffles[0]
+
+
+def test_daily_max_gap_type_partitioned(spark):
+    """D37: the gap window partitions by event_type (the monitoring
+    unit); final agg is (type x day)-bounded; no single partition."""
+    plan = plan_of(spark, "events_daily_max_gap")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_bigram_entropy_vocab_keyed_tail(spark):
+    """K116: after the (source, w1, w2) count agg the state-total join is
+    keyed on (source, w1) — co-partitioned with the pair table, so no
+    sort-merge join materializes at this size and nothing re-scans the
+    corpus; no window, no single partition."""
+    plan = plan_of(spark, "llm_bigram_entropy_rate")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
