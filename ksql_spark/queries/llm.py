@@ -5175,19 +5175,24 @@ def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, w1) — vocabulary-sized, co-partitioned with the pair
     table; everything after is |vocab|- then |sources|-bounded."""
     d = load(spark, sf_dir, "documents")
-    big = d.select(
-        "source",
-        F.explode(
-            F.expr(
-                """
-                transform(
-                    sequence(0, size(split(text, '\\\\s+')) - 2),
-                    i -> struct(split(text, '\\\\s+')[i] AS w1,
-                                split(text, '\\\\s+')[i + 1] AS w2))
-                """
-            )
-        ).alias("b"),
-    ).select("source", "b.w1", "b.w2")
+    # guard: sequence(0, n) counts DOWN for n < 0 (the shingles() hazard),
+    # so sub-2-word / NULL texts must drop BEFORE the transform
+    big = (
+        d.select("source", text.words("text").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    """
+                    transform(sequence(0, size(w) - 2),
+                        i -> struct(w[i] AS w1, w[i + 1] AS w2))
+                    """
+                )
+            ).alias("b"),
+        )
+        .select("source", "b.w1", "b.w2")
+    )
     pc = big.groupBy("source", "w1", "w2").agg(
         F.count("*").cast("bigint").alias("n")
     )
