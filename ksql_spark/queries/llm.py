@@ -5223,3 +5223,166 @@ def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("t").cast("double")
         ).alias("entropy_rate_nats"),
     )
+
+
+@query(
+    "llm_cluster_label_nmi",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, e.label, c.cent_id,
+               {_L2SQ.format(a='e.embedding', b='c.cent_emb')} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a AS (
+        SELECT vec_id, label, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cd, cent_id)
+                   AS rn
+        FROM d
+    ),
+    cell AS (
+        SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM a WHERE rn = 1 GROUP BY cent_id, label
+    ),
+    rc AS (SELECT cent_id, CAST(SUM(c) AS BIGINT) AS r FROM cell GROUP BY cent_id),
+    lc AS (SELECT label, CAST(SUM(c) AS BIGINT) AS l FROM cell GROUP BY label),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    hc AS (
+        SELECT SUM(CAST(trunc(-(CAST(r AS DOUBLE) / n.n)
+                 * ln(CAST(r AS DOUBLE) / n.n) * 1000000000 + 0.5)
+                 AS BIGINT)) AS hq
+        FROM rc, n
+    ),
+    hl AS (
+        SELECT SUM(CAST(trunc(-(CAST(l AS DOUBLE) / n.n)
+                 * ln(CAST(l AS DOUBLE) / n.n) * 1000000000 + 0.5)
+                 AS BIGINT)) AS hq
+        FROM lc, n
+    ),
+    mi AS (
+        SELECT SUM(CAST(trunc((CAST(c AS DOUBLE) / n.n)
+                 * ln(CAST(c AS DOUBLE) * n.n
+                      / (CAST(rc.r AS DOUBLE) * lc.l))
+                 * 1000000000 + 0.5) AS BIGINT)) AS miq
+        FROM cell JOIN rc USING (cent_id) JOIN lc USING (label), n
+    ),
+    pur AS (
+        SELECT SUM(mx) AS p FROM (
+            SELECT cent_id, MAX(c) AS mx FROM cell GROUP BY cent_id
+        )
+    )
+    SELECT n.n AS n_vectors,
+           CAST(trunc(CAST(pur.p AS DOUBLE) / n.n * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS purity,
+           CAST(trunc(CAST(hc.hq AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS h_cluster,
+           CAST(trunc(CAST(hl.hq AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS h_label,
+           CAST(trunc(CAST(mi.miq AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS mutual_info,
+           CAST(trunc(CAST(mi.miq AS DOUBLE)
+                / NULLIF(sqrt(CAST(hc.hq AS DOUBLE) * CAST(hl.hq AS DOUBLE)),
+                         0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS nmi
+    FROM n, hc, hl, mi, pur
+    """,
+    ref="SURVEY §2 K117 [EXT] (external cluster validation: purity and "
+    "normalized mutual information between the K-centroid assignment "
+    "(K19's deterministic Lloyd step) and the ground-truth labels — "
+    "the EXTERNAL quality number beside K101's internal silhouette; "
+    "NMI = I(C;L)/sqrt(H(C)H(L)), all terms 1e-9-quantized with the "
+    "trunc discipline)",
+)
+def llm_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well do the embedding clusters recover the labels: purity
+    (majority-label mass) and NMI over the cluster × label confusion
+    table. Every probability comes from exact integer cell counts;
+    each -p ln p / p ln(np/(r·l)) term quantizes at 1e-9 before the
+    bounded (K×|labels|) reduction, and the two ratios at the end are
+    identically-spelled double chains.
+
+    Scale shape: the assignment is the shared broadcast-centroid O(n·K)
+    pass (_assign_fixed_centroids); the confusion table and every total
+    derived from it are K×|labels|-bounded. One corpus pass, no pair
+    enumeration."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned = _assign_fixed_centroids(e).select("vec_id", "cent_id")
+    cell = (
+        assigned.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    rc = cell.groupBy("cent_id").agg(F.sum("c").cast("bigint").alias("r"))
+    lc = cell.groupBy("label").agg(F.sum("c").cast("bigint").alias("l"))
+    n = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    q9 = lambda c: (c * 1000000000 + F.lit(0.5)).cast("long")
+    hc = (
+        rc.crossJoin(F.broadcast(n))
+        .select(
+            q9(
+                -(F.col("r").cast("double") / F.col("n"))
+                * F.log(F.col("r").cast("double") / F.col("n"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("hq"))
+    )
+    hl = (
+        lc.crossJoin(F.broadcast(n))
+        .select(
+            q9(
+                -(F.col("l").cast("double") / F.col("n"))
+                * F.log(F.col("l").cast("double") / F.col("n"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("hq"))
+    )
+    mi = (
+        cell.join(F.broadcast(rc), "cent_id")
+        .join(F.broadcast(lc), "label")
+        .crossJoin(F.broadcast(n))
+        .select(
+            q9(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("r").cast("double") * F.col("l"))
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("miq"))
+    )
+    pur = (
+        cell.groupBy("cent_id")
+        .agg(F.max("c").alias("mx"))
+        .agg(F.sum("mx").alias("p"))
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    out = (
+        n.crossJoin(F.broadcast(hc.withColumnRenamed("hq", "hcq")))
+        .crossJoin(F.broadcast(hl.withColumnRenamed("hq", "hlq")))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(pur))
+    )
+    return out.select(
+        F.col("n").alias("n_vectors"),
+        q6(F.col("p").cast("double") / F.col("n")).alias("purity"),
+        q6(F.col("hcq").cast("double") / 1000000000.0).alias("h_cluster"),
+        q6(F.col("hlq").cast("double") / 1000000000.0).alias("h_label"),
+        q6(F.col("miq").cast("double") / 1000000000.0).alias("mutual_info"),
+        q6(
+            F.col("miq").cast("double")
+            / F.nullif(
+                F.sqrt(
+                    F.col("hcq").cast("double") * F.col("hlq").cast("double")
+                ),
+                F.lit(0.0),
+            )
+        ).alias("nmi"),
+    )

@@ -2728,3 +2728,110 @@ def events_daily_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("outage_flag"),
     )
+
+
+@query(
+    "events_ab_test_report",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS INT) AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM assign
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(trunc(CAST(conv_a AS DOUBLE) / n_a * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS rate_a,
+           CAST(trunc(CAST(conv_b AS DOUBLE) / n_b * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS rate_b,
+           CAST(trunc((CAST(conv_b AS DOUBLE) / n_b
+                       - CAST(conv_a AS DOUBLE) / n_a)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS lift_abs,
+           CAST(trunc(
+               (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+               / NULLIF(sqrt(
+                   (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b)), 0)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS z_score,
+           CAST(trunc(
+               ((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                  * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2))
+               / (CAST(n_a + n_b AS DOUBLE) / 2)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS srm_chisq
+    FROM arms
+    """,
+    ref="SURVEY §2 D38 [EXT] (A/B experiment readout: deterministic "
+    "user-parity assignment, user-level conversion (>=1 purchase), "
+    "two-proportion pooled z-test for the lift AND the sample-ratio-"
+    "mismatch chi-square guardrail (an SRM above ~3.84 means the "
+    "assignment itself is broken and the z-score is meaningless — the "
+    "first thing a real experimentation platform checks))",
+)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row experiment report: users split A/B by id parity, converted
+    = had any purchase event; per-arm counts, rates, absolute lift, the
+    pooled two-proportion z statistic, and the 50/50 sample-ratio-
+    mismatch chi-square. Every statistic derives from four exact integer
+    counts through identically-spelled double chains — the whole report
+    is one |users|-group pass plus a 1-row reduction.
+
+    Scale shape: user-level conversion is a map-side-combined user_id
+    agg (the corpus-sized pass); the arm rollup is 2 rows. At 100 TB the
+    same two aggs serve thousands of concurrent experiments by adding
+    experiment_id to both keys."""
+    ev = load(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "converted",
+    )
+    arms = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / F.col("n_a"), cb / F.col("n_b")
+    pp = (ca + cb) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    half = (na + nb) / 2
+    chisq = ((na - half) * (na - half) + (nb - half) * (nb - half)) / half
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        q6(pa).alias("rate_a"),
+        q6(pb).alias("rate_b"),
+        q6(pb - pa).alias("lift_abs"),
+        q6((pb - pa) / F.nullif(se, F.lit(0.0))).alias("z_score"),
+        q6(chisq).alias("srm_chisq"),
+    )

@@ -1256,3 +1256,22 @@ def test_bigram_entropy_vocab_keyed_tail(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ab_report_two_agg_passes(spark):
+    """D38: user-level conversion agg (corpus pass, map-side combined)
+    then a 1-row reduction — no join, no window; the only SinglePartition
+    is the final 1-row arm rollup."""
+    plan = plan_of(spark, "events_ab_test_report")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_cluster_nmi_bounded_after_confusion(spark):
+    """K117: the only corpus-sized work is the broadcast-centroid
+    assignment; the confusion table is checkpointed and everything after
+    is KxL-bounded broadcasts — no sort-merge join anywhere."""
+    plan = plan_of(spark, "llm_cluster_label_nmi")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
