@@ -2178,3 +2178,198 @@ def orders_nrr_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.lag("revenue").over(w), F.lit(0.0))
         ).alias("nrr"),
     )
+
+
+@query(
+    "orders_iso_week_revenue",
+    oracle=f"""
+    SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    ref="SURVEY §2 D39 [EXT] (ISO-8601 week aggregation: fiscal weekly "
+    "revenue keyed (iso_year, iso_week) — pins the week-53 / year-"
+    "boundary semantics where Jan 1 can belong to the PREVIOUS iso "
+    "year (2001-01-01 is 2001-W01 but 2021-01-01 is 2020-W53); naive "
+    "year(o_orderdate) grouping silently splits those weeks in two)",
+)
+def orders_iso_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue on the ISO calendar: the (yearofweek, weekofyear)
+    pair keeps year-boundary weeks whole — grouping by plain year would
+    split week 52/53 across two rows and corrupt week-over-week
+    comparisons. Spark's weekofyear/yearofweek are ISO by definition;
+    DuckDB spells them weekofyear/isoyear.
+
+    Scale shape: one scan, one calendar-bounded hash agg with map-side
+    combine; revenue is the exact scaled-long dsum."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr("CAST(extract(YEAROFWEEK FROM o_orderdate) AS INT)").alias(
+            "iso_year"
+        ),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
+    "customer_acctbal_jarque_bera",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('c_acctbal')} AS s1,
+               {sql_dsum('c_acctbal * c_acctbal')} AS s2,
+               {sql_dsum('c_acctbal * c_acctbal * c_acctbal / 1000.0')} AS s3k,
+               {sql_dsum('(c_acctbal / 100.0) * (c_acctbal / 100.0) '
+                         '* (c_acctbal / 100.0) * (c_acctbal / 100.0)')} AS s4m
+        FROM customer GROUP BY c_mktsegment
+    ), cm AS (
+        SELECT c_mktsegment, n,
+               s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3k * 1000.0 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4m * 100000000.0 / n
+                   - 4 * (s1 / n) * (s3k * 1000.0 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    )
+    SELECT c_mktsegment, n,
+           CAST(trunc(m3 / NULLIF(sqrt(m2) * m2, 0) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS skewness,
+           CAST(trunc((m4 / NULLIF(m2 * m2, 0) - 3.0) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS excess_kurtosis,
+           CAST(trunc(CAST(n AS DOUBLE) / 6.0
+                * ((m3 / NULLIF(sqrt(m2) * m2, 0))
+                   * (m3 / NULLIF(sqrt(m2) * m2, 0))
+                   + (m4 / NULLIF(m2 * m2, 0) - 3.0)
+                     * (m4 / NULLIF(m2 * m2, 0) - 3.0) / 4.0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS jarque_bera
+    FROM cm
+    """,
+    ref="SURVEY §2 D40 [EXT] (Jarque-Bera normality test per market "
+    "segment: JB = n/6·(S² + K²/4) from exact central moments — the "
+    "screen run before parametric assumptions (z-tests, control "
+    "charts) are trusted on a balance distribution; moments via the "
+    "agg_skew scaled-sum discipline, 4th-power sums pre-scaled to "
+    "keep the 1e6-scaled accumulator in range)",
+)
+def customer_acctbal_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness, excess kurtosis and the Jarque-Bera statistic of
+    account balances per market segment. Raw power sums accumulate via
+    exact scaled longs — the cubic sum pre-divides by 1e3 and the
+    quartic by 1e8 (acctbal ~1e4, so x⁴ ~1e16 would overflow the 1e6-
+    scaled accumulator; the pre-scale keeps every addend in range and
+    is undone exactly in the moment algebra). One identically-spelled
+    double chain per output.
+
+    Scale shape: one scan, one |segments|-group moment agg with
+    map-side combine; closed-form solve per group."""
+    c = load(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum(x * x).alias("s2"),
+        dsum(x * x * x / 1000.0).alias("s3k"),
+        dsum((x / 100.0) * (x / 100.0) * (x / 100.0) * (x / 100.0)).alias(
+            "s4m"
+        ),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = (
+        F.col("s3k") * 1000.0 / n
+        - 3 * mu * (F.col("s2") / n)
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4m") * 100000000.0 / n
+        - 4 * mu * (F.col("s3k") * 1000.0 / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.nullif(F.sqrt(m2) * m2, F.lit(0.0))
+    exk = m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3.0
+    q6 = lambda cc: (cc * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return m.select(
+        "c_mktsegment",
+        "n",
+        q6(skew).alias("skewness"),
+        q6(exk).alias("excess_kurtosis"),
+        q6(n.cast("double") / 6.0 * (skew * skew + exk * exk / 4.0)).alias(
+            "jarque_bera"
+        ),
+    )
+
+
+@query(
+    "events_user_activity_powerlaw",
+    oracle="""
+    WITH act AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ), tail AS (
+        SELECT c,
+               CAST(trunc(ln(CAST(c AS DOUBLE) / 50.0) * 1000000000 + 0.5)
+                    AS BIGINT) AS lq
+        FROM act WHERE c >= 50
+    )
+    SELECT CAST(50 AS BIGINT) AS xmin,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(trunc((1.0 + CAST(COUNT(*) AS DOUBLE)
+                / NULLIF(CAST(SUM(lq) AS DOUBLE) / 1000000000.0, 0))
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS alpha_hat
+    FROM tail
+    """,
+    ref="SURVEY §2 D41 [EXT] (heavy-tail exponent of user activity: the "
+    "Hill / Clauset-Shalizi-Newman MLE alpha = 1 + n/Σln(x/xmin) over "
+    "users with >= xmin events — alpha near 2 means a few users "
+    "dominate (skew-join risk, K36's diagnosis), large alpha means "
+    "homogeneous traffic; the user-dimension sibling of K78's word "
+    "Zipf slope, closed-form, NO rank or sort)",
+)
+def events_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law tail fit of events-per-user: the continuous
+    MLE alpha_hat = 1 + n_tail / Σ ln(x_i / xmin) at fixed xmin = 50.
+    Each ln term quantizes at 1e-9 (trunc discipline) so the reduction
+    is exact integer addition; one double chain at the end. The
+    estimated alpha quantifies how concentrated activity is — the
+    number that predicts whether user-keyed shuffles need salting.
+
+    Scale shape: one user agg (map-side combined), a filtered
+    tail-sized term pass, a 1-row reduction. No sort anywhere — the
+    fixed-xmin form needs no order statistics."""
+    ev = load(spark, sf_dir, "events")
+    act = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    tail = act.where(F.col("c") >= 50).select(
+        (
+            F.log(F.col("c").cast("double") / 50.0) * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lq")
+    )
+    q6 = lambda cc: (cc * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return tail.agg(
+        F.lit(50).cast("bigint").alias("xmin"),
+        F.count("*").cast("bigint").alias("n_tail"),
+        q6(
+            1.0
+            + F.count("*").cast("double")
+            / F.nullif(
+                F.sum("lq").cast("double") / 1000000000.0, F.lit(0.0)
+            )
+        ).alias("alpha_hat"),
+    )

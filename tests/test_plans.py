@@ -1275,3 +1275,27 @@ def test_cluster_nmi_bounded_after_confusion(spark):
     plan = plan_of(spark, "llm_cluster_label_nmi")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_iso_week_single_agg(spark):
+    """D39: one scan, one calendar-bounded agg."""
+    plan = plan_of(spark, "orders_iso_week_revenue")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_jarque_bera_one_moment_pass(spark):
+    """D40: four power sums in ONE |segments|-group agg — no second
+    pass, no join, map-side combined."""
+    plan = plan_of(spark, "customer_acctbal_jarque_bera")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_sum" in plan
+
+
+def test_powerlaw_no_sort(spark):
+    """D41: fixed-xmin MLE needs no order statistics — no Sort, no
+    Window, no TakeOrdered; user agg then 1-row reduction."""
+    plan = plan_of(spark, "events_user_activity_powerlaw")
+    assert "Window" not in plan and "TakeOrdered" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
