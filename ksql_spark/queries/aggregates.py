@@ -2002,7 +2002,8 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_priority_mix_jsd",
     oracle="""
     WITH mc AS (
-        SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM orders GROUP BY 1, 2
     ), months AS (

@@ -2480,7 +2480,7 @@ def events_props_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_stl_daily_decompose",
     oracle="""
     WITH daily AS (
-        SELECT event_type, date_trunc('day', ts) AS day,
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM events GROUP BY 1, 2
     ), tr AS (
@@ -2684,13 +2684,13 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS gap_us
         FROM events
     )
-    SELECT event_type, date_trunc('day', ts) AS day,
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
            CAST(CASE WHEN MAX(gap_us) > 3600000000
                 THEN 1 ELSE 0 END AS INT) AS outage_flag
     FROM gaps WHERE gap_us IS NOT NULL
-    GROUP BY event_type, date_trunc('day', ts)
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
     """,
     ref="SURVEY §2 D37 [EXT] (ingest-outage screen: per (type, day) the "
     "maximum inter-event silence across the WHOLE type stream — a "
