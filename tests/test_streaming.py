@@ -1023,3 +1023,36 @@ def test_histogram_sketch_stream_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="double-count"):
         jobs.run_histogram_sink(stream2, "t_hist", "value", mn, width)
     spark.sql("DROP TABLE IF EXISTS hist_acc_t_hist")
+
+
+def test_dynamic_gap_session_stream_matches_batch(spark, events_dir):
+    """I15: session_window with a PER-EVENT gap expression produces the
+    same interval-union sessions under readStream as in batch (the batch
+    form is oracle-pinned against the running-max-end formulation)."""
+    from pyspark.sql import functions as F
+
+    stream = jobs.events_stream(spark, events_dir, max_files_per_trigger=2)
+    gap = F.expr(
+        """CASE event_type WHEN 'click' THEN '10 minutes'
+           WHEN 'view' THEN '20 minutes' ELSE '30 minutes' END"""
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    jobs.run_available_now(agg, "t_dynsess", "complete")
+    got = spark.table("t_dynsess").collect()
+    batch = SPECS["stream_session_dynamic_gap"].builder(spark, SF_SMALL).collect()
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], 2 * r["n_events"])
+        for r in batch
+    }
+    assert rows_set(got, cols) == want
