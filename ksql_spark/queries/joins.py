@@ -956,3 +956,85 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof_view_ts_raw"),
         ).alias("asof_view_ts"),
     )
+
+
+@query(
+    "join_pit_state",
+    oracle="""
+    WITH state AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type <> 'purchase'
+    ), spine AS (
+        SELECT event_id AS buy_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT sp.buy_id, sp.user_id,
+           st.state AS prior_state,
+           CAST(epoch_us(sp.ts) - epoch_us(st.valid_from) AS BIGINT)
+               AS state_age_us
+    FROM spine sp LEFT JOIN state st
+      ON sp.user_id = st.user_id
+     AND st.valid_from <= sp.ts
+     AND (st.valid_to IS NULL OR sp.ts < st.valid_to)
+    """,
+    ref="SURVEY §2 C17 [EXT] (point-in-time / SCD2 state join: non-"
+    "purchase events become validity intervals via LEAD, each purchase "
+    "joins the ONE interval containing its timestamp — the feature-"
+    "store correctness pattern that prevents label leakage (features "
+    "strictly as-of the label time, never after); intervals partition "
+    "time per user so the match is provably unique, pinned in "
+    "tests/test_properties.py)",
+)
+def join_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What state was the user in when they purchased: build an SCD2-
+    style interval table (state = last non-purchase action, validity
+    [ts, next-ts)) and point-in-time join every purchase into it. A
+    purchase before the user's first state row keeps NULLs (LEFT join)
+    — the honest cold-start answer, not a leaked future value. Ages
+    are exact integer microseconds.
+
+    Scale shape: the interval build is one user_id-partitioned LEAD
+    window; the PIT join is user_id-keyed (both sides shuffle once on
+    the same key — co-partitioned) with the containment predicate as a
+    post-join residual; per-user match fan-in is bounded by that
+    user's interval count, and exactly one interval survives per
+    purchase. The classic unbounded-range-join trap never appears
+    because the equality key carries the join."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    state = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    state = state.alias("st")
+    spine = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("buy_id"), "user_id", "ts")
+        .alias("sp")
+    )
+    cond = (
+        (F.col("sp.user_id") == F.col("st.user_id"))
+        & (F.col("st.valid_from") <= F.col("sp.ts"))
+        & (
+            F.col("st.valid_to").isNull()
+            | (F.col("sp.ts") < F.col("st.valid_to"))
+        )
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    return spine.join(state, cond, "left").select(
+        "buy_id",
+        F.col("sp.user_id").alias("user_id"),
+        F.col("st.state").alias("prior_state"),
+        (us(F.col("sp.ts")) - us(F.col("st.valid_from")))
+        .cast("bigint")
+        .alias("state_age_us"),
+    )

@@ -1299,3 +1299,11 @@ def test_powerlaw_no_sort(spark):
     plan = plan_of(spark, "events_user_activity_powerlaw")
     assert "Window" not in plan and "TakeOrdered" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_pit_join_is_user_keyed(spark):
+    """C17: the PIT join carries the user_id equality key (containment is
+    a residual) — no cartesian, no nested-loop over corpus-sized sides."""
+    plan = plan_of(spark, "join_pit_state")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

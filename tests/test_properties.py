@@ -348,3 +348,24 @@ def test_zorder_bucket_bounds_both_dimensions(spark):
     for r in rows:
         assert 0 <= r["day_span"] < 64, dict(r.asDict())
         assert 0 <= r["cust_span"] < 64, dict(r.asDict())
+
+
+def test_pit_join_match_is_unique(spark):
+    """C17: validity intervals partition time per user, so every purchase
+    matches AT MOST one state row — row count out == purchase count in,
+    no fan-out (the property that makes PIT joins leakage-safe)."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    out = all_specs()["join_pit_state"].builder(spark, sf)
+    n_out = out.count()
+    n_buys = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_out == n_buys
+    # and no future leakage: every matched state started at-or-before buy
+    assert out.where(F.col("state_age_us") < 0).count() == 0
