@@ -778,3 +778,102 @@ def _run_sketch_sink(
         raise TimeoutError(
             f"{job}({table!r}): query did not terminate within {timeout_sec}s"
         )
+
+
+def make_scd2_batch_fn(table: str, key: str, state_col: str, ts_col: str,
+                       ledger_dir: str | None = None,
+                       outer: SparkSession | None = None):
+    """foreachBatch callable for scd2_stream — type-2 history apply.
+
+    Each micro-batch turns change events into SCD2 version rows
+    (key, state, valid_from, valid_to; NULL valid_to = current) by
+    REBUILDING the affected keys' histories declaratively: existing
+    version rows of touched keys union the batch's change rows, distinct
+    on (key, valid_from), valid_to recomputed as LEAD(valid_from) per key.
+    Untouched keys carry over unchanged.
+
+    Replay contract: the rebuild is a deterministic pure function of
+    {existing rows ∪ batch rows}, and a replayed batch adds rows that are
+    already present — distinct collapses them, so re-applying ANY batch
+    converges to the same table (idempotent even in the ledger's
+    post-merge crash window; the ledger then only saves work, never
+    correctness — stronger than the upsert sink's additive caveat).
+
+    Scale note: this sandbox's parquet sink rewrites the whole table per
+    batch (the dml.py copy-on-write boundary). At 100 TB the same plan
+    writes only affected partitions — partition the version table by
+    bucket(key) and replaceWhere the touched buckets; the rebuild logic
+    (union → distinct → per-key LEAD) is unchanged and shuffles only the
+    touched keys' rows."""
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        marker = Path(ledger_dir) / str(batch_id) if ledger_dir else None
+        if marker is not None and marker.exists():
+            return
+        spark = batch_df.sparkSession
+        changes = batch_df.select(
+            F.col(key).alias("k"),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+        ).dropDuplicates(["k", "valid_from"])
+        if spark.catalog.tableExists(table):
+            existing = spark.table(table).select(
+                "k", "state", "valid_from"
+            )
+            touched = changes.select("k").distinct()
+            keep = spark.table(table).join(touched, "k", "left_anti")
+            pool = (
+                existing.join(touched, "k", "left_semi")
+                .unionByName(changes)
+                .dropDuplicates(["k", "valid_from"])
+            )
+        else:
+            keep = None
+            pool = changes
+        w = Window.partitionBy("k").orderBy("valid_from")
+        rebuilt = pool.select(
+            "k",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        )
+        new_table = (
+            rebuilt if keep is None else keep.unionByName(rebuilt)
+        ).localCheckpoint()  # break the read->overwrite cycle
+        from ksql_spark import dml
+
+        with dml._DML_LOCK:
+            new_table.write.mode("overwrite").saveAsTable(table)
+        if outer is not None:
+            outer.sql(f"REFRESH TABLE {table}")
+        if marker is not None:
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            tmp = marker.with_suffix(".tmp")
+            tmp.write_text("applied")
+            os.replace(tmp, marker)
+
+    return apply_batch
+
+
+def scd2_stream(stream: DataFrame, table: str, key: str, state_col: str,
+                ts_col: str, checkpoint: str):
+    """I16 [EXT]: streaming SCD2 history sink — change events become a
+    queryable type-2 dimension (key, state, valid_from, valid_to) with
+    the full state history, the table join_pit_state-style point-in-time
+    joins consume. See make_scd2_batch_fn for the rebuild + replay
+    contract. Returns the StreamingQuery."""
+    outer = stream.sparkSession
+    apply_batch = make_scd2_batch_fn(
+        table, key, state_col, ts_col,
+        ledger_dir=f"{checkpoint}/_applied_batches", outer=outer,
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
