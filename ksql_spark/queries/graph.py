@@ -1004,3 +1004,56 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("suppkey"),
         F.col("dist").cast("bigint").alias("dist"),
     )
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle="""
+    WITH inc AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pair AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM inc a JOIN inc b USING (p)
+        WHERE a.s <> b.s GROUP BY a.s, b.s
+    ), adj AS MATERIALIZED (
+        SELECT s1, s2 FROM pair
+        WHERE shared >= 1.05 * (SELECT AVG(shared) FROM pair)
+    ), ball AS (
+        SELECT s1, s2 FROM adj
+        UNION
+        SELECT e1.s1, e2.s2
+        FROM adj e1 JOIN adj e2 ON e1.s2 = e2.s1
+        WHERE e1.s1 <> e2.s2
+    )
+    SELECT s1 AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS reach_2hop
+    FROM ball GROUP BY s1
+    """,
+    ref="SURVEY §2 L14 [EXT] (2-hop ball size per node over the "
+    "thresholded co-ship graph: |N(v) ∪ N²(v)| — the influence/"
+    "blast-radius number (how much of the graph a node's failure "
+    "touches in two steps); one wedge self-join + distinct, the L11 "
+    "enumeration posture with the same hub bounds)",
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct nodes reachable within 2 hops from each node (excluding
+    itself): direct neighbors unioned with wedge endpoints, distinct,
+    counted. High reach = structural hub whose outage cascades.
+
+    Scale shape: the wedge join is the L9/L11 self-join on the
+    checkpointed thresholded adjacency (wedge volume bounded by the
+    same hub arguments); UNION-distinct collapses to the (s1, s2) key
+    before the |V|-sized count. No new exchange patterns."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = _weighted_adj(li).localCheckpoint()
+    e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
+    e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    wedge = (
+        e1.join(e2, "a")
+        .where(F.col("v") != F.col("b"))
+        .select(F.col("v").alias("s1"), F.col("b").alias("s2"))
+    )
+    ball = adj.select("s1", "s2").unionByName(wedge).distinct()
+    return ball.groupBy(F.col("s1").alias("suppkey")).agg(
+        F.count("*").cast("bigint").alias("reach_2hop")
+    )

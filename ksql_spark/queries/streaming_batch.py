@@ -2835,3 +2835,81 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6((pb - pa) / F.nullif(se, F.lit(0.0))).alias("z_score"),
         q6(chisq).alias("srm_chisq"),
     )
+
+
+def _benford_digit(dialect: str) -> str:
+    """First-significant-digit CASE ladder. Truncation toward zero is
+    spelled per engine: Spark CAST(double AS INT) truncates, DuckDB's
+    CAST rounds so it needs an explicit trunc()."""
+    t = (lambda e: f"CAST({e} AS INT)") if dialect == "spark" else (
+        lambda e: f"CAST(trunc({e}) AS INT)")
+    return f"""CASE
+    WHEN value >= 100 THEN {t('value / 100')}
+    WHEN value >= 10 THEN {t('value / 10')}
+    WHEN value >= 1 THEN {t('value')}
+    WHEN value >= 0.1 THEN {t('value * 10')}
+    WHEN value >= 0.01 THEN {t('value * 100')}
+    END"""
+
+
+@query(
+    "events_benford_digit_check",
+    oracle=f"""
+    WITH d AS (
+        SELECT {_benford_digit("duck")} AS digit FROM events WHERE value > 0
+    ), c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d WHERE digit IS NOT NULL GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+    SELECT digit, n,
+           CAST(trunc(CAST(n AS DOUBLE) / nt * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS observed_p,
+           CAST(trunc(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS benford_p,
+           CAST(trunc(
+               (CAST(n AS DOUBLE) - nt * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+               * (CAST(n AS DOUBLE) - nt * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+               / (nt * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS chisq_term
+    FROM c, t
+    """,
+    ref="SURVEY §2 D42 [EXT] (Benford's-law first-digit audit: observed "
+    "leading-digit shares of the value column vs log10(1+1/d), with "
+    "per-digit chi-square terms (sum them against chi2_8 ~ 15.5) — the "
+    "classic fabricated-data / instrumentation-bug screen; the digit "
+    "extractor is a pure-arithmetic CASE ladder, no log/pow on data, "
+    "so both engines compute it bit-identically)",
+)
+def events_benford_digit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of event values against the
+    Benford expectation. The digit comes from a magnitude CASE ladder
+    (divide/multiply by powers of ten, then trunc) — deliberately NOT
+    floor(v/10^floor(log10 v)), whose data-dependent transcendental is
+    the kind of cross-engine ulp hazard the K116 trunc-pin documented.
+    Expected shares use ln on CONSTANTS only; each output is one
+    identically-spelled double chain quantized once.
+
+    Scale shape: narrow scan -> 9-group hash agg (map-side combined)
+    -> 1-row total broadcast back. Nothing after the scan exceeds 9
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.where(F.col("value") > 0).select(
+        F.expr(_benford_digit("spark")).alias("digit")
+    )
+    c = d.where(F.col("digit").isNotNull()).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("nt"))
+    q6 = lambda cc: (cc * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    bp = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    nd = F.col("n").cast("double")
+    e = F.col("nt") * bp
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        q6(nd / F.col("nt")).alias("observed_p"),
+        q6(bp).alias("benford_p"),
+        q6((nd - e) * (nd - e) / e).alias("chisq_term"),
+    )

@@ -1307,3 +1307,21 @@ def test_pit_join_is_user_keyed(spark):
     plan = plan_of(spark, "join_pit_state")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_benford_nine_row_tail(spark):
+    """D42: narrow scan -> 9-group agg -> 1-row total broadcast; the
+    digit ladder is pure arithmetic (no Python, no transcendentals on
+    data)."""
+    plan = plan_of(spark, "events_benford_digit_check")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_two_hop_reach_keyed_wedge(spark):
+    """L14: the wedge is the checkpointed-adjacency self-join on the
+    shared endpoint — keyed, never cartesian."""
+    plan = plan_of(spark, "graph_two_hop_reach")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
