@@ -2374,3 +2374,87 @@ def events_user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("alpha_hat"),
     )
+
+
+@query(
+    "orders_control_chart_xbar",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('o_totalprice')} AS s1,
+               {sql_dsum1('o_totalprice * o_totalprice / 1000.0')} AS s2k
+        FROM orders
+    ), mth AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(COUNT(*) AS BIGINT) AS nm,
+               {sql_dsum('o_totalprice')} AS sm
+        FROM orders GROUP BY 1
+    )
+    SELECT month, nm,
+           CAST(trunc(sm / nm * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS xbar,
+           CAST(trunc(s1 / n * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS center,
+           CAST(trunc((s1 / n - 3.0 * sqrt((s2k * 1000.0 / n
+                       - (s1 / n) * (s1 / n)) / nm))
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS lcl,
+           CAST(trunc((s1 / n + 3.0 * sqrt((s2k * 1000.0 / n
+                       - (s1 / n) * (s1 / n)) / nm))
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS ucl,
+           CAST(CASE WHEN sm / nm < s1 / n - 3.0 * sqrt((s2k * 1000.0 / n
+                          - (s1 / n) * (s1 / n)) / nm)
+                       OR sm / nm > s1 / n + 3.0 * sqrt((s2k * 1000.0 / n
+                          - (s1 / n) * (s1 / n)) / nm)
+                THEN 1 ELSE 0 END AS INT) AS out_of_control
+    FROM mth, g
+    """,
+    ref="SURVEY §2 D43 [EXT] (x-bar control chart: monthly subgroup "
+    "means against center ± 3σ/√n_m limits from global moments "
+    "(Shewhart) — the process-stability read that separates common-"
+    "cause noise from assignable shifts; variance sum pre-scaled /1e3 "
+    "to keep the exact accumulator in range, the D40 discipline)",
+)
+def orders_control_chart_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart x-bar chart over monthly order values: each month's mean
+    against control limits center ± 3σ/√n_m (σ from the global moments,
+    n_m the month's subgroup size), plus the out-of-control flag. All
+    sums are exact scaled longs; the squared-price sum pre-divides by
+    1e3 AND accumulates at integer scale (dsum1) — at the 1e-6 scale
+    price² already overflows the long accumulator at sf0.1. The limits
+    are one double chain reused verbatim in the flag comparison so
+    flag and bounds can never disagree.
+
+    Scale shape: two aggs over one scan each (global moments broadcast
+    as a 1-row cross join; monthly means calendar-bounded)."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    g = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(x).alias("s1"),
+        dsum1(x * x / 1000.0).alias("s2k"),
+    )
+    mth = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("nm"),
+        dsum(x).alias("sm"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2k") * 1000.0 / F.col("n") - mu * mu
+    half = 3.0 * F.sqrt(var / F.col("nm"))
+    xbar = F.col("sm") / F.col("nm")
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return mth.crossJoin(F.broadcast(g)).select(
+        "month",
+        "nm",
+        q6(xbar).alias("xbar"),
+        q6(mu).alias("center"),
+        q6(mu - half).alias("lcl"),
+        q6(mu + half).alias("ucl"),
+        F.when((xbar < mu - half) | (xbar > mu + half), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("out_of_control"),
+    )

@@ -617,3 +617,41 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
         F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
     )
+
+
+@query(
+    "fn_datetime_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_s,
+           strftime(ts, '%A') AS day_name,
+           strftime(ts, '%B') AS month_name,
+           strftime(ts, '%j') AS day_of_year,
+           strftime(ts, '%I:%M %p') AS twelve_hour
+    FROM events
+    """,
+    ref="SURVEY §2 H16 [EXT] (datetime formatting parity: Spark's JDK "
+    "DateTimeFormatter patterns (yyyy-MM-dd, EEEE, MMMM, DDD, hh:mm a) "
+    "pinned against DuckDB's strftime (%Y-%m-%d, %A, %B, %j, %I:%M %p) "
+    "— five pattern families where silent divergence (locale names, "
+    "zero-padding, 12-hour clock) corrupts downstream string keys)",
+)
+def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five formatted renderings of the event timestamp: ISO seconds,
+    full day name, full month name, zero-padded day-of-year, 12-hour
+    clock with AM/PM. Pure string formatting — what is being pinned is
+    that the two engines' pattern languages, default locales and
+    padding rules produce byte-identical strings for these families
+    (day/month names are locale-sensitive: Spark's session locale and
+    DuckDB's C locale both emit English here).
+
+    Scale shape: narrow scan, per-row JVM formatting inside codegen."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso_s"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        F.date_format("ts", "MMMM").alias("month_name"),
+        F.date_format("ts", "DDD").alias("day_of_year"),
+        F.date_format("ts", "hh:mm a").alias("twelve_hour"),
+    )

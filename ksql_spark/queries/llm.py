@@ -5386,3 +5386,78 @@ def llm_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nmi"),
     )
+
+
+@query(
+    "llm_quality_wilson_interval",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               CASE WHEN ({_OLS_QUALITY}) >= 0.5 THEN 1 ELSE 0 END AS pass
+        FROM documents
+    ), agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pass) AS BIGINT) AS k
+        FROM scored GROUP BY source
+    )
+    SELECT source, n, k,
+           CAST(trunc(CAST(k AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS p_hat,
+           CAST(trunc(
+               ((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)
+                 - 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                                * (1.0 - CAST(k AS DOUBLE) / n)
+                                + 3.8416 / (4 * n)) / n))
+                / (1.0 + 3.8416 / n))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS wilson_lo,
+           CAST(trunc(
+               ((CAST(k AS DOUBLE) / n + 3.8416 / (2 * n)
+                 + 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                                * (1.0 - CAST(k AS DOUBLE) / n)
+                                + 3.8416 / (4 * n)) / n))
+                / (1.0 + 3.8416 / n))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS wilson_hi
+    FROM agg
+    """,
+    ref="SURVEY §2 K118 [EXT] (Wilson 95% score interval on the per-"
+    "source quality pass rate — the binomial CI that stays inside "
+    "[0,1] and behaves at small n where the Wald interval collapses; "
+    "what an eval dashboard should put around every pass-rate before "
+    "anyone compares two sources)",
+)
+def llm_quality_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass rate (quality >= 0.5) per source with its Wilson 95%
+    interval: (p + z²/2n ± z·sqrt((p(1-p) + z²/4n)/n)) / (1 + z²/n),
+    z = 1.96 (z² = 3.8416 spelled as a constant so both engines fold
+    it identically). Exact integer n/k; each bound is one double chain
+    quantized once.
+
+    Scale shape: one narrow HOF scan -> |sources|-group agg; closed
+    form per group."""
+    d = load(spark, sf_dir, "documents")
+    agg = d.select(
+        "source",
+        F.when(text.quality_score("text") >= 0.5, 1).otherwise(0).alias(
+            "pass"
+        ),
+    ).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pass").cast("bigint").alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    z2 = F.lit(3.8416)
+    denom = 1.0 + z2 / n
+    centre = p + z2 / (2 * n)
+    spread = 1.96 * F.sqrt((p * (1.0 - p) + z2 / (4 * n)) / n)
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return agg.select(
+        "source",
+        "n",
+        "k",
+        q6(p).alias("p_hat"),
+        q6((centre - spread) / denom).alias("wilson_lo"),
+        q6((centre + spread) / denom).alias("wilson_hi"),
+    )

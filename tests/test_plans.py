@@ -1325,3 +1325,25 @@ def test_two_hop_reach_keyed_wedge(spark):
     plan = plan_of(spark, "graph_two_hop_reach")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_control_chart_two_scans_bounded_tail(spark):
+    """D43: global moments + monthly means (two scans of orders), limits
+    via 1-row broadcast — no sort-merge join, calendar-bounded tail."""
+    plan = plan_of(spark, "orders_control_chart_xbar")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_wilson_single_source_agg(spark):
+    """K118: one scan, one |sources| agg, closed form."""
+    plan = plan_of(spark, "llm_quality_wilson_interval")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_datetime_format_stays_in_codegen(spark):
+    """H16: formatting is JVM date_format — no Python eval nodes."""
+    plan = plan_of(spark, "fn_datetime_format")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan  # pure narrow projection
