@@ -126,3 +126,56 @@ def ranged_cummax_excl(
         )
         .drop("_pid", "_prior")
     )
+
+
+def ranged_lag(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lag",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = LAG(value_col) over the GLOBAL total order given by
+    `order_cols` (column NAMES; must be a total order) — without an
+    Exchange SinglePartition window. Same decomposition as ranged_cumsum:
+    range-partition on the order, lag locally, and stitch partition
+    boundaries by handing each partition the LAST value of its nearest
+    non-empty predecessor (one #partitions-row driver pass, the documented
+    scalable pattern). The globally first row gets NULL.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    lasts = {
+        r["_pid"]: r["t"]
+        for r in parts.groupBy("_pid")
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("t")
+        )
+        .collect()
+    }
+    prev, offset_rows = None, []
+    for pid in sorted(lasts):  # range partitions are globally ordered
+        offset_rows.append((pid, prev))
+        if lasts[pid] is not None:
+            prev = lasts[pid]
+    field = df.schema[value_col].dataType.simpleString()
+    offsets = spark.createDataFrame(
+        offset_rows, f"_pid int, _prev {field}"
+    )
+    return (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.lag(value_col).over(w_local), F.col("_prev")),
+        )
+        .drop("_pid", "_prev")
+    )

@@ -2458,3 +2458,143 @@ def orders_control_chart_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("out_of_control"),
     )
+
+
+@query(
+    "orders_id_gap_audit",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0
+    ), lagged AS (
+        SELECT k, LAG(k) OVER (ORDER BY k) AS prev FROM keyed
+    )
+    SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+           CAST(k - prev - 1 AS BIGINT) AS n_missing
+    FROM lagged WHERE prev IS NOT NULL AND k - prev > 1
+    """,
+    ref="SURVEY §2 D44 [EXT] (id-sequence gap audit: every missing run "
+    "in a surrogate-key sequence — the lost-data / failed-ingest "
+    "detector; the every-97th filter plants deterministic gaps. "
+    "Global LAG is the textbook Exchange-SinglePartition trap, so "
+    "this rides the NEW ranged_lag scale primitive "
+    "(operators/scale.py): range-partition, lag locally, stitch "
+    "boundaries with a #partitions-row driver pass)",
+)
+def orders_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id runs in the (gap-planted) orderkey sequence:
+    (gap_start, gap_end, n_missing) per hole. The global
+    consecutive-pair comparison uses ranged_lag — the distributed form
+    of LAG() OVER (ORDER BY k) — so no single-partition window exists
+    at any scale; the oracle spells the naive global window, proving
+    the decomposition exact.
+
+    Scale shape: repartitionByRange on the key (the one necessary
+    exchange), per-partition window, #partitions-row boundary stitch,
+    narrow filter. Output is gap-count-sized."""
+    from ksql_spark.operators.scale import ranged_lag
+
+    o = load(spark, sf_dir, "orders")
+    keyed = o.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    lagged = ranged_lag(keyed, ["k"], "k", out_col="prev")
+    return lagged.where(
+        F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)
+    ).select(
+        (F.col("prev") + 1).alias("gap_start"),
+        (F.col("k") - 1).alias("gap_end"),
+        (F.col("k") - F.col("prev") - 1).cast("bigint").alias("n_missing"),
+    )
+
+
+@query(
+    "dq_rules_lineitem",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v3,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v5
+        FROM lineitem
+    )
+    SELECT rule, n AS n_checked, v AS n_violations,
+           CAST(trunc(CAST(v AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS violation_rate
+    FROM (
+        SELECT 'discount_in_0_0.1' AS rule, n, v1 AS v FROM c
+        UNION ALL SELECT 'tax_non_negative', n, v2 FROM c
+        UNION ALL SELECT 'price_positive', n, v3 FROM c
+        UNION ALL SELECT 'quantity_1_to_50', n, v4 FROM c
+        UNION ALL SELECT 'shipdate_not_null', n, v5 FROM c
+    )
+    """,
+    ref="SURVEY §2 D45 [EXT] (declarative data-quality rule audit: "
+    "domain/nullability/range invariants evaluated as counters in ONE "
+    "scan, reported one row per rule — the dbt-test / Great-"
+    "Expectations pattern as a query; rules over lineitem's documented "
+    "TPC-H domains)",
+)
+def dq_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five data-quality invariants over lineitem (discount domain, tax
+    sign, positive price, quantity range, shipdate presence), each
+    reported as (rule, n_checked, n_violations, rate). All five rules
+    evaluate in ONE pass as conditional counters; the per-rule rows
+    come from a 1-row stack, not five scans.
+
+    Scale shape: one scan -> 1-row agg (map-side combined) -> stack to
+    5 rows. Adding a rule adds a counter, never a pass."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v1"),
+        F.sum(F.when(F.col("l_tax") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v2"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v3"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v4"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v5"),
+    )
+    stacked = c.select(
+        F.expr(
+            """
+            stack(5,
+                'discount_in_0_0.1', v1,
+                'tax_non_negative', v2,
+                'price_positive', v3,
+                'quantity_1_to_50', v4,
+                'shipdate_not_null', v5) AS (rule, v)
+            """
+        ),
+        "n",
+    )
+    q6 = lambda cc: (cc * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return stacked.select(
+        "rule",
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        q6(F.col("v").cast("double") / F.col("n")).alias("violation_rate"),
+    )

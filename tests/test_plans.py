@@ -1347,3 +1347,17 @@ def test_datetime_format_stays_in_codegen(spark):
     plan = plan_of(spark, "fn_datetime_format")
     assert "EvalPython" not in plan and "ArrowEval" not in plan
     assert "Exchange" not in plan  # pure narrow projection
+
+
+def test_id_gap_audit_no_single_partition_window(spark):
+    """D44: the global lag decomposes through ranged_lag — every Window
+    node partitions on _pid; the only SinglePartition is absent."""
+    plan = plan_of(spark, "orders_id_gap_audit")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dq_rules_one_scan(spark):
+    """D45: five rules, ONE lineitem scan, 1-row agg, stack."""
+    plan = plan_of(spark, "dq_rules_lineitem")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

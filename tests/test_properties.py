@@ -369,3 +369,28 @@ def test_pit_join_match_is_unique(spark):
     assert n_out == n_buys
     # and no future leakage: every matched state started at-or-before buy
     assert out.where(F.col("state_age_us") < 0).count() == 0
+
+
+def test_ranged_lag_equals_global_lag(spark):
+    """The ranged_lag primitive matches a literal single-partition global
+    lag on the same data (property law for the boundary stitch, incl.
+    partitions whose first rows need a predecessor from further back)."""
+    from pyspark.sql import Window, functions as F
+
+    from ksql_spark.operators.scale import ranged_lag
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 7 % 4999).alias("k")
+    ).distinct()
+    got = {
+        r["k"]: r["prev"]
+        for r in ranged_lag(df, ["k"], "k", out_col="prev", n_parts=7)
+        .collect()
+    }
+    want = {
+        r["k"]: r["prev"]
+        for r in df.select(
+            "k", F.lag("k").over(Window.orderBy("k")).alias("prev")
+        ).collect()
+    }
+    assert got == want
