@@ -2214,3 +2214,134 @@ def llm_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("c2").cast("double") / nn).alias("simpson"),
         q6(nn / F.col("c2").cast("double")).alias("effective_sources"),
     )
+
+
+@query(
+    "llm_quality_reliability_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT ({SQL_QUALITY}) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), binned AS (
+        SELECT CAST(least(9, CAST(trunc(s * 10) AS INT)) AS INT) AS bin,
+               s, pos
+        FROM scored
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(trunc(CAST(SUM(CAST(trunc(s * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 / COUNT(*)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS avg_score,
+           CAST(trunc(CAST(SUM(pos) AS DOUBLE) / COUNT(*)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS pos_rate,
+           CAST(trunc(abs(CAST(SUM(CAST(trunc(s * 1000000 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1000000.0 / COUNT(*)
+                    - CAST(SUM(pos) AS DOUBLE) / COUNT(*))
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS abs_gap
+    FROM binned GROUP BY bin
+    """,
+    ref="SURVEY §2 K119 [EXT] (reliability diagram / calibration bins: "
+    "quality-score deciles vs observed lang='en' rate — the per-bin "
+    "table whose n-weighted abs_gap sum IS the expected calibration "
+    "error (ECE); the calibration companion to K97's ROC-AUC "
+    "(discrimination) and K67's per-source uniform recalibration)",
+)
+def llm_quality_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality score calibrated as a probability of the en
+    pseudo-label: per score-decile bin, count, mean score (quantized
+    exact mean), observed positive rate, and |mean score − rate| — the
+    reliability-diagram table; Σ (n_b/n)·abs_gap = ECE. Scores
+    quantize at 1e-6 before the bin mean so the accumulation is exact.
+
+    Scale shape: one narrow HOF scan -> 10-group agg, map-side
+    combined. Nothing after the scan exceeds 10 rows."""
+    d = load(spark, sf_dir, "documents")
+    sq = (text.quality_score("text") * 1000000 + F.lit(0.5)).cast("long")
+    binned = d.select(
+        F.least(
+            F.lit(9),
+            (text.quality_score("text") * 10).cast("int"),
+        ).alias("bin"),
+        sq.alias("sq"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    avg_s = F.sum("sq").cast("double") / 1000000.0 / F.count("*")
+    rate = F.sum("pos").cast("double") / F.count("*")
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        q6(avg_s).alias("avg_score"),
+        q6(rate).alias("pos_rate"),
+        q6(F.abs(avg_s - rate)).alias("abs_gap"),
+    )
+
+
+@query(
+    "llm_quality_pr_curve",
+    oracle=f"""
+    WITH scored AS (
+        SELECT ({SQL_QUALITY}) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ), thresholds AS (
+        SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+                           0.8, 0.9]) AS DOUBLE) AS t
+    )
+    SELECT t,
+           CAST(SUM(CASE WHEN s >= t THEN pos ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s >= t THEN 1 - pos ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s < t THEN pos ELSE 0 END) AS BIGINT) AS fn,
+           CAST(trunc(CAST(SUM(CASE WHEN s >= t THEN pos ELSE 0 END) AS DOUBLE)
+                / NULLIF(SUM(CASE WHEN s >= t THEN 1 ELSE 0 END), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS precision_at_t,
+           CAST(trunc(CAST(SUM(CASE WHEN s >= t THEN pos ELSE 0 END) AS DOUBLE)
+                / NULLIF(SUM(pos), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS recall_at_t
+    FROM scored CROSS JOIN thresholds
+    GROUP BY t
+    """,
+    ref="SURVEY §2 K120 [EXT] (precision/recall curve points: quality-"
+    "score threshold sweep against the en pseudo-label at nine "
+    "operating points — the table that picks a FILTERING threshold "
+    "(K12's corpus filter) by its precision/recall trade, where K97's "
+    "AUC only ranks; the K114 cutoff-parameterization trick keeps it "
+    "rank-free)",
+)
+def llm_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision and recall of 'keep documents with quality >= t' as a
+    detector of the en pseudo-label, at t = 0.1..0.9. Exact integer
+    confusion counts per threshold via a broadcast threshold table
+    (the rank-free K114 shape); empty predicate sets yield NULL
+    precision honestly.
+
+    Scale shape: one narrow scan cross-joined with 9 broadcast
+    thresholds -> 9-group agg with map-side combine."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        text.quality_score("text").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    ts = d.sparkSession.createDataFrame(
+        [(t / 10.0,) for t in range(1, 10)], "t double"
+    )
+    ge = F.col("s") >= F.col("t")
+    tp = F.sum(F.when(ge, F.col("pos")).otherwise(0)).cast("bigint")
+    fp = F.sum(F.when(ge, 1 - F.col("pos")).otherwise(0)).cast("bigint")
+    fn = F.sum(F.when(~ge, F.col("pos")).otherwise(0)).cast("bigint")
+    kept = F.sum(F.when(ge, 1).otherwise(0))
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return scored.crossJoin(F.broadcast(ts)).groupBy("t").agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        q6(
+            tp.cast("double") / F.nullif(kept, F.lit(0))
+        ).alias("precision_at_t"),
+        q6(
+            tp.cast("double") / F.nullif(F.sum("pos"), F.lit(0))
+        ).alias("recall_at_t"),
+    )

@@ -1361,3 +1361,18 @@ def test_dq_rules_one_scan(spark):
     plan = plan_of(spark, "dq_rules_lineitem")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_reliability_bins_ten_row_tail(spark):
+    """K119: one scan -> 10-group agg; nothing else."""
+    plan = plan_of(spark, "llm_quality_reliability_bins")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pr_curve_rank_free(spark):
+    """K120: threshold broadcast cross join, 9-group agg — no sort, no
+    window, no per-threshold rescan."""
+    plan = plan_of(spark, "llm_quality_pr_curve")
+    assert "Window" not in plan and "TakeOrdered" not in plan
+    assert plan.count("Scan parquet") == 1
