@@ -2598,3 +2598,58 @@ def dq_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("n_violations"),
         q6(F.col("v").cast("double") / F.col("n")).alias("violation_rate"),
     )
+
+
+@query(
+    "orders_duplicate_payment_pairs",
+    oracle="""
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           a.o_custkey AS custkey, a.o_totalprice AS amount,
+           CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+               AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+    """,
+    ref="SURVEY §2 D46 [EXT] (duplicate-payment detection: same "
+    "customer, identical amount, within 7 days — the classic AP/fraud "
+    "double-charge screen; the join keys on (custkey, amount) so "
+    "candidate groups are exact-amount collisions only, with the date "
+    "band as a residual — never a time-band self-join across "
+    "different amounts)",
+)
+def orders_duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs of orders by the same customer for the identical
+    total amount within a 7-day window — double-charge / replayed-
+    payment candidates. The equality keys (custkey, totalprice) carry
+    the join; the week band and id ordering are residual filters, so
+    per-key fan-out is bounded by exact-amount collision counts (rare
+    by construction in real ledgers, and salted like any hot key if a
+    unit amount dominates).
+
+    Scale shape: one shuffled equi-join on (custkey, amount) — both
+    sides the same scan, co-partitioned; exact-integer day distance."""
+    o = load(spark, sf_dir, "orders")
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+        & (
+            F.col("b.o_orderdate")
+            <= F.col("a.o_orderdate") + F.expr("INTERVAL 7 DAY")
+        ),
+    ).select(
+        F.col("a.o_orderkey").alias("order_a"),
+        F.col("b.o_orderkey").alias("order_b"),
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_totalprice").alias("amount"),
+        F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+        .cast("bigint")
+        .alias("days_apart"),
+    )

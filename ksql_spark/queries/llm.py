@@ -5461,3 +5461,97 @@ def llm_quality_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6((centre - spread) / denom).alias("wilson_lo"),
         q6((centre + spread) / denom).alias("wilson_hi"),
     )
+
+
+@query(
+    "llm_cluster_medoids",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_L2SQ.format(a='e.embedding', b='c.cent_emb')} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a AS (
+        SELECT vec_id, embedding, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cd, cent_id)
+                   AS rn
+        FROM d
+    ), members AS (
+        SELECT vec_id, embedding, cent_id FROM a WHERE rn = 1
+    ), pair_cost AS (
+        SELECT x.cent_id, x.vec_id,
+               SUM(CAST(trunc(
+                   {_L2SQ.format(a='x.embedding', b='y.embedding')}
+                   * 1000000 + 0.5) AS BIGINT)) AS cost_q
+        FROM members x JOIN members y
+          ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
+        GROUP BY x.cent_id, x.vec_id
+    ), ranked AS (
+        SELECT cent_id, vec_id, cost_q,
+               row_number() OVER (PARTITION BY cent_id
+                                  ORDER BY cost_q, vec_id) AS rn
+        FROM pair_cost
+    )
+    SELECT cent_id, vec_id AS medoid_id,
+           CAST(trunc(CAST(cost_q AS DOUBLE) / 1000000.0
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS total_cost
+    FROM ranked WHERE rn = 1
+    """,
+    ref="SURVEY §2 K121 [EXT] (cluster medoids / representative "
+    "selection: within each K19 cluster the member minimizing the sum "
+    "of squared distances to its peers — the coreset/exemplar pick "
+    "behind diverse-subset curation and 'show me one doc per topic'; "
+    "pair space is CLUSTER-BLOCKED (n²/K, the K39 SemDeDup bound), "
+    "1e-6-quantized distance sums make the argmin engine-exact)",
+)
+def llm_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most central member of each embedding cluster: assign to the
+    4 fixed centroids (the shared Lloyd step), then per cluster the
+    vector with the minimum total squared distance to its co-members,
+    tie-broken by id. Distances quantize at 1e-6 before the per-member
+    sum so the argmin is deterministic cross-engine.
+
+    Scale shape: assignment is the broadcast-centroid narrow pass; the
+    pair cost is a cluster-keyed self-join (n²/K pairs, the SemDeDup
+    blocking bound — plan-gated no-cartesian), aggregated per member
+    with map-side combine; the final argmin is a per-cluster window
+    over |members| rows. At 100 TB the same shape runs on a per-
+    cluster SAMPLE (the standard medoid approximation) — one extra
+    filter, identical plan."""
+    e = load(spark, sf_dir, "embeddings")
+    members = _assign_fixed_centroids(e).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    x = members.alias("x")
+    y = members.alias("y")
+    dq = (
+        vectors.l2_sq_dist(F.col("x.embedding"), F.col("y.embedding"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    pair_cost = (
+        x.join(
+            y,
+            (F.col("x.cent_id") == F.col("y.cent_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .groupBy(F.col("x.cent_id").alias("cent_id"), F.col("x.vec_id").alias("vec_id"))
+        .agg(F.sum(dq).alias("cost_q"))
+    )
+    w = Window.partitionBy("cent_id").orderBy("cost_q", "vec_id")
+    return (
+        pair_cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("medoid_id"),
+            (
+                (F.col("cost_q").cast("double") / 1000000.0 * 1000000
+                 + F.lit(0.5)).cast("long").cast("double") / 1000000.0
+            ).alias("total_cost"),
+        )
+    )

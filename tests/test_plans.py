@@ -1376,3 +1376,23 @@ def test_pr_curve_rank_free(spark):
     plan = plan_of(spark, "llm_quality_pr_curve")
     assert "Window" not in plan and "TakeOrdered" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_medoids_cluster_blocked_pairs(spark):
+    """K121: the pair cost join carries the cent_id equality key (a hash
+    join), never a cartesian; the only nested loop is the K101-style
+    O(K)-row centroid broadcast of the assignment pass."""
+    plan = plan_of(spark, "llm_cluster_medoids")
+    assert "CartesianProduct" not in plan
+    import re
+
+    hash_joins = re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join[^\n]*", plan)
+    assert any("cent_id" in j for j in hash_joins), hash_joins
+
+
+def test_duplicate_payment_amount_keyed(spark):
+    """D46: the self-join keys on (custkey, amount) — the date band is a
+    residual, so no time-band nested loop."""
+    plan = plan_of(spark, "orders_duplicate_payment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
