@@ -2653,3 +2653,84 @@ def orders_duplicate_payment_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("days_apart"),
     )
+
+
+_H_SPLIT = "TIMESTAMP '1998-07-01 00:00:00'"
+
+
+@query(
+    "customer_value_migration",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               {sql_dsum(f"CASE WHEN o_orderdate < {_H_SPLIT} "
+                         "THEN o_totalprice END")} AS rev1,
+               {sql_dsum(f"CASE WHEN o_orderdate >= {_H_SPLIT} "
+                         "THEN o_totalprice END")} AS rev2
+        FROM orders GROUP BY o_custkey
+    ), thr AS (
+        SELECT quantile_cont(rev1, 0.333) AS a1,
+               quantile_cont(rev1, 0.667) AS b1,
+               quantile_cont(rev2, 0.333) AS a2,
+               quantile_cont(rev2, 0.667) AS b2
+        FROM per
+    ), banded AS (
+        SELECT CASE WHEN rev1 IS NULL THEN 'inactive'
+                    WHEN rev1 <= a1 THEN 'low'
+                    WHEN rev1 <= b1 THEN 'mid' ELSE 'high' END AS band_h1,
+               CASE WHEN rev2 IS NULL THEN 'inactive'
+                    WHEN rev2 <= a2 THEN 'low'
+                    WHEN rev2 <= b2 THEN 'mid' ELSE 'high' END AS band_h2
+        FROM per, thr
+    )
+    SELECT band_h1, band_h2, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM banded GROUP BY band_h1, band_h2
+    """,
+    ref="SURVEY §2 D48 [EXT] (customer value migration: revenue "
+    "terciles per half-period cross-tabbed into the 4×4 "
+    "low/mid/high/inactive transition matrix — the upgrade/downgrade/"
+    "churn flow view on top of D22's point-in-time RFM; thresholds are "
+    "within-half quantiles so the bands are relative, not inflation-"
+    "biased)",
+)
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did each customer's value band move between the two halves
+    of the observed range: per-customer revenue in each half (exact
+    dsum; NULL = inactive that half), within-half tercile thresholds
+    (exact interpolated percentiles, the agg_quantiles proof), and the
+    4×4 band-transition matrix.
+
+    Scale shape: ONE orders scan -> per-customer conditional agg (the
+    corpus pass, map-side combined); thresholds are a 1-row broadcast
+    over that bounded table; the matrix agg is 16 rows."""
+    o = load(spark, sf_dir, "orders")
+    split = F.expr(_H_SPLIT)
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum(
+            F.when(F.col("o_orderdate") < split, F.col("o_totalprice"))
+        ).alias("rev1"),
+        dsum(
+            F.when(F.col("o_orderdate") >= split, F.col("o_totalprice"))
+        ).alias("rev2"),
+    ).localCheckpoint()
+    thr = per.agg(
+        F.expr("percentile(rev1, 0.333)").alias("a1"),
+        F.expr("percentile(rev1, 0.667)").alias("b1"),
+        F.expr("percentile(rev2, 0.333)").alias("a2"),
+        F.expr("percentile(rev2, 0.667)").alias("b2"),
+    )
+    band = lambda rev, a, b: (
+        F.when(F.col(rev).isNull(), "inactive")
+        .when(F.col(rev) <= F.col(a), "low")
+        .when(F.col(rev) <= F.col(b), "mid")
+        .otherwise("high")
+    )
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .select(
+            band("rev1", "a1", "b1").alias("band_h1"),
+            band("rev2", "a2", "b2").alias("band_h2"),
+        )
+        .groupBy("band_h1", "band_h2")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )

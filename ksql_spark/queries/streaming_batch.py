@@ -2913,3 +2913,107 @@ def events_benford_digit_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(bp).alias("benford_p"),
         q6((nd - e) * (nd - e) / e).alias("chisq_term"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    ), seq AS (
+        SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_w,
+               LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_w,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY week) AS rn
+        FROM uw
+    ), mx AS (SELECT MAX(week) AS max_w FROM uw),
+    statuses AS (
+        SELECT week,
+               CASE WHEN rn = 1 THEN 'new'
+                    WHEN prev_w = week - INTERVAL 7 DAY THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM seq
+        UNION ALL
+        SELECT week + INTERVAL 7 DAY AS week, 'churned' AS status
+        FROM seq, mx
+        WHERE (next_w IS NULL OR next_w > week + INTERVAL 7 DAY)
+          AND week + INTERVAL 7 DAY <= mx.max_w
+    )
+    SELECT week,
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned
+    FROM statuses GROUP BY week
+    """,
+    ref="SURVEY §2 D47 [EXT] (weekly growth accounting: every active "
+    "user classified new / retained / resurrected, plus churn events "
+    "attributed to the first inactive week — the lifecycle "
+    "decomposition (Social-Capital style) whose identity "
+    "active_w = new + retained + resurrected and churn ledger feed "
+    "every growth dashboard; D19's stickiness and K35's cohort "
+    "retention are marginal views of this table)",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar week: how many active users are brand new, retained
+    from last week, or resurrected after a gap — and how many of last
+    week's actives churned (counted in their first silent week, only
+    within the observed range). Built from the distinct (user, week)
+    activity grid with one per-user window pass; every status is exact
+    calendar arithmetic, no floats anywhere.
+
+    Scale shape: corpus pass -> distinct (user, week) (map-side
+    combined, activity-grid-sized); one user-partitioned window for
+    lag/lead/rank; the churn branch reuses the same pass's output with
+    a 1-row max-week broadcast; final agg is weeks-bounded."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id", F.date_trunc("week", "ts").alias("week")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+        F.row_number().over(w).alias("rn"),
+    )
+    mx = uw.agg(F.max("week").alias("max_w"))
+    week7 = F.expr("week + INTERVAL 7 DAY")
+    active = seq.select(
+        "week",
+        F.when(F.col("rn") == 1, "new")
+        .when(F.col("prev_w") == F.expr("week - INTERVAL 7 DAY"), "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("next_w").isNull() | (F.col("next_w") > week7))
+            & (week7 <= F.col("max_w"))
+        )
+        .select(week7.alias("week"), F.lit("churned").alias("status"))
+    )
+    statuses = active.unionByName(churn)
+    cnt = lambda st: F.sum(
+        F.when(F.col("status") == st, 1).otherwise(0)
+    ).cast("bigint")
+    return statuses.groupBy("week").agg(
+        cnt("new").alias("n_new"),
+        cnt("retained").alias("n_retained"),
+        cnt("resurrected").alias("n_resurrected"),
+        cnt("churned").alias("n_churned"),
+    )

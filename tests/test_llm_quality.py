@@ -534,3 +534,37 @@ def test_landmark_distance_triangle_inequality(spark):
         # nodes BFS reached in <= 3 hops, and never undershoot
         if bfs[k] <= 3:
             assert lm[(0, k)] == bfs[k], (k, lm[(0, k)], bfs[k])
+
+
+def test_growth_accounting_identity(spark):
+    """D47's defining identities on real data: per week,
+    new + retained + resurrected == distinct active users, and
+    churned(w) == active(w-1) - retained(w) for interior weeks."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    rows = {
+        r["week"]: r
+        for r in all_specs()["events_growth_accounting"]
+        .builder(spark, sf)
+        .collect()
+    }
+    actives = {
+        r["week"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) >= set(actives)
+    for wk, n_active in actives.items():
+        r = rows[wk]
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == n_active
+    weeks = sorted(actives)
+    for prev, cur in zip(weeks, weeks[1:]):
+        r = rows[cur]
+        assert r["n_churned"] == actives[prev] - r["n_retained"], (prev, cur)

@@ -1396,3 +1396,20 @@ def test_duplicate_payment_amount_keyed(spark):
     plan = plan_of(spark, "orders_duplicate_payment_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_growth_accounting_one_user_window(spark):
+    """D47: one distinct activity grid (checkpointed), one user window;
+    the churn branch reuses the same pass — no corpus rescan."""
+    plan = plan_of(spark, "events_growth_accounting")
+    assert plan.count("Scan parquet") == 0  # grid checkpointed
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1  # max-week scalar
+
+
+def test_value_migration_one_scan(spark):
+    """D48: ONE orders scan; thresholds a 1-row broadcast over the
+    checkpointed per-customer table; 16-row tail."""
+    plan = plan_of(spark, "customer_value_migration")
+    assert plan.count("Scan parquet") == 0  # per-customer checkpointed
+    assert "SortMergeJoin" not in plan
