@@ -681,3 +681,62 @@ def extract_audio_meta(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+SYNTH_AHASH_SCHEMA = (
+    "doc_id long, ahash_hi long, ahash_lo long, n_set int"
+)
+
+
+def synth_ppm_ahash(df: DataFrame) -> DataFrame:
+    """REAL perceptual-hash pipeline, oracle-checkable in closed form:
+    the synth_ppm_resize chain (encode PPM → parse → nearest resize to
+    8×8) followed by the classic average-hash — grayscale each resized
+    pixel as the channel sum, set bit (y*8+x) iff 64·g > Σg (strict,
+    integer — no mean division), emit the 64-bit hash as two 32-bit
+    halves (hi = bits 32..63) plus the popcount. Every bit is a pure
+    integer function of n_chars, so the SQL oracle states the hash
+    directly; a bug anywhere in the byte round-trip or the resample
+    flips bits and hash-mismatches.
+
+    Near-dup usage: hamming distance over (ahash_hi, ahash_lo) — the
+    image analog of K32b's SimHash; exact-collision grouping on the
+    pair is the hamming-0 dedup bucket.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass, no
+    shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "ahash_hi": [], "ahash_lo": [], "n_set": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 16 + int(n_chars) % 48
+                h = 16 + (int(n_chars) * 7) % 48
+                x = np.arange(w)
+                y = np.arange(h)
+                c = np.arange(3)
+                img = (
+                    (x[None, :, None] * 3 + y[:, None, None] * 7
+                     + c[None, None, :]) % 256
+                ).astype("uint8")
+                resized = resize_nearest(
+                    decode_netpbm(encode_ppm(img)), 8, 8
+                )
+                g = resized.sum(axis=2, dtype="int64")  # (8, 8) grayscale
+                total = int(g.sum())
+                bits = (64 * g > total).astype("uint8")
+                val = 0
+                for yy in range(8):
+                    for xx in range(8):
+                        if bits[yy, xx]:
+                            val |= 1 << (yy * 8 + xx)
+                out["doc_id"].append(doc_id)
+                out["ahash_hi"].append(val >> 32)
+                out["ahash_lo"].append(val & 0xFFFFFFFF)
+                out["n_set"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_AHASH_SCHEMA)

@@ -5555,3 +5555,54 @@ def llm_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cost"),
         )
     )
+
+
+@query(
+    "llm_multimodal_ahash",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               16 + n_chars % 48 AS w,
+               16 + (n_chars * 7) % 48 AS h
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               flatten(list_transform(range(0, 8), yt ->
+                   list_transform(range(0, 8), xt ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (((xt * w) // 8) * 3 + ((yt * h) // 8) * 7 + c)
+                           % 256))))) AS gv
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 64), i ->
+               CASE WHEN i >= 32 AND 64 * gv[i + 1] > list_sum(gv)
+                    THEN 1 << (i - 32) ELSE 0 END)) AS BIGINT) AS ahash_hi,
+           CAST(list_sum(list_transform(range(0, 64), i ->
+               CASE WHEN i < 32 AND 64 * gv[i + 1] > list_sum(gv)
+                    THEN 1 << i ELSE 0 END)) AS BIGINT) AS ahash_lo,
+           CAST(list_sum(list_transform(gv, x ->
+               CASE WHEN 64 * x > list_sum(gv) THEN 1 ELSE 0 END))
+               AS INT) AS n_set
+    FROM g
+    """,
+    ref="SURVEY §2 K122 [EXT] (image average-hash: the synth-PPM byte "
+    "round-trip (K5's oracle-exact pixel path) -> 8×8 nearest resize "
+    "-> grayscale sum -> above-mean bit per cell = the 64-bit aHash, "
+    "emitted as two 32-bit halves — the image analog of K32b SimHash; "
+    "hamming distance over the halves is the near-dup metric, exact "
+    "collision the hamming-0 bucket. The strict integer threshold "
+    "64·g > Σg avoids any mean division, so the oracle states every "
+    "bit in closed form)",
+)
+def llm_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of every synthesized image, through the
+    REAL byte pipeline (PPM encode → header parse → nearest-neighbor
+    resample) with the hash math in exact integers; the flattened gv
+    index in the oracle walks the same row-major (y, x) order as the
+    numpy array, so all 64 bits line up.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; dedup
+    consumers group on (ahash_hi, ahash_lo) — a digest-sized
+    exchange."""
+    return multimodal.synth_ppm_ahash(load(spark, sf_dir, "documents"))

@@ -1413,3 +1413,10 @@ def test_value_migration_one_scan(spark):
     plan = plan_of(spark, "customer_value_migration")
     assert plan.count("Scan parquet") == 0  # per-customer checkpointed
     assert "SortMergeJoin" not in plan
+
+
+def test_ahash_single_arrow_pass(spark):
+    """K122: one mapInPandas (Arrow) pass, no exchange at all."""
+    plan = plan_of(spark, "llm_multimodal_ahash")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEval" in plan or "mapInPandas" in plan
