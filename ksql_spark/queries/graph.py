@@ -1057,3 +1057,96 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ball.groupBy(F.col("s1").alias("suppkey")).agg(
         F.count("*").cast("bigint").alias("reach_2hop")
     )
+
+
+def _katz_oracle() -> str:
+    """Unrolled Katz path-count CTEs: p_k(v) = Σ_u A[u, v]·p_{k-1}(u)
+    with p_0 = 1 — exact integers, so katz = Σ β^k p_k is pure decimal
+    arithmetic over them (β = 0.1 → powers of ten)."""
+    return """
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    adj AS (
+        SELECT DISTINCT a.s AS s1, b.s AS s2
+        FROM e0 a JOIN e0 b ON a.p = b.p AND a.s <> b.s
+    ),
+    nodes AS (SELECT DISTINCT s1 AS v FROM adj),
+    p1 AS (
+        SELECT s2 AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM adj GROUP BY s2
+    ),
+    p2 AS (
+        SELECT adj.s2 AS v, CAST(SUM(p1.c) AS BIGINT) AS c
+        FROM p1 JOIN adj ON adj.s1 = p1.v GROUP BY adj.s2
+    ),
+    p3 AS (
+        SELECT adj.s2 AS v, CAST(SUM(p2.c) AS BIGINT) AS c
+        FROM p2 JOIN adj ON adj.s1 = p2.v GROUP BY adj.s2
+    )
+    SELECT n.v AS suppkey,
+           CAST(COALESCE(p1.c, 0) AS BIGINT) AS paths_1,
+           CAST(COALESCE(p2.c, 0) AS BIGINT) AS paths_2,
+           CAST(COALESCE(p3.c, 0) AS BIGINT) AS paths_3,
+           CAST(trunc((COALESCE(p1.c, 0) / 10.0
+                       + COALESCE(p2.c, 0) / 100.0
+                       + COALESCE(p3.c, 0) / 1000.0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS katz
+    FROM nodes n
+    LEFT JOIN p1 ON p1.v = n.v
+    LEFT JOIN p2 ON p2.v = n.v
+    LEFT JOIN p3 ON p3.v = n.v
+    """
+
+
+@query(
+    "graph_katz_centrality",
+    oracle=_katz_oracle(),
+    ref="SURVEY §2 L15 [EXT] (Katz centrality, 3-term truncation: "
+    "katz(v) = Σ_k β^k · |paths of length k ending at v|, β = 0.1 — "
+    "the attenuation-weighted walk count that credits distant "
+    "influence where L6's degree sees one hop and L3's PageRank "
+    "normalizes it away; path counts are EXACT integers so the "
+    "truncated series is pure decimal arithmetic)",
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality truncated at 3 hops over the co-ship graph:
+    exact walk counts per length via repeated adjacency joins (each
+    round one keyed equi-join + sum re-agg — the L7 relaxation shape),
+    combined as p1/10 + p2/100 + p3/1000. Integer path counts make
+    every round engine-exact; the single division chain quantizes
+    once.
+
+    Scale shape: per round ONE join of the O(|V|) count vector against
+    the checkpointed adjacency on the source key + a destination-keyed
+    re-agg; localCheckpoint truncates lineage per round. Walk counts
+    grow ~deg^k — at 3 rounds and bounded degree they sit far inside
+    bigint."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = coship_adj(li, checkpoint=True)
+    nodes = adj.select(F.col("s1").alias("v")).distinct()
+    p = nodes.select("v", F.lit(1).cast("bigint").alias("c"))
+    counts = []
+    for _ in range(3):
+        p = (
+            p.join(adj, p.v == adj.s1)
+            .groupBy(F.col("s2").alias("v"))
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        counts.append(p)
+    out = nodes
+    for i, pk in enumerate(counts, start=1):
+        out = out.join(
+            pk.withColumnRenamed("c", f"p{i}"), "v", "left"
+        )
+    c1 = F.coalesce(F.col("p1"), F.lit(0))
+    c2 = F.coalesce(F.col("p2"), F.lit(0))
+    c3 = F.coalesce(F.col("p3"), F.lit(0))
+    katz = c1 / 10.0 + c2 / 100.0 + c3 / 1000.0
+    return out.select(
+        F.col("v").alias("suppkey"),
+        c1.cast("bigint").alias("paths_1"),
+        c2.cast("bigint").alias("paths_2"),
+        c3.cast("bigint").alias("paths_3"),
+        ((katz * 1000000 + F.lit(0.5)).cast("long").cast("double") / 1000000.0)
+        .alias("katz"),
+    )

@@ -5606,3 +5606,152 @@ def llm_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers group on (ahash_hi, ahash_lo) — a digest-sized
     exchange."""
     return multimodal.synth_ppm_ahash(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_tfidf_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), tfc AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tf WHERE word <> '' GROUP BY doc_id, word
+    ), dfreq AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY word
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    wts AS (
+        SELECT t.doc_id, t.word,
+               CAST(trunc(t.tf * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                                    / (CAST(d.df AS DOUBLE) + 1.0))
+                    * 1000000 + 0.5) AS BIGINT) AS wq
+        FROM tfc t JOIN dfreq d USING (word), n
+    ), norms AS (
+        SELECT doc_id, SUM(wq * wq) AS n2 FROM wts GROUP BY doc_id
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM tfc a JOIN tfc b ON a.word = b.word AND a.doc_id < b.doc_id
+        JOIN dfreq d ON d.word = a.word
+        WHERE d.df BETWEEN 2 AND 5
+    ), dots AS (
+        SELECT c.da, c.db,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+               SUM(wa.wq * wb.wq) AS dot
+        FROM cand c
+        JOIN wts wa ON wa.doc_id = c.da
+        JOIN wts wb ON wb.doc_id = c.db AND wb.word = wa.word
+        GROUP BY c.da, c.db
+    )
+    SELECT d.da AS doc_a, d.db AS doc_b, d.n_shared_terms,
+           CAST(trunc(CAST(d.dot AS DOUBLE)
+                / NULLIF(sqrt(CAST(na.n2 AS DOUBLE))
+                         * sqrt(CAST(nb.n2 AS DOUBLE)), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.da
+    JOIN norms nb ON nb.doc_id = d.db
+    """,
+    ref="SURVEY §2 K123 [EXT] (sparse TF-IDF cosine similarity: "
+    "candidate pairs blocked on RARE shared terms (2 <= df <= 5 — the "
+    "prefix-filtering trick: a common word never generates pairs), "
+    "full dot product over all shared terms via posting-keyed joins — "
+    "the lexical/sparse complement of K3's dense-embedding ANN, "
+    "catching near-dups that share vocabulary but embed apart)",
+)
+def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine for document pairs that share at least one rare
+    term: weights quantize at 1e-6 (trunc discipline) so dots and norms
+    are exact integer sums; the single double chain at the end is
+    identically spelled. Blocking bounds the pair space by rare-term
+    posting lists (<= C(5,2) pairs per qualifying word) — common words
+    never pair anything.
+
+    Scale shape: explode -> (doc, word) counts (the corpus exchange),
+    df agg, candidate build keyed on rare words only, then the dot is
+    two posting-keyed equi-joins (da, then (db, word)) aggregated per
+    pair with map-side combine; norms broadcast-join back. Never an
+    unblocked doc×doc pass (plan-gated no-cartesian)."""
+    d = load(spark, sf_dir, "documents")
+    tfc = (
+        d.select("doc_id", F.explode(text.words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tfc.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    wts = (
+        tfc.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+        .localCheckpoint()
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("n2")
+    )
+    rare = dfreq.where(F.col("df").between(2, 5)).select("word")
+    a = tfc.join(rare, "word").select(
+        "word", F.col("doc_id").alias("da")
+    )
+    b = tfc.join(rare, "word").select(
+        "word", F.col("doc_id").alias("db")
+    )
+    cand = (
+        a.join(b, "word")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    wa = wts.select(
+        F.col("doc_id").alias("da"), "word", F.col("wq").alias("wa")
+    )
+    wb = wts.select(
+        F.col("doc_id").alias("db"), "word", F.col("wq").alias("wb")
+    )
+    dots = (
+        cand.join(wa, "da")
+        .join(wb, ["db", "word"])
+        .groupBy("da", "db")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_terms"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb2"))
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_shared_terms",
+            q6(
+                F.col("dot").cast("double")
+                / F.nullif(
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double")),
+                    F.lit(0.0),
+                )
+            ).alias("cosine"),
+        )
+    )

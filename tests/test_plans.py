@@ -1420,3 +1420,19 @@ def test_ahash_single_arrow_pass(spark):
     plan = plan_of(spark, "llm_multimodal_ahash")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "ArrowEval" in plan or "mapInPandas" in plan
+
+
+def test_tfidf_pairs_rare_blocked(spark):
+    """K123: the candidate build joins only rare-word postings; the dot
+    is posting-keyed equi-joins — no cartesian, no nested loop over
+    document pairs."""
+    plan = plan_of(spark, "llm_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # postings checkpointed
+
+
+def test_katz_rounds_keyed(spark):
+    """L15: each walk round is a keyed join against the checkpointed
+    adjacency — no cartesian."""
+    plan = plan_of(spark, "graph_katz_centrality")
+    assert "CartesianProduct" not in plan
