@@ -2734,3 +2734,61 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_h1", "band_h2")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+@query(
+    "orders_seasonal_naive_backtest",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           LAG(revenue, 12) OVER (ORDER BY month) AS forecast,
+           CAST(trunc(abs(revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS abs_error,
+           CAST(trunc(abs(revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                / NULLIF(revenue, 0) * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS ape
+    FROM m
+    """,
+    ref="SURVEY §2 D49 [EXT] (seasonal-naive forecast backtest: "
+    "forecast(m) = revenue(m-12), per-month absolute and percentage "
+    "error — the BASELINE every fancier forecaster (K82 Holt-Winters, "
+    "K83 seasonality index) must beat before it earns production; "
+    "first 12 months have NULL forecast honestly. The month window is "
+    "calendar-bounded, so the global LAG is a dozens-of-rows frame, "
+    "not a data-sized SinglePartition hazard)",
+)
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster on monthly revenue:
+    each month predicted by the same month last year, with absolute
+    error and APE per month (mean of ape = MAPE). Revenue is the exact
+    dsum; errors are single quantized chains over two already-quantized
+    values — LAG of an exact value stays exact.
+
+    Scale shape: one scan -> calendar-bounded month agg; the lag-12
+    window runs over ~80 rows regardless of data size (the D18
+    monthly-growth posture)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    fc = F.lag("revenue", 12).over(w)
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return m.select(
+        "month",
+        "revenue",
+        fc.alias("forecast"),
+        q6(F.abs(F.col("revenue") - fc)).alias("abs_error"),
+        q6(
+            F.abs(F.col("revenue") - fc)
+            / F.nullif(F.col("revenue"), F.lit(0.0))
+        ).alias("ape"),
+    )

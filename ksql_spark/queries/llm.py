@@ -5755,3 +5755,85 @@ def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "llm_ngram_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(
+                   list_transform(range(1, len(string_split(text,' ')) - 1),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2])) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(a.grams) AS BIGINT) AS n_grams_a,
+           CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x)))
+                AS BIGINT) AS n_shared,
+           CAST(trunc(
+               CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x)))
+                    AS DOUBLE) / len(a.grams)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS containment_a_in_b
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+     AND abs(b.doc_id - a.doc_id) <= 20
+    WHERE len(a.grams) > 0
+      AND len(list_filter(a.grams, x -> list_contains(b.grams, x))) * 5
+          >= len(a.grams)
+    """,
+    ref="SURVEY §2 K124 [EXT] (directed shingle containment "
+    "C(A→B) = |A∩B|/|A| >= 0.2 on the K2 bounded candidate set — "
+    "Broder's ASYMMETRIC resemblance: detects a short doc quoted/"
+    "embedded inside a long one, which symmetric Jaccard dilutes "
+    "toward zero; ordered pairs, both directions reported)",
+)
+def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment for nearby same-source pairs: what
+    fraction of A's shingles appear in B (>= 0.2 kept) — the
+    quote/subset detector symmetric Jaccard misses when |A| << |B|.
+    Ordered pairs (both directions), exact integer overlap counts, one
+    quantized division.
+
+    Scale shape: the K2 candidate discipline — bounded blocked pairs
+    (same source, id distance <= 20) joined on the block key; at scale
+    candidates come from MinHash banding instead, identical downstream
+    shape. Set ops run per-pair on the two gram arrays (JVM HOFs)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(text.shingles("text", 3)).alias("grams"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = F.size(
+        F.filter(
+            F.col("a.grams"),
+            lambda x: F.array_contains(F.col("b.grams"), x),
+        )
+    )
+    na = F.size(F.col("a.grams"))
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                F.abs(F.col("b.doc_id") - F.col("a.doc_id")) <= 20
+            ),
+        )
+        .where((na > 0) & (shared * 5 >= na))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            na.cast("bigint").alias("n_grams_a"),
+            shared.cast("bigint").alias("n_shared"),
+            q6(shared.cast("double") / na).alias("containment_a_in_b"),
+        )
+    )

@@ -1436,3 +1436,22 @@ def test_katz_rounds_keyed(spark):
     adjacency — no cartesian."""
     plan = plan_of(spark, "graph_katz_centrality")
     assert "CartesianProduct" not in plan
+
+
+def test_containment_blocked_pairs(spark):
+    """K124: same K2 candidate discipline — the pair join carries the
+    source equality key; no cartesian."""
+    plan = plan_of(spark, "llm_ngram_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_naive_calendar_window(spark):
+    """D49: the lag-12 window runs AFTER the month agg — the only
+    window input is the calendar-bounded month table (one agg exchange
+    upstream)."""
+    plan = plan_of(spark, "orders_seasonal_naive_backtest")
+    assert plan.count("Scan parquet") == 1
+    idx_w = plan.find("Window")
+    idx_agg = plan.find("HashAggregate")
+    assert idx_w != -1 and idx_agg != -1 and idx_w < idx_agg
