@@ -3017,3 +3017,73 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("resurrected").alias("n_resurrected"),
         cnt("churned").alias("n_churned"),
     )
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    )
+    SELECT day, n_total, n_err,
+           CAST(trunc(CAST(n_err AS DOUBLE) / n_total * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS err_rate,
+           CAST(trunc(CAST(SUM(n_err) OVER w AS DOUBLE)
+                / SUM(n_total) OVER w / 0.01
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS burn_7d,
+           CAST(CASE WHEN CAST(SUM(n_err) OVER w AS DOUBLE)
+                          / SUM(n_total) OVER w > 0.01 * 2
+                THEN 1 ELSE 0 END AS INT) AS page_flag
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    ref="SURVEY §2 D51 [EXT] (SLO error-budget burn rate: daily error "
+    "share and the trailing-7-day burn multiple against a 1% SLO, "
+    "with the 2x-burn page flag — the SRE multiwindow-alert pattern "
+    "(Google SRE workbook); integer counts throughout, the rolling "
+    "window runs on the calendar-bounded daily table)",
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget accounting: per day, error share of all events and
+    the trailing-7-day burn multiple (rolling error rate / 1% SLO);
+    burn > 2 raises the page flag, computed from the same windowed
+    sums so flag and number cannot diverge. All counts exact integers;
+    two quantized chains.
+
+    Scale shape: one corpus pass -> daily agg (map-side combined);
+    the 7-row rolling window runs over the ~days-sized table (the D35
+    posture — a bounded global window, not a data-sized one)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    roll_rate = F.sum("n_err").over(w).cast("double") / F.sum(
+        "n_total"
+    ).over(w)
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return daily.select(
+        "day",
+        "n_total",
+        "n_err",
+        q6(F.col("n_err").cast("double") / F.col("n_total")).alias(
+            "err_rate"
+        ),
+        q6(roll_rate / 0.01).alias("burn_7d"),
+        F.when(roll_rate > 0.01 * 2, 1).otherwise(0).cast("int").alias(
+            "page_flag"
+        ),
+    )

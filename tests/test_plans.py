@@ -1455,3 +1455,20 @@ def test_seasonal_naive_calendar_window(spark):
     idx_w = plan.find("Window")
     idx_agg = plan.find("HashAggregate")
     assert idx_w != -1 and idx_agg != -1 and idx_w < idx_agg
+
+
+def test_scorecard_one_scan_broadcast_bounds(spark):
+    """D50: the supplier agg is checkpointed, so bounds + scoring share
+    one materialization — zero parquet rescans below it."""
+    plan = plan_of(spark, "supplier_scorecard")
+    assert plan.count("Scan parquet") == 0
+    assert "SortMergeJoin" not in plan
+
+
+def test_slo_burn_window_on_daily_grid(spark):
+    """D51: the rolling window's input is the daily agg output (bounded),
+    never raw events — HashAggregate sits below the Window."""
+    plan = plan_of(spark, "events_slo_burn_rate")
+    assert plan.count("Scan parquet") == 1
+    idx_w = plan.find("Window")
+    assert idx_w != -1 and "HashAggregate" in plan[idx_w:]
