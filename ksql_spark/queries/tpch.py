@@ -1197,3 +1197,58 @@ def tpch_q2_official_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax) '
+                     '/ 100.0')} AS sum_charge_h,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    ref="SURVEY §2 TPC-H (official Q1 pricing summary shape: shipdate "
+    "cutoff, the full eight aggregates incl. the tax-compounded "
+    "charge — q_groupby_agg is the bench-oriented subset; the charge "
+    "sum pre-divides by 100 to keep the price*(1±x)² magnitude inside "
+    "the exact 1e-6-scaled accumulator at large SF)",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Official TPC-H Q1: per (returnflag, linestatus) over shipped-by-
+    cutoff lineitems, sums of quantity / base price / discounted price
+    / charged price (scaled /100 — documented in the column name),
+    three means and the row count. Every sum is the exact scaled-long
+    dsum; means divide exact sums.
+
+    Scale shape: pushdown-filtered scan -> 2-key hash agg with map-side
+    combine (the q_groupby_agg plan with one more filter and four more
+    accumulators)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast(
+                "timestamp"
+            )
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax")) / 100.0).alias("sum_charge_h"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )

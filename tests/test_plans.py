@@ -1472,3 +1472,11 @@ def test_slo_burn_window_on_daily_grid(spark):
     assert plan.count("Scan parquet") == 1
     idx_w = plan.find("Window")
     assert idx_w != -1 and "HashAggregate" in plan[idx_w:]
+
+
+def test_q1_official_pushdown_single_agg(spark):
+    """Official Q1: shipdate filter reaches the scan; one 2-key agg."""
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    assert "Join" not in plan
