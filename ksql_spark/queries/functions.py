@@ -655,3 +655,43 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "DDD").alias("day_of_year"),
         F.date_format("ts", "hh:mm a").alias("twelve_hour"),
     )
+
+
+@query(
+    "fn_bit_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(bit_count(event_id) AS INT) AS popcount,
+           CAST((event_id >> 3) & 1 AS INT) AS bit3,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(xor(event_id, 4095) AS BIGINT) AS xor_mask,
+           CAST((event_id << 2) | 3 AS BIGINT) AS shifted_or
+    FROM events WHERE event_id < 1000
+    """,
+    ref="SURVEY §2 H17 [EXT] (bit-manipulation function parity: "
+    "popcount, single-bit probe, AND/XOR masks, shift-or — the "
+    "primitives every bitmap/bloom/hash-partitioning layer builds on "
+    "(operators/bitmaps.py is made of exactly these); DuckDB spells "
+    "XOR as # and probes bits MSB-first on the BIT type, pinned here)",
+)
+def fn_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five bitwise primitives over event ids: population count, a
+    single-bit probe (Spark getbit(x, 3) vs the shift-mask spelling —
+    DuckDB's own get_bit works on BIT values and indexes MSB-first,
+    exactly the divergence that motivates pinning), AND mask, XOR mask
+    (a FUNCTION in DuckDB, an operator in Spark), and a shift-or
+    compose. Pure integer ops, bit-identical by definition — the entry
+    exists to pin the SPELLINGS.
+
+    Scale shape: narrow filtered scan, per-row codegen."""
+    ev = load(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 1000).select(
+        "event_id",
+        F.bit_count("event_id").cast("int").alias("popcount"),
+        F.getbit("event_id", F.lit(3)).cast("int").alias("bit3"),
+        F.expr("event_id & 255").cast("bigint").alias("low_byte"),
+        F.expr("event_id ^ 4095").cast("bigint").alias("xor_mask"),
+        F.expr("shiftleft(event_id, 2) | 3").cast("bigint").alias(
+            "shifted_or"
+        ),
+    )

@@ -3087,3 +3087,133 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page_flag"
         ),
     )
+
+
+@query(
+    "events_bot_score",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_type, ts,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ), per AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN date_part('hour', ts) < 6
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_night,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_us) AS BIGINT) AS s1,
+               CAST(SUM(CAST(trunc(gap_us / 1000.0) AS BIGINT)
+                        * CAST(trunc(gap_us / 1000.0) AS BIGINT))
+                    AS BIGINT) AS s2m
+        FROM gaps GROUP BY user_id
+    ), ent AS (
+        SELECT user_id,
+               CAST(SUM(CAST(trunc(-(CAST(c AS DOUBLE) / t)
+                        * ln(CAST(c AS DOUBLE) / t)
+                        * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+        FROM (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(COUNT(*)) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS t
+            FROM events GROUP BY user_id, event_type
+        ) GROUP BY user_id
+    )
+    SELECT p.user_id, p.n,
+           CAST(trunc(CAST(p.n_night AS DOUBLE) / p.n * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS night_frac,
+           CAST(trunc(
+               sqrt(greatest(CAST(p.s2m AS DOUBLE) * 1000000.0 / p.n_gaps
+                    - (CAST(p.s1 AS DOUBLE) / p.n_gaps)
+                      * (CAST(p.s1 AS DOUBLE) / p.n_gaps), 0))
+               / NULLIF(CAST(p.s1 AS DOUBLE) / p.n_gaps, 0)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS gap_cv,
+           CAST(trunc(CAST(e.hq AS DOUBLE) / 1000000000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS type_entropy,
+           CAST(CASE WHEN CAST(p.n_night AS DOUBLE) / p.n > 0.5
+                       OR (p.n_gaps >= 10 AND
+                           sqrt(greatest(CAST(p.s2m AS DOUBLE) * 1000000.0
+                                / p.n_gaps
+                                - (CAST(p.s1 AS DOUBLE) / p.n_gaps)
+                                  * (CAST(p.s1 AS DOUBLE) / p.n_gaps), 0))
+                           / NULLIF(CAST(p.s1 AS DOUBLE) / p.n_gaps, 0)
+                           < 0.3)
+                THEN 1 ELSE 0 END AS INT) AS bot_flag
+    FROM per p JOIN ent e ON p.user_id = e.user_id
+    """,
+    ref="SURVEY §2 D52 [EXT] (behavioral bot scoring: night-hour share, "
+    "inter-arrival coefficient of variation (metronome-regular gaps = "
+    "automation) and action-type entropy per user, with a composite "
+    "flag — the signals-fusion screen combining D31's cadence, K103's "
+    "uniformity and K104's predictability lenses at USER granularity; "
+    "gap moments accumulate at millisecond scale to stay in-range)",
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user automation signals: fraction of events in the 00-06h
+    window, the CV of inter-event gaps (std/mean — near 0 means
+    scripted timing; guarded to users with >= 10 gaps), Shannon entropy
+    of the action mix, and a composite bot flag. Gap sums are exact
+    integer microseconds; squared sums accumulate at millisecond scale
+    (µs² overflows bigint over long histories) and the variance is
+    clamped at 0 before the sqrt; entropy terms use the 1e-9 trunc
+    discipline.
+
+    Scale shape: one user-partitioned window pass for gaps, two
+    user-keyed aggs (map-side combined) joined on user_id — all
+    exchanges user-keyed, output |users|-sized."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    gms = (F.col("gap_us") / 1000.0).cast("long")
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.hour("ts") < 6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_night"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("s1"),
+        F.sum(gms * gms).cast("bigint").alias("s2m"),
+    )
+    tw = Window.partitionBy("user_id")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).select(
+        "user_id", "c", F.sum("c").over(tw).cast("bigint").alias("t")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    ent = cell.select(
+        "user_id",
+        (-p * F.log(p) * 1000000000 + F.lit(0.5)).cast("long").alias("tq"),
+    ).groupBy("user_id").agg(F.sum("tq").cast("bigint").alias("hq"))
+    mean_g = F.col("s1").cast("double") / F.col("n_gaps")
+    var_g = F.greatest(
+        F.col("s2m").cast("double") * 1000000.0 / F.col("n_gaps")
+        - mean_g * mean_g,
+        F.lit(0.0),
+    )
+    cv = F.sqrt(var_g) / F.nullif(mean_g, F.lit(0.0))
+    night = F.col("n_night").cast("double") / F.col("n")
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return per.join(ent, "user_id").select(
+        "user_id",
+        "n",
+        q6(night).alias("night_frac"),
+        q6(cv).alias("gap_cv"),
+        q6(F.col("hq").cast("double") / 1000000000.0).alias("type_entropy"),
+        F.when(
+            (night > 0.5) | ((F.col("n_gaps") >= 10) & (cv < 0.3)), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bot_flag"),
+    )

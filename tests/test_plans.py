@@ -1480,3 +1480,17 @@ def test_q1_official_pushdown_single_agg(spark):
     assert "PushedFilters:" in plan
     assert "l_shipdate" in plan.split("PushedFilters:")[1][:300]
     assert "Join" not in plan
+
+
+def test_bot_score_user_keyed_everything(spark):
+    """D52: gap window + both aggs + the final join all key on user_id;
+    no single partition, no sort-merge surprise at this size."""
+    plan = plan_of(spark, "events_bot_score")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bit_functions_narrow(spark):
+    """H17: filtered narrow scan, per-row codegen, no exchange."""
+    plan = plan_of(spark, "fn_bit_functions")
+    assert "Exchange" not in plan
