@@ -2886,3 +2886,97 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("grade"),
     )
+
+
+@query(
+    "orders_weekday_weekend_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                    THEN 'weekend' ELSE 'weekday' END AS grp,
+               o_totalprice AS x
+        FROM orders
+    ), m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x')} AS s1,
+               {sql_dsum1('x * x / 1000.0')} AS s2k
+        FROM g GROUP BY grp
+    ), wide AS (
+        SELECT
+            MAX(CASE WHEN grp = 'weekday' THEN n END) AS n1,
+            MAX(CASE WHEN grp = 'weekday' THEN s1 END) AS a1,
+            MAX(CASE WHEN grp = 'weekday' THEN s2k END) AS b1,
+            MAX(CASE WHEN grp = 'weekend' THEN n END) AS n2,
+            MAX(CASE WHEN grp = 'weekend' THEN s1 END) AS a2,
+            MAX(CASE WHEN grp = 'weekend' THEN s2k END) AS b2
+        FROM m
+    )
+    SELECT n1, n2,
+           CAST(trunc(a1 / n1 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_weekday,
+           CAST(trunc(a2 / n2 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_weekend,
+           CAST(trunc(
+               (a1 / n1 - a2 / n2)
+               / NULLIF(sqrt(
+                   (b1 * 1000.0 / n1 - (a1 / n1) * (a1 / n1)) / (n1 - 1)
+                   + (b2 * 1000.0 / n2 - (a2 / n2) * (a2 / n2))
+                     / (n2 - 1)), 0)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS welch_t
+    FROM wide
+    """,
+    ref="SURVEY §2 D53 [EXT] (Welch's unequal-variance t-test: weekday "
+    "vs weekend order values — the two-sample mean comparison that, "
+    "unlike pooled Student's t, survives the unequal group sizes and "
+    "variances real business splits always have; sample variances "
+    "from exact moments (n-1 denominator), one double chain)",
+)
+def orders_weekday_weekend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic for weekday vs weekend mean order value:
+    t = (m1 - m2) / sqrt(s1²/n1 + s2²/n2) with sample variances from
+    exact scaled-long moments (the squared sums at integer scale, the
+    D43 overflow discipline). Spark dayofweek is 1=Sunday..7; DuckDB
+    dayofweek is 0=Sunday..6 — the weekend test pins that mapping too.
+
+    Scale shape: one scan, a 2-group moment agg, a 1-row pivot, closed
+    form."""
+    o = load(spark, sf_dir, "orders")
+    g = o.select(
+        F.when(F.dayofweek("o_orderdate").isin(1, 7), "weekend")
+        .otherwise("weekday")
+        .alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    m = g.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x").alias("s1"),
+        dsum1(F.col("x") * F.col("x") / 1000.0).alias("s2k"),
+    )
+    pick = lambda grp, col: F.max(
+        F.when(F.col("grp") == grp, F.col(col))
+    )
+    wide = m.agg(
+        pick("weekday", "n").alias("n1"),
+        pick("weekday", "s1").alias("a1"),
+        pick("weekday", "s2k").alias("b1"),
+        pick("weekend", "n").alias("n2"),
+        pick("weekend", "s1").alias("a2"),
+        pick("weekend", "s2k").alias("b2"),
+    )
+    m1 = F.col("a1") / F.col("n1")
+    m2 = F.col("a2") / F.col("n2")
+    # population variance / (n-1) IS s²/n — the Welch standard-error term
+    v1 = (F.col("b1") * 1000.0 / F.col("n1") - m1 * m1) / (F.col("n1") - 1)
+    v2 = (F.col("b2") * 1000.0 / F.col("n2") - m2 * m2) / (F.col("n2") - 1)
+    q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
+        "double"
+    ) / 1000000.0
+    return wide.select(
+        "n1",
+        "n2",
+        q6(m1).alias("mean_weekday"),
+        q6(m2).alias("mean_weekend"),
+        q6((m1 - m2) / F.nullif(F.sqrt(v1 + v2), F.lit(0.0))).alias(
+            "welch_t"
+        ),
+    )

@@ -1494,3 +1494,10 @@ def test_bit_functions_narrow(spark):
     """H17: filtered narrow scan, per-row codegen, no exchange."""
     plan = plan_of(spark, "fn_bit_functions")
     assert "Exchange" not in plan
+
+
+def test_welch_one_scan_closed_form(spark):
+    """D53: one scan, a 2-group moment agg, 1-row pivot — no join."""
+    plan = plan_of(spark, "orders_weekday_weekend_ttest")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
