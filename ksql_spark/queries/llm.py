@@ -5837,3 +5837,126 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(shared.cast("double") / na).alias("containment_a_in_b"),
         )
     )
+
+
+@query(
+    "llm_char_trigram_lang_id",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM documents
+    ), base AS (
+        SELECT doc_id, lang,
+               CAST(least(9, trunc(doc_id * 10.0 / n_docs)) AS INT) AS decile,
+               list_transform(range(1, len(text) - 1),
+                              i -> substring(text, CAST(i AS INT), 3)) AS tg
+        FROM documents, tot WHERE len(text) >= 3
+    ), train_counts AS (
+        SELECT lang, unnest(tg) AS g FROM base WHERE decile < 9
+    ), tc AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM train_counts GROUP BY lang, g
+    ), prof AS (
+        SELECT lang, g FROM (
+            SELECT lang, g,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, g) AS rn
+            FROM tc
+        ) WHERE rn <= 20
+    ), test_grams AS (
+        SELECT DISTINCT doc_id, lang AS true_lang, unnest(tg) AS g
+        FROM base WHERE decile = 9
+    ), scores AS (
+        SELECT t.doc_id, t.true_lang, p.lang AS cand,
+               CAST(COUNT(*) AS BIGINT) AS hits
+        FROM test_grams t JOIN prof p ON t.g = p.g
+        GROUP BY t.doc_id, t.true_lang, p.lang
+    ), pred AS (
+        SELECT doc_id, true_lang, cand AS pred_lang FROM (
+            SELECT doc_id, true_lang, cand,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, cand) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    ref="SURVEY §2 K125 [EXT] (character-trigram language ID, trained "
+    "end-to-end: top-20 trigram profiles per language from doc-id "
+    "deciles 0-8 (Cavnar-Trenkle n-gram profiling), decile-9 docs "
+    "classified by profile-hit argmax, reported as the "
+    "true×predicted confusion matrix — a real train/evaluate loop in "
+    "pure relational algebra, upgrading K34's stopword heuristic)",
+)
+def llm_char_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a Cavnar-Trenkle-style profile (top-20 character trigrams
+    per language) on 90% of the corpus, classify the held-out decile by
+    distinct-trigram profile hits (deterministic argmax: hits DESC,
+    lang ASC), and emit the confusion matrix. All counts exact
+    integers; the only windows are per-language rank over trigram
+    counts (vocabulary-bounded) and per-doc argmax over ≤|langs| rows.
+
+    Scale shape: one corpus explode -> (lang, trigram) count (map-side
+    combined, the K4 posture); profiles are |langs|×20 — broadcast-
+    sized for the scoring join, which keys on the trigram; per-doc
+    score rows are ≤|langs| each. The decile boundary is the K108
+    1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    tot = d.agg((F.max("doc_id") + 1).cast("bigint").alias("n_docs"))
+    base = (
+        d.crossJoin(F.broadcast(tot))
+        .where(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.least(
+                F.lit(9),
+                F.floor(F.col("doc_id") * 10.0 / F.col("n_docs")),
+            )
+            .cast("int")
+            .alias("decile"),
+            F.expr(
+                """
+                transform(sequence(1, length(text) - 2),
+                          i -> substring(text, i, 3))
+                """
+            ).alias("tg"),
+        )
+    )
+    tc = (
+        base.where("decile < 9")
+        .select("lang", F.explode("tg").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+    prof = (
+        tc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand"), "g")
+    )
+    test_grams = (
+        base.where("decile = 9")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("tg").alias("g"),
+        )
+        .distinct()
+    )
+    scores = (
+        test_grams.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), "cand"
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -1501,3 +1501,11 @@ def test_welch_one_scan_closed_form(spark):
     plan = plan_of(spark, "orders_weekday_weekend_ttest")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_trigram_lang_id_profile_broadcast(spark):
+    """K125: profiles are |langs|x20 and broadcast into the scoring
+    join; windows are vocab-/doc-bounded; no cartesian."""
+    plan = plan_of(spark, "llm_char_trigram_lang_id")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
