@@ -2980,3 +2980,59 @@ def orders_weekday_weekend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "welch_t"
         ),
     )
+
+
+@query(
+    "lineitem_linenumber_completeness",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+               CAST(MAX(l_linenumber) AS BIGINT) AS mx
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN mn = 1 AND mx = n_lines THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_complete,
+           CAST(SUM(CASE WHEN mn = 1 AND mx = n_lines THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_holey,
+           CAST(SUM(mx - n_lines + (mn - 1)) AS BIGINT) AS n_missing_lines
+    FROM per
+    """,
+    ref="SURVEY §2 D54 [EXT] (child-sequence completeness audit: every "
+    "order's linenumbers must be exactly 1..count — min=1 and "
+    "max=count detect any hole or offset without materializing the "
+    "expected sequence; the per-parent companion of D44's global "
+    "id-gap audit, and the referential-completeness check every "
+    "order/line ingest should run)",
+)
+def lineitem_linenumber_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row completeness report over order line numbers: an order is
+    complete iff its linenumbers are exactly the contiguous 1..count
+    run (min = 1 ∧ max = count ⇔ no holes, no offset, since
+    linenumbers are unique per order); also the total number of
+    missing positions implied by max-vs-count plus any leading offset.
+    All integer arithmetic.
+
+    Scale shape: one scan -> per-order agg keyed on the natural
+    l_orderkey (map-side combined) -> 1-row rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("l_linenumber").cast("bigint").alias("mn"),
+        F.max("l_linenumber").cast("bigint").alias("mx"),
+    )
+    complete = (F.col("mn") == 1) & (F.col("mx") == F.col("n_lines"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(complete, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_complete"),
+        F.sum(F.when(complete, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_holey"),
+        F.sum(F.col("mx") - F.col("n_lines") + (F.col("mn") - 1))
+        .cast("bigint")
+        .alias("n_missing_lines"),
+    )

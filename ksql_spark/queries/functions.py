@@ -695,3 +695,40 @@ def fn_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shifted_or"
         ),
     )
+
+
+@query(
+    "fn_string_pad_translate",
+    oracle="""
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+           rpad(o_orderpriority, 20, '.') AS padded_priority,
+           translate(o_orderpriority, '-', '_') AS translated,
+           repeat(substring(o_orderstatus, 1, 1), 3) AS repeated,
+           reverse(CAST(o_orderkey AS VARCHAR)) AS reversed_key
+    FROM orders WHERE o_orderkey < 500
+    """,
+    ref="SURVEY §2 H18 [EXT] (string shaping parity: lpad/rpad fill, "
+    "translate character mapping, repeat, reverse — the fixed-width "
+    "key/export formatting family; pins pad-truncation and multi-char "
+    "fill semantics across engines)",
+)
+def fn_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five string-shaping primitives over order keys: zero-padded
+    fixed-width key, dot-padded right fill, character translation,
+    repeat, reverse. Byte-identical by definition — pinned for the
+    spelling/semantics (e.g. both engines truncate when the input
+    exceeds the pad width).
+
+    Scale shape: filtered narrow scan, per-row codegen."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias(
+            "padded_key"
+        ),
+        F.rpad("o_orderpriority", 20, ".").alias("padded_priority"),
+        F.translate("o_orderpriority", "-", "_").alias("translated"),
+        F.repeat(F.substring("o_orderstatus", 1, 1), 3).alias("repeated"),
+        F.reverse(F.col("o_orderkey").cast("string")).alias("reversed_key"),
+    )

@@ -1509,3 +1509,16 @@ def test_trigram_lang_id_profile_broadcast(spark):
     plan = plan_of(spark, "llm_char_trigram_lang_id")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_string_pad_narrow(spark):
+    """H18: filtered narrow scan, no exchange."""
+    plan = plan_of(spark, "fn_string_pad_translate")
+    assert "Exchange" not in plan
+
+
+def test_linenumber_completeness_two_aggs(spark):
+    """D54: per-order agg then a 1-row rollup — one scan."""
+    plan = plan_of(spark, "lineitem_linenumber_completeness")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
