@@ -740,3 +740,185 @@ def synth_ppm_ahash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_AHASH_SCHEMA)
+
+
+SYNTH_DHASH_SCHEMA = (
+    "doc_id long, dhash_hi long, dhash_lo long, n_set int"
+)
+
+
+def synth_ppm_dhash(df: DataFrame) -> DataFrame:
+    """REAL difference-hash pipeline, oracle-checkable in closed form:
+    the synth_ppm_resize chain (encode PPM → parse → nearest resize, here
+    to 9×8 so each of the 8 rows yields 8 horizontal comparisons) followed
+    by the classic dHash — grayscale each resized pixel as the channel
+    sum, set bit (y*8+x) iff g[y,x] > g[y,x+1] (strict, integer — a pure
+    gradient sign, invariant to global brightness shifts where aHash is
+    not), emit the 64-bit hash as two 32-bit halves plus the popcount.
+    Every bit is a pure integer function of n_chars, so the SQL oracle
+    states the hash directly; a bug anywhere in the byte round-trip, the
+    9-wide resample, or the comparison order flips bits and
+    hash-mismatches.
+
+    Near-dup usage: hamming distance over (dhash_hi, dhash_lo) — the
+    gradient complement of synth_ppm_ahash; images that defeat aHash via
+    uniform brightness changes still collide here.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass, no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_hi": [], "dhash_lo": [], "n_set": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 16 + int(n_chars) % 48
+                h = 16 + (int(n_chars) * 7) % 48
+                x = np.arange(w)
+                y = np.arange(h)
+                c = np.arange(3)
+                img = (
+                    (x[None, :, None] * 3 + y[:, None, None] * 7
+                     + c[None, None, :]) % 256
+                ).astype("uint8")
+                resized = resize_nearest(
+                    decode_netpbm(encode_ppm(img)), 9, 8
+                )
+                g = resized.sum(axis=2, dtype="int64")  # (8, 9) grayscale
+                bits = (g[:, :8] > g[:, 1:]).astype("uint8")
+                val = 0
+                for yy in range(8):
+                    for xx in range(8):
+                        if bits[yy, xx]:
+                            val |= 1 << (yy * 8 + xx)
+                out["doc_id"].append(doc_id)
+                out["dhash_hi"].append(val >> 32)
+                out["dhash_lo"].append(val & 0xFFFFFFFF)
+                out["n_set"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_DHASH_SCHEMA)
+
+
+SYNTH_AUDIO_FEAT_SCHEMA = (
+    "doc_id long, seg int, n_in_seg int, sum_sq long, "
+    "zero_crossings int, peak int"
+)
+
+
+def synth_wav_segment_features(df: DataFrame, n_seg: int = 4) -> DataFrame:
+    """REAL audio feature extraction, oracle-checkable in closed form:
+    synthesize the same RIFF/WAV clip as synth_wav_meta (byte j of the
+    payload is (j*31) mod 256, nf = 100 + n_chars % 400 frames,
+    ch = 1 + n_chars % 2 channels, 16-bit LE), decode the actual bytes
+    back via stdlib `wave` + int16 reinterpretation, then split the
+    interleaved sample stream into `n_seg` equal segments by the floor
+    mapping seg = (i * n_seg) // n and emit per segment: energy
+    (Σ s², exact int64), zero crossings (count of s[i-1]*s[i] < 0 within
+    the segment), and peak (max |s|). Every sample value is the pure
+    function s(i) = int16(le16((2i*31) mod 256, ((2i+1)*31) mod 256)) of
+    the sample index, so the SQL oracle states every feature exactly; a
+    bug in the RIFF writer, the wave reader, the int16 view, or the
+    segment mapping mismatches.
+
+    This is the audio analog of the image/video feature passes: RMS
+    energy and ZCR per window are the first-stage features every speech/
+    music pipeline computes before any model sees the clip.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass emitting
+    n_seg rows per doc; no shuffle."""
+    RATES = (8000, 16000, 22050, 44100)
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "seg": [], "n_in_seg": [], "sum_sq": [],
+                "zero_crossings": [], "peak": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                ch, rate, nf = 1 + nc % 2, RATES[nc % 4], 100 + nc % 400
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wr:
+                    wr.setnchannels(ch)
+                    wr.setsampwidth(2)
+                    wr.setframerate(rate)
+                    wr.writeframes(
+                        bytes((i * 31) % 256 for i in range(nf * ch * 2))
+                    )
+                with wave.open(io.BytesIO(buf.getvalue())) as rd:
+                    raw = rd.readframes(rd.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype("int64")
+                n = len(s)
+                segs = (np.arange(n) * n_seg) // n
+                for k in range(n_seg):
+                    v = s[segs == k]
+                    # crossings strictly inside the segment: pair (i-1, i)
+                    # with both indices mapped to segment k
+                    cross = int(((v[:-1] * v[1:]) < 0).sum()) if len(v) > 1 else 0
+                    out["doc_id"].append(doc_id)
+                    out["seg"].append(k)
+                    out["n_in_seg"].append(int(len(v)))
+                    out["sum_sq"].append(int((v * v).sum()))
+                    out["zero_crossings"].append(cross)
+                    out["peak"].append(int(np.abs(v).max()) if len(v) else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_AUDIO_FEAT_SCHEMA)
+
+
+SYNTH_MOTION_SCHEMA = "doc_id long, from_frame int, motion_energy long"
+
+
+def synth_y4m_motion_energy(df: DataFrame) -> DataFrame:
+    """REAL video motion-energy extraction, oracle-checkable in closed
+    form: synthesize the same monochrome Y4M stream as
+    synth_y4m_frame_sample (frame f pixel (y, x) = (7x + 11y + 31f) mod
+    256), round-trip the actual container bytes (encode_y4m → FRAME-walk
+    decode_y4m), then emit the sum of absolute luma differences between
+    each consecutive frame pair — the standard shot-boundary / motion
+    signal. Because frame f+1 is frame f shifted by +31 mod 256, each
+    pixel's |diff| is 31 unless the value wraps (a >= 225 → |a+31-256-a| =
+    225), so motion(f) = 31·w·h + 194·#{(x,y): (7x+11y+31f) mod 256 >=
+    225} — a pure integer formula the SQL oracle states directly. A bug
+    in the container walk, the frame pairing, or the abs-diff mismatches.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass emitting
+    n_frames-1 rows per doc; no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "from_frame": [], "motion_energy": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                w, h, nf = 8 + nc % 8, 8 + (nc * 3) % 8, 4 + nc % 5
+                f = np.arange(nf)
+                y = np.arange(h)
+                x = np.arange(w)
+                vid = (
+                    (
+                        7 * x[None, None, :]
+                        + 11 * y[None, :, None]
+                        + 31 * f[:, None, None]
+                    )
+                    % 256
+                ).astype("uint8")
+                frames = decode_y4m(encode_y4m(vid)).astype("int64")
+                diffs = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2))
+                for i, d in enumerate(diffs):
+                    out["doc_id"].append(doc_id)
+                    out["from_frame"].append(i)
+                    out["motion_energy"].append(int(d))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_MOTION_SCHEMA)

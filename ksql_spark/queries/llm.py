@@ -5960,3 +5960,154 @@ def llm_char_trigram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+@query(
+    "llm_multimodal_dhash",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               16 + n_chars % 48 AS w,
+               16 + (n_chars * 7) % 48 AS h
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               flatten(list_transform(range(0, 8), yt ->
+                   list_transform(range(0, 9), xt ->
+                       list_sum(list_transform(range(0, 3), c ->
+                           (((xt * w) // 9) * 3 + ((yt * h) // 8) * 7 + c)
+                           % 256))))) AS gv
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(list_sum(flatten(list_transform(range(0, 8), yt ->
+               list_transform(range(0, 8), xt ->
+                   CASE WHEN yt * 8 + xt >= 32
+                             AND gv[yt * 9 + xt + 1] > gv[yt * 9 + xt + 2]
+                        THEN 1 << (yt * 8 + xt - 32) ELSE 0 END))))
+               AS BIGINT) AS dhash_hi,
+           CAST(list_sum(flatten(list_transform(range(0, 8), yt ->
+               list_transform(range(0, 8), xt ->
+                   CASE WHEN yt * 8 + xt < 32
+                             AND gv[yt * 9 + xt + 1] > gv[yt * 9 + xt + 2]
+                        THEN 1 << (yt * 8 + xt) ELSE 0 END))))
+               AS BIGINT) AS dhash_lo,
+           CAST(list_sum(flatten(list_transform(range(0, 8), yt ->
+               list_transform(range(0, 8), xt ->
+                   CASE WHEN gv[yt * 9 + xt + 1] > gv[yt * 9 + xt + 2]
+                        THEN 1 ELSE 0 END)))) AS INT) AS n_set
+    FROM g
+    """,
+    ref="SURVEY §2 K126 [EXT] (image difference-hash: the synth-PPM byte "
+    "round-trip resized to 9×8 so each row yields 8 horizontal gradient "
+    "signs — bit (y·8+x) iff g[y,x] > g[y,x+1]; the brightness-invariant "
+    "complement of K122's aHash, same two-32-bit-half hamming convention. "
+    "Strict integer comparisons, so the oracle states every bit in "
+    "closed form)",
+)
+def llm_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash of every synthesized image through the
+    REAL byte pipeline (PPM encode → header parse → 9×8 nearest
+    resample); the flattened gv index walks the same row-major (y, x)
+    order as the numpy array, one extra column per row feeding the
+    horizontal comparison, so all 64 gradient bits line up with the
+    oracle.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; dedup
+    consumers group on (dhash_hi, dhash_lo) — a digest-sized exchange.
+    Pairing with llm_multimodal_ahash gives the standard two-hash vote
+    (aHash = luminance profile, dHash = gradient profile)."""
+    return multimodal.synth_ppm_dhash(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_audio_segment_features",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               (1 + n_chars % 2) * (100 + n_chars % 400) AS n
+        FROM documents
+    ), samp AS (
+        SELECT doc_id, n, i,
+               CAST((i * 4) // n AS INT) AS seg,
+               CASE WHEN ((i * 62) % 256) + 256 * ((i * 62 + 31) % 256)
+                         >= 32768
+                    THEN ((i * 62) % 256) + 256 * ((i * 62 + 31) % 256)
+                         - 65536
+                    ELSE ((i * 62) % 256) + 256 * ((i * 62 + 31) % 256)
+               END AS s
+        FROM p, unnest(range(0, n)) AS t(i)
+    ), lagged AS (
+        SELECT doc_id, seg, s, i,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS s_prev,
+               LAG(seg) OVER (PARTITION BY doc_id ORDER BY i) AS seg_prev
+        FROM samp
+    )
+    SELECT doc_id, seg,
+           CAST(COUNT(*) AS INT) AS n_in_seg,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN seg_prev = seg AND s_prev * s < 0
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM lagged
+    GROUP BY doc_id, seg
+    """,
+    ref="SURVEY §2 K127 [EXT] (audio feature extraction through the REAL "
+    "WAV byte path: the K5 RIFF round-trip clip split into 4 equal "
+    "segments by the floor mapping, per segment the exact-integer energy "
+    "Σs², zero-crossing count and peak |s| — the RMS/ZCR first-stage "
+    "features of every speech/music pipeline; sample i is the pure "
+    "function int16(le16(62i mod 256, (62i+31) mod 256)) so the oracle "
+    "states every feature exactly)",
+)
+def llm_audio_segment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment RMS energy / zero-crossing rate / peak over genuine
+    WAV bytes: the builder writes and re-reads each clip with stdlib
+    `wave` and takes an int16 view of the recovered frames; the oracle
+    re-derives every interleaved sample from its index formula and walks
+    the same (i-1, i) pairs for crossings (segment-interior only, both
+    ends mapped to the same segment by the identical floor expression).
+
+    Scale shape: one Arrow-batched mapInPandas pass emitting 4 rows per
+    doc; no shuffle."""
+    return multimodal.synth_wav_segment_features(
+        load(spark, sf_dir, "documents"), n_seg=4
+    )
+
+
+@query(
+    "llm_multimodal_motion",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + n_chars % 8 AS w,
+               8 + (n_chars * 3) % 8 AS h,
+               4 + n_chars % 5 AS nf
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS from_frame,
+           CAST(31 * w * h + 194 * list_sum(flatten(
+               list_transform(range(0, h), y ->
+                   list_transform(range(0, w), x ->
+                       CASE WHEN (7 * x + 11 * y + 31 * f) % 256 >= 225
+                            THEN 1 ELSE 0 END)))) AS BIGINT) AS motion_energy
+    FROM p, unnest(range(0, nf - 1)) AS t(f)
+    """,
+    ref="SURVEY §2 K128 [EXT] (video motion energy through the REAL Y4M "
+    "byte path: sum of absolute luma differences between consecutive "
+    "decoded frames — the standard shot-boundary/motion signal; the +31 "
+    "mod 256 frame progression makes each pixel's |diff| 31 or 225 "
+    "(wrap), so motion(f) = 31wh + 194·#wraps and the oracle states it "
+    "in closed form)",
+)
+def llm_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-to-frame motion energy over genuine Y4M container bytes:
+    the builder decodes the actual FRAME-marker stream and diffs
+    consecutive int64-cast luma planes; the oracle counts the mod-256
+    wrap pixels per transition. Completes the per-modality feature trio
+    (image dHash / audio RMS-ZCR / video motion).
+
+    Scale shape: one Arrow-batched mapInPandas pass emitting nf-1 rows
+    per doc; no shuffle."""
+    return multimodal.synth_y4m_motion_energy(load(spark, sf_dir, "documents"))
