@@ -3036,3 +3036,175 @@ def lineitem_linenumber_completeness(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("n_missing_lines"),
     )
+
+
+@query(
+    "orders_revenue_drawdown",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               SUM(CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rev_c) AS BIGINT) AS total_c
+        FROM d
+    ), c AS (
+        SELECT day, rev_c, n,
+               CAST(SUM(n * rev_c - total_c) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_q
+        FROM d, t
+    ), p AS (
+        SELECT day, rev_c, n, cum_q,
+               CAST(MAX(cum_q) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS peak_q
+        FROM c
+    )
+    SELECT day,
+           CAST(rev_c AS DOUBLE) / 100.0 AS daily_revenue,
+           CAST(peak_q - cum_q AS BIGINT) AS drawdown_q,
+           CAST(peak_q - cum_q AS DOUBLE) / n / 100.0 AS drawdown,
+           CAST(CASE WHEN peak_q - cum_q > 0 THEN 1 ELSE 0 END AS INT)
+               AS underwater
+    FROM p
+    """,
+    ref="SURVEY §2 D55 [EXT] (drawdown / underwater curve: daily revenue "
+    "as an equity curve — cumulative deviation from the overall daily "
+    "mean — with running peak and per-day decline from that peak; the "
+    "classic peak-to-trough risk readout. The deviation is scaled by "
+    "n_days (n·rev − total) so cumsum, peak and drawdown stay exact "
+    "integers end to end; descaling by n·100 happens only at emit)",
+)
+def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater curve of the daily-revenue equity line. The mean-
+    deviation trick keeps everything integral: dev(d) = n·rev_c(d) −
+    total_c sums to an exact long cumsum whose running max is the peak;
+    drawdown_q = peak − cum ≥ 0 exactly, and the only doubles are the
+    final descales (identically spelled in the oracle).
+
+    Scale shape: one scan -> calendar-bounded day agg (the only
+    data-sized exchange); the cumsum/peak windows run over <=2,500
+    day rows regardless of SF (the D18/D49 calendar-bounded posture),
+    with the 1-row totals broadcast back."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.sum(
+            (F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c")
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("total_c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cum_q",
+            F.sum(F.col("n") * F.col("rev_c") - F.col("total_c")).over(w),
+        )
+        .withColumn("peak_q", F.max("cum_q").over(w))
+    )
+    dd = F.col("peak_q") - F.col("cum_q")
+    return c.select(
+        "day",
+        (F.col("rev_c").cast("double") / 100.0).alias("daily_revenue"),
+        dd.cast("long").alias("drawdown_q"),
+        (dd.cast("double") / F.col("n") / 100.0).alias("drawdown"),
+        F.when(dd > 0, 1).otherwise(0).cast("int").alias("underwater"),
+    )
+
+
+@query(
+    "orders_theil_sen_trend",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               SUM(CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.yr AS yr,
+               CAST(trunc(CAST(b.rev_c - a.rev_c AS DOUBLE)
+                    / date_diff('day', a.day, b.day) * 100 + 0.5)
+                    AS BIGINT) AS slope_q
+        FROM d a JOIN d b
+          ON a.yr = b.yr AND b.day > a.day
+         AND date_diff('day', a.day, b.day) <= 45
+    ), nd AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY yr
+    )
+    SELECT p.yr AS yr, nd.n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(trunc(median(p.slope_q) / 10000.0 * 1000000 + 0.5)
+                AS BIGINT) / 1000000.0 AS median_slope
+    FROM pairs p JOIN nd ON nd.yr = p.yr
+    GROUP BY p.yr, nd.n_days
+    """,
+    ref="SURVEY §2 D56 [EXT] (Theil-Sen robust trend: per year, the "
+    "median of pairwise daily-revenue slopes over day pairs at most 45 "
+    "days apart — the 29%-breakdown-point slope estimator that one "
+    "holiday spike cannot drag the way the D43/K115 least-squares lines "
+    "can; slopes quantized from exact cent-level day revenues, median "
+    "interpolation identical in both engines on integer inputs)",
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-slopes robust trend per year. Day revenues are exact
+    cent-scaled longs; each pair slope is one double division quantized
+    at 1e-4 dollars/day, so the median runs over exact integers (the
+    even-count midpoint interpolation (a+b)/2 is exact in both engines
+    for integer operands).
+
+    Scale shape: one scan -> calendar-bounded day agg; the pair join is
+    year-keyed over <=366-row sides with a <=45-day span cap, so the
+    pair space is calendar-bounded (<=16k pairs/year) at ANY corpus
+    size — never a data-sized cross product."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    gap = F.datediff(F.col("b.day"), F.col("a.day"))
+    pairs = a.join(
+        b,
+        (F.col("a.yr") == F.col("b.yr"))
+        & (F.col("b.day") > F.col("a.day"))
+        & (gap <= 45),
+    ).select(
+        F.col("a.yr").alias("yr"),
+        (
+            (F.col("b.rev_c") - F.col("a.rev_c")).cast("double")
+            / gap
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("slope_q"),
+    )
+    nd = d.groupBy("yr").agg(F.count("*").cast("bigint").alias("n_days"))
+    med = F.expr("percentile(slope_q, 0.5)")
+    return (
+        pairs.join(nd, "yr")
+        .groupBy("yr", "n_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (
+                (med / 10000.0 * 1000000 + F.lit(0.5)).cast("long").cast(
+                    "double"
+                )
+                / 1000000.0
+            ).alias("median_slope"),
+        )
+    )
