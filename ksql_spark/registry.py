@@ -59,12 +59,9 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple = ())
 # registry (rounds 1 and 2 each checked exactly the first 50 entries in
 # registration order). Expose the registry in an explicit verification-priority
 # order so every entry lands in some round's window:
-#   0. entries NEVER driver-checked (not in CORRECTNESS_r01/r02/r03) —
-#      includes any entry added this round,
-#   1. entries last checked in round 1 (refresh),
-#   2. entries verified in round 2,
-#   3. entries verified in round 3,
-#   4. entries verified in round 4 (most recent signal; go last).
+#   -1. _R7_FRONT: never-sampled keys with the hazard-prone oracles,
+#   0. entries NEVER driver-checked (includes any entry added this round),
+#   1..6. entries last checked in round N (most recent signal goes last).
 # Within a group, oracle-backed entries outrank rows-only ones: a rows-only
 # check loses the least by falling outside a capped driver window.
 _R1_CHECKED = frozenset({
@@ -168,24 +165,55 @@ _R5_CHECKED = frozenset({
 })
 
 
-#: The 13 keys no driver round r1-r5 ever sampled (VERDICT r5 "what's
-#: wrong" #1). The r5 window refreshed 50 keys including the whole previous
-#: front-line tier, but these (registered late, several rows-only-sorted)
-#: have still never produced a driver CORRECTNESS row. Explicit
-#: front-of-line tier so all 13 land inside the r6 window ahead of the
-#: 45 r5-refreshed keys.
-_NEVER_ANY_ROUND = frozenset({
-    "events_longest_streak", "events_pattern_vvp", "events_cusum_drift",
-    "events_anomaly_iqr", "llm_pack_efficiency", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q2_official_shape", "udtf_native",
-    "udf_sql_function", "param_query", "win_rolling_median",
-    "win_distinct_in_frame",
+_R6_CHECKED = frozenset({
+    "agg_histogram_quantile", "agg_weighted_median",
+    "customer_acctbal_jarque_bera", "customer_value_migration",
+    "dq_rules_lineitem", "events_anomaly_iqr", "events_cusum_drift",
+    "events_longest_streak", "events_pattern_vvp",
+    "events_user_activity_powerlaw", "lineitem_linenumber_completeness",
+    "llm_bm25_topk", "llm_bpe_merges", "llm_char_entropy",
+    "llm_collocations", "llm_eval_overlap_ratio", "llm_keycollision_dedup",
+    "llm_lang_source_mi", "llm_pack_efficiency", "llm_rrf_hybrid",
+    "llm_source_keyness", "llm_substring_dedup_apply",
+    "llm_unigram_surprisal", "orders_control_chart_xbar",
+    "orders_duplicate_payment_pairs", "orders_gini_revenue",
+    "orders_id_gap_audit", "orders_iso_week_revenue", "orders_ltv_curve",
+    "orders_nrr_cohort", "orders_priority_mix_jsd",
+    "orders_revenue_drawdown", "orders_rfm_segments",
+    "orders_seasonal_naive_backtest", "orders_survival_km",
+    "orders_theil_sen_trend", "orders_weekday_weekend_ttest", "param_query",
+    "privacy_k_anonymity", "privacy_l_diversity", "privacy_t_closeness",
+    "supplier_latency_percentiles", "supplier_scorecard",
+    "tpch_q11_important_stock", "tpch_q2_official_shape",
+    "tpch_q9_product_profit", "udf_sql_function", "udtf_native",
+    "win_distinct_in_frame", "win_rolling_median",
+})
+
+
+#: 85 keys have never been driver-sampled after r6 (the r6b/r6c/r6d waves
+#: landed after the driver snapshot), but the window is 50 — so ~35 will
+#: wait one more round. Front-of-line tier: the keys whose oracles pin the
+#: gnarliest cross-engine hazards (VERDICT r6 "what's wrong" #1 named
+#: Benford digit law, bigram entropy rate, bot scoring, datetime format
+#: round-trips) plus the approximate/portable and numeric-heavy families
+#: where a Spark<->DuckDB divergence is most plausible.
+_R7_FRONT = frozenset({
+    "events_benford_digit_check", "llm_bigram_entropy_rate",
+    "events_bot_score", "fn_datetime_format", "events_stl_daily_decompose",
+    "events_holt_winters", "events_changepoint_binseg",
+    "llm_perplexity_holdout", "llm_quality_length_ols", "llm_silhouette",
+    "llm_emb_anisotropy", "ann_pq_topk_portable", "llm_tfidf_cosine_pairs",
+    "graph_katz_centrality", "graph_label_propagation",
+    "join_fuzzy_blocked", "er_resolve_parts", "join_pit_state",
+    "sort_zorder_locality", "events_slo_burn_rate",
 })
 
 
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _NEVER_ANY_ROUND:
+    if spec.name in _R6_CHECKED:
+        group = 6
+    elif spec.name in _R7_FRONT:
         group = -1
     elif spec.name in _R5_CHECKED:
         group = 5
