@@ -37,6 +37,21 @@ BENCH_QUERIES = {
 
 RUNS = int(os.environ.get("KSQL_BENCH_RUNS", "11"))
 
+#: Pre-flight quiet-window wait. The shared host's load spikes are the
+#: dominant uncontrolled term (docs/BENCH_NOTES.md: identical binaries span
+#: 1.02-2.03 s total depending on when the driver samples). Waiting a bounded
+#: time for 1-min loadavg to drop below a threshold records the floor the
+#: hardware actually offers instead of a lottery draw; if the host never
+#: quiets down we proceed anyway and the recorded loadavg keys say so.
+QUIET_LOAD = float(os.environ.get("KSQL_BENCH_QUIET_LOAD", "3.0"))
+QUIET_WAIT_SEC = float(os.environ.get("KSQL_BENCH_QUIET_WAIT", "150"))
+
+
+def wait_for_quiet() -> None:
+    deadline = time.time() + QUIET_WAIT_SEC
+    while time.time() < deadline and os.getloadavg()[0] >= QUIET_LOAD:
+        time.sleep(5.0)
+
 #: Warm-up passes before timing (excluded per BASELINE.md §4). Two, not one:
 #: measured first-timed-run samples stay ~30% above steady state after a
 #: single pass (JIT tiers/codegen caches still filling — tools/bench_exp10
@@ -105,6 +120,9 @@ def main() -> None:
         for n in names:
             run_one(n)
 
+    wait_for_quiet()  # after warm-up so the wait can't cool the JVM caches
+    load_start = os.getloadavg()[0]
+
     # Timed runs are ROUND-ROBIN interleaved (q1..q6, q1..q6, ...) rather than
     # back-to-back per query: the shared host's load spikes span seconds, so
     # consecutive runs of one query all land in the same spike and its median
@@ -127,6 +145,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "load_1m_start": round(load_start, 2),
+                "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )
