@@ -152,12 +152,17 @@ def ranged_lag(
         .localCheckpoint()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    # True last-BY-ORDER value per partition, NULLs included: max_by over a
+    # struct-wrapped value (a struct is never NULL, so a NULL value at the
+    # max order position is carried, not skipped — LAG() semantics require
+    # propagating it to the next partition's first row).
     lasts = {
-        r["_pid"]: r["t"]
+        r["_pid"]: r["t"]["v"]
         for r in parts.groupBy("_pid")
         .agg(
             F.max_by(
-                F.col(value_col), F.struct(*[F.col(c) for c in order_cols])
+                F.struct(F.col(value_col).alias("v")),
+                F.struct(*[F.col(c) for c in order_cols]),
             ).alias("t")
         )
         .collect()
@@ -165,17 +170,22 @@ def ranged_lag(
     prev, offset_rows = None, []
     for pid in sorted(lasts):  # range partitions are globally ordered
         offset_rows.append((pid, prev))
-        if lasts[pid] is not None:
-            prev = lasts[pid]
+        prev = lasts[pid]  # unconditional: a NULL last value IS the next lag
     field = df.schema[value_col].dataType.simpleString()
     offsets = spark.createDataFrame(
         offset_rows, f"_pid int, _prev {field}"
     )
+    # Boundary substitution is gated on ROW POSITION (partition-first row),
+    # never on value nullness: a non-first row whose predecessor holds NULL
+    # must get NULL, exactly like global LAG().
+    first_row = F.row_number().over(w_local) == 1
     return (
         parts.join(F.broadcast(offsets), "_pid")
         .withColumn(
             out_col,
-            F.coalesce(F.lag(value_col).over(w_local), F.col("_prev")),
+            F.when(first_row, F.col("_prev")).otherwise(
+                F.lag(value_col).over(w_local)
+            ),
         )
         .drop("_pid", "_prev")
     )

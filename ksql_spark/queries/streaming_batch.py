@@ -2615,7 +2615,7 @@ _DYN_GAP_SQL = """CASE event_type WHEN 'click' THEN INTERVAL 10 MINUTE
                ts + {_DYN_GAP_SQL} AS ev_end
         FROM events
     ), marked AS (
-        SELECT user_id, ts, ev_end,
+        SELECT user_id, ts, event_id, ev_end,
                CASE WHEN MAX(ev_end) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -2627,7 +2627,7 @@ _DYN_GAP_SQL = """CASE event_type WHEN 'click' THEN INTERVAL 10 MINUTE
         FROM ext
     ), numbered AS (
         SELECT user_id, ts, ev_end,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM marked
     )

@@ -788,8 +788,9 @@ def make_scd2_batch_fn(table: str, key: str, state_col: str, ts_col: str,
     Each micro-batch turns change events into SCD2 version rows
     (key, state, valid_from, valid_to; NULL valid_to = current) by
     REBUILDING the affected keys' histories declaratively: existing
-    version rows of touched keys union the batch's change rows, distinct
-    on (key, valid_from), valid_to recomputed as LEAD(valid_from) per key.
+    version rows of touched keys union the batch's change rows, reduced to
+    one row per (key, valid_from) by MAX(state) — a value-deterministic
+    tie rule — then valid_to recomputed as LEAD(valid_from) per key.
     Untouched keys carry over unchanged.
 
     Replay contract: the rebuild is a deterministic pure function of
@@ -814,11 +815,21 @@ def make_scd2_batch_fn(table: str, key: str, state_col: str, ts_col: str,
         if marker is not None and marker.exists():
             return
         spark = batch_df.sparkSession
-        changes = batch_df.select(
-            F.col(key).alias("k"),
-            F.col(state_col).alias("state"),
-            F.col(ts_col).alias("valid_from"),
-        ).dropDuplicates(["k", "valid_from"])
+        # Tie rule (ADVICE r6): two change events with the same (key, ts)
+        # but different states resolve to the GREATEST state (SQL MAX —
+        # NULL loses to any non-NULL). A value-deterministic reduction, so
+        # the rebuild stays a pure function of the row set under replay;
+        # dropDuplicates would keep an arbitrary partition-order winner.
+        changes = (
+            batch_df.select(
+                F.col(key).alias("k"),
+                F.col(state_col).alias("state"),
+                F.col(ts_col).alias("valid_from"),
+            )
+            .groupBy("k", "valid_from")
+            .agg(F.max("state").alias("state"))
+            .select("k", "state", "valid_from")
+        )
         if spark.catalog.tableExists(table):
             existing = spark.table(table).select(
                 "k", "state", "valid_from"
@@ -828,7 +839,9 @@ def make_scd2_batch_fn(table: str, key: str, state_col: str, ts_col: str,
             pool = (
                 existing.join(touched, "k", "left_semi")
                 .unionByName(changes)
-                .dropDuplicates(["k", "valid_from"])
+                .groupBy("k", "valid_from")
+                .agg(F.max("state").alias("state"))
+                .select("k", "state", "valid_from")
             )
         else:
             keep = None

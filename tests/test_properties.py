@@ -394,3 +394,32 @@ def test_ranged_lag_equals_global_lag(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ranged_lag_propagates_null_values(spark):
+    """LAG semantics with NULLs in value_col (ADVICE r6): a row whose true
+    predecessor holds NULL must get NULL — both mid-partition and across a
+    partition boundary (the boundary stitch is gated on row position, and a
+    NULL partition-last value is carried, never skipped for an older one)."""
+    from pyspark.sql import Window, functions as F
+
+    from ksql_spark.operators.scale import ranged_lag
+
+    # ord is a total order; val is NULL on every 3rd row (so some range
+    # partitions END in a NULL — the hazard case).
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("ord"),
+        F.when(F.col("id") % 3 != 0, F.col("id") * 10).alias("val"),
+    )
+    got = {
+        r["ord"]: r["prev"]
+        for r in ranged_lag(df, ["ord"], "val", out_col="prev", n_parts=9)
+        .collect()
+    }
+    want = {
+        r["ord"]: r["prev"]
+        for r in df.select(
+            "ord", F.lag("val").over(Window.orderBy("ord")).alias("prev")
+        ).collect()
+    }
+    assert got == want

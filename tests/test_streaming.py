@@ -1071,7 +1071,8 @@ def _batch_scd2(spark):
             F.col("event_type").alias("state"),
             F.col("ts").alias("valid_from"),
         )
-        .dropDuplicates(["k", "valid_from"])
+        .groupBy("k", "valid_from")
+        .agg(F.max("state").alias("state"))  # same tie rule as the sink
         .select(
             "k", "state", "valid_from",
             F.lead("valid_from").over(w).alias("valid_to"),
@@ -1129,3 +1130,32 @@ def test_scd2_batch_replay_converges(spark, tmp_path):
     second = rows_set(spark.table("t_scd2r").collect(), cols)
     assert first == second and len(first) > 0
     spark.sql("DROP TABLE IF EXISTS t_scd2r")
+
+
+def test_scd2_timestamp_tie_resolves_to_max_state(spark):
+    """ADVICE r6: two change events sharing (key, ts) with different states
+    must resolve deterministically (MAX(state)), and replaying with the
+    rows in the opposite order must produce the identical table."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS t_scd2t")
+    rows = [(1, "view", 100), (1, "purchase", 100), (1, "view", 200)]
+    schema = "user_id long, event_type string, ts long"
+    apply_batch = jobs.make_scd2_batch_fn(
+        "t_scd2t", "user_id", "event_type", "ts", ledger_dir=None
+    )
+    apply_batch(spark.createDataFrame(rows, schema), 0)
+    cols = ["k", "state", "valid_from", "valid_to"]
+    first = rows_set(spark.table("t_scd2t").collect(), cols)
+    spark.sql("DROP TABLE IF EXISTS t_scd2t")
+    apply_batch2 = jobs.make_scd2_batch_fn(
+        "t_scd2t", "user_id", "event_type", "ts", ledger_dir=None
+    )
+    apply_batch2(
+        spark.createDataFrame(list(reversed(rows)), schema).repartition(3), 0
+    )
+    second = rows_set(spark.table("t_scd2t").collect(), cols)
+    assert first == second
+    states = {(r[0], r[2]): r[1] for r in first}
+    assert states[(1, 100)] == "view"  # MAX("purchase","view") = "view"
+    spark.sql("DROP TABLE IF EXISTS t_scd2t")
