@@ -625,3 +625,44 @@ def test_centroid_cache_key_tracks_data_changes(tmp_path):
         f.write(b"\0")
     fp2 = _emb_fingerprint(str(dst_dir))
     assert fp1 != fp2
+
+
+def test_minhash_paths_cross_agreement(spark):
+    """Cross-path agreement law (VERDICT r6 item 4) for the three rows-only
+    dedup entries: at equal jaccard thresholds on the planted-dup fixture,
+    the production xxhash path's pair set CONTAINS the portable md5 path's
+    pair set, and both contain every planted pair. The two paths use
+    different shingle families (the xxhash path's word shingles are coarser
+    on this synthetic corpus, so it legitimately surfaces MORE true pairs);
+    containment + planted-recall is the strongest law that holds across
+    families, and it pins the rows-only path to the oracle-exact one."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    near = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.expr("substring(text, 5)")).alias("text"),
+    )
+    exact = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(near).unionByName(exact)
+    xx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_dups(
+            corpus, "text", "doc_id", k=40, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    pt = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_dups_portable(
+            corpus, "text", "doc_id", n_hash=16, rows_per_band=2,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    planted = {(10 + i, 200010 + i) for i in range(5)}
+    assert planted <= pt and planted <= xx
+    missing = pt - xx
+    assert not missing, f"portable-only pairs (containment broken): {sorted(missing)[:10]}"
