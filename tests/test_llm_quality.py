@@ -666,3 +666,95 @@ def test_minhash_paths_cross_agreement(spark):
     assert planted <= pt and planted <= xx
     missing = pt - xx
     assert not missing, f"portable-only pairs (containment broken): {sorted(missing)[:10]}"
+
+
+def _planted_corpus(spark):
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    exact = docs.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(exact), {(i, 200000 + i) for i in range(8)}
+
+
+def test_dedup_cluster_paths_cross_agreement(spark):
+    """Agreement law for the rows-only llm_dedup_cluster (VERDICT r6 item 4):
+    on a corpus with planted exact copies, (a) both hash families co-cluster
+    every exact-copy pair (identical texts have identical signatures under
+    ANY hash family), and (b) the portable path's co-cluster relation is
+    CONTAINED in the xxhash path's (same containment as the pair-level law —
+    components of a supergraph only merge, never split)."""
+    from ksql_spark.queries.graph import connected_components
+
+    corpus, planted = _planted_corpus(spark)
+
+    def clusters(pairs_df):
+        half = pairs_df.select(
+            F.col("doc_a").alias("s1"), F.col("doc_b").alias("s2")
+        )
+        adj = half.unionByName(
+            half.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+        )
+        labels = {
+            r["suppkey"]: r["component"]
+            for r in connected_components(adj).collect()
+        }
+        return labels
+
+    xx = clusters(
+        dedup.minhash_near_dups(
+            corpus, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8
+        )
+    )
+    pt = clusters(
+        dedup.minhash_near_dups_portable(
+            corpus, "text", "doc_id", n_hash=16, rows_per_band=2,
+            jaccard_threshold=0.8,
+        )
+    )
+    for a, b in planted:
+        assert xx.get(a) is not None and xx[a] == xx[b], (a, b, "xx split")
+        assert pt.get(a) is not None and pt[a] == pt[b], (a, b, "pt split")
+    # containment: any two docs the portable path co-clusters, xx co-clusters
+    ids = list(pt)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if pt[a] == pt[b]:
+                assert xx.get(a) == xx.get(b), (a, b, "portable-only merge")
+
+
+def test_simhash_paths_cross_agreement(spark):
+    """Agreement law for the rows-only llm_dedup_simhash: exactly-equal
+    texts receive ONE fingerprint per path (the cross-family invariant —
+    near-copies may split differently because the bit votes come from
+    different hash families, and that divergence is documented here)."""
+    corpus, planted = _planted_corpus(spark)
+    xx = {
+        r["doc_id"]: r["sh"]
+        for r in corpus.select(
+            "doc_id", dedup.simhash32("text").alias("sh")
+        ).collect()
+    }
+    hs = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")),
+        lambda x: F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN size(filter(hs, h -> shiftright(h, {j}) % 2 = 1)) * 2 "
+        f"> size(hs) THEN {1 << j}L ELSE 0L END)"
+        for j in range(32)
+    )
+    pt = {
+        r["doc_id"]: r["sh"]
+        for r in corpus.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.expr(f"CAST({bit_terms} AS BIGINT)").alias("sh"))
+        .collect()
+    }
+    for a, b in planted:
+        assert xx[a] == xx[b], (a, b, "xx fingerprints differ on exact copy")
+        assert pt[a] == pt[b], (a, b, "portable fingerprints differ on exact copy")
