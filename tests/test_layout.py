@@ -1,0 +1,111 @@
+"""Physical-layout writer tests (VERDICT r6 item 5): the write side of
+llm_shard_assign (K18) and sort_zorder_locality (F7) — actually write the
+layouts and verify the properties the query entries only compute."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from ksql_spark.operators import layout
+from ksql_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+
+def test_sharded_write_matches_audit_and_prunes(spark, tmp_path):
+    """write_sharded must produce exactly the layout llm_shard_assign
+    audits: same per-shard doc counts, hive shard_id=N directories, full
+    row conservation, balanced shards, and partition-pruned readback."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "shards")
+    layout.write_sharded(docs, out, key_col="doc_id", n_shards=16)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == 16
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    audit = {
+        r["shard_id"]: r["n_docs"]
+        for r in all_specs()["llm_shard_assign"].builder(spark, SF_DIR).collect()
+    }
+    written = {
+        r["shard_id"]: r["n"]
+        for r in back.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert written == audit
+
+    counts = list(written.values())
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 1.5 * mean and min(counts) >= 0.5 * mean, counts
+
+    # reading one shard is partition pruning, not a full scan
+    one = back.where(F.col("shard_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "shard_id=3" in plan or "PartitionFilters" in plan
+    assert one.count() == audit[3]
+
+
+def _file_spans(path: str, col: str):
+    """(min, max) of `col` per parquet file under path, from footer stats."""
+    spans = []
+    for root, _, names in os.walk(path):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, n)).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
+    """F7 write side: after write_zordered on (custkey, orderday), footer
+    min/max stats let a narrow single-dim predicate skip most files — on
+    EITHER dimension — while a naive (unclustered) write of the same rows
+    skips almost none. Readback under the predicate is row-identical."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "orderday", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    )
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "naive")
+    layout.write_zordered(orders, zpath, "o_custkey", "orderday", n_files=64)
+    orders.repartition(64).write.mode("overwrite").parquet(npath)
+
+    n_rows = orders.count()
+    assert spark.read.parquet(zpath).count() == n_rows
+
+    for col in ("o_custkey", "orderday"):
+        spans = _file_spans(zpath, col)
+        assert len(spans) >= 32  # 64 requested; tolerate range-bin merging
+        dom_lo = min(s[0] for s in spans)
+        dom_hi = max(s[1] for s in spans)
+        width = (dom_hi - dom_lo) / 16  # a 1/16-of-domain predicate
+        lo, hi = dom_lo + 7 * width, dom_lo + 8 * width
+        overlap = sum(1 for s in spans if s[0] <= hi and s[1] >= lo)
+        frac = overlap / len(spans)
+        naive = _file_spans(npath, col)
+        naive_frac = sum(1 for s in naive if s[0] <= hi and s[1] >= lo) / len(naive)
+        # z-order: ≤ 40% of files overlap a 1/16 slice on either dim;
+        # the naive layout overlaps nearly everywhere (hash partitioning)
+        assert frac <= 0.40, (col, frac)
+        assert naive_frac >= 0.90, (col, naive_frac)
+        assert frac < naive_frac / 2, (col, frac, naive_frac)
+
+    # correctness: the clustered copy answers the predicate identically
+    zx = spark.read.parquet(zpath)
+    pred = (F.col("o_custkey") >= 100) & (F.col("o_custkey") < 200)
+    got = sorted(r["o_orderkey"] for r in zx.where(pred).collect())
+    want = sorted(r["o_orderkey"] for r in orders.where(pred).collect())
+    assert got == want
