@@ -4,21 +4,42 @@ through a single task.
 
 The pattern here is the zipWithIndex decomposition (SURVEY.md §4.3):
   1. repartitionByRange on the global sort key → partition p holds a
-     contiguous key range and partitions are ordered by p (localCheckpoint
+     contiguous key range and partitions are ordered by p (pin() — below —
      pins the partitioning so both passes see identical boundaries);
   2. per-partition running sum via a window PARTITIONED by
      spark_partition_id() — parallel, no global exchange;
   3. one bounded driver job collects the per-partition totals (#partitions
      rows, never corpus rows) and prefix-sums them;
   4. broadcast-join the per-partition starting offsets back.
-At 100 TB step 1's localCheckpoint becomes a reliable checkpoint dir; steps
-2-4 are unchanged. test_plans.py gates that no Exchange SinglePartition
+At 100 TB set RELIABLE_PIN_CONF=true + sc.setCheckpointDir(...) and step 1
+pins to a reliable checkpoint dir instead; steps 2-4 are unchanged. test_plans.py gates that no Exchange SinglePartition
 appears in consumers' plans.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: Runtime conf gating reliable (HDFS/S3-backed) checkpointing for the
+#: lineage pins below. localCheckpoint is executor-local: fast, but a lost
+#: executor kills the job — fine single-node, a real failure mode on a 1000-
+#: executor cluster. Set this conf to "true" AND sc.setCheckpointDir(<dir>)
+#: to switch every pin() to a reliable checkpoint (VERDICT r4-r6 standing
+#: migration note, now a one-conf switch instead of a code change).
+RELIABLE_PIN_CONF = "spark.ksql_spark.reliablePin"
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize df and truncate lineage: reliable `checkpoint()` when
+    RELIABLE_PIN_CONF is true and a checkpoint dir is set, else
+    `localCheckpoint()`. All `ranged_*` primitives and the graph iteration
+    loops pin through this one seam."""
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_PIN_CONF, "false") == "true":
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def ranged_cumsum(
@@ -38,10 +59,9 @@ def ranged_cumsum(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    parts = (
+    parts = pin(
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("_pid")
@@ -90,10 +110,9 @@ def ranged_cummax_excl(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    parts = (
+    parts = pin(
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     w_excl = (
         Window.partitionBy("_pid")
@@ -146,10 +165,9 @@ def ranged_lag(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(4, spark.sparkContext.defaultParallelism // 4)
-    parts = (
+    parts = pin(
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     # True last-BY-ORDER value per partition, NULLs included: max_by over a

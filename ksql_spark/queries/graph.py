@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ksql_spark.operators.scale import pin
 from ksql_spark.registry import query
 from ksql_spark.tables import load
 
@@ -46,7 +47,7 @@ def coship_adj(
     if exclude_self:
         adj = adj.where(F.col("s1") != F.col("s2"))
     adj = adj.distinct()
-    return adj.localCheckpoint() if checkpoint else adj
+    return adj.transform(pin) if checkpoint else adj
 
 
 @query(
@@ -133,7 +134,7 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.least("component", "neighbor_min").alias("component"),
                 (F.col("neighbor_min") < F.col("component")).alias("changed"),
             )
-        ).localCheckpoint()  # eager: truncates lineage AND lets us count changes
+        ).transform(pin)  # eager: truncates lineage AND lets us count changes
         changed = nxt.where("changed").limit(1).count()
         labels = nxt.drop("changed")
         if changed == 0:
@@ -161,7 +162,7 @@ def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> Data
             # truncate lineage per level — without this, frontier/visited plans
             # nest exponentially (each level re-derives every prior level) and
             # optimization time blows up past depth ~4
-            nxt = nxt.localCheckpoint(eager=False)
+            nxt = nxt.transform(pin, eager=False)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -465,7 +466,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(relaxed)
             .groupBy("s")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
     return d.select(
         F.col("s").alias("suppkey"), F.col("dist").cast("bigint").alias("dist")
@@ -569,9 +570,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The weighted adjacency build reuses coship_pairs; its threshold is a
     broadcast 1-row aggregate."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).localCheckpoint()
+    adj = _weighted_adj(li).transform(pin)
     for _ in range(_KCORE_ROUNDS):
-        adj = kcore_round(adj, _KCORE_K).localCheckpoint()
+        adj = kcore_round(adj, _KCORE_K).transform(pin)
     return adj.groupBy(F.col("s1").alias("suppkey")).agg(
         F.count("*").alias("core_degree")
     )
@@ -641,7 +642,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).localCheckpoint()
+    adj = _weighted_adj(li).transform(pin)
     deg = adj.groupBy(F.col("s1").alias("z")).agg(F.count("*").alias("d"))
     e1 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("z"))
     e2 = adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
@@ -725,7 +726,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation is a 1-row aggregate of integer moments. Edge-list
     sized narrow work, nothing quadratic."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).localCheckpoint()
+    adj = _weighted_adj(li).transform(pin)
     deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
     ends = (
         adj.join(
@@ -810,7 +811,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the same thresholding/hub arguments as L5/L9. Output is
     |V|-sized."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).localCheckpoint()
+    adj = _weighted_adj(li).transform(pin)
     deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
     e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
     e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
@@ -913,7 +914,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(F.col("nd").alias("node"), "label")
-            .localCheckpoint()
+            .transform(pin)
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -1001,7 +1002,7 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(relaxed)
             .groupBy("lm", "s")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
     return d.select(
         F.col("lm").alias("landmark"),
@@ -1049,7 +1050,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hub arguments); UNION-distinct collapses to the (s1, s2) key
     before the |V|-sized count. No new exchange patterns."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).localCheckpoint()
+    adj = _weighted_adj(li).transform(pin)
     e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
     e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     wedge = (
@@ -1134,7 +1135,7 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.join(adj, p.v == adj.s1)
             .groupBy(F.col("s2").alias("v"))
             .agg(F.sum("c").cast("bigint").alias("c"))
-            .localCheckpoint(eager=False)
+            .transform(pin, eager=False)
         )
         counts.append(p)
     out = nodes

@@ -423,3 +423,54 @@ def test_ranged_lag_propagates_null_values(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_pin_reliable_checkpoint_mode(spark, tmp_path):
+    """The pin() seam (scale-primitive + graph-iteration lineage pins) must
+    switch to RELIABLE checkpoints when the conf + checkpoint dir are set —
+    the 100 TB cluster posture — and produce identical results."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from ksql_spark.operators.scale import RELIABLE_PIN_CONF, ranged_cumsum
+    from ksql_spark.queries.graph import connected_components
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") * 13 % 2999).alias("k"), F.lit(1).alias("v")
+    ).distinct()
+    want_cs = {
+        r["k"]: r["cs"]
+        for r in df.select(
+            "k",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cs"),
+        ).collect()
+    }
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)], "s1 long, s2 long"
+    )
+    want_cc = {
+        r["suppkey"]: r["component"] for r in connected_components(edges).collect()
+    }
+
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    spark.conf.set(RELIABLE_PIN_CONF, "true")
+    try:
+        got_cs = {
+            r["k"]: r["cumsum"]
+            for r in ranged_cumsum(df, ["k"], "v", n_parts=5).collect()
+        }
+        got_cc = {
+            r["suppkey"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+    finally:
+        spark.conf.set(RELIABLE_PIN_CONF, "false")
+    assert got_cs == want_cs
+    assert got_cc == want_cc
+    # evidence the reliable path actually ran: checkpoint files on disk
+    found = any(files for _, _, files in os.walk(ckdir))
+    assert found, "no reliable checkpoint files written"
