@@ -2345,3 +2345,45 @@ def llm_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp.cast("double") / F.nullif(F.sum("pos"), F.lit(0))
         ).alias("recall_at_t"),
     )
+
+
+@query(
+    "llm_shard_write_audit",
+    oracle="""
+    SELECT CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 16
+                AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    ref="SURVEY §2 K18 [EXT] (the WRITE side of llm_shard_assign: "
+    "operators/layout.py write_sharded materializes the 16-shard hive "
+    "partitionBy layout, and this entry re-aggregates the WRITTEN files — "
+    "oracle-exact iff the physical layout matches the audited hash "
+    "assignment byte-for-byte; directory structure, balance, and pruned "
+    "readback are gated in tests/test_layout.py)",
+)
+def llm_shard_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the corpus as the 16-shard training layout and audit the files
+    on disk: read back the hive-partitioned directories and re-compute the
+    per-shard accounting from what was actually written.
+
+    Scale shape: the write is one shuffle keyed on shard_id; the audit is a
+    16-row aggregate over the readback scan (shard_id comes from directory
+    names — partition pruning metadata, not data)."""
+    import tempfile
+
+    from ksql_spark.operators.layout import write_sharded
+
+    d = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ksql_shards_")
+    write_sharded(d, out, key_col="doc_id", n_shards=16)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -159,9 +159,7 @@ _Z_DUCK = _interleave_sql("dq", "cq", 12, "duck")
 _Z_SPARK = _interleave_sql("dq", "cq", 12, "spark")
 
 
-@query(
-    "sort_zorder_locality",
-    oracle=f"""
+_ZORDER_ZONEMAP_ORACLE = f"""
     WITH mx AS (
         SELECT CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
                     + 1 AS BIGINT) AS max_d,
@@ -184,7 +182,12 @@ _Z_SPARK = _interleave_sql("dq", "cq", 12, "spark")
            CAST(MAX(dq) - MIN(dq) AS BIGINT) AS day_span,
            CAST(MAX(cq) - MIN(cq) AS BIGINT) AS cust_span
     FROM z GROUP BY bucket
-    """,
+    """
+
+
+@query(
+    "sort_zorder_locality",
+    oracle=_ZORDER_ZONEMAP_ORACLE,
     ref="SURVEY §2 F7 [EXT] (Z-order / Morton clustering key: interleave "
     "the bits of two quantized sort dimensions so one physical order "
     "bounds BOTH dims per file — the multi-dimensional data-skipping "
@@ -217,6 +220,63 @@ def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
     )
     q = o.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
+            " / max_d AS BIGINT)"
+        ).alias("dq"),
+        F.expr("CAST(o_custkey * 4096.0 / max_c AS BIGINT)").alias("cq"),
+    )
+    z = q.select(
+        "dq", "cq", F.expr(f"shiftright({_Z_SPARK}, 12)").alias("bucket")
+    )
+    return z.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("dq").cast("bigint").alias("min_day_q"),
+        F.max("dq").cast("bigint").alias("max_day_q"),
+        F.min("cq").cast("bigint").alias("min_cust_q"),
+        F.max("cq").cast("bigint").alias("max_cust_q"),
+        (F.max("dq") - F.min("dq")).cast("bigint").alias("day_span"),
+        (F.max("cq") - F.min("cq")).cast("bigint").alias("cust_span"),
+    )
+
+
+@query(
+    "sort_zorder_write_audit",
+    oracle=_ZORDER_ZONEMAP_ORACLE,
+    ref="SURVEY §2 F7 [EXT] (the WRITE side of sort_zorder_locality: "
+    "operators/layout.py write_zordered actually lays orders out in Morton "
+    "order — repartitionByRange(z) + sortWithinPartitions(z) — and this "
+    "entry hash-checks the written files' roundtrip via the identical "
+    "zone-map aggregation; the per-file footer-stats skipping property is "
+    "gated in tests/test_layout.py)",
+)
+def sort_zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders Z-ordered on (orderday, custkey) to a scratch dir, read
+    the files back, and emit the same 4096-bucket zone map as
+    sort_zorder_locality — oracle-exact iff the layout write is lossless.
+
+    Scale shape: the write is one range exchange on the z-key + a local
+    sort (the exact plan Delta/Iceberg Z-ORDER runs); the audit is the F7
+    aggregation over the readback."""
+    import tempfile
+
+    from ksql_spark.operators.layout import write_zordered
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "orderday", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    )
+    out = tempfile.mkdtemp(prefix="ksql_zorder_")
+    write_zordered(o, out, "o_custkey", "orderday", n_files=16)
+    back = spark.read.parquet(out).drop("orderday")
+    mx = back.agg(
+        (
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))) + 1
+        )
+        .cast("bigint")
+        .alias("max_d"),
+        (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
+    )
+    q = back.crossJoin(F.broadcast(mx)).select(
         F.expr(
             "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
             " / max_d AS BIGINT)"
