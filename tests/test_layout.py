@@ -109,3 +109,31 @@ def test_zorder_write_skips_files_on_both_dims(spark, tmp_path):
     got = sorted(r["o_orderkey"] for r in zx.where(pred).collect())
     want = sorted(r["o_orderkey"] for r in orders.where(pred).collect())
     assert got == want
+
+
+def test_layout_writers_degenerate_inputs(spark, tmp_path):
+    """Totality: empty inputs and constant dimensions must write cleanly
+    (a 100 TB pipeline hits empty partitions and constant columns; a crash
+    here poisons the whole job)."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_chars long"
+    )
+    layout.write_sharded(empty, str(tmp_path / "s0"), key_col="doc_id")
+    # an empty partitionBy write leaves no footers — readback needs the
+    # schema spelled out (standard Spark contract for empty datasets)
+    back0 = spark.read.schema("doc_id long, n_chars long, shard_id long").parquet(
+        str(tmp_path / "s0")
+    )
+    assert back0.count() == 0
+
+    const = spark.createDataFrame(
+        [(i, 7, 7) for i in range(50)], "id long, x long, y long"
+    )
+    layout.write_zordered(const, str(tmp_path / "z0"), "x", "y", n_files=4)
+    back = spark.read.parquet(str(tmp_path / "z0"))
+    assert back.count() == 50
+    assert back.where(F.col("x") != 7).count() == 0
+
+    one = spark.createDataFrame([(1, 2, 3)], "id long, x long, y long")
+    layout.write_zordered(one, str(tmp_path / "z1"), "x", "y", n_files=4)
+    assert spark.read.parquet(str(tmp_path / "z1")).count() == 1
