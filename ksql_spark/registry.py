@@ -209,12 +209,21 @@ _R7_FRONT = frozenset({
 })
 
 
+#: Entries ADDED in round 7 (the two VERDICT-requested write-side audits).
+#: They sort behind the 85-key never-sampled backlog so the r7 window is
+#: drawn entirely from the backlog (VERDICT r6 item 1's "done" criterion);
+#: they enter the window in r8 with the backlog remainder.
+_R7_NEW = frozenset({"llm_shard_write_audit", "sort_zorder_write_audit"})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
     if spec.name in _R6_CHECKED:
         group = 6
     elif spec.name in _R7_FRONT:
         group = -1
+    elif spec.name in _R7_NEW:
+        group = 0.5
     elif spec.name in _R5_CHECKED:
         group = 5
     elif spec.name in _R4_CHECKED:
