@@ -920,10 +920,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ADVICE r6 asked for landmarks seeded from real node ids, asserting
-# suppkeys start at 1; the driver fixture actually has suppkeys starting
-# at 0 (so the old [0,1,2,3] was NOT phantom), but [1,2,3,4] is valid in
-# both TPC-H conventions — adopted for robustness either way.
-_LANDMARKS = [1, 2, 3, 4]
+# suppkeys start at 1 and that landmark 0 was a phantom. The premise is
+# false on the driver fixture: min(l_suppkey) == 0, so node 0 is REAL —
+# and keeping it as a landmark preserves the cross-operator law that
+# landmark-_START distances equal graph_bfs depths within the round
+# horizon (tests/test_llm_quality.py triangle-inequality test). On a
+# 1-based TPC-H dataset the seeds would be [1, 2, 3, 4]; seeds are ids
+# of REAL nodes either way, which is what the advice actually wanted.
+_LANDMARKS = [_START, 1, 2, 3]
 _LM_ROUNDS = 3
 
 
