@@ -342,7 +342,24 @@ def make_upsert_batch_fn(table: str, on: list[str], assignments: dict[str, str],
         if marker is not None and marker.exists():
             return  # replayed batch, already applied
         spark = batch_df.sparkSession
-        deduped = batch_df.dropDuplicates(on)
+        # Intra-batch key collisions resolve to the GREATEST payload row
+        # (lexicographic struct max over the non-key columns) — the same
+        # value-deterministic tie rule as the SCD2 sink, so replaying a
+        # batch with conflicting same-key rows converges instead of
+        # keeping an arbitrary partition-order winner (ADVICE r6 class).
+        payload = [c for c in batch_df.columns if c not in on]
+        if payload:
+            packed = batch_df.groupBy(*on).agg(
+                F.max(F.struct(*[F.col(c) for c in payload])).alias("_r")
+            )
+            deduped = packed.select(
+                *[
+                    F.col(c) if c in on else F.col(f"_r.{c}").alias(c)
+                    for c in batch_df.columns
+                ]
+            )
+        else:
+            deduped = batch_df.dropDuplicates(on)
         # Same writer lock as run_dml: the copy-on-write swap is unsafe under
         # concurrent in-process DML (e.g. an HTTP --allow-dml server in the
         # same process) — the micro-batch writer must serialize with them.

@@ -1159,3 +1159,28 @@ def test_scd2_timestamp_tie_resolves_to_max_state(spark):
     states = {(r[0], r[2]): r[1] for r in first}
     assert states[(1, 100)] == "view"  # MAX("purchase","view") = "view"
     spark.sql("DROP TABLE IF EXISTS t_scd2t")
+
+
+def test_upsert_batch_key_collision_deterministic(spark, tmp_path):
+    """Upsert sink tie rule: a batch carrying two different payloads for the
+    same merge key must resolve to the greatest payload row, independent of
+    row order/partitioning (same ADVICE-r6 class as the SCD2 fix)."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS t_upsert_tie")
+    schema = "k long, v string, n long"
+    rows = [(1, "alpha", 10), (1, "beta", 7), (2, "x", 1)]
+    for attempt, data in enumerate([rows, list(reversed(rows))]):
+        spark.sql("DROP TABLE IF EXISTS t_upsert_tie")
+        spark.sql(
+            "CREATE TABLE t_upsert_tie (k BIGINT, v STRING, n BIGINT) "
+            f"USING PARQUET LOCATION '{tmp_path}/t_upsert_tie_{attempt}'"
+        )
+        fn = jobs.make_upsert_batch_fn(
+            "t_upsert_tie", ["k"], {"v": "src.v", "n": "src.n"},
+            ledger_dir=None,
+        )
+        fn(spark.createDataFrame(data, schema).repartition(3), attempt)
+        got = {r["k"]: (r["v"], r["n"]) for r in spark.table("t_upsert_tie").collect()}
+        assert got == {1: ("beta", 7), 2: ("x", 1)}, (attempt, got)
+    spark.sql("DROP TABLE IF EXISTS t_upsert_tie")
