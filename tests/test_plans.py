@@ -1522,3 +1522,40 @@ def test_linenumber_completeness_two_aggs(spark):
     plan = plan_of(spark, "lineitem_linenumber_completeness")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_layout_writer_plans_scale_shape(spark):
+    """Layout writers (operators/layout.py): the shard write exchanges ON
+    shard_id via hash partitioning (each reducer streams whole shards — no
+    SinglePartition funnel), and the z-order write is ONE range exchange on
+    the Morton key with an in-partition sort (never a global Sort/
+    SinglePartition)."""
+    import pyspark.sql.functions as F
+
+    from ksql_spark.operators.layout import shard_expr, _interleave
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sharded = docs.withColumn("shard_id", shard_expr("doc_id", 16)).repartition(
+        16, "shard_id"
+    )
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard_id" in plan
+    assert "SinglePartition" not in plan
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "orderday", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    )
+    zq = (
+        orders.withColumn("_zq", (F.col("o_custkey") % 4096).cast("long"))
+        .withColumn("_zr", (F.col("orderday") % 4096).cast("long"))
+        .withColumn("_z", F.expr(_interleave("_zq", "_zr", 12)))
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+    )
+    zplan = zq._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(_z" in zplan
+    assert "SinglePartition" not in zplan
+    # the sort is local (inside the range partitions), not a global sort:
+    # SortExec prints "Sort [keys], <global>, 0" — global must be false
+    sort_line = next(ln for ln in zplan.splitlines() if "Sort [" in ln)
+    assert "], false, 0" in sort_line, sort_line
