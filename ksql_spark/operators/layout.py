@@ -32,7 +32,13 @@ _M31 = 2147483648
 
 
 def shard_expr(key_col: str, n_shards: int):
-    """Portable shard id: ((key mod 2^31) * Knuth) mod 2^32 mod n_shards."""
+    """Portable shard id: ((key mod 2^31) * Knuth) mod 2^32 mod n_shards.
+
+    Sign contract: % is sign-preserving in both Spark and DuckDB, so a
+    NEGATIVE key maps to a negative shard id (its own directory). Keys are
+    expected non-negative (all driver ids are); offset signed keys before
+    sharding. Kept sign-preserving so the written layout matches the
+    llm_shard_assign audit oracle bit-for-bit."""
     return (
         ((F.col(key_col) % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
         % F.lit(n_shards)
@@ -85,30 +91,35 @@ def write_zordered(
     repartitionByRange on the z-key gives each of the `n_files` output
     files a contiguous z-range; because a contiguous z-range fixes the
     high bits of BOTH dimensions, every file's footer min/max spans a
-    narrow slice of each dim — the property tests/test_plans.py asserts
+    narrow slice of each dim — the property tests/test_layout.py asserts
     by reading the written footers and counting how many files a
     single-dim predicate can skip. sortWithinPartitions keeps row groups
-    inside a file equally tight (page/row-group stats)."""
+    inside a file equally tight (page/row-group stats).
+
+    Internal column names (_zq/_zr/_z and the bounds fields) would
+    collide with same-named input columns; inputs are expected free of
+    the underscore-prefixed names below (the engine's internal-column
+    convention throughout)."""
     bounds = df.agg(
-        F.min(dim_x).cast("long").alias("x_min"),
-        (F.max(dim_x) - F.min(dim_x) + 1).cast("long").alias("x_span"),
-        F.min(dim_y).cast("long").alias("y_min"),
-        (F.max(dim_y) - F.min(dim_y) + 1).cast("long").alias("y_span"),
+        F.min(dim_x).cast("long").alias("_zx_min"),
+        (F.max(dim_x) - F.min(dim_x) + 1).cast("long").alias("_zx_span"),
+        F.min(dim_y).cast("long").alias("_zy_min"),
+        (F.max(dim_y) - F.min(dim_y) + 1).cast("long").alias("_zy_span"),
     )
     scale = 1 << bits
     q = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_zq",
         F.expr(
-            f"CAST(({dim_x} - x_min) * {scale}.0 / x_span AS BIGINT)"
+            f"CAST(({dim_x} - _zx_min) * {scale}.0 / _zx_span AS BIGINT)"
         ),
     ).withColumn(
         "_zr",
         F.expr(
-            f"CAST(({dim_y} - y_min) * {scale}.0 / y_span AS BIGINT)"
+            f"CAST(({dim_y} - _zy_min) * {scale}.0 / _zy_span AS BIGINT)"
         ),
     ).withColumn("_z", F.expr(_interleave("_zq", "_zr", bits)))
     (
-        q.drop("x_min", "x_span", "y_min", "y_span", "_zq", "_zr")
+        q.drop("_zx_min", "_zx_span", "_zy_min", "_zy_span", "_zq", "_zr")
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
