@@ -2372,12 +2372,17 @@ def llm_shard_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the write is one shuffle keyed on shard_id; the audit is a
     16-row aggregate over the readback scan (shard_id comes from directory
     names — partition pruning metadata, not data)."""
+    import hashlib
+    import os
     import tempfile
 
     from ksql_spark.operators.layout import write_sharded
 
     d = load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="ksql_shards_")
+    # stable per-input scratch dir: repeated sweeps overwrite in place
+    # instead of accumulating mkdtemp dirs (single-writer driver contract)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"ksql_shard_audit_{tag}")
     write_sharded(d, out, key_col="doc_id", n_shards=16)
     back = spark.read.parquet(out)
     return (

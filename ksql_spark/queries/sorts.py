@@ -258,6 +258,8 @@ def sort_zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the write is one range exchange on the z-key + a local
     sort (the exact plan Delta/Iceberg Z-ORDER runs); the audit is the F7
     aggregation over the readback."""
+    import hashlib
+    import os
     import tempfile
 
     from ksql_spark.operators.layout import write_zordered
@@ -265,7 +267,9 @@ def sort_zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").withColumn(
         "orderday", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
     )
-    out = tempfile.mkdtemp(prefix="ksql_zorder_")
+    # stable per-input scratch dir (see llm_shard_write_audit)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"ksql_zorder_audit_{tag}")
     write_zordered(o, out, "o_custkey", "orderday", n_files=16)
     back = spark.read.parquet(out).drop("orderday")
     mx = back.agg(
