@@ -137,3 +137,14 @@ def test_layout_writers_degenerate_inputs(spark, tmp_path):
     one = spark.createDataFrame([(1, 2, 3)], "id long, x long, y long")
     layout.write_zordered(one, str(tmp_path / "z1"), "x", "y", n_files=4)
     assert spark.read.parquet(str(tmp_path / "z1")).count() == 1
+
+    # NULL dimension values: rows keep their NULLs, nothing is dropped
+    # (NULL z-keys range-partition together; the write must not crash)
+    nulls = spark.createDataFrame(
+        [(1, None, 5), (2, 9, None), (3, 4, 4), (4, None, None)],
+        "id long, x long, y long",
+    )
+    layout.write_zordered(nulls, str(tmp_path / "z2"), "x", "y", n_files=2)
+    back2 = spark.read.parquet(str(tmp_path / "z2"))
+    assert back2.count() == 4
+    assert back2.where(F.col("x").isNull()).count() == 2
