@@ -504,7 +504,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The training sample is a deterministic Knuth-hash reservoir (smallest-
     hash SAMPLE_CAP vectors — _reservoir_sample): unlike the old limit(), it
     is a corpus-wide draw provably independent of partition/file order
-    (tests/test_llm.py::test_ivf_sample_order_invariant), so a skewed first
+    (tests/test_llm_quality.py::test_ivf_sample_order_invariant), so a skewed first
     file cannot bias the quantizer at 100 TB. The sample is coalesced to one
     vec_id-sorted partition before the seeded fit, making the centroids a
     pure function of the data. At 100 TB the only change is a larger fixed K
