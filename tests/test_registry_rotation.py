@@ -1,0 +1,60 @@
+"""Driver-window rotation invariants (the VERDICT r5/r6 ritual, as a test).
+
+The driver samples the FIRST 50 registry keys each round; ksql_spark.registry
+orders keys so never-driver-checked entries sort first. Two things can rot:
+a _RN_CHECKED transcription drifting from its CORRECTNESS_r0N.json, and a
+checked key leaking back into the front window. Both are asserted here.
+
+Deliberately only rounds the registry KNOWS (its _RN_CHECKED sets) are
+pinned: when a new CORRECTNESS file lands, this test stays green until the
+round ritual adds the matching frozenset — at which point the transcription
+is verified automatically.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from ksql_spark import registry
+from ksql_spark.registry import all_specs
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _known_rounds():
+    out = {}
+    for n in range(1, 50):
+        name = f"_R{n}_CHECKED"
+        if hasattr(registry, name):
+            out[n] = getattr(registry, name)
+    return out
+
+
+def test_checked_sets_transcribe_correctness_files():
+    for n, keys in _known_rounds().items():
+        path = REPO / f"CORRECTNESS_r{n:02d}.json"
+        if not path.exists():
+            continue
+        recorded = set(json.loads(path.read_text()))
+        # the frozenset must cover the file exactly: a missing key would
+        # wrongly re-prioritize it; an extra key would wrongly demote it.
+        assert keys >= recorded, (n, sorted(recorded - keys))
+        extra = keys - recorded
+        # keys checked in MULTIPLE rounds may appear in several sets; an
+        # extra key is only legal if some round's file really contains it
+        all_recorded = set()
+        for m in range(1, 50):
+            p = REPO / f"CORRECTNESS_r{m:02d}.json"
+            if p.exists():
+                all_recorded |= set(json.loads(p.read_text()))
+        assert extra <= all_recorded, (n, sorted(extra - all_recorded))
+
+
+def test_driver_window_holds_only_unchecked_keys():
+    checked = set()
+    for keys in _known_rounds().values():
+        checked |= keys
+    window = list(all_specs())[:50]
+    leaked = [k for k in window if k in checked]
+    assert not leaked, leaked
