@@ -248,3 +248,63 @@ def test_field_selector_whitelist_paths_accepted(spark):
 
     df = load_k8s(spark, "pods", field_selector="status.phase=Running")
     assert df.count() > 0
+
+
+def test_nodes_services_golden_file_oracle(spark):
+    """A2/A3 golden-file check (same technique as scan_k8s_pods' r7 oracle):
+    DuckDB parses the SAME committed fixture JSON independently and must
+    agree row-for-row with the k8s DataSource's projection — pinning the
+    source's schema mapping for nodes and services, not just pods."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ksql_spark.sources.fixtures import FIXTURE_DIR
+    from ksql_spark.sources.k8s import load_k8s
+
+    ensure_fixtures()
+
+    nodes = {
+        (r["uid"], r["name"], r["cpu"])
+        for r in load_k8s(spark, "nodes")
+        .select(
+            "uid",
+            F.col("metadata.name").alias("name"),
+            F.col("status.capacity.cpu").alias("cpu"),
+        )
+        .collect()
+    }
+    want_nodes = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT it.metadata.uid, it.metadata.name, it.status.capacity.cpu
+            FROM (SELECT unnest(items) AS it
+                  FROM read_json('{(FIXTURE_DIR / "nodes.json").as_posix()}'))
+            """
+        ).fetchall()
+    }
+    assert nodes == want_nodes and len(nodes) == 3
+
+    svcs = {
+        (r["uid"], r["name"], r["stype"], r["n_ports"])
+        for r in load_k8s(spark, "services")
+        .select(
+            "uid",
+            F.col("metadata.name").alias("name"),
+            F.col("spec.type").alias("stype"),
+            F.size("spec.ports").alias("n_ports"),
+        )
+        .collect()
+    }
+    want_svcs = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT it.metadata.uid, it.metadata.name, it.spec.type,
+                   CAST(len(it.spec.ports) AS INTEGER)
+            FROM (SELECT unnest(items) AS it
+                  FROM read_json('{(FIXTURE_DIR / "services.json").as_posix()}'))
+            """
+        ).fetchall()
+    }
+    assert svcs == want_svcs and len(svcs) == 5
