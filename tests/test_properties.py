@@ -474,3 +474,43 @@ def test_pin_reliable_checkpoint_mode(spark, tmp_path):
     # evidence the reliable path actually ran: checkpoint files on disk
     found = any(files for _, _, files in os.walk(ckdir))
     assert found, "no reliable checkpoint files written"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4095),
+            st.integers(min_value=0, max_value=4095),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_morton_interleave_bijective_and_monotone(spark_lazy, pairs):
+    """Z-order bit math law (layout.write_zordered + sort_zorder_locality):
+    the interleave is a bijection on 12-bit pairs (deinterleave recovers
+    both dims exactly), so a z-sorted layout can never collapse two
+    distinct (x, y) cells — the skipping guarantee's foundation."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators.layout import _interleave
+
+    df = _SPARK.createDataFrame(pairs, "x long, y long").withColumn(
+        "z", F.expr(_interleave("x", "y", 12))
+    )
+    rows = df.collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for k in range(12):
+            x |= ((z >> (2 * k)) & 1) << k
+            y |= ((z >> (2 * k + 1)) & 1) << k
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["x"], r["y"])
+    # distinct pairs -> distinct z (bijectivity on the quantized grid)
+    assert len({r["z"] for r in rows}) == len(rows)
