@@ -514,3 +514,38 @@ def test_morton_interleave_bijective_and_monotone(spark_lazy, pairs):
         assert deinterleave(r["z"]) == (r["x"], r["y"])
     # distinct pairs -> distinct z (bijectivity on the quantized grid)
     assert len({r["z"] for r in rows}) == len(rows)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-9e5, max_value=9e5,
+            allow_nan=False, allow_infinity=False, width=64,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dsum_cross_engine_bitwise(spark_lazy, xs):
+    """The determinism helper's core claim, property-tested: Spark's dsum
+    (scaled-long trunc-half-up accumulation) equals DuckDB's sql_dsum
+    spelling BITWISE on arbitrary doubles — including negatives, where the
+    trunc-toward-zero/round-half-up interplay is the cross-engine hazard."""
+    import duckdb
+
+    from ksql_spark.registry import dsum, sql_dsum
+
+    df = _SPARK.createDataFrame([(x,) for x in xs], "v double")
+    got = df.agg(dsum("v").alias("s")).collect()[0]["s"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    want = con.execute(f"SELECT {sql_dsum('v')} FROM t").fetchone()[0]
+    con.close()
+
+    import struct
+
+    assert struct.pack("<d", got) == struct.pack("<d", want), (got, want, xs)
