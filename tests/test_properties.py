@@ -549,3 +549,39 @@ def test_dsum_cross_engine_bitwise(spark_lazy, xs):
     import struct
 
     assert struct.pack("<d", got) == struct.pack("<d", want), (got, want, xs)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_knuth_draw_cross_engine_exact(spark_lazy, ids):
+    """The deterministic-sampling family's shared primitive, property-tested
+    on arbitrary BIGINTs (negative, zero, huge): the mod-2^31-guarded Knuth
+    draw ((id % 2^31) * 2654435761) % 2^32 is integer-exact and identical in
+    Spark and DuckDB — the law behind llm_sample_weighted/stratified,
+    llm_shard_assign, write_sharded, and the IVF/PQ reservoirs."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = _SPARK.createDataFrame([(i,) for i in ids], "id long")
+    h = ((F.col("id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
+    got = {r["id"]: r["h"] for r in df.select("id", h.alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    want = dict(
+        con.execute(
+            "SELECT id, ((id % 2147483648) * 2654435761) % 4294967296 FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
