@@ -585,3 +585,49 @@ def test_knuth_draw_cross_engine_exact(spark_lazy, ids):
     )
     con.close()
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0x10FFF,
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_portable_md5_word_hash_cross_engine(spark_lazy, words):
+    """The portable dedup family's per-word hash (first 8 md5 hex chars as a
+    32-bit int — minhash/simhash portable paths), property-tested on
+    arbitrary unicode incl. empty strings: Spark's
+    conv(substring(md5(cast(w AS BINARY)),1,8),16,10) must equal DuckDB's
+    ('0x' || substring(md5(w),1,8))::BIGINT — i.e. both engines hash the
+    identical UTF-8 bytes."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = _SPARK.createDataFrame([(w,) for w in words], "w string")
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    got = {r["w"]: r["h"] for r in df.select("w", h.alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
+    want = dict(
+        con.execute(
+            "SELECT w, ('0x' || substring(md5(w), 1, 8))::BIGINT FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
