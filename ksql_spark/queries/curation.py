@@ -308,7 +308,8 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_SQL = """
 sqrt(list_reduce(
-    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
     (acc, p) -> acc + p))
 """
 

@@ -385,8 +385,9 @@ def fn_struct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(embedding[1:3][2] AS DOUBLE) AS first3_2,
            CAST(embedding[1:3][3] AS DOUBLE) AS first3_3,
            list_reduce(
-               list_transform(embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                (a, b) -> a + b) AS l2_sq
     FROM embeddings
     """,

@@ -15,17 +15,23 @@ from ksql_spark.operators import dedup, multimodal, text, vectors
 from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
 from ksql_spark.tables import load
 
-# DuckDB spelling of the same left-fold vector math used by operators.vectors
-# (list_reduce starts at the first element; 0.0 + x == x in IEEE, so folds agree).
+# DuckDB spelling of the same left-fold vector math used by operators.vectors.
+# The 0.0 seed is PREPENDED into the reduced list so the fold is exactly
+# Spark's aggregate(init=0.0, acc+p): bare list_reduce starts at the first
+# element, which (a) ERRORS on an empty vector where Spark returns 0.0, and
+# (b) returns -0.0 where Spark's 0.0 + (-0.0) normalizes to +0.0 — both
+# found by tests/test_properties.py::test_vector_dot_cross_engine_bitwise.
 _DOT = """
 list_reduce(
-    list_transform(range(1, len({a}) + 1),
-                   i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len({a}) + 1),
+                       i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
     (acc, p) -> acc + p)
 """
 _NORM = """
 sqrt(list_reduce(
-    list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
     (acc, p) -> acc + p))
 """
 
@@ -1394,9 +1400,10 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L2SQ = """
 list_reduce(
-    list_transform(range(1, len({a}) + 1),
-        i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
-           * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len({a}) + 1),
+            i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+               * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),
     (acc, p) -> acc + p)
 """
 

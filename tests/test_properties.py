@@ -631,3 +631,50 @@ def test_portable_md5_word_hash_cross_engine(spark_lazy, words):
     )
     con.close()
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=0,
+        max_size=16,
+    ),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_vector_dot_cross_engine_bitwise(spark_lazy, vals):
+    """operators.vectors.dot / l2_norm vs the DuckDB _DOT/_NORM oracle
+    spellings, bitwise, on arbitrary float vectors INCLUDING empty vectors
+    and signed zeros — the hazards that motivated seeding the DuckDB fold
+    (bare list_reduce errors on [] and yields -0.0 where Spark's
+    0.0-seeded aggregate yields +0.0)."""
+    import struct
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators import vectors
+    from ksql_spark.queries.llm import _dot_sql, _norm_sql
+
+    a = vals
+    b = [(-1.0) ** i * v for i, v in enumerate(vals)]  # sign-mixed partner
+    df = _SPARK.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        vectors.dot("a", "b").alias("d"), vectors.l2_norm("a").alias("n")
+    ).collect()[0]
+
+    con = duckdb.connect()
+    want_d, want_n = con.execute(
+        f"SELECT {_dot_sql('a', 'b')}, {_norm_sql('a')} "
+        "FROM (SELECT ?::DOUBLE[] a, ?::DOUBLE[] b)",
+        [a, b],
+    ).fetchone()
+    con.close()
+
+    bits = lambda v: struct.pack("<d", v)
+    assert bits(row["d"]) == bits(want_d), (row["d"], want_d, a, b)
+    assert bits(row["n"]) == bits(want_n), (row["n"], want_n, a)
