@@ -678,3 +678,48 @@ def test_vector_dot_cross_engine_bitwise(spark_lazy, vals):
     bits = lambda v: struct.pack("<d", v)
     assert bits(row["d"]) == bits(want_d), (row["d"], want_d, a, b)
     assert bits(row["n"]) == bits(want_n), (row["n"], want_n, a)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Zs", "Cc"),  # no spaces/controls
+                max_codepoint=0x2FFF,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tokenizer_matches_oracle_on_contract_domain(spark_lazy, tokens):
+    """operators.text.words vs the oracles' string_split(text, ' ') — the
+    documented equivalence domain is single-space-separated non-empty
+    tokens (the driver corpus shape); pinned here over arbitrary unicode
+    tokens. Outside the domain (whitespace runs) words() is the STRONGER
+    contract: it must still produce no empty tokens."""
+    import duckdb
+
+    from ksql_spark.operators.text import words
+
+    text = " ".join(tokens)
+    df = _SPARK.createDataFrame([(text,)], "t string")
+    got = df.select(words("t").alias("w")).collect()[0]["w"]
+
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT string_split(?, ' ')", [text]
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (got, want, text)
+
+    messy = "  ".join(tokens) + " \t\n " + tokens[0]
+    messy_tokens = _SPARK.createDataFrame([(messy,)], "t string").select(
+        words("t").alias("w")
+    ).collect()[0]["w"]
+    assert "" not in messy_tokens
+    assert messy_tokens == tokens + [tokens[0]]
