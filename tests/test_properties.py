@@ -723,3 +723,28 @@ def test_tokenizer_matches_oracle_on_contract_domain(spark_lazy, tokens):
     ).collect()[0]["w"]
     assert "" not in messy_tokens
     assert messy_tokens == tokens + [tokens[0]]
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x10FFF),
+        min_size=0,
+        max_size=64,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sha256_digest_cross_engine(spark_lazy, text):
+    """llm_dedup_exact's digest law on arbitrary unicode: Spark sha2(w, 256)
+    equals DuckDB sha256(w) — both hash the identical UTF-8 encoding, so
+    the exact-dedup shuffle key is engine-portable byte-for-byte."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = _SPARK.createDataFrame([(text,)], "t string")
+    got = df.select(F.sha2(F.col("t"), 256).alias("h")).collect()[0]["h"]
+    con = duckdb.connect()
+    want = con.execute("SELECT sha256(?)", [text]).fetchone()[0]
+    con.close()
+    assert got == want, (text, got, want)
