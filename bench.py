@@ -149,11 +149,24 @@ def main() -> None:
                 samples[n].append(time.perf_counter() - t0)
         return {n: statistics.median(ts) for n, ts in samples.items()}
 
+    # Adaptive extension: contention epochs decay over minutes (measured
+    # block-total sequences like 1.51 → 1.44 → 1.34 s), so after the BLOCKS
+    # mandatory blocks keep adding blocks while the newest block still
+    # improves the best total by >2% — i.e. the measurement is still riding
+    # a decaying epoch — within a hard wall budget.
+    max_wall = float(os.environ.get("KSQL_BENCH_MAX_SEC", "300"))
+    t_start = time.time()
     block_medians: list[dict[str, float]] = []
-    for b in range(BLOCKS):
-        if b:
+    while True:
+        if block_medians:
             time.sleep(BLOCK_GAP_SEC)  # land blocks in different epochs
         block_medians.append(one_block())
+        if len(block_medians) < BLOCKS:
+            continue
+        totals = [sum(bm.values()) for bm in block_medians]
+        still_improving = totals[-1] < 0.98 * min(totals[:-1])
+        if not still_improving or time.time() - t_start > max_wall:
+            break
     per_query = {
         n: round(min(bm[n] for bm in block_medians), 4) for n in names
     }
