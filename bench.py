@@ -164,7 +164,7 @@ def main() -> None:
         if len(block_medians) < BLOCKS:
             continue
         totals = [sum(bm.values()) for bm in block_medians]
-        still_improving = totals[-1] < 0.98 * min(totals[:-1])
+        still_improving = len(totals) > 1 and totals[-1] < 0.98 * min(totals[:-1])
         if not still_improving or time.time() - t_start > max_wall:
             break
     per_query = {
