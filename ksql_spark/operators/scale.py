@@ -68,24 +68,46 @@ def ranged_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # coalesce: a range partition whose values are all NULL sums to NULL,
-    # which would TypeError the driver prefix-sum below (SUM skips NULLs, so
-    # 0 is the correct additive identity for the offsets)
+    # Stitch BOTH the prior sum and the prior non-null COUNT: SQL's running
+    # SUM is NULL only while the whole prefix is NULL, so a partition whose
+    # local prefix is all-NULL must produce the prior-partition offset (not
+    # NULL+offset=NULL), and the globally-first rows before any value must
+    # stay NULL (not 0). Caught by the NULL-heavy property test.
     totals = {
-        r["_pid"]: r["t"]
+        r["_pid"]: (r["t"], r["c"])
         for r in parts.groupBy("_pid")
-        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("t"))
+        .agg(
+            F.coalesce(F.sum(value_col), F.lit(0)).alias("t"),
+            F.count(value_col).alias("c"),
+        )
         .collect()
     }
-    running, offset_rows = 0, []
+    sum_type = (
+        "double"
+        if df.schema[value_col].dataType.simpleString() in ("float", "double")
+        else "long"
+    )
+    running, pcnt, offset_rows = 0, 0, []
     for pid in sorted(totals):  # range partitions are globally ordered by pid
-        offset_rows.append((pid, running))
-        running += totals[pid]
-    offsets = spark.createDataFrame(offset_rows, "_pid int, _start long")
+        offset_rows.append((pid, running, pcnt))
+        t, c = totals[pid]
+        running += t
+        pcnt += c
+    offsets = spark.createDataFrame(
+        offset_rows, f"_pid int, _start {sum_type}, _pcnt long"
+    )
+    local_sum = F.sum(value_col).over(w_local)
+    local_cnt = F.count(value_col).over(w_local)
     return (
         parts.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_start") + F.sum(value_col).over(w_local))
-        .drop("_pid", "_start")
+        .withColumn(
+            out_col,
+            F.when(
+                local_cnt + F.col("_pcnt") > 0,
+                F.coalesce(local_sum, F.lit(0)) + F.col("_start"),
+            ),
+        )
+        .drop("_pid", "_start", "_pcnt")
     )
 
 

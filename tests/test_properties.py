@@ -748,3 +748,56 @@ def test_sha256_digest_cross_engine(spark_lazy, text):
     want = con.execute("SELECT sha256(?)", [text]).fetchone()[0]
     con.close()
     assert got == want, (text, got, want)
+
+
+@given(st.integers(min_value=2, max_value=5), st.integers(min_value=0, max_value=6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ranged_cumsum_cummax_null_heavy(spark_lazy, n_parts, null_mod):
+    """ranged_cumsum / ranged_cummax_excl vs literal global windows on
+    NULL-heavy data (every null_mod-th value NULL; null_mod=0 → no NULLs),
+    across partition widths — the same boundary-stitch law family that
+    caught the ranged_lag NULL bug (ADVICE r6)."""
+    from pyspark.sql import Window, functions as F
+
+    from ksql_spark.operators.scale import ranged_cummax_excl, ranged_cumsum
+
+    df = _SPARK.range(0, 600).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.lit(null_mod) == 0, (F.col("id") * 7) % 101
+        ).otherwise(
+            F.when(F.col("id") % null_mod != 0, (F.col("id") * 7) % 101)
+        ).alias("v"),
+    )
+    got_cs = {
+        r["k"]: r["cs"]
+        for r in ranged_cumsum(df, ["k"], "v", out_col="cs", n_parts=n_parts)
+        .collect()
+    }
+    want_cs = {
+        r["k"]: r["cs"]
+        for r in df.select(
+            "k",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cs"),
+        ).collect()
+    }
+    assert got_cs == want_cs
+
+    got_cm = {
+        r["k"]: r["cm"]
+        for r in ranged_cummax_excl(df, ["k"], "v", out_col="cm", n_parts=n_parts)
+        .collect()
+    }
+    want_cm = {
+        r["k"]: r["cm"]
+        for r in df.select(
+            "k",
+            F.max("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+            ).alias("cm"),
+        ).collect()
+    }
+    assert got_cm == want_cm
