@@ -190,40 +190,41 @@ _R6_CHECKED = frozenset({
 })
 
 
-#: 85 keys have never been driver-sampled after r6 (the r6b/r6c/r6d waves
-#: landed after the driver snapshot), but the window is 50 — so ~35 will
-#: wait one more round. Front-of-line tier: the keys whose oracles pin the
-#: gnarliest cross-engine hazards (VERDICT r6 "what's wrong" #1 named
-#: Benford digit law, bigram entropy rate, bot scoring, datetime format
-#: round-trips) plus the approximate/portable and numeric-heavy families
-#: where a Spark<->DuckDB divergence is most plausible.
-_R7_FRONT = frozenset({
-    "events_benford_digit_check", "llm_bigram_entropy_rate",
-    "events_bot_score", "fn_datetime_format", "events_stl_daily_decompose",
-    "events_holt_winters", "events_changepoint_binseg",
-    "llm_perplexity_holdout", "llm_quality_length_ols", "llm_silhouette",
-    "llm_emb_anisotropy", "ann_pq_topk_portable", "llm_tfidf_cosine_pairs",
-    "graph_katz_centrality", "graph_label_propagation",
-    "join_fuzzy_blocked", "er_resolve_parts", "join_pit_state",
-    "sort_zorder_locality", "events_slo_burn_rate",
+#: Round-7 ritual transcription (CORRECTNESS_r07.json, 50/50 green): the
+#: driver window was exactly the hazard-prioritized front of the r6 backlog
+#: (the former _R7_FRONT tier plus the numerically-gnarly r6d additions).
+#: Demoting them to group 7 puts the 37 never-driver-sampled keys — the r6c
+#: event-analytics wave, graph L8–L15, the write-side audits, asof-tolerance,
+#: skyline etc. — at the front of the r8 window, clearing the backlog.
+_R7_CHECKED = frozenset({
+    "ann_pq_topk_portable", "er_resolve_parts", "events_benford_digit_check",
+    "events_bot_score", "events_changepoint_binseg", "events_holt_winters",
+    "events_slo_burn_rate", "events_stl_daily_decompose", "fn_bit_functions",
+    "fn_datetime_format", "graph_katz_centrality", "graph_label_propagation",
+    "join_fuzzy_blocked", "join_pit_state", "llm_audio_segment_features",
+    "llm_bigram_entropy_rate", "llm_blocklist_filter",
+    "llm_char_trigram_lang_id", "llm_cluster_label_nmi",
+    "llm_cluster_medoids", "llm_context_window_plan", "llm_dedup_savings",
+    "llm_emb_anisotropy", "llm_emb_centroid_drift", "llm_emb_gram",
+    "llm_emb_quantization_error", "llm_export_sft_records", "llm_lang_kappa",
+    "llm_lexical_diversity", "llm_multimodal_ahash", "llm_multimodal_dhash",
+    "llm_multimodal_motion", "llm_ngram_containment",
+    "llm_perplexity_holdout", "llm_quality_length_ols",
+    "llm_quality_pr_curve", "llm_quality_reliability_bins",
+    "llm_quality_roc_auc", "llm_quality_wilson_interval",
+    "llm_retriever_agreement", "llm_score_drift_psi", "llm_silhouette",
+    "llm_source_diversity", "llm_source_kl", "llm_source_shingle_overlap",
+    "llm_tfidf_cosine_pairs", "llm_vocab_coverage_cutoff",
+    "llm_vocab_growth", "llm_zipf_slope", "sort_zorder_locality",
 })
-
-
-#: Entries ADDED in round 7 (the two VERDICT-requested write-side audits).
-#: They sort behind the 85-key never-sampled backlog so the r7 window is
-#: drawn entirely from the backlog (VERDICT r6 item 1's "done" criterion);
-#: they enter the window in r8 with the backlog remainder.
-_R7_NEW = frozenset({"llm_shard_write_audit", "sort_zorder_write_audit"})
 
 
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R6_CHECKED:
+    if spec.name in _R7_CHECKED:
+        group = 7
+    elif spec.name in _R6_CHECKED:
         group = 6
-    elif spec.name in _R7_FRONT:
-        group = -1
-    elif spec.name in _R7_NEW:
-        group = 0.5
     elif spec.name in _R5_CHECKED:
         group = 5
     elif spec.name in _R4_CHECKED:

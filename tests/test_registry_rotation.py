@@ -51,10 +51,30 @@ def test_checked_sets_transcribe_correctness_files():
         assert extra <= all_recorded, (n, sorted(extra - all_recorded))
 
 
-def test_driver_window_holds_only_unchecked_keys():
+def test_driver_window_fronts_all_unchecked_keys():
+    """Every never-driver-checked key must sit inside the 50-key window.
+
+    While the backlog exceeds the window, the whole window must be
+    unchecked keys. Once the backlog fits (r8+: 37 keys), the remaining
+    slots legitimately refill with the OLDEST-round re-verification keys
+    (VERDICT r7 item 1) — so assert containment, not exclusivity, plus
+    that any refill keys come from the oldest checked round present.
+    """
+    rounds = _known_rounds()
     checked = set()
-    for keys in _known_rounds().values():
+    for keys in rounds.values():
         checked |= keys
-    window = list(all_specs())[:50]
-    leaked = [k for k in window if k in checked]
-    assert not leaked, leaked
+    order = list(all_specs())
+    unchecked = [k for k in order if k not in checked]
+    window = order[:50]
+    missing = [k for k in unchecked if k not in window] if len(unchecked) <= 50 else []
+    assert not missing, missing
+    if len(unchecked) > 50:
+        leaked = [k for k in window if k in checked]
+        assert not leaked, leaked
+    else:
+        # refill slots must re-verify the stalest evidence first
+        oldest = min(rounds)
+        refill = [k for k in window if k in checked]
+        wrong_round = [k for k in refill if k not in rounds[oldest]]
+        assert not wrong_round, (oldest, wrong_round)
