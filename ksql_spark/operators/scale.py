@@ -35,7 +35,7 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     `localCheckpoint()`. All `ranged_*` primitives and the graph iteration
     loops pin through this one seam."""
     spark = df.sparkSession
-    if spark.conf.get(RELIABLE_PIN_CONF, "false") == "true":
+    if spark.conf.get(RELIABLE_PIN_CONF, "false").lower() == "true":
         sc = spark.sparkContext
         if sc._jsc.sc().getCheckpointDir().isDefined():
             return df.checkpoint(eager=eager)
@@ -87,7 +87,9 @@ def ranged_cumsum(
         if df.schema[value_col].dataType.simpleString() in ("float", "double")
         else "long"
     )
-    running, pcnt, offset_rows = 0, 0, []
+    # running must be a Python float when the offsets column is DOUBLE:
+    # createDataFrame's verifier rejects int 0 for a DoubleType field.
+    running, pcnt, offset_rows = (0.0 if sum_type == "double" else 0), 0, []
     for pid in sorted(totals):  # range partitions are globally ordered by pid
         offset_rows.append((pid, running, pcnt))
         t, c = totals[pid]
@@ -153,7 +155,10 @@ def ranged_cummax_excl(
         t = totals[pid]
         if t is not None and (best is None or t > best):
             best = t
-    offsets = spark.createDataFrame(offset_rows, "_pid int, _prior long")
+    # offsets carry the value column's own type (a hardcoded LONG would make
+    # createDataFrame reject float maxima and truncate decimal ones).
+    vtype = df.schema[value_col].dataType.simpleString()
+    offsets = spark.createDataFrame(offset_rows, f"_pid int, _prior {vtype}")
     local = F.max(value_col).over(w_excl)
     return (
         parts.join(F.broadcast(offsets), "_pid")

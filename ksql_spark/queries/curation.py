@@ -276,7 +276,7 @@ def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, quality,
-           (((doc_id * 2654435761) % 4294967296) / 4294967296.0) < quality
+           ((((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0) < quality
                AS selected
     FROM scored
     """,
@@ -288,16 +288,17 @@ def llm_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus sampling: each document is kept with probability equal
     to its quality score, decided by a deterministic per-key uniform draw
-    u = (doc_id * 2654435761 mod 2^32) / 2^32 (Knuth's multiplicative hash
-    — exact BIGINT math, so Spark and the oracle agree bitwise; a seed would
-    be an added XOR on doc_id).
+    u = ((doc_id mod 2^31) * 2654435761 mod 2^32) / 2^32 (Knuth's
+    multiplicative hash — exact BIGINT math kept below 2^62 by reducing the
+    id first, so Spark's ANSI int64 never overflows and both engines agree
+    bitwise; a seed would be an added XOR on doc_id).
 
     Scale shape: pure narrow scan — no shuffle, no window, no join; the
     decision is a per-row expression. The standard way to thin 100 TB to a
     quality-weighted subset in one pass."""
     d = load(spark, sf_dir, "documents")
     u = (
-        (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+        (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     ).cast("double") / F.lit(4294967296.0)
     return d.select(
         "doc_id",
@@ -337,7 +338,7 @@ sqrt(list_reduce(
     SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens, d.quality,
            {_NORM_SQL} AS emb_norm
     FROM deduped d JOIN embeddings e ON d.doc_id = e.vec_id
-    WHERE (((d.doc_id * 2654435761) % 4294967296) / 4294967296.0) < d.quality
+    WHERE ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0) < d.quality
     """,
     ref="SURVEY §2 K1/K4/K6/K10 [EXT] composite (the flagship shard-build "
     "pipeline: quality gate -> exact dedup -> embedding join -> weighted "
@@ -379,7 +380,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators import vectors
 
     u = (
-        (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+        (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     ).cast("double") / F.lit(4294967296.0)
     return (
         deduped.join(e, F.col("doc_id") == F.col("vec_id"))
@@ -398,7 +399,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id
     FROM documents
-    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+    ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
     LIMIT 100
     """,
     ref="SURVEY §2 K10/F5 [EXT] (fixed-size uniform sample: the K smallest "
@@ -414,7 +415,7 @@ def llm_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the corpus; this is how you cut a fixed-size eval set from
     100 TB in one pass."""
     d = load(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     return d.select("doc_id").orderBy(u, "doc_id").limit(100)
 
 
@@ -425,7 +426,7 @@ def llm_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
                ) AS rn
         FROM documents
     ) WHERE rn <= 20
@@ -444,7 +445,7 @@ def llm_sample_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id"))
     return (
         d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
@@ -1154,7 +1155,7 @@ def _ivf_portable_oracle() -> str:
     return f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding FROM embeddings
-        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
         LIMIT {_IVF_K}
     ),
     assigned AS (
@@ -1217,7 +1218,7 @@ def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ksql_spark.operators import vectors
 
-    u = (F.col("vec_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = (F.pmod(F.col("vec_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     cents = (
         e.orderBy(u, "vec_id")
         .limit(_IVF_K)
@@ -1581,7 +1582,7 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT doc_id, source,
-               ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+               (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket
         FROM documents
     )
     SELECT source,
@@ -1610,7 +1611,7 @@ def llm_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit agg shuffles only (source, split) group rows. The split
     column itself costs nothing at 100 TB."""
     d = load(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    bucket = ((F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -1632,7 +1633,7 @@ def llm_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
                ) - 1 AS rk,
                DENSE_RANK() OVER (ORDER BY source) - 1 AS src_idx,
                (SELECT COUNT(DISTINCT source) FROM documents) AS n_src
@@ -1662,7 +1663,7 @@ def llm_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a |domains|-row broadcast. The global order is COMPUTED, not
     sorted — no global exchange anywhere."""
     d = load(spark, sf_dir, "documents")
-    hash_col = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    hash_col = (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     w = SparkWindow.partitionBy("source").orderBy(hash_col.asc(), F.col("doc_id"))
     srcs = (
         d.select("source")
@@ -1882,7 +1883,7 @@ def _pq_portable_oracle() -> str:
     return f"""
     WITH cents AS (
         SELECT vec_id AS code_id, embedding FROM embeddings
-        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
         LIMIT {_PQ_KP}
     ), csubs AS (
         SELECT r.m, code_id,
@@ -1952,7 +1953,7 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators import vectors
 
     e = load(spark, sf_dir, "embeddings")
-    u = (F.col("vec_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = (F.pmod(F.col("vec_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     cents = (
         e.orderBy(u, "vec_id")
         .limit(_PQ_KP)

@@ -801,3 +801,59 @@ def test_ranged_cumsum_cummax_null_heavy(spark_lazy, n_parts, null_mod):
         ).collect()
     }
     assert got_cm == want_cm
+
+
+@given(st.integers(min_value=2, max_value=5), st.integers(min_value=0, max_value=6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ranged_cumsum_cummax_double_typed(spark_lazy, n_parts, null_mod):
+    """Same boundary-stitch laws on a DOUBLE value column (ADVICE r7 medium:
+    the double offsets path crashed at createDataFrame because the running
+    offset started as Python int 0, and cummax's offset schema hardcoded
+    LONG). Values are dyadic rationals (multiples of 0.25, magnitude < 26)
+    so every partial sum is exactly representable in binary64 — the
+    exact-equality law stays valid regardless of summation order."""
+    from pyspark.sql import Window, functions as F
+
+    from ksql_spark.operators.scale import ranged_cummax_excl, ranged_cumsum
+
+    df = _SPARK.range(0, 600).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.lit(null_mod) == 0, ((F.col("id") * 7) % 101) / F.lit(4.0)
+        ).otherwise(
+            F.when(F.col("id") % null_mod != 0, ((F.col("id") * 7) % 101) / F.lit(4.0))
+        ).alias("v"),
+    )
+    assert df.schema["v"].dataType.simpleString() == "double"
+    got_cs = {
+        r["k"]: r["cs"]
+        for r in ranged_cumsum(df, ["k"], "v", out_col="cs", n_parts=n_parts)
+        .collect()
+    }
+    want_cs = {
+        r["k"]: r["cs"]
+        for r in df.select(
+            "k",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cs"),
+        ).collect()
+    }
+    assert got_cs == want_cs
+
+    got_cm = {
+        r["k"]: r["cm"]
+        for r in ranged_cummax_excl(df, ["k"], "v", out_col="cm", n_parts=n_parts)
+        .collect()
+    }
+    want_cm = {
+        r["k"]: r["cm"]
+        for r in df.select(
+            "k",
+            F.max("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+            ).alias("cm"),
+        ).collect()
+    }
+    assert got_cm == want_cm
