@@ -315,8 +315,17 @@ def snapshot_refresh(spark: SparkSession, interval: str = "10 seconds",
 
 
 def make_upsert_batch_fn(table: str, on: list[str], assignments: dict[str, str],
-                         ledger_dir: str | None, outer: SparkSession | None = None):
+                         ledger_dir: str | None, outer: SparkSession | None = None,
+                         precedence: list[str] | None = None):
     """Build the foreachBatch(batch_df, batch_id) callable for upsert_stream.
+
+    `precedence`: columns that decide which row wins an intra-batch key
+    collision (e.g. ["event_ts"] — latest event wins), compared in list
+    order, ties broken by the full payload struct so the winner stays
+    value-deterministic. Default (None) keeps the struct-max-over-payload
+    rule, which makes the FIRST payload column the de-facto precedence key —
+    callers whose first payload column is not the intended ordering should
+    pass `precedence` explicitly (ADVICE r7).
 
     Module-level (not a closure inside upsert_stream) so the replay guard is
     unit-testable without driving a StreamingQuery.
@@ -349,8 +358,16 @@ def make_upsert_batch_fn(table: str, on: list[str], assignments: dict[str, str],
         # keeping an arbitrary partition-order winner (ADVICE r6 class).
         payload = [c for c in batch_df.columns if c not in on]
         if payload:
+            # ordering struct: caller-declared precedence columns first
+            # (domain order, e.g. an event timestamp), full payload struct
+            # last (value-deterministic tiebreak). With no precedence the
+            # ordering IS the payload struct — the original rule.
+            order_cols = list(precedence or []) + payload
             packed = batch_df.groupBy(*on).agg(
-                F.max(F.struct(*[F.col(c) for c in payload])).alias("_r")
+                F.max_by(
+                    F.struct(*[F.col(c) for c in payload]),
+                    F.struct(*[F.col(c) for c in order_cols]),
+                ).alias("_r")
             )
             deduped = packed.select(
                 *[
@@ -384,7 +401,8 @@ def make_upsert_batch_fn(table: str, on: list[str], assignments: dict[str, str],
 
 
 def upsert_stream(stream: DataFrame, table: str, on: list[str],
-                  assignments: dict[str, str], checkpoint: str):
+                  assignments: dict[str, str], checkpoint: str,
+                  precedence: list[str] | None = None):
     """I-family [EXT]: streaming upsert — each micro-batch MERGEs into a
     catalog table via dml.merge_into (the CDC apply pattern: the latest state
     per key lands in a queryable table).
@@ -405,6 +423,7 @@ def upsert_stream(stream: DataFrame, table: str, on: list[str],
     apply_batch = make_upsert_batch_fn(
         table, on, assignments,
         ledger_dir=f"{checkpoint}/_applied_batches", outer=outer,
+        precedence=precedence,
     )
 
     return (

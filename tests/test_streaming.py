@@ -1184,3 +1184,28 @@ def test_upsert_batch_key_collision_deterministic(spark, tmp_path):
         got = {r["k"]: (r["v"], r["n"]) for r in spark.table("t_upsert_tie").collect()}
         assert got == {1: ("beta", 7), 2: ("x", 1)}, (attempt, got)
     spark.sql("DROP TABLE IF EXISTS t_upsert_tie")
+
+
+def test_upsert_batch_explicit_precedence_column(spark, tmp_path):
+    """ADVICE r7: `precedence` lets the caller pick the collision winner by a
+    domain column (latest event_ts wins) instead of the incidental first
+    payload column. The winning row here ("alpha", ts=9) LOSES under the
+    default struct-max rule (beta > alpha lexicographically) — proving the
+    precedence path is actually consulted — and the result is row-order
+    independent."""
+    schema = "k long, v string, ts long"
+    rows = [(1, "alpha", 9), (1, "beta", 7), (2, "x", 1)]
+    for attempt, data in enumerate([rows, list(reversed(rows))]):
+        spark.sql("DROP TABLE IF EXISTS t_upsert_prec")
+        spark.sql(
+            "CREATE TABLE t_upsert_prec (k BIGINT, v STRING, ts BIGINT) "
+            f"USING PARQUET LOCATION '{tmp_path}/t_upsert_prec_{attempt}'"
+        )
+        fn = jobs.make_upsert_batch_fn(
+            "t_upsert_prec", ["k"], {"v": "src.v", "ts": "src.ts"},
+            ledger_dir=None, precedence=["ts"],
+        )
+        fn(spark.createDataFrame(data, schema).repartition(3), attempt)
+        got = {r["k"]: (r["v"], r["ts"]) for r in spark.table("t_upsert_prec").collect()}
+        assert got == {1: ("alpha", 9), 2: ("x", 1)}, (attempt, got)
+    spark.sql("DROP TABLE IF EXISTS t_upsert_prec")
