@@ -167,8 +167,20 @@ def main() -> None:
         still_improving = len(totals) > 1 and totals[-1] < 0.98 * min(totals[:-1])
         if not still_improving or time.time() - t_start > max_wall:
             break
+    # Two estimators, both published (ADVICE r7: a min-of-block-medians is
+    # downward-biased vs a plain median — comparisons must be same-estimator):
+    #  * queries / value: per-query MIN of block-medians (best observed
+    #    steady state; headline, compared against BASELINE.md §4's DuckDB
+    #    numbers measured under the SAME estimator by
+    #    tools/bench_duckdb_baseline.py);
+    #  * queries_median_of_blocks / total_median_of_blocks: per-query MEDIAN
+    #    across block-medians (central tendency incl. contended epochs).
     per_query = {
         n: round(min(bm[n] for bm in block_medians), 4) for n in names
+    }
+    per_query_med = {
+        n: round(statistics.median([bm[n] for bm in block_medians]), 4)
+        for n in names
     }
     block_totals = [round(sum(bm.values()), 4) for bm in block_medians]
 
@@ -180,6 +192,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "estimator": "min_of_block_medians",
+                "queries_median_of_blocks": per_query_med,
+                "total_median_of_blocks": round(sum(per_query_med.values()), 4),
                 "sf": sf,
                 "load_1m_start": round(load_start, 2),
                 "load_1m_end": round(os.getloadavg()[0], 2),
