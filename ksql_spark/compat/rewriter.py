@@ -669,3 +669,103 @@ def compat_qualify(sql: str) -> str:
         f"SELECT * EXCEPT (__qualify) FROM ({inner2}\n) __q WHERE __qualify"
     )
     return out + (f"\n{tail}" if tail else "")
+
+
+_COPY_OPTS_RE = re.compile(
+    r"""^\s*(?:
+        SHARD\s+BY\s+(?P<skey>[A-Za-z_][A-Za-z0-9_]*)
+            (?:\s*,\s*SHARDS\s+(?P<nshards>\d+))?
+      | ZORDER\s+BY\s+(?P<zx>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*
+            (?P<zy>[A-Za-z_][A-Za-z0-9_]*)
+            (?:\s*,\s*FILES\s+(?P<nfiles>\d+))?
+            (?:\s*,\s*BITS\s+(?P<bits>\d+))?
+    )\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def parse_copy_to(sql: str) -> tuple[str, str, dict] | None:
+    """`COPY <table|(query)> TO '<path>' (SHARD BY k [, SHARDS n] |
+    ZORDER BY x, y [, FILES n] [, BITS n])` — the REPL surface for the
+    operators/layout.py training-data writers (VERDICT r7 item 5).
+
+    Returns (source_sql, path, spec) where spec is
+    {"mode": "shard", "key": k, "n_shards": n} or
+    {"mode": "zorder", "dim_x": x, "dim_y": y, "n_files": n, "bits": b};
+    None when the statement is not a COPY (caller falls through to SQL).
+    A malformed COPY raises ValueError (loud, instead of handing Spark a
+    statement it will misreport). Same comment guard as split_into_file: a
+    statement containing any SQL comment is not treated as COPY, so a
+    commented-out COPY can never trigger an overwrite write. Token-aware:
+    TO inside string literals or a parenthesized source never matches."""
+    stripped = sql.rstrip().rstrip(";")
+    toks = _tokenize(stripped)
+    code = [t for t in toks if t.kind not in ("ws",)]
+    if not code or code[0].kind != "ident" or code[0].text.upper() != "COPY":
+        return None
+    if any(t.kind == "comment" for t in toks):
+        return None
+    # locate the depth-0 TO keyword
+    depth, to_idx = 0, None
+    pos = 0
+    spans = []  # (tok, start_offset) for reslicing the original text
+    for t in toks:
+        spans.append((t, pos))
+        pos += len(t.text)
+    for i, (t, off) in enumerate(spans):
+        if t.kind == "punct":
+            depth += (t.text == "(") - (t.text == ")")
+        elif depth == 0 and t.kind == "ident" and t.text.upper() == "TO":
+            to_idx = i
+            break
+    if to_idx is None:
+        raise ValueError("COPY: expected TO '<path>' (...)")
+    # source = text between COPY and TO (skip the leading COPY token)
+    first_code = next(i for i, (t, _) in enumerate(spans) if t.kind != "ws")
+    src_start = spans[first_code][1] + len(spans[first_code][0].text)
+    source = stripped[src_start: spans[to_idx][1]].strip()
+    if not source:
+        raise ValueError("COPY: missing source table or (query)")
+    # after TO: one string literal path, then the parenthesized options
+    j = to_idx + 1
+    while j < len(spans) and spans[j][0].kind in ("ws", "comment"):
+        j += 1
+    if j >= len(spans) or spans[j][0].kind != "str":
+        raise ValueError("COPY: path must be a single-quoted string")
+    path = spans[j][0].text[1:-1].replace("''", "'")
+    k = j + 1
+    while k < len(spans) and spans[k][0].kind in ("ws", "comment"):
+        k += 1
+    if k >= len(spans) or spans[k][0].text != "(":
+        raise ValueError("COPY: expected (SHARD BY ... | ZORDER BY ...)")
+    opts_text = stripped[spans[k][1] + 1:]
+    if not opts_text.rstrip().endswith(")"):
+        raise ValueError("COPY: options must close with )")
+    opts_text = opts_text.rstrip()[:-1]
+    m = _COPY_OPTS_RE.match(opts_text)
+    if not m:
+        raise ValueError(
+            "COPY: options must be SHARD BY <col> [, SHARDS <n>] or "
+            "ZORDER BY <x>, <y> [, FILES <n>] [, BITS <n>]"
+        )
+    if source.startswith("(") and source.endswith(")"):
+        source_sql = source[1:-1].strip()
+    elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", source):
+        source_sql = f"SELECT * FROM {source}"
+    else:
+        raise ValueError("COPY: source must be a table name or (query)")
+    if m.group("skey"):
+        spec = {
+            "mode": "shard",
+            "key": m.group("skey"),
+            "n_shards": int(m.group("nshards") or 16),
+        }
+    else:
+        spec = {
+            "mode": "zorder",
+            "dim_x": m.group("zx"),
+            "dim_y": m.group("zy"),
+            "n_files": int(m.group("nfiles") or 64),
+            "bits": int(m.group("bits") or 12),
+        }
+    return source_sql, path, spec

@@ -193,6 +193,40 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
                 df.explain("formatted")
             return
 
+        from ksql_spark.compat.rewriter import parse_copy_to
+
+        copy_spec = parse_copy_to(line)
+        if copy_spec is not None:
+            # REPL-ONLY surface like INTO-file (the HTTP API rejects
+            # server-path writes — same traversal rationale as below).
+            from ksql_spark.operators import layout
+
+            source_sql, out_path, spec = copy_spec
+            src_df = spark.sql(
+                compat_qualify(
+                    compat_top(compat_using(rewriter.rewrite(source_sql)))
+                )
+            )
+            if spec["mode"] == "shard":
+                layout.write_sharded(
+                    src_df, out_path, key_col=spec["key"],
+                    n_shards=spec["n_shards"],
+                )
+                print(
+                    f"wrote hash-sharded layout ({spec['n_shards']} shards "
+                    f"by {spec['key']}) to {out_path}"
+                )
+            else:
+                layout.write_zordered(
+                    src_df, out_path, spec["dim_x"], spec["dim_y"],
+                    n_files=spec["n_files"], bits=spec["bits"],
+                )
+                print(
+                    f"wrote z-ordered layout ({spec['dim_x']},{spec['dim_y']}"
+                    f" x {spec['n_files']} files) to {out_path}"
+                )
+            return
+
         if is_dml(line):
             # DML goes through the compat rewriter too, so reference-dialect
             # sugar (-> accessor, truthiness) works in SET/WHERE like SELECTs
