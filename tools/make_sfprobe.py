@@ -1,0 +1,93 @@
+"""Synthesize an sf1-equivalent probe dataset from /root/testdata/sf0.1.
+
+TESTDATA.md ships sf{0.001,0.01,0.1}; the VERDICT r7 item 7 memory/robustness
+probe wants one decade more. This replicates each fact table REP times with
+CONSISTENT key shifts (copy i adds i*SHIFT to every entity key, so FK joins
+keep exactly the sf0.1 join fan-out), leaves the fixed dimensions (nation,
+region) alone, and writes multi-file parquet (default row-group settings —
+unlike the single-row-group driver files, this exercises real split planning).
+Rows: lineitem 6M / orders 1.5M / events 1M / documents 50k / embeddings 20k —
+the TPC-H sf1 design point. Text/embeddings replicate verbatim on purpose:
+planted 10x exact duplicates are a realistic dedup stress, and doc_id-keyed
+draws stay unbiased because the shifted ids re-hash.
+
+Usage: python tools/make_sfprobe.py [--rep 10] [--out /root/repo/tmp_sfprobe]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SHIFT = 10_000_000  # > any sf0.1 key; keeps shifted ids < 2^31 for rep <= 200
+
+FACTS = {
+    # table: (key columns to shift, files to write)
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 32),
+    "orders": (["o_orderkey", "o_custkey"], 16),
+    "events": (["event_id", "user_id"], 16),
+    "documents": (["doc_id"], 8),
+    "embeddings": (["vec_id"], 8),
+    "customer": (["c_custkey"], 8),
+    "part": (["p_partkey"], 4),
+    "supplier": (["s_suppkey"], 2),
+}
+DIMS = ["nation", "region"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rep", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=str(REPO / "tmp_sfprobe"))
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("make-sfprobe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in DIMS:
+        dst = out / f"{t}.parquet"
+        if dst.exists() or dst.is_dir():
+            shutil.rmtree(dst, ignore_errors=True)
+        spark.read.parquet(f"{args.src}/{t}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(dst))
+        print(f"{t}: copied")
+    for t, (keys, nfiles) in FACTS.items():
+        src = spark.read.parquet(f"{args.src}/{t}.parquet")
+        parts = []
+        for i in range(args.rep):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, (F.col(k) + F.lit(i * SHIFT)).cast("long"))
+            parts.append(d)
+        allp = parts[0]
+        for d in parts[1:]:
+            allp = allp.unionAll(d)
+        (
+            allp.repartition(nfiles)
+            .write.mode("overwrite")
+            .parquet(str(out / f"{t}.parquet"))
+        )
+        n = spark.read.parquet(str(out / f"{t}.parquet")).count()
+        print(f"{t}: {n} rows, {nfiles} files")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
