@@ -118,7 +118,14 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
 
     Raises RuntimeError if labels have not converged within max_rounds —
     returning partially-propagated labels would silently split one real
-    component into several clusters (rounds needed ≈ graph diameter)."""
+    component into several clusters (rounds needed ≈ graph diameter).
+
+    The adjacency is pinned HERE, not left to callers: it is loop-invariant
+    and joined every round, so an un-pinned lineage re-executes the caller's
+    whole edge build per round (round-8 sf1 probe: llm_dedup_cluster's LSH
+    pair pipeline re-ran ~10×, 283 s → 44 s with the pin; at 100 TB an
+    un-pinned adj would re-scan the corpus per iteration)."""
+    adj = pin(adj)
     labels = adj.select(F.col("s1").alias("suppkey")).distinct().withColumn(
         "component", F.col("suppkey")
     )
@@ -147,7 +154,11 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
 
 def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> DataFrame:
     """Frontier BFS over an adjacency DataFrame (columns s1, s2) → (suppkey,
-    depth) with depth = shortest hop count from `start`, capped at max_depth."""
+    depth) with depth = shortest hop count from `start`, capped at max_depth.
+    The loop-invariant adjacency is pinned here (same rationale as
+    connected_components: one materialization instead of max_depth edge-build
+    re-executions)."""
+    adj = pin(adj)
     visited = spark.createDataFrame([(start, 0)], "suppkey long, depth int")
     frontier = visited
     for d in range(1, max_depth + 1):
