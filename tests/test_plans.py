@@ -189,6 +189,50 @@ def test_semantic_dedup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the O(n*K) assignment pass
 
 
+def test_semantic_dedup_pair_stage_shape(spark):
+    """Round-8 pair-stage contract (sf1 probe fix): the self-join keys carry
+    the bucket fan-out (x_probe = y_bucket beside cent equality) so pair
+    parallelism is K x buckets, not K; and the per-pair cosine consumes the
+    PRE-COMPUTED x_norm/y_norm columns — the join predicate/filter must not
+    re-evaluate an l2_norm aggregate over the embedding arrays per pair."""
+    plan = plan_of(spark, "llm_semantic_dedup")
+    assert "x_probe" in plan and "y_bucket" in plan
+    # joins render as SortMergeJoin/ShuffledHashJoin with key lists; the
+    # condition that computes cosine appears in the join/filter condition —
+    # it must reference the norm COLUMNS, not inline aggregate(...) norms
+    import re
+    cond = [
+        ln for ln in plan.splitlines()
+        if "x_norm" in ln and "y_norm" in ln
+    ]
+    assert cond, "cosine predicate no longer uses precomputed norm columns"
+    assert not any(
+        re.search(r"aggregate\(.*x_emb.*x_emb", ln) for ln in cond
+    ), "per-pair predicate re-computes l2_norm inline"
+
+
+def test_connected_components_pins_adjacency(spark):
+    """Round-8 iterative-lineage contract: connected_components must pin its
+    loop-invariant adjacency, so the first round's executed plan scans the
+    materialized RDD (Scan ExistingRDD), not the caller's edge build — an
+    un-pinned adjacency re-executes that build EVERY round (sf1 probe:
+    llm_dedup_cluster 283 s -> 37 s; at 100 TB a per-round corpus re-scan)."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.queries.graph import connected_components
+
+    half = spark.range(1, 50).select(
+        F.col("id").alias("s1"), F.lit(0).cast("long").alias("s2")
+    )
+    edges = half.unionByName(
+        half.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    labels = connected_components(edges)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:500]
+    assert labels.select(F.count_distinct("component")).collect()[0][0] == 1
+
+
 def test_scrub_is_narrow(spark):
     plan = plan_of(spark, "llm_scrub_pii")
     assert "Exchange" not in plan
