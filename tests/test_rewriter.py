@@ -439,3 +439,43 @@ def test_compat_qualify_table_alias_before_join_passthrough():
     s = "SELECT a, b FROM t QUALIFY LEFT(b, 1) = 'x'"
     out = compat_qualify(s)
     assert out != s and "WHERE LEFT(b, 1) = 'x'" in out
+
+
+def test_parse_copy_to_grammar():
+    from ksql_spark.compat.rewriter import parse_copy_to
+
+    # table source, defaults
+    src, path, spec = parse_copy_to("COPY documents TO '/x/y' (SHARD BY doc_id)")
+    assert src == "SELECT * FROM documents" and path == "/x/y"
+    assert spec == {"mode": "shard", "key": "doc_id", "n_shards": 16}
+    # qualified table name
+    src, _, _ = parse_copy_to("COPY db.t TO '/x' (SHARD BY k)")
+    assert src == "SELECT * FROM db.t"
+    # parenthesized query whose body contains the keyword TO and a
+    # quoted string — the depth-0 scan must skip both
+    src, path, spec = parse_copy_to(
+        "COPY (SELECT a, 'TO ''x''' AS s FROM t WHERE b TO 3) "
+        "TO '/out dir/z' (ZORDER BY a, b);"
+    )
+    assert src.startswith("SELECT a,") and path == "/out dir/z"
+    assert spec == {"mode": "zorder", "dim_x": "a", "dim_y": "b",
+                    "n_files": 64, "bits": 12}
+    # escaped quote in the path
+    _, path, _ = parse_copy_to("COPY t TO '/it''s/here' (SHARD BY k, SHARDS 4)")
+    assert path == "/it's/here"
+    # non-COPY statements fall through as None
+    assert parse_copy_to("SELECT 1") is None
+    assert parse_copy_to("  -- COPY t TO '/x' (SHARD BY k)") is None
+    # comment guard: ANY comment disables the COPY interpretation
+    assert parse_copy_to("COPY t TO '/x' (SHARD BY k) -- boom") is None
+    # malformed COPYs are loud
+    for bad in (
+        "COPY t TO '/x' (FROB BY k)",
+        "COPY t TO missing_quotes (SHARD BY k)",
+        "COPY TO '/x' (SHARD BY k)",
+        "COPY t '/x' (SHARD BY k)",
+        "COPY 1+1 TO '/x' (SHARD BY k)",
+        "COPY t TO '/x' (ZORDER BY a)",
+    ):
+        with pytest.raises(ValueError):
+            parse_copy_to(bad)
