@@ -389,3 +389,15 @@ def test_copy_commented_out_never_writes(spark, rw, tmp_path, capsys):
     # not a COPY (comment guard) → falls through to SQL and errors there,
     # but must NOT create the path
     assert not out.exists()
+
+
+def test_copy_rejected_over_http(spark, rw, tmp_path):
+    """COPY is a REPL-only surface (same server-path-write rationale as
+    INTO-file): over the HTTP API it must ERROR — Spark has no COPY
+    statement — and must never create the target path."""
+    from ksql_spark.http_api import run_query
+
+    out = tmp_path / "http_never"
+    with pytest.raises(Exception):
+        run_query(spark, rw, f"COPY pods TO '{out}' (SHARD BY uid)")
+    assert not out.exists()
