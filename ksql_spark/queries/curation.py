@@ -1337,12 +1337,18 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", grams_col.alias("grams"))
         .select("doc_id", "source", *sig_cols)
     )
-    a = s.select(
+    # id-bucket fan-out on the equi-key (round-8 probe, bit-exact — the
+    # llm_ngram_containment rationale): directional Δ<=20 pairs need only
+    # {bucket, bucket+1} probes, bounding candidates to ~20/doc.
+    bucket = F.floor(F.col("doc_id") / 20)
+    a = s.withColumn("probe", F.explode(F.array(bucket, bucket + 1))).select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("probe"),
         *[F.col(f"s{h}").alias(f"a{h}") for h in range(n_hash)],
     )
-    b = s.select(
+    b = s.withColumn("bucket", bucket).select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("bucket"),
         *[F.col(f"s{h}").alias(f"b{h}") for h in range(n_hash)],
     )
     matches = sum(
@@ -1353,6 +1359,7 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("src_a") == F.col("src_b"))
+            & (F.col("probe") == F.col("bucket"))
             & (F.col("doc_a") < F.col("doc_b"))
             & (F.col("doc_b") - F.col("doc_a") <= 20),
         )

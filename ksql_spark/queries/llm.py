@@ -266,13 +266,20 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", "source", F.array_distinct(text.shingles("text", 3)).alias("grams")
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    # id-bucket fan-out on the equi-key (round-8 probe, bit-exact — same
+    # rationale as llm_ngram_containment): b in (a, a+20] lives in a's
+    # bucket or the next one, so 2 probe rows bound candidates to ~20/doc
+    # instead of the same-source product.
+    bucket = F.floor(F.col("doc_id") / 20)
+    a = sh.withColumn("probe", F.explode(F.array(bucket, bucket + 1))).alias("a")
+    b = sh.withColumn("bucket", bucket).alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.doc_id") - F.col("a.doc_id") <= 20),
         )
@@ -5920,21 +5927,27 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the K2 candidate discipline — bounded blocked pairs
     (same source, id distance <= 20) joined on the block key; at scale
     candidates come from MinHash banding instead, identical downstream
-    shape. Set ops run per-pair on the two gram arrays (JVM HOFs)."""
+    shape. Set ops run per-pair on the two gram arrays (JVM HOFs).
+
+    Round-8 probe fixes, both bit-exact: (1) the equi-join key carries an
+    id BUCKET (floor(id/20); a probes b's bucket±1) so the candidate space
+    is ~40 pairs/doc instead of the full same-source product — at the sf1
+    probe the source-only key made 5×10⁸ SMJ candidates and the entry ran
+    >14 min before being killed; (2) the A-in-B overlap count uses
+    array_intersect (hash-set O(|a|+|b|); a.grams is already distinct, so
+    it equals the old O(|a|·|b|) filter/array_contains count exactly)."""
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
         "source",
         F.array_distinct(text.shingles("text", 3)).alias("grams"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = F.size(
-        F.filter(
-            F.col("a.grams"),
-            lambda x: F.array_contains(F.col("b.grams"), x),
-        )
-    )
+    bucket = F.floor(F.col("doc_id") / 20)
+    a = sh.withColumn(
+        "probe", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("a")
+    b = sh.withColumn("bucket", bucket).alias("b")
+    shared = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     na = F.size(F.col("a.grams"))
     q6 = lambda c: (c * 1000000 + F.lit(0.5)).cast("long").cast(
         "double"
@@ -5943,6 +5956,7 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.probe") == F.col("b.bucket"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             & (
                 F.abs(F.col("b.doc_id") - F.col("a.doc_id")) <= 20
