@@ -5653,8 +5653,18 @@ def llm_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _assign_fixed_centroids(e).select(
         "vec_id", "embedding", "cent_id"
     )
-    x = members.alias("x")
-    y = members.alias("y")
+    # bucket fan-out on the pair-join key (round-8 probe, bit-exact — the
+    # _SEMDEDUP_BUCKETS rationale): cent_id alone gives K=4-way parallelism;
+    # x probing all S y-buckets keeps every pair exactly once at K·S tasks.
+    # The quantized pair distance itself stays the per-pair l2_sq_dist HOF —
+    # a norm-expansion rewrite would change double low bits vs the oracle.
+    S = _SEMDEDUP_BUCKETS
+    x = members.withColumn(
+        "probe", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    ).alias("x")
+    y = members.withColumn(
+        "bucket", F.pmod(F.col("vec_id"), F.lit(S)).cast("int")
+    ).alias("y")
     dq = (
         vectors.l2_sq_dist(F.col("x.embedding"), F.col("y.embedding"))
         * 1000000
@@ -5664,6 +5674,7 @@ def llm_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(
             y,
             (F.col("x.cent_id") == F.col("y.cent_id"))
+            & (F.col("x.probe") == F.col("y.bucket"))
             & (F.col("x.vec_id") != F.col("y.vec_id")),
         )
         .groupBy(F.col("x.cent_id").alias("cent_id"), F.col("x.vec_id").alias("vec_id"))
