@@ -231,9 +231,18 @@ def minhash_near_dups_portable(
     # whose multi-space/newline text yields <3 real words — its gram array
     # would be empty, array_min NULL, every band hash NULL, and the doc
     # silently excluded while a space-split oracle still emits grams.
-    g = (
+    from ksql_spark.operators.scale import pin
+
+    # LAZY pin (no job at plan-construction time): the gram arrays feed the
+    # signature stage AND both sides of the Jaccard verify, and the
+    # signature table feeds every band branch of the union below — without
+    # the pin each of those branches re-derives the whole md5-signature
+    # subtree (round-8 sf1 probe: 4 band branches × 8 signatures × |grams|
+    # md5s = the entry ran 120 s; pinned 15 s, values identical).
+    g = pin(
         df.where(F.size(text_ops.words(text_col)) >= 3)
-        .select(F.col(id_col).alias("_id"), grams_col.alias("grams"))
+        .select(F.col(id_col).alias("_id"), grams_col.alias("grams")),
+        eager=False,
     )
     def _sig(h: int):
         # NB: a `lambda x, h=h` would be a TWO-parameter lambda — PySpark
@@ -249,7 +258,7 @@ def minhash_near_dups_portable(
         ).alias(f"s{h}")
 
     sig_cols = [_sig(h) for h in range(n_hash)]
-    s = g.select("_id", "grams", *sig_cols)
+    s = pin(g.select("_id", *sig_cols), eager=False)
     band_rows = [
         s.select(
             "_id",
