@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ksql_spark.operators import dedup, multimodal, text, vectors
+from ksql_spark.operators.scale import pin as scale_pin
 from ksql_spark.registry import davg, dsum, query, sql_davg, sql_dsum
 from ksql_spark.tables import load
 
@@ -195,8 +196,13 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.queries.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_dups(
-        d, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8
+    # LAZY pin: the symmetrization union consumes `pairs` twice — un-pinned,
+    # both branches re-run the whole LSH pipeline (round-8 probe).
+    pairs = scale_pin(
+        dedup.minhash_near_dups(
+            d, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8
+        ),
+        eager=False,
     )
     half = pairs.select(F.col("doc_a").alias("s1"), F.col("doc_b").alias("s2"))
     adj = half.unionByName(
