@@ -219,9 +219,50 @@ _R7_CHECKED = frozenset({
 })
 
 
+#: Round-8 ritual transcription (CORRECTNESS_r08.json, 50/50 green): the
+#: window was the full 37-key never-sampled backlog (r6c event-analytics wave,
+#: graph L8-L15, write audits, asof-tolerance, skyline, tpch_q1) plus the 13
+#: oldest r1 aggregate keys. Every registry key has now been driver-checked
+#: at least once; from r9 on, refill slots re-verify the stalest evidence.
+_R8_CHECKED = frozenset({
+    "llm_shard_write_audit", "fn_string_pad_translate", "graph_kcore",
+    "graph_adamic_adar", "graph_assortativity", "graph_clustering_coefficient",
+    "graph_landmark_distances", "graph_two_hop_reach",
+    "join_cardinality_estimate", "join_asof_tolerance", "part_skyline_2d",
+    "sort_zorder_write_audit", "events_autocorrelation", "events_holt_linear",
+    "events_retention_cohorts", "events_seasonality_index",
+    "events_ab_proportion_test", "events_type_correlation", "events_top_paths",
+    "events_rolling_slope", "events_anomaly_seasonal",
+    "events_dau_mau_stickiness", "events_power_user_curve",
+    "events_audience_overlap", "events_hourly_chisq",
+    "events_markov_entropy_rate", "events_interarrival_dist",
+    "events_entry_exit_matrix", "events_props_value_bands",
+    "stream_session_dynamic_gap", "events_daily_max_gap",
+    "events_ab_test_report", "events_growth_accounting", "llm_batch_bucketing",
+    "tpch_q1_pricing_summary", "win_locf_ignore_nulls", "win_time_range_frame",
+    "agg_count_star", "agg_count_distinct", "agg_group_by", "agg_basic",
+    "agg_minby", "agg_stats", "agg_median", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_group_expr", "agg_string_concat",
+})
+
+
+#: Keys whose DuckDB oracle was added AFTER their only driver samples (r3,
+#: rows-only at the time) — the driver has never recorded an oracle-hash row
+#: for them (VERDICT r8 "stale driver evidence"). Front them ahead of even the
+#: staleness groups until a post-oracle driver row exists, then retire this
+#: tier in the round ritual that transcribes it.
+_STALE_ORACLE_REVERIFY = frozenset({
+    "scan_k8s_pods", "llm_multimodal_features", "llm_multimodal_frames",
+})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R7_CHECKED:
+    if spec.name in _STALE_ORACLE_REVERIFY:
+        group = -1
+    elif spec.name in _R8_CHECKED:
+        group = 8
+    elif spec.name in _R7_CHECKED:
         group = 7
     elif spec.name in _R6_CHECKED:
         group = 6

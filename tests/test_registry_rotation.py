@@ -73,8 +73,24 @@ def test_driver_window_fronts_all_unchecked_keys():
         leaked = [k for k in window if k in checked]
         assert not leaked, leaked
     else:
-        # refill slots must re-verify the stalest evidence first
-        oldest = min(rounds)
-        refill = [k for k in window if k in checked]
-        wrong_round = [k for k in refill if k not in rounds[oldest]]
-        assert not wrong_round, (oldest, wrong_round)
+        # Refill slots must re-verify the stalest evidence first: every
+        # checked key inside the window must have been last driver-sampled
+        # no later than any checked key left outside it. The stale-oracle
+        # re-verify tier (rows-only rows predating their oracles) is exempt —
+        # it deliberately fronts regardless of round.
+        last = {}
+        for n, keys in rounds.items():
+            for k in keys:
+                last[k] = max(last.get(k, 0), n)
+        stale_tier = getattr(registry, "_STALE_ORACLE_REVERIFY", frozenset())
+        refill = [k for k in window if k in checked and k not in stale_tier]
+        outside = [k for k in order[50:] if k in checked and k not in stale_tier]
+        if refill and outside:
+            newest_in = max(last[k] for k in refill)
+            oldest_out = min(last[k] for k in outside)
+            too_new = [k for k in refill if last[k] > oldest_out]
+            assert newest_in <= oldest_out, (
+                "window refill skipped staler keys",
+                too_new,
+                [k for k in outside if last[k] == oldest_out][:10],
+            )
