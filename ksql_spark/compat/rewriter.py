@@ -675,19 +675,23 @@ _COPY_OPTS_RE = re.compile(
     r"""^\s*(?:
         SHARD\s+BY\s+(?P<skey>[A-Za-z_][A-Za-z0-9_]*)
             (?:\s*,\s*SHARDS\s+(?P<nshards>\d+))?
+            (?:\s*,\s*(?P<sovr>OVERWRITE))?
       | ZORDER\s+BY\s+(?P<zx>[A-Za-z_][A-Za-z0-9_]*)\s*,\s*
             (?P<zy>[A-Za-z_][A-Za-z0-9_]*)
             (?:\s*,\s*FILES\s+(?P<nfiles>\d+))?
             (?:\s*,\s*BITS\s+(?P<bits>\d+))?
+            (?:\s*,\s*(?P<zovr>OVERWRITE))?
     )\s*$""",
     re.IGNORECASE | re.VERBOSE,
 )
 
 
 def parse_copy_to(sql: str) -> tuple[str, str, dict] | None:
-    """`COPY <table|(query)> TO '<path>' (SHARD BY k [, SHARDS n] |
-    ZORDER BY x, y [, FILES n] [, BITS n])` — the REPL surface for the
-    operators/layout.py training-data writers (VERDICT r7 item 5).
+    """`COPY <table|(query)> TO '<path>' (SHARD BY k [, SHARDS n]
+    [, OVERWRITE] | ZORDER BY x, y [, FILES n] [, BITS n] [, OVERWRITE])` —
+    the REPL surface for the operators/layout.py training-data writers
+    (VERDICT r7 item 5). Without OVERWRITE the REPL refuses an existing
+    non-empty target (the writers overwrite internally; ADVICE r9).
 
     Returns (source_sql, path, spec) where spec is
     {"mode": "shard", "key": k, "n_shards": n} or
@@ -759,6 +763,7 @@ def parse_copy_to(sql: str) -> tuple[str, str, dict] | None:
             "mode": "shard",
             "key": m.group("skey"),
             "n_shards": int(m.group("nshards") or 16),
+            "overwrite": bool(m.group("sovr")),
         }
     else:
         spec = {
@@ -767,5 +772,6 @@ def parse_copy_to(sql: str) -> tuple[str, str, dict] | None:
             "dim_y": m.group("zy"),
             "n_files": int(m.group("nfiles") or 64),
             "bits": int(m.group("bits") or 12),
+            "overwrite": bool(m.group("zovr")),
         }
     return source_sql, path, spec

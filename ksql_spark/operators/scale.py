@@ -42,6 +42,27 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def is_pinned(df: DataFrame) -> bool:
+    """True when df is already a materialized checkpoint (its logical plan is
+    the LogicalRDD that checkpoint()/localCheckpoint() returns). Iterative
+    consumers use this to avoid double-pinning an input the caller already
+    materialized (ADVICE r8: coship_adj(checkpoint=True) call sites paid a
+    second localCheckpoint inside connected_components/bfs)."""
+    try:
+        name = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    except Exception:  # pragma: no cover — py4j introspection only
+        return False
+    return name == "LogicalRDD"
+
+
+def pin_invariant(df: DataFrame) -> DataFrame:
+    """Pin a loop-invariant input LAZILY (first consuming job materializes
+    it) and only if it is not already pinned: merely constructing the
+    consumer's DataFrame (plan-only tests, .explain) must not trigger a
+    Spark job (ADVICE r8)."""
+    return df if is_pinned(df) else pin(df, eager=False)
+
+
 def ranged_cumsum(
     df: DataFrame,
     order_cols: list,
@@ -73,23 +94,27 @@ def ranged_cumsum(
     # local prefix is all-NULL must produce the prior-partition offset (not
     # NULL+offset=NULL), and the globally-first rows before any value must
     # stay NULL (not 0). Caught by the NULL-heavy property test.
-    totals = {
-        r["_pid"]: (r["t"], r["c"])
-        for r in parts.groupBy("_pid")
-        .agg(
-            F.coalesce(F.sum(value_col), F.lit(0)).alias("t"),
-            F.count(value_col).alias("c"),
-        )
-        .collect()
-    }
-    sum_type = (
-        "double"
-        if df.schema[value_col].dataType.simpleString() in ("float", "double")
-        else "long"
+    per_part = parts.groupBy("_pid").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("t"),
+        F.count(value_col).alias("c"),
     )
-    # running must be a Python float when the offsets column is DOUBLE:
-    # createDataFrame's verifier rejects int 0 for a DoubleType field.
-    running, pcnt, offset_rows = (0.0 if sum_type == "double" else 0), 0, []
+    totals = {r["_pid"]: (r["t"], r["c"]) for r in per_part.collect()}
+    # The offsets column carries SUM's own output type (decimal in → widened
+    # decimal out, float in → double, integral in → long) so a DecimalType
+    # value column round-trips as Python Decimal instead of being truncated
+    # into a LONG that createDataFrame's verifier rejects.
+    sum_type = per_part.schema["t"].dataType.simpleString()
+    # running must be a Python value of the offsets column's type:
+    # createDataFrame's verifier rejects int 0 for a DOUBLE/DECIMAL field.
+    if sum_type in ("float", "double"):
+        zero = 0.0
+    elif sum_type.startswith("decimal"):
+        import decimal
+
+        zero = decimal.Decimal(0)
+    else:
+        zero = 0
+    running, pcnt, offset_rows = zero, 0, []
     for pid in sorted(totals):  # range partitions are globally ordered by pid
         offset_rows.append((pid, running, pcnt))
         t, c = totals[pid]

@@ -298,7 +298,7 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-weighted subset in one pass."""
     d = load(spark, sf_dir, "documents")
     u = (
-        (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     ).cast("double") / F.lit(4294967296.0)
     return d.select(
         "doc_id",
@@ -380,7 +380,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators import vectors
 
     u = (
-        (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     ).cast("double") / F.lit(4294967296.0)
     return (
         deduped.join(e, F.col("doc_id") == F.col("vec_id"))
@@ -415,7 +415,7 @@ def llm_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the corpus; this is how you cut a fixed-size eval set from
     100 TB in one pass."""
     d = load(spark, sf_dir, "documents")
-    u = (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     return d.select("doc_id").orderBy(u, "doc_id").limit(100)
 
 
@@ -445,7 +445,7 @@ def llm_sample_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    u = (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id"))
     return (
         d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
@@ -1218,7 +1218,7 @@ def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ksql_spark.operators import vectors
 
-    u = (F.pmod(F.col("vec_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     cents = (
         e.orderBy(u, "vec_id")
         .limit(_IVF_K)
@@ -1618,7 +1618,7 @@ def llm_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit agg shuffles only (source, split) group rows. The split
     column itself costs nothing at 100 TB."""
     d = load(spark, sf_dir, "documents")
-    bucket = ((F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -1670,7 +1670,7 @@ def llm_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a |domains|-row broadcast. The global order is COMPUTED, not
     sorted — no global exchange anywhere."""
     d = load(spark, sf_dir, "documents")
-    hash_col = (F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
+    hash_col = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)
     w = SparkWindow.partitionBy("source").orderBy(hash_col.asc(), F.col("doc_id"))
     srcs = (
         d.select("source")
@@ -1960,7 +1960,7 @@ def ann_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators import vectors
 
     e = load(spark, sf_dir, "embeddings")
-    u = (F.pmod(F.col("vec_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    u = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761).cast("long")) % F.lit(4294967296)
     cents = (
         e.orderBy(u, "vec_id")
         .limit(_PQ_KP)

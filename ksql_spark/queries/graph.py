@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ksql_spark.operators.scale import pin
+from ksql_spark.operators.scale import pin, pin_invariant
 from ksql_spark.registry import query
 from ksql_spark.tables import load
 
@@ -125,7 +125,7 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
     whole edge build per round (round-8 sf1 probe: llm_dedup_cluster's LSH
     pair pipeline re-ran ~10×, 283 s → 44 s with the pin; at 100 TB an
     un-pinned adj would re-scan the corpus per iteration)."""
-    adj = pin(adj)
+    adj = pin_invariant(adj)
     labels = adj.select(F.col("s1").alias("suppkey")).distinct().withColumn(
         "component", F.col("suppkey")
     )
@@ -158,7 +158,7 @@ def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> Data
     The loop-invariant adjacency is pinned here (same rationale as
     connected_components: one materialization instead of max_depth edge-build
     re-executions)."""
-    adj = pin(adj)
+    adj = pin_invariant(adj)
     visited = spark.createDataFrame([(start, 0)], "suppkey long, depth int")
     frontier = visited
     for d in range(1, max_depth + 1):

@@ -202,6 +202,23 @@ def handle_line(spark, rewriter: Rewriter, line: str) -> None:
             from ksql_spark.operators import layout
 
             source_sql, out_path, spec = copy_spec
+            # The layout writers use mode("overwrite") internally (sharded
+            # layouts cannot be appended to), so a typo'd path would silently
+            # delete whatever directory it names. Refuse an existing
+            # non-empty target unless the statement says OVERWRITE (ADVICE
+            # r8) — loud-by-default, matching the rest of the COPY parser.
+            import os
+
+            if (
+                not spec.get("overwrite")
+                and os.path.isdir(out_path)
+                and os.listdir(out_path)
+            ):
+                raise ValueError(
+                    f"COPY: target {out_path!r} exists and is non-empty; "
+                    "add OVERWRITE to the options to replace it, e.g. "
+                    "(SHARD BY k, OVERWRITE)"
+                )
             src_df = spark.sql(
                 compat_qualify(
                     compat_top(compat_using(rewriter.rewrite(source_sql)))

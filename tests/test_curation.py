@@ -133,3 +133,39 @@ def test_ranged_cummax_excl_matches_serial_truth(spark):
     for i, v in rows:
         assert got[i] == best, f"id={i}: {got[i]} != {best}"
         best = v if best is None or v > best else best
+
+
+def test_ranged_cumsum_decimal_column(spark):
+    """ADVICE r9: the offsets column must carry SUM's own output type — a
+    DecimalType value column used to be forced into LONG, making `running`
+    a Python Decimal that createDataFrame's LongType verifier rejects."""
+    import decimal
+
+    rows = [(i, decimal.Decimal(f"{(i * 13) % 97}.{i % 100:02d}")) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v decimal(10,2)")
+    got = {
+        r["id"]: r["c"]
+        for r in ranged_cumsum(df, ["id"], "v", out_col="c", n_parts=6).collect()
+    }
+    acc = decimal.Decimal(0)
+    for i, v in rows:
+        acc += v
+        assert got[i] == acc, f"id={i}: {got[i]} != {acc}"
+
+
+def test_pin_invariant_skips_already_pinned_and_is_lazy(spark):
+    """ADVICE r9: iterative consumers must not re-checkpoint an input the
+    caller already pinned, and merely CONSTRUCTING the consumer's DataFrame
+    must not run a Spark job (the pin is lazy)."""
+    from ksql_spark.operators.scale import is_pinned, pin, pin_invariant
+
+    df = spark.range(10).withColumnRenamed("id", "s1")
+    pinned = pin(df)
+    assert is_pinned(pinned)
+    assert pin_invariant(pinned) is pinned  # no second checkpoint
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    lazy = pin_invariant(df.withColumn("s2", F.col("s1") + 1))
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after, "constructing a lazy pin must not trigger a job"
+    assert lazy.count() == 10  # first consuming job materializes it

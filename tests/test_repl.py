@@ -401,3 +401,22 @@ def test_copy_rejected_over_http(spark, rw, tmp_path):
     with pytest.raises(Exception):
         run_query(spark, rw, f"COPY pods TO '{out}' (SHARD BY uid)")
     assert not out.exists()
+
+
+def test_copy_refuses_existing_nonempty_target(spark, rw, tmp_path, capsys):
+    """ADVICE r9: the layout writers overwrite internally, so a typo'd COPY
+    path must not silently delete an existing directory — refuse unless the
+    statement carries an explicit OVERWRITE option."""
+    out = tmp_path / "precious"
+    out.mkdir()
+    (out / "data.txt").write_text("do not clobber")
+    src = "(select uid, cast(hash(uid) as bigint) as k from pods)"
+    handle_line(spark, rw, f"COPY {src} TO '{out}' (SHARD BY k)")
+    err = capsys.readouterr().err
+    assert "error:" in err and "OVERWRITE" in err
+    assert (out / "data.txt").read_text() == "do not clobber"
+    # with OVERWRITE the same statement replaces the directory
+    handle_line(spark, rw, f"COPY {src} TO '{out}' (SHARD BY k, OVERWRITE)")
+    assert "wrote hash-sharded layout" in capsys.readouterr().out
+    assert not (out / "data.txt").exists()
+    assert spark.read.parquet(str(out)).count() == spark.table("pods").count()
