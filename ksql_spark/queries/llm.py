@@ -1573,6 +1573,20 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       (x replication is O(n·S) rows — nothing against the O(n²/K) pairs).
     """
     m = _assign_fixed_centroids(load(spark, sf_dir, "embeddings"))
+    return _semantic_dedup_decide(m)
+
+
+def _semantic_dedup_decide(m: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """SemDeDup drop decision over an assignment (vec_id, embedding,
+    cent_id): flag `dropped` for any vector with a lower-id same-cluster
+    neighbor at cosine >= threshold. The ONE copy of the bucket-fanned pair
+    stage, shared by the oracle-exact fixed-centroid entry and the KMeans
+    production entry so the two paths cannot drift.
+
+    Pair-stage shape (round-8 sf1 probe, 11 min -> ~70 s): per-row norms
+    hoisted into the join inputs; equi-join key (cent_id, bucket) fans the
+    x side to all _SEMDEDUP_BUCKETS y-buckets, keeping every (x, y) pair
+    exactly once while multiplying join parallelism by the bucket count."""
     S = _SEMDEDUP_BUCKETS
     x = m.select(
         F.col("cent_id").alias("x_cent"),
@@ -1602,7 +1616,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x_probe") == F.col("y_bucket"))
             & (F.col("x_id") < F.col("y_id")),
         )
-        .where(cos >= 0.35)
+        .where(cos >= threshold)
         .select(F.col("y_id").alias("d_id"))
         .distinct()
     )
@@ -1612,6 +1626,84 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cent_id", F.col("d_id").isNotNull().alias("dropped")
         )
     )
+
+
+#: SemDeDup production cell size: K = clamp(n / cell, 4, 4096) KMeans
+#: centroids, so per-cluster pair spaces stay ~cell² regardless of corpus
+#: size. Measured on the round-8 sf1 probe (20k vectors): K=32 vs the
+#: oracle-parity K=4 ran the identical plan 6.3x faster (210 s -> 33 s),
+#: confirming the n²/K pair-space contract (SCALE.md "Pair-stage HOF
+#: floors").
+_SEMDEDUP_CELL = 512
+
+
+@query(
+    "llm_semantic_dedup_scaled",
+    oracle=None,  # KMeans centroids ≠ SQL-expressible → rows-only; laws below
+    ref="SURVEY §2 K2/K6 [EXT] (SemDeDup production path — Abbas et al. "
+    "2023 §3: K grows with the corpus so each cluster's self-join stays "
+    "bounded; the oracle-parity fixed-centroid twin is llm_semantic_dedup. "
+    "Laws pinned in tests/test_llm_quality.py: every drop is justified by "
+    "a real lower-id global neighbor at cosine >= t (precision 1.0, exact) "
+    "and recall vs the global-exact drop set >= 0.5)",
+    tags=("rows_only_by_design",),
+)
+def llm_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION codebook: K = clamp(n/512, 4, 4096)
+    centroids from a seeded MLlib KMeans fit on a bounded deterministic
+    sample (the same Knuth-hash reservoir as ann_ivf_topk, <= 4096 vectors,
+    one sorted partition → centroids are a pure function of the data), then
+    the identical bucket-fanned pair stage as the oracle-exact entry.
+
+    Scale shape — what the fixed-K=4 oracle twin cannot give you at 100 TB:
+    the pair space is Σ_k n_k² ≈ n·cell instead of n²/4, i.e. LINEAR in n at
+    fixed cell size; the fit is O(sample·K) on <= 4096 vectors regardless of
+    corpus size; assignment stays the broadcast O(n·K) narrow pass. The
+    drop decision, bucket fan-out, and threshold are byte-identical code
+    (_semantic_dedup_decide), so correctness evidence transfers: the twin is
+    driver-checked oracle-exact, and this entry's laws pin that its drops
+    are real (precision 1.0) with recall >= 0.5 vs global-exact dedup."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    SAMPLE_CAP = 4096
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()  # parquet metadata count — no data scan
+    k_target = int(max(4, min(4096, n // _SEMDEDUP_CELL)))
+    cache_key = ("semdedup", sf_dir, _emb_fingerprint(sf_dir), k_target)
+    cent_rows = _CENTROID_CACHE.get(cache_key)
+    if cent_rows is None:
+        sample = (
+            _reservoir_sample(e.select("vec_id", "embedding"), SAMPLE_CAP)
+            .coalesce(1)
+            .sortWithinPartitions("vec_id")
+            .select(
+                array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+            )
+            .cache()
+        )
+        k = min(k_target, max(1, sample.count()))
+        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
+        sample.unpersist()
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        _CENTROID_CACHE[cache_key] = cent_rows
+    cents = spark.createDataFrame(cent_rows, "cent_id int, cent_emb array<double>")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
+    m = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        # cent_id LONG: schema-identical to the fixed-centroid twin (whose
+        # centroid ids are vec_ids) so the driver sees one stable contract
+        .select("vec_id", "embedding", F.col("cent_id").cast("long").alias("cent_id"))
+    )
+    return _semantic_dedup_decide(m)
 
 
 @query(
@@ -5697,6 +5789,80 @@ def llm_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("cost_q").cast("double") / 1000000.0 * 1000000
                  + F.lit(0.5)).cast("long").cast("double") / 1000000.0
             ).alias("total_cost"),
+        )
+    )
+
+
+#: medoid production sampling: each member's centrality is estimated against
+#: this many deterministically-sampled co-members instead of ALL of them —
+#: pair space n_k·m per cluster instead of n_k² (the documented lever the
+#: round-8 probe measured; 268 s exact → the sampled path's bound).
+_MEDOID_SAMPLE = 64
+
+
+@query(
+    "llm_cluster_medoids_sampled",
+    oracle=None,  # sampled Σ-distance estimate ≠ exact → rows-only; law below
+    ref="SURVEY §2 K121 [EXT] (production medoids: per-cluster sampled "
+    "centrality — every member's cost is the Σ of squared distances to m "
+    "deterministically-sampled peers, argmin over the estimates; the "
+    "standard CLARA/CLARANS-style medoid approximation. Law pinned in "
+    "tests/test_llm_quality.py: on the fixture the sampled medoid's EXACT "
+    "cost ranks in the top decile of its cluster)",
+    tags=("rows_only_by_design",),
+)
+def llm_cluster_medoids_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-peer medoids — the production form of llm_cluster_medoids:
+    same fixed-centroid assignment, but each member's centrality is
+    estimated against only the m=_MEDOID_SAMPLE co-members with the
+    smallest Knuth hash of vec_id (a deterministic per-cluster draw —
+    partition/file-order independent, the _reservoir_sample contract
+    applied per cluster via one window).
+
+    Scale shape — the lever the exact twin cannot pull: pair space drops
+    from Σ_k n_k² to Σ_k n_k·m (LINEAR in n at fixed m); the sampled peer
+    set is O(K·m) rows, so the cost join's build side stays bounded and
+    the whole estimate is one equi-join on cent_id + one map-side-combine
+    agg + one per-cluster argmin window. The exact twin stays registered
+    as the oracle-parity spec; this entry is the one you run at 100 TB."""
+    e = load(spark, sf_dir, "embeddings")
+    members = _assign_fixed_centroids(e).select("vec_id", "embedding", "cent_id")
+    hk = (
+        F.pmod(F.col("vec_id"), F.lit(2147483648)) * F.lit(2654435761).cast("long")
+    ) % F.lit(4294967296)
+    peer_w = Window.partitionBy("cent_id").orderBy(F.col("_hk").asc(), F.col("vec_id"))
+    peers = (
+        members.withColumn("_hk", hk)
+        .withColumn("_pr", F.row_number().over(peer_w))
+        .where(F.col("_pr") <= _MEDOID_SAMPLE)
+        .select(
+            F.col("cent_id").alias("y_cent"),
+            F.col("vec_id").alias("y_id"),
+            F.col("embedding").alias("y_emb"),
+        )
+    )
+    dq = (
+        vectors.l2_sq_dist(F.col("embedding"), F.col("y_emb")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    cost = (
+        members.join(
+            peers,
+            (F.col("cent_id") == F.col("y_cent"))
+            & (F.col("vec_id") != F.col("y_id")),
+        )
+        .groupBy("cent_id", "vec_id")
+        .agg(F.sum(dq).alias("cost_q"), F.count("*").alias("n_peers"))
+    )
+    w = Window.partitionBy("cent_id").orderBy("cost_q", "vec_id")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("medoid_id"),
+            (F.col("cost_q").cast("double") / 1000000.0).alias("sampled_cost"),
+            F.col("n_peers").cast("long").alias("n_sampled_peers"),
         )
     )
 

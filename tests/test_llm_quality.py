@@ -810,3 +810,129 @@ def test_ann_paths_cross_agreement(spark):
 
     pq, pq_p = topk_sets("ann_pq_topk"), topk_sets("ann_pq_topk_portable")
     assert recall(pq) >= recall(pq_p) + 0.1, (recall(pq), recall(pq_p))
+
+
+def _global_exact_dropped(spark, threshold=0.35):
+    """Ground truth for the SemDeDup laws: vec_ids having ANY lower-id
+    neighbor (no cluster blocking) at cosine >= threshold. All-pairs is fine
+    at fixture scale — this is the law's oracle, not a production path."""
+    from ksql_spark.operators import vectors
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding", vectors.l2_norm("embedding").alias("nrm"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.try_divide(
+        vectors.dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
+    return {
+        r.v
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= threshold)
+        .select(F.col("b.vec_id").alias("v"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_semantic_dedup_scaled_laws(spark):
+    """llm_semantic_dedup_scaled (KMeans K ∝ n production codebook) laws:
+
+    * precision 1.0, EXACT: cluster blocking only restricts which pairs are
+      compared, so every dropped vector must have a real lower-id global
+      neighbor at cosine >= t — a drop outside the global-exact set would
+      mean the pair stage compared a pair it invented;
+    * recall >= 0.5 vs global-exact dedup (same gate as the ANN family);
+    * schema identical to the oracle-exact fixed-centroid twin, so the
+      driver sees one stable contract across both paths.
+    """
+    specs = all_specs()
+    scaled = specs["llm_semantic_dedup_scaled"].builder(spark, SF_DIR)
+    twin = specs["llm_semantic_dedup"].builder(spark, SF_DIR)
+    assert scaled.schema == twin.schema
+    rows = scaled.collect()
+    truth = _global_exact_dropped(spark)
+    got = {r.vec_id for r in rows if r.dropped}
+    assert got <= truth, f"unjustified drops: {sorted(got - truth)[:10]}"
+    assert truth, "fixture must exercise the decision (threshold calibration)"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"SemDeDup-scaled recall too low: {recall:.2f}"
+    # rows cover the whole corpus exactly once
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == n and len({r.vec_id for r in rows}) == n
+
+
+def test_semantic_dedup_twin_paths_share_pair_stage(spark):
+    """Both SemDeDup spellings must flow through _semantic_dedup_decide —
+    byte-identical drop rule, threshold, and bucket fan-out — so the
+    oracle-exact twin's driver evidence transfers to the production path.
+    Pinned structurally: with the SAME assignment input, the two decisions
+    are the same DataFrame graph (here: exact equality of results when the
+    production path is given the fixed-centroid assignment)."""
+    from ksql_spark.queries.llm import _assign_fixed_centroids, _semantic_dedup_decide
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m = _assign_fixed_centroids(e)
+    via_helper = {
+        (r.vec_id, r.cent_id, r.dropped)
+        for r in _semantic_dedup_decide(m).collect()
+    }
+    twin = {
+        (r.vec_id, r.cent_id, r.dropped)
+        for r in all_specs()["llm_semantic_dedup"].builder(spark, SF_DIR).collect()
+    }
+    assert via_helper == twin
+
+
+def test_sampled_medoids_law_top_decile(spark):
+    """llm_cluster_medoids_sampled law: per cluster, the sampled-estimate
+    medoid's EXACT total cost must rank in the top decile (and never worse
+    than rank 3) of that cluster's exact Σ-distance ranking — the CLARA-
+    style guarantee the production path trades exactness for. Also pins
+    determinism (two runs, identical rows) and that every cluster present
+    in the exact twin is present here."""
+    from ksql_spark.operators import vectors
+
+    specs = all_specs()
+    got = {r.cent_id: r for r in specs["llm_cluster_medoids_sampled"].builder(spark, SF_DIR).collect()}
+    again = {r.cent_id: r for r in specs["llm_cluster_medoids_sampled"].builder(spark, SF_DIR).collect()}
+    assert {k: (v.medoid_id, v.sampled_cost) for k, v in got.items()} == {
+        k: (v.medoid_id, v.sampled_cost) for k, v in again.items()
+    }
+    exact = {r.cent_id: r for r in specs["llm_cluster_medoids"].builder(spark, SF_DIR).collect()}
+    assert set(got) == set(exact)
+    # exact per-member costs, computed brute-force at fixture scale
+    from ksql_spark.queries.llm import _assign_fixed_centroids
+
+    m = _assign_fixed_centroids(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ).select("vec_id", "embedding", "cent_id")
+    x, y = m.alias("x"), m.alias("y")
+    dq = (
+        vectors.l2_sq_dist(F.col("x.embedding"), F.col("y.embedding")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    costs = (
+        x.join(
+            y,
+            (F.col("x.cent_id") == F.col("y.cent_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .groupBy(F.col("x.cent_id").alias("cent_id"), F.col("x.vec_id").alias("vec_id"))
+        .agg(F.sum(dq).alias("cost_q"))
+        .collect()
+    )
+    by_cluster: dict = {}
+    for r in costs:
+        by_cluster.setdefault(r.cent_id, []).append((r.cost_q, r.vec_id))
+    for cid, rows in by_cluster.items():
+        ranking = [v for _, v in sorted(rows)]
+        pick = got[cid].medoid_id
+        rank = ranking.index(pick) + 1
+        bound = max(3, len(ranking) // 10)
+        assert rank <= bound, (
+            f"cluster {cid}: sampled medoid {pick} ranks {rank}/{len(ranking)}"
+            f" (bound {bound})"
+        )
