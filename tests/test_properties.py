@@ -857,3 +857,69 @@ def test_ranged_cumsum_cummax_double_typed(spark_lazy, n_parts, null_mod):
         ).collect()
     }
     assert got_cm == want_cm
+
+
+def test_capped_wedge_entries_agree_on_low_degree_nodes(spark_lazy):
+    """The L9/L11 production siblings' exactness transfer laws:
+
+    * clustering_coefficient_capped: for every node with degree <= cap the
+      truncated neighbor list IS the whole neighborhood, so n_sampled ==
+      degree and the estimate equals the exact L11 coefficient bit-for-bit;
+    * adamic_adar_capped: sampled wedges ⊆ real wedges, so each candidate
+      pair's sampled common-neighbor count and quantized score are <= the
+      exact pair's (no invented links), and with cap >= max degree the two
+      entries return the identical top-k ranking.
+    """
+    from ksql_spark.queries.graph import _WEDGE_CAP, _sampled_adj, _weighted_adj
+    from ksql_spark.registry import all_specs
+    from ksql_spark.tables import load
+
+    spark = spark_lazy
+    sf = "/root/testdata/sf0.01"
+    specs = all_specs()
+    exact = {
+        r.suppkey: r
+        for r in specs["graph_clustering_coefficient"].builder(spark, sf).collect()
+    }
+    capped = {
+        r.suppkey: r
+        for r in specs["graph_clustering_coefficient_capped"].builder(spark, sf).collect()
+    }
+    assert set(exact) == set(capped)
+    low = [k for k, r in exact.items() if r.degree <= _WEDGE_CAP]
+    assert low, "fixture must contain nodes under the cap"
+    assert any(r.degree > _WEDGE_CAP for r in exact.values()), (
+        "fixture must contain hubs so the estimator path is exercised"
+    )
+    for k in low:
+        assert capped[k].n_sampled == exact[k].degree
+        assert capped[k].clustering_coeff_est == exact[k].clustering_coeff, k
+
+    # AA: sampled scores never exceed exact pair scores (compute the exact
+    # full non-top-k pair scores brute-force at fixture scale)
+    li = load(spark, sf, "lineitem")
+    adj = _weighted_adj(li).localCheckpoint()
+    deg = adj.groupBy(F.col("s1").alias("z")).agg(F.count("*").alias("d"))
+    e1 = adj.select(F.col("s2").alias("a"), F.col("s1").alias("z"))
+    e2 = adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
+    wedge = e1.join(e2, "z").where(F.col("a") < F.col("b"))
+    nonedge = wedge.join(
+        adj, (adj["s1"] == wedge["a"]) & (adj["s2"] == wedge["b"]), "left_anti"
+    )
+    contrib = ((1.0 / F.log(F.col("d").cast("double"))) * 1000000 + 0.5).cast("bigint")
+    exact_pairs = {
+        (r.a, r.b): (r.cn, r.q)
+        for r in nonedge.join(F.broadcast(deg), "z")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"), F.sum(contrib).alias("q"))
+        .collect()
+    }
+    for r in specs["graph_adamic_adar_capped"].builder(spark, sf).collect():
+        cn, q = exact_pairs[(r.suppkey_a, r.suppkey_b)]
+        assert r.common_neighbors <= cn
+        assert round(r.adamic_adar * 1e6) <= q
+
+    # with the cap lifted above max degree, truncation is the identity
+    samp = _sampled_adj(adj, cap=10**9)
+    assert samp.count() == adj.count()
+    assert samp.exceptAll(adj).count() == 0
