@@ -277,7 +277,8 @@ def test_tws_plan_builds(spark, events_dir):
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState state-server client needs protobuf; "
-    "not present in this container (see jobs.running_user_totals_tws)",
+    "not present in this container (re-probed rounds 6 and 9: no "
+    "google.protobuf anywhere on the box; see jobs.running_user_totals_tws)",
 )
 def test_stateful_running_totals_tws(spark, events_dir):
     """Same contract as test_stateful_running_totals via the Spark 4
