@@ -1633,8 +1633,11 @@ def _semantic_dedup_decide(m: DataFrame, threshold: float = 0.35) -> DataFrame:
 #: size. Measured on the round-8 sf1 probe (20k vectors): K=32 vs the
 #: oracle-parity K=4 ran the identical plan 6.3x faster (210 s -> 33 s),
 #: confirming the n²/K pair-space contract (SCALE.md "Pair-stage HOF
-#: floors").
-_SEMDEDUP_CELL = 512
+#: floors"). Round-9 cell choice: cell=512 probed 42.2 s (K=39),
+#: cell=256 probed 33.9 s (K=78) — under the 40 s VERDICT target with
+#: per-cluster pair spaces still ~256² (comfortably above the SemDeDup
+#: paper's ~n/K≈100-1000 regime floor).
+_SEMDEDUP_CELL = 256
 
 
 @query(
@@ -1649,7 +1652,7 @@ _SEMDEDUP_CELL = 512
     tags=("rows_only_by_design",),
 )
 def llm_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the PRODUCTION codebook: K = clamp(n/512, 4, 4096)
+    """SemDeDup with the PRODUCTION codebook: K = clamp(n/256, 4, 4096)
     centroids from a seeded MLlib KMeans fit on a bounded deterministic
     sample (the same Knuth-hash reservoir as ann_ivf_topk, <= 4096 vectors,
     one sorted partition → centroids are a pure function of the data), then
