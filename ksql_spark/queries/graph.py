@@ -1309,6 +1309,50 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_two_hop_reach_hll",
+    oracle=None,  # HLL estimate ≠ exact → rows-only; ±5% law in tests
+    ref="SURVEY §2 L14 [EXT] (production two-hop reach — HyperBall, Boldi "
+    "& Vigna 2013: per-node HLL sketch of N(v), one edge-keyed merge round "
+    "gives |N(v) ∪ N²(v)| as a mergeable-sketch estimate in O(|E|) sketch "
+    "traffic with NO wedge self-join at all; law in test_properties.py "
+    "pins every node's estimate within ±5%% of graph_two_hop_reach's "
+    "exact count)",
+    tags=("rows_only_by_design",),
+)
+def graph_two_hop_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach per node, estimated HyperBall-style: build an HLL
+    sketch of each node's neighbor set (one hash agg), then for every edge
+    (v, u) ship sketch(N(u)) to v and union it with sketch(N(v)) (one more
+    hash agg — partial unions combine map-side, so the exchange carries at
+    most |V|·partitions sketches, never |E|). The symmetric adjacency
+    guarantees v ∈ N(N(v)), so reach = round(estimate) - 1 reverses the
+    exact entry's self-exclusion.
+
+    Scale shape — why this is the 100 TB form of L14: cost is LINEAR in
+    edges with a constant-size (Datasketches HLL, default lgK=12, RSE
+    ~0.8%) state per node, where the exact wedge self-join is Σ deg²
+    (probe: 162 s exact vs seconds here). Iterating the merge round k
+    times gives k-hop balls — the HyperBall algorithm verbatim."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = _weighted_adj(li).transform(pin)
+    own = adj.groupBy("s1").agg(F.hll_sketch_agg("s2").alias("sk"))
+    # ship each neighbor's sketch to v: edge (v, u) ⋈ own(u)
+    shipped = adj.join(
+        own.select(F.col("s1").alias("s2"), "sk"), "s2"
+    ).select("s1", "sk")
+    merged = (
+        own.select("s1", "sk")
+        .unionByName(shipped)
+        .groupBy("s1")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    return merged.select(
+        F.col("s1").alias("suppkey"),
+        (F.round(F.col("est")).cast("bigint") - F.lit(1)).alias("reach_2hop_est"),
+    )
+
+
 def _katz_oracle() -> str:
     """Unrolled Katz path-count CTEs: p_k(v) = Σ_u A[u, v]·p_{k-1}(u)
     with p_0 = 1 — exact integers, so katz = Σ β^k p_k is pure decimal

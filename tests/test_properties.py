@@ -923,3 +923,26 @@ def test_capped_wedge_entries_agree_on_low_degree_nodes(spark_lazy):
     samp = _sampled_adj(adj, cap=10**9)
     assert samp.count() == adj.count()
     assert samp.exceptAll(adj).count() == 0
+
+
+def test_two_hop_reach_hll_within_tolerance(spark_lazy):
+    """L14 production sibling (HyperBall): every node's HLL estimate must
+    land within ±5% of the exact two-hop reach (Datasketches default lgK=12
+    has RSE ~0.8%; 5% is the agg_hll_mergeable gate), over the identical
+    thresholded adjacency."""
+    from ksql_spark.registry import all_specs
+
+    spark = spark_lazy
+    sf = "/root/testdata/sf0.01"
+    specs = all_specs()
+    exact = {
+        r.suppkey: r.reach_2hop
+        for r in specs["graph_two_hop_reach"].builder(spark, sf).collect()
+    }
+    est = {
+        r.suppkey: r.reach_2hop_est
+        for r in specs["graph_two_hop_reach_hll"].builder(spark, sf).collect()
+    }
+    assert set(exact) == set(est)
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) <= max(1, 0.05 * ex), (k, est[k], ex)
