@@ -1603,3 +1603,57 @@ def test_layout_writer_plans_scale_shape(spark):
     # SortExec prints "Sort [keys], <global>, 0" — global must be false
     sort_line = next(ln for ln in zplan.splitlines() if "Sort [" in ln)
     assert "], false, 0" in sort_line, sort_line
+
+
+def test_capped_wedge_plans_no_cartesian_broadcast_deg(spark):
+    """r9 production wedge siblings: all joins keyed (no cartesian), the
+    |V|-row degree table broadcast into AA scoring, and the neighbor
+    truncation is a per-node (s1-partitioned) window, not a global sort."""
+    import re
+
+    for name in ("graph_clustering_coefficient_capped", "graph_adamic_adar_capped"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        trunc = [s for s in specs if "s1" in s]
+        assert trunc, (name, "expected the s1-partitioned truncation window")
+    aa = plan_of(spark, "graph_adamic_adar_capped")
+    assert "BroadcastHashJoin" in aa  # degree table broadcast
+
+
+def test_semantic_dedup_scaled_broadcast_centroids_bucketed_pairs(spark):
+    """K39 production path: centroid assignment is the broadcast O(n·K)
+    nested-loop pass over a BROADCAST K-row side (the llm_emb_cluster
+    shape — never a shuffled join), the pair join is equi-keyed on
+    (cent, bucket) — no cartesian anywhere."""
+    plan = plan_of(spark, "llm_semantic_dedup_scaled")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # the pair stage itself must be a hash-keyed join, not nested-loop
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_medoids_sampled_peerset_bounded_joins_keyed(spark):
+    """K121 production path: the peer sample is a per-cluster window (rn <=
+    m), the cost join is equi-keyed on cent_id — no cartesian, no global
+    window."""
+    plan = plan_of(spark, "llm_cluster_medoids_sampled")
+    assert "CartesianProduct" not in plan
+    # the only unpartitioned window would be a global sort — the peer
+    # sampling window must partition on cent_id
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "cent_id" in spec or "vec_id" in spec, spec
+
+
+def test_two_hop_hll_no_wedge_join(spark):
+    """L14 production path (HyperBall): NO self-join of the adjacency on a
+    middle node — the plan's only joins are the edge⋈sketch merge — and
+    sketches aggregate with partial (map-side) union before the exchange."""
+    plan = plan_of(spark, "graph_two_hop_reach_hll")
+    assert "CartesianProduct" not in plan
+    assert "hll_union_agg" in plan.lower() or "HllUnionAgg" in plan
+    # partial aggregation present (map-side combine of sketch unions)
+    assert "partial_" in plan.lower() or "Partial" in plan
