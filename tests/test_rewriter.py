@@ -447,7 +447,8 @@ def test_parse_copy_to_grammar():
     # table source, defaults
     src, path, spec = parse_copy_to("COPY documents TO '/x/y' (SHARD BY doc_id)")
     assert src == "SELECT * FROM documents" and path == "/x/y"
-    assert spec == {"mode": "shard", "key": "doc_id", "n_shards": 16}
+    assert spec == {"mode": "shard", "key": "doc_id", "n_shards": 16,
+                    "overwrite": False}
     # qualified table name
     src, _, _ = parse_copy_to("COPY db.t TO '/x' (SHARD BY k)")
     assert src == "SELECT * FROM db.t"
@@ -459,7 +460,16 @@ def test_parse_copy_to_grammar():
     )
     assert src.startswith("SELECT a,") and path == "/out dir/z"
     assert spec == {"mode": "zorder", "dim_x": "a", "dim_y": "b",
-                    "n_files": 64, "bits": 12}
+                    "n_files": 64, "bits": 12, "overwrite": False}
+    # explicit OVERWRITE (ADVICE r9: required to replace a non-empty target)
+    _, _, spec = parse_copy_to(
+        "COPY t TO '/x' (SHARD BY k, SHARDS 4, OVERWRITE)"
+    )
+    assert spec["overwrite"] is True and spec["n_shards"] == 4
+    _, _, spec = parse_copy_to(
+        "COPY t TO '/x' (ZORDER BY a, b, FILES 2, BITS 6, OVERWRITE)"
+    )
+    assert spec["overwrite"] is True and spec["n_files"] == 2
     # escaped quote in the path
     _, path, _ = parse_copy_to("COPY t TO '/it''s/here' (SHARD BY k, SHARDS 4)")
     assert path == "/it's/here"

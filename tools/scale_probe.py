@@ -36,6 +36,10 @@ HEAVY = [
     "llm_dedup_near", "llm_dedup_cluster", "llm_substring_dup_spans",
     "llm_substring_dedup_apply", "llm_semantic_dedup", "llm_bpe_merges",
     "llm_collocations", "llm_boilerplate_ngrams", "llm_tfidf_cosine_pairs",
+    # r9 production siblings of the pair/wedge tail (SCALE.md round-9 table)
+    "llm_semantic_dedup_scaled", "llm_cluster_medoids_sampled",
+    "graph_clustering_coefficient_capped", "graph_adamic_adar_capped",
+    "graph_two_hop_reach_hll",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
