@@ -675,10 +675,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_q6").alias("aa_q6"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition top-k,
+    # tiny driver merge) — a global row_number window would move EVERY scored
+    # pair to one partition before discarding all but k (sf10 probe: the
+    # window spelling cost 378 s vs this one's distributed top-k; bit-exact —
+    # the (aa_q6 DESC, a, b) order is total). rank is then a 20-row window.
+    top = scored.orderBy(F.col("aa_q6").desc(), "a", "b").limit(_AA_TOPK)
     rw = Window.orderBy(F.col("aa_q6").desc(), "a", "b")
     return (
-        scored.withColumn("rank", F.row_number().over(rw))
-        .where(F.col("rank") <= _AA_TOPK)
+        top.withColumn("rank", F.row_number().over(rw))
         .select(
             F.col("a").alias("suppkey_a"),
             F.col("b").alias("suppkey_b"),
@@ -1069,10 +1074,15 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_q6").alias("aa_q6"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition top-k,
+    # tiny driver merge) — a global row_number window would move EVERY scored
+    # pair to one partition before discarding all but k (sf10 probe: the
+    # window spelling cost 378 s vs this one's distributed top-k; bit-exact —
+    # the (aa_q6 DESC, a, b) order is total). rank is then a 20-row window.
+    top = scored.orderBy(F.col("aa_q6").desc(), "a", "b").limit(_AA_TOPK)
     rw = Window.orderBy(F.col("aa_q6").desc(), "a", "b")
     return (
-        scored.withColumn("rank", F.row_number().over(rw))
-        .where(F.col("rank") <= _AA_TOPK)
+        top.withColumn("rank", F.row_number().over(rw))
         .select(
             F.col("a").alias("suppkey_a"),
             F.col("b").alias("suppkey_b"),
