@@ -3592,10 +3592,15 @@ def llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pmi * 1000000 + 0.5).cast("bigint").alias("pmi_q6"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject) — the candidate bigram
+    # set is corpus-scale, so a global row_number window would funnel it all
+    # through one partition before discarding all but k (the sf10 AA lesson,
+    # SCALE.md round 9); the 20-row rank window after the limit is free.
+    # Bit-exact: (pmi_q6 DESC, w1, w2) is a total order.
+    top = scored.orderBy(F.col("pmi_q6").desc(), "w1", "w2").limit(_COLLOC_TOPK)
     rw = Window.orderBy(F.col("pmi_q6").desc(), "w1", "w2")
     return (
-        scored.withColumn("rank", F.row_number().over(rw))
-        .where(F.col("rank") <= _COLLOC_TOPK)
+        top.withColumn("rank", F.row_number().over(rw))
         .select(
             "w1",
             "w2",
