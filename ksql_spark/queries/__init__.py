@@ -11,6 +11,7 @@ from ksql_spark.queries import (  # noqa: F401
     joins,
     k8s_queries,
     llm,
+    pipeline_audit,
     setops,
     sorts,
     streaming_batch,
