@@ -89,28 +89,34 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation/region/supplier/part/customer) broadcast their key set; the
     SF-proportional lineitem->orders audit is a shuffle semi/anti join on
     the natural key — the plan you would run at 100 TB, where the orphan
-    check IS the join. Output is 2 rows per relationship (bounded)."""
+    check IS the join. Child row counts ride as broadcast 1-row aggregates
+    (no eager .count() action at plan-build time — the whole audit stays
+    one lazy DAG). Output is 2 rows per relationship (bounded)."""
     out = None
     for child, fk, parent, pk in _FK_RELATIONSHIPS:
         c = load(spark, sf_dir, child)
         p = load(spark, sf_dir, parent)
-        child_rows = c.count()
+        cnt = c.agg(F.count(F.lit(1)).cast("bigint").alias("child_rows"))
         rel = f"{child}.{fk}->{parent}.{pk}"
         for mode in ("live", "drill"):
             par = p if mode == "live" else p.filter(F.col(pk) % 97 != 0)
             orphans = c.join(par, c[fk] == par[pk], "left_anti")
-            agg = orphans.agg(
-                F.count(F.lit(1)).alias("orphan_rows"),
-                F.count_distinct(F.col(fk)).alias("orphan_keys"),
-            ).select(
-                F.lit(rel).alias("relationship"),
-                F.lit(mode).alias("mode"),
-                F.lit(child_rows).cast("bigint").alias("child_rows"),
-                "orphan_rows",
-                "orphan_keys",
-                _q6(F.col("orphan_rows") * 1.0 / F.lit(child_rows)).alias(
-                    "orphan_rate"
-                ),
+            agg = (
+                orphans.agg(
+                    F.count(F.lit(1)).alias("orphan_rows"),
+                    F.count_distinct(F.col(fk)).alias("orphan_keys"),
+                )
+                .crossJoin(F.broadcast(cnt))
+                .select(
+                    F.lit(rel).alias("relationship"),
+                    F.lit(mode).alias("mode"),
+                    "child_rows",
+                    "orphan_rows",
+                    "orphan_keys",
+                    _q6(
+                        F.col("orphan_rows") * 1.0 / F.col("child_rows")
+                    ).alias("orphan_rate"),
+                )
             )
             out = agg if out is None else out.unionByName(agg)
     return out

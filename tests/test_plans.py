@@ -1657,3 +1657,65 @@ def test_two_hop_hll_no_wedge_join(spark):
     assert "hll_union_agg" in plan.lower() or "HllUnionAgg" in plan
     # partial aggregation present (map-side combine of sketch unions)
     assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_referential_orphans_broadcast_anti_lazy(spark):
+    """D55: every FK audit is an anti join with the parent key set
+    broadcast (dims) — no cartesian, no sort-merge at this size — and the
+    child row counts ride as broadcast 1-row aggregates, so building the
+    DataFrame triggers ZERO Spark jobs (no eager .count() in the builder)."""
+    import ksql_spark.queries.pipeline_audit as pa
+
+    from ksql_spark.tables import load
+
+    sc = spark.sparkContext
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region"):
+        load(spark, SF_DIR, t)  # warm the reader-level footer jobs
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    df = pa.dq_referential_orphans(spark, SF_DIR)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "builder ran eager jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 14  # 7 rels x 2 modes
+
+
+def test_order_coverage_custkey_partitioned_windows(spark):
+    """D56: both island windows partition on o_custkey (millions of
+    independent partitions at scale — never a global window), and the
+    interval merge is windows+agg, not an interval self-join."""
+    import re
+
+    plan = plan_of(spark, "customer_order_coverage")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in plan"
+    for spec in specs:
+        assert "o_custkey" in spec, spec
+
+
+def test_attribution_user_keyed_windows_semi_join(spark):
+    """D57: journey numbering and per-journey ranks all partition on
+    user_id; the converted-journey filter compiles to a (semi) hash join,
+    never a cartesian; final agg is the 3-channel rollup."""
+    import re
+
+    plan = plan_of(spark, "events_attribution_credit")
+    assert "CartesianProduct" not in plan
+    assert "Semi" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec, spec
+
+
+def test_did_single_scan_single_agg(spark):
+    """D58: one parquet scan with the purchase filter pushed, collapsing
+    straight into a single conditional aggregate row — no join, no window,
+    map-side partials carry the corpus."""
+    plan = plan_of(spark, "events_did_estimator")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "PushedFilters:" in plan
