@@ -1454,3 +1454,121 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((katz * 1000000 + F.lit(0.5)).cast("long").cast("double") / 1000000.0)
         .alias("katz"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L16 — personalized PageRank (topic-sensitive restart over a seed set)
+# ---------------------------------------------------------------------------
+
+_PPR_ALPHA = 0.85  # follow probability; 1-alpha teleports back to the seeds
+# Oracle literals are CAST AS DOUBLE: DuckDB parses bare 0.85 as DECIMAL,
+# making (1.0 - 0.85)/scnt exact where Python/Spark does IEEE doubles —
+# the seed restart term would differ in the last ulp.
+_PPR_SEED_MOD = 50  # seeds: suppkey % 50 == 0 (a handful at every SF)
+
+
+def _ppr_oracle() -> str:
+    from ksql_spark.registry import sql_dsum
+
+    head = f"""
+    WITH adjx AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey <> b.l_suppkey
+    ),
+    nodes AS (
+        SELECT s1 AS v FROM adjx UNION SELECT s2 FROM adjx
+    ),
+    seeds AS (SELECT v FROM nodes WHERE v % {_PPR_SEED_MOD} = 0),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS scnt FROM seeds),
+    deg AS (SELECT s1, CAST(COUNT(*) AS BIGINT) AS outd FROM adjx GROUP BY s1),
+    pr0 AS (
+        SELECT nodes.v,
+               CASE WHEN nodes.v % {_PPR_SEED_MOD} = 0
+                    THEN CAST(1.0 AS DOUBLE) / scnt ELSE 0.0 END AS pr
+        FROM nodes CROSS JOIN ns
+    )
+    """
+    for t in range(1, _PR_ITERS + 1):
+        head += f""",
+    contrib{t} AS (
+        SELECT adjx.s2 AS v, {sql_dsum(f'pr{t-1}.pr / deg.outd')} AS c
+        FROM adjx
+        JOIN pr{t-1} ON adjx.s1 = pr{t-1}.v
+        JOIN deg ON adjx.s1 = deg.s1
+        GROUP BY adjx.s2
+    ),
+    pr{t} AS (
+        SELECT nodes.v,
+               CASE WHEN nodes.v % {_PPR_SEED_MOD} = 0
+                    THEN (CAST(1.0 AS DOUBLE) - CAST({_PPR_ALPHA} AS DOUBLE))
+                         / scnt ELSE 0.0 END
+               + CAST({_PPR_ALPHA} AS DOUBLE) * COALESCE(contrib{t}.c, 0.0)
+                   AS pr
+        FROM nodes CROSS JOIN ns LEFT JOIN contrib{t} ON nodes.v = contrib{t}.v
+    )
+    """
+    return (
+        head
+        + f"SELECT v AS suppkey, pr AS ppr FROM pr{_PR_ITERS} WHERE pr > 0.0"
+    )
+
+
+@query(
+    "graph_ppr",
+    oracle=_ppr_oracle(),
+    ref="SURVEY §2 L16 [EXT] (personalized PageRank: restart mass "
+    "concentrated on a seed set instead of uniform teleport — "
+    "topic-sensitive proximity, Haveliwala 2002; the "
+    "recommendation/similar-entities companion to L3's global rank)",
+)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration personalized PageRank on the supplier co-part graph:
+    probability mass starts on the seed suppliers (suppkey % 50 == 0) and
+    teleports back only to them, so scores measure proximity TO the seed
+    set rather than global centrality. Zero-mass nodes are dropped (at 3
+    iterations that is everything farther than 3 hops from a seed).
+
+    Scale shape: identical to graph_pagerank — per iteration one
+    source-keyed join + one destination-keyed hash agg, loop over PLANS
+    not data, adjacency checkpointed once. The seed-restart vector is a
+    column expression (v % mod), never a driver-side list, so a
+    million-seed personalization costs the same as one.
+
+    Determinism: per-iteration contribution sums quantized (registry
+    dsum), matching the unrolled-CTE oracle bitwise."""
+    from ksql_spark.registry import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    adj = coship_adj(li, checkpoint=True)
+    nodes = adj.select(F.col("s1").alias("v")).union(
+        adj.select(F.col("s2").alias("v"))
+    ).distinct()
+    deg = adj.groupBy("s1").agg(F.count("*").alias("outd"))
+    is_seed = F.col("v") % _PPR_SEED_MOD == 0
+    n_seeds = nodes.where(is_seed).count()  # bounded scalar for the loop
+    pr = nodes.select(
+        "v",
+        F.when(is_seed, F.lit(1.0) / F.lit(n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            adj.join(pr, adj["s1"] == pr["v"])
+            .join(deg, "s1")
+            .groupBy(F.col("s2").alias("cv"))
+            .agg(dsum(F.col("pr") / F.col("outd")).alias("c"))
+        )
+        pr = nodes.join(contrib, nodes["v"] == contrib["cv"], "left").select(
+            "v",
+            (
+                F.when(
+                    is_seed, F.lit((1.0 - _PPR_ALPHA) / n_seeds)
+                ).otherwise(F.lit(0.0))
+                + F.lit(_PPR_ALPHA) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.where(F.col("pr") > 0.0).select(
+        F.col("v").alias("suppkey"), F.col("pr").alias("ppr")
+    )

@@ -449,3 +449,266 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"])
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D59 — open-order backlog aging
+# ---------------------------------------------------------------------------
+
+_AGE_EDGES = [30, 90, 180, 365]  # bucket upper bounds, days
+
+
+def _age_bucket_sql(age: str) -> str:
+    return f"""CASE
+        WHEN {age} <= 30 THEN '000-030'
+        WHEN {age} <= 90 THEN '031-090'
+        WHEN {age} <= 180 THEN '091-180'
+        WHEN {age} <= 365 THEN '181-365'
+        ELSE '365+' END"""
+
+
+@query(
+    "orders_backlog_aging",
+    oracle=f"""
+    WITH snap AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+    open_orders AS (
+        SELECT o_orderstatus AS status, o_totalprice,
+               date_diff('day', o_orderdate, as_of) AS age_days
+        FROM orders CROSS JOIN snap
+        WHERE o_orderstatus IN ('O', 'P')
+    ), bucketed AS (
+        SELECT status, {_age_bucket_sql('age_days')} AS age_bucket,
+               o_totalprice
+        FROM open_orders
+    ), tot AS (SELECT {sql_dsum('o_totalprice')} AS backlog_value
+               FROM bucketed)
+    SELECT status, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS bucket_value,
+           {_sql_q6(f"({sql_dsum('o_totalprice')}) / backlog_value")}
+               AS value_share
+    FROM bucketed CROSS JOIN tot
+    GROUP BY status, age_bucket, backlog_value
+    """,
+    ref="SURVEY §2 D59 [EXT] (open-order backlog aging: unshipped/pending "
+    "orders bucketed by age against the corpus as-of snapshot, with "
+    "value share of total backlog — the working-capital / WIP report "
+    "every operations dashboard opens with)",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: open ('O') and pending ('P') orders bucketed
+    by days outstanding as of the newest order date, with order counts,
+    bucket value, and each bucket's share of total backlog value.
+
+    Scale shape: the as-of snapshot and the backlog total are 1-row
+    aggregates broadcast into the scan (no eager action, no second
+    wide pass); bucketing is pure column math; final agg is at most
+    2 statuses x 5 buckets. One fact scan does everything."""
+    o = load(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("as_of"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+            F.datediff(F.col("as_of"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+        )
+    )
+    age = F.col("age_days")
+    bucket = (
+        F.when(age <= 30, "000-030")
+        .when(age <= 90, "031-090")
+        .when(age <= 180, "091-180")
+        .when(age <= 365, "181-365")
+        .otherwise("365+")
+    )
+    bucketed = open_orders.select(
+        "status", bucket.alias("age_bucket"), "o_totalprice"
+    )
+    tot = bucketed.agg(dsum("o_totalprice").alias("backlog_value"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("status", "age_bucket", "backlog_value")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_value"),
+        )
+        .select(
+            "status",
+            "age_bucket",
+            "n_orders",
+            "bucket_value",
+            _q6(F.col("bucket_value") / F.col("backlog_value")).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D60 — perfect-order rate (on-time, no-return, complete)
+# ---------------------------------------------------------------------------
+
+_POR_SLA_DAYS = 30
+
+
+@query(
+    "orders_perfect_order_rate",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m') AS order_month,
+               CASE WHEN
+                   SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                                 > {_POR_SLA_DAYS}
+                            OR l.l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+               THEN 1 ELSE 0 END AS perfect
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m')
+    )
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(perfect) AS BIGINT) AS n_perfect,
+           {_sql_q6("SUM(perfect) * 1.0 / COUNT(*)")} AS perfect_rate
+    FROM per_order GROUP BY order_month
+    """,
+    ref="SURVEY §2 D60 [EXT] (perfect-order rate: every line shipped "
+    "within the 30-day SLA and nothing returned, rolled up monthly — "
+    "the composite fulfillment KPI supply-chain scorecards track; "
+    "complement of D23's latency percentiles and D50's scorecard)",
+)
+def orders_perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly perfect-order rate: an order is perfect iff every lineitem
+    shipped within 30 days of the order date AND no line was returned
+    (l_returnflag = 'R'). Reports order counts and the perfect share per
+    order month.
+
+    Scale shape: one orderkey-keyed join (lineitem shuffles once on its
+    natural key), violations collapse per order via a conditional SUM in
+    the same exchange, then a bounded month rollup. No window, no second
+    fact pass."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    viol = F.when(
+        (
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > _POR_SLA_DAYS
+        )
+        | (F.col("l_returnflag") == "R"),
+        1,
+    ).otherwise(0)
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.when(F.sum(viol) == 0, 1).otherwise(0).alias("perfect")
+        )
+    )
+    return per_order.groupBy("order_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("perfect").cast("bigint").alias("n_perfect"),
+        _q6(F.sum("perfect") * 1.0 / F.count(F.lit(1))).alias(
+            "perfect_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D61 — price elasticity (log-log OLS per brand)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_price_elasticity",
+    oracle=f"""
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(trunc(ln(l.l_extendedprice / l.l_quantity
+                             * (1.0 - l.l_discount))
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS x,
+               CAST(trunc(ln(l.l_quantity)
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+          AND l.l_discount < 1.0
+    ), m AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+               {sql_dsum('x * x')} AS sxx, {sql_dsum('x * y')} AS sxy,
+               {sql_dsum('y * y')} AS syy
+        FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand AS brand, n,
+           {_sql_q6("(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)")}
+               AS elasticity,
+           {_sql_q6(
+               "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+               " / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)"
+           )} AS r2
+    FROM m
+    """,
+    ref="SURVEY §2 D61 [EXT] (own-price elasticity: log-log OLS of "
+    "quantity on effective unit price per brand — the slope IS the "
+    "elasticity estimate (Marshall); K115's closed-form moment "
+    "discipline applied to the pricing question every retailer asks)",
+)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of ln(quantity) on
+    ln(effective unit price) (extendedprice/quantity discounted), with
+    fit r². Slope near -1 = unit-elastic; r² says how much of quantity
+    variation price explains at all.
+
+    Scale shape: part (dim) broadcasts into the lineitem scan; x/y are
+    quantized per row (ln is engine-identical IEEE); the five OLS
+    moments accumulate via exact scaled-long dsum in ONE |brands|-group
+    agg with map-side combine; the closed-form solve is column math on
+    the bounded result. No window, no second pass."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pts = (
+        li.filter(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_discount") < 1.0)
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            _q6(
+                F.log(
+                    F.col("l_extendedprice")
+                    / F.col("l_quantity")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("x"),
+            _q6(F.log(F.col("l_quantity"))).alias("y"),
+        )
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return m.select(
+        F.col("p_brand").alias("brand"),
+        "n",
+        _q6(
+            (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+        ).alias("elasticity"),
+        _q6(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            )
+        ).alias("r2"),
+    )

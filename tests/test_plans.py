@@ -1719,3 +1719,46 @@ def test_did_single_scan_single_agg(spark):
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
     assert "PushedFilters:" in plan
+
+
+def test_ppr_keyed_iterations_no_cartesian(spark):
+    """L16: like pagerank, every iteration is a source-keyed join + a
+    destination-keyed agg — no cartesian, no single-partition exchange;
+    the seed restart vector is column math, never a driver-side list."""
+    plan = plan_of(spark, "graph_ppr")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_backlog_aging_broadcast_scalars(spark):
+    """D59: the as-of snapshot and the backlog total ride as broadcast
+    1-row aggregates (BroadcastNestedLoopJoin of a 1-row side is the
+    legal spelling); the only hash exchange is the bounded
+    status x bucket rollup."""
+    import re
+
+    plan = plan_of(spark, "orders_backlog_aging")
+    assert "CartesianProduct" not in plan
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for cols in ex:
+        assert "status" in cols or "age_bucket" in cols, cols
+
+
+def test_perfect_order_single_fact_shuffle(spark):
+    """D60: lineitem shuffles once on its natural key into the per-order
+    violation agg; the month rollup is bounded; no window."""
+    plan = plan_of(spark, "orders_perfect_order_rate")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_elasticity_broadcast_part_single_agg(spark):
+    """D61: part (dim) broadcasts into the lineitem scan, the five OLS
+    moments collapse in ONE brand-keyed agg with map-side partials, and
+    the lineitem filters are pushed to the scan."""
+    plan = plan_of(spark, "part_price_elasticity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters:" in plan
+    assert "windowspecdefinition" not in plan
