@@ -712,3 +712,437 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D62 — Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type
+    ), nn AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+        GROUP BY event_type
+    ), ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (
+            SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, x
+        ) GROUP BY event_type
+    ), stats AS (
+        SELECT nn.event_type, nn.n, s.s_stat,
+               {_sql_q6(
+                   "(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term)"
+                   " / 18.0"
+               )} AS var_s
+        FROM nn JOIN s ON s.event_type = nn.event_type
+        JOIN ties ON ties.event_type = nn.event_type
+    ), z AS (
+        SELECT event_type, n, s_stat, var_s,
+               {_sql_q6(
+                   "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+                   "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) "
+                   "ELSE 0.0 END"
+               )} AS z_stat
+        FROM stats
+    )
+    SELECT event_type, n AS n_days, s_stat, var_s, z_stat,
+           CASE WHEN z_stat > 1.96 THEN 'increasing'
+                WHEN z_stat < -1.96 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM z
+    """,
+    ref="SURVEY §2 D62 [EXT] (Mann-Kendall monotonic-trend test on the "
+    "daily count series per event type: S from pairwise signs, "
+    "tie-corrected variance, continuity-corrected z vs +-1.96 — the "
+    "distribution-free companion to K87's parametric rolling slope; "
+    "Mann 1945 / Kendall 1975)",
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric Mann-Kendall trend test per event type over daily
+    volumes: S = sum of pairwise sign(x_j - x_i) for i<j, tie-corrected
+    Var(S), continuity-corrected z, and the 5% two-sided verdict.
+
+    Scale shape: the corpus collapses to <= |types| x |days| daily rows in
+    one map-side-combined agg; the pair stage is a self-join keyed on
+    event_type over that BOUNDED daily table (<= days^2/2 pairs per type —
+    calendar-bounded, never corpus-bounded); ties/variance are closed-form
+    integer arithmetic. Nothing downstream of the first agg scales with
+    the corpus."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = F.col("n")
+    stats = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            _q6(
+                (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    ss = F.col("s_stat")
+    z = stats.select(
+        "event_type",
+        "n",
+        "s_stat",
+        "var_s",
+        _q6(
+            F.when(ss > 0, (ss - 1) / F.sqrt(F.col("var_s")))
+            .when(ss < 0, (ss + 1) / F.sqrt(F.col("var_s")))
+            .otherwise(F.lit(0.0))
+        ).alias("z_stat"),
+    )
+    zc = F.col("z_stat")
+    return z.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s",
+        "z_stat",
+        F.when(zc > 1.96, "increasing")
+        .when(zc < -1.96, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D63 — index-of-dispersion (Fano factor) screen
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dispersion_fano",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type, MIN(CAST(ts AS DATE)) AS d0,
+               MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY event_type
+    ), spine AS (
+        SELECT event_type, CAST(UNNEST(generate_series(d0, d1,
+               INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ), obs AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), daily AS (
+        SELECT spine.event_type, spine.d, COALESCE(obs.x, 0) AS x
+        FROM spine LEFT JOIN obs
+          ON obs.event_type = spine.event_type AND obs.d = spine.d
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           {_sql_q6("sx * 1.0 / n")} AS mean_daily,
+           {_sql_q6("(sxx - sx * 1.0 * sx / n) / (n - 1)")} AS var_daily,
+           {_sql_q6(
+               "((sxx - sx * 1.0 * sx / n) / (n - 1)) / (sx * 1.0 / n)"
+           )} AS fano,
+           CASE WHEN {_sql_q6(
+               "((sxx - sx * 1.0 * sx / n) / (n - 1)) / (sx * 1.0 / n)"
+           )} > 1.5 THEN 1 ELSE 0 END AS overdispersed
+    FROM m WHERE n > 1 AND sx > 0
+    """,
+    ref="SURVEY §2 D63 [EXT] (index of dispersion / Fano factor on the "
+    "calendar-complete daily series per type: var/mean = 1 under "
+    "Poisson, >1 = bursty/clustered arrivals — the screen that says "
+    "whether D31's inter-arrival model or K64's CUSUM parameters are "
+    "even applicable; Fano 1947)",
+)
+def events_dispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) per event type over the
+    calendar-complete daily count series (zero days enter at full
+    weight — omitting them biases toward Poisson exactly when traffic
+    is most bursty). var/mean ~ 1 = Poisson-like; > 1.5 flagged
+    overdispersed.
+
+    Scale shape: corpus collapses to bounded daily rows in one
+    map-side-combined agg; the spine is a per-type date expansion of the
+    2-column bounds table; moments are exact integer sums; everything
+    after the first agg is calendar-bounded."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = e.groupBy("event_type").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    daily = spine.join(obs, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    x = F.col("x")
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx * 1.0 / n
+    var = (sxx - sx * 1.0 * sx / n) / (n - 1)
+    fano = _q6(var / mean)
+    return m.where((n > 1) & (sx > 0)).select(
+        "event_type",
+        n.alias("n_days"),
+        _q6(mean).alias("mean_daily"),
+        _q6(var).alias("var_daily"),
+        fano.alias("fano"),
+        F.when(fano > 1.5, 1).otherwise(0).alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D64 — retention decay fit (half-life per weekly cohort)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_retention_halflife",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_w
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT e.user_id, f.cohort_w,
+               date_diff('week', f.cohort_w, date_trunc('week', e.ts)) AS k
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ), cohort_n AS (
+        SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS c0 FROM firsts
+        GROUP BY cohort_w
+    ), rates AS (
+        SELECT a.cohort_w, a.k,
+               CAST(COUNT(*) AS BIGINT) AS active_users, n.c0,
+               CAST(trunc(ln(COUNT(*) * 1.0 / n.c0) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS y
+        FROM active a JOIN cohort_n n ON n.cohort_w = a.cohort_w
+        WHERE a.k >= 1
+        GROUP BY a.cohort_w, a.k, n.c0
+    ), m AS (
+        SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('k * 1.0')} AS sx, {sql_dsum('y')} AS sy,
+               {sql_dsum('k * 1.0 * k')} AS sxx, {sql_dsum('k * y')} AS sxy
+        FROM rates GROUP BY cohort_w
+    )
+    SELECT cohort_w AS cohort_week, n AS n_weeks,
+           {_sql_q6(
+               "-((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))"
+           )} AS decay_rate,
+           CASE WHEN (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) < 0
+                THEN {_sql_q6(
+                    "ln(2.0) / (-((n * sxy - sx * sy)"
+                    " / NULLIF(n * sxx - sx * sx, 0)))"
+                )}
+                ELSE NULL END AS half_life_weeks
+    FROM m WHERE n >= 2
+    """,
+    ref="SURVEY §2 D64 [EXT] (retention decay fit: log-linear OLS of "
+    "ln(retention rate) on weeks-since-cohort per weekly cohort, "
+    "decay rate lambda and half-life ln2/lambda — the single number "
+    "product teams quote from K80's retention triangle)",
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per weekly cohort: fit retention(k) ~ exp(-lambda k) by OLS on
+    ln(rate) for k >= 1, report the decay rate and half-life in weeks
+    (null when retention isn't decaying). Cohort = user's first-event
+    week.
+
+    Scale shape: first-week per user and distinct (user, week) activity
+    are two user-keyed aggs; rates are a bounded cohort x week table;
+    the fit is the closed-form moment discipline (dsum-exact sums, one
+    bounded agg). No window, no driver math."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_w")
+    )
+    active = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts"), F.col("cohort_w")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+        .distinct()
+    )
+    cohort_n = firsts.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c0")
+    )
+    rates = (
+        active.filter(F.col("k") >= 1)
+        .groupBy("cohort_w", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .join(cohort_n, "cohort_w")
+        .select(
+            "cohort_w",
+            "k",
+            _q6(
+                F.log(F.col("active_users") * 1.0 / F.col("c0"))
+            ).alias("y"),
+        )
+    )
+    kd = F.col("k") * 1.0
+    m = rates.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(kd).alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(kd * F.col("k")).alias("sxx"),
+        dsum(F.col("k") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return m.where(n >= 2).select(
+        F.col("cohort_w").alias("cohort_week"),
+        n.alias("n_weeks"),
+        _q6(-slope).alias("decay_rate"),
+        F.when(slope < 0, _q6(F.log(F.lit(2.0)) / (-slope))).alias(
+            "half_life_weeks"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K129 — readability scoring (Flesch / Flesch-Kincaid)
+# ---------------------------------------------------------------------------
+
+@query(
+    "llm_readability_fk",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               GREATEST(len(string_split(text, ' ')), 1) AS w,
+               GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+               GREATEST(len(regexp_extract_all(text, '[aeiouy]+')), 1)
+                   AS syl
+        FROM documents
+    ), scored AS (
+        SELECT source,
+               {_sql_q6(
+                   "206.835 - 1.015 * (w * 1.0 / s)"
+                   " - 84.6 * (syl * 1.0 / w)"
+               )} AS flesch,
+               {_sql_q6(
+                   "0.39 * (w * 1.0 / s) + 11.8 * (syl * 1.0 / w) - 15.59"
+               )} AS fk_grade
+        FROM per_doc
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_dsum('flesch')} AS sum_flesch,
+           {_sql_q6(f"({sql_dsum('flesch')}) / COUNT(*)")} AS mean_flesch,
+           {_sql_q6(f"({sql_dsum('fk_grade')}) / COUNT(*)")} AS mean_fk_grade,
+           CAST(SUM(CASE WHEN fk_grade > 12.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_grade12
+    FROM scored GROUP BY source
+    """,
+    ref="SURVEY §2 K129 [EXT] (readability scoring: Flesch reading ease "
+    "+ Flesch-Kincaid grade from word/sentence/syllable-proxy counts "
+    "(vowel-group runs), aggregated per source — the curriculum / "
+    "difficulty-mix signal next to K22's ordering and K44's Gopher "
+    "rules; Kincaid et al. 1975)",
+)
+def llm_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade per source, from
+    whitespace words, sentence marks ([.!?], clamped >= 1 — the fixture
+    corpus has no punctuation so every doc is one sentence), and the
+    standard syllable proxy (runs of vowels incl. y). Reports per-source
+    means and the share of documents above grade 12.
+
+    Scale shape: three regexp/split counts per row (JVM codegen, no
+    UDF), quantized per-doc scores, ONE |sources|-group agg with
+    map-side combine. Nothing scales past the single scan."""
+    d = load(spark, sf_dir, "documents")
+    w = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    s = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0))),
+        F.lit(1),
+    )
+    syl = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0))),
+        F.lit(1),
+    )
+    wps = w * 1.0 / s
+    spw = syl * 1.0 / w
+    scored = d.select(
+        "source",
+        _q6(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch"
+        ),
+        _q6(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dsum("flesch").alias("sum_flesch"),
+        _q6(dsum("flesch") / F.count(F.lit(1))).alias("mean_flesch"),
+        _q6(dsum("fk_grade") / F.count(F.lit(1))).alias("mean_fk_grade"),
+        F.sum(F.when(F.col("fk_grade") > 12.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_grade12"),
+    )

@@ -1762,3 +1762,40 @@ def test_elasticity_broadcast_part_single_agg(spark):
     assert "SortMergeJoin" not in plan
     assert "PushedFilters:" in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_mann_kendall_pairs_calendar_bounded(spark):
+    """D62: the pairwise sign stage self-joins the DAILY table (calendar-
+    bounded), keyed on event_type — the corpus-sized events scan never
+    reaches a join; no cartesian."""
+    plan = plan_of(spark, "events_mann_kendall")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_fano_spine_bounded_single_corpus_agg(spark):
+    """D63: one corpus agg into daily rows; the zero-day spine explodes the
+    bounded per-type bounds table, never the corpus; moments close in a
+    second bounded agg. No window, no cartesian."""
+    plan = plan_of(spark, "events_dispersion_fano")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_retention_halflife_user_keyed_then_bounded(spark):
+    """D64: first-week and activity are user-keyed aggs; everything after
+    the (cohort, week) rate table is bounded; the OLS is one agg, no
+    window."""
+    plan = plan_of(spark, "events_retention_halflife")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_readability_single_scan_codegen(spark):
+    """K129: one documents scan, regexp counts in codegen (no EvalPython),
+    one source-group agg."""
+    plan = plan_of(spark, "llm_readability_fk")
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan

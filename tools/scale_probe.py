@@ -40,6 +40,11 @@ HEAVY = [
     "llm_semantic_dedup_scaled", "llm_cluster_medoids_sampled",
     "graph_clustering_coefficient_capped", "graph_adamic_adar_capped",
     "graph_two_hop_reach_hll",
+    # r9 audit/analytics wave (D55-D61, L16)
+    "dq_referential_orphans", "customer_order_coverage",
+    "events_attribution_credit", "events_did_estimator", "graph_ppr",
+    "orders_backlog_aging", "orders_perfect_order_rate",
+    "part_price_elasticity",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
