@@ -1146,3 +1146,547 @@ def llm_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_above_grade12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D65 — ABC-XYZ inventory matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS t
+            FROM lineitem),
+    c AS (
+        SELECT l_partkey, revenue,
+               CAST(SUM(CAST(trunc(revenue * 1000000 + 0.5) AS BIGINT)) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 1000000.0 AS cum
+        FROM rev
+    ),
+    abc AS (
+        SELECT l_partkey, revenue,
+               CASE WHEN cum / t <= 0.5 THEN 'A'
+                    WHEN cum / t <= 0.8 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c, tot
+    ),
+    monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+               {sql_dsum('l_quantity')} AS q
+        FROM lineitem GROUP BY l_partkey, date_trunc('month', l_shipdate)
+    ),
+    cv AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('q')} AS sq, {sql_dsum('q * q')} AS sqq
+        FROM monthly GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN n < 2 OR sq <= 0 THEN 'Z'
+                    WHEN {_sql_q6(
+                        "sqrt(greatest((sqq - sq * sq / n) / (n - 1), 0.0))"
+                        " / (sq / n)"
+                    )} <= 0.5 THEN 'X'
+                    WHEN {_sql_q6(
+                        "sqrt(greatest((sqq - sq * sq / n) / (n - 1), 0.0))"
+                        " / (sq / n)"
+                    )} <= 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM cv
+    )
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_dsum('abc.revenue')} AS class_revenue,
+           {_sql_q6(f"({sql_dsum('abc.revenue')}) / MAX(tot.t)")}
+               AS revenue_share
+    FROM abc JOIN xyz ON xyz.l_partkey = abc.l_partkey
+    CROSS JOIN tot
+    GROUP BY abc.abc_class, xyz.xyz_class
+    """,
+    ref="SURVEY §2 D65 [EXT] (ABC-XYZ matrix: K58's Pareto revenue cut "
+    "crossed with demand-variability classes from the coefficient of "
+    "variation of monthly quantities — X steady / Y seasonal / Z "
+    "erratic; the 9-cell planning grid inventory policy is set from)",
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC (revenue concentration) x XYZ (demand variability) matrix:
+    per cell, part count, revenue, and revenue share. ABC cuts at
+    50%/80% cumulative revenue; XYZ cuts at monthly-demand CV 0.5/1.0
+    (parts with <2 demand months are Z by definition).
+
+    Scale shape: ABC reuses the ranged two-pass cumsum (no
+    single-partition window — K58's device); XYZ is one
+    (part, month) agg then a part-keyed moment agg; the final join is
+    part-keyed and the output is <= 9 cells. Total: two lineitem scans,
+    both collapsing immediately."""
+    from ksql_spark.operators.scale import ranged_cumsum
+
+    li = load(spark, sf_dir, "lineitem")
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_partkey").agg(dsum(rev_expr).alias("revenue"))
+    tot = li.agg(dsum(rev_expr).alias("t"))
+    scaled = rev.withColumn(
+        "rev_scaled", (F.col("revenue") * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+    c = ranged_cumsum(
+        scaled,
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        "rev_scaled",
+        out_col="cum_scaled",
+    ).withColumn("cum", F.col("cum_scaled").cast("double") / 1_000_000.0)
+    share = F.col("cum") / F.col("t")
+    abc = c.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        F.when(share <= 0.5, "A")
+        .when(share <= 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(dsum("l_quantity").alias("q"))
+    cv = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("q").alias("sq"),
+        dsum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    cv_val = _q6(
+        F.sqrt(F.greatest((sqq - sq * sq / n) / (n - 1), F.lit(0.0)))
+        / (sq / n)
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when((n < 2) | (sq <= 0), "Z")
+        .when(cv_val <= 0.5, "X")
+        .when(cv_val <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            dsum("revenue").alias("class_revenue"),
+            _q6(dsum("revenue") / F.max("t")).alias("revenue_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D66 — circadian concentration (Rayleigh test on the 24h circle)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_circadian_rayleigh",
+    oracle=f"""
+    WITH ang AS (
+        SELECT event_type,
+               2 * pi() * (extract(hour FROM ts) * 3600.0
+                           + extract(minute FROM ts) * 60.0
+                           + extract(second FROM ts)) / 86400.0 AS theta
+        FROM events
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('cos(theta)')} AS sc, {sql_dsum('sin(theta)')} AS ss
+        FROM ang GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {_sql_q6("sqrt(sc * sc + ss * ss) / n")} AS resultant_r,
+           {_sql_q6(
+               "CASE WHEN atan2(ss, sc) >= 0"
+               " THEN atan2(ss, sc) * 24.0 / (2 * pi())"
+               " ELSE (atan2(ss, sc) + 2 * pi()) * 24.0 / (2 * pi()) END"
+           )} AS mean_hour,
+           {_sql_q6("(sc * sc + ss * ss) / n")} AS rayleigh_z,
+           CASE WHEN {_sql_q6("(sc * sc + ss * ss) / n")} > 2.995732
+                THEN 1 ELSE 0 END AS concentrated
+    FROM m
+    """,
+    ref="SURVEY §2 D66 [EXT] (circular statistics on time-of-day: "
+    "resultant length R, circular mean hour via atan2, Rayleigh "
+    "z = nR² with the 5% cutoff ln(0.05) — detects whether a type's "
+    "traffic concentrates at an hour at all, where D41/K103's "
+    "chi-square sees only deviation from uniform; Fisher 1993)",
+)
+def events_circadian_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh test per event type: map each timestamp to an angle on
+    the 24 h circle, accumulate the resultant vector, report R (0 =
+    uniform, 1 = single instant), the circular mean hour, z = nR², and
+    the 5% concentration verdict (z > -ln 0.05).
+
+    Scale shape: one corpus pass collapsing into |types| rows of
+    quantized cos/sin sums (map-side combine does the work); everything
+    downstream is column math on the bounded result. cos/sin/atan2 are
+    engine-identical IEEE doubles."""
+    import math
+
+    e = load(spark, sf_dir, "events")
+    theta = (
+        F.lit(2 * math.pi)
+        * (
+            F.hour("ts") * 3600.0
+            + F.minute("ts") * 60.0
+            + F.second("ts")
+        )
+        / F.lit(86400.0)
+    )
+    m = e.select("event_type", theta.alias("theta")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.cos("theta")).alias("sc"),
+        dsum(F.sin("theta")).alias("ss"),
+    )
+    n, sc, ss = F.col("n"), F.col("sc"), F.col("ss")
+    zq = _q6((sc * sc + ss * ss) / n)
+    mean_ang = F.atan2(ss, sc)
+    two_pi = F.lit(2 * math.pi)
+    return m.select(
+        "event_type",
+        "n",
+        _q6(F.sqrt(sc * sc + ss * ss) / n).alias("resultant_r"),
+        _q6(
+            F.when(mean_ang >= 0, mean_ang * 24.0 / two_pi).otherwise(
+                (mean_ang + two_pi) * 24.0 / two_pi
+            )
+        ).alias("mean_hour"),
+        zq.alias("rayleigh_z"),
+        F.when(zq > 2.995732, 1).otherwise(0).alias("concentrated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D67 — Croston intermittent-demand forecast
+# ---------------------------------------------------------------------------
+
+_CROSTON_ALPHA = 0.3
+
+
+@query(
+    "part_croston_demand",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+               {sql_dsum('l_quantity')} AS z
+        FROM lineitem GROUP BY l_partkey, date_trunc('month', l_shipdate)
+    ), idx AS (
+        SELECT l_partkey, m, z,
+               row_number() OVER (PARTITION BY l_partkey ORDER BY m) AS i,
+               CAST(date_diff('month',
+                    lag(m) OVER (PARTITION BY l_partkey ORDER BY m), m)
+                    AS DOUBLE) AS gap,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS nd
+        FROM monthly
+    ), wz AS (
+        SELECT l_partkey, nd,
+               {sql_dsum(
+                   f"CASE WHEN i = 1 THEN power(1.0 - {_CROSTON_ALPHA}, nd - 1) * z "
+                   f"ELSE {_CROSTON_ALPHA} * power(1.0 - {_CROSTON_ALPHA}, nd - i) * z END"
+               )} AS z_hat,
+               {sql_dsum(
+                   f"CASE WHEN i = 1 THEN NULL "
+                   f"WHEN i = 2 THEN power(1.0 - {_CROSTON_ALPHA}, nd - 2) * gap "
+                   f"ELSE {_CROSTON_ALPHA} * power(1.0 - {_CROSTON_ALPHA}, nd - i) * gap END"
+               )} AS p_hat
+        FROM idx GROUP BY l_partkey, nd
+    )
+    SELECT l_partkey AS partkey, CAST(nd AS BIGINT) AS n_demand_months,
+           {_sql_q6('z_hat')} AS z_hat, {_sql_q6('p_hat')} AS p_hat,
+           {_sql_q6('z_hat / p_hat')} AS croston_rate
+    FROM wz WHERE nd >= 3 AND p_hat > 0
+    """,
+    ref="SURVEY §2 D67 [EXT] (Croston 1972 intermittent-demand method: "
+    "separate exponential smoothing of demand sizes and inter-demand "
+    "intervals, forecast = size/interval — THE spare-parts forecaster "
+    "where K72/K76's Holt models assume demand every period; the "
+    "recursion unrolled to closed-form alpha(1-alpha)^k weights so "
+    "both engines sum the same quantized terms)",
+)
+def part_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per part over monthly demand buckets: smoothed
+    demand size z_hat, smoothed inter-demand interval p_hat (months),
+    and the demand rate z_hat/p_hat. Parts with < 3 demand months are
+    excluded (the interval series needs >= 2 gaps).
+
+    Scale shape: one (part, month) agg, then ONE part-partitioned
+    window pass (row index + lag gap — bounded by the calendar), then a
+    part-keyed agg of closed-form geometric weights. The exponential-
+    smoothing recursion is unrolled to alpha(1-alpha)^(n-i) so there is
+    no per-part sequential scan anywhere."""
+    a = _CROSTON_ALPHA
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(dsum("l_quantity").alias("z"))
+    w = Window.partitionBy("l_partkey").orderBy("m")
+    idx = monthly.select(
+        "l_partkey",
+        "z",
+        F.row_number().over(w).alias("i"),
+        (
+            F.months_between(F.col("m"), F.lag("m").over(w))
+        ).alias("gap"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_partkey"))
+        .alias("nd"),
+    )
+    i, nd, z, gap = F.col("i"), F.col("nd"), F.col("z"), F.col("gap")
+    wz_term = F.when(i == 1, F.pow(F.lit(1.0 - a), nd - 1) * z).otherwise(
+        F.lit(a) * F.pow(F.lit(1.0 - a), nd - i) * z
+    )
+    wp_term = (
+        F.when(i == 1, F.lit(None).cast("double"))
+        .when(i == 2, F.pow(F.lit(1.0 - a), nd - 2) * gap)
+        .otherwise(F.lit(a) * F.pow(F.lit(1.0 - a), nd - i) * gap)
+    )
+    wz = idx.groupBy("l_partkey", "nd").agg(
+        dsum(wz_term).alias("z_hat"),
+        dsum(wp_term).alias("p_hat"),
+    )
+    return wz.where((nd >= 3) & (F.col("p_hat") > 0)).select(
+        F.col("l_partkey").alias("partkey"),
+        nd.cast("bigint").alias("n_demand_months"),
+        _q6(F.col("z_hat")).alias("z_hat"),
+        _q6(F.col("p_hat")).alias("p_hat"),
+        _q6(F.col("z_hat") / F.col("p_hat")).alias("croston_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D68 — cross-table freshness audit
+# ---------------------------------------------------------------------------
+
+#: (table, temporal column) pairs the freshness audit watches.
+_FRESHNESS_COLS = [
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+    ("events", "ts"),
+]
+
+
+def _freshness_oracle() -> str:
+    branches = []
+    for tbl, col in _FRESHNESS_COLS:
+        branches.append(f"""
+        SELECT '{tbl}.{col}' AS feed, mx.newest,
+               CAST(COUNT(*) AS BIGINT) AS total_rows,
+               CAST(SUM(CASE WHEN t.{col} >= mx.newest - INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_last_30d
+        FROM {tbl} t CROSS JOIN
+             (SELECT MAX({col}) AS newest FROM {tbl}) mx
+        GROUP BY mx.newest""")
+    per = " UNION ALL ".join(branches)
+    return f"""
+    WITH per_feed AS ({per}),
+    corpus AS (SELECT MAX(newest) AS corpus_asof FROM per_feed)
+    SELECT feed, newest, total_rows, rows_last_30d,
+           CAST(date_diff('day', newest, corpus_asof) AS BIGINT)
+               AS staleness_days
+    FROM per_feed CROSS JOIN corpus
+    """
+
+
+@query(
+    "dq_freshness_audit",
+    oracle=_freshness_oracle(),
+    ref="SURVEY §2 D68 [EXT] (feed freshness audit: per temporal column, "
+    "newest value, trailing-30-day row volume, and staleness vs the "
+    "corpus-wide as-of — the 'did yesterday's load land' check every "
+    "warehouse pages on; companion to D55's integrity gate)",
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness report across the schema's temporal feeds: newest
+    timestamp per feed, rows in the 30 days before that max (volume
+    sanity), and staleness in days against the corpus-wide as-of
+    (max of the maxes) — a stale feed shows up as a positive lag.
+
+    Scale shape: per feed, ONE scan with the max riding as a broadcast
+    1-row aggregate into a conditional count (no second pass, no eager
+    action); the cross-feed as-of is a 3-row agg broadcast back. Output
+    is |feeds| rows."""
+    per = None
+    for tbl, col in _FRESHNESS_COLS:
+        t = load(spark, sf_dir, tbl)
+        mx = t.agg(F.max(col).alias("newest"))
+        f = (
+            t.crossJoin(F.broadcast(mx))
+            .groupBy("newest")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+                F.sum(
+                    F.when(
+                        F.col(col)
+                        >= F.col("newest") - F.expr("INTERVAL 30 DAY"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("rows_last_30d"),
+            )
+            .select(
+                F.lit(f"{tbl}.{col}").alias("feed"),
+                "newest",
+                "total_rows",
+                "rows_last_30d",
+            )
+        )
+        per = f if per is None else per.unionByName(f)
+    asof = per.agg(F.max("newest").alias("corpus_asof"))
+    return per.crossJoin(F.broadcast(asof)).select(
+        "feed",
+        "newest",
+        "total_rows",
+        "rows_last_30d",
+        F.datediff(F.col("corpus_asof"), F.col("newest"))
+        .cast("bigint")
+        .alias("staleness_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K130 — Davies-Bouldin cluster-separation index
+# ---------------------------------------------------------------------------
+
+@query(
+    "llm_cluster_davies_bouldin",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ), d AS (
+        SELECT e.vec_id, c.cent_id,
+               {{l2sq_e_c}} AS cd
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cent_id, cd,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cd, cent_id) AS rn
+        FROM d
+    ), scatter AS (
+        SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               {sql_dsum('sqrt(cd)')} AS sum_d
+        FROM assign WHERE rn = 1 GROUP BY cent_id
+    ), s AS (
+        SELECT cent_id, n_members,
+               {_sql_q6('sum_d / n_members')} AS scatter
+        FROM scatter
+    ), cd2 AS (
+        SELECT a.cent_id AS i, b.cent_id AS j,
+               sqrt({{l2sq_a_b}}) AS dij
+        FROM cents a JOIN cents b ON a.cent_id <> b.cent_id
+    ), ratios AS (
+        SELECT cd2.i AS cent_id,
+               MAX({_sql_q6('(si.scatter + sj.scatter) / cd2.dij')})
+                   AS db_component
+        FROM cd2
+        JOIN s si ON si.cent_id = cd2.i
+        JOIN s sj ON sj.cent_id = cd2.j
+        GROUP BY cd2.i
+    )
+    SELECT s.cent_id, s.n_members, s.scatter, ratios.db_component
+    FROM s JOIN ratios ON ratios.cent_id = s.cent_id
+    """.format(
+        l2sq_e_c="""
+    list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(c.cent_emb[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(c.cent_emb[i] AS DOUBLE)))),
+        (acc, p) -> acc + p)""",
+        l2sq_a_b="""
+    list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(a.cent_emb) + 1),
+                i -> (CAST(a.cent_emb[i] AS DOUBLE)
+                      - CAST(b.cent_emb[i] AS DOUBLE))
+                   * (CAST(a.cent_emb[i] AS DOUBLE)
+                      - CAST(b.cent_emb[i] AS DOUBLE)))),
+        (acc, p) -> acc + p)""",
+    ),
+    ref="SURVEY §2 K130 [EXT] (Davies-Bouldin 1979 separation index over "
+    "the K19 fixed centroids: per-cluster scatter = mean L2 to own "
+    "centroid, DB_i = max_j (s_i+s_j)/d(c_i,c_j) — the worst-neighbor "
+    "view of cluster quality where K101's silhouette averages "
+    "per-point; low = compact and separated)",
+)
+def llm_cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster Davies-Bouldin components over the fixed-centroid
+    assignment: member count, scatter (mean L2 to own centroid), and
+    DB_i = max over other clusters of (s_i + s_j) / d(c_i, c_j). The
+    corpus DB index is the mean of db_component — left per-row so the
+    report shows WHICH neighbor pair is the problem.
+
+    Scale shape: same O(n·K) broadcast distance pass as K101 (never
+    n²); scatter collapses in one cent_id agg; the pair stage is K²
+    rows of closed-form arithmetic. Nothing after the first agg scales
+    with the corpus."""
+    from ksql_spark.operators import vectors
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    d = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cd").asc(), F.col("cent_id")
+    )
+    assign = d.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    s = (
+        assign.groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            dsum(F.sqrt("cd")).alias("sum_d"),
+        )
+        .select(
+            "cent_id",
+            "n_members",
+            _q6(F.col("sum_d") / F.col("n_members")).alias("scatter"),
+        )
+    )
+    a = cents.select(
+        F.col("cent_id").alias("i"), F.col("cent_emb").alias("emb_i")
+    )
+    b = cents.select(
+        F.col("cent_id").alias("j"), F.col("cent_emb").alias("emb_j")
+    )
+    cd2 = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select(
+            "i", "j", F.sqrt(vectors.l2_sq_dist("emb_i", "emb_j")).alias("dij")
+        )
+    )
+    si = s.select(F.col("cent_id").alias("i"), F.col("scatter").alias("s_i"))
+    sj = s.select(F.col("cent_id").alias("j"), F.col("scatter").alias("s_j"))
+    ratios = (
+        cd2.join(si, "i")
+        .join(sj, "j")
+        .groupBy(F.col("i").alias("cent_id"))
+        .agg(
+            F.max(
+                _q6((F.col("s_i") + F.col("s_j")) / F.col("dij"))
+            ).alias("db_component")
+        )
+    )
+    return s.join(ratios, "cent_id").select(
+        "cent_id", "n_members", "scatter", "db_component"
+    )

@@ -1799,3 +1799,68 @@ def test_readability_single_scan_codegen(spark):
     assert plan.count("Scan parquet") == 1
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_abc_xyz_ranged_cumsum_no_global_window(spark):
+    """D65: the ABC cumulative share uses the two-pass ranged cumsum — the
+    global running sum never runs as an unpartitioned window (every window
+    spec carries the ranged _pid key); the only SinglePartition exchanges
+    are the bounded 1-row scalar totals."""
+    import re
+
+    plan = plan_of(spark, "part_abc_xyz_matrix")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec or "l_partkey" in spec, spec
+
+
+def test_circadian_single_pass_no_window(spark):
+    """D66: one corpus scan into a |types|-row trig-moment agg; no join,
+    no window."""
+    plan = plan_of(spark, "events_circadian_rayleigh")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_croston_part_keyed_window(spark):
+    """D67: the only window pass partitions on l_partkey (index + lag over
+    the bounded monthly series); the smoothing itself is a closed-form
+    keyed agg — no sequential scan, no single partition."""
+    import re
+
+    plan = plan_of(spark, "part_croston_demand")
+    assert "Exchange SinglePartition" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "l_partkey" in spec, spec
+
+
+def test_freshness_lazy_broadcast_maxes(spark):
+    """D68: per-feed max rides as a broadcast 1-row agg into a conditional
+    count (one scan per feed, no eager action); building the DataFrame
+    triggers zero jobs."""
+    import ksql_spark.queries.pipeline_audit as pa
+
+    from ksql_spark.tables import load
+
+    sc = spark.sparkContext
+    for t in ("orders", "lineitem", "events"):
+        load(spark, SF_DIR, t)
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    df = pa.dq_freshness_audit(spark, SF_DIR)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "builder ran eager jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_davies_bouldin_broadcast_centroids_k2_pairs(spark):
+    """K130: the distance pass is the O(n*K) broadcast cross join (K101's
+    shape, never n²); the pair stage joins the K-row centroid table with
+    itself — bounded; assignment window partitions on vec_id."""
+    import re
+
+    plan = plan_of(spark, "llm_cluster_davies_bouldin")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "vec_id" in spec, spec

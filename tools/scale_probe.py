@@ -44,7 +44,11 @@ HEAVY = [
     "dq_referential_orphans", "customer_order_coverage",
     "events_attribution_credit", "events_did_estimator", "graph_ppr",
     "orders_backlog_aging", "orders_perfect_order_rate",
-    "part_price_elasticity",
+    "part_price_elasticity", "events_mann_kendall",
+    "events_dispersion_fano", "events_retention_halflife",
+    "llm_readability_fk", "part_abc_xyz_matrix",
+    "events_circadian_rayleigh", "part_croston_demand",
+    "dq_freshness_audit", "llm_cluster_davies_bouldin",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
