@@ -1,6 +1,10 @@
 """[EXT] Corpus / pipeline audit & planning operators (round-9 extension wave):
-referential-integrity audit, interval-union coverage, multi-touch attribution,
-difference-in-differences — the data-quality and measurement layer a 100 TB
+data-quality gates (referential orphans D55, feed freshness D68), measurement
+(multi-touch attribution D57, difference-in-differences D58, Mann-Kendall D62,
+Fano dispersion D63, circadian Rayleigh D66), lifecycle/ops analytics
+(interval-union coverage D56, backlog aging D59, perfect-order rate D60,
+retention half-life D64), and planning (price elasticity D61, ABC-XYZ D65,
+Croston intermittent demand D67) — the audit-and-measure layer a 100 TB
 pipeline runs around its main flow.
 
 Reference scope note: the reference (ksql.js) delegates all SQL to AlaSQL and
@@ -1689,4 +1693,243 @@ def llm_cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.join(ratios, "cent_id").select(
         "cent_id", "n_members", "scatter", "db_component"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D69 — Spearman rank correlation (price vs order size, per month)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_spearman_corr",
+    oracle=f"""
+    WITH sized AS (
+        SELECT o.o_orderkey, date_trunc('month', o.o_orderdate) AS m,
+               o.o_totalprice AS price,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate),
+                 o.o_totalprice
+    ), ranked AS (
+        SELECT m,
+               CAST(rank() OVER (PARTITION BY m ORDER BY price) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY m, price) AS DOUBLE) - 1)
+                 / 2.0 AS rx,
+               CAST(rank() OVER (PARTITION BY m ORDER BY n_lines) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY m, n_lines) AS DOUBLE) - 1)
+                 / 2.0 AS ry
+        FROM sized
+    ), mo AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('rx')} AS sx, {sql_dsum('ry')} AS sy,
+               {sql_dsum('rx * rx')} AS sxx, {sql_dsum('rx * ry')} AS sxy,
+               {sql_dsum('ry * ry')} AS syy
+        FROM ranked GROUP BY m
+    )
+    SELECT m AS month, n AS n_orders,
+           {_sql_q6(
+               "(n * sxy - sx * sy)"
+               " / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)"
+           )} AS spearman_rho
+    FROM mo WHERE n >= 3
+    """,
+    ref="SURVEY §2 D69 [EXT] (Spearman rank correlation: Pearson on "
+    "tie-averaged ranks of order value vs line count per month — the "
+    "monotone-association complement to agg_corr's linear Pearson, "
+    "robust to the heavy-tailed distributions real money columns "
+    "have; Spearman 1904)",
+)
+def orders_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Spearman rho between order value and order size (line
+    count): rank both within the month with average-rank tie handling
+    (rank() + (ties-1)/2), then the Pearson moment formula on the
+    ranks.
+
+    Scale shape: one orderkey-keyed join+agg builds the per-order
+    table; ranking windows partition on the calendar month (bounded
+    partition count, each a per-month sort — the honest distributed
+    rank shape); moments collapse per month in one keyed agg. The tie
+    window (m, price) rides the same month exchange."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sized = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    wpx = Window.partitionBy("m").orderBy("price")
+    wpy = Window.partitionBy("m").orderBy("n_lines")
+    tx = Window.partitionBy("m", "price")
+    ty = Window.partitionBy("m", "n_lines")
+    ranked = sized.select(
+        "m",
+        (
+            F.rank().over(wpx).cast("double")
+            + (F.count(F.lit(1)).over(tx).cast("double") - 1) / 2.0
+        ).alias("rx"),
+        (
+            F.rank().over(wpy).cast("double")
+            + (F.count(F.lit(1)).over(ty).cast("double") - 1) / 2.0
+        ).alias("ry"),
+    )
+    rx, ry = F.col("rx"), F.col("ry")
+    mo = ranked.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(rx).alias("sx"),
+        dsum(ry).alias("sy"),
+        dsum(rx * rx).alias("sxx"),
+        dsum(rx * ry).alias("sxy"),
+        dsum(ry * ry).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return mo.where(n >= 3).select(
+        F.col("m").alias("month"),
+        n.alias("n_orders"),
+        _q6(
+            (n * sxy - sx * sy)
+            / F.nullif(
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                F.lit(0.0),
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D70 — Granger-lite lagged-predictability test
+# ---------------------------------------------------------------------------
+
+_GRANGER_X = "view"      # candidate cause
+_GRANGER_Y = "purchase"  # effect series
+
+
+@query(
+    "events_granger_lite",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = '{_GRANGER_Y}' THEN 1 ELSE 0
+                    END) AS DOUBLE) AS y,
+               CAST(SUM(CASE WHEN event_type = '{_GRANGER_X}' THEN 1 ELSE 0
+                    END) AS DOUBLE) AS x
+        FROM events WHERE event_type IN ('{_GRANGER_X}', '{_GRANGER_Y}')
+        GROUP BY CAST(ts AS DATE)
+    ), lagged AS (
+        SELECT y, lag(y) OVER (ORDER BY d) AS yl,
+               lag(x) OVER (ORDER BY d) AS xl
+        FROM daily
+    ), obs AS (
+        SELECT y, yl, xl FROM lagged WHERE yl IS NOT NULL
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('y')} AS sy, {sql_dsum('yl')} AS syl,
+               {sql_dsum('xl')} AS sxl,
+               {sql_dsum('y * yl')} AS syyl, {sql_dsum('y * xl')} AS syxl,
+               {sql_dsum('yl * yl')} AS sylyl, {sql_dsum('xl * xl')} AS sxlxl,
+               {sql_dsum('yl * xl')} AS sylxl,
+               {sql_dsum('y * y')} AS syy
+        FROM obs
+    ), solved AS (
+        -- restricted: y ~ a + b*yl ; full: y ~ a + b*yl + c*xl
+        -- centered moments
+        SELECT n,
+               syy - sy * sy / n AS tyy,
+               syyl - sy * syl / n AS c_yyl,
+               syxl - sy * sxl / n AS c_yxl,
+               sylyl - syl * syl / n AS c_ylyl,
+               sxlxl - sxl * sxl / n AS c_xlxl,
+               sylxl - syl * sxl / n AS c_ylxl
+        FROM m
+    ), fits AS (
+        SELECT n, tyy,
+               tyy - c_yyl * c_yyl / NULLIF(c_ylyl, 0) AS rss_restricted,
+               tyy - (c_yyl * c_xlxl - c_yxl * c_ylxl) * c_yyl
+                     / NULLIF(c_ylyl * c_xlxl - c_ylxl * c_ylxl, 0)
+                   - (c_yxl * c_ylyl - c_yyl * c_ylxl) * c_yxl
+                     / NULLIF(c_ylyl * c_xlxl - c_ylxl * c_ylxl, 0)
+                   AS rss_full
+        FROM solved
+    )
+    SELECT n AS n_days,
+           {_sql_q6('rss_restricted')} AS rss_restricted,
+           {_sql_q6('rss_full')} AS rss_full,
+           {_sql_q6(
+               "(rss_restricted - rss_full) / NULLIF(rss_full / (n - 3), 0)"
+           )} AS f_stat,
+           CASE WHEN {_sql_q6(
+               "(rss_restricted - rss_full) / NULLIF(rss_full / (n - 3), 0)"
+           )} > 3.92 THEN 1 ELSE 0 END AS x_helps
+    FROM fits
+    """,
+    ref="SURVEY §2 D70 [EXT] (Granger-lite predictability: does "
+    "yesterday's view count improve today's purchase forecast beyond "
+    "yesterday's purchases — restricted vs full lag-1 OLS via "
+    "closed-form 2x2 normal equations on centered moments, F(1, n-3) "
+    "vs ~3.92; Granger 1969 at lag 1)",
+)
+def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-style test on the daily series: restricted model
+    y_t ~ y_{t-1} vs full model y_t ~ y_{t-1} + x_{t-1} (x = views,
+    y = purchases), F statistic from the RSS drop. One row out.
+
+    Scale shape: the corpus collapses to one row per day in a single
+    agg; the lag window runs over the calendar-bounded daily table;
+    the two regressions are closed-form arithmetic on ONE set of
+    quantized moments (no iterative solver, no second pass)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_GRANGER_X, _GRANGER_Y)
+    )
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == _GRANGER_Y, 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == _GRANGER_X, 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "y",
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+    ).where(F.col("yl").isNotNull())
+    y, yl, xl = F.col("y"), F.col("yl"), F.col("xl")
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(y).alias("sy"),
+        dsum(yl).alias("syl"),
+        dsum(xl).alias("sxl"),
+        dsum(y * yl).alias("syyl"),
+        dsum(y * xl).alias("syxl"),
+        dsum(yl * yl).alias("sylyl"),
+        dsum(xl * xl).alias("sxlxl"),
+        dsum(yl * xl).alias("sylxl"),
+        dsum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    tyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    c_yyl = F.col("syyl") - F.col("sy") * F.col("syl") / n
+    c_yxl = F.col("syxl") - F.col("sy") * F.col("sxl") / n
+    c_ylyl = F.col("sylyl") - F.col("syl") * F.col("syl") / n
+    c_xlxl = F.col("sxlxl") - F.col("sxl") * F.col("sxl") / n
+    c_ylxl = F.col("sylxl") - F.col("syl") * F.col("sxl") / n
+    det = c_ylyl * c_xlxl - c_ylxl * c_ylxl
+    rss_r = tyy - c_yyl * c_yyl / F.nullif(c_ylyl, F.lit(0.0))
+    rss_f = (
+        tyy
+        - (c_yyl * c_xlxl - c_yxl * c_ylxl) * c_yyl / F.nullif(det, F.lit(0.0))
+        - (c_yxl * c_ylyl - c_yyl * c_ylxl) * c_yxl / F.nullif(det, F.lit(0.0))
+    )
+    fq = _q6((rss_r - rss_f) / F.nullif(rss_f / (n - 3), F.lit(0.0)))
+    return m.select(
+        n.alias("n_days"),
+        _q6(rss_r).alias("rss_restricted"),
+        _q6(rss_f).alias("rss_full"),
+        fq.alias("f_stat"),
+        F.when(fq > 3.92, 1).otherwise(0).alias("x_helps"),
     )

@@ -1864,3 +1864,26 @@ def test_davies_bouldin_broadcast_centroids_k2_pairs(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "vec_id" in spec, spec
+
+
+def test_spearman_month_partitioned_ranks(spark):
+    """D69: all four rank/tie windows partition on the calendar month —
+    never a global sort of the order table; moments close per month."""
+    import re
+
+    plan = plan_of(spark, "orders_spearman_corr")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "m#" in spec, spec
+
+
+def test_granger_single_scan_bounded_tail(spark):
+    """D70: one events scan with the type filter pushed; the only window
+    (lag) runs over the post-agg DAILY table — calendar-bounded, the
+    documented orders_monthly_growth posture; one final 1-row agg."""
+    plan = plan_of(spark, "events_granger_lite")
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters:" in plan
+    assert "CartesianProduct" not in plan
