@@ -1950,3 +1950,188 @@ def events_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fq.alias("f_stat"),
         F.when(fq > 3.92, 1).otherwise(0).alias("x_helps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D71 — Wald-Wolfowitz runs test (randomness of daily revenue)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               {sql_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), med AS (
+        SELECT quantile_cont(rev, 0.5) AS m FROM daily
+    ), signed AS (
+        SELECT d, CASE WHEN rev > m THEN 1 ELSE 0 END AS above
+        FROM daily CROSS JOIN med WHERE rev <> m
+    ), flagged AS (
+        SELECT above,
+               CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                    OR lag(above) OVER (ORDER BY d) <> above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signed
+    ), m2 AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS runs,
+               CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(SUM(1 - above) AS BIGINT) AS n2
+        FROM flagged
+    )
+    SELECT runs, n1, n2,
+           {_sql_q6("1.0 + 2.0 * n1 * n2 / (n1 + n2)")} AS expected_runs,
+           {_sql_q6(
+               "(runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))"
+               " / NULLIF(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+               " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 0)"
+           )} AS z_stat
+    FROM m2
+    """,
+    ref="SURVEY §2 D71 [EXT] (Wald-Wolfowitz runs test: daily revenue "
+    "dichotomized at the median, observed vs expected run count, "
+    "normal z — |z| > 1.96 rejects serial randomness (clustered "
+    "hot/cold streaks); the independence screen D62's trend test "
+    "assumes away; Wald & Wolfowitz 1940)",
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test on the daily revenue series: sign each day against the
+    median (median days dropped, the standard convention), count
+    maximal same-sign runs, compare with the exact null mean
+    1 + 2·n1·n2/n and variance — one z-statistic row.
+
+    Scale shape: the corpus collapses to the daily table in one agg;
+    the median is a 1-row broadcast; the run-boundary lag window runs
+    over calendar-bounded days (the documented orders_monthly_growth
+    posture); final agg is one row."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    med = daily.agg(
+        F.percentile("rev", F.lit(0.5)).alias("m")
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rev") != F.col("m"))
+        .select(
+            "d",
+            F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("above"),
+        )
+    )
+    w = Window.orderBy("d")
+    flagged = signed.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    m2 = flagged.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+    )
+    runs, n1, n2 = F.col("runs"), F.col("n1"), F.col("n2")
+    exp_runs = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return m2.select(
+        "runs",
+        "n1",
+        "n2",
+        _q6(exp_runs).alias("expected_runs"),
+        _q6(
+            (runs - exp_runs) / F.nullif(F.sqrt(var), F.lit(0.0))
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D72 — Herfindahl-Hirschman concentration index
+# ---------------------------------------------------------------------------
+
+@query(
+    "supplier_herfindahl",
+    oracle=f"""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ), tot AS (
+        SELECT nationkey, {sql_dsum('r')} AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY nationkey
+    )
+    SELECT rev.nationkey, MAX(tot.n_suppliers) AS n_suppliers,
+           {sql_dsum('rev.r')} AS market_revenue,
+           {_sql_q6(
+               f"({sql_dsum('(rev.r / tot.t) * (rev.r / tot.t) * 10000.0')})"
+           )} AS hhi,
+           CASE WHEN {_sql_q6(
+               f"({sql_dsum('(rev.r / tot.t) * (rev.r / tot.t) * 10000.0')})"
+           )} > 2500.0 THEN 'concentrated'
+           WHEN {_sql_q6(
+               f"({sql_dsum('(rev.r / tot.t) * (rev.r / tot.t) * 10000.0')})"
+           )} > 1500.0 THEN 'moderate' ELSE 'competitive' END AS verdict
+    FROM rev JOIN tot ON tot.nationkey = rev.nationkey
+    GROUP BY rev.nationkey
+    """,
+    ref="SURVEY §2 D72 [EXT] (Herfindahl-Hirschman index: sum of squared "
+    "supplier revenue shares (x10000) per nation market with the "
+    "DOJ 1500/2500 bands — the antitrust/risk concentration measure "
+    "where D28's Gini reads the whole curve; shares against a "
+    "nation-keyed broadcastable total)",
+)
+def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI per nation market: squared supplier revenue shares summed and
+    scaled to the conventional 0-10000 range, with the DOJ verdict
+    bands (>2500 concentrated, >1500 moderate).
+
+    Scale shape: one supplier-keyed revenue agg off the fact scan, one
+    nation-keyed totals agg, share math rides a nation-keyed join
+    (bounded by |suppliers|), final agg is |nations| rows. Shares are
+    quantized per term (dsum) so the squared sum is order-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(dsum(rev_expr).alias("r"))
+    )
+    tot = rev.groupBy("nationkey").agg(
+        dsum("r").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("t")
+    hhi = _q6(dsum(share * share * 10000.0))
+    return (
+        rev.join(tot, "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            dsum("r").alias("market_revenue"),
+            hhi.alias("hhi"),
+        )
+        .select(
+            "nationkey",
+            "n_suppliers",
+            "market_revenue",
+            "hhi",
+            F.when(F.col("hhi") > 2500.0, "concentrated")
+            .when(F.col("hhi") > 1500.0, "moderate")
+            .otherwise("competitive")
+            .alias("verdict"),
+        )
+    )

@@ -339,3 +339,30 @@ def test_davies_bouldin_sane(spark):
         assert r["n_members"] > 0
         assert r["scatter"] > 0
         assert r["db_component"] > 0
+
+
+# ---------------------------------------------------------------------------
+# D71 — runs-test identities
+# ---------------------------------------------------------------------------
+
+def test_runs_test_identities(spark):
+    r = SPECS["orders_runs_test"].builder(spark, SF_DIR).collect()[0]
+    # a run sequence over n1+n2 signed days is bounded by the alternation
+    assert 1 <= r["runs"] <= r["n1"] + r["n2"]
+    assert r["expected_runs"] == pytest.approx(
+        1.0 + 2.0 * r["n1"] * r["n2"] / (r["n1"] + r["n2"]), abs=2e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# D72 — HHI bounds: 10000/n <= hhi <= 10000
+# ---------------------------------------------------------------------------
+
+def test_hhi_bounds(spark):
+    out = SPECS["supplier_herfindahl"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["hhi"] <= 10000.0 + 1e-3
+        # uniform shares minimize HHI at 10000/n
+        assert r["hhi"] >= 10000.0 / r["n_suppliers"] - 1e-3
+        assert r["verdict"] in ("concentrated", "moderate", "competitive")

@@ -1887,3 +1887,22 @@ def test_granger_single_scan_bounded_tail(spark):
     assert plan.count("Scan parquet") == 1
     assert "PushedFilters:" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runs_test_bounded_tail(spark):
+    """D71: one orders scan collapsing to the daily table; the median is a
+    broadcast 1-row agg; the run-boundary window is calendar-bounded."""
+    plan = plan_of(spark, "orders_runs_test")
+    # two scans: the daily lineage feeds the median branch AND the signed
+    # path, each collapsing into bounded rows at the scan (the backlog-aging
+    # posture); never more
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_keyed_share_join(spark):
+    """D72: supplier dim broadcasts into the fact scan; the share join is
+    nation-keyed (never cartesian); two bounded aggs close it."""
+    plan = plan_of(spark, "supplier_herfindahl")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -50,6 +50,7 @@ HEAVY = [
     "events_circadian_rayleigh", "part_croston_demand",
     "dq_freshness_audit", "llm_cluster_davies_bouldin",
     "orders_spearman_corr", "events_granger_lite",
+    "orders_runs_test", "supplier_herfindahl",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
