@@ -2135,3 +2135,423 @@ def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D73 — CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16"
+
+
+@query(
+    "events_cuped_adjusted",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               {sql_dsum(
+                   f"CASE WHEN ts < TIMESTAMP '{_CUPED_CUT} 00:00:00'"
+                   " THEN value END"
+               )} AS pre_sum,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+               {sql_dsum(
+                   f"CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT} 00:00:00'"
+                   " THEN value END"
+               )} AS post_sum,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS post_n
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), xy AS (
+        SELECT arm,
+               {_sql_q6('pre_sum / pre_n')} AS x,
+               {_sql_q6('post_sum / post_n')} AS y
+        FROM per_user WHERE pre_n > 0 AND post_n > 0
+    ), gm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+               {sql_dsum('x * x')} AS sxx, {sql_dsum('x * y')} AS sxy
+        FROM xy
+    ), theta AS (
+        SELECT n, sx / n AS xbar,
+               (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS th
+        FROM gm
+    ), adj AS (
+        SELECT xy.arm, xy.y,
+               xy.y - theta.th * (xy.x - theta.xbar) AS y_adj
+        FROM xy CROSS JOIN theta
+    ), m AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               {sql_dsum('y')} AS sy, {sql_dsum('y * y')} AS syy,
+               {sql_dsum('y_adj')} AS sa, {sql_dsum('y_adj * y_adj')} AS saa
+        FROM adj GROUP BY arm
+    )
+    SELECT arm, n_users,
+           {_sql_q6('sy / n_users')} AS mean_y,
+           {_sql_q6('sa / n_users')} AS mean_y_adj,
+           {_sql_q6('(syy - sy * sy / n_users) / (n_users - 1)')} AS var_y,
+           {_sql_q6('(saa - sa * sa / n_users) / (n_users - 1)')} AS var_y_adj,
+           {_sql_q6(
+               "1.0 - ((saa - sa * sa / n_users) / (n_users - 1))"
+               " / NULLIF((syy - sy * sy / n_users) / (n_users - 1), 0)"
+           )} AS variance_reduction
+    FROM m
+    """,
+    ref="SURVEY §2 D73 [EXT] (CUPED variance reduction, Deng et al. "
+    "WSDM 2013: adjust each user's experiment-period metric by theta x "
+    "(pre-period covariate - mean), theta = cov/var fit on the pooled "
+    "population — the variance-shrinking pre-processing every mature "
+    "A/B platform runs before D38's test; reports per-arm means, "
+    "variances, and the realized reduction)",
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment on per-user purchase values: covariate X = the
+    user's pre-period mean, metric Y = experiment-period mean, theta
+    fit by pooled OLS, Y_adj = Y - theta (X - X_bar). Per arm: user
+    count, raw vs adjusted means (CUPED leaves the treatment-effect
+    estimate unbiased) and variances with the realized reduction share.
+
+    Scale shape: ONE user-keyed conditional agg builds (X, Y); theta
+    and X_bar are a 1-row broadcast; the adjusted moments close per
+    arm. Three aggs, no window, no corpus-sized join."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cut = F.lit(f"{_CUPED_CUT} 00:00:00").cast("timestamp")
+    pre = F.when(F.col("ts") < cut, F.col("value"))
+    post = F.when(F.col("ts") >= cut, F.col("value"))
+    per_user = e.groupBy("user_id").agg(
+        dsum(pre).alias("pre_sum"),
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pre_n"),
+        dsum(post).alias("post_sum"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("post_n"),
+    )
+    xy = per_user.where(
+        (F.col("pre_n") > 0) & (F.col("post_n") > 0)
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        _q6(F.col("pre_sum") / F.col("pre_n")).alias("x"),
+        _q6(F.col("post_sum") / F.col("post_n")).alias("y"),
+    )
+    gm = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    theta = gm.select(
+        (F.col("sx") / n).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            / F.nullif(F.col("sxx") - F.col("sx") * F.col("sx") / n, F.lit(0.0))
+        ).alias("th"),
+    )
+    adj = xy.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))).alias(
+            "y_adj"
+        ),
+    )
+    m = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        dsum("y").alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum("y_adj").alias("sa"),
+        dsum(F.col("y_adj") * F.col("y_adj")).alias("saa"),
+    )
+    nu = F.col("n_users")
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / nu) / (nu - 1)
+    var_a = (F.col("saa") - F.col("sa") * F.col("sa") / nu) / (nu - 1)
+    return m.select(
+        "arm",
+        "n_users",
+        _q6(F.col("sy") / nu).alias("mean_y"),
+        _q6(F.col("sa") / nu).alias("mean_y_adj"),
+        _q6(var_y).alias("var_y"),
+        _q6(var_a).alias("var_y_adj"),
+        _q6(1.0 - var_a / F.nullif(var_y, F.lit(0.0))).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D74 — SPRT sequential A/B monitor
+# ---------------------------------------------------------------------------
+
+_SPRT_LIFT = 1.2     # H1: treatment converts at 1.2x the control rate
+_SPRT_LN_A = 2.9444389791664403   # ln((1-beta)/alpha) = ln(0.95/0.05)
+_SPRT_LN_B = -2.9444389791664403  # ln(beta/(1-alpha)) = ln(0.05/0.95)
+
+
+@query(
+    "events_sprt_ab",
+    oracle=f"""
+    WITH convs AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(user_id % 2 AS INT) AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ), p0x AS (
+        SELECT CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS p0
+        FROM convs WHERE arm = 0
+    ), daily AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_t,
+               CAST(SUM(conv) AS BIGINT) AS k_t
+        FROM convs WHERE arm = 1 GROUP BY d
+    ), cum AS (
+        SELECT d,
+               SUM(n_t) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+               SUM(k_t) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        FROM daily
+    ), llrs AS (
+        SELECT d, n, k,
+               {_sql_q6(
+                   f"k * ln(least(p0 * {_SPRT_LIFT}, 0.999999) / p0)"
+                   f" + (n - k) * ln((1.0 - least(p0 * {_SPRT_LIFT},"
+                   " 0.999999)) / (1.0 - p0))"
+               )} AS llr
+        FROM cum CROSS JOIN p0x
+    )
+    SELECT d AS day, CAST(n AS BIGINT) AS n_exposed,
+           CAST(k AS BIGINT) AS n_converted, llr,
+           CASE WHEN llr >= {_SPRT_LN_A} THEN 'accept H1'
+                WHEN llr <= {_SPRT_LN_B} THEN 'accept H0'
+                ELSE 'continue' END AS decision
+    FROM llrs
+    """,
+    ref="SURVEY §2 D74 [EXT] (Wald SPRT sequential monitor: cumulative "
+    "Bernoulli log-likelihood ratio of the treatment arm's conversions "
+    "under H1 = 1.2x the control rate vs H0, against the "
+    "ln(0.95/0.05) boundaries — shows per day when a sequential test "
+    "would have stopped, where D38/K83 are fixed-horizon; Wald 1945)",
+)
+def events_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test ledger: per day, the treatment
+    arm's cumulative exposures/conversions and the running LLR with the
+    classic (alpha = beta = 0.05) decision boundaries. The control
+    arm's overall conversion rate anchors H0; H1 = 1.2x that rate
+    (capped below 1).
+
+    Scale shape: the corpus collapses to per-day counts in one agg
+    (control rate is a 1-row broadcast); the cumulative window runs
+    over calendar-bounded days; one quantized LLR expression per day.
+    The exact shape a streaming experiment monitor materializes."""
+    e = load(spark, sf_dir, "events")
+    convs = e.select(
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    p0x = convs.where(F.col("arm") == 0).agg(
+        (F.sum("conv").cast("double") / F.count(F.lit(1))).alias("p0")
+    )
+    daily = (
+        convs.where(F.col("arm") == 1)
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_t"),
+            F.sum("conv").cast("bigint").alias("k_t"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n_t").over(w).alias("n"),
+        F.sum("k_t").over(w).alias("k"),
+    )
+    p0 = F.col("p0")
+    p1 = F.least(p0 * _SPRT_LIFT, F.lit(0.999999))
+    llr = _q6(
+        F.col("k") * F.log(p1 / p0)
+        + (F.col("n") - F.col("k")) * F.log((1.0 - p1) / (1.0 - p0))
+    )
+    out = cum.crossJoin(F.broadcast(p0x)).select(
+        F.col("d").alias("day"),
+        F.col("n").cast("bigint").alias("n_exposed"),
+        F.col("k").cast("bigint").alias("n_converted"),
+        llr.alias("llr"),
+    )
+    return out.select(
+        "day",
+        "n_exposed",
+        "n_converted",
+        "llr",
+        F.when(F.col("llr") >= _SPRT_LN_A, "accept H1")
+        .when(F.col("llr") <= _SPRT_LN_B, "accept H0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K131 — binned two-sample KS between each source and the rest
+# ---------------------------------------------------------------------------
+
+from ksql_spark.queries.curation import SQL_QUALITY as _SQL_QUALITY
+
+_KS_BINS = 1000
+
+
+@query(
+    "llm_quality_ks_sources",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               CAST(least(floor(({{q}}) * {_KS_BINS}),
+                          {_KS_BINS - 1}) AS BIGINT) AS bin
+        FROM documents
+    ), per AS (
+        SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scored GROUP BY source, bin
+    ), totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM per GROUP BY source
+    ), grand AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS ng,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM per
+    ), spine AS (
+        SELECT t.source, gs.bin
+        FROM totals t CROSS JOIN
+             (SELECT UNNEST(range(0, {_KS_BINS})) AS bin) gs
+    ), binc AS (
+        SELECT spine.source, spine.bin, COALESCE(per.c, 0) AS c
+        FROM spine LEFT JOIN per
+          ON per.source = spine.source AND per.bin = spine.bin
+    ), allbin AS (
+        SELECT bin, CAST(SUM(c) AS BIGINT) AS ca FROM binc GROUP BY bin
+    ), cums AS (
+        SELECT binc.source, binc.bin,
+               SUM(binc.c) OVER (PARTITION BY binc.source ORDER BY binc.bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+               SUM(allbin.ca) OVER (PARTITION BY binc.source ORDER BY binc.bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+        FROM binc JOIN allbin ON allbin.bin = binc.bin
+    ), dstat AS (
+        SELECT cums.source,
+               MAX({_sql_q6(
+                   "abs(cs * 1.0 / ns - (cg - cs) * 1.0 / (ng - ns))"
+               )}) AS ks_d
+        FROM cums
+        JOIN totals ON totals.source = cums.source
+        CROSS JOIN grand
+        GROUP BY cums.source
+    )
+    SELECT dstat.source, totals.ns AS n_docs, dstat.ks_d,
+           {_sql_q6(
+               "1.358 * sqrt((totals.ns + (grand.ng - totals.ns)) * 1.0"
+               " / (totals.ns * (grand.ng - totals.ns)))"
+           )} AS d_crit_5pct,
+           CASE WHEN dstat.ks_d > {_sql_q6(
+               "1.358 * sqrt((totals.ns + (grand.ng - totals.ns)) * 1.0"
+               " / (totals.ns * (grand.ng - totals.ns)))"
+           )} THEN 1 ELSE 0 END AS shifted
+    FROM dstat JOIN totals ON totals.source = dstat.source
+    CROSS JOIN grand
+    """.format(q=_SQL_QUALITY),
+    ref="SURVEY §2 K131 [EXT] (binned two-sample Kolmogorov-Smirnov: "
+    "each source's quality-score distribution vs the rest of the "
+    "corpus over a fixed 1000-bin grid, D = max ECDF gap vs the 1.358 "
+    "x sqrt((n+m)/nm) 5% critical value — the distribution-shift gate "
+    "that catches what K90's PSI bins coarsely; the binning IS the "
+    "spec, so both engines compute it exactly)",
+)
+def llm_quality_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: binned two-sample KS D between the source's quality
+    scores and the complement corpus, with the 5% critical value and a
+    shifted flag. Scores land on a fixed 1000-bin grid (binning is part
+    of the operator's spec — D is exact given the grid, and the grid is
+    what makes the ECDF distributed-friendly).
+
+    Scale shape: corpus collapses to (source, bin) counts in one agg;
+    the spine is |sources| x 1000 rows; cumulative ECDFs ride
+    source-partitioned windows over the bounded grid; complement
+    counts come from the bin totals, not a self-join. Nothing after
+    the first agg scales with the corpus."""
+    from ksql_spark.operators import text
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.least(
+            F.floor(text.quality_score("text") * _KS_BINS),
+            F.lit(_KS_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    per = scored.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("ns")
+    )
+    grand = per.agg(F.sum("c").cast("bigint").alias("ng"))
+    spine = totals.select("source").crossJoin(
+        F.broadcast(
+            d.sparkSession.range(0, _KS_BINS).select(
+                F.col("id").cast("bigint").alias("bin")
+            )
+        )
+    )
+    binc = spine.join(per, ["source", "bin"], "left").select(
+        "source", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    allbin = binc.groupBy("bin").agg(F.sum("c").cast("bigint").alias("ca"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = (
+        binc.join(allbin, "bin")
+        .select(
+            "source",
+            "bin",
+            F.sum("c").over(w).alias("cs"),
+            F.sum("ca").over(w).alias("cg"),
+        )
+    )
+    dstat = (
+        cums.join(totals, "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.max(
+                _q6(
+                    F.abs(
+                        F.col("cs") * 1.0 / F.col("ns")
+                        - (F.col("cg") - F.col("cs"))
+                        * 1.0
+                        / (F.col("ng") - F.col("ns"))
+                    )
+                )
+            ).alias("ks_d")
+        )
+    )
+    ns, ng = F.col("ns"), F.col("ng")
+    d_crit = _q6(
+        1.358 * F.sqrt((ns + (ng - ns)) * 1.0 / (ns * (ng - ns)))
+    )
+    return (
+        dstat.join(totals, "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            ns.alias("n_docs"),
+            "ks_d",
+            d_crit.alias("d_crit_5pct"),
+            F.when(F.col("ks_d") > d_crit, 1).otherwise(0).alias("shifted"),
+        )
+    )

@@ -366,3 +366,57 @@ def test_hhi_bounds(spark):
         # uniform shares minimize HHI at 10000/n
         assert r["hhi"] >= 10000.0 / r["n_suppliers"] - 1e-3
         assert r["verdict"] in ("concentrated", "moderate", "competitive")
+
+
+# ---------------------------------------------------------------------------
+# D73 — CUPED leaves arm means unbiased; variance never grows
+# ---------------------------------------------------------------------------
+
+def test_cuped_unbiased_and_shrinking(spark):
+    out = SPECS["events_cuped_adjusted"].builder(spark, SF_DIR).collect()
+    assert len(out) == 2
+    for r in out:
+        # theta is fit on the pooled population; per-arm adjusted means can
+        # move slightly, but the adjustment is mean-zero POOLED
+        assert r["var_y_adj"] <= r["var_y"] + 1e-6, r
+        assert r["variance_reduction"] >= -1e-6
+    # pooled mean shift is ~zero (mean-zero adjustment by construction)
+    tot_n = sum(r["n_users"] for r in out)
+    pooled_y = sum(r["mean_y"] * r["n_users"] for r in out) / tot_n
+    pooled_adj = sum(r["mean_y_adj"] * r["n_users"] for r in out) / tot_n
+    assert abs(pooled_y - pooled_adj) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# D74 — SPRT ledger is cumulative and decisions match boundaries
+# ---------------------------------------------------------------------------
+
+def test_sprt_ledger_monotone_counts(spark):
+    out = sorted(
+        SPECS["events_sprt_ab"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out
+    prev_n = prev_k = 0
+    for r in out:
+        assert r["n_exposed"] >= prev_n and r["n_converted"] >= prev_k
+        prev_n, prev_k = r["n_exposed"], r["n_converted"]
+        if r["llr"] >= 2.9444389791664403:
+            assert r["decision"] == "accept H1"
+        elif r["llr"] <= -2.9444389791664403:
+            assert r["decision"] == "accept H0"
+        else:
+            assert r["decision"] == "continue"
+
+
+# ---------------------------------------------------------------------------
+# K131 — KS D in [0, 1] and crafted shift detection
+# ---------------------------------------------------------------------------
+
+def test_ks_bounds(spark):
+    out = SPECS["llm_quality_ks_sources"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["ks_d"] <= 1.0 + 1e-9
+        assert r["d_crit_5pct"] > 0
+        assert r["shifted"] == (1 if r["ks_d"] > r["d_crit_5pct"] else 0)

@@ -1906,3 +1906,30 @@ def test_hhi_keyed_share_join(spark):
     plan = plan_of(spark, "supplier_herfindahl")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cuped_three_aggs_broadcast_theta(spark):
+    """D73: one user-keyed conditional agg, theta/xbar as a broadcast
+    1-row side, per-arm moment close — no window, no corpus join."""
+    plan = plan_of(spark, "events_cuped_adjusted")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sprt_daily_cumulative_bounded(spark):
+    """D74: corpus collapses to daily counts; the control rate is a 1-row
+    broadcast; the cumulative window runs over the bounded daily table."""
+    plan = plan_of(spark, "events_sprt_ab")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # treatment dailies + control rate
+
+
+def test_ks_grid_windows_source_partitioned(spark):
+    """K131: ECDF windows partition on source over the fixed 1000-bin
+    grid; the complement comes from bin totals, never a self-join of the
+    corpus; no cartesian of anything unbounded."""
+    import re
+
+    plan = plan_of(spark, "llm_quality_ks_sources")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in spec, spec
