@@ -684,7 +684,10 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit r². Slope near -1 = unit-elastic; r² says how much of quantity
     variation price explains at all.
 
-    Scale shape: part (dim) broadcasts into the lineitem scan; x/y are
+    Scale shape: part joins the lineitem scan un-hinted — AQE broadcasts
+    it while it fits and falls back to a partkey-keyed shuffle join at the
+    SF where it no longer does (part is SF-proportional, so a broadcast
+    HINT would be the classic 100 TB OOM; gate-enforced repo-wide); x/y are
     quantized per row (ln is engine-identical IEEE); the five OLS
     moments accumulate via exact scaled-long dsum in ONE |brands|-group
     agg with map-side combine; the closed-form solve is column math on
@@ -697,7 +700,7 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_extendedprice") > 0)
             & (F.col("l_discount") < 1.0)
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .select(
             "p_brand",
             _q6(
@@ -2098,7 +2101,9 @@ def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled to the conventional 0-10000 range, with the DOJ verdict
     bands (>2500 concentrated, >1500 moderate).
 
-    Scale shape: one supplier-keyed revenue agg off the fact scan, one
+    Scale shape: the supplier join is un-hinted (supplier is
+    SF-proportional — AQE broadcasts while it fits, shuffles on suppkey
+    beyond that); one supplier-keyed revenue agg off the fact scan, one
     nation-keyed totals agg, share math rides a nation-keyed join
     (bounded by |suppliers|), final agg is |nations| rows. Shares are
     quantized per term (dsum) so the squared sum is order-exact."""
@@ -2106,7 +2111,7 @@ def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
         .agg(dsum(rev_expr).alias("r"))
     )

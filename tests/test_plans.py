@@ -1753,15 +1753,15 @@ def test_perfect_order_single_fact_shuffle(spark):
     assert plan.count("Scan parquet") == 2
 
 
-def test_elasticity_broadcast_part_single_agg(spark):
-    """D61: part (dim) broadcasts into the lineitem scan, the five OLS
-    moments collapse in ONE brand-keyed agg with map-side partials, and
-    the lineitem filters are pushed to the scan."""
+def test_elasticity_unhinted_join_single_agg(spark):
+    """D61: the part join carries NO broadcast hint (part is
+    SF-proportional — AQE broadcasts while it fits, shuffles on partkey
+    when it doesn't); the five OLS moments collapse in ONE brand-keyed
+    agg and the lineitem filters are pushed to the scan."""
     plan = plan_of(spark, "part_price_elasticity")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     assert "PushedFilters:" in plan
     assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_mann_kendall_pairs_calendar_bounded(spark):
@@ -1901,11 +1901,11 @@ def test_runs_test_bounded_tail(spark):
 
 
 def test_hhi_keyed_share_join(spark):
-    """D72: supplier dim broadcasts into the fact scan; the share join is
-    nation-keyed (never cartesian); two bounded aggs close it."""
+    """D72: the supplier join is un-hinted (supplier is SF-proportional;
+    AQE picks the strategy); the share join is nation-keyed (never
+    cartesian); two bounded aggs close it."""
     plan = plan_of(spark, "supplier_herfindahl")
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
 
 
 def test_cuped_three_aggs_broadcast_theta(spark):
