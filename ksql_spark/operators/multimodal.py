@@ -922,3 +922,62 @@ def synth_y4m_motion_energy(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_MOTION_SCHEMA)
+
+
+SYNTH_HIST_SCHEMA = (
+    "doc_id long, mean_intensity double, dominant_bin int, "
+    + ", ".join(f"bin_{b} int" for b in range(8))
+)
+
+
+def synth_ppm_histogram(df: DataFrame) -> DataFrame:
+    """REAL thumbnail-histogram pipeline, oracle-checkable in closed form:
+    the synth_ppm_resize chain (encode PPM → parse → nearest resize to
+    8×8 RGB = 192 bytes) followed by the classic 8-bin intensity
+    histogram (bin = v // 32), the 1e-6-quantized mean intensity, and
+    the dominant bin (ties to the lowest bin index). Every count is a
+    pure integer function of n_chars via the floor-resample mapping, so
+    the SQL oracle states all 8 bins directly; any byte-pipeline bug
+    shifts a count and hash-mismatches.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass, no shuffle;
+    the histogram vector is the standard cheap image feature fed to
+    near-dup blocking and quality screens."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "mean_intensity": [], "dominant_bin": [],
+                **{f"bin_{b}": [] for b in range(8)},
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 16 + int(n_chars) % 48
+                h = 16 + (int(n_chars) * 7) % 48
+                x = np.arange(w)
+                y = np.arange(h)
+                c = np.arange(3)
+                img = (
+                    (x[None, :, None] * 3 + y[:, None, None] * 7
+                     + c[None, None, :]) % 256
+                ).astype("uint8")
+                resized = resize_nearest(
+                    decode_netpbm(encode_ppm(img)), 8, 8
+                ).astype("int64")
+                flat = resized.reshape(-1)
+                counts = np.bincount(flat // 32, minlength=8)
+                total = int(flat.sum())
+                # house 1e-6 quantization: trunc(x*1e6 + 0.5) as the long cast
+                mean_q = (
+                    int(total / 192 * 1000000.0 + 0.5) / 1000000.0
+                )
+                out["doc_id"].append(doc_id)
+                out["mean_intensity"].append(mean_q)
+                out["dominant_bin"].append(int(np.argmax(counts)))
+                for b in range(8):
+                    out[f"bin_{b}"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_HIST_SCHEMA)

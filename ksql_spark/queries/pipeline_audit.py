@@ -2560,3 +2560,68 @@ def llm_quality_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ks_d") > d_crit, 1).otherwise(0).alias("shifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K132 — thumbnail intensity histogram through the real byte pipeline
+# ---------------------------------------------------------------------------
+
+_HIST_BINS_SQL = ",\n           ".join(
+    f"""CAST(list_sum(list_transform(vals, v ->
+               CASE WHEN v // 32 = {b} THEN 1 ELSE 0 END)) AS INT)
+               AS bin_{b}"""
+    for b in range(8)
+)
+
+
+@query(
+    "llm_multimodal_histogram",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               16 + n_chars % 48 AS w,
+               16 + (n_chars * 7) % 48 AS h
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               flatten(flatten(list_transform(range(0, 8), yt ->
+                   list_transform(range(0, 8), xt ->
+                       list_transform(range(0, 3), c ->
+                           (((xt * w) // 8) * 3 + ((yt * h) // 8) * 7 + c)
+                           % 256))))) AS vals
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(trunc(list_sum(vals) / 192.0 * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS mean_intensity,
+           CAST(list_indexof(
+               list_transform(range(0, 8), b ->
+                   list_sum(list_transform(vals, v ->
+                       CASE WHEN v // 32 = b THEN 1 ELSE 0 END))),
+               list_max(list_transform(range(0, 8), b ->
+                   list_sum(list_transform(vals, v ->
+                       CASE WHEN v // 32 = b THEN 1 ELSE 0 END))))
+           ) - 1 AS INT) AS dominant_bin,
+           {_HIST_BINS_SQL}
+    FROM g
+    """,
+    ref="SURVEY §2 K132 [EXT] (thumbnail intensity histogram: the K5/K122 "
+    "oracle-exact byte round-trip (PPM encode -> header parse -> 8x8 "
+    "nearest resize) -> 8-bin intensity histogram + quantized mean + "
+    "dominant bin — the standard cheap image feature for near-dup "
+    "blocking and brightness/quality screens; every count is a closed "
+    "integer function of n_chars, so the oracle states all 8 bins)",
+)
+def llm_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin intensity histogram per synthesized image, through the REAL
+    decode pipeline (genuine PPM bytes, header parse, nearest resample
+    to the 8x8 RGB thumbnail), with quantized mean intensity and the
+    dominant bin (ties to the lowest index).
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass, no shuffle;
+    downstream blocking groups on (dominant_bin) or the bin vector — a
+    digest-sized exchange. Compressed codecs remain the documented
+    NotImplementedError boundary (operators/multimodal.py)."""
+    from ksql_spark.operators import multimodal
+
+    return multimodal.synth_ppm_histogram(load(spark, sf_dir, "documents"))

@@ -420,3 +420,19 @@ def test_ks_bounds(spark):
         assert 0.0 <= r["ks_d"] <= 1.0 + 1e-9
         assert r["d_crit_5pct"] > 0
         assert r["shifted"] == (1 if r["ks_d"] > r["d_crit_5pct"] else 0)
+
+
+# ---------------------------------------------------------------------------
+# K132 — histogram partitions the 192 thumbnail bytes; dominant = argmax
+# ---------------------------------------------------------------------------
+
+def test_multimodal_histogram_invariants(spark):
+    out = SPECS["llm_multimodal_histogram"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        bins = [r[f"bin_{b}"] for b in range(8)]
+        assert sum(bins) == 192  # 8x8 RGB thumbnail, every byte binned once
+        assert bins[r["dominant_bin"]] == max(bins)
+        # ties break to the lowest index
+        assert r["dominant_bin"] == bins.index(max(bins))
+        assert 0.0 <= r["mean_intensity"] <= 255.0

@@ -1933,3 +1933,11 @@ def test_ks_grid_windows_source_partitioned(spark):
     plan = plan_of(spark, "llm_quality_ks_sources")
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "source" in spec, spec
+
+
+def test_multimodal_histogram_no_shuffle_single_arrow_pass(spark):
+    """K132: one Arrow-batched mapInPandas pass over a narrow projection —
+    no Exchange of any kind, exactly one Python stage."""
+    plan = plan_of(spark, "llm_multimodal_histogram")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
