@@ -2625,3 +2625,140 @@ def llm_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators import multimodal
 
     return multimodal.synth_ppm_histogram(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# D75 — sample-ratio-mismatch screen with Benjamini-Hochberg correction
+# ---------------------------------------------------------------------------
+
+#: Abramowitz & Stegun 7.1.26 constants for the normal CDF tail. Neither
+#: engine ships erf, so BOTH spell the identical polynomial — every literal
+#: is CAST to DOUBLE on the DuckDB side (bare decimals parse as DECIMAL and
+#: would run exact arithmetic where Spark runs IEEE).
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_FDR_Q = 0.10
+
+
+def _phi_tail_sql(z: str) -> str:
+    """Upper-tail P(Z > z) for z >= 0, A&S 7.1.26 (|eps| < 7.5e-8)."""
+    t = f"(1.0 / (1.0 + CAST({_AS_P} AS DOUBLE) * ({z})))"
+    poly = " + ".join(
+        f"CAST({b} AS DOUBLE) * " + " * ".join([t] * (i + 1))
+        for i, b in enumerate(_AS_B)
+    )
+    return (
+        f"(exp(-(({z}) * ({z})) / 2.0)"
+        f" / sqrt(2.0 * pi()) * ({poly}))"
+    )
+
+
+@query(
+    "events_srm_fdr",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(user_id % 2) AS BIGINT) AS n_treat
+        FROM events GROUP BY event_type
+    ), zs AS (
+        SELECT event_type, n, n_treat,
+               {_sql_q6(
+                   "abs(n_treat - n / 2.0) / sqrt(n / 4.0)"
+               )} AS z_abs
+        FROM counts
+    ), ps AS (
+        SELECT event_type, n, n_treat, z_abs,
+               {_sql_q6(f"2.0 * {_phi_tail_sql('z_abs')}")} AS p_value
+        FROM zs
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY p_value, event_type) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM ps
+    ), kmax AS (
+        SELECT COALESCE(MAX(CASE WHEN p_value <= rk * {_FDR_Q} / m
+                    THEN rk END), 0) AS k
+        FROM ranked
+    )
+    SELECT event_type, n, n_treat, z_abs, p_value,
+           CAST(rk AS BIGINT) AS p_rank,
+           CASE WHEN rk <= k THEN 1 ELSE 0 END AS srm_flag_bh
+    FROM ranked CROSS JOIN kmax
+    """,
+    ref="SURVEY §2 D75 [EXT] (sample-ratio-mismatch screen: per event "
+    "type, |z| for 'treatment share = 1/2', two-sided p via the "
+    "A&S 7.1.26 normal-CDF polynomial (no erf in either engine — both "
+    "spell the identical IEEE chain), then Benjamini-Hochberg step-up "
+    "at q=0.1 across the type family — THE assignment-integrity check "
+    "run before trusting any of D38/D73/D74's results; an SRM fires "
+    "before the experiment readout does)",
+)
+def events_srm_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit with multiple-testing control: for
+    every event type, test whether the odd-user (treatment) share of
+    events is the designed 1/2, convert |z| to a two-sided p with the
+    Abramowitz-Stegun normal-tail polynomial, and flag types that
+    survive Benjamini-Hochberg at q = 0.1.
+
+    Scale shape: the corpus collapses to |types| rows in one
+    map-side-combined agg; ranking, the step-up K, and the flags all
+    live on that bounded table (one tiny window + a 1-row max). The
+    p-value chain is exp/sqrt/polynomial — identical IEEE in both
+    engines, quantized before any comparison."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("user_id") % 2).cast("bigint").alias("n_treat"),
+    )
+    n, nt = F.col("n"), F.col("n_treat")
+    z = _q6(F.abs(nt - n / 2.0) / F.sqrt(n / 4.0))
+    zs = counts.select("event_type", "n", "n_treat", z.alias("z_abs"))
+    za = F.col("z_abs")
+    t = 1.0 / (1.0 + F.lit(_AS_P) * za)
+    # explicit product chains, not F.pow: Math.pow(t, k) and the oracle's
+    # t*t*... can differ in the last ulp — both engines must multiply
+    poly = None
+    tp = None
+    for b in _AS_B:
+        tp = t if tp is None else tp * t
+        term = F.lit(b) * tp
+        poly = term if poly is None else poly + term
+    import math
+
+    tail = (
+        F.exp(-(za * za) / 2.0) / F.lit(math.sqrt(2 * math.pi)) * poly
+    )
+    ps = zs.select(
+        "event_type", "n", "n_treat", "z_abs",
+        _q6(2.0 * tail).alias("p_value"),
+    )
+    w = Window.orderBy("p_value", "event_type")
+    ranked = ps.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("bigint").alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("rk") * _FDR_Q / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type",
+        "n",
+        "n_treat",
+        "z_abs",
+        "p_value",
+        F.col("rk").cast("bigint").alias("p_rank"),
+        F.when(F.col("rk") <= F.col("k"), 1).otherwise(0).alias(
+            "srm_flag_bh"
+        ),
+    )

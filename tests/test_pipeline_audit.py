@@ -436,3 +436,33 @@ def test_multimodal_histogram_invariants(spark):
         # ties break to the lowest index
         assert r["dominant_bin"] == bins.index(max(bins))
         assert 0.0 <= r["mean_intensity"] <= 255.0
+
+
+# ---------------------------------------------------------------------------
+# D75 — SRM p-values vs scipy reference; BH step-up is a valid cutoff
+# ---------------------------------------------------------------------------
+
+def test_srm_pvalue_matches_reference(spark):
+    out = SPECS["events_srm_fdr"].builder(spark, SF_DIR).collect()
+    assert out
+    import math
+
+    for r in out:
+        # exact two-sided normal p for comparison (A&S error < 7.5e-8)
+        exact = math.erfc(r["z_abs"] / math.sqrt(2.0))
+        assert r["p_value"] == pytest.approx(exact, abs=5e-6), r
+        assert 0.0 <= r["p_value"] <= 1.0 + 1e-9
+
+
+def test_srm_bh_is_step_up(spark):
+    out = sorted(
+        SPECS["events_srm_fdr"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    m = len(out)
+    k = max(
+        (r["p_rank"] for r in out if r["p_value"] <= r["p_rank"] * 0.10 / m),
+        default=0,
+    )
+    for r in out:
+        assert r["srm_flag_bh"] == (1 if r["p_rank"] <= k else 0)

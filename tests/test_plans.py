@@ -1941,3 +1941,13 @@ def test_multimodal_histogram_no_shuffle_single_arrow_pass(spark):
     plan = plan_of(spark, "llm_multimodal_histogram")
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_srm_bounded_tail_after_one_agg(spark):
+    """D75: one corpus agg to |types| rows; the rank window, the step-up
+    max, and the flag join all live on that bounded table."""
+    plan = plan_of(spark, "events_srm_fdr")
+    # two scans: the ranked lineage feeds both the step-up max branch and
+    # the flag output, each collapsing to |types| rows at the scan
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan

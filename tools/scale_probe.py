@@ -52,7 +52,7 @@ HEAVY = [
     "orders_spearman_corr", "events_granger_lite",
     "orders_runs_test", "supplier_herfindahl",
     "events_cuped_adjusted", "events_sprt_ab", "llm_quality_ks_sources",
-    "llm_multimodal_histogram",
+    "llm_multimodal_histogram", "events_srm_fdr",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
