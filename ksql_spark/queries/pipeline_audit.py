@@ -2762,3 +2762,296 @@ def events_srm_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_flag_bh"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# D76 — Hill tail-index estimator (extreme-value heaviness)
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+@query(
+    "events_hill_tail_index",
+    oracle=f"""
+    WITH pos AS (
+        SELECT event_type, value FROM events WHERE value > 0
+    ), ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC) AS rk
+        FROM pos
+    ), kth AS (
+        SELECT event_type, value AS x_k FROM ranked
+        WHERE rk = {_HILL_K + 1}
+    ), tops AS (
+        SELECT r.event_type,
+               CAST(trunc(ln(r.value / k.x_k) * 1000000 + 0.5) AS BIGINT)
+                   / 1000000.0 AS lr
+        FROM ranked r JOIN kth k ON k.event_type = r.event_type
+        WHERE r.rk <= {_HILL_K}
+    )
+    SELECT event_type,
+           CAST({_HILL_K} AS BIGINT) AS k_order_stats,
+           {_sql_q6(f"({sql_dsum('lr')}) / {_HILL_K}")} AS hill_xi,
+           {_sql_q6(f"{_HILL_K} * 1.0 / ({sql_dsum('lr')})")}
+               AS tail_alpha
+    FROM tops GROUP BY event_type
+    """,
+    ref="SURVEY §2 D76 [EXT] (Hill 1975 tail-index estimator: xi = mean "
+    "log-excess of the top k=100 order statistics over the (k+1)-th, "
+    "alpha = 1/xi — finite-variance iff alpha > 2, the question K36's "
+    "skew detector and D41's power-law fit circle around; top-k per "
+    "type via a type-partitioned rank window, everything after is "
+    "k-bounded)",
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator per event type on positive values: xi = (1/k)
+    sum ln(X_(i)/X_(k+1)) over the top k = 100 order statistics, and
+    the tail exponent alpha = 1/xi (alpha <= 2 means infinite
+    variance — winsorize before trusting any mean).
+
+    Scale shape: the only corpus-wide stage is the type-partitioned
+    descending rank window (at 100 TB: replace with per-partition
+    top-(k+1) + re-rank of the merged k·P candidates — the TakeOrdered
+    pattern); everything downstream is k-bounded per type. Log ratios
+    quantize per term so the k-sum is order-exact."""
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    )
+    kth = ranked.where(F.col("rk") == _HILL_K + 1).select(
+        "event_type", F.col("value").alias("x_k")
+    )
+    tops = (
+        ranked.where(F.col("rk") <= _HILL_K)
+        .join(kth, "event_type")
+        .select(
+            "event_type",
+            _q6(F.log(F.col("value") / F.col("x_k"))).alias("lr"),
+        )
+    )
+    return tops.groupBy("event_type").agg(
+        F.lit(_HILL_K).cast("bigint").alias("k_order_stats"),
+        _q6(dsum("lr") / _HILL_K).alias("hill_xi"),
+        _q6(F.lit(float(_HILL_K)) / dsum("lr")).alias("tail_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D77 — value-band Markov steady state (3 unrolled power iterations)
+# ---------------------------------------------------------------------------
+
+_MIG_SPLIT = "TIMESTAMP '1998-01-01 00:00:00'"
+_MIG_ITERS = 3
+
+
+def _mig_oracle() -> str:
+    from ksql_spark.registry import sql_dsum as sd
+
+    head = f"""
+    WITH per AS (
+        SELECT o_custkey,
+               {sd(f"CASE WHEN o_orderdate < {_MIG_SPLIT}"
+                   " THEN o_totalprice END")} AS rev1,
+               {sd(f"CASE WHEN o_orderdate >= {_MIG_SPLIT}"
+                   " THEN o_totalprice END")} AS rev2
+        FROM orders GROUP BY o_custkey
+    ), banded AS (
+        SELECT CASE WHEN rev1 IS NULL OR rev1 = 0 THEN 0
+                    WHEN rev1 < 200000 THEN 1
+                    WHEN rev1 < 500000 THEN 2 ELSE 3 END AS b1,
+               CASE WHEN rev2 IS NULL OR rev2 = 0 THEN 0
+                    WHEN rev2 < 200000 THEN 1
+                    WHEN rev2 < 500000 THEN 2 ELSE 3 END AS b2
+        FROM per
+    ), trans AS (
+        SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM banded GROUP BY b1, b2
+    ), rowsum AS (
+        SELECT b1, CAST(SUM(c) AS BIGINT) AS rs FROM trans GROUP BY b1
+    ), p AS (
+        SELECT trans.b1, trans.b2,
+               {{q}} AS pij
+        FROM trans JOIN rowsum ON rowsum.b1 = trans.b1
+    ), v0 AS (
+        SELECT UNNEST(range(0, 4)) AS b, CAST(0.25 AS DOUBLE) AS v
+    )""".format(q="CAST(trunc(c * 1.0 / rs * 1000000 + 0.5) AS BIGINT)"
+                  " / 1000000.0")
+    prev = "v0"
+    for t in range(1, _MIG_ITERS + 1):
+        head += f""",
+    v{t} AS (
+        SELECT p.b2 AS b,
+               {sd(f'{prev}.v * p.pij')} AS v
+        FROM {prev} JOIN p ON p.b1 = {prev}.b
+        GROUP BY p.b2
+    )"""
+        prev = f"v{t}"
+    return head + f"""
+    SELECT b AS band, v AS steady_share FROM v{_MIG_ITERS}
+    """
+
+
+@query(
+    "customer_migration_steady_state",
+    oracle=_mig_oracle(),
+    ref="SURVEY §2 D77 [EXT] (steady-state of the D48 value-migration "
+    "chain: the half1->half2 band transition matrix row-normalized "
+    "into Markov form, then 3 unrolled power iterations from the "
+    "uniform vector — where the customer base settles if the observed "
+    "migration dynamics persist; the whole computation after the one "
+    "corpus agg lives on a 16-row matrix)",
+)
+def customer_migration_steady_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Project the customer value-band Markov chain forward: bands
+    (inactive / <200k / <500k / 500k+) per half, transition
+    probabilities row-normalized from the observed counts, then three
+    power iterations of v P starting uniform. Output: the projected
+    band shares.
+
+    Scale shape: ONE orders scan into a per-customer conditional agg;
+    the transition matrix is 16 rows; each iteration is a join+agg on
+    that bounded table (loop over plans, the graph_pagerank
+    discipline). Probabilities and iteration sums quantize so three
+    chained matrix products stay bit-identical cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    split = F.expr(_MIG_SPLIT)
+    per = o.groupBy("o_custkey").agg(
+        dsum(
+            F.when(F.col("o_orderdate") < split, F.col("o_totalprice"))
+        ).alias("rev1"),
+        dsum(
+            F.when(F.col("o_orderdate") >= split, F.col("o_totalprice"))
+        ).alias("rev2"),
+    )
+
+    def band(c):
+        return (
+            F.when(F.col(c).isNull() | (F.col(c) == 0), 0)
+            .when(F.col(c) < 200000, 1)
+            .when(F.col(c) < 500000, 2)
+            .otherwise(3)
+        )
+
+    banded = per.select(band("rev1").alias("b1"), band("rev2").alias("b2"))
+    trans = banded.groupBy("b1", "b2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rowsum = trans.groupBy("b1").agg(F.sum("c").cast("bigint").alias("rs"))
+    pm = trans.join(rowsum, "b1").select(
+        "b1",
+        "b2",
+        _q6(F.col("c") * 1.0 / F.col("rs")).alias("pij"),
+    )
+    v = spark.range(4).select(
+        F.col("id").cast("bigint").alias("b"), F.lit(0.25).alias("v")
+    )
+    for _ in range(_MIG_ITERS):
+        v = (
+            v.join(pm, v["b"] == pm["b1"])
+            .groupBy(F.col("b2").alias("nb"))
+            .agg(dsum(F.col("v") * F.col("pij")).alias("v"))
+            .select(F.col("nb").alias("b"), "v")
+        )
+    return v.select(F.col("b").alias("band"), F.col("v").alias("steady_share"))
+
+
+# ---------------------------------------------------------------------------
+# D78 — Laspeyres / Paasche / Fisher price indices
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_price_index_monthly",
+    oracle=f"""
+    WITH pm AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+               {sql_dsum('l_extendedprice')} AS ext,
+               {sql_dsum('l_quantity')} AS qty
+        FROM lineitem GROUP BY l_partkey, date_trunc('month', l_shipdate)
+    ), base AS (
+        SELECT l_partkey, ext / qty AS p0, qty AS q0
+        FROM pm WHERE m = (SELECT MIN(m) FROM pm)
+    ), joined AS (
+        SELECT pm.m, pm.l_partkey,
+               pm.ext / pm.qty AS pt, pm.qty AS qt, base.p0, base.q0
+        FROM pm JOIN base ON base.l_partkey = pm.l_partkey
+    ), agg AS (
+        SELECT m,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               {sql_dsum('pt * q0')} AS l_num, {sql_dsum('p0 * q0')} AS l_den,
+               {sql_dsum('pt * qt')} AS p_num, {sql_dsum('p0 * qt')} AS p_den
+        FROM joined GROUP BY m
+    )
+    SELECT CAST(m AS TIMESTAMP) AS month, n_parts,
+           {_sql_q6("l_num / l_den * 100.0")} AS laspeyres,
+           {_sql_q6("p_num / p_den * 100.0")} AS paasche,
+           {_sql_q6(
+               "sqrt((l_num / l_den) * (p_num / p_den)) * 100.0"
+           )} AS fisher
+    FROM agg
+    """,
+    ref="SURVEY §2 D78 [EXT] (Laspeyres / Paasche / Fisher price "
+    "indices: base-month-weighted vs current-weighted unit-price "
+    "ratios per month over the common part basket, Fisher = their "
+    "geometric mean — the inflation-measurement classic (CPI "
+    "methodology); per-(part,month) unit prices from quantized "
+    "sums, base month broadcastable)",
+)
+def part_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly price indices over the part basket: Laspeyres (base-month
+    quantity weights), Paasche (current weights), Fisher ideal (geometric
+    mean), base = the first observed month = 100. Parts absent from the
+    base month drop out of the basket (the standard fixed-basket rule).
+
+    Scale shape: one (part, month) agg off the fact scan; the base
+    basket is a part-keyed join side (bounded by |parts|, AQE
+    broadcasts while it fits); the index agg is |months| rows. No
+    window, nothing unbounded after the first agg."""
+    li = load(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        dsum("l_extendedprice").alias("ext"),
+        dsum("l_quantity").alias("qty"),
+    )
+    min_m = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(min_m))
+        .where(F.col("m") == F.col("m0"))
+        .select(
+            "l_partkey",
+            (F.col("ext") / F.col("qty")).alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = pm.join(base, "l_partkey").select(
+        "m",
+        (F.col("ext") / F.col("qty")).alias("pt"),
+        F.col("qty").alias("qt"),
+        "p0",
+        "q0",
+    )
+    agg = joined.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        dsum(F.col("pt") * F.col("q0")).alias("l_num"),
+        dsum(F.col("p0") * F.col("q0")).alias("l_den"),
+        dsum(F.col("pt") * F.col("qt")).alias("p_num"),
+        dsum(F.col("p0") * F.col("qt")).alias("p_den"),
+    )
+    return agg.select(
+        F.col("m").alias("month"),
+        "n_parts",
+        _q6(F.col("l_num") / F.col("l_den") * 100.0).alias("laspeyres"),
+        _q6(F.col("p_num") / F.col("p_den") * 100.0).alias("paasche"),
+        _q6(
+            F.sqrt(
+                (F.col("l_num") / F.col("l_den"))
+                * (F.col("p_num") / F.col("p_den"))
+            )
+            * 100.0
+        ).alias("fisher"),
+    )

@@ -466,3 +466,50 @@ def test_srm_bh_is_step_up(spark):
     )
     for r in out:
         assert r["srm_flag_bh"] == (1 if r["p_rank"] <= k else 0)
+
+
+# ---------------------------------------------------------------------------
+# D76 — Hill: xi positive on heavy data; alpha = 1/xi
+# ---------------------------------------------------------------------------
+
+def test_hill_identities(spark):
+    out = SPECS["events_hill_tail_index"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["k_order_stats"] == 100
+        assert r["hill_xi"] > 0  # top-100 strictly above the 101st => logs > 0
+        assert r["tail_alpha"] == pytest.approx(1.0 / r["hill_xi"], rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# D77 — steady state is a probability vector
+# ---------------------------------------------------------------------------
+
+def test_migration_steady_state_simplex(spark):
+    out = SPECS["customer_migration_steady_state"].builder(
+        spark, SF_DIR
+    ).collect()
+    assert len(out) == 4
+    total = sum(r["steady_share"] for r in out)
+    # rows normalize to 1 up to per-cell quantization; 3 iterations compound
+    assert total == pytest.approx(1.0, abs=1e-3)
+    for r in out:
+        assert 0.0 <= r["steady_share"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# D78 — Fisher between Laspeyres and Paasche; base month = 100
+# ---------------------------------------------------------------------------
+
+def test_price_index_identities(spark):
+    out = sorted(
+        SPECS["part_price_index_monthly"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["month"],
+    )
+    assert out
+    base = out[0]
+    assert base["laspeyres"] == pytest.approx(100.0, abs=1e-3)
+    assert base["paasche"] == pytest.approx(100.0, abs=1e-3)
+    for r in out:
+        lo, hi = sorted((r["laspeyres"], r["paasche"]))
+        assert lo - 1e-3 <= r["fisher"] <= hi + 1e-3  # geometric mean between

@@ -1951,3 +1951,30 @@ def test_srm_bounded_tail_after_one_agg(spark):
     # the flag output, each collapsing to |types| rows at the scan
     assert plan.count("Scan parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_hill_type_partitioned_rank(spark):
+    """D76: the only corpus-wide stage is the type-partitioned rank
+    window; everything after is k-bounded per type."""
+    import re
+
+    plan = plan_of(spark, "events_hill_tail_index")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "event_type" in spec, spec
+
+
+def test_migration_steady_bounded_iterations(spark):
+    """D77: one corpus agg; the three power iterations are joins on the
+    16-row matrix (no single-partition exchange wider than 1-row
+    scalars, no cartesian)."""
+    plan = plan_of(spark, "customer_migration_steady_state")
+    assert "CartesianProduct" not in plan
+
+
+def test_price_index_part_keyed_basket(spark):
+    """D78: one (part, month) agg; the base basket joins part-keyed; the
+    month rollup is bounded. No window."""
+    plan = plan_of(spark, "part_price_index_monthly")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
