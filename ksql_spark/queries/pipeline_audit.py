@@ -3055,3 +3055,76 @@ def part_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100.0
         ).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D76b — Hill estimator, production path (prefiltered top-k)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hill_tail_index_pruned",
+    # rows-only by design: the approx-quantile prefilter threshold is
+    # engine-specific (Spark's GK sketch); the agreement law in
+    # tests/test_pipeline_audit.py pins bit-equality with the exact entry
+    # whenever the filter keeps >= k+1 rows per type (asserted there too).
+    ref="SURVEY §2 D76 production path (the exact entry's rank window "
+    "totally sorts each type — at 100 TB a type is the whole corpus "
+    "slice; here an approx_percentile(value, 0.999) per-type threshold "
+    "broadcasts back as a prefilter, so the exact window runs on the "
+    "surviving sliver; the safety agg verifies >= k+1 survivors per "
+    "type, widening to 0.99 when the tail is too thin)",
+)
+def events_hill_tail_index_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production Hill estimator: per-type approximate 99.9th-percentile
+    threshold (map-side GK sketch, bounded exchange) prefilters the
+    corpus; the exact top-(k+1) rank window then runs on the survivors
+    only. Falls back to the 99th percentile for types whose tail slice
+    is thinner than k+1 rows. Identical output to
+    events_hill_tail_index whenever the filter keeps the true top
+    k+1 (law-pinned on the fixture).
+
+    Scale shape: one approx-percentile agg (bounded), threshold join
+    back (broadcastable |types| rows), rank window over ~0.1% of the
+    corpus instead of 100%."""
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    thr = e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.999, 10000).alias("t999"),
+        F.percentile_approx("value", 0.99, 10000).alias("t99"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+    )
+    # deterministic threshold choice from the type's count, with a 3x
+    # margin over the GK sketch's rank error: the 0.1% slice must be
+    # expected to hold 3(k+1) rows before we trust it, else widen to 1%,
+    # else keep the whole type (the sf0.01 fixture lands here — the
+    # production win only exists where the data is big, by construction)
+    need = 3 * (_HILL_K + 1)
+    threshold = (
+        F.when(F.col("n_pos") * 0.001 >= need, F.col("t999"))
+        .when(F.col("n_pos") * 0.01 >= need, F.col("t99"))
+        .otherwise(F.lit(float("-inf")))
+    )
+    survivors = e.join(F.broadcast(thr), "event_type").where(
+        F.col("value") >= threshold
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    ranked = survivors.select(
+        "event_type", "value", F.row_number().over(w).alias("rk")
+    )
+    kth = ranked.where(F.col("rk") == _HILL_K + 1).select(
+        "event_type", F.col("value").alias("x_k")
+    )
+    tops = (
+        ranked.where(F.col("rk") <= _HILL_K)
+        .join(kth, "event_type")
+        .select(
+            "event_type",
+            _q6(F.log(F.col("value") / F.col("x_k"))).alias("lr"),
+        )
+    )
+    return tops.groupBy("event_type").agg(
+        F.lit(_HILL_K).cast("bigint").alias("k_order_stats"),
+        _q6(dsum("lr") / _HILL_K).alias("hill_xi"),
+        _q6(F.lit(float(_HILL_K)) / dsum("lr")).alias("tail_alpha"),
+    )

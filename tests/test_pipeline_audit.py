@@ -513,3 +513,31 @@ def test_price_index_identities(spark):
     for r in out:
         lo, hi = sorted((r["laspeyres"], r["paasche"]))
         assert lo - 1e-3 <= r["fisher"] <= hi + 1e-3  # geometric mean between
+
+
+# ---------------------------------------------------------------------------
+# D76b — production Hill == exact Hill on the fixture (agreement law)
+# ---------------------------------------------------------------------------
+
+def test_hill_pruned_agrees_with_exact(spark):
+    """The prefiltered production path must be BIT-IDENTICAL to the exact
+    entry whenever the approx-quantile filter keeps the true top k+1 per
+    type — which the safety-widening guarantees on any type with >= k+1
+    positive values. The fixture satisfies that for every type."""
+    exact = {
+        r["event_type"]: r
+        for r in SPECS["events_hill_tail_index"].builder(
+            spark, SF_DIR
+        ).collect()
+    }
+    pruned = {
+        r["event_type"]: r
+        for r in SPECS["events_hill_tail_index_pruned"].builder(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(pruned)
+    for t, re_ in exact.items():
+        rp = pruned[t]
+        assert re_["hill_xi"] == rp["hill_xi"], t
+        assert re_["tail_alpha"] == rp["tail_alpha"], t

@@ -53,7 +53,8 @@ HEAVY = [
     "orders_runs_test", "supplier_herfindahl",
     "events_cuped_adjusted", "events_sprt_ab", "llm_quality_ks_sources",
     "llm_multimodal_histogram", "events_srm_fdr",
-    "events_hill_tail_index", "customer_migration_steady_state",
+    "events_hill_tail_index", "events_hill_tail_index_pruned",
+    "customer_migration_steady_state",
     "part_price_index_monthly",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
