@@ -3128,3 +3128,208 @@ def events_hill_tail_index_pruned(
         _q6(dsum("lr") / _HILL_K).alias("hill_xi"),
         _q6(F.lit(float(_HILL_K)) / dsum("lr")).alias("tail_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D79 — Mann-Whitney U (weekday vs weekend order values)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_mann_whitney",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END
+                   AS is_weekend
+        FROM orders
+    ), ranked AS (
+        SELECT is_weekend,
+               CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY x) AS DOUBLE) - 1) / 2.0
+                   AS r
+        FROM labeled
+    ), sums AS (
+        SELECT CAST(SUM(is_weekend) AS BIGINT) AS n1,
+               CAST(SUM(1 - is_weekend) AS BIGINT) AS n2,
+               {sql_dsum('CASE WHEN is_weekend = 1 THEN r END')} AS r1
+        FROM ranked
+    ), ties AS (
+        SELECT {sql_dsum('(t * t * t - t) * 1.0')} AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM labeled GROUP BY x)
+    )
+    SELECT n1, n2,
+           {_sql_q6("r1 - n1 * (n1 + 1) / 2.0")} AS u_stat,
+           {_sql_q6("n1 * 1.0 * n2 / 2.0")} AS mean_u,
+           {_sql_q6(
+               "(r1 - n1 * (n1 + 1) / 2.0 - n1 * 1.0 * n2 / 2.0)"
+               " / NULLIF(sqrt(n1 * 1.0 * n2 / 12.0 * ((n1 + n2 + 1.0)"
+               " - tie_term / ((n1 + n2) * 1.0 * (n1 + n2 + 1)"
+               " * (n1 + n2 - 1)) * (n1 + n2 + 1))), 0)"
+           )} AS z_stat
+    FROM sums CROSS JOIN ties
+    """,
+    ref="SURVEY §2 D79 [EXT] (Mann-Whitney U / Wilcoxon rank-sum: "
+    "weekend vs weekday order values via tie-averaged global ranks, U "
+    "from the rank sum, tie-corrected normal z — the distribution-free "
+    "twin of D53's Welch t-test (heavy-tailed money columns violate "
+    "Welch's normality far more often than its variance assumption); "
+    "Mann & Whitney 1947)",
+)
+def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test on order value, weekend (Sat/Sun) vs weekday: U
+    statistic, its null mean, and the tie-corrected z. One row.
+
+    Scale shape: the global tie-averaged rank runs as ONE unpartitioned
+    rank window over the order table — at 100 TB this is the documented
+    ranged-cumsum candidate (K58's two-pass device applies verbatim to
+    ranks); at the tested scales the single sort is the honest cost.
+    Tie sizes aggregate separately off the same scan; everything after
+    is one row. Spark dayofweek is 1=Sunday..7=Saturday vs DuckDB
+    0=Sunday..6 — both sides spell their own weekend set (the D53
+    mapping pin)."""
+    o = load(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.dayofweek("o_orderdate").isin(1, 7), 1)
+        .otherwise(0)
+        .alias("is_weekend"),
+    )
+    wr = Window.orderBy("x")
+    wt = Window.partitionBy("x")
+    ranked = labeled.select(
+        "is_weekend",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2.0
+        ).alias("r"),
+    )
+    sums = ranked.agg(
+        F.sum("is_weekend").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("is_weekend")).cast("bigint").alias("n2"),
+        dsum(F.when(F.col("is_weekend") == 1, F.col("r"))).alias("r1"),
+    )
+    t = F.col("t")
+    ties = (
+        labeled.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(dsum((t * t * t - t) * 1.0).alias("tie_term"))
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    mean_u = n1 * 1.0 * n2 / 2.0
+    nn = n1 + n2
+    var_u = (
+        n1 * 1.0 * n2 / 12.0
+        * (
+            (nn + 1.0)
+            - F.col("tie_term")
+            / (nn * 1.0 * (nn + 1) * (nn - 1))
+            * (nn + 1)
+        )
+    )
+    return sums.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        _q6(u).alias("u_stat"),
+        _q6(mean_u).alias("mean_u"),
+        _q6((u - mean_u) / F.nullif(F.sqrt(var_u), F.lit(0.0))).alias(
+            "z_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D80 — McNemar's paired pre/post conversion test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_mcnemar_prepost",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                   THEN 1 ELSE 0 END) AS pre_conv,
+               MAX(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '{_CUPED_CUT} 00:00:00'
+                   THEN 1 ELSE 0 END) AS post_conv
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN pre_conv = 1 AND post_conv = 1 THEN 1 ELSE 0
+               END) AS BIGINT) AS both_periods,
+           CAST(SUM(CASE WHEN pre_conv = 1 AND post_conv = 0 THEN 1 ELSE 0
+               END) AS BIGINT) AS pre_only,
+           CAST(SUM(CASE WHEN pre_conv = 0 AND post_conv = 1 THEN 1 ELSE 0
+               END) AS BIGINT) AS post_only,
+           CAST(SUM(CASE WHEN pre_conv = 0 AND post_conv = 0 THEN 1 ELSE 0
+               END) AS BIGINT) AS neither,
+           {_sql_q6(
+               "CASE WHEN SUM(CASE WHEN pre_conv + post_conv = 1 THEN 1"
+               " ELSE 0 END) > 0 THEN"
+               " (abs(SUM(CASE WHEN pre_conv = 1 AND post_conv = 0 THEN 1"
+               " ELSE 0 END) - SUM(CASE WHEN pre_conv = 0 AND post_conv = 1"
+               " THEN 1 ELSE 0 END)) - 1.0)"
+               " * (abs(SUM(CASE WHEN pre_conv = 1 AND post_conv = 0 THEN 1"
+               " ELSE 0 END) - SUM(CASE WHEN pre_conv = 0 AND post_conv = 1"
+               " THEN 1 ELSE 0 END)) - 1.0)"
+               " / SUM(CASE WHEN pre_conv + post_conv = 1 THEN 1 ELSE 0 END)"
+               " ELSE 0.0 END"
+           )} AS mcnemar_chi2
+    FROM per_user
+    """,
+    ref="SURVEY §2 D80 [EXT] (McNemar 1947 paired-proportion test with "
+    "Edwards' continuity correction: each user is their own control — "
+    "did conversion status flip across the Jan-16 cut; chi2 = "
+    "(|b-c|-1)^2/(b+c) on the discordant pairs only, the within-subject "
+    "complement of D58's DiD and D83's two-sample z)",
+)
+def events_mcnemar_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired conversion: per user, did they purchase
+    in the pre period and in the post period; the 2x2 concordance
+    table and the continuity-corrected chi-square on the discordant
+    cells (1 dof; > 3.84 rejects 'no within-user change' at 5%).
+
+    Scale shape: one user-keyed conditional agg collapses the corpus,
+    then a single 1-row aggregate over the four flags. Map-side
+    partials do all the work; no join, no window."""
+    e = load(spark, sf_dir, "events")
+    cut = F.lit(f"{_CUPED_CUT} 00:00:00").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") < cut), 1
+            ).otherwise(0)
+        ).alias("pre_conv"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut), 1
+            ).otherwise(0)
+        ).alias("post_conv"),
+    )
+    pre, post = F.col("pre_conv"), F.col("post_conv")
+
+    def cell(pv, qv):
+        return (
+            F.sum(F.when((pre == pv) & (post == qv), 1).otherwise(0))
+            .cast("bigint")
+        )
+
+    agg = per_user.agg(
+        cell(1, 1).alias("both_periods"),
+        cell(1, 0).alias("pre_only"),
+        cell(0, 1).alias("post_only"),
+        cell(0, 0).alias("neither"),
+    )
+    b, c = F.col("pre_only"), F.col("post_only")
+    disc = b + c
+    chi2 = F.when(
+        disc > 0,
+        (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / disc,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "both_periods",
+        "pre_only",
+        "post_only",
+        "neither",
+        _q6(chi2).alias("mcnemar_chi2"),
+    )

@@ -541,3 +541,37 @@ def test_hill_pruned_agrees_with_exact(spark):
         rp = pruned[t]
         assert re_["hill_xi"] == rp["hill_xi"], t
         assert re_["tail_alpha"] == rp["tail_alpha"], t
+
+
+# ---------------------------------------------------------------------------
+# D79 — Mann-Whitney identities: U within range; z sign matches rank sums
+# ---------------------------------------------------------------------------
+
+def test_mann_whitney_bounds(spark):
+    r = SPECS["orders_mann_whitney"].builder(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["u_stat"] <= r["n1"] * r["n2"] + 1e-6
+    assert r["mean_u"] == pytest.approx(r["n1"] * r["n2"] / 2.0, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# D80 — McNemar: cells partition the users; chi2 formula holds
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_cells_and_chi2(spark):
+    r = SPECS["events_mcnemar_prepost"].builder(spark, SF_DIR).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    cells = (
+        r["both_periods"] + r["pre_only"] + r["post_only"] + r["neither"]
+    )
+    assert cells == n_users
+    b, c = r["pre_only"], r["post_only"]
+    if b + c > 0:
+        assert r["mcnemar_chi2"] == pytest.approx(
+            (abs(b - c) - 1.0) ** 2 / (b + c), abs=2e-6
+        )

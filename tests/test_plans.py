@@ -1978,3 +1978,21 @@ def test_price_index_part_keyed_basket(spark):
     plan = plan_of(spark, "part_price_index_monthly")
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_single_corpus_sort(spark):
+    """D79: one global rank pass (the documented ranged-cumsum candidate)
+    + a tie agg off the same scan; everything after is 1 row. No
+    cartesian of anything unbounded (the final cross join is 1-row x
+    1-row)."""
+    plan = plan_of(spark, "orders_mann_whitney")
+    assert plan.count("Scan parquet") == 2  # rank pass + tie sizes
+
+
+def test_mcnemar_one_agg_chain(spark):
+    """D80: user-keyed conditional agg -> 1-row cell aggregate; no join,
+    no window."""
+    plan = plan_of(spark, "events_mcnemar_prepost")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "windowspecdefinition" not in plan
