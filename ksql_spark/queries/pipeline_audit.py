@@ -3333,3 +3333,144 @@ def events_mcnemar_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neither",
         _q6(chi2).alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D81 — daily-series periodogram (single-bin DFT per candidate period)
+# ---------------------------------------------------------------------------
+
+_PERIODS = (2, 3, 4, 5, 6, 7, 14, 28, 30, 91)
+
+
+@query(
+    "events_periodogram",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type, MIN(CAST(ts AS DATE)) AS d0,
+               MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY event_type
+    ), spine AS (
+        SELECT event_type, d0,
+               CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM bounds
+    ), obs AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), daily AS (
+        SELECT spine.event_type, date_diff('day', spine.d0, spine.d) AS ti,
+               COALESCE(obs.x, 0) AS x
+        FROM spine LEFT JOIN obs
+          ON obs.event_type = spine.event_type AND obs.d = spine.d
+    ), centered AS (
+        SELECT d.event_type, d.ti,
+               d.x - mu.m AS xc
+        FROM daily d JOIN (
+            SELECT event_type, {sql_dsum('x * 1.0')} AS sx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type
+        ) t ON t.event_type = d.event_type
+        CROSS JOIN LATERAL (SELECT t.sx / t.n AS m) mu
+    ), bins AS (
+        SELECT c.event_type, p.period,
+               {sql_dsum(
+                   "xc * cos(2 * pi() * c.ti / p.period)"
+               )} AS sc,
+               {sql_dsum(
+                   "xc * sin(2 * pi() * c.ti / p.period)"
+               )} AS ss,
+               MAX(t2.n) AS n,
+               MAX(t2.ssq) AS ssq
+        FROM centered c
+        CROSS JOIN (SELECT UNNEST(ARRAY{list(_PERIODS)}) AS period) p
+        JOIN (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('xc * xc')} AS ssq
+            FROM centered GROUP BY event_type
+        ) t2 ON t2.event_type = c.event_type
+        GROUP BY c.event_type, p.period
+    )
+    SELECT event_type, CAST(period AS INT) AS period_days,
+           {_sql_q6("(sc * sc + ss * ss) * 2.0 / (n * ssq)")}
+               AS power_share
+    FROM bins WHERE ssq > 0
+    """,
+    ref="SURVEY §2 D81 [EXT] (single-bin DFT periodogram: for each "
+    "candidate period, the squared projection of the mean-centered "
+    "daily series onto that frequency's cos/sin pair, normalized by "
+    "total variance — the spectral answer to 'WHICH period?' where "
+    "D35/K82 assume weekly and K67's ACF reads lags one at a time; "
+    "Schuster 1898, Goertzel single-bin form)",
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of each type's calendar-complete daily count series
+    at 10 candidate periods (2..91 days): power_share = 2(C²+S²)/(n·σ²n)
+    where C,S are the centered series' projections onto the period's
+    cos/sin. A dominant weekly cycle shows as power_share peaking at 7.
+
+    Scale shape: corpus collapses to the daily table in one agg; the
+    mean and variance ride a bounded per-type agg; the 10-period
+    expansion is a broadcast cross join of the BOUNDED daily table
+    (|types| x |days| x 10 rows); the trig sums quantize per term.
+    Nothing after the first agg scales with the corpus."""
+    import math
+
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bounds = e.groupBy("event_type").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "event_type", "d0", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    from ksql_spark.operators.scale import pin
+
+    # pin the daily table: four downstream branches (mean, variance, trig
+    # bins, final join) would otherwise each re-run the corpus agg — the
+    # recomputed-subtree class the r8 probe fixes targeted (8 scans -> 2)
+    daily = spine.join(obs, ["event_type", "d"], "left").select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).alias("ti"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+    ).transform(pin, eager=False)
+    mu = daily.groupBy("event_type").agg(
+        dsum(F.col("x") * 1.0).alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    centered = daily.join(mu, "event_type").select(
+        "event_type",
+        "ti",
+        (F.col("x") - F.col("sx") / F.col("n")).alias("xc"),
+    )
+    t2 = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(F.col("xc") * F.col("xc")).alias("ssq"),
+    )
+    periods = e.sparkSession.createDataFrame(
+        [(p,) for p in _PERIODS], "period int"
+    )
+    two_pi = F.lit(2 * math.pi)
+    ang = two_pi * F.col("ti") / F.col("period")
+    bins = (
+        centered.crossJoin(F.broadcast(periods))
+        .join(t2, "event_type")
+        .groupBy("event_type", "period")
+        .agg(
+            dsum(F.col("xc") * F.cos(ang)).alias("sc"),
+            dsum(F.col("xc") * F.sin(ang)).alias("ss"),
+            F.max("n").alias("n"),
+            F.max("ssq").alias("ssq"),
+        )
+    )
+    sc, ss = F.col("sc"), F.col("ss")
+    return bins.where(F.col("ssq") > 0).select(
+        "event_type",
+        F.col("period").cast("int").alias("period_days"),
+        _q6(
+            (sc * sc + ss * ss) * 2.0 / (F.col("n") * F.col("ssq"))
+        ).alias("power_share"),
+    )

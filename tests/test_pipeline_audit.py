@@ -575,3 +575,34 @@ def test_mcnemar_cells_and_chi2(spark):
         assert r["mcnemar_chi2"] == pytest.approx(
             (abs(b - c) - 1.0) ** 2 / (b + c), abs=2e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# D81 — periodogram: normalized shares; planted weekly cycle peaks at 7
+# ---------------------------------------------------------------------------
+
+def test_periodogram_bounds(spark):
+    out = SPECS["events_periodogram"].builder(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["period_days"] in (2, 3, 4, 5, 6, 7, 14, 28, 30, 91)
+        assert -1e-6 <= r["power_share"] <= 1.0 + 1e-6
+
+
+def test_periodogram_planted_weekly_cycle():
+    """Pure-python replica of the operator's math on a planted period-7
+    cosine: the share at period 7 must dominate every other bin."""
+    import math
+
+    n = 364
+    xs = [100 + 50 * math.cos(2 * math.pi * t / 7) for t in range(n)]
+    mean = sum(xs) / n
+    xc = [x - mean for x in xs]
+    ssq = sum(v * v for v in xc)
+    shares = {}
+    for p in (2, 3, 4, 5, 6, 7, 14, 28, 30, 91):
+        c = sum(v * math.cos(2 * math.pi * t / p) for t, v in enumerate(xc))
+        s = sum(v * math.sin(2 * math.pi * t / p) for t, v in enumerate(xc))
+        shares[p] = (c * c + s * s) * 2.0 / (n * ssq)
+    assert max(shares, key=shares.get) == 7
+    assert shares[7] > 0.95  # a pure tone holds ~all the variance

@@ -1996,3 +1996,14 @@ def test_mcnemar_one_agg_chain(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_periodogram_bounded_expansion(spark):
+    """D81: the corpus collapses to the daily table in one agg; the
+    10-period cross join expands only that BOUNDED table (broadcast);
+    no window, no unbounded cartesian."""
+    plan = plan_of(spark, "events_periodogram")
+    assert "windowspecdefinition" not in plan
+    # the daily table is pinned once; branches read the checkpoint, not
+    # the corpus (without the pin this plan held EIGHT parquet scans)
+    assert plan.count("Scan parquet") <= 2
