@@ -809,9 +809,15 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic. Nothing downstream of the first agg scales with
     the corpus."""
     e = load(spark, sf_dir, "events")
+    from ksql_spark.operators.scale import pin
+
+    # pin: the self-join pair stage, nn, and ties would otherwise each
+    # re-run the corpus agg (4 parquet scans -> 1)
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x")).transform(
+        pin, eager=False
+    )
     a = daily.alias("a")
     b = daily.alias("b")
     s = (
@@ -1566,6 +1572,10 @@ def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         per = f if per is None else per.unionByName(f)
+    # NOT pinned: a pin would halve the 12 collapsed-at-scan branches but
+    # costs build-time jobs — this entry's contract (gate-enforced) is
+    # that merely constructing the audit runs ZERO jobs; the asof branch
+    # re-runs the per-feed aggregates at action time instead
     asof = per.agg(F.max("newest").alias("corpus_asof"))
     return per.crossJoin(F.broadcast(asof)).select(
         "feed",
@@ -1675,6 +1685,10 @@ def llm_cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = d.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") == 1
     )
+    from ksql_spark.operators.scale import pin
+
+    # pin the K-row scatter table: si/sj/output branches would each
+    # re-run the O(n*K) distance pass (8 parquet scans -> 2)
     s = (
         assign.groupBy("cent_id")
         .agg(
@@ -1686,6 +1700,7 @@ def llm_cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             _q6(F.col("sum_d") / F.col("n_members")).alias("scatter"),
         )
+        .transform(pin, eager=False)
     )
     a = cents.select(
         F.col("cent_id").alias("i"), F.col("cent_emb").alias("emb_i")
@@ -2110,10 +2125,15 @@ def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    from ksql_spark.operators.scale import pin
+
+    # pin the supplier-bounded revenue table: tot and the share join would
+    # each re-run the fact join+agg (4 parquet scans -> 2)
     rev = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
         .agg(dsum(rev_expr).alias("r"))
+        .transform(pin, eager=False)
     )
     tot = rev.groupBy("nationkey").agg(
         dsum("r").alias("t"),
@@ -2496,9 +2516,13 @@ def llm_quality_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin"),
     )
+    from ksql_spark.operators.scale import pin
+
+    # pin the (source, bin) counts: totals/grand/spine/binc would each
+    # re-run the corpus scoring scan (8 parquet scans -> 1)
     per = scored.groupBy("source", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).transform(pin, eager=False)
     totals = per.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("ns")
     )
@@ -2938,9 +2962,13 @@ def customer_migration_steady_state(
         )
 
     banded = per.select(band("rev1").alias("b1"), band("rev2").alias("b2"))
+    from ksql_spark.operators.scale import pin
+
+    # pin the 16-row transition table: rowsum, pm, and every power
+    # iteration would each re-run the corpus agg (6 parquet scans -> 1)
     trans = banded.groupBy("b1", "b2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).transform(pin, eager=False)
     rowsum = trans.groupBy("b1").agg(F.sum("c").cast("bigint").alias("rs"))
     pm = trans.join(rowsum, "b1").select(
         "b1",
@@ -3474,3 +3502,87 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sc * sc + ss * ss) * 2.0 / (F.col("n") * F.col("ssq"))
         ).alias("power_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D55b — referential-integrity audit, one-pass production path
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq_referential_orphans_onepass",
+    oracle=_orphan_oracle(),
+    ref="SURVEY §2 D55 production path (identical output and oracle to "
+    "dq_referential_orphans, different plan: each child table is "
+    "scanned ONCE, all its parents' key sets join in as found-flags, "
+    "and a single wide aggregate explodes back to the per-relationship "
+    "rows — 5 child scans instead of 42 collapsed branches; the shape "
+    "you'd run on a 100 TB lineitem, where 6 extra scans ARE the bill)",
+)
+def dq_referential_orphans_onepass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-pass orphan audit: per child table, every FK relationship's
+    live+drill flags ride the SAME scan (one left join per parent on
+    its key set), then one wide aggregate computes all orphan
+    rows/keys/rates and explodes to the standard per-relationship
+    layout. Bit-identical to dq_referential_orphans (same DuckDB
+    oracle hash-checks both).
+
+    Scale shape: |children| scans total; each parent key set joins
+    keyed (dims broadcast by size under AQE, the orders set shuffles
+    lineitem once on l_orderkey); the wide agg is map-side combined;
+    the explode runs on ONE row per child."""
+    by_child: dict[str, list] = {}
+    for child, fk, parent, pk in _FK_RELATIONSHIPS:
+        by_child.setdefault(child, []).append((fk, parent, pk))
+    out = None
+    for child, rels in by_child.items():
+        c = load(spark, sf_dir, child)
+        joined = c
+        for fk, parent, pk in rels:
+            p = load(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"__pk_{parent}_{pk}")
+            ).distinct()
+            joined = joined.join(
+                p, joined[fk] == p[f"__pk_{parent}_{pk}"], "left"
+            )
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("child_rows")]
+        structs = []
+        for fk, parent, pk in rels:
+            pkc = F.col(f"__pk_{parent}_{pk}")
+            rel = f"{child}.{fk}->{parent}.{pk}"
+            for mode in ("live", "drill"):
+                orphan = (
+                    pkc.isNull()
+                    if mode == "live"
+                    else pkc.isNull() | (pkc % 97 == 0)
+                )
+                tag = f"{parent}_{pk}_{mode}"
+                aggs.append(
+                    F.sum(F.when(orphan, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"rows_{tag}")
+                )
+                aggs.append(
+                    F.count_distinct(F.when(orphan, F.col(fk)))
+                    .cast("bigint")
+                    .alias(f"keys_{tag}")
+                )
+                structs.append(
+                    F.struct(
+                        F.lit(rel).alias("relationship"),
+                        F.lit(mode).alias("mode"),
+                        F.col("child_rows"),
+                        F.col(f"rows_{tag}").alias("orphan_rows"),
+                        F.col(f"keys_{tag}").alias("orphan_keys"),
+                        _q6(
+                            F.col(f"rows_{tag}") * 1.0 / F.col("child_rows")
+                        ).alias("orphan_rate"),
+                    )
+                )
+        wide = joined.agg(*aggs)
+        rows = wide.select(
+            F.explode(F.array(*structs)).alias("r")
+        ).select("r.*")
+        out = rows if out is None else out.unionByName(rows)
+    return out

@@ -606,3 +606,22 @@ def test_periodogram_planted_weekly_cycle():
         shares[p] = (c * c + s * s) * 2.0 / (n * ssq)
     assert max(shares, key=shares.get) == 7
     assert shares[7] > 0.95  # a pure tone holds ~all the variance
+
+
+# ---------------------------------------------------------------------------
+# D55b — one-pass audit is row-identical to the per-relationship entry
+# ---------------------------------------------------------------------------
+
+def test_orphans_onepass_agrees_with_exact(spark):
+    def keyed(name):
+        return {
+            (r["relationship"], r["mode"]): (
+                r["child_rows"], r["orphan_rows"], r["orphan_keys"],
+                r["orphan_rate"],
+            )
+            for r in SPECS[name].builder(spark, SF_DIR).collect()
+        }
+
+    assert keyed("dq_referential_orphans_onepass") == keyed(
+        "dq_referential_orphans"
+    )

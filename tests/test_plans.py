@@ -2007,3 +2007,12 @@ def test_periodogram_bounded_expansion(spark):
     # the daily table is pinned once; branches read the checkpoint, not
     # the corpus (without the pin this plan held EIGHT parquet scans)
     assert plan.count("Scan parquet") <= 2
+
+
+def test_orphans_onepass_minimal_scans(spark):
+    """D55b: 12 scans = 5 child tables + 7 parent key sets, the schema
+    minimum (the per-relationship exact entry holds 42 collapsed
+    branches); no cartesian."""
+    plan = plan_of(spark, "dq_referential_orphans_onepass")
+    assert plan.count("Scan parquet") == 12
+    assert "CartesianProduct" not in plan

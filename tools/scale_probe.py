@@ -41,7 +41,8 @@ HEAVY = [
     "graph_clustering_coefficient_capped", "graph_adamic_adar_capped",
     "graph_two_hop_reach_hll",
     # r9 audit/analytics wave (D55-D61, L16)
-    "dq_referential_orphans", "customer_order_coverage",
+    "dq_referential_orphans", "dq_referential_orphans_onepass",
+    "customer_order_coverage",
     "events_attribution_credit", "events_did_estimator", "graph_ppr",
     "orders_backlog_aging", "orders_perfect_order_rate",
     "part_price_elasticity", "events_mann_kendall",
