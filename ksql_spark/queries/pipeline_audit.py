@@ -3586,3 +3586,203 @@ def dq_referential_orphans_onepass(
         ).select("r.*")
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+# ---------------------------------------------------------------------------
+# K133 — maximal-marginal-relevance re-ranking (greedy, unrolled)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_K = 10
+_MMR_QUERY = 0  # anchor vector
+
+_MMR_DOT = """
+list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len({a}) + 1),
+                       i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+    (acc, p) -> acc + p)
+"""
+_MMR_NORM = """
+sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    (acc, p) -> acc + p))
+"""
+
+
+def _mmr_oracle() -> str:
+    lam = "CAST(0.7 AS DOUBLE)"
+    cos_qv = (
+        _MMR_DOT.format(a="q.embedding", b="v.embedding")
+        + " / ("
+        + _MMR_NORM.format(a="q.embedding")
+        + " * "
+        + _MMR_NORM.format(a="v.embedding")
+        + ")"
+    )
+    cos_ab = (
+        _MMR_DOT.format(a="a.embedding", b="b.embedding")
+        + " / ("
+        + _MMR_NORM.format(a="a.embedding")
+        + " * "
+        + _MMR_NORM.format(a="b.embedding")
+        + ")"
+    )
+    head = f"""
+    WITH cand AS MATERIALIZED (
+        -- MATERIALIZED throughout: DuckDB inlines plain CTEs, so the
+        -- 10-step unrolled chain would re-expand cand/sims/acc
+        -- combinatorially (observed: file-handle exhaustion)
+        SELECT vec_id, rel FROM (
+            SELECT v.vec_id,
+                   {_sql_q6(cos_qv)} AS rel,
+                   row_number() OVER (ORDER BY {_sql_q6(cos_qv)} DESC,
+                                      v.vec_id) AS rn
+            FROM (SELECT embedding FROM embeddings
+                  WHERE vec_id = {_MMR_QUERY}) q
+            CROSS JOIN embeddings v WHERE v.vec_id <> {_MMR_QUERY}
+        ) WHERE rn <= {_MMR_CAND}
+    ), sims AS MATERIALIZED (
+        SELECT ca.vec_id AS a_id, cb.vec_id AS b_id,
+               {_sql_q6(cos_ab)} AS sim
+        FROM cand ca JOIN embeddings a ON a.vec_id = ca.vec_id
+        JOIN cand cb ON cb.vec_id <> ca.vec_id
+        JOIN embeddings b ON b.vec_id = cb.vec_id
+    ),
+    picked1 AS (
+        SELECT 1 AS rank, vec_id, rel,
+               {_sql_q6(f"{lam} * rel")} AS mmr_score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ), acc1 AS MATERIALIZED (SELECT * FROM picked1)
+    """
+    for t in range(2, _MMR_K + 1):
+        head += f""",
+    scores{t} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel,
+               {_sql_q6(
+                   f"{lam} * c.rel - (1.0 - {lam}) * MAX(s.sim)"
+               )} AS mmr_score
+        FROM cand c
+        JOIN sims s ON s.a_id = c.vec_id
+        JOIN acc{t-1} p ON p.vec_id = s.b_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{t-1})
+        GROUP BY c.vec_id, c.rel
+    ),
+    picked{t} AS MATERIALIZED (
+        SELECT {t} AS rank, vec_id, rel, mmr_score
+        FROM scores{t} ORDER BY mmr_score DESC, vec_id LIMIT 1
+    ),
+    acc{t} AS MATERIALIZED (SELECT * FROM acc{t-1}
+                            UNION ALL SELECT * FROM picked{t})
+    """
+    return head + f"""
+    SELECT CAST(rank AS INT) AS rank, vec_id, rel AS relevance, mmr_score
+    FROM acc{_MMR_K}
+    """
+
+
+@query(
+    "llm_mmr_rerank",
+    oracle=_mmr_oracle(),
+    ref="SURVEY §2 K133 [EXT] (maximal marginal relevance, Carbonell & "
+    "Goldstein SIGIR 1998: greedy re-rank of the query's top-20 cosine "
+    "candidates, each step picking argmax of lambda*rel - "
+    "(1-lambda)*max-sim-to-picked — the diversity-aware retrieval "
+    "stage between K3's raw top-k and K42's hard negatives; 10 steps "
+    "unrolled, every score quantized so both engines pick identical "
+    "chains)",
+)
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking: top-20 candidates by cosine to the anchor vector,
+    then 10 greedy picks balancing relevance (lambda = 0.7) against the
+    max similarity to anything already picked. Returns (rank, vec_id,
+    relevance, mmr_score) — rank 1 is the pure-relevance pick.
+
+    Scale shape: candidate generation is the broadcast-anchor corpus
+    pass (K3's shape); everything after — the 20x20 sim matrix and the
+    10 greedy steps — is bounded and pinned, looping over PLANS like
+    graph_pagerank. At 100 TB only the first stage grows; the greedy
+    tail is constant work."""
+    from ksql_spark.operators import vectors
+    from ksql_spark.operators.scale import pin
+
+    lam = _MMR_LAMBDA
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == _MMR_QUERY).select(
+        F.col("embedding").alias("q_emb")
+    )
+    rel = _q6(
+        vectors.dot("q_emb", "embedding")
+        / (vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"))
+    )
+    w = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
+    cand = (
+        e.where(F.col("vec_id") != _MMR_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MMR_CAND)
+        .drop("rn")
+        .transform(pin, eager=False)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    sim = _q6(
+        vectors.dot("a_emb", "b_emb")
+        / (vectors.l2_norm("a_emb") * vectors.l2_norm("b_emb"))
+    )
+    sims = (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .transform(pin, eager=False)
+    )
+    crel = cand.select("vec_id", "rel")
+    picked = (
+        crel.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "rel",
+            _q6(F.lit(lam) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    acc = picked
+    for t in range(2, _MMR_K + 1):
+        remaining = crel.join(acc.select("vec_id"), "vec_id", "anti")
+        scores = (
+            remaining.join(sims, remaining["vec_id"] == sims["a_id"])
+            .join(
+                acc.select(F.col("vec_id").alias("p_id")),
+                F.col("b_id") == F.col("p_id"),
+                "semi",
+            )
+            .groupBy(remaining["vec_id"], "rel")
+            .agg(
+                _q6(
+                    F.lit(lam) * F.first("rel")
+                    - F.lit(1.0 - lam) * F.max("sim")
+                ).alias("mmr_score")
+            )
+        )
+        pick = (
+            scores.orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(t).alias("rank"), "vec_id", "rel", "mmr_score")
+        )
+        # pin per step: acc feeds three operators per iteration (anti,
+        # semi, union) — unpinned, the logical plan grows 3^k subtrees
+        # and the ANALYZER itself OOMs before any data moves
+        acc = acc.unionByName(pick).transform(pin, eager=False)
+    return acc.select(
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        "mmr_score",
+    )

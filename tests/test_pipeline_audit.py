@@ -625,3 +625,64 @@ def test_orphans_onepass_agrees_with_exact(spark):
     assert keyed("dq_referential_orphans_onepass") == keyed(
         "dq_referential_orphans"
     )
+
+
+# ---------------------------------------------------------------------------
+# K133 — MMR: pure-python greedy replica must pick the identical chain
+# ---------------------------------------------------------------------------
+
+def test_mmr_matches_python_greedy(spark):
+    out = sorted(
+        SPECS["llm_mmr_rerank"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    assert len({r["vec_id"] for r in out}) == 10
+
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    vecs = {
+        vid: emb
+        for vid, emb in con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchall()
+    }
+
+    def q6(x):
+        return math.trunc(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return d / (na * nb)
+
+    qv = vecs[0]
+    rels = {
+        vid: q6(cos(qv, v)) for vid, v in vecs.items() if vid != 0
+    }
+    cand = sorted(rels, key=lambda v: (-rels[v], v))[:20]
+    sims = {
+        (a, b): q6(cos(vecs[a], vecs[b]))
+        for a in cand
+        for b in cand
+        if a != b
+    }
+    lam = 0.7
+    picked = [min(cand, key=lambda v: (-rels[v], v))]
+    while len(picked) < 10:
+        best = None
+        for c in cand:
+            if c in picked:
+                continue
+            score = q6(lam * rels[c] - (1 - lam) * max(
+                sims[(c, p)] for p in picked
+            ))
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        picked.append(best[1])
+    assert [r["vec_id"] for r in out] == picked

@@ -2016,3 +2016,13 @@ def test_orphans_onepass_minimal_scans(spark):
     plan = plan_of(spark, "dq_referential_orphans_onepass")
     assert plan.count("Scan parquet") == 12
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_bounded_greedy_tail(spark):
+    """K133: candidate generation is the broadcast-anchor corpus pass;
+    the 20x20 sims and every greedy step are pinned bounded tables — the
+    final plan reads checkpoints, not the corpus, and the analyzer
+    survives the 10-step unroll (unpinned acc grows 3^k subtrees)."""
+    plan = plan_of(spark, "llm_mmr_rerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # all inputs pinned by build time

@@ -57,7 +57,7 @@ HEAVY = [
     "events_hill_tail_index", "events_hill_tail_index_pruned",
     "customer_migration_steady_state",
     "part_price_index_monthly", "orders_mann_whitney",
-    "events_mcnemar_prepost", "events_periodogram",
+    "events_mcnemar_prepost", "events_periodogram", "llm_mmr_rerank",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
