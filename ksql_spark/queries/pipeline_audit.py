@@ -3,9 +3,16 @@ data-quality gates (referential orphans D55, feed freshness D68), measurement
 (multi-touch attribution D57, difference-in-differences D58, Mann-Kendall D62,
 Fano dispersion D63, circadian Rayleigh D66), lifecycle/ops analytics
 (interval-union coverage D56, backlog aging D59, perfect-order rate D60,
-retention half-life D64), and planning (price elasticity D61, ABC-XYZ D65,
-Croston intermittent demand D67) — the audit-and-measure layer a 100 TB
-pipeline runs around its main flow.
+retention half-life D64), planning (price elasticity D61, ABC-XYZ D65,
+Croston intermittent demand D67, price indices D78), experimentation
+infrastructure (CUPED D73, SPRT D74, SRM+BH D75, McNemar D80), the
+statistical-test battery (Mann-Kendall D62, runs test D71, Mann-Whitney D79,
+KS shift K131, Hill tail D76, periodogram D81), concentration (HHI D72,
+steady state D77), and retrieval/multimodal (MMR K133, Davies-Bouldin K130,
+readability K129, thumbnail histogram K132) — the audit-and-measure layer a
+100 TB pipeline runs around its main flow. Production siblings (D55b
+one-pass audit, D76b pruned Hill) carry the at-scale plans with identity
+laws against the exact entries.
 
 Reference scope note: the reference (ksql.js) delegates all SQL to AlaSQL and
 has none of these; they follow SURVEY.md §2's [EXT] mandate (training-data
@@ -20,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ksql_spark.registry import dsum, query, sql_dsum
+from ksql_spark.registry import dsum, dsum_wide, query, sql_dsum
 from ksql_spark.tables import load
 
 
@@ -1812,13 +1819,15 @@ def orders_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ry"),
     )
     rx, ry = F.col("rx"), F.col("ry")
+    # rank moments (Σr ~ m²/2, Σr² ~ m³/3 per month) overflow dsum's long
+    # accumulator once months hold ~10⁵ orders (sf10 probe) — wide form
     mo = ranked.groupBy("m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        dsum(rx).alias("sx"),
-        dsum(ry).alias("sy"),
-        dsum(rx * rx).alias("sxx"),
-        dsum(rx * ry).alias("sxy"),
-        dsum(ry * ry).alias("syy"),
+        dsum_wide(rx).alias("sx"),
+        dsum_wide(ry).alias("sy"),
+        dsum_wide(rx * rx).alias("sxx"),
+        dsum_wide(rx * ry).alias("sxy"),
+        dsum_wide(ry * ry).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
@@ -3182,12 +3191,16 @@ def events_hill_tail_index_pruned(
                {sql_dsum('CASE WHEN is_weekend = 1 THEN r END')} AS r1
         FROM ranked
     ), ties AS (
-        SELECT {sql_dsum('(t * t * t - t) * 1.0')} AS tie_term
-        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM labeled GROUP BY x)
+        SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t + 1)) AS DOUBLE)
+            AS tie_term
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM labeled GROUP BY x)
     )
     SELECT n1, n2,
-           {_sql_q6("r1 - n1 * (n1 + 1) / 2.0")} AS u_stat,
-           {_sql_q6("n1 * 1.0 * n2 / 2.0")} AS mean_u,
+           -- u and its null mean are exact multiples of 0.5 (rank sums),
+           -- identical IEEE in both engines; the 1e6 quantizer's long cast
+           -- OVERFLOWS on them at the sf10 probe (u ~ n1*n2 ~ 5e13)
+           r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+           n1 * 1.0 * n2 / 2.0 AS mean_u,
            {_sql_q6(
                "(r1 - n1 * (n1 + 1) / 2.0 - n1 * 1.0 * n2 / 2.0)"
                " / NULLIF(sqrt(n1 * 1.0 * n2 / 12.0 * ((n1 + n2 + 1.0)"
@@ -3234,13 +3247,22 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = ranked.agg(
         F.sum("is_weekend").cast("bigint").alias("n1"),
         F.sum(1 - F.col("is_weekend")).cast("bigint").alias("n2"),
-        dsum(F.when(F.col("is_weekend") == 1, F.col("r"))).alias("r1"),
+        # rank sum ~ n²/2: overflows dsum's long accumulator at the sf10
+        # probe (15M orders) — wide accumulator, same scaled addends
+        dsum_wide(F.when(F.col("is_weekend") == 1, F.col("r"))).alias("r1"),
     )
     t = F.col("t")
+    # the tie term is exactly integral — no quantization scale at all:
+    # t³ for a 28k-deep tie already overflows the 1e6-scaled ADDEND
+    # (sf10 probe), so the product runs in decimal(38,0) end to end
     ties = (
         labeled.groupBy("x")
-        .agg(F.count(F.lit(1)).cast("double").alias("t"))
-        .agg(dsum((t * t * t - t) * 1.0).alias("tie_term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(t.cast("decimal(38,0)") * (t - 1) * (t + 1))
+            .cast("double")
+            .alias("tie_term")
+        )
     )
     n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
     u = r1 - n1 * (n1 + 1) / 2.0
@@ -3255,11 +3277,13 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (nn + 1)
         )
     )
+    # u/mean_u: exact half-integers, no quantization (the 1e6 long cast
+    # overflows at sf10 — see the oracle note)
     return sums.crossJoin(F.broadcast(ties)).select(
         "n1",
         "n2",
-        _q6(u).alias("u_stat"),
-        _q6(mean_u).alias("mean_u"),
+        u.alias("u_stat"),
+        mean_u.alias("mean_u"),
         _q6((u - mean_u) / F.nullif(F.sqrt(var_u), F.lit(0.0))).alias(
             "z_stat"
         ),
@@ -3785,4 +3809,166 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("rel").alias("relevance"),
         "mmr_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# K134 — split-conformal calibration of the quality score
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "llm_conformal_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'calib' ELSE 'test' END
+                   AS split,
+               ({_SQL_QUALITY}) AS q,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+        FROM documents
+    ), fit AS (
+        SELECT {sql_dsum('q')} / COUNT(*) AS qbar,
+               {sql_dsum('y')} / COUNT(*) AS ybar,
+               ({sql_dsum('q * y')} - {sql_dsum('q')} * {sql_dsum('y')}
+                / COUNT(*))
+               / NULLIF({sql_dsum('q * q')} - {sql_dsum('q')}
+                        * {sql_dsum('q')} / COUNT(*), 0) AS beta
+        FROM scored WHERE split = 'calib'
+    ), scoredr AS (
+        SELECT s.split,
+               {_sql_q6(
+                   "abs(s.y - (fit.ybar + fit.beta * (s.q - fit.qbar)))"
+               )} AS r
+        FROM scored s CROSS JOIN fit
+    ), nc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM scoredr
+        WHERE split = 'calib'
+    ), qhat AS (
+        SELECT r AS q_hat FROM (
+            SELECT r, row_number() OVER (ORDER BY r, r) AS rn
+            FROM scoredr WHERE split = 'calib'
+        ) CROSS JOIN nc
+        WHERE rn = CAST(ceil((n_calib + 1) * (1.0 - {_CONF_ALPHA}))
+                        AS BIGINT)
+    )
+    SELECT
+        (SELECT n_calib FROM nc) AS n_calib,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM scoredr WHERE split = 'test')
+            AS n_test,
+        (SELECT q_hat FROM qhat) AS q_hat,
+        {_sql_q6(
+            "(SELECT SUM(CASE WHEN r <= (SELECT q_hat FROM qhat) THEN 1"
+            " ELSE 0 END) * 1.0 / COUNT(*) FROM scoredr"
+            " WHERE split = 'test')"
+        )} AS test_coverage,
+        CASE WHEN {_sql_q6(
+            "(SELECT SUM(CASE WHEN r <= (SELECT q_hat FROM qhat) THEN 1"
+            " ELSE 0 END) * 1.0 / COUNT(*) FROM scoredr"
+            " WHERE split = 'test')"
+        )} >= {1.0 - _CONF_ALPHA} THEN 1 ELSE 0 END AS coverage_ok
+    """,
+    ref="SURVEY §2 K134 [EXT] (split conformal prediction, Vovk / "
+    "Papadopoulos 2002: fit length ~ quality OLS on the calibration "
+    "half, take the ceil((n+1)(1-alpha))-th absolute residual as the "
+    "conformal quantile q_hat, verify >= 90% of held-out residuals "
+    "fall within it — the DISTRIBUTION-FREE interval guarantee "
+    "K45/K119's Platt-style calibration cannot give)",
+)
+def llm_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit: calibration half (even doc_id)
+    fits a 1-feature OLS of word count on quality and supplies the
+    (n+1)(1-alpha) residual quantile; the test half checks that the
+    promised 90% coverage actually holds. One summary row.
+
+    Scale shape: scoring is one narrow pass; the OLS fit is a 1-row
+    broadcast of moments; the conformal quantile is ONE order statistic
+    (global rank window over the calibration half — the ranged-cumsum
+    candidate at 100 TB, and an approx-percentile + exact-rank-on-
+    sliver production path exists verbatim in D76b); coverage closes
+    in one agg."""
+    from ksql_spark.operators import text
+    from ksql_spark.operators.scale import pin
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("doc_id") % 2 == 0, "calib")
+        .otherwise("test")
+        .alias("split"),
+        text.quality_score("text").alias("q"),
+        text.word_count("text").cast("double").alias("y"),
+    )
+    calib = scored.where(F.col("split") == "calib")
+    n = F.count(F.lit(1))
+    fit = calib.agg(
+        (dsum("q") / n).alias("qbar"),
+        (dsum("y") / n).alias("ybar"),
+        (
+            (dsum(F.col("q") * F.col("y")) - dsum("q") * dsum("y") / n)
+            / F.nullif(
+                dsum(F.col("q") * F.col("q")) - dsum("q") * dsum("q") / n,
+                F.lit(0.0),
+            )
+        ).alias("beta"),
+    )
+    scoredr = (
+        scored.crossJoin(F.broadcast(fit))
+        .select(
+            "split",
+            _q6(
+                F.abs(
+                    F.col("y")
+                    - (
+                        F.col("ybar")
+                        + F.col("beta") * (F.col("q") - F.col("qbar"))
+                    )
+                )
+            ).alias("r"),
+        )
+        .transform(pin, eager=False)
+    )
+    nc = scoredr.where(F.col("split") == "calib").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_calib")
+    )
+    w = Window.orderBy("r", "r")
+    qhat = (
+        scoredr.where(F.col("split") == "calib")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(nc))
+        .where(
+            F.col("rn")
+            == F.ceil((F.col("n_calib") + 1) * (1.0 - _CONF_ALPHA)).cast(
+                "bigint"
+            )
+        )
+        .select(F.col("r").alias("q_hat"))
+    )
+    test = scoredr.where(F.col("split") == "test")
+    cov = (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            _q6(
+                F.sum(
+                    F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("test_coverage"),
+            F.max("q_hat").alias("q_hat"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(nc))
+        .select(
+            "n_calib",
+            "n_test",
+            "q_hat",
+            "test_coverage",
+            F.when(
+                F.col("test_coverage") >= 1.0 - _CONF_ALPHA, 1
+            ).otherwise(0).alias("coverage_ok"),
+        )
     )

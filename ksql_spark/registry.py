@@ -328,6 +328,19 @@ def davg(col) -> Column:
     return dsum(c) / F.count(c)
 
 
+def dsum_wide(col) -> Column:
+    """dsum with a 128-bit-class accumulator: the same 1e6-scaled long
+    ADDENDS (each must fit a long — |x| < 9.2e12), summed in decimal(38,0)
+    instead of long. DuckDB needs no twin spelling — its SUM(BIGINT) already
+    returns HUGEINT, so sql_dsum pairs with either Spark form; use this one
+    whenever the SUM (not the addend) can exceed 2^63/1e6 ≈ 9.2e12 — e.g.
+    rank sums (Σ ranks ~ n²/2) or rank-product moments, which the sf10 probe
+    caught overflowing the plain dsum at 15M rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    scaled = (c * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+    return F.sum(scaled.cast("decimal(38,0)")).cast("double") / F.lit(_SCALE)
+
+
 def dsum1(col) -> Column:
     """Integer-quantized order-insensitive sum (scale=1) for large-magnitude
     expressions (e.g. price², |x| up to ~1e10) where the 1e6 scale of dsum

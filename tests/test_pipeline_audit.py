@@ -686,3 +686,21 @@ def test_mmr_matches_python_greedy(spark):
                 best = (key, c)
         picked.append(best[1])
     assert [r["vec_id"] for r in out] == picked
+
+
+# ---------------------------------------------------------------------------
+# K134 — conformal: the guarantee holds by construction on exchangeable data
+# ---------------------------------------------------------------------------
+
+def test_conformal_coverage_guarantee(spark):
+    r = SPECS["llm_conformal_calibration"].builder(spark, SF_DIR).collect()[0]
+    assert r["n_calib"] > 0 and r["n_test"] > 0
+    assert r["q_hat"] >= 0
+    # split-conformal guarantees >= 1 - alpha coverage in EXPECTATION over
+    # exchangeable splits; the even/odd hash split is exchangeable here, so
+    # demand the realized coverage clears the target minus sampling slack
+    import math
+
+    slack = 2.0 / math.sqrt(r["n_test"])
+    assert r["test_coverage"] >= 0.9 - slack
+    assert r["coverage_ok"] in (0, 1)

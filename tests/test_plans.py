@@ -2026,3 +2026,12 @@ def test_mmr_bounded_greedy_tail(spark):
     plan = plan_of(spark, "llm_mmr_rerank")
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0  # all inputs pinned by build time
+
+
+def test_conformal_one_rank_pass(spark):
+    """K134: scoring is one pass, the OLS fit is a 1-row broadcast, the
+    conformal quantile is one order statistic, coverage one agg; the
+    pinned residual table keeps branches off the corpus."""
+    plan = plan_of(spark, "llm_conformal_calibration")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # residuals pinned at build
