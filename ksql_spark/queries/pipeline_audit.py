@@ -1201,10 +1201,10 @@ def llm_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem),
     c AS (
         SELECT l_partkey, revenue,
-               CAST(SUM(CAST(trunc(revenue * 1000000 + 0.5) AS BIGINT)) OVER (
+               CAST(SUM(CAST(trunc(revenue * 100 + 0.5) AS BIGINT)) OVER (
                    ORDER BY revenue DESC, l_partkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) / 1000000.0 AS cum
+               ) AS DOUBLE) / 100.0 AS cum
         FROM rev
     ),
     abc AS (
@@ -1269,15 +1269,20 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = li.groupBy("l_partkey").agg(dsum(rev_expr).alias("revenue"))
     tot = li.agg(dsum(rev_expr).alias("t"))
+    # CENTS (x100), not micro-units (x1e6): the GLOBAL running revenue at
+    # 1e6 scale had only ~3x headroom to 2^63 at the sf10 probe (long
+    # overflow around sf30); cents buy 1e4 more domain — past 100 TB —
+    # while keeping the fast long window (a decimal accumulator measured
+    # 2.5x slower at probe). The gini entry set this precedent.
     scaled = rev.withColumn(
-        "rev_scaled", (F.col("revenue") * 1_000_000 + F.lit(0.5)).cast("long")
+        "rev_scaled", (F.col("revenue") * 100 + F.lit(0.5)).cast("long")
     )
     c = ranged_cumsum(
         scaled,
         [F.col("revenue").desc(), F.col("l_partkey")],
         "rev_scaled",
         out_col="cum_scaled",
-    ).withColumn("cum", F.col("cum_scaled").cast("double") / 1_000_000.0)
+    ).withColumn("cum", F.col("cum_scaled").cast("double") / 100.0)
     share = F.col("cum") / F.col("t")
     abc = c.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
