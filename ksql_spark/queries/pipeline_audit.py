@@ -3977,3 +3977,333 @@ def llm_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).alias("coverage_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D82 — Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MKV_CHANNELS = ("click", "view", "signup")
+_MKV_ITERS = 12
+
+
+def _mkv_transitions_sql() -> str:
+    """Shared SQL: journey paths -> (from_s, to_s, c) transition counts,
+    with START openers, consecutive touch hops, and CONV/NULL terminals
+    (journeys without touches transition START->terminal directly)."""
+    return f"""
+    ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey_id
+        FROM events
+    ), converted AS (
+        SELECT DISTINCT user_id, journey_id FROM ordered
+        WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT user_id, journey_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, journey_id
+                                  ORDER BY ts, event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, journey_id) AS n_touch
+        FROM ordered
+        WHERE event_type IN ('click', 'view', 'signup')
+    ), journeys AS (
+        -- every journey that has touches, with its terminal state
+        SELECT t.user_id, t.journey_id, MAX(t.n_touch) AS n_touch,
+               CASE WHEN MAX(c.user_id) IS NOT NULL THEN 'CONV'
+                    ELSE 'NULL' END AS terminal
+        FROM touches t LEFT JOIN converted c
+          ON c.user_id = t.user_id AND c.journey_id = t.journey_id
+        GROUP BY t.user_id, t.journey_id
+    ), hops AS (
+        SELECT 'START' AS from_s, event_type AS to_s
+        FROM touches WHERE pos = 1
+        UNION ALL
+        SELECT a.event_type, b.event_type
+        FROM touches a JOIN touches b
+          ON b.user_id = a.user_id AND b.journey_id = a.journey_id
+         AND b.pos = a.pos + 1
+        UNION ALL
+        SELECT t.event_type, j.terminal
+        FROM touches t JOIN journeys j
+          ON j.user_id = t.user_id AND j.journey_id = t.journey_id
+         AND t.pos = j.n_touch
+    ), trans AS (
+        SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hops GROUP BY from_s, to_s
+    ), pmat AS (
+        SELECT from_s, to_s,
+               CAST(trunc(c * 1.0 / SUM(c) OVER (PARTITION BY from_s)
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS pij
+        FROM trans
+    )"""
+
+
+def _mkv_absorb_sql(variant: str, removed: str | None) -> str:
+    """Unrolled 12-step absorption for one variant. Removal redirects
+    every transition INTO the removed channel to NULL (standard removal
+    effect — row mass is conserved, no renormalization)."""
+    if removed is None:
+        pv = f"pv_{variant} AS (SELECT from_s, to_s, pij FROM pmat)"
+    else:
+        pv = f"""pv_{variant} AS (
+        SELECT from_s,
+               CASE WHEN to_s = '{removed}' THEN 'NULL' ELSE to_s END AS to_s,
+               pij
+        FROM pmat WHERE from_s <> '{removed}'
+    )"""
+    out = [pv, f"v0_{variant} AS (SELECT 'START' AS state, CAST(1.0 AS DOUBLE) AS p)"]
+    for t in range(1, _MKV_ITERS + 1):
+        prev = f"v{t-1}_{variant}"
+        out.append(f"""v{t}_{variant} AS MATERIALIZED (
+        SELECT to_s AS state,
+               CAST(SUM(CAST(trunc(v.p * pv.pij * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS p
+        FROM {prev} v JOIN pv_{variant} pv ON pv.from_s = v.state
+        GROUP BY to_s
+        UNION ALL
+        SELECT state, p FROM {prev}
+        WHERE state IN ('CONV', 'NULL')
+          AND state NOT IN (SELECT DISTINCT to_s FROM pv_{variant}
+                            JOIN {prev} x ON pv_{variant}.from_s = x.state)
+    )""")
+    # simpler absorbing handling below replaces the UNION trick
+    return ",\n    ".join(out)
+
+
+# The absorbing-state bookkeeping above is subtle; spell it with explicit
+# self-loops instead: augment pmat with CONV->CONV and NULL->NULL at p=1.
+def _mkv_absorb_sql2(variant: str, removed: str | None) -> str:
+    if removed is None:
+        pv = f"""pv_{variant} AS (
+        SELECT from_s, to_s, pij FROM pmat
+        UNION ALL SELECT 'CONV', 'CONV', 1.0
+        UNION ALL SELECT 'NULL', 'NULL', 1.0
+    )"""
+    else:
+        pv = f"""pv_{variant} AS (
+        SELECT from_s,
+               CASE WHEN to_s = '{removed}' THEN 'NULL' ELSE to_s END AS to_s,
+               pij
+        FROM pmat WHERE from_s <> '{removed}'
+        UNION ALL SELECT 'CONV', 'CONV', 1.0
+        UNION ALL SELECT 'NULL', 'NULL', 1.0
+    )"""
+    out = [pv,
+           f"v0_{variant} AS (SELECT 'START' AS state, CAST(1.0 AS DOUBLE) AS p)"]
+    for t in range(1, _MKV_ITERS + 1):
+        prev = f"v{t-1}_{variant}"
+        out.append(f"""v{t}_{variant} AS MATERIALIZED (
+        SELECT to_s AS state,
+               CAST(SUM(CAST(trunc(v.p * pv.pij * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS p
+        FROM {prev} v JOIN pv_{variant} pv ON pv.from_s = v.state
+        GROUP BY to_s
+    )""")
+    out.append(f"""abs_{variant} AS (
+        SELECT COALESCE((SELECT p FROM v{_MKV_ITERS}_{variant}
+                         WHERE state = 'CONV'), 0.0) AS a
+    )""")
+    return ",\n    ".join(out)
+
+
+def _mkv_oracle() -> str:
+    parts = [_mkv_transitions_sql().strip().removeprefix("")]
+    head = "WITH " + _mkv_transitions_sql().strip()
+    variants = [("full", None)] + [
+        (ch, ch) for ch in _MKV_CHANNELS
+    ]
+    for name, removed in variants:
+        head += ",\n    " + _mkv_absorb_sql2(name, removed)
+    selects = []
+    for ch in _MKV_CHANNELS:
+        selects.append(f"""
+    SELECT '{ch}' AS channel,
+           (SELECT a FROM abs_full) AS full_absorption,
+           (SELECT a FROM abs_{ch}) AS removal_absorption,
+           CAST(trunc(((SELECT a FROM abs_full) - (SELECT a FROM abs_{ch}))
+                / NULLIF((SELECT a FROM abs_full), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS removal_effect""")
+    return head + "\n" + " UNION ALL ".join(selects)
+
+
+@query(
+    "events_attribution_markov",
+    oracle=_mkv_oracle(),
+    ref="SURVEY §2 D82 [EXT] (Markov removal-effect attribution, "
+    "Anderl et al. 2016: journey paths as an absorbing chain "
+    "START->touches->CONV/NULL, absorption probability via 12 "
+    "quantized power iterations, each channel's credit = the relative "
+    "drop in absorption when transitions into it redirect to NULL — "
+    "the data-driven model that replaces D57's heuristic credits)",
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution: build the journey transition matrix
+    (START, click, view, signup, CONV, NULL), compute conversion
+    absorption from START by 12 power iterations with absorbing
+    self-loops, then for each channel redirect its inbound transitions
+    to NULL and report the relative absorption drop.
+
+    Scale shape: journey segmentation and hop extraction ride
+    user-partitioned windows (one corpus pass); the transition matrix
+    is <= 30 rows, pinned; the 4 variants x 12 iterations are joins on
+    that bounded table, looping over PLANS with per-step pins (the MMR
+    lesson: unpinned, the analyzer's tree grows exponentially).
+    Per-step probabilities quantize so both engines walk identical
+    chains."""
+    from ksql_spark.operators.scale import pin
+
+    e = load(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_prev),
+            F.lit(0),
+        ).alias("journey_id"),
+    )
+    converted = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select("user_id", "journey_id")
+        .distinct()
+    )
+    w_pos = Window.partitionBy("user_id", "journey_id").orderBy(
+        "ts", "event_id"
+    )
+    w_n = Window.partitionBy("user_id", "journey_id")
+    touches = ordered.filter(
+        F.col("event_type").isin(*_MKV_CHANNELS)
+    ).select(
+        "user_id",
+        "journey_id",
+        "event_type",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_n).alias("n_touch"),
+    )
+    journeys = (
+        touches.groupBy("user_id", "journey_id")
+        .agg(F.max("n_touch").alias("n_touch"))
+        .join(converted.withColumn("conv", F.lit(1)),
+              ["user_id", "journey_id"], "left")
+        .select(
+            "user_id",
+            "journey_id",
+            "n_touch",
+            F.when(F.col("conv") == 1, "CONV").otherwise("NULL").alias(
+                "terminal"
+            ),
+        )
+    )
+    openers = touches.where(F.col("pos") == 1).select(
+        F.lit("START").alias("from_s"), F.col("event_type").alias("to_s")
+    )
+    a = touches.alias("a")
+    b = touches.alias("b")
+    mids = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.journey_id") == F.col("a.journey_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.event_type").alias("from_s"),
+        F.col("b.event_type").alias("to_s"),
+    )
+    terminals = touches.join(
+        journeys,
+        (touches["user_id"] == journeys["user_id"])
+        & (touches["journey_id"] == journeys["journey_id"])
+        & (touches["pos"] == journeys["n_touch"]),
+    ).select(
+        touches["event_type"].alias("from_s"),
+        journeys["terminal"].alias("to_s"),
+    )
+    hops = openers.unionByName(mids).unionByName(terminals)
+    trans = hops.groupBy("from_s", "to_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_row = Window.partitionBy("from_s")
+    pmat = trans.select(
+        "from_s",
+        "to_s",
+        _q6(F.col("c") * 1.0 / F.sum("c").over(w_row)).alias("pij"),
+    ).transform(pin, eager=False)
+
+    loops = spark.createDataFrame(
+        [("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0)],
+        "from_s string, to_s string, pij double",
+    )
+
+    def absorption(removed: str | None):
+        if removed is None:
+            pv = pmat.unionByName(loops)
+        else:
+            pv = (
+                pmat.where(F.col("from_s") != removed)
+                .select(
+                    "from_s",
+                    F.when(F.col("to_s") == removed, "NULL")
+                    .otherwise(F.col("to_s"))
+                    .alias("to_s"),
+                    "pij",
+                )
+                .unionByName(loops)
+            )
+        pv = pv.transform(pin, eager=False)
+        v = spark.createDataFrame(
+            [("START", 1.0)], "state string, p double"
+        )
+        for _ in range(_MKV_ITERS):
+            v = (
+                v.join(pv, v["state"] == pv["from_s"])
+                .groupBy(F.col("to_s").alias("ns"))
+                .agg(
+                    (
+                        F.sum(
+                            (
+                                F.col("p") * F.col("pij") * 1000000
+                                + F.lit(0.5)
+                            ).cast("long")
+                        ).cast("double")
+                        / 1000000.0
+                    ).alias("p")
+                )
+                .select(F.col("ns").alias("state"), "p")
+            )
+            # NO per-step pin: unlike MMR's acc (3 consumers/step, 3^k
+            # growth), v has ONE consumer per step — the plan grows
+            # linearly and 48 pins would cost ~0.7 s of job overhead each
+        conv = v.where(F.col("state") == "CONV").agg(
+            F.coalesce(F.max("p"), F.lit(0.0)).alias("a")
+        )
+        return conv
+
+    a_full = absorption(None).select(F.col("a").alias("full_absorption"))
+    out = None
+    for ch in _MKV_CHANNELS:
+        a_rm = absorption(ch).select(F.col("a").alias("removal_absorption"))
+        row = (
+            a_full.crossJoin(a_rm)
+            .select(
+                F.lit(ch).alias("channel"),
+                "full_absorption",
+                "removal_absorption",
+                _q6(
+                    (F.col("full_absorption") - F.col("removal_absorption"))
+                    / F.nullif(F.col("full_absorption"), F.lit(0.0))
+                ).alias("removal_effect"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

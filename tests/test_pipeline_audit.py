@@ -704,3 +704,20 @@ def test_conformal_coverage_guarantee(spark):
     slack = 2.0 / math.sqrt(r["n_test"])
     assert r["test_coverage"] >= 0.9 - slack
     assert r["coverage_ok"] in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# D82 — Markov attribution invariants
+# ---------------------------------------------------------------------------
+
+def test_markov_attribution_invariants(spark):
+    out = SPECS["events_attribution_markov"].builder(spark, SF_DIR).collect()
+    assert len(out) == 3
+    fulls = {r["full_absorption"] for r in out}
+    assert len(fulls) == 1  # same chain, same absorption on every row
+    full = fulls.pop()
+    assert 0.0 < full <= 1.0
+    for r in out:
+        # removing a channel can only lose paths to conversion
+        assert r["removal_absorption"] <= full + 1e-6, r
+        assert -1e-6 <= r["removal_effect"] <= 1.0 + 1e-6

@@ -2035,3 +2035,16 @@ def test_conformal_one_rank_pass(spark):
     plan = plan_of(spark, "llm_conformal_calibration")
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0  # residuals pinned at build
+
+
+def test_markov_attribution_bounded_tail(spark):
+    """D82: journey/hop extraction rides user-partitioned windows (one
+    corpus pass); the transition matrix pins at <= 30 rows and all 48
+    iteration stages run on it — the final plan reads checkpoints, and
+    no window is unpartitioned."""
+    import re
+
+    plan = plan_of(spark, "events_attribution_markov")
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in spec or "from_s" in spec, spec

@@ -58,7 +58,7 @@ HEAVY = [
     "customer_migration_steady_state",
     "part_price_index_monthly", "orders_mann_whitney",
     "events_mcnemar_prepost", "events_periodogram", "llm_mmr_rerank",
-    "llm_conformal_calibration",
+    "llm_conformal_calibration", "events_attribution_markov",
     # ANN over 20k vectors (KMeans fits, bucket joins)
     "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
     # windows / sessions / ranged primitives over 1M events
