@@ -4043,40 +4043,6 @@ def _mkv_transitions_sql() -> str:
 
 
 def _mkv_absorb_sql(variant: str, removed: str | None) -> str:
-    """Unrolled 12-step absorption for one variant. Removal redirects
-    every transition INTO the removed channel to NULL (standard removal
-    effect — row mass is conserved, no renormalization)."""
-    if removed is None:
-        pv = f"pv_{variant} AS (SELECT from_s, to_s, pij FROM pmat)"
-    else:
-        pv = f"""pv_{variant} AS (
-        SELECT from_s,
-               CASE WHEN to_s = '{removed}' THEN 'NULL' ELSE to_s END AS to_s,
-               pij
-        FROM pmat WHERE from_s <> '{removed}'
-    )"""
-    out = [pv, f"v0_{variant} AS (SELECT 'START' AS state, CAST(1.0 AS DOUBLE) AS p)"]
-    for t in range(1, _MKV_ITERS + 1):
-        prev = f"v{t-1}_{variant}"
-        out.append(f"""v{t}_{variant} AS MATERIALIZED (
-        SELECT to_s AS state,
-               CAST(SUM(CAST(trunc(v.p * pv.pij * 1000000 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1000000.0 AS p
-        FROM {prev} v JOIN pv_{variant} pv ON pv.from_s = v.state
-        GROUP BY to_s
-        UNION ALL
-        SELECT state, p FROM {prev}
-        WHERE state IN ('CONV', 'NULL')
-          AND state NOT IN (SELECT DISTINCT to_s FROM pv_{variant}
-                            JOIN {prev} x ON pv_{variant}.from_s = x.state)
-    )""")
-    # simpler absorbing handling below replaces the UNION trick
-    return ",\n    ".join(out)
-
-
-# The absorbing-state bookkeeping above is subtle; spell it with explicit
-# self-loops instead: augment pmat with CONV->CONV and NULL->NULL at p=1.
-def _mkv_absorb_sql2(variant: str, removed: str | None) -> str:
     if removed is None:
         pv = f"""pv_{variant} AS (
         SELECT from_s, to_s, pij FROM pmat
@@ -4117,7 +4083,7 @@ def _mkv_oracle() -> str:
         (ch, ch) for ch in _MKV_CHANNELS
     ]
     for name, removed in variants:
-        head += ",\n    " + _mkv_absorb_sql2(name, removed)
+        head += ",\n    " + _mkv_absorb_sql(name, removed)
     selects = []
     for ch in _MKV_CHANNELS:
         selects.append(f"""
