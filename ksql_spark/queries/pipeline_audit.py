@@ -3643,6 +3643,7 @@ sqrt(list_reduce(
 
 def _mmr_oracle() -> str:
     lam = "CAST(0.7 AS DOUBLE)"
+    nv = _MMR_NORM.format(a="v.embedding")
     cos_qv = (
         _MMR_DOT.format(a="q.embedding", b="v.embedding")
         + " / ("
@@ -3671,7 +3672,9 @@ def _mmr_oracle() -> str:
                                       v.vec_id) AS rn
             FROM (SELECT embedding FROM embeddings
                   WHERE vec_id = {_MMR_QUERY}) q
-            CROSS JOIN embeddings v WHERE v.vec_id <> {_MMR_QUERY}
+            CROSS JOIN embeddings v
+            WHERE v.vec_id <> {_MMR_QUERY}
+              AND {nv} > 0
         ) WHERE rn <= {_MMR_CAND}
     ), sims AS MATERIALIZED (
         SELECT ca.vec_id AS a_id, cb.vec_id AS b_id,
@@ -3742,15 +3745,21 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") == _MMR_QUERY).select(
         F.col("embedding").alias("q_emb")
     )
+    # try_divide + null filter: a zero-norm vector exists on degenerate
+    # corpora (house ANSI rule — NULL, never a job abort; the oracle's
+    # norm > 0 predicate spells the same exclusion)
     rel = _q6(
-        vectors.dot("q_emb", "embedding")
-        / (vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"))
+        F.try_divide(
+            vectors.dot("q_emb", "embedding"),
+            vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
+        )
     )
     w = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
     cand = (
         e.where(F.col("vec_id") != _MMR_QUERY)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "embedding", rel.alias("rel"))
+        .where(F.col("rel").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _MMR_CAND)
         .drop("rn")
@@ -3763,8 +3772,10 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
     )
     sim = _q6(
-        vectors.dot("a_emb", "b_emb")
-        / (vectors.l2_norm("a_emb") * vectors.l2_norm("b_emb"))
+        F.try_divide(
+            vectors.dot("a_emb", "b_emb"),
+            vectors.l2_norm("a_emb") * vectors.l2_norm("b_emb"),
+        )
     )
     sims = (
         a.join(b, F.col("a_id") != F.col("b_id"))
