@@ -246,20 +246,41 @@ _R8_CHECKED = frozenset({
 })
 
 
-#: Keys whose DuckDB oracle was added AFTER their only driver samples (r3,
-#: rows-only at the time) — the driver has never recorded an oracle-hash row
-#: for them (VERDICT r8 "stale driver evidence"). Front them ahead of even the
-#: staleness groups until a post-oracle driver row exists, then retire this
-#: tier in the round ritual that transcribes it.
-_STALE_ORACLE_REVERIFY = frozenset({
-    "scan_k8s_pods", "llm_multimodal_features", "llm_multimodal_frames",
+#: Round-9 ritual transcription (CORRECTNESS_r09.json, 50/50 green): the
+#: window was the 41-entry r9 audit/measurement wave (D55-D82, K129-K134,
+#: L16 + the 4 rows-only production siblings), the 3 stale-oracle re-verify
+#: keys (scan_k8s_pods, llm_multimodal_{features,frames} — now hash-green,
+#: tier retired), and refill from the oldest r1 evidence (agg_unpivot/mode/
+#: pivot, q_filter_count, q_groupby_agg). Every key now has a green driver
+#: row; refill continues from the stalest remaining evidence (r1 leftovers,
+#: then r2).
+_R9_CHECKED = frozenset({
+    "agg_mode", "agg_pivot", "agg_unpivot", "customer_migration_steady_state",
+    "customer_order_coverage", "dq_freshness_audit", "dq_referential_orphans",
+    "dq_referential_orphans_onepass", "events_attribution_credit",
+    "events_attribution_markov", "events_circadian_rayleigh",
+    "events_cuped_adjusted", "events_did_estimator", "events_dispersion_fano",
+    "events_granger_lite", "events_hill_tail_index",
+    "events_hill_tail_index_pruned", "events_mann_kendall",
+    "events_mcnemar_prepost", "events_periodogram", "events_retention_halflife",
+    "events_sprt_ab", "events_srm_fdr", "graph_adamic_adar_capped",
+    "graph_clustering_coefficient_capped", "graph_ppr",
+    "graph_two_hop_reach_hll", "llm_cluster_davies_bouldin",
+    "llm_cluster_medoids_sampled", "llm_conformal_calibration",
+    "llm_mmr_rerank", "llm_multimodal_features", "llm_multimodal_frames",
+    "llm_multimodal_histogram", "llm_quality_ks_sources", "llm_readability_fk",
+    "llm_semantic_dedup_scaled", "orders_backlog_aging", "orders_mann_whitney",
+    "orders_perfect_order_rate", "orders_runs_test", "orders_spearman_corr",
+    "part_abc_xyz_matrix", "part_croston_demand", "part_price_elasticity",
+    "part_price_index_monthly", "q_filter_count", "q_groupby_agg",
+    "scan_k8s_pods", "supplier_herfindahl",
 })
 
 
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _STALE_ORACLE_REVERIFY:
-        group = -1
+    if spec.name in _R9_CHECKED:
+        group = 9
     elif spec.name in _R8_CHECKED:
         group = 8
     elif spec.name in _R7_CHECKED:
