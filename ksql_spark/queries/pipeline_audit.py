@@ -3225,14 +3225,27 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-sum test on order value, weekend (Sat/Sun) vs weekday: U
     statistic, its null mean, and the tie-corrected z. One row.
 
-    Scale shape: the global tie-averaged rank runs as ONE unpartitioned
-    rank window over the order table — at 100 TB this is the documented
-    ranged-cumsum candidate (K58's two-pass device applies verbatim to
-    ranks); at the tested scales the single sort is the honest cost.
-    Tie sizes aggregate separately off the same scan; everything after
-    is one row. Spark dayofweek is 1=Sunday..7=Saturday vs DuckDB
-    0=Sunday..6 — both sides spell their own weekend set (the D53
-    mapping pin)."""
+    Scale shape (VERDICT r9 item 1b — the ranged two-pass device, wired):
+    the tie-averaged rank of a value depends only on the VALUE, so the
+    corpus first collapses to one row per distinct x (count t, weekend
+    count w) in a single hash agg, then ranged_cumsum stitches the
+    global cumulative count over x without any single-partition sort
+    (range-partition, local window, #partitions-row boundary offsets).
+    r(x) = cum_lt + (t+1)/2 and the weekend rank sum is the tie-group
+    sum of w·r — everything after the per-x agg is one reduction. No
+    unpartitioned window anywhere; the former single-task 22.6 s sort
+    at sf10 is now an ordinary shuffled agg.
+
+    Determinism: r·1e6 is an exact integral double (r is a half-integer,
+    r·1e6 a multiple of 5e5, < 2^53 far beyond sf100), so the per-GROUP
+    scaled addend w · trunc(r·1e6 + 0.5) equals the oracle's per-ROW
+    scaled sum exactly; accumulation runs in decimal(38,0) (the
+    dsum_wide posture — rank sums ~ n²/2 overflow a long at sf10) and
+    the final decimal→double cast rounds identically in both engines.
+    Spark dayofweek is 1=Sunday..7=Saturday vs DuckDB 0=Sunday..6 —
+    both sides spell their own weekend set (the D53 mapping pin)."""
+    from ksql_spark.operators.scale import ranged_cumsum
+
     o = load(spark, sf_dir, "orders")
     labeled = o.select(
         F.col("o_totalprice").alias("x"),
@@ -3240,34 +3253,31 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_weekend"),
     )
-    wr = Window.orderBy("x")
-    wt = Window.partitionBy("x")
-    ranked = labeled.select(
-        "is_weekend",
-        (
-            F.rank().over(wr).cast("double")
-            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2.0
-        ).alias("r"),
+    per_x = labeled.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("is_weekend").cast("bigint").alias("w"),
     )
-    sums = ranked.agg(
-        F.sum("is_weekend").cast("bigint").alias("n1"),
-        F.sum(1 - F.col("is_weekend")).cast("bigint").alias("n2"),
-        # rank sum ~ n²/2: overflows dsum's long accumulator at the sf10
-        # probe (15M orders) — wide accumulator, same scaled addends
-        dsum_wide(F.when(F.col("is_weekend") == 1, F.col("r"))).alias("r1"),
+    cum = ranged_cumsum(per_x, ["x"], "t", out_col="cum_t")
+    t, w = F.col("t"), F.col("w")
+    # tie-averaged rank of every row holding value x: rows strictly
+    # below + (t+1)/2 — all intermediates exact in double
+    r = (F.col("cum_t") - t).cast("double") + (t.cast("double") + 1.0) / 2.0
+    # the oracle sums trunc(r*1e6 + 0.5) per ROW; all t rows of a tie
+    # group share r, so w * scaled(r) is that sum exactly — multiply in
+    # decimal(38,0) (w * r * 1e6 exceeds a long beyond sf10 tie depths)
+    r1_scaled = w.cast("decimal(38,0)") * (r * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
     )
-    t = F.col("t")
     # the tie term is exactly integral — no quantization scale at all:
     # t³ for a 28k-deep tie already overflows the 1e6-scaled ADDEND
     # (sf10 probe), so the product runs in decimal(38,0) end to end
-    ties = (
-        labeled.groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .agg(
-            F.sum(t.cast("decimal(38,0)") * (t - 1) * (t + 1))
-            .cast("double")
-            .alias("tie_term")
-        )
+    sums = cum.agg(
+        F.sum("w").cast("bigint").alias("n1"),
+        F.sum(t - w).cast("bigint").alias("n2"),
+        (F.sum(r1_scaled).cast("double") / F.lit(1_000_000.0)).alias("r1"),
+        F.sum(t.cast("decimal(38,0)") * (t - 1) * (t + 1))
+        .cast("double")
+        .alias("tie_term"),
     )
     n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
     u = r1 - n1 * (n1 + 1) / 2.0
@@ -3284,7 +3294,7 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # u/mean_u: exact half-integers, no quantization (the 1e6 long cast
     # overflows at sf10 — see the oracle note)
-    return sums.crossJoin(F.broadcast(ties)).select(
+    return sums.select(
         "n1",
         "n2",
         u.alias("u_stat"),
@@ -3715,6 +3725,39 @@ def _mmr_oracle() -> str:
     """
 
 
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate stage, UN-pinned (the plan gate inspects this directly):
+    cosine relevance to the broadcast anchor over the corpus, then the
+    top-20 via orderBy().limit() — Catalyst plans TakeOrderedAndProject
+    (per-partition heaps + a bounded merge), NOT the single-partition
+    rank window a row_number() filter would plan (Catalyst does not
+    rewrite a rank-filter into top-k; the llm_collocations precedent).
+    Deterministic tiebreak on vec_id keeps both engines' 20 identical."""
+    from ksql_spark.operators import vectors
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == _MMR_QUERY).select(
+        F.col("embedding").alias("q_emb")
+    )
+    # try_divide + null filter: a zero-norm vector exists on degenerate
+    # corpora (house ANSI rule — NULL, never a job abort; the oracle's
+    # norm > 0 predicate spells the same exclusion)
+    rel = _q6(
+        F.try_divide(
+            vectors.dot("q_emb", "embedding"),
+            vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
+        )
+    )
+    return (
+        e.where(F.col("vec_id") != _MMR_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .where(F.col("rel").isNotNull())
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_CAND)
+    )
+
+
 @query(
     "llm_mmr_rerank",
     oracle=_mmr_oracle(),
@@ -3733,38 +3776,16 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance, mmr_score) — rank 1 is the pure-relevance pick.
 
     Scale shape: candidate generation is the broadcast-anchor corpus
-    pass (K3's shape); everything after — the 20x20 sim matrix and the
-    10 greedy steps — is bounded and pinned, looping over PLANS like
-    graph_pagerank. At 100 TB only the first stage grows; the greedy
-    tail is constant work."""
+    pass (K3's shape) closed by TakeOrderedAndProject — no global sort,
+    no single-partition window (VERDICT r9 item 1a); everything after —
+    the 20x20 sim matrix and the 10 greedy steps — is bounded and
+    pinned, looping over PLANS like graph_pagerank. At 100 TB only the
+    first stage grows; the greedy tail is constant work."""
     from ksql_spark.operators import vectors
     from ksql_spark.operators.scale import pin
 
     lam = _MMR_LAMBDA
-    e = load(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == _MMR_QUERY).select(
-        F.col("embedding").alias("q_emb")
-    )
-    # try_divide + null filter: a zero-norm vector exists on degenerate
-    # corpora (house ANSI rule — NULL, never a job abort; the oracle's
-    # norm > 0 predicate spells the same exclusion)
-    rel = _q6(
-        F.try_divide(
-            vectors.dot("q_emb", "embedding"),
-            vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
-        )
-    )
-    w = Window.orderBy(F.col("rel").desc(), F.col("vec_id"))
-    cand = (
-        e.where(F.col("vec_id") != _MMR_QUERY)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "embedding", rel.alias("rel"))
-        .where(F.col("rel").isNotNull())
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _MMR_CAND)
-        .drop("rn")
-        .transform(pin, eager=False)
-    )
+    cand = _mmr_candidates(spark, sf_dir).transform(pin, eager=False)
     a = cand.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
     )
@@ -3864,7 +3885,7 @@ _CONF_ALPHA = 0.1  # target 90% coverage
         WHERE split = 'calib'
     ), qhat AS (
         SELECT r AS q_hat FROM (
-            SELECT r, row_number() OVER (ORDER BY r, r) AS rn
+            SELECT r, row_number() OVER (ORDER BY r) AS rn
             FROM scoredr WHERE split = 'calib'
         ) CROSS JOIN nc
         WHERE rn = CAST(ceil((n_calib + 1) * (1.0 - {_CONF_ALPHA}))
@@ -3899,14 +3920,21 @@ def llm_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n+1)(1-alpha) residual quantile; the test half checks that the
     promised 90% coverage actually holds. One summary row.
 
-    Scale shape: scoring is one narrow pass; the OLS fit is a 1-row
-    broadcast of moments; the conformal quantile is ONE order statistic
-    (global rank window over the calibration half — the ranged-cumsum
-    candidate at 100 TB, and an approx-percentile + exact-rank-on-
-    sliver production path exists verbatim in D76b); coverage closes
-    in one agg."""
+    Scale shape (VERDICT r9 item 1c — the ranged device, wired): scoring
+    is one narrow pass; the OLS fit is a 1-row broadcast of moments; the
+    conformal order statistic rides the ranged-cumsum device over the
+    per-DISTINCT-residual counts — residuals are 1e-6-quantized, so the
+    distinct table is far smaller than the corpus, and even when it
+    isn't, the cumulative count is range-partitioned with local windows
+    and a #partitions-row boundary stitch (no single-partition sort
+    anywhere). q_hat is the residual whose cumulative count first
+    reaches ceil((n+1)(1-alpha)) — a filter, not a rank window — and is
+    carried as an always-1-row scalar (NULL when the calibration half
+    is thinner than the target rank, matching the oracle's scalar
+    subquery on degenerate corpora; ADVICE r9). Coverage closes in one
+    agg."""
     from ksql_spark.operators import text
-    from ksql_spark.operators.scale import pin
+    from ksql_spark.operators.scale import pin, ranged_cumsum
 
     d = load(spark, sf_dir, "documents")
     scored = d.select(
@@ -3948,18 +3976,24 @@ def llm_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = scoredr.where(F.col("split") == "calib").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_calib")
     )
-    w = Window.orderBy("r", "r")
+    # per-distinct-residual counts -> ranged global cumulative count ->
+    # q_hat = the residual whose cumulative count first covers the target
+    # rank (NULL residuals excluded, mirroring the oracle's NULLS-LAST
+    # ordering: they can never sit at a rank the non-null mass covers)
+    per_r = (
+        scoredr.where((F.col("split") == "calib") & F.col("r").isNotNull())
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = ranged_cumsum(per_r, ["r"], "c", out_col="cum")
+    k = F.ceil((F.col("n_calib") + 1) * (1.0 - _CONF_ALPHA)).cast("bigint")
     qhat = (
-        scoredr.where(F.col("split") == "calib")
-        .withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(nc))
-        .where(
-            F.col("rn")
-            == F.ceil((F.col("n_calib") + 1) * (1.0 - _CONF_ALPHA)).cast(
-                "bigint"
-            )
-        )
-        .select(F.col("r").alias("q_hat"))
+        cum.crossJoin(F.broadcast(nc))
+        .where((F.col("cum") >= k) & (F.col("cum") - F.col("c") < k))
+        # always exactly one row (NULL q_hat when the calibration half is
+        # thinner than the target rank) so the downstream crossJoin never
+        # collapses the output to zero rows on degenerate corpora
+        .agg(F.max("r").alias("q_hat"))
     )
     test = scoredr.where(F.col("split") == "test")
     cov = (

@@ -706,6 +706,44 @@ def test_conformal_coverage_guarantee(spark):
     assert r["coverage_ok"] in (0, 1)
 
 
+def test_conformal_degenerate_tiny_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r9: with n_calib < ceil((n+1)(1-alpha)) the target rank
+    exceeds the calibration half — BOTH engines must emit exactly ONE
+    row with NULL q_hat (the Spark side used to collapse to zero rows
+    while the oracle's scalar subqueries kept one)."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [f"word {'x ' * (i + 1)}end" for i in range(8)],
+            "lang": ["en"] * 8,
+            "source": ["s"] * 8,
+            "n_chars": [len(f"word {'x ' * (i + 1)}end") for i in range(8)],
+        }
+    )
+    d = tmp_path / "tiny"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+
+    out = SPECS["llm_conformal_calibration"].builder(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_calib"] == 4 and r["n_test"] == 4
+    assert r["q_hat"] is None  # rank 5 of 4 calibration residuals
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    odf = con.execute(SPECS["llm_conformal_calibration"].oracle).df()
+    assert len(odf) == 1
+    assert odf["q_hat"].isna().all()
+    assert int(odf["n_calib"][0]) == 4
+
+
 # ---------------------------------------------------------------------------
 # D82 — Markov attribution invariants
 # ---------------------------------------------------------------------------

@@ -1980,13 +1980,22 @@ def test_price_index_part_keyed_basket(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_mann_whitney_single_corpus_sort(spark):
-    """D79: one global rank pass (the documented ranged-cumsum candidate)
-    + a tie agg off the same scan; everything after is 1 row. No
-    cartesian of anything unbounded (the final cross join is 1-row x
-    1-row)."""
+def test_mann_whitney_no_single_partition_sort(spark):
+    """D79 (VERDICT r9 item 1b): the tie-averaged rank rides the ranged
+    two-pass device over the per-distinct-value agg — every window is
+    _pid-partitioned, the plan holds NO unpartitioned window and NO
+    global sort, and everything downstream of the pinned cumsum is one
+    reduction. The former shape (one unpartitioned rank window over the
+    whole orders table) is FORBIDDEN here."""
+    import re
+
     plan = plan_of(spark, "orders_mann_whitney")
-    assert plan.count("Scan parquet") == 2  # rank pass + tie sizes
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # per-x agg pinned at build
+    # FORBID unpartitioned windows (the scale-killer class): every window
+    # spec must carry the range-partition id
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
 
 
 def test_mcnemar_one_agg_chain(spark):
@@ -2028,13 +2037,35 @@ def test_mmr_bounded_greedy_tail(spark):
     assert plan.count("Scan parquet") == 0  # all inputs pinned by build time
 
 
-def test_conformal_one_rank_pass(spark):
-    """K134: scoring is one pass, the OLS fit is a 1-row broadcast, the
-    conformal quantile is one order statistic, coverage one agg; the
-    pinned residual table keeps branches off the corpus."""
+def test_mmr_candidates_take_ordered(spark):
+    """K133 candidate stage (inspected un-pinned): the top-20 closes via
+    TakeOrderedAndProject — per-partition heaps, bounded merge — and
+    FORBIDS the single-partition rank window the row_number() spelling
+    planned (VERDICT r9 item 1a: Catalyst does not rewrite a rank-filter
+    into top-k)."""
+    from ksql_spark.queries.pipeline_audit import _mmr_candidates
+
+    df = _mmr_candidates(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_conformal_no_single_partition_rank(spark):
+    """K134 (VERDICT r9 item 1c): the conformal order statistic rides the
+    ranged-cumsum device over distinct residuals — every window in the
+    plan is _pid-partitioned (the former data-proportional
+    row_number() over an unpartitioned Window is FORBIDDEN), the pinned
+    residual table keeps branches off the corpus, and nothing cartesians
+    anything unbounded."""
+    import re
+
     plan = plan_of(spark, "llm_conformal_calibration")
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0  # residuals pinned at build
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in spec, spec
 
 
 def test_markov_attribution_bounded_tail(spark):
