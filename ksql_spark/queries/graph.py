@@ -1533,10 +1533,16 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-keyed join + one destination-keyed hash agg, loop over PLANS
     not data, adjacency checkpointed once. The seed-restart vector is a
     column expression (v % mod), never a driver-side list, so a
-    million-seed personalization costs the same as one.
+    million-seed personalization costs the same as one. The seed COUNT
+    is a lazily-pinned broadcast 1-row aggregate (the D55/D68 posture,
+    ADVICE r9) — no job runs at plan-build time, and an empty seed set
+    degrades to an empty result instead of a Python ZeroDivisionError
+    (the division sits behind the is_seed branch, never taken when no
+    seed exists; the oracle's CASE is lazy the same way).
 
     Determinism: per-iteration contribution sums quantized (registry
     dsum), matching the unrolled-CTE oracle bitwise."""
+    from ksql_spark.operators.scale import pin
     from ksql_spark.registry import dsum
 
     li = load(spark, sf_dir, "lineitem")
@@ -1546,12 +1552,16 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     deg = adj.groupBy("s1").agg(F.count("*").alias("outd"))
     is_seed = F.col("v") % _PPR_SEED_MOD == 0
-    n_seeds = nodes.where(is_seed).count()  # bounded scalar for the loop
-    pr = nodes.select(
+    ns = pin(
+        nodes.where(is_seed).agg(
+            F.count(F.lit(1)).cast("bigint").alias("scnt")
+        ),
+        eager=False,
+    )
+    scnt = F.col("scnt").cast("double")
+    pr = nodes.crossJoin(F.broadcast(ns)).select(
         "v",
-        F.when(is_seed, F.lit(1.0) / F.lit(n_seeds))
-        .otherwise(F.lit(0.0))
-        .alias("pr"),
+        F.when(is_seed, F.lit(1.0) / scnt).otherwise(F.lit(0.0)).alias("pr"),
     )
     for _ in range(_PR_ITERS):
         contrib = (
@@ -1560,14 +1570,18 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("s2").alias("cv"))
             .agg(dsum(F.col("pr") / F.col("outd")).alias("c"))
         )
-        pr = nodes.join(contrib, nodes["v"] == contrib["cv"], "left").select(
-            "v",
-            (
-                F.when(
-                    is_seed, F.lit((1.0 - _PPR_ALPHA) / n_seeds)
-                ).otherwise(F.lit(0.0))
-                + F.lit(_PPR_ALPHA) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("pr"),
+        pr = (
+            nodes.crossJoin(F.broadcast(ns))
+            .join(contrib, nodes["v"] == contrib["cv"], "left")
+            .select(
+                "v",
+                (
+                    F.when(
+                        is_seed, F.lit(1.0 - _PPR_ALPHA) / scnt
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(_PPR_ALPHA) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
         )
     return pr.where(F.col("pr") > 0.0).select(
         F.col("v").alias("suppkey"), F.col("pr").alias("ppr")

@@ -2353,11 +2353,15 @@ _SPRT_LN_B = -2.9444389791664403  # ln(beta/(1-alpha)) = ln(0.05/0.95)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
         FROM daily
     ), llrs AS (
+        -- NULLIF guards (ADVICE r9): p0 = 0 (no control conversions) or
+        -- p0 = 1 (all conversions) must yield NULL llr -> 'continue',
+        -- never a NaN that aborts the quantizer's cast
         SELECT d, n, k,
                {_sql_q6(
-                   f"k * ln(least(p0 * {_SPRT_LIFT}, 0.999999) / p0)"
+                   f"k * ln(least(p0 * {_SPRT_LIFT}, 0.999999)"
+                   " / NULLIF(p0, 0))"
                    f" + (n - k) * ln((1.0 - least(p0 * {_SPRT_LIFT},"
-                   " 0.999999)) / (1.0 - p0))"
+                   " 0.999999)) / NULLIF(1.0 - p0, 0))"
                )} AS llr
         FROM cum CROSS JOIN p0x
     )
@@ -2412,9 +2416,13 @@ def events_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p0 = F.col("p0")
     p1 = F.least(p0 * _SPRT_LIFT, F.lit(0.999999))
+    # try_divide guards (ADVICE r9): a degenerate control arm (p0 = 0 or
+    # p0 = 1) makes the likelihood ratio 0/0 — house ANSI rule: NULL llr
+    # (decision 'continue'), never a NaN aborting _q6's long cast
     llr = _q6(
-        F.col("k") * F.log(p1 / p0)
-        + (F.col("n") - F.col("k")) * F.log((1.0 - p1) / (1.0 - p0))
+        F.col("k") * F.log(F.try_divide(p1, F.nullif(p0, F.lit(0.0))))
+        + (F.col("n") - F.col("k"))
+        * F.log(F.try_divide(1.0 - p1, F.nullif(1.0 - p0, F.lit(0.0))))
     )
     out = cum.crossJoin(F.broadcast(p0x)).select(
         F.col("d").alias("day"),
@@ -2478,9 +2486,13 @@ _KS_BINS = 1000
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
         FROM binc JOIN allbin ON allbin.bin = binc.bin
     ), dstat AS (
+        -- NULLIF guard (ADVICE r9): a single-source corpus has an empty
+        -- complement (ng - ns = 0) -> NULL ks_d / d_crit / shifted 0,
+        -- never a 0/0 NaN aborting the quantizer's cast
         SELECT cums.source,
                MAX({_sql_q6(
-                   "abs(cs * 1.0 / ns - (cg - cs) * 1.0 / (ng - ns))"
+                   "abs(cs * 1.0 / ns"
+                   " - (cg - cs) * 1.0 / NULLIF(ng - ns, 0))"
                )}) AS ks_d
         FROM cums
         JOIN totals ON totals.source = cums.source
@@ -2490,11 +2502,11 @@ _KS_BINS = 1000
     SELECT dstat.source, totals.ns AS n_docs, dstat.ks_d,
            {_sql_q6(
                "1.358 * sqrt((totals.ns + (grand.ng - totals.ns)) * 1.0"
-               " / (totals.ns * (grand.ng - totals.ns)))"
+               " / NULLIF(totals.ns * (grand.ng - totals.ns), 0))"
            )} AS d_crit_5pct,
            CASE WHEN dstat.ks_d > {_sql_q6(
                "1.358 * sqrt((totals.ns + (grand.ng - totals.ns)) * 1.0"
-               " / (totals.ns * (grand.ng - totals.ns)))"
+               " / NULLIF(totals.ns * (grand.ng - totals.ns), 0))"
            )} THEN 1 ELSE 0 END AS shifted
     FROM dstat JOIN totals ON totals.source = dstat.source
     CROSS JOIN grand
@@ -2566,6 +2578,9 @@ def llm_quality_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ca").over(w).alias("cg"),
         )
     )
+    # try_divide guards (ADVICE r9): a single-source corpus has an empty
+    # complement (ng - ns = 0) — NULL ks_d / d_crit and shifted = 0 in
+    # both engines, never a 0/0 NaN aborting _q6's long cast
     dstat = (
         cums.join(totals, "source")
         .crossJoin(F.broadcast(grand))
@@ -2575,9 +2590,10 @@ def llm_quality_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _q6(
                     F.abs(
                         F.col("cs") * 1.0 / F.col("ns")
-                        - (F.col("cg") - F.col("cs"))
-                        * 1.0
-                        / (F.col("ng") - F.col("ns"))
+                        - F.try_divide(
+                            (F.col("cg") - F.col("cs")) * 1.0,
+                            (F.col("ng") - F.col("ns")).cast("double"),
+                        )
                     )
                 )
             ).alias("ks_d")
@@ -2585,7 +2601,12 @@ def llm_quality_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ns, ng = F.col("ns"), F.col("ng")
     d_crit = _q6(
-        1.358 * F.sqrt((ns + (ng - ns)) * 1.0 / (ns * (ng - ns)))
+        1.358
+        * F.sqrt(
+            F.try_divide(
+                (ns + (ng - ns)) * 1.0, (ns * (ng - ns)).cast("double")
+            )
+        )
     )
     return (
         dstat.join(totals, "source")

@@ -313,6 +313,25 @@ def test_ppr_mass_and_seeds(spark):
     assert min(seeds) > med
 
 
+def test_ppr_empty_seed_set_returns_empty(spark, tmp_path):
+    """ADVICE r9: no supplier with suppkey % 50 == 0 must degrade to an
+    EMPTY result (all mass zero), not a plan-build ZeroDivisionError
+    from an eager seed count."""
+    import pandas as pd
+
+    li = pd.DataFrame(
+        {
+            "l_suppkey": [1, 2, 3, 1, 2],
+            "l_partkey": [10, 10, 11, 11, 12],
+        }
+    )
+    d = tmp_path / "noseed"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet")
+    out = SPECS["graph_ppr"].builder(spark, str(d)).collect()
+    assert out == []
+
+
 # ---------------------------------------------------------------------------
 # K129 — readability: identical texts score identically, bounds hold
 # ---------------------------------------------------------------------------
@@ -704,6 +723,87 @@ def test_conformal_coverage_guarantee(spark):
     slack = 2.0 / math.sqrt(r["n_test"])
     assert r["test_coverage"] >= 0.9 - slack
     assert r["coverage_ok"] in (0, 1)
+
+
+def test_sprt_zero_conversion_control_matches_oracle(spark, tmp_path):
+    """ADVICE r9: a control arm with zero conversions (p0 = 0) must yield
+    NULL llr + 'continue' in BOTH engines — the unguarded spelling made
+    ln(0/0) = NaN and ANSI aborted the quantizer's long cast."""
+    import duckdb
+    import pandas as pd
+
+    events = pd.DataFrame(
+        {
+            "event_id": list(range(8)),
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 11:00:00",
+                 "2024-01-02 10:00:00", "2024-01-02 11:00:00"] * 2
+            ).astype("datetime64[ns]"),
+            # even user_id = control (arm 0): views only, NO purchases
+            "user_id": [2, 4, 2, 4, 1, 3, 1, 3],
+            "event_type": ["view", "view", "view", "view",
+                           "purchase", "view", "purchase", "view"],
+            "value": [1.0] * 8,
+            "props": [None] * 8,
+        }
+    )
+    d = tmp_path / "sprt0"
+    d.mkdir()
+    events.to_parquet(d / "events.parquet")
+
+    out = SPECS["events_sprt_ab"].builder(spark, str(d)).collect()
+    assert len(out) == 2  # two treatment days
+    for r in out:
+        assert r["llr"] is None
+        assert r["decision"] == "continue"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    odf = con.execute(SPECS["events_sprt_ab"].oracle).df()
+    assert len(odf) == 2
+    assert odf["llr"].isna().all()
+    assert (odf["decision"] == "continue").all()
+
+
+def test_ks_sources_single_source_matches_oracle(spark, tmp_path):
+    """ADVICE r9: a single-source corpus has an empty complement
+    (ng - ns = 0) — BOTH engines must emit the source row with NULL
+    ks_d / d_crit and shifted = 0, never abort on 0/0."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [f"some text {'y ' * (i + 2)}tail" for i in range(6)],
+            "lang": ["en"] * 6,
+            "source": ["only"] * 6,
+            "n_chars": [20 + i for i in range(6)],
+        }
+    )
+    d = tmp_path / "ks1"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+
+    out = SPECS["llm_quality_ks_sources"].builder(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 6
+    assert r["ks_d"] is None and r["d_crit_5pct"] is None
+    assert r["shifted"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    odf = con.execute(SPECS["llm_quality_ks_sources"].oracle).df()
+    assert len(odf) == 1
+    assert odf["ks_d"].isna().all() and odf["d_crit_5pct"].isna().all()
+    assert int(odf["shifted"][0]) == 0
 
 
 def test_conformal_degenerate_tiny_corpus_matches_oracle(spark, tmp_path):
