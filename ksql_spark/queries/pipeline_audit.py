@@ -4084,9 +4084,23 @@ def _mkv_transitions_sql() -> str:
         FROM touches t LEFT JOIN converted c
           ON c.user_id = t.user_id AND c.journey_id = t.journey_id
         GROUP BY t.user_id, t.journey_id
+    ), allj AS (
+        -- every journey with its touch/conversion flags: journeys whose
+        -- only events are purchases or non-channel types (e.g. 'error')
+        -- have NO touch rows and transition START->terminal directly
+        -- (ADVICE r9 — the docstring's model, now actually emitted)
+        SELECT user_id, journey_id,
+               MAX(CASE WHEN event_type IN ('click', 'view', 'signup')
+                   THEN 1 ELSE 0 END) AS has_touch,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM ordered GROUP BY user_id, journey_id
     ), hops AS (
         SELECT 'START' AS from_s, event_type AS to_s
         FROM touches WHERE pos = 1
+        UNION ALL
+        SELECT 'START', CASE WHEN conv = 1 THEN 'CONV' ELSE 'NULL' END
+        FROM allj WHERE has_touch = 0
         UNION ALL
         SELECT a.event_type, b.event_type
         FROM touches a JOIN touches b
@@ -4177,15 +4191,18 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     (START, click, view, signup, CONV, NULL), compute conversion
     absorption from START by 12 power iterations with absorbing
     self-loops, then for each channel redirect its inbound transitions
-    to NULL and report the relative absorption drop.
+    to NULL and report the relative absorption drop. Journeys without
+    touches (only purchases / non-channel events) transition
+    START->terminal directly, so direct conversions carry their own
+    mass in the chain (ADVICE r9 — previously dropped).
 
     Scale shape: journey segmentation and hop extraction ride
-    user-partitioned windows (one corpus pass); the transition matrix
-    is <= 30 rows, pinned; the 4 variants x 12 iterations are joins on
-    that bounded table, looping over PLANS with per-step pins (the MMR
-    lesson: unpinned, the analyzer's tree grows exponentially).
-    Per-step probabilities quantize so both engines walk identical
-    chains."""
+    user-partitioned windows plus one journey-keyed flag agg (one
+    corpus pass each); the transition matrix is <= 30 rows, pinned;
+    the 4 variants x 12 iterations are joins on that bounded table,
+    looping over PLANS with per-step pins (the MMR lesson: unpinned,
+    the analyzer's tree grows exponentially). Per-step probabilities
+    quantize so both engines walk identical chains."""
     from ksql_spark.operators.scale import pin
 
     e = load(spark, sf_dir, "events")
@@ -4241,6 +4258,20 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     openers = touches.where(F.col("pos") == 1).select(
         F.lit("START").alias("from_s"), F.col("event_type").alias("to_s")
     )
+    # journeys with NO touches (only purchases / non-channel events) hop
+    # START->terminal directly — the model the docstring states (ADVICE r9)
+    allj = ordered.groupBy("user_id", "journey_id").agg(
+        F.max(
+            F.when(F.col("event_type").isin(*_MKV_CHANNELS), 1).otherwise(0)
+        ).alias("has_touch"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    touchless = allj.where(F.col("has_touch") == 0).select(
+        F.lit("START").alias("from_s"),
+        F.when(F.col("conv") == 1, "CONV").otherwise("NULL").alias("to_s"),
+    )
     a = touches.alias("a")
     b = touches.alias("b")
     mids = a.join(
@@ -4261,7 +4292,11 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         touches["event_type"].alias("from_s"),
         journeys["terminal"].alias("to_s"),
     )
-    hops = openers.unionByName(mids).unionByName(terminals)
+    hops = (
+        openers.unionByName(touchless)
+        .unionByName(mids)
+        .unionByName(terminals)
+    )
     trans = hops.groupBy("from_s", "to_s").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )

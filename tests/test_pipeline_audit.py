@@ -859,3 +859,43 @@ def test_markov_attribution_invariants(spark):
         # removing a channel can only lose paths to conversion
         assert r["removal_absorption"] <= full + 1e-6, r
         assert -1e-6 <= r["removal_effect"] <= 1.0 + 1e-6
+
+
+def test_markov_direct_conversions_carry_mass(spark, tmp_path):
+    """ADVICE r9: a journey whose ONLY event is the purchase must hop
+    START->CONV directly. One lone-purchase user -> full absorption 1.0
+    and zero removal effect for every channel; both engines agree."""
+    import duckdb
+    import pandas as pd
+
+    events = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": pd.to_datetime(["2024-01-01 10:00:00"]).astype(
+                "datetime64[ns]"
+            ),
+            "user_id": [7],
+            "event_type": ["purchase"],
+            "value": [5.0],
+            "props": [None],
+        }
+    )
+    d = tmp_path / "mkv_direct"
+    d.mkdir()
+    events.to_parquet(d / "events.parquet")
+
+    out = SPECS["events_attribution_markov"].builder(spark, str(d)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["full_absorption"] == pytest.approx(1.0, abs=2e-6), r
+        assert r["removal_effect"] == pytest.approx(0.0, abs=2e-6), r
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    odf = con.execute(SPECS["events_attribution_markov"].oracle).df()
+    assert len(odf) == 3
+    assert (odf["full_absorption"] - 1.0).abs().max() < 2e-6
+    assert odf["removal_effect"].abs().max() < 2e-6
