@@ -5876,6 +5876,95 @@ def llm_cluster_medoids_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_pipeline_e2e_scaled",
+    oracle=None,  # KMeans SemDeDup stage ≠ SQL-expressible → rows-only; law below
+    ref="SURVEY §2 K28 production posture (VERDICT r9 item 3: the flagship "
+    "shard-build pipeline routed through the 100 TB-path siblings — "
+    "quality gate -> exact dedup -> llm_semantic_dedup_scaled (KMeans "
+    "K ∝ n, pair space linear in n) -> weighted selection -> shard "
+    "layout by fixed-centroid cluster with llm_cluster_medoids_sampled "
+    "anchors. Identity law pinned in tests/test_llm_quality.py: on the "
+    "fixture, survivors == exact-pipeline survivors minus the scaled "
+    "SemDeDup drops, and every (cent_id, medoid_id) matches the "
+    "medoid entry)",
+    tags=("rows_only_by_design",),
+)
+def llm_pipeline_e2e_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard selection on the PRODUCTION path — the
+    pipeline you run at 100 TB, composing the scaled siblings instead of
+    the fixed-K oracle twins:
+
+      1. score quality + token counts, gate quality >= 0.3 (narrow scan);
+      2. exact dedup — min doc_id per md5(text) (one hash shuffle);
+      3. semantic dedup via llm_semantic_dedup_scaled: KMeans K ∝ n
+         codebook, bucket-fanned per-cluster pair stage — pair space
+         LINEAR in n (drop any vector with a lower-id near-dup at
+         cosine >= 0.35);
+      4. weighted keep via the deterministic Knuth draw (per-row expr);
+      5. shard layout: fixed-centroid cluster id + the cluster's
+         CLARA-style sampled medoid as the shard anchor (broadcast
+         K-row join).
+
+    Every stage keeps its sibling's scale shape: the only corpus-wide
+    exchanges are the dedup agg + join-back, the embedding join, and the
+    linear pair stage; the KMeans fit is O(sample·K) on a <= 4096-vector
+    deterministic reservoir; medoid estimation is Σ n_k·m pairs. The
+    exact-twin pipeline (llm_pipeline_e2e) stays registered as the
+    oracle-parity spec; the identity law ties this entry to it on the
+    fixture, so correctness evidence transfers."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.word_count("text").cast("long").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.3)
+    h = F.md5(F.col("text").cast("binary"))
+    canon = scored.groupBy(h.alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    deduped = scored.join(
+        canon,
+        (h == F.col("h")) & (F.col("doc_id") == F.col("keep_id")),
+    )
+    # production semantic dedup: keep vectors the scaled SemDeDup retains
+    sem_kept = (
+        llm_semantic_dedup_scaled(spark, sf_dir)
+        .where(~F.col("dropped"))
+        .select("vec_id")
+    )
+    u = (
+        (
+            (F.col("doc_id") % F.lit(2147483648))
+            * F.lit(2654435761).cast("long")
+        )
+        % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    survivors = (
+        deduped.join(e, F.col("doc_id") == F.col("vec_id"))
+        .join(sem_kept, "vec_id", "semi")
+        .where(u < F.col("quality"))
+        .select("doc_id", "n_tokens", "quality", "vec_id", "embedding")
+    )
+    # shard layout: fixed-centroid cluster + its sampled medoid anchor
+    assign = _assign_fixed_centroids(e).select("vec_id", "cent_id")
+    medoids = llm_cluster_medoids_sampled(spark, sf_dir).select(
+        "cent_id", "medoid_id"
+    )
+    return (
+        survivors.join(assign, "vec_id")
+        .join(F.broadcast(medoids), "cent_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            "cent_id",
+            "medoid_id",
+            vectors.l2_norm("embedding").alias("emb_norm"),
+        )
+    )
+
+
+@query(
     "llm_multimodal_ahash",
     oracle="""
     WITH p AS (

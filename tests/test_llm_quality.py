@@ -936,3 +936,47 @@ def test_sampled_medoids_law_top_decile(spark):
             f"cluster {cid}: sampled medoid {pick} ranks {rank}/{len(ranking)}"
             f" (bound {bound})"
         )
+
+
+def test_pipeline_e2e_scaled_identity_law(spark):
+    """llm_pipeline_e2e_scaled (VERDICT r9 item 3) identity law on the
+    fixture: the production pipeline's survivor set must equal the
+    oracle-exact pipeline's survivors MINUS the scaled SemDeDup drops
+    (the only stage the production path adds), and every row's
+    (cent_id, medoid_id) must match the sampled-medoid entry for the
+    row's fixed-centroid cluster. This ties the rows-only production
+    composite back to driver-hash-checked evidence."""
+    specs = all_specs()
+    scaled = specs["llm_pipeline_e2e_scaled"].builder(spark, SF_DIR).collect()
+    exact = specs["llm_pipeline_e2e"].builder(spark, SF_DIR).collect()
+    sem_dropped = {
+        r.vec_id
+        for r in specs["llm_semantic_dedup_scaled"].builder(spark, SF_DIR).collect()
+        if r.dropped
+    }
+    exact_by_id = {r.doc_id: r for r in exact}
+    want_ids = set(exact_by_id) - sem_dropped
+    got_by_id = {r.doc_id: r for r in scaled}
+    assert set(got_by_id) == want_ids
+    # per-row metrics identical to the exact pipeline's
+    for did, r in got_by_id.items():
+        ex = exact_by_id[did]
+        assert (r.n_tokens, r.quality, r.emb_norm) == (
+            ex.n_tokens, ex.quality, ex.emb_norm,
+        ), did
+    # shard anchors match the sampled-medoid entry per cluster
+    medoids = {
+        r.cent_id: r.medoid_id
+        for r in specs["llm_cluster_medoids_sampled"].builder(spark, SF_DIR).collect()
+    }
+    from ksql_spark.queries.llm import _assign_fixed_centroids
+
+    assign = {
+        r.vec_id: r.cent_id
+        for r in _assign_fixed_centroids(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ).collect()
+    }
+    for did, r in got_by_id.items():
+        assert r.cent_id == assign[did], did
+        assert r.medoid_id == medoids[r.cent_id], did
