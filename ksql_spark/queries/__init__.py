@@ -5,6 +5,7 @@ from ksql_spark.queries import (  # noqa: F401
     aggregates,
     bench,
     curation,
+    estimation,
     filters,
     functions,
     graph,

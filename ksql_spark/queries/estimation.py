@@ -1,0 +1,1261 @@
+"""[EXT] Estimation-at-scale & corpus-hygiene operators (round-10 wave):
+resampling inference (bag-of-little-bootstraps CI D83), population estimation
+(Chapman capture-recapture D84), censored-cohort completion (chain-ladder
+D85), hierarchical shrinkage (beta-binomial empirical Bayes D86), panel
+econometrics (within fixed-effects estimator D87), preference aggregation
+(Bradley-Terry source ranking K135 — the RLHF eval primitive), corpus
+hygiene screens (code-vs-prose K136, mojibake/encoding-artifact audit K137),
+and smoothed language modeling (interpolated Kneser-Ney bigrams K138).
+
+Reference scope note: the reference (ksql.js) delegates all SQL to AlaSQL and
+has none of these; they follow SURVEY.md §2's [EXT] mandate (training-data
+pipeline operators as first-class components).
+
+Determinism: every double goes through the house 1e-6 quantization
+(registry.dsum / trunc-half-up) so Spark and DuckDB agree bit-for-bit
+regardless of partition order; hash-derived pseudo-randomness is the Knuth
+multiplicative LCG spelled identically in both engines (the K22/K43
+curation.py device), never engine hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ksql_spark.operators import text
+from ksql_spark.operators.scale import pin
+from ksql_spark.registry import dsum, dsum_wide, query, sql_dsum
+from ksql_spark.tables import load
+
+
+def _q6(c):
+    """Scalar 1e-6 quantization, house spelling (trunc-toward-zero of
+    x*1e6+0.5 — identical in Spark's double→long cast and DuckDB's
+    CAST(trunc(...) AS BIGINT))."""
+    return (c * F.lit(1000000.0) + F.lit(0.5)).cast("long") / F.lit(1000000.0)
+
+
+def _sql_q6(expr: str) -> str:
+    return f"CAST(trunc(({expr}) * 1000000 + 0.5) AS BIGINT) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# D83 — bag of little bootstraps CI for the mean
+# ---------------------------------------------------------------------------
+
+_BLB_S = 8  # disjoint hash subsets ("little bags")
+_BLB_R = 40  # bootstrap replicates per subset
+
+
+@query(
+    "events_blb_mean_ci",
+    oracle=f"""
+    WITH e AS (
+        SELECT value AS x, event_id,
+               (((event_id % 2147483648) * 2654435761) % 4294967296)
+                   % {_BLB_S} AS su
+        FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+        SELECT su, rep,
+               -ln((((((event_id % 2147483648) * {_BLB_R} + rep)
+                      % 2147483648) * 2654435761) % 4294967296 + 0.5)
+                   / 4294967296.0) AS wt,
+               x
+        FROM (SELECT *, unnest(range(0, {_BLB_R})) AS rep FROM e)
+    ),
+    repmeans AS (
+        SELECT su, rep,
+               {_sql_q6(f"({sql_dsum('wt * x')}) / ({sql_dsum('wt')})")}
+                   AS rep_mean
+        FROM w GROUP BY su, rep
+    ),
+    ranked AS (
+        SELECT su, rep_mean,
+               row_number() OVER (PARTITION BY su ORDER BY rep_mean, rep)
+                   AS rn
+        FROM repmeans
+    ),
+    band AS (
+        SELECT su, MAX(CASE WHEN rn = 2 THEN rep_mean END) AS lo,
+               MAX(CASE WHEN rn = {_BLB_R - 1} THEN rep_mean END) AS hi
+        FROM ranked GROUP BY su
+    ),
+    sub AS (
+        SELECT su, CAST(COUNT(*) AS BIGINT) AS b, {sql_dsum('x')} AS sx
+        FROM e GROUP BY su
+    ),
+    tot AS (
+        SELECT CAST(SUM(b) AS BIGINT) AS n, {sql_dsum('sx')} AS gx FROM sub
+    ),
+    adj AS (
+        SELECT s.su,
+               {_sql_q6('(s.sx / s.b) - ((s.sx / s.b) - band.lo)'
+                        ' * sqrt(CAST(s.b AS DOUBLE) / tot.n)')} AS adj_lo,
+               {_sql_q6('(s.sx / s.b) + (band.hi - (s.sx / s.b))'
+                        ' * sqrt(CAST(s.b AS DOUBLE) / tot.n)')} AS adj_hi
+        FROM sub s JOIN band ON band.su = s.su CROSS JOIN tot
+    )
+    SELECT tot.n AS n_events,
+           CAST({_BLB_S} AS INT) AS n_subsets,
+           CAST({_BLB_R} AS INT) AS n_replicates,
+           {_sql_q6('tot.gx / tot.n')} AS mean_value,
+           {_sql_q6(f"({sql_dsum('adj_lo')}) / {_BLB_S}.0")} AS ci_lo,
+           {_sql_q6(f"({sql_dsum('adj_hi')}) / {_BLB_S}.0")} AS ci_hi
+    FROM adj CROSS JOIN tot GROUP BY tot.n, tot.gx
+    """,
+    ref="SURVEY §2 D83 [EXT] (bag of little bootstraps: s=8 disjoint hash "
+    "subsets, r=40 Bayesian-bootstrap replicates per subset with "
+    "w=-ln(U) Dirichlet weights (Rubin 1981), per-subset (2nd,39th) "
+    "order-statistic band rescaled by sqrt(b/n) — the b-out-of-n "
+    "correction — then averaged across bags (Kleiner et al. 2014); "
+    "the only shuffle carries s*r partial sums)",
+)
+def events_blb_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-little-bootstraps confidence interval for the mean event
+    value: the resampling CI you can actually run on 100 TB, where a
+    classic bootstrap would re-materialize the corpus r times.
+
+    Model: s=8 disjoint subsets by Knuth-LCG hash of event_id; within each
+    subset r=40 Bayesian-bootstrap replicates (Rubin 1981: per-(row, rep)
+    weight w = -ln(U), U a per-(row, rep) LCG uniform — a Dirichlet-weighted
+    mean, smoother than multinomial counts and fully deterministic); the
+    (2nd, 39th) order statistics of the 40 replicate means form a 92.5%
+    percentile band, whose half-widths are rescaled by sqrt(b/n) (the
+    b-out-of-n correction, Kleiner et al. 2014 §3) and averaged across
+    bags (the BLB outer average).
+
+    Scale shape: one corpus scan exploded x40 map-side, collapsed by
+    partial aggregation into s*r = 320 groups (the shuffle carries 320
+    partial-sum rows per task, never the corpus); the rank window runs on
+    the bounded 320-row replicate table; subset/total stats come from a
+    second column-pruned scan (two scans total, both reading only
+    (event_id, value) — cheaper than materializing the x40 explosion).
+    Every weight addend is 1e-6-quantized before the exact long sum
+    (dsum), so replicate means are bit-identical across engines and
+    partition orders."""
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("value").alias("x"),
+            "event_id",
+            (
+                ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761))
+                % F.lit(4294967296)
+                % F.lit(_BLB_S)
+            ).alias("su"),
+        )
+    )
+    # per-(subset, rep) Dirichlet-weighted sums: explode is map-side only;
+    # partial agg collapses to s*r groups before the exchange
+    h = (
+        (
+            (F.col("event_id") % F.lit(2147483648)) * F.lit(_BLB_R)
+            + F.col("rep")
+        )
+        % F.lit(2147483648)
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    wt = -F.log((h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+    repmeans = (
+        e.select("su", "x", "event_id", F.explode(F.sequence(F.lit(0), F.lit(_BLB_R - 1))).alias("rep"))
+        .select("su", "rep", wt.alias("wt"), "x")
+        .groupBy("su", "rep")
+        .agg(_q6(dsum(F.col("wt") * F.col("x")) / dsum("wt")).alias("rep_mean"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("su").orderBy("rep_mean", "rep")
+    )
+    band = (
+        repmeans.select("su", "rep_mean", rn.alias("rn"))
+        .groupBy("su")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("rep_mean"))).alias("lo"),
+            F.max(
+                F.when(F.col("rn") == _BLB_R - 1, F.col("rep_mean"))
+            ).alias("hi"),
+        )
+    )
+    sub = e.groupBy("su").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"), dsum("x").alias("sx")
+    ).transform(pin, eager=False)
+    tot = sub.agg(
+        F.sum("b").cast("bigint").alias("n"), dsum("sx").alias("gx")
+    )
+    m_s = F.col("sx") / F.col("b")
+    scale_s = F.sqrt(F.col("b").cast("double") / F.col("n"))
+    adj = (
+        sub.join(band, "su")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            _q6(m_s - (m_s - F.col("lo")) * scale_s).alias("adj_lo"),
+            _q6(m_s + (F.col("hi") - m_s) * scale_s).alias("adj_hi"),
+        )
+    )
+    return (
+        adj.agg(
+            _q6(dsum("adj_lo") / F.lit(float(_BLB_S))).alias("ci_lo"),
+            _q6(dsum("adj_hi") / F.lit(float(_BLB_S))).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_events"),
+            F.lit(_BLB_S).cast("int").alias("n_subsets"),
+            F.lit(_BLB_R).cast("int").alias("n_replicates"),
+            _q6(F.col("gx") / F.col("n")).alias("mean_value"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D84 — Chapman capture-recapture population estimate
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_capture_recapture",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in1,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in2
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+               CAST(SUM(in2) AS BIGINT) AS n2,
+               CAST(SUM(in1 * in2) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_universe
+        FROM per_user
+    )
+    SELECT n1 AS n_view, n2 AS n_click, m AS n_both, n_universe,
+           {_sql_q6('(n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0')}
+               AS n_chapman,
+           {_sql_q6('sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)'
+                    ' / ((m + 1.0) * (m + 1.0) * (m + 2.0)))')} AS se,
+           {_sql_q6('(n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0'
+                    ' - 1.96 * sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m)'
+                    ' * (n2 - m) / ((m + 1.0) * (m + 1.0) * (m + 2.0)))')}
+               AS ci_lo,
+           {_sql_q6('(n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0'
+                    ' + 1.96 * sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m)'
+                    ' * (n2 - m) / ((m + 1.0) * (m + 1.0) * (m + 2.0)))')}
+               AS ci_hi
+    FROM cells
+    """,
+    ref="SURVEY §2 D84 [EXT] (Chapman capture-recapture: the bias-corrected "
+    "Lincoln-Petersen estimate N = (n1+1)(n2+1)/(m+1) - 1 of total "
+    "population from two overlapping sightings — 'view' and 'click' "
+    "audiences as the two capture occasions, Seber variance CI; one "
+    "user-keyed flag agg then a 1-row cell rollup)",
+)
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman estimator of the total user population from two capture
+    occasions (users seen in 'view' vs 'click' events): the mark-recapture
+    estimate ecology/epidemiology uses when the universe can't be
+    enumerated — here checkable against the enumerated n_universe, which
+    the estimate should cover when the two occasions are independent.
+
+    Scale shape: one user-keyed aggregation (map-side partial) to per-user
+    capture flags, then a 1-row rollup; the Chapman point estimate, Seber
+    (1970) variance, and the 1.96 normal band are closed-form scalar math
+    on exact BIGINT cells. m+1 and m+2 are never zero, so the chain is
+    total without guards."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("in1"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in2"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.sum("in2").cast("bigint").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_universe"),
+    )
+    n1, n2, m = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("m").cast("double"),
+    )
+    chapman = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    se = F.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return cells.select(
+        F.col("n1").alias("n_view"),
+        F.col("n2").alias("n_click"),
+        F.col("m").alias("n_both"),
+        "n_universe",
+        _q6(chapman).alias("n_chapman"),
+        _q6(se).alias("se"),
+        _q6(chapman - 1.96 * se).alias("ci_lo"),
+        _q6(chapman + 1.96 * se).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D86 — beta-binomial empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_eb_shrinkage",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*) AS raw
+        FROM events GROUP BY user_id
+    ),
+    prior AS (
+        SELECT ({sql_dsum('raw')}) / COUNT(*) AS mu,
+               ({sql_dsum('raw * raw')}) / COUNT(*)
+                   - (({sql_dsum('raw')}) / COUNT(*))
+                   * (({sql_dsum('raw')}) / COUNT(*)) AS v
+        FROM per_user
+    ),
+    ab AS (
+        SELECT CASE WHEN v > 0.000000000001
+                         AND mu * (1.0 - mu) / v - 1.0 > 0
+                    THEN mu * (mu * (1.0 - mu) / v - 1.0) ELSE 0.0 END AS a,
+               CASE WHEN v > 0.000000000001
+                         AND mu * (1.0 - mu) / v - 1.0 > 0
+                    THEN (1.0 - mu) * (mu * (1.0 - mu) / v - 1.0)
+                    ELSE 0.0 END AS b
+        FROM prior
+    )
+    SELECT user_id, n AS n_events, x AS n_purchases,
+           {_sql_q6('raw')} AS raw_rate,
+           {_sql_q6('(x + a) / (n + a + b)')} AS shrunk_rate
+    FROM per_user CROSS JOIN ab
+    """,
+    ref="SURVEY §2 D86 [EXT] (beta-binomial empirical Bayes: "
+    "method-of-moments Beta prior fitted from the across-user rate "
+    "moments, per-user posterior-mean rate (x+a)/(n+a+b) — the "
+    "James-Stein-style shrinkage that stops low-n users from topping "
+    "rate leaderboards; two aggs plus one broadcast 1-row prior)",
+)
+def events_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-rate shrinkage toward the corpus prior: fit a
+    Beta(a, b) by method of moments on the across-user raw rates
+    (kappa = mu(1-mu)/v - 1; a = mu*kappa, b = (1-mu)*kappa), then report
+    each user's posterior mean (x+a)/(n+a+b). Degenerate corpora (zero
+    across-user variance, or moments outside the Beta-representable
+    region kappa <= 0) fall back to a = b = 0, i.e. no shrinkage —
+    spelled identically in both engines.
+
+    Scale shape: one user-keyed aggregation (map-side partial) to the
+    SF-proportional per-user table, pinned once; the prior is a 1-row
+    aggregate of that table broadcast back onto it. Rate moments go
+    through dsum so the fitted prior is bit-identical across partition
+    orders; raw/n divisions are single IEEE ops shared by both engines."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "x",
+            (F.col("x").cast("double") / F.col("n")).alias("raw"),
+        )
+        .transform(pin, eager=False)
+    )
+    mu = dsum("raw") / F.count(F.lit(1))
+    prior = per_user.agg(
+        mu.alias("mu"),
+        (dsum(F.col("raw") * F.col("raw")) / F.count(F.lit(1))).alias("rr"),
+    ).select("mu", (F.col("rr") - F.col("mu") * F.col("mu")).alias("v"))
+    kappa = F.col("mu") * (1.0 - F.col("mu")) / F.col("v") - 1.0
+    ok = (F.col("v") > 1e-12) & (kappa > 0)
+    ab = prior.select(
+        F.when(ok, F.col("mu") * kappa).otherwise(0.0).alias("a"),
+        F.when(ok, (1.0 - F.col("mu")) * kappa).otherwise(0.0).alias("b"),
+    )
+    return per_user.crossJoin(F.broadcast(ab)).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_purchases"),
+        _q6(F.col("raw")).alias("raw_rate"),
+        _q6(
+            (F.col("x") + F.col("a"))
+            / (F.col("n") + F.col("a") + F.col("b"))
+        ).alias("shrunk_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D87 — panel fixed-effects (within) estimator
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_panel_within_ols",
+    oracle=f"""
+    WITH ob AS (
+        SELECT o.o_custkey AS c, o.o_totalprice AS y,
+               CAST(lc.x AS DOUBLE) AS x
+        FROM orders o
+        JOIN (SELECT l_orderkey, COUNT(*) AS x
+              FROM lineitem GROUP BY l_orderkey) lc
+          ON lc.l_orderkey = o.o_orderkey
+    ),
+    cm AS (
+        SELECT c, ({sql_dsum('x')}) / COUNT(*) AS mx,
+               ({sql_dsum('y')}) / COUNT(*) AS my
+        FROM ob GROUP BY c
+    ),
+    g AS (
+        SELECT ({sql_dsum('x')}) / COUNT(*) AS gx,
+               ({sql_dsum('y')}) / COUNT(*) AS gy
+        FROM ob
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT ob.c) AS BIGINT) AS n_entities,
+               {sql_dsum('(ob.x - cm.mx) * (ob.x - cm.mx)')} AS sxx_w,
+               {sql_dsum('(ob.x - cm.mx) * (ob.y - cm.my)')} AS sxy_w,
+               {sql_dsum('(ob.y - cm.my) * (ob.y - cm.my)')} AS syy_w,
+               {sql_dsum('(ob.x - g.gx) * (ob.x - g.gx)')} AS sxx_p,
+               {sql_dsum('(ob.x - g.gx) * (ob.y - g.gy)')} AS sxy_p
+        FROM ob JOIN cm USING (c) CROSS JOIN g
+    )
+    SELECT n_orders, n_entities,
+           {_sql_q6('sxy_p / NULLIF(sxx_p, 0)')} AS beta_pooled,
+           {_sql_q6('sxy_w / NULLIF(sxx_w, 0)')} AS beta_within,
+           {_sql_q6('(sxy_w / NULLIF(sxx_w, 0)) * (sxy_w / NULLIF(sxx_w, 0))'
+                    ' * sxx_w / NULLIF(syy_w, 0)')} AS r2_within
+    FROM mom
+    """,
+    ref="SURVEY §2 D87 [EXT] (panel fixed-effects within estimator: "
+    "customer-demeaned OLS slope of order value on order width (line "
+    "count) vs the pooled slope — the Mundlak/FE device separating "
+    "within-customer response from between-customer composition; "
+    "entity means via one custkey-keyed agg, wide rank-free moments "
+    "through dsum_wide)",
+)
+def orders_panel_within_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within (fixed-effects) vs pooled OLS slope of order totalprice on
+    order line count. The within estimator demeans x and y by customer
+    (absorbing customer fixed effects exactly — the one-way within
+    transformation is exact for any unbalanced panel), so the slope reads
+    the WITHIN-customer price-width response; the pooled slope mixes in
+    between-customer composition. r2_within = beta^2 * Sxx / Syy on the
+    demeaned moments.
+
+    Scale shape: the lineitem width agg is orderkey-keyed (natural key),
+    joined to orders on the same key (SF-proportional, un-hinted — AQE
+    picks broadcast vs shuffle); entity means are one custkey-keyed agg
+    joined back on custkey; grand means are a broadcast 1-row aggregate.
+    Second moments in y (~1e11 per addend at 1e6 scale) ride dsum_wide's
+    decimal(38,0) accumulator — the sf10-probe overflow lesson; DuckDB's
+    SUM(BIGINT) is already HUGEINT so the oracle spelling is unchanged."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("x"))
+    ob = (
+        o.join(lc, o.o_orderkey == lc.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("o_totalprice").alias("y"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .transform(pin, eager=False)
+    )
+    cm = ob.groupBy("c").agg(
+        (dsum("x") / F.count(F.lit(1))).alias("mx"),
+        (dsum("y") / F.count(F.lit(1))).alias("my"),
+    )
+    g = ob.agg(
+        (dsum("x") / F.count(F.lit(1))).alias("gx"),
+        (dsum("y") / F.count(F.lit(1))).alias("gy"),
+    )
+    xt, yt = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
+    xp, yp = F.col("x") - F.col("gx"), F.col("y") - F.col("gy")
+    mom = (
+        ob.join(cm, "c")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("c").cast("bigint").alias("n_entities"),
+            dsum_wide(xt * xt).alias("sxx_w"),
+            dsum_wide(xt * yt).alias("sxy_w"),
+            dsum_wide(yt * yt).alias("syy_w"),
+            dsum_wide(xp * xp).alias("sxx_p"),
+            dsum_wide(xp * yp).alias("sxy_p"),
+        )
+    )
+    bw = F.col("sxy_w") / F.nullif(F.col("sxx_w"), F.lit(0.0))
+    return mom.select(
+        "n_orders",
+        "n_entities",
+        _q6(F.col("sxy_p") / F.nullif(F.col("sxx_p"), F.lit(0.0))).alias(
+            "beta_pooled"
+        ),
+        _q6(bw).alias("beta_within"),
+        _q6(
+            bw * bw * F.col("sxx_w") / F.nullif(F.col("syy_w"), F.lit(0.0))
+        ).alias("r2_within"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D85 — chain-ladder completion of censored purchase cohorts
+# ---------------------------------------------------------------------------
+
+def _chain_ladder_oracle() -> str:
+    q6_ult = _sql_q6("l.cum_latest * a.ata")
+    q6_res = _sql_q6("l.cum_latest * a.ata - l.cum_latest")
+    return f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        FROM events
+    ),
+    fu AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+    base AS (
+        SELECT fu.cohort, datediff('day', fu.cohort, ev.day) AS age, ev.isp
+        FROM ev JOIN fu USING (user_id)
+    ),
+    cells AS (
+        SELECT cohort, age, CAST(SUM(isp) AS BIGINT) AS inc
+        FROM base GROUP BY cohort, age
+    ),
+    maxd AS (SELECT MAX(day) AS maxday FROM ev),
+    spine AS (
+        SELECT c.cohort,
+               unnest(range(0, datediff('day', c.cohort, m.maxday) + 1))
+                   AS age
+        FROM (SELECT DISTINCT cohort FROM fu) c CROSS JOIN maxd m
+    ),
+    tri AS (
+        SELECT s.cohort, s.age, COALESCE(cells.inc, 0) AS inc0
+        FROM spine s LEFT JOIN cells
+          ON cells.cohort = s.cohort AND cells.age = s.age
+    ),
+    cum AS (
+        SELECT cohort, age,
+               CAST(SUM(inc0) OVER (PARTITION BY cohort ORDER BY age)
+                    AS BIGINT) AS c
+        FROM tri
+    ),
+    cl AS (
+        SELECT cohort, age, c,
+               LEAD(c) OVER (PARTITION BY cohort ORDER BY age) AS nxt
+        FROM cum
+    ),
+    fac AS (
+        SELECT age,
+               CASE WHEN SUM(CASE WHEN nxt IS NOT NULL THEN c END) > 0
+                    THEN CAST(SUM(nxt) AS DOUBLE)
+                         / SUM(CASE WHEN nxt IS NOT NULL THEN c END)
+                    ELSE 1.0 END AS f
+        FROM cl GROUP BY age
+    ),
+    ata AS (
+        SELECT age,
+               exp(CAST(SUM(CAST(trunc(ln(f) * 1000000 + 0.5) AS BIGINT))
+                        OVER (ORDER BY age DESC) AS DOUBLE) / 1000000.0)
+                   AS ata
+        FROM fac
+    ),
+    latest AS (
+        SELECT cohort, CAST(MAX(age) AS BIGINT) AS latest_age,
+               max_by(c, age) AS cum_latest
+        FROM cum GROUP BY cohort
+    )
+    SELECT l.cohort, l.latest_age,
+           CAST(l.cum_latest AS BIGINT) AS cum_purchases,
+           {q6_ult} AS ultimate,
+           {q6_res} AS reserve
+    FROM latest l JOIN ata a ON a.age = l.latest_age
+    """
+
+
+@query(
+    "events_chain_ladder",
+    oracle=_chain_ladder_oracle(),
+    ref="SURVEY §2 D85 [EXT] (chain-ladder completion: first-event-day "
+    "cohorts x day age cumulative purchase triangle, right-censored at "
+    "the corpus edge; volume-weighted all-cohort development factors "
+    "f_a = sum C(.,a+1)/sum C(.,a) over cohorts observing both ages "
+    "(Mack 1993), age-to-ultimate via exp of the reverse-cumulative "
+    "1e-6-quantized ln f, per-cohort ultimate and reserve — the "
+    "actuarial completion the naive 'sum what arrived' cohort read "
+    "understates for young cohorts)",
+)
+def events_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder (Mack) development of the cohort purchase triangle:
+    cohorts = per-user first event day; development age = days since
+    first event; cells = cumulative purchases. Young cohorts are
+    right-censored at the corpus edge, so their raw cumulative counts
+    understate their eventual ('ultimate') purchases; the ladder
+    completes them with volume-weighted development factors estimated
+    from the cohorts that DID observe each age transition.
+
+    Scale shape: two user-keyed exchanges (first-day agg, join back) and
+    one (cohort, age) aggregation off the corpus scan; everything after
+    lives on the bounded triangle (|days|^2/2 cells) — the dense spine is
+    a broadcast cross of the bounded cohort list with a bounded age
+    sequence, the cumulative/lead windows are cohort-partitioned, and the
+    age-to-ultimate product runs as exp(reverse cumsum of quantized ln f)
+    on the <=|days|-row factor table (exact long accumulation, so both
+    engines chain identical factors). Factors with an empty or zero
+    denominator fall back to 1.0 (no observed development)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("isp"),
+        )
+        .transform(pin, eager=False)
+    )
+    fu = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    base = ev.join(fu, "user_id").select(
+        "cohort", F.datediff("day", "cohort").alias("age"), "isp"
+    )
+    cells = base.groupBy("cohort", "age").agg(F.sum("isp").alias("inc"))
+    maxd = ev.agg(F.max("day").alias("maxday"))
+    spine = (
+        fu.select("cohort")
+        .distinct()
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "cohort",
+            F.explode(
+                F.sequence(F.lit(0), F.datediff("maxday", "cohort"))
+            ).alias("age"),
+        )
+    )
+    tri = spine.join(cells, ["cohort", "age"], "left").select(
+        "cohort", "age", F.coalesce("inc", F.lit(0)).alias("inc0")
+    )
+    wc = Window.partitionBy("cohort").orderBy("age")
+    cum = tri.select(
+        "cohort", "age", F.sum("inc0").over(wc).cast("bigint").alias("c")
+    ).transform(pin, eager=False)
+    cl = cum.select("cohort", "age", "c", F.lead("c").over(wc).alias("nxt"))
+    den = F.sum(F.when(F.col("nxt").isNotNull(), F.col("c")))
+    fac = cl.groupBy("age").agg(
+        F.when(den > 0, F.sum("nxt").cast("double") / den)
+        .otherwise(1.0)
+        .alias("f")
+    )
+    # age-to-ultimate factor: product of f from this age onward, as exp of
+    # the reverse running sum of 1e-6-quantized ln f (exact long cumsum on
+    # the bounded <=|days|-row factor table; f >= 1 whenever development
+    # was observed, so ln f >= 0 and the quantizer never sees -inf)
+    wrev = Window.orderBy(F.col("age").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lnq = (F.log("f") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ata = fac.select(
+        "age",
+        F.exp(
+            F.sum(lnq).over(wrev).cast("double") / F.lit(1000000.0)
+        ).alias("ata"),
+    )
+    latest = cum.groupBy("cohort").agg(
+        F.max("age").cast("bigint").alias("latest_age"),
+        F.max_by("c", "age").alias("cum_latest"),
+    )
+    ult = F.col("cum_latest") * F.col("ata")
+    return latest.join(
+        ata, latest.latest_age == ata.age
+    ).select(
+        "cohort",
+        "latest_age",
+        F.col("cum_latest").cast("bigint").alias("cum_purchases"),
+        _q6(ult).alias("ultimate"),
+        _q6(ult - F.col("cum_latest")).alias("reserve"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K135 — Bradley-Terry preference ranking of sources
+# ---------------------------------------------------------------------------
+
+_BT_BUCKETS = 256
+_BT_ITERS = 12
+
+
+def _bt_oracle() -> str:
+    from ksql_spark.queries.curation import SQL_QUALITY
+
+    head = f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, source, ({SQL_QUALITY}) AS q,
+               (((doc_id % 2147483648) * 2654435761) % 4294967296)
+                   % {_BT_BUCKETS} AS bucket
+        FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    champ AS MATERIALIZED (
+        SELECT bucket, source, q FROM (
+            SELECT bucket, source, q,
+                   row_number() OVER (PARTITION BY bucket, source
+                                      ORDER BY q DESC, doc_id DESC) AS rn
+            FROM docs) WHERE rn = 1
+    ),
+    duels AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS awin
+        FROM champ a JOIN champ b
+          ON a.bucket = b.bucket AND a.source < b.source AND a.q <> b.q
+    ),
+    pairagg AS MATERIALIZED (
+        SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(awin) AS BIGINT) AS wa
+        FROM duels GROUP BY sa, sb
+    ),
+    sym AS MATERIALIZED (
+        SELECT sa AS a, sb AS b, n FROM pairagg
+        UNION ALL SELECT sb, sa, n FROM pairagg
+    ),
+    wins AS MATERIALIZED (
+        SELECT s, CAST(SUM(w) AS BIGINT) AS wins,
+               CAST(SUM(n) AS BIGINT) AS games
+        FROM (SELECT sa AS s, wa AS w, n FROM pairagg
+              UNION ALL SELECT sb, n - wa, n FROM pairagg)
+        GROUP BY s
+    ),
+    it0 AS MATERIALIZED (SELECT s, 1.0 AS pi FROM wins)"""
+    its = []
+    for i in range(1, _BT_ITERS + 1):
+        p = f"it{i - 1}"
+        its.append(f""",
+    d{i} AS MATERIALIZED (
+        SELECT sym.a AS s, {sql_dsum('sym.n / (pa.pi + pb.pi)')} AS den
+        FROM sym JOIN {p} pa ON pa.s = sym.a JOIN {p} pb ON pb.s = sym.b
+        GROUP BY sym.a
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT wins.s, {_sql_q6('wins.wins / d.den')} AS pi0
+        FROM wins JOIN d{i} d USING (s)
+    ),
+    t{i} AS MATERIALIZED (SELECT {sql_dsum('pi0')} AS t, COUNT(*) AS cnt FROM r{i}),
+    it{i} AS MATERIALIZED (
+        SELECT s, {_sql_q6('pi0 * cnt / t')} AS pi
+        FROM r{i} CROSS JOIN t{i}
+    )""")
+    tail = f"""
+    SELECT w.s AS source, w.games, w.wins,
+           p.pi AS strength,
+           CAST(rank() OVER (ORDER BY p.pi DESC NULLS LAST, w.s)
+                AS BIGINT) AS rnk
+    FROM wins w JOIN it{_BT_ITERS} p ON p.s = w.s
+    """
+    return head + "".join(its) + tail
+
+
+@query(
+    "llm_bradley_terry_sources",
+    oracle=_bt_oracle(),
+    ref="SURVEY §2 K135 [EXT] (Bradley-Terry preference aggregation — the "
+    "RLHF/eval-leaderboard primitive (Bradley & Terry 1952; Elo's model "
+    "with logistic strengths): per-(hash-bucket, source) champion docs "
+    "duel within their bucket, decisive outcomes feed the "
+    "minorization-maximization fixed point pi_a = W_a / sum n_ab/"
+    "(pi_a+pi_b) (Hunter 2004), 12 quantized sum-normalized iterations)",
+)
+def llm_bradley_terry_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ranking of document sources from pairwise
+    quality duels. Pairing is deterministic and bounded: each doc hashes
+    into one of 256 buckets (Knuth LCG); each (bucket, source)'s champion
+    is its highest-quality doc (tie-break: highest doc_id); within a
+    bucket every source-pair's champions duel, the higher K4 quality
+    score winning (exact ties are skipped — no coin flips). Strengths
+    come from 12 Hunter-MM iterations pi_a = W_a / sum_b n_ab/(pi_a+pi_b),
+    sum-normalized and 1e-6-quantized per step so both engines walk an
+    identical trajectory.
+
+    Scale shape: one corpus scan into a (bucket, source)-keyed max-struct
+    aggregation (map-side partial; the shuffle carries <=256*|sources|
+    champion rows, never the corpus); duels, win counts, and all 12 MM
+    iterations live on bounded tables (<=|sources|^2 rows), each
+    iteration pinned so the loop is over plans, not lineage (the D82
+    posture). Sources with no decisive duel are absent (no evidence, no
+    rank)."""
+    from ksql_spark.operators.scale import pin as _pin
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "source",
+            text.quality_score("text").alias("q"),
+            (
+                ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+                % F.lit(4294967296)
+                % F.lit(_BT_BUCKETS)
+            ).alias("bucket"),
+        )
+    )
+    # pinned: both duel sides read the champion table, and an unpinned plan
+    # would re-run the corpus scan + champion agg per side
+    champ = (
+        docs.groupBy("bucket", "source")
+        .agg(F.max(F.struct("q", "doc_id")).alias("m"))
+        .select("bucket", "source", F.col("m.q").alias("q"))
+        .transform(_pin, eager=False)
+    )
+    a = champ.select(
+        F.col("bucket").alias("ab"),
+        F.col("source").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = champ.select(
+        F.col("bucket").alias("bb"),
+        F.col("source").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    duels = a.join(
+        b,
+        (F.col("ab") == F.col("bb"))
+        & (F.col("sa") < F.col("sb"))
+        & (F.col("qa") != F.col("qb")),
+    )
+    pairagg = (
+        duels.select(
+            "sa",
+            "sb",
+            F.when(F.col("qa") > F.col("qb"), 1).otherwise(0).alias("awin"),
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("awin").cast("bigint").alias("wa"),
+        )
+        .transform(_pin, eager=False)
+    )
+    sym = pairagg.select(
+        F.col("sa").alias("a"), F.col("sb").alias("b"), "n"
+    ).unionAll(
+        pairagg.select(
+            F.col("sb").alias("a"), F.col("sa").alias("b"), "n"
+        )
+    )
+    wins = (
+        pairagg.select(
+            F.col("sa").alias("s"), F.col("wa").alias("w"), "n"
+        )
+        .unionAll(
+            pairagg.select(
+                F.col("sb").alias("s"),
+                (F.col("n") - F.col("wa")).alias("w"),
+                "n",
+            )
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("w").cast("bigint").alias("wins"),
+            F.sum("n").cast("bigint").alias("games"),
+        )
+        .transform(_pin, eager=False)
+    )
+    pi = wins.select("s", F.lit(1.0).alias("pi"))
+    for _ in range(_BT_ITERS):
+        pa = pi.select(F.col("s").alias("a"), F.col("pi").alias("pia"))
+        pb = pi.select(F.col("s").alias("b"), F.col("pi").alias("pib"))
+        d = (
+            sym.join(pa, "a")
+            .join(pb, "b")
+            .groupBy("a")
+            .agg(
+                dsum(
+                    F.col("n") / (F.col("pia") + F.col("pib"))
+                ).alias("den")
+            )
+        )
+        r = wins.join(d, wins.s == d.a).select(
+            "s", _q6(F.col("wins") / F.col("den")).alias("pi0")
+        )
+        t = r.agg(
+            dsum("pi0").alias("t"), F.count(F.lit(1)).alias("cnt")
+        )
+        pi = (
+            r.crossJoin(F.broadcast(t))
+            .select(
+                "s",
+                _q6(F.col("pi0") * F.col("cnt") / F.col("t")).alias("pi"),
+            )
+            .transform(_pin, eager=False)
+        )
+    rnk = F.rank().over(
+        Window.orderBy(F.col("strength").desc_nulls_last(), "source")
+    )
+    return (
+        wins.join(pi, "s")
+        .select(
+            F.col("s").alias("source"),
+            "games",
+            "wins",
+            F.col("pi").alias("strength"),
+        )
+        .select("source", "games", "wins", "strength", rnk.cast("bigint").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K136 — code-vs-prose hygiene screen (with planted drill rows)
+# ---------------------------------------------------------------------------
+
+#: (source, text) planted probes: the driver corpus is clean prose, so the
+#: live screen legitimately reads ~0 — the drill rows prove the detector
+#: DETECTS (the D55 planted-drop discipline). Plain ASCII, no SQL quoting
+#: hazards.
+_CODE_DRILL_ROWS = [
+    (
+        "planted_code",
+        "def load(x): return x * 2; y = load(3); assert y == 6; print(y);",
+    ),
+    (
+        "planted_json",
+        '"key": [1, 2, 3], "flagValue": true, "innerMap": "x=1;y=2;z=3"',
+    ),
+    (
+        "planted_prose",
+        "the cat sat on the mat and the dog ran to the park in the morning",
+    ),
+]
+
+_SYM_RE = r"[{}();=<>\[\]]"
+_DIGIT_RE = "[0-9]"
+_CAMEL_RE = "[a-z][A-Z]"
+
+
+def _code_prose_oracle() -> str:
+    values = ", ".join(
+        "('" + s + "', '" + t.replace("'", "''") + "')"
+        for s, t in _CODE_DRILL_ROWS
+    )
+    sym = f"len(text) - len(regexp_replace(text, '{_SYM_RE}', '', 'g'))"
+    dig = f"len(text) - len(regexp_replace(text, '{_DIGIT_RE}', '', 'g'))"
+    cam = f"len(regexp_extract_all(text, '{_CAMEL_RE}'))"
+    return f"""
+    WITH corpus AS (
+        SELECT 'live' AS mode, source, text FROM documents
+        UNION ALL
+        SELECT 'drill', v.source, v.text
+        FROM (VALUES {values}) AS v(source, text)
+    ),
+    feat AS (
+        SELECT mode, source,
+               ({sym}) * 1.0 / len(text) AS sym_den,
+               ({dig}) * 1.0 / len(text) AS dig_den,
+               ({cam}) * 1.0 / len(text) AS cam_den
+        FROM corpus WHERE text IS NOT NULL AND len(text) > 0
+    )
+    SELECT mode, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sym_den > 0.02 OR cam_den > 0.005
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like,
+           {_sql_q6(f"({sql_dsum('sym_den')}) / COUNT(*)")} AS avg_sym_density,
+           {_sql_q6(f"({sql_dsum('dig_den')}) / COUNT(*)")} AS avg_digit_density,
+           {_sql_q6(f"({sql_dsum('cam_den')}) / COUNT(*)")} AS avg_camel_density
+    FROM feat GROUP BY mode, source
+    """
+
+
+@query(
+    "llm_code_prose_score",
+    oracle=_code_prose_oracle(),
+    ref="SURVEY §2 K136 [EXT] (code-vs-prose screen: per-doc densities of "
+    "code syntax chars, digits, and camelCase boundaries classify "
+    "code-like docs per source — the corpus-mix gate separating code "
+    "from prose before tokenizer/quality decisions; live rows plus "
+    "planted drill probes proving the detector detects)",
+)
+def llm_code_prose_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-likeness screen per (mode, source): symbol density (braces,
+    parens, semicolons, operators), digit density, and camelCase-boundary
+    density, with code_like = sym > 2% OR camel > 0.5%. The live driver
+    corpus is clean prose (expected ~0 everywhere); the 'drill' mode runs
+    the same expressions over three planted probes (python-ish, json-ish,
+    prose) and must flag exactly the first two — the D55 planted-drop
+    discipline: an all-zeros screen only counts if it provably CAN fire.
+
+    Scale shape: one corpus scan; every feature is a regex length-diff or
+    match count inside whole-stage codegen (no UDF, no explode); one
+    (mode, source)-keyed aggregation with map-side partials. The planted
+    rows are a 3-row literal union — constant-folded, never shuffled."""
+    d = load(spark, sf_dir, "documents").select(
+        F.lit("live").alias("mode"), "source", "text"
+    )
+    drill = spark.createDataFrame(
+        [("drill", s, t) for s, t in _CODE_DRILL_ROWS],
+        "mode string, source string, text string",
+    )
+    corpus = d.unionAll(drill).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n = F.length("text").cast("double")
+    sym = (
+        F.length("text") - F.length(F.regexp_replace("text", _SYM_RE, ""))
+    ) / n
+    dig = (
+        F.length("text") - F.length(F.regexp_replace("text", _DIGIT_RE, ""))
+    ) / n
+    cam = F.regexp_count("text", F.lit(_CAMEL_RE)) / n
+    feat = corpus.select(
+        "mode",
+        "source",
+        sym.alias("sym_den"),
+        dig.alias("dig_den"),
+        cam.alias("cam_den"),
+    )
+    return feat.groupBy("mode", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("sym_den") > 0.02) | (F.col("cam_den") > 0.005), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_code_like"),
+        _q6(dsum("sym_den") / F.count(F.lit(1))).alias("avg_sym_density"),
+        _q6(dsum("dig_den") / F.count(F.lit(1))).alias("avg_digit_density"),
+        _q6(dsum("cam_den") / F.count(F.lit(1))).alias("avg_camel_density"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K137 — mojibake / encoding-artifact audit (with planted drill rows)
+# ---------------------------------------------------------------------------
+
+#: the classic UTF-8-read-as-Latin-1 artifact sequences: U+00E2 U+20AC
+#: ("a-circumflex euro", the mangled smart-quote prefix), U+00C3 (stray
+#: accent carrier), U+FFFD (the replacement character a lossy decode
+#: leaves behind).
+_MOJI_SMART = "â€"
+_MOJI_ACCENT = "Ã"
+_MOJI_REPL = "�"
+
+_MOJI_DRILL_ROWS = [
+    (
+        "planted_mojibake",
+        f"the caf{_MOJI_ACCENT}© serves {_MOJI_SMART}œespresso"
+        f"{_MOJI_SMART}œ and croissants {_MOJI_ACCENT} la carte",
+    ),
+    (
+        "planted_replacement",
+        f"data {_MOJI_REPL}loss{_MOJI_REPL} detected in {_MOJI_REPL}segment"
+        " 7 of the archive",
+    ),
+    (
+        "planted_clean",
+        "the quick brown fox jumps over the lazy dog every single day",
+    ),
+]
+
+
+def _mojibake_oracle() -> str:
+    values = ", ".join(
+        "('" + s + "', '" + t.replace("'", "''") + "')"
+        for s, t in _MOJI_DRILL_ROWS
+    )
+    c1 = f"(len(text) - len(replace(text, '{_MOJI_SMART}', ''))) / 2"
+    c2 = f"len(text) - len(replace(text, '{_MOJI_ACCENT}', ''))"
+    c3 = f"len(text) - len(replace(text, '{_MOJI_REPL}', ''))"
+    return f"""
+    WITH corpus AS (
+        SELECT 'live' AS mode, source, text FROM documents
+        UNION ALL
+        SELECT 'drill', v.source, v.text
+        FROM (VALUES {values}) AS v(source, text)
+    ),
+    feat AS (
+        SELECT mode, source,
+               CAST(({c1}) + ({c2}) + ({c3}) AS BIGINT) AS artifacts,
+               (({c1}) + ({c2}) + ({c3})) / len(text) AS rate
+        FROM corpus WHERE text IS NOT NULL AND len(text) > 0
+    )
+    SELECT mode, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rate > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(artifacts) AS BIGINT) AS artifact_chars,
+           {_sql_q6(f"({sql_dsum('rate')}) / COUNT(*)")} AS avg_rate
+    FROM feat GROUP BY mode, source
+    """
+
+
+@query(
+    "llm_mojibake_audit",
+    oracle=_mojibake_oracle(),
+    ref="SURVEY §2 K137 [EXT] (mojibake audit: UTF-8-as-Latin-1 artifact "
+    "sequences (U+00E2 U+20AC smart-quote prefix, stray U+00C3) and "
+    "U+FFFD replacement chars counted per doc via replace-length "
+    "diffs — the web-crawl encoding-damage screen; live rows plus "
+    "planted drill probes proving the detector detects)",
+)
+def llm_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) audit per (mode, source): counts of
+    the classic UTF-8-decoded-as-Latin-1 sequences (the 2-codepoint
+    smart-quote prefix U+00E2 U+20AC, stray accent carriers U+00C3) and
+    U+FFFD replacement characters, as codepoint-exact replace-length
+    diffs (regex-free, so no engine regex dialect in play); docs with
+    artifact rate > 0.1% are flagged. The live corpus is clean ASCII
+    (expected zero); the drill probes must flag exactly the two damaged
+    rows.
+
+    Scale shape: one corpus scan, three replace() length diffs in
+    whole-stage codegen, one (mode, source)-keyed aggregation — the same
+    single-pass shape as K136."""
+    d = load(spark, sf_dir, "documents").select(
+        F.lit("live").alias("mode"), "source", "text"
+    )
+    drill = spark.createDataFrame(
+        [("drill", s, t) for s, t in _MOJI_DRILL_ROWS],
+        "mode string, source string, text string",
+    )
+    corpus = d.unionAll(drill).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    c1 = (
+        F.length("text")
+        - F.length(F.replace("text", F.lit(_MOJI_SMART), F.lit("")))
+    ) / F.lit(2)
+    c2 = F.length("text") - F.length(
+        F.replace("text", F.lit(_MOJI_ACCENT), F.lit(""))
+    )
+    c3 = F.length("text") - F.length(
+        F.replace("text", F.lit(_MOJI_REPL), F.lit(""))
+    )
+    artifacts = c1 + c2 + c3
+    feat = corpus.select(
+        "mode",
+        "source",
+        artifacts.cast("bigint").alias("artifacts"),
+        (artifacts / F.length("text")).alias("rate"),
+    )
+    return feat.groupBy("mode", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rate") > 0.001, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("artifacts").cast("bigint").alias("artifact_chars"),
+        _q6(dsum("rate") / F.count(F.lit(1))).alias("avg_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K138 — interpolated Kneser-Ney bigram probabilities
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOPK = 30
+
+
+@query(
+    "llm_bigram_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS gram
+        FROM toks
+    ),
+    c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gram),
+    sp AS (
+        SELECT split_part(gram, ' ', 1) AS w1,
+               split_part(gram, ' ', 2) AS w2, c
+        FROM c2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM sp GROUP BY w1
+    ),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM sp GROUP BY w2),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM sp)
+    SELECT sp.w1, sp.w2, sp.c AS c_bigram,
+           {_sql_q6('n1p * 1.0 / nbi')} AS p_cont,
+           {_sql_q6(f'greatest(sp.c - {_KN_D}, 0) / c1.ctot'
+                    f' + {_KN_D} * c1.n1f / c1.ctot * (n1p * 1.0 / nbi)')}
+               AS p_kn
+    FROM sp JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN nb
+    ORDER BY p_kn DESC, sp.w1, sp.w2 LIMIT {_KN_TOPK}
+    """,
+    ref="SURVEY §2 K138 [EXT] (interpolated Kneser-Ney: absolute "
+    "discounting D=0.75 with continuation-count backoff P_cont(w2) = "
+    "N1+(.w2)/N1+(..) (Kneser & Ney 1995; Chen & Goodman 1999) — the "
+    "smoothing that K50's raw conditional bigram model lacks; all "
+    "counts from one bigram aggregation, top-30 via TakeOrdered)",
+)
+def llm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the corpus LM:
+    P_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1 .) + D * N1+(w1 .)/c(w1 .)
+    * P_cont(w2), with P_cont the continuation-probability backoff —
+    'how many distinct contexts precede w2' rather than how often it
+    occurs (the Kneser-Ney insight that keeps 'Francisco' rare outside
+    'San'). Top-30 bigrams by smoothed probability.
+
+    Scale shape: one corpus scan exploding word bigrams into a gram-keyed
+    count aggregation (the only corpus-sized exchange, map-side combined);
+    the w1 totals, continuation counts, and the 1-row bigram-type count
+    are vocabulary-bounded tables broadcast onto the bigram-type table
+    (at 100 TB the type tables hash to fixed buckets — the K50 posture);
+    the final top-30 closes via orderBy().limit() = TakeOrderedAndProject,
+    never a global rank window."""
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bg = d.select(F.explode(text.shingles("text", 2)).alias("gram"))
+    c2 = bg.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sp = c2.select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c",
+    ).transform(pin, eager=False)
+    c1 = sp.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("ctot"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = sp.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p")
+    )
+    nb = sp.agg(F.count(F.lit(1)).cast("bigint").alias("nbi"))
+    pcont_raw = F.col("n1p") * F.lit(1.0) / F.col("nbi")
+    pkn = (
+        F.greatest(F.col("c") - F.lit(_KN_D), F.lit(0.0)) / F.col("ctot")
+        + F.lit(_KN_D) * F.col("n1f") / F.col("ctot") * pcont_raw
+    )
+    return (
+        sp.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c_bigram"),
+            _q6(pcont_raw).alias("p_cont"),
+            _q6(pkn).alias("p_kn"),
+        )
+        .orderBy(F.col("p_kn").desc(), "w1", "w2")
+        .limit(_KN_TOPK)
+    )

@@ -1,0 +1,305 @@
+"""Semantic micro-fixture tests + plan gates for the round-10 wave
+(ksql_spark/queries/estimation.py + graph_modularity). The driver oracle
+check proves cross-engine parity; these pin the SEMANTICS against
+hand-computed answers and invariants, so a bug that fools both engines
+identically (wrong formula, wrong tie rule) still fails — and pin the
+physical-plan shapes that matter at 100 TB."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ksql_spark.registry import all_specs
+
+from .conftest import SF_DIR, SF_SMALL
+
+SPECS = all_specs()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# D83 — BLB confidence interval
+# ---------------------------------------------------------------------------
+
+def test_blb_ci_brackets_the_mean(spark):
+    out = SPECS["events_blb_mean_ci"].builder(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_subsets"] == 8 and r["n_replicates"] == 40
+    assert r["ci_lo"] < r["ci_hi"]
+    # the event values are iid-ish uniforms: the averaged 92.5% band must
+    # bracket the point estimate, and its width must be small relative to
+    # the mean but strictly positive
+    assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    assert (r["ci_hi"] - r["ci_lo"]) < 0.5 * r["mean_value"]
+
+
+def test_blb_rank_window_is_subset_partitioned(spark):
+    plan = plan_of(spark, "events_blb_mean_ci")
+    # the replicate rank window must be partitioned by subset — never a
+    # data-proportional global sort (the r9 scale-killer class)
+    assert "Window" in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "su" in spec, f"unpartitioned window: {spec}"
+
+
+# ---------------------------------------------------------------------------
+# D84 — Chapman capture-recapture
+# ---------------------------------------------------------------------------
+
+def test_capture_recapture_cells_and_coverage(spark):
+    out = SPECS["events_capture_recapture"].builder(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_both"] <= min(r["n_view"], r["n_click"])
+    assert max(r["n_view"], r["n_click"]) <= r["n_universe"]
+    # Chapman never estimates below the directly-observed union bound
+    assert r["n_chapman"] >= r["n_both"]
+    assert r["ci_lo"] <= r["n_chapman"] <= r["ci_hi"]
+    # with dense per-user activity the estimate must land near the
+    # enumerated universe (both capture occasions see almost everyone)
+    assert 0.5 * r["n_universe"] < r["n_chapman"] < 1.5 * r["n_universe"]
+
+
+def test_capture_recapture_chapman_formula(spark):
+    r = SPECS["events_capture_recapture"].builder(spark, SF_DIR).collect()[0]
+    expect = (r["n_view"] + 1) * (r["n_click"] + 1) / (r["n_both"] + 1) - 1
+    assert abs(r["n_chapman"] - expect) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# D85 — chain-ladder completion
+# ---------------------------------------------------------------------------
+
+def test_chain_ladder_invariants(spark):
+    out = SPECS["events_chain_ladder"].builder(spark, SF_DIR).collect()
+    assert out
+    max_age = max(r["latest_age"] for r in out)
+    for r in out:
+        # development factors are >= 1 (cumulative counts can't shrink),
+        # so ultimates only ever add to what arrived
+        assert r["ultimate"] >= r["cum_purchases"] - 1e-6, r
+        assert abs(r["reserve"] - (r["ultimate"] - r["cum_purchases"])) < 2e-6
+        # the oldest cohort is fully developed: nothing left to ladder
+        if r["latest_age"] == max_age:
+            assert abs(r["ultimate"] - r["cum_purchases"]) < 1e-6
+    # cohorts are one per first-seen day; ages complement the calendar
+    cohorts = sorted(r["cohort"] for r in out)
+    assert len(set(cohorts)) == len(cohorts)
+
+
+def test_chain_ladder_younger_cohorts_carry_reserve(spark):
+    out = SPECS["events_chain_ladder"].builder(spark, SF_DIR).collect()
+    # at least one censored (young) cohort must be developed upward —
+    # an all-zero reserve column means the ladder never fired
+    assert any(r["reserve"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# D86 — empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark):
+    out = SPECS["events_eb_shrinkage"].builder(spark, SF_DIR).collect()
+    assert out
+    mu = sum(r["raw_rate"] for r in out) / len(out)
+    for r in out:
+        lo, hi = min(r["raw_rate"], mu), max(r["raw_rate"], mu)
+        # the posterior mean lies strictly between the raw rate and the
+        # prior mean a/(a+b) == mu (method of moments), inclusive
+        assert lo - 2e-6 <= r["shrunk_rate"] <= hi + 2e-6, r
+        assert 0.0 <= r["shrunk_rate"] <= 1.0
+    # shrinkage is real: somebody moved
+    assert any(abs(r["shrunk_rate"] - r["raw_rate"]) > 1e-6 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# D87 — panel within estimator vs a pandas replica
+# ---------------------------------------------------------------------------
+
+def test_panel_within_matches_pandas_replica(spark):
+    import pandas as pd
+
+    out = SPECS["orders_panel_within_ols"].builder(spark, SF_SMALL).collect()
+    assert len(out) == 1
+    r = out[0]
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    lc = li.groupby("l_orderkey").size().rename("x").reset_index()
+    ob = o.merge(lc, left_on="o_orderkey", right_on="l_orderkey")
+    ob["y"] = ob["o_totalprice"].astype(float)
+    ob["x"] = ob["x"].astype(float)
+    gm = ob.groupby("o_custkey")[["x", "y"]].transform("mean")
+    xt, yt = ob["x"] - gm["x"], ob["y"] - gm["y"]
+    beta_w = (xt * yt).sum() / (xt * xt).sum()
+    xp, yp = ob["x"] - ob["x"].mean(), ob["y"] - ob["y"].mean()
+    beta_p = (xp * yp).sum() / (xp * xp).sum()
+    assert r["n_orders"] == len(ob)
+    assert r["n_entities"] == ob["o_custkey"].nunique()
+    # quantized engine math vs float64 pandas: agree to ~1e-4 relative
+    assert abs(r["beta_within"] - beta_w) < 1e-3 * max(1.0, abs(beta_w))
+    assert abs(r["beta_pooled"] - beta_p) < 1e-3 * max(1.0, abs(beta_p))
+    assert 0.0 <= r["r2_within"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# K135 — Bradley-Terry source ranking
+# ---------------------------------------------------------------------------
+
+def test_bradley_terry_bookkeeping_and_normalization(spark):
+    out = SPECS["llm_bradley_terry_sources"].builder(spark, SF_DIR).collect()
+    assert out
+    # every duel hands out exactly one win: sum(wins) == sum(games)/2
+    assert 2 * sum(r["wins"] for r in out) == sum(r["games"] for r in out)
+    for r in out:
+        assert 0 <= r["wins"] <= r["games"]
+        assert r["strength"] is not None and r["strength"] >= 0.0
+    # sum-normalized strengths average to 1
+    tot = sum(r["strength"] for r in out)
+    assert abs(tot - len(out)) < 1e-3 * len(out)
+    # ranks follow strengths (ties broken by source name)
+    by_rank = sorted(out, key=lambda r: r["rnk"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a["strength"], b["source"]) >= (b["strength"], a["source"])
+
+
+def test_bradley_terry_strength_tracks_win_rate(spark):
+    out = SPECS["llm_bradley_terry_sources"].builder(spark, SF_DIR).collect()
+    best = max(out, key=lambda r: r["strength"])
+    worst = min(out, key=lambda r: r["strength"])
+    # MM fixed point must order the extreme win rates correctly
+    assert best["wins"] / best["games"] > worst["wins"] / worst["games"]
+
+
+# ---------------------------------------------------------------------------
+# K136 / K137 — hygiene screens: the drill rows prove detection
+# ---------------------------------------------------------------------------
+
+def test_code_prose_drill_fires_exactly_on_code(spark):
+    out = SPECS["llm_code_prose_score"].builder(spark, SF_DIR).collect()
+    drill = {r["source"]: r for r in out if r["mode"] == "drill"}
+    assert set(drill) == {"planted_code", "planted_json", "planted_prose"}
+    assert drill["planted_code"]["n_code_like"] == 1
+    assert drill["planted_json"]["n_code_like"] == 1
+    assert drill["planted_prose"]["n_code_like"] == 0
+    assert drill["planted_code"]["avg_sym_density"] > 0.02
+    # the live driver corpus is clean prose
+    for r in out:
+        if r["mode"] == "live":
+            assert r["n_code_like"] == 0, r
+
+
+def test_mojibake_drill_counts_exactly(spark):
+    out = SPECS["llm_mojibake_audit"].builder(spark, SF_DIR).collect()
+    drill = {r["source"]: r for r in out if r["mode"] == "drill"}
+    moji = drill["planted_mojibake"]
+    # 2 smart-quote prefixes + 2 stray accent carriers, hand-counted
+    assert moji["artifact_chars"] == 4
+    assert moji["n_flagged"] == 1
+    repl = drill["planted_replacement"]
+    assert repl["artifact_chars"] == 3  # three U+FFFD
+    assert repl["n_flagged"] == 1
+    assert drill["planted_clean"]["artifact_chars"] == 0
+    assert drill["planted_clean"]["n_flagged"] == 0
+    for r in out:
+        if r["mode"] == "live":
+            assert r["artifact_chars"] == 0, r
+
+
+# ---------------------------------------------------------------------------
+# K138 — Kneser-Ney bigrams
+# ---------------------------------------------------------------------------
+
+def test_kneser_ney_probabilities_and_order(spark):
+    out = SPECS["llm_bigram_kneser_ney"].builder(spark, SF_DIR).collect()
+    assert len(out) == 30
+    for r in out:
+        assert 0.0 < r["p_kn"] <= 1.0, r
+        assert 0.0 < r["p_cont"] <= 1.0, r
+        assert r["c_bigram"] >= 1
+    # descending by smoothed probability with (w1, w2) tiebreak
+    for a, b in zip(out, out[1:]):
+        assert (
+            a["p_kn"] > b["p_kn"]
+            or (a["p_kn"] == b["p_kn"] and (a["w1"], a["w2"]) <= (b["w1"], b["w2"]))
+        )
+
+
+def test_kneser_ney_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "llm_bigram_kneser_ney")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # never a global rank window
+
+
+# ---------------------------------------------------------------------------
+# L17 — modularity
+# ---------------------------------------------------------------------------
+
+def test_modularity_contributions_bounded_and_consistent(spark):
+    out = SPECS["graph_modularity"].builder(spark, SF_DIR).collect()
+    assert out
+    m2 = sum(r["degree_sum"] for r in out)
+    assert m2 % 2 == 0  # undirected edges stored in both directions
+    q = sum(r["q_contrib"] for r in out)
+    assert -1.0 <= q < 1.0
+    for r in out:
+        assert 0 <= r["internal_edges"] <= r["degree_sum"]
+        # per-community contribution is bounded by its degree share
+        assert r["q_contrib"] <= r["degree_sum"] / m2 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# plan gates for the wave's corpus-sized stages
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name, visible_scans, pinned",
+    [
+        # pinned entries read their (single-scan) checkpoint, so the
+        # visible parquet-scan count is what the plan re-reads BEYOND the
+        # pin — the house convention (the D81/K58 gates): a regression that
+        # adds a corpus re-scan shows up as a count bump either way.
+        ("events_blb_mean_ci", 1, True),  # weighted pass; subset stats pinned
+        ("events_capture_recapture", 1, False),
+        ("events_chain_ladder", 0, True),  # ev pinned at source
+        ("events_eb_shrinkage", 0, True),  # per-user table pinned
+        ("orders_panel_within_ols", 0, True),  # order-grain table pinned
+        ("llm_bradley_terry_sources", 0, True),  # champion table pinned
+        ("llm_code_prose_score", 1, False),
+        ("llm_mojibake_audit", 1, False),
+        ("llm_bigram_kneser_ney", 0, True),  # bigram-type table pinned
+        ("graph_modularity", 0, True),  # per-community cells pinned
+    ],
+)
+def test_wave_scan_counts(spark, name, visible_scans, pinned):
+    """Corpus scans are the unit of cost at 100 TB: each entry's plan must
+    read parquet exactly the documented number of times beyond its pins."""
+    plan = plan_of(spark, name)
+    scans = plan.count("Scan parquet")
+    assert scans == visible_scans, f"{name}: {scans} visible parquet scans"
+    if pinned:
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_capture_recapture",
+        "events_eb_shrinkage",
+        "orders_panel_within_ols",
+        "llm_code_prose_score",
+        "llm_mojibake_audit",
+        "llm_bigram_kneser_ney",
+    ],
+)
+def test_wave_no_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
