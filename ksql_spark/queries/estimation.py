@@ -1259,3 +1259,638 @@ def llm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("p_kn").desc(), "w1", "w2")
         .limit(_KN_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# D88 — Gumbel block-maxima / return levels (extreme-value analysis)
+# ---------------------------------------------------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+@query(
+    "events_gumbel_maxima",
+    oracle=f"""
+    WITH dm AS (
+        SELECT CAST(ts AS DATE) AS day, MAX(value) AS mx
+        FROM events WHERE value IS NOT NULL GROUP BY day
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ({sql_dsum('mx')}) / COUNT(*) AS m,
+               ({sql_dsum('mx * mx')}) AS sxx
+        FROM dm
+    ),
+    fit AS (
+        SELECT n, m,
+               CASE WHEN n >= 2 AND (sxx - n * m * m) / (n - 1) > 0
+                    THEN sqrt(6.0 * (sxx - n * m * m) / (n - 1))
+                         / 3.141592653589793
+                    ELSE NULL END AS beta
+        FROM mom
+    )
+    SELECT n AS n_blocks,
+           {_sql_q6('m')} AS block_max_mean,
+           {_sql_q6(f'm - {_EULER_GAMMA} * beta')} AS gumbel_mu,
+           {_sql_q6('beta')} AS gumbel_beta,
+           {_sql_q6(f'm - {_EULER_GAMMA} * beta - beta * ln(-ln(0.9))')}
+               AS rl_10,
+           {_sql_q6(f'm - {_EULER_GAMMA} * beta - beta * ln(-ln(0.99))')}
+               AS rl_100,
+           {_sql_q6(f'm - {_EULER_GAMMA} * beta - beta * ln(-ln(0.999))')}
+               AS rl_1000
+    FROM fit
+    """,
+    ref="SURVEY §2 D88 [EXT] (Gumbel block maxima: daily-max blocks, "
+    "method-of-moments fit beta = s*sqrt(6)/pi, mu = mean - gamma*beta "
+    "(Gumbel 1958), T-block return levels mu - beta*ln(-ln(1-1/T)) — "
+    "the extreme-value 'how bad can a day get?' where D76's Hill reads "
+    "the tail exponent; one corpus agg to the bounded daily table, "
+    "closed-form fit)",
+)
+def events_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel/EV1) fit on daily block maxima of event
+    value, with 10/100/1000-day return levels — the capacity-planning
+    question ('what peak should we budget for?') that quantiles of the
+    raw distribution systematically understate. Method-of-moments fit:
+    beta = s*sqrt(6)/pi, mu = m - 0.5772...*beta; degenerate series
+    (fewer than 2 blocks, or zero variance) yield NULL fit columns
+    identically in both engines.
+
+    Scale shape: one corpus scan collapsing to the calendar-bounded
+    daily-maxima table (map-side partial max), then closed-form scalar
+    math on a 1-row moment aggregate. Nothing downstream of the first
+    agg is data-proportional."""
+    dm = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("value").alias("mx"))
+    )
+    mom = dm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum("mx") / F.count(F.lit(1))).alias("m"),
+        dsum(F.col("mx") * F.col("mx")).alias("sxx"),
+    )
+    s2 = (F.col("sxx") - F.col("n") * F.col("m") * F.col("m")) / (
+        F.col("n") - 1
+    )
+    beta = F.when(
+        (F.col("n") >= 2) & (s2 > 0),
+        F.sqrt(6.0 * s2) / F.lit(3.141592653589793),
+    ).otherwise(F.lit(None).cast("double"))
+    fit = mom.select("n", "m", beta.alias("beta"))
+    mu = F.col("m") - F.lit(_EULER_GAMMA) * F.col("beta")
+
+    def rl(p: float):
+        return mu - F.col("beta") * F.log(-F.log(F.lit(p)))
+
+    return fit.select(
+        F.col("n").alias("n_blocks"),
+        _q6(F.col("m")).alias("block_max_mean"),
+        _q6(mu).alias("gumbel_mu"),
+        _q6(F.col("beta")).alias("gumbel_beta"),
+        _q6(rl(0.9)).alias("rl_10"),
+        _q6(rl(0.99)).alias("rl_100"),
+        _q6(rl(0.999)).alias("rl_1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D89 — Cochran-Mantel-Haenszel stratified association test
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cmh_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               MIN(CAST(ts AS DATE)) AS cohort,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    cells AS (
+        SELECT cohort,
+               CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0
+                        END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(conv) AS BIGINT) AS m1,
+               CAST(COUNT(*) AS BIGINT) AS nk
+        FROM per_user GROUP BY cohort
+        HAVING COUNT(*) >= 2
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(a) AS BIGINT) AS sum_a,
+               {sql_dsum('n1 * 1.0 * m1 / nk')} AS sum_e,
+               {sql_dsum('n1 * 1.0 * (nk - n1) * m1 * (nk - m1)'
+                         ' / (nk * 1.0 * nk * (nk - 1))')} AS sum_v,
+               {sql_dsum('a * 1.0 * (nk - n1 - m1 + a) / nk')} AS sum_ad,
+               {sql_dsum('(n1 - a) * 1.0 * (m1 - a) / nk')} AS sum_bc
+        FROM cells
+    )
+    SELECT n_strata, sum_a, {_sql_q6('sum_e')} AS sum_e,
+           {_sql_q6('(abs(sum_a - sum_e) - 0.5) * (abs(sum_a - sum_e) - 0.5)'
+                    ' / NULLIF(sum_v, 0)')} AS chi2_cmh,
+           {_sql_q6('sum_ad / NULLIF(sum_bc, 0)')} AS or_mh
+    FROM sums
+    """,
+    ref="SURVEY §2 D89 [EXT] (Cochran-Mantel-Haenszel: variant x "
+    "conversion 2x2 tables stratified by signup-day cohort, "
+    "continuity-corrected CMH chi-square + Mantel-Haenszel common odds "
+    "ratio (Mantel & Haenszel 1959) — the stratified readout that "
+    "blocks Simpson reversals K83's pooled z-test is exposed to; one "
+    "user-keyed agg, bounded per-cohort cells)",
+)
+def events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified A/B association: per signup-day cohort a 2x2 table of
+    id-parity variant x user conversion; the CMH statistic pools the
+    per-stratum evidence Sum(a_k - E_k) against Sum(Var_k) with the 0.5
+    continuity correction, and the Mantel-Haenszel common odds ratio
+    Sum(a d/n)/Sum(b c/n) gives the effect size — the device that reads
+    the treatment effect WITHIN cohorts, immune to the Simpson reversal
+    a cohort-mix shift induces in the pooled K83 z-test. Strata with
+    fewer than 2 users are excluded (their variance term divides by
+    n-1 = 0) in both engines.
+
+    Scale shape: one user-keyed corpus agg (map-side partial) to the
+    SF-proportional user table, one cohort agg to the calendar-bounded
+    cell table, closed-form scalar chain on a 1-row sum. Degenerate
+    variance/odds denominators NULL out via NULLIF, never abort."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("cohort"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "cohort",
+            "conv",
+        )
+    )
+    cells = (
+        per_user.groupBy("cohort")
+        .agg(
+            F.sum(
+                F.when((F.col("variant") == 1) & (F.col("conv") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum("conv").cast("bigint").alias("m1"),
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+        )
+        .where(F.col("nk") >= 2)
+    )
+    a, n1, m1, nk = (F.col(c) for c in ("a", "n1", "m1", "nk"))
+    sums = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        dsum(n1 * 1.0 * m1 / nk).alias("sum_e"),
+        dsum(
+            n1 * 1.0 * (nk - n1) * m1 * (nk - m1) / (nk * 1.0 * nk * (nk - 1))
+        ).alias("sum_v"),
+        dsum(a * 1.0 * (nk - n1 - m1 + a) / nk).alias("sum_ad"),
+        dsum((n1 - a) * 1.0 * (m1 - a) / nk).alias("sum_bc"),
+    )
+    dev = F.abs(F.col("sum_a") - F.col("sum_e")) - 0.5
+    return sums.select(
+        "n_strata",
+        "sum_a",
+        _q6(F.col("sum_e")).alias("sum_e"),
+        _q6(dev * dev / F.nullif(F.col("sum_v"), F.lit(0.0))).alias(
+            "chi2_cmh"
+        ),
+        _q6(
+            F.col("sum_ad") / F.nullif(F.col("sum_bc"), F.lit(0.0))
+        ).alias("or_mh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D90 — first-order stochastic dominance audit on binned ECDFs
+# ---------------------------------------------------------------------------
+
+_FOSD_BINS = 200
+_FOSD_WIDTH = 3000.0
+
+
+@query(
+    "orders_stochastic_dominance",
+    oracle=f"""
+    WITH src AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'u' ELSE 'l' END
+                   AS grp,
+               CAST(least(floor(o_totalprice / {_FOSD_WIDTH}),
+                          {_FOSD_BINS - 1}) AS INT) AS bin
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+          AND o_totalprice IS NOT NULL
+    ),
+    counts AS (
+        SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM src GROUP BY grp, bin
+    ),
+    spine AS (
+        SELECT g.grp, t.b AS bin
+        FROM (SELECT 'u' AS grp UNION ALL SELECT 'l') g,
+             (SELECT unnest(range(0, {_FOSD_BINS})) AS b) t
+    ),
+    cum AS (
+        SELECT spine.grp, spine.bin,
+               CAST(SUM(COALESCE(counts.c, 0)) OVER (
+                   PARTITION BY spine.grp ORDER BY spine.bin) AS BIGINT)
+                   AS cc,
+               CAST(SUM(COALESCE(counts.c, 0)) OVER (
+                   PARTITION BY spine.grp) AS BIGINT) AS tot
+        FROM spine LEFT JOIN counts
+          ON counts.grp = spine.grp AND counts.bin = spine.bin
+    ),
+    wide AS (
+        SELECT bin,
+               MAX(CASE WHEN grp = 'u' THEN cc * 1.0 / NULLIF(tot, 0) END)
+                   AS fu,
+               MAX(CASE WHEN grp = 'l' THEN cc * 1.0 / NULLIF(tot, 0) END)
+                   AS fl
+        FROM cum GROUP BY bin
+    )
+    SELECT CAST({_FOSD_BINS} AS INT) AS n_bins,
+           {_sql_q6('SUM(CASE WHEN fu <= fl THEN 1 ELSE 0 END) * 1.0'
+                    f' / {_FOSD_BINS}')} AS frac_urgent_dominates,
+           {_sql_q6('greatest(MAX(fu - fl), 0.0)')} AS max_violation,
+           {_sql_q6('MAX(abs(fu - fl))')} AS ks_gap
+    FROM wide
+    """,
+    ref="SURVEY §2 D90 [EXT] (first-order stochastic dominance: urgent- "
+    "vs low-priority order-value ECDFs on a fixed 200-bin grid, "
+    "dominance fraction + max violation + KS gap — the 'is A's whole "
+    "DISTRIBUTION better?' readout where D53's t-test compares one "
+    "moment (Hadar & Russell 1969); the K131 binned-ECDF device, no "
+    "self-join, bounded grid)",
+)
+def orders_stochastic_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order stochastic dominance audit between the urgent and low
+    order-priority value distributions: on a fixed 200-bin grid,
+    frac_urgent_dominates = share of grid points where F_urgent <= F_low
+    (urgent stochastically larger), max_violation = the largest
+    dominance breach, ks_gap = the largest absolute ECDF gap. FOSD
+    holding (frac = 1) means EVERY expected-utility maximizer prefers
+    the urgent distribution — a strictly stronger statement than D53's
+    mean comparison.
+
+    Scale shape: one corpus scan into a (grp, bin) count agg (map-side
+    partial; the exchange carries <=400 cells), dense 2x200 spine by a
+    bounded cross, group-partitioned cumulative windows over the
+    bounded grid, 1-row closed form. Empty groups NULL their ECDF via
+    NULLIF rather than dividing by zero."""
+    src = (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "u")
+            .otherwise("l")
+            .alias("grp"),
+            F.least(
+                F.floor(F.col("o_totalprice") / F.lit(_FOSD_WIDTH)),
+                F.lit(_FOSD_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    counts = src.groupBy("grp", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spine = (
+        spark.range(2)
+        .select(F.when(F.col("id") == 0, "u").otherwise("l").alias("grp"))
+        .crossJoin(
+            spark.range(_FOSD_BINS).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    wgrp = Window.partitionBy("grp").orderBy("bin")
+    wtot = Window.partitionBy("grp")
+    cum = (
+        spine.join(counts, ["grp", "bin"], "left")
+        .select(
+            "grp",
+            "bin",
+            F.sum(F.coalesce("c", F.lit(0)))
+            .over(wgrp)
+            .cast("bigint")
+            .alias("cc"),
+            F.sum(F.coalesce("c", F.lit(0)))
+            .over(wtot)
+            .cast("bigint")
+            .alias("tot"),
+        )
+    )
+    ecdf = F.col("cc") * F.lit(1.0) / F.nullif(F.col("tot"), F.lit(0))
+    wide = cum.groupBy("bin").agg(
+        F.max(F.when(F.col("grp") == "u", ecdf)).alias("fu"),
+        F.max(F.when(F.col("grp") == "l", ecdf)).alias("fl"),
+    )
+    return wide.agg(
+        F.lit(_FOSD_BINS).cast("int").alias("n_bins"),
+        _q6(
+            F.sum(F.when(F.col("fu") <= F.col("fl"), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.lit(_FOSD_BINS)
+        ).alias("frac_urgent_dominates"),
+        _q6(
+            F.greatest(F.max(F.col("fu") - F.col("fl")), F.lit(0.0))
+        ).alias("max_violation"),
+        _q6(F.max(F.abs(F.col("fu") - F.col("fl")))).alias("ks_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D91 — per-part safety stock / reorder point
+# ---------------------------------------------------------------------------
+
+_SS_Z95 = 1.6448536269514722  # Phi^-1(0.95)
+
+
+@query(
+    "part_safety_stock",
+    oracle=f"""
+    WITH md AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+               {sql_dsum('l_quantity')} AS qty
+        FROM lineitem GROUP BY l_partkey, mo
+    ),
+    months AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS mo
+               FROM lineitem),
+    spine AS (
+        SELECT p.p_partkey, months.mo FROM part p CROSS JOIN months
+    ),
+    dense AS (
+        SELECT spine.p_partkey, COALESCE(md.qty, 0.0) AS qty
+        FROM spine LEFT JOIN md
+          ON md.l_partkey = spine.p_partkey AND md.mo = spine.mo
+    ),
+    mom AS (
+        SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+               ({sql_dsum('qty')}) / COUNT(*) AS m,
+               {sql_dsum('qty * qty')} AS sxx
+        FROM dense GROUP BY p_partkey
+    )
+    SELECT p_partkey, n_months,
+           {_sql_q6('m')} AS mean_monthly,
+           {_sql_q6('sqrt(greatest((sxx - n_months * m * m)'
+                    ' / (n_months - 1), 0.0))')} AS sd_monthly,
+           {_sql_q6(f'{_SS_Z95} * sqrt(greatest((sxx - n_months * m * m)'
+                    ' / (n_months - 1), 0.0))')} AS safety_stock,
+           {_sql_q6(f'm + {_SS_Z95} * sqrt(greatest((sxx - n_months * m * m)'
+                    ' / (n_months - 1), 0.0))')} AS reorder_point
+    FROM mom
+    """,
+    ref="SURVEY §2 D91 [EXT] (safety stock at 95% cycle service level: "
+    "per-part monthly demand on the ZERO-FILLED month spine (intermittent "
+    "demand has real zero months — D67's Croston lesson), z*sigma buffer "
+    "+ reorder point for a one-month lead time — the inventory sizing "
+    "that closes the D65 ABC-XYZ / D67 Croston planning loop)",
+)
+def part_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part safety stock and reorder point at a 95% cycle service
+    level with one-month lead time: ss = z95 * sd(monthly demand),
+    rop = mean + ss. Monthly demand is measured on the DENSE month
+    spine (parts x observed months, zeros filled) — skipping the zero
+    months halves the variance of intermittent parts and silently
+    undersizes their buffer, the same failure D67's Croston entry
+    exists to avoid.
+
+    Scale shape: one (part, month)-keyed corpus agg; the month list is
+    calendar-bounded and broadcast-crossed with the part dimension (a
+    bounded x|parts| expansion, linear in parts); one part-keyed moment
+    agg closes it. Negative variance from quantized cancellation clamps
+    to 0 via greatest() in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    md = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mo")
+    ).agg(dsum("l_quantity").alias("qty"))
+    months = (
+        li.select(F.date_trunc("month", "l_shipdate").alias("mo"))
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    spine = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey")
+        .crossJoin(F.broadcast(months))
+    )
+    dense = spine.join(
+        md,
+        (md.l_partkey == spine.p_partkey) & (md.mo == spine.mo),
+        "left",
+    ).select("p_partkey", F.coalesce("qty", F.lit(0.0)).alias("qty"))
+    mom = dense.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        (dsum("qty") / F.count(F.lit(1))).alias("m"),
+        dsum(F.col("qty") * F.col("qty")).alias("sxx"),
+    )
+    s2 = F.greatest(
+        (F.col("sxx") - F.col("n_months") * F.col("m") * F.col("m"))
+        / (F.col("n_months") - 1),
+        F.lit(0.0),
+    )
+    sd = F.sqrt(s2)
+    return mom.select(
+        "p_partkey",
+        "n_months",
+        _q6(F.col("m")).alias("mean_monthly"),
+        _q6(sd).alias("sd_monthly"),
+        _q6(F.lit(_SS_Z95) * sd).alias("safety_stock"),
+        _q6(F.col("m") + F.lit(_SS_Z95) * sd).alias("reorder_point"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K139 — top principal component via power iteration on the covariance
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+
+#: exact-integer covariance cell (the K109 emb_gram device, full matrix):
+#: components quantized to 1e-6 integers, decimal(38,0) sums, one double
+#: division chain, 1e-6-quantized output — bit-identical across engines.
+_PCA_COV_SQL = """
+    WITH comp AS MATERIALIZED (
+        SELECT CAST(ti.i - 1 AS INT) AS i, CAST(tj.j - 1 AS INT) AS j,
+               CAST(trunc(CAST(embedding[ti.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS xi,
+               CAST(trunc(CAST(embedding[tj.j] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS xj
+        FROM embeddings,
+             unnest(range(1, len(embedding) + 1)) AS ti(i),
+             unnest(range(1, len(embedding) + 1)) AS tj(j)
+    ),
+    cov AS MATERIALIZED (
+        SELECT i, j,
+               CAST(trunc((CAST(SUM(xi * xj) AS DOUBLE) / COUNT(*)
+                           - (CAST(SUM(xi) AS DOUBLE) / COUNT(*))
+                             * (CAST(SUM(xj) AS DOUBLE) / COUNT(*)))
+                    / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) / 1000000.0
+                   AS c
+        FROM comp GROUP BY i, j
+    ),
+    dims AS MATERIALIZED (SELECT DISTINCT i AS dim FROM cov),
+    nd AS (SELECT COUNT(*) AS d FROM dims),
+    v0 AS MATERIALIZED (
+        SELECT dim, 1.0 / sqrt(CAST((SELECT d FROM nd) AS DOUBLE)) AS v
+        FROM dims
+    )"""
+
+
+def _pca_oracle() -> str:
+    its = []
+    for t in range(1, _PCA_ITERS + 1):
+        p = f"v{t - 1}"
+        its.append(f""",
+    w{t} AS MATERIALIZED (
+        SELECT cov.i AS dim, {sql_dsum(f'cov.c * {p}.v * 1000.0')} AS w
+        FROM cov JOIN {p} ON {p}.dim = cov.j GROUP BY cov.i
+    ),
+    n{t} AS MATERIALIZED (
+        SELECT sqrt({sql_dsum('w * w')}) AS nrm FROM w{t}
+    ),
+    v{t} AS MATERIALIZED (
+        SELECT dim, {_sql_q6('w / NULLIF(nrm, 0)')} AS v
+        FROM w{t} CROSS JOIN n{t}
+    )""")
+    tail = f""",
+    tr AS (SELECT {sql_dsum('c')} AS trace FROM cov WHERE i = j)
+    SELECT v{_PCA_ITERS}.dim AS dim,
+           v{_PCA_ITERS}.v AS loading,
+           {_sql_q6('nrm / 1000.0')} AS eigenvalue,
+           {_sql_q6('nrm / 1000.0 / NULLIF(trace, 0)')} AS explained_share
+    FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS} CROSS JOIN tr
+    """
+    return _PCA_COV_SQL + "".join(its) + tail
+
+
+@query(
+    "llm_emb_pca_power",
+    oracle=_pca_oracle(),
+    ref="SURVEY §2 K139 [EXT] (top principal component by power iteration "
+    "on the exact K109 covariance: 8 normalized matvec rounds from the "
+    "uniform start vector, eigenvalue = final matvec norm (von Mises & "
+    "Pollaczek-Geiringer 1929), explained share vs the trace — the "
+    "anisotropy DIRECTION where K110 reads only its magnitude; "
+    "everything after the d^2-bounded covariance agg lives on d-row "
+    "tables)",
+)
+def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading eigenpair of the embedding covariance via 8 power
+    iterations: v_{t+1} = Cv_t / ||Cv_t||, eigenvalue = the final matvec
+    norm, explained_share = lambda1 / trace(C) — which single direction
+    the embedding cloud collapses along (the common-anisotropy axis that
+    'all-but-the-top' post-processing removes), and how much of the
+    total variance it soaks up. Both engines walk the identical
+    trajectory: the covariance is the K109 exact-integer cell, each
+    matvec sum is dsum-quantized AT A x1000 GAIN (scale-invariant
+    under the per-step normalization; without it the 1e-6 quantizer
+    eats the tiny w^2 norm addends and the unit vector drifts ~0.3%),
+    each normalized vector re-quantized; eigenvalue = norm/1000.
+
+    Scale shape: one corpus pass exploding each row into its d^2 = 4096
+    (i, j, product) terms (no self-join; map-side combine to d^2 cells),
+    then 8 iterations of d-row joins on the pinned bounded covariance —
+    loops over plans with a pin per step (the D82 posture). The uniform
+    start vector is deterministic; with the top eigengap positive, 8
+    rounds converge well past the 1e-6 quantizer."""
+    from ksql_spark.operators.scale import pin as _pin
+
+    e = load(spark, sf_dir, "embeddings")
+    terms = e.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(sequence(0, size(embedding) - 1), i ->
+                    transform(sequence(0, size(embedding) - 1), j ->
+                        struct(
+                            CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                            CAST(CAST(embedding[i] AS DOUBLE) * 1000000
+                                 + 0.5 AS BIGINT) AS xi,
+                            CAST(CAST(embedding[j] AS DOUBLE) * 1000000
+                                 + 0.5 AS BIGINT) AS xj))))
+                """
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.xi", "t.xj")
+    covq = (
+        F.col("sp").cast("double") / F.col("n")
+        - (F.col("sxi").cast("double") / F.col("n"))
+        * (F.col("sxj").cast("double") / F.col("n"))
+    ) / 1e12
+    cov = (
+        terms.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
+            ).alias("sp"),
+            F.sum(F.col("xi").cast("decimal(38,0)")).alias("sxi"),
+            F.sum(F.col("xj").cast("decimal(38,0)")).alias("sxj"),
+        )
+        .select("i", "j", _q6(covq).alias("c"))
+        .transform(_pin, eager=False)
+    )
+    dims = cov.select(F.col("i").alias("dim")).distinct()
+    nd = dims.agg(F.count(F.lit(1)).alias("d"))
+    v = (
+        dims.crossJoin(F.broadcast(nd))
+        .select(
+            "dim",
+            (F.lit(1.0) / F.sqrt(F.col("d").cast("double"))).alias("v"),
+        )
+        .transform(_pin, eager=False)
+    )
+    nrm_row = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.join(v.select(F.col("dim").alias("j"), "v"), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(dsum(F.col("c") * F.col("v") * F.lit(1000.0)).alias("w"))
+            .transform(_pin, eager=False)
+        )
+        nrm_row = w.agg(
+            F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nrm")
+        ).transform(_pin, eager=False)
+        v = (
+            w.crossJoin(F.broadcast(nrm_row))
+            .select(
+                "dim",
+                _q6(
+                    F.col("w") / F.nullif(F.col("nrm"), F.lit(0.0))
+                ).alias("v"),
+            )
+            .transform(_pin, eager=False)
+        )
+    tr = cov.where(F.col("i") == F.col("j")).agg(dsum("c").alias("trace"))
+    return (
+        v.crossJoin(F.broadcast(nrm_row))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "dim",
+            F.col("v").alias("loading"),
+            _q6(F.col("nrm") / F.lit(1000.0)).alias("eigenvalue"),
+            _q6(
+                F.col("nrm") / F.lit(1000.0)
+                / F.nullif(F.col("trace"), F.lit(0.0))
+            ).alias("explained_share"),
+        )
+    )

@@ -1676,3 +1676,118 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L18 — rich-club coefficient ladder (round-10 wave)
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_KS = (2, 4, 8, 16, 32, 64)
+
+
+def _rich_club_oracle() -> str:
+    ladder = " UNION ALL ".join(f"SELECT {k} AS k" for k in _RICH_CLUB_KS)
+    return f"""
+    WITH adj AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+        WHERE a.l_suppkey <> b.l_suppkey
+    ),
+    deg AS MATERIALIZED (
+        SELECT s1 AS v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY s1
+    ),
+    ladder AS ({ladder}),
+    nodes_k AS (
+        SELECT l.k, CAST(SUM(CASE WHEN deg.d > l.k THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_nodes
+        FROM deg CROSS JOIN ladder l GROUP BY l.k
+    ),
+    edges_k AS (
+        SELECT l.k,
+               CAST(SUM(CASE WHEN least(da.d, db.d) > l.k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_edges
+        FROM adj JOIN deg da ON da.v = adj.s1
+                 JOIN deg db ON db.v = adj.s2
+        CROSS JOIN ladder l
+        GROUP BY l.k
+    )
+    SELECT nodes_k.k, nodes_k.n_nodes, edges_k.n_edges,
+           CAST(trunc(edges_k.n_edges * 1.0
+                      / NULLIF(nodes_k.n_nodes * 1.0 * (nodes_k.n_nodes - 1),
+                               0)
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS phi
+    FROM nodes_k JOIN edges_k ON edges_k.k = nodes_k.k
+    """
+
+
+@query(
+    "graph_rich_club",
+    oracle=_rich_club_oracle(),
+    ref="SURVEY §2 L18 [EXT] (rich-club coefficient phi(k) = E_{>k} / "
+    "(N_{>k}(N_{>k}-1)) over a degree ladder (Zhou & Mondragon 2004) — "
+    "do the hubs preferentially interconnect?; one pass over the shared "
+    "L-family adjacency with the degree table joined onto both "
+    "endpoints, per-k cells by conditional aggregation, never a per-k "
+    "rescan)",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient ladder on the supplier co-ship graph: for
+    each degree threshold k, phi(k) = directed edges among nodes of
+    degree > k, divided by the N(N-1) possible — phi growing with k
+    means the hubs form a densely wired club (supply-chain
+    concentration risk; the global complement of L11's local
+    clustering). Degenerate clubs (N <= 1) yield NULL phi via NULLIF.
+
+    Scale shape: the adjacency build is the shared L-family floor; the
+    degree table (one s1-keyed agg) joins onto both edge endpoints
+    un-hinted (supplier-bounded — AQE broadcasts while it fits); every
+    threshold is a conditional sum over ONE pass of the edge list
+    (ladder crossed as a broadcast 6-row literal), so adding thresholds
+    costs arithmetic, not scans."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = coship_adj(li, exclude_self=True).transform(pin_invariant)
+    deg = adj.groupBy(F.col("s1").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).transform(pin_invariant)
+    ladder = spark.createDataFrame(
+        [(k,) for k in _RICH_CLUB_KS], "k int"
+    )
+    nodes_k = (
+        deg.crossJoin(F.broadcast(ladder))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nodes")
+        )
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("vb"), F.col("d").alias("db"))
+    edges_k = (
+        adj.join(da, adj.s1 == da.va)
+        .join(db, adj.s2 == db.vb)
+        .crossJoin(F.broadcast(ladder))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.least(F.col("da"), F.col("db")) > F.col("k"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_edges")
+        )
+    )
+    phi = F.col("n_edges") * F.lit(1.0) / F.nullif(
+        F.col("n_nodes") * F.lit(1.0) * (F.col("n_nodes") - 1), F.lit(0.0)
+    )
+    return (
+        nodes_k.join(edges_k, "k")
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            ((phi * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+             / F.lit(1000000.0)).alias("phi"),
+        )
+    )

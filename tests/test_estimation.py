@@ -303,3 +303,140 @@ def test_wave_scan_counts(spark, name, visible_scans, pinned):
 def test_wave_no_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# tranche 2: D88-D91, K139, L18
+# ---------------------------------------------------------------------------
+
+def test_gumbel_return_levels_ordered(spark):
+    out = SPECS["events_gumbel_maxima"].builder(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["gumbel_beta"] is not None and r["gumbel_beta"] > 0
+    # return levels strictly increase with horizon and sit above the mean
+    assert r["block_max_mean"] < r["rl_10"] < r["rl_100"] < r["rl_1000"]
+    # mu sits below the block-max mean by exactly gamma*beta
+    assert abs(
+        (r["block_max_mean"] - r["gumbel_mu"]) - 0.5772156649015329 * r["gumbel_beta"]
+    ) < 1e-4
+
+
+def test_cmh_cell_consistency(spark):
+    out = SPECS["events_cmh_test"].builder(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_strata"] >= 1
+    assert r["sum_a"] >= 0 and r["sum_e"] >= 0
+    assert r["chi2_cmh"] is None or r["chi2_cmh"] >= 0
+    assert r["or_mh"] is None or r["or_mh"] >= 0
+    # id-parity assignment on iid data: observed ~ expected, so the CMH
+    # statistic must not scream (an astronomically large value means the
+    # cells were built wrong)
+    if r["chi2_cmh"] is not None:
+        assert r["chi2_cmh"] < 50, r
+
+
+def test_stochastic_dominance_bounds(spark):
+    out = SPECS["orders_stochastic_dominance"].builder(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_bins"] == 200
+    assert 0.0 <= r["frac_urgent_dominates"] <= 1.0
+    assert 0.0 <= r["max_violation"] <= 1.0
+    assert r["max_violation"] <= r["ks_gap"] <= 1.0
+    # if urgent dominates everywhere, there is no violation by definition
+    if r["frac_urgent_dominates"] == 1.0:
+        assert r["max_violation"] == 0.0
+
+
+def test_safety_stock_replica_on_one_part(spark):
+    import pandas as pd
+
+    out = {
+        r["p_partkey"]: r
+        for r in SPECS["part_safety_stock"].builder(spark, SF_SMALL).collect()
+    }
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    assert set(out) == set(part["p_partkey"])
+    months = li["l_shipdate"].dt.to_period("M").nunique()
+    pk = li["l_partkey"].iloc[0]
+    dem = li[li["l_partkey"] == pk].groupby(
+        li["l_shipdate"].dt.to_period("M")
+    )["l_quantity"].sum()
+    dense = dem.reindex(
+        li["l_shipdate"].dt.to_period("M").unique(), fill_value=0.0
+    )
+    r = out[pk]
+    assert r["n_months"] == months
+    assert abs(r["mean_monthly"] - dense.mean()) < 1e-3
+    assert abs(r["sd_monthly"] - dense.std(ddof=1)) < 1e-2
+    assert abs(
+        r["reorder_point"] - (r["mean_monthly"] + r["safety_stock"])
+    ) < 2e-6
+    for row in out.values():
+        assert row["safety_stock"] >= 0
+
+
+def test_pca_power_unit_vector_and_rayleigh(spark):
+    import numpy as np
+    import pandas as pd
+
+    out = SPECS["llm_emb_pca_power"].builder(spark, SF_SMALL).collect()
+    d = len(out)
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    # normalized to unit length (within the 1e-6 quantizer)
+    assert abs(float(np.dot(v, v)) - 1.0) < 1e-3
+    lam = out[0]["eigenvalue"]
+    share = out[0]["explained_share"]
+    assert lam > 0 and 0.0 < share <= 1.0
+    # against numpy's full eigendecomposition of the sample covariance
+    emb = np.stack(
+        pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")["embedding"].map(
+            np.asarray
+        )
+    ).astype(float)
+    cov = np.cov(emb, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)
+    assert abs(lam - evals[-1]) < max(5e-3, 5e-2 * evals[-1])
+    assert d == emb.shape[1]
+
+
+def test_rich_club_monotone_counts(spark):
+    out = sorted(
+        SPECS["graph_rich_club"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in out] == [2, 4, 8, 16, 32, 64]
+    for a, b in zip(out, out[1:]):
+        # raising the threshold can only shrink the club
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    for r in out:
+        assert r["n_edges"] % 2 == 0  # directed double-count of undirected
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0
+        # club edges can't exceed the complete directed graph on the club
+        if r["n_nodes"] > 1:
+            assert r["n_edges"] <= r["n_nodes"] * (r["n_nodes"] - 1)
+
+
+@pytest.mark.parametrize(
+    "name, visible_scans, pinned",
+    [
+        ("events_gumbel_maxima", 1, False),
+        ("events_cmh_test", 1, False),
+        ("orders_stochastic_dominance", 1, False),
+        ("part_safety_stock", 2, True),  # month list pinned; md + part scans
+        ("llm_emb_pca_power", 0, True),  # covariance + iterations pinned
+        ("graph_rich_club", 0, True),  # adjacency + degree table pinned
+    ],
+)
+def test_wave2_scan_counts(spark, name, visible_scans, pinned):
+    plan = plan_of(spark, name)
+    scans = plan.count("Scan parquet")
+    assert scans == visible_scans, f"{name}: {scans} visible parquet scans"
+    if pinned:
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
+    assert "CartesianProduct" not in plan, name
