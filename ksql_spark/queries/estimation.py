@@ -162,7 +162,12 @@ def events_blb_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("su", "x", "event_id", F.explode(F.sequence(F.lit(0), F.lit(_BLB_R - 1))).alias("rep"))
         .select("su", "rep", wt.alias("wt"), "x")
         .groupBy("su", "rep")
-        .agg(_q6(dsum(F.col("wt") * F.col("x")) / dsum("wt")).alias("rep_mean"))
+        .agg(
+            # value-weighted sums are corpus-proportional: wide accumulator
+            _q6(dsum_wide(F.col("wt") * F.col("x")) / dsum_wide("wt")).alias(
+                "rep_mean"
+            )
+        )
     )
     rn = F.row_number().over(
         Window.partitionBy("su").orderBy("rep_mean", "rep")
@@ -178,7 +183,7 @@ def events_blb_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sub = e.groupBy("su").agg(
-        F.count(F.lit(1)).cast("bigint").alias("b"), dsum("x").alias("sx")
+        F.count(F.lit(1)).cast("bigint").alias("b"), dsum_wide("x").alias("sx")
     ).transform(pin, eager=False)
     tot = sub.agg(
         F.sum("b").cast("bigint").alias("n"), dsum("sx").alias("gx")
@@ -483,12 +488,15 @@ def orders_panel_within_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin, eager=False)
     )
     cm = ob.groupBy("c").agg(
-        (dsum("x") / F.count(F.lit(1))).alias("mx"),
-        (dsum("y") / F.count(F.lit(1))).alias("my"),
+        (dsum_wide("x") / F.count(F.lit(1))).alias("mx"),
+        (dsum_wide("y") / F.count(F.lit(1))).alias("my"),
     )
+    # grand sums run over the WHOLE fact: 150M quantized totalprices
+    # overflow the plain long accumulator (caught by the sf100 decade) —
+    # dsum_wide's decimal(38,0) holds any corpus; DuckDB needs no twin
     g = ob.agg(
-        (dsum("x") / F.count(F.lit(1))).alias("gx"),
-        (dsum("y") / F.count(F.lit(1))).alias("gy"),
+        (dsum_wide("x") / F.count(F.lit(1))).alias("gx"),
+        (dsum_wide("y") / F.count(F.lit(1))).alias("gy"),
     )
     xt, yt = F.col("x") - F.col("mx"), F.col("y") - F.col("my")
     xp, yp = F.col("x") - F.col("gx"), F.col("y") - F.col("gy")
