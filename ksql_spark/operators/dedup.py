@@ -61,6 +61,7 @@ def minhash_near_dups(
     bands: int = 4,
     jaccard_threshold: float = 0.6,
     max_bucket_size: int = 200,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding, verified by exact Jaccard.
 
@@ -84,6 +85,15 @@ def minhash_near_dups(
     distinct-word arrays needed for exact-Jaccard verification are joined
     back onto the (tiny) candidate-pair set afterwards, so the corpus text
     crosses no shuffle boundary at any point.
+
+    `reps` (optional, a DataFrame with one `doc_id` column): restrict the
+    PAIR SPACE to these ids — the exact-collapse posture. Identical texts
+    produce identical signatures, so running LSH on one representative per
+    distinct text loses nothing while turning a d-deep exact-dup group's
+    d² within-bucket pairs into zero (the representative meets only OTHER
+    texts). The restriction is a semi-join on the 24-byte banded rows, so
+    the text-free exchange discipline is preserved; verification joins are
+    unchanged (candidates only ever name rep ids).
     """
     if k % bands != 0:
         raise ValueError(
@@ -112,6 +122,8 @@ def minhash_near_dups(
             )
         ).alias("band", "band_hash"),
     )
+    if reps is not None:
+        banded = banded.join(reps.select("doc_id"), "doc_id", "left_semi")
     bucket_sizes = banded.groupBy("band", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )

@@ -189,18 +189,49 @@ def llm_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document mapped to its near-dup cluster representative
-    (canonical_id = min doc_id reachable through LSH-verified pairs;
-    singletons map to themselves). Filter is_canonical to materialize the
-    deduplicated corpus. Scale: pairs are sub-quadratic (banded LSH), the
-    component step is O(nodes)-state label propagation."""
+    (canonical_id = min doc_id reachable through exact-copy identity and
+    LSH-verified pairs; singletons map to themselves). Filter is_canonical
+    to materialize the deduplicated corpus.
+
+    Production ordering (exact BEFORE near — the standard pipeline, e.g.
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): identical texts collapse to one representative (min doc_id
+    per sha-256 group, a digest-only exchange) and ONLY representatives
+    enter the LSH pair space. Two wins at 100 TB: (a) a d-deep exact-dup
+    group contributes zero within-group candidate pairs instead of d²
+    (the sf100 probe's 1000-deep planted groups made d² the whole job);
+    (b) exact copies can never overflow `max_bucket_size` — without the
+    collapse, a group deeper than the bucket cap silently loses ALL its
+    pairs (the cap's documented contract is 'exact dedup catches those' —
+    this entry now actually composes that step). Identical texts have
+    identical signatures, so the representative meets exactly the
+    candidates any copy would; canonical ids are unchanged (each group's
+    representative IS its min doc_id, so the component minimum over
+    representatives equals the minimum over all copies).
+
+    Scale: one digest agg + map-back join (sha-256 only, text never
+    shuffles), pairs sub-quadratic (banded LSH over distinct texts), the
+    component step O(distinct)-state label propagation."""
     from ksql_spark.queries.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    # LAZY pin: the symmetrization union consumes `pairs` twice — un-pinned,
-    # both branches re-run the whole LSH pipeline (round-8 probe).
+    ids = d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+    # LAZY pins: `groups` feeds both the LSH rep filter and the copy->rep
+    # map-back; `pairs`' symmetrization union consumes it twice — un-pinned,
+    # each branch re-runs the whole upstream pipeline (round-8 probe).
+    groups = scale_pin(
+        ids.groupBy("text_sha").agg(F.min("doc_id").alias("rep_id")),
+        eager=False,
+    )
     pairs = scale_pin(
         dedup.minhash_near_dups(
-            d, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8
+            d,
+            "text",
+            "doc_id",
+            k=40,
+            bands=4,
+            jaccard_threshold=0.8,
+            reps=groups.select(F.col("rep_id").alias("doc_id")),
         ),
         eager=False,
     )
@@ -209,14 +240,14 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
     )
     labels = connected_components(adj).withColumnsRenamed(
-        {"suppkey": "doc_id", "component": "canonical_id"}
+        {"suppkey": "rep_id", "component": "canonical_id"}
     )
     return (
-        d.select("doc_id")
-        .join(labels, "doc_id", "left")
+        ids.join(groups, "text_sha")
+        .join(labels, "rep_id", "left")
         .select(
             "doc_id",
-            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            F.coalesce("canonical_id", "rep_id").alias("canonical_id"),
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
     )

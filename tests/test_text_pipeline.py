@@ -97,3 +97,33 @@ def test_dedup_cluster_chained_duplicates(spark, tmp_path):
     assert out[0] == (0, True)
     assert out[1] == (0, False) and out[2] == (0, False)
     assert out[3] == (3, True)
+
+
+def test_dedup_cluster_deep_exact_group_survives_bucket_cap(spark, tmp_path):
+    """The exact-collapse posture (round 10): an exact-dup group DEEPER than
+    minhash_near_dups' max_bucket_size (200) must still cluster — without
+    the collapse every band bucket holds the whole group, trips the cap,
+    and the group loses ALL its pairs (each copy becomes its own canonical,
+    the silent sf100 cliff). Also pins that a near-dup of the group's text
+    still joins the cluster through the representative, and that the
+    collapse never over-merges unrelated docs."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    near = base.replace("alpha", "ALPHA", 1)  # near-dup of base, distinct text
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen") * 3
+    texts = [base] * 240 + [near, other]  # 240 > max_bucket_size=200
+    df = _doc_df(spark, texts)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in all_specs()["llm_dedup_cluster"].builder(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 242
+    # every exact copy maps to the group minimum, only doc 0 is canonical
+    for i in range(240):
+        assert out[i] == (0, i == 0), (i, out[i])
+    # the near-dup reaches the cluster through the representative
+    assert out[240] == (0, False)
+    # the unrelated doc stays a singleton
+    assert out[241] == (241, True)
