@@ -981,3 +981,68 @@ def synth_ppm_histogram(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_HIST_SCHEMA)
+
+
+SYNTH_AUDIO_ACF_SCHEMA = (
+    "doc_id long, n_samples int, energy long, "
+    "ac1 long, ac2 long, ac4 long, ac8 long"
+)
+
+_ACF_LAGS = (1, 2, 4, 8)
+
+
+def synth_wav_autocorr(df: DataFrame) -> DataFrame:
+    """REAL audio periodicity features, oracle-checkable in closed form:
+    synthesize the same RIFF/WAV clip as synth_wav_segment_features
+    (payload byte j = (j*31) mod 256, nf = 100 + n_chars % 400 frames,
+    ch = 1 + n_chars % 2 channels, 16-bit LE), decode the actual bytes
+    back via stdlib `wave` + int16 reinterpretation, then emit the
+    EXACT-integer autocorrelation ladder over the interleaved sample
+    stream: energy = Σ s_i² and r_ℓ = Σ_{i<n-ℓ} s_i·s_{i+ℓ} for
+    ℓ ∈ {1, 2, 4, 8} — the ACF pitch/periodicity first stage of every
+    speech pipeline, here with zero floating point (|s| < 2^15, so each
+    product fits 2^30 and the sums fit int64 with ~2^23 headroom).
+    Because sample i is the pure function int16(le16((2i*31) mod 256,
+    (2i+31... the same formula the segment-features oracle states)), the
+    SQL oracle re-derives every product; a bug in the RIFF writer, the
+    reader, the int16 view, or the lag alignment mismatches.
+
+    Scale shape: one narrow Arrow-batched mapInPandas pass emitting one
+    row per doc; no shuffle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "energy": [],
+                "ac1": [], "ac2": [], "ac4": [], "ac8": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nc = int(n_chars)
+                ch, nf = 1 + nc % 2, 100 + nc % 400
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wr:
+                    wr.setnchannels(ch)
+                    wr.setsampwidth(2)
+                    wr.setframerate(8000)
+                    wr.writeframes(
+                        bytes((i * 31) % 256 for i in range(nf * ch * 2))
+                    )
+                with wave.open(io.BytesIO(buf.getvalue())) as rd:
+                    raw = rd.readframes(rd.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype("int64")
+                n = len(s)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["energy"].append(int((s * s).sum()))
+                for lag in _ACF_LAGS:
+                    v = int((s[:-lag] * s[lag:]).sum()) if n > lag else 0
+                    out[f"ac{lag}"].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "n_chars").mapInPandas(run, SYNTH_AUDIO_ACF_SCHEMA)

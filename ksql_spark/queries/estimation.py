@@ -1902,3 +1902,958 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("explained_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D92 — Bass diffusion fit on daily adoption
+# ---------------------------------------------------------------------------
+
+_BASS_G = 1_000_000.0  # moment gain: x,y in [0,1] -> addends near 1e6, so the
+# 1e-6 dsum quantizer works at an effective 1e-12 on the raw moments (the
+# K139 PCA gain device); scaled addends stay < 9.2e12.
+
+
+@query(
+    "events_bass_diffusion",
+    oracle=f"""
+    WITH a AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    bounds AS (
+        SELECT MIN(d0) AS lo, MAX(d0) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS m0 FROM a
+    ),
+    newbyday AS (
+        SELECT d0, CAST(COUNT(*) AS BIGINT) AS nnew FROM a GROUP BY d0
+    ),
+    spine AS (
+        SELECT i AS t FROM bounds,
+               unnest(range(0, date_diff('day', lo, hi) + 1)) AS u(i)
+    ),
+    daily AS (
+        SELECT s.t, COALESCE(n.nnew, 0) AS nnew
+        FROM spine s
+        LEFT JOIN (SELECT date_diff('day', b.lo, n.d0) AS t, n.nnew
+                   FROM newbyday n CROSS JOIN bounds b) n USING (t)
+    ),
+    cum AS (
+        SELECT t, nnew,
+               COALESCE(SUM(nnew) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cprev
+        FROM daily
+    ),
+    xy AS (
+        SELECT t, CAST(cprev AS DOUBLE) / b.m0 AS x,
+               CAST(nnew AS DOUBLE) / b.m0 AS y
+        FROM cum CROSS JOIN bounds b
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ({sql_dsum(f'x * {_BASS_G}')}) / {_BASS_G} AS sx,
+               ({sql_dsum(f'x * x * {_BASS_G}')}) / {_BASS_G} AS sx2,
+               ({sql_dsum(f'x * x * x * {_BASS_G}')}) / {_BASS_G} AS sx3,
+               ({sql_dsum(f'x * x * x * x * {_BASS_G}')}) / {_BASS_G} AS sx4,
+               ({sql_dsum(f'y * {_BASS_G}')}) / {_BASS_G} AS sy,
+               ({sql_dsum(f'x * y * {_BASS_G}')}) / {_BASS_G} AS sxy,
+               ({sql_dsum(f'x * x * y * {_BASS_G}')}) / {_BASS_G} AS sx2y
+        FROM xy
+    ),
+    coef AS (
+        SELECT n, m0,
+               (n * (sx2 * sx4 - sx3 * sx3)
+                - sx * (sx * sx4 - sx3 * sx2)
+                + sx2 * (sx * sx3 - sx2 * sx2)) AS det,
+               (sy * (sx2 * sx4 - sx3 * sx3)
+                - sx * (sxy * sx4 - sx3 * sx2y)
+                + sx2 * (sxy * sx3 - sx2 * sx2y)) AS det_a,
+               (n * (sxy * sx4 - sx3 * sx2y)
+                - sy * (sx * sx4 - sx3 * sx2)
+                + sx2 * (sx * sx2y - sxy * sx2)) AS det_b,
+               (n * (sx2 * sx2y - sxy * sx3)
+                - sx * (sx * sx2y - sxy * sx2)
+                + sy * (sx * sx3 - sx2 * sx2)) AS det_c
+        FROM mom CROSS JOIN bounds
+    ),
+    abc AS (
+        SELECT n, m0,
+               det_a / NULLIF(det, 0) AS ca,
+               det_b / NULLIF(det, 0) AS cb,
+               det_c / NULLIF(det, 0) AS cc
+        FROM coef
+    ),
+    root AS (
+        SELECT n, m0, ca, cb, cc,
+               CASE WHEN cc < 0 AND cb * cb - 4 * cc * ca >= 0
+                    THEN (-cb - sqrt(cb * cb - 4 * cc * ca)) / (2 * cc)
+               END AS mfrac
+        FROM abc
+    ),
+    pq AS (
+        SELECT n, m0, ca, cb, cc, mfrac,
+               ca / NULLIF(mfrac, 0) AS p, -cc * mfrac AS q
+        FROM root
+    )
+    SELECT n AS n_days, m0 AS m0_adopters,
+           {_sql_q6('ca')} AS coef_a, {_sql_q6('cb')} AS coef_b,
+           {_sql_q6('cc')} AS coef_c,
+           {_sql_q6('mfrac * m0')} AS m_hat,
+           {_sql_q6('p')} AS p_innovation,
+           {_sql_q6('q')} AS q_imitation,
+           CASE WHEN p > 0 AND q > 0
+                THEN {_sql_q6('ln(q / p) / (p + q)')} END AS t_peak_days
+    FROM pq
+    """,
+    ref="SURVEY §2 D92 [EXT] (Bass 1969 diffusion: discrete-analogue OLS "
+    "n_t = a + b*C + c*C^2 on the zero-filled adoption spine in "
+    "penetration-fraction units, market size from the quadratic's "
+    "positive root M = (-b - sqrt(b^2-4ac))/2c, p = a/M, q = -cM, "
+    "peak at ln(q/p)/(p+q) — the adoption forecast D24's raw cohort "
+    "read cannot give; all moments off a calendar-bounded daily table)",
+)
+def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion-model fit on first-event adoption: who still hasn't
+    adopted, and when does adoption peak? Discrete Bass regression
+    (Bass 1969; Mahajan/Muller/Bass 1990 review): daily new adopters
+    n_t = a + b*C_{t-1} + c*C_{t-1}^2, with C the cumulative count. In
+    penetration units (x = C/m0, y = n/m0) the moments stay in [0,1], so
+    the quantized sums ride a x1e6 gain (the K139 device) instead of a
+    wider accumulator. Ultimate market size m_hat = root of the fitted
+    quadratic, innovation/imitation split (p, q), and the peak-adoption
+    day ln(q/p)/(p+q). Degenerate fits (singular normal equations,
+    non-negative c, complex roots, p<=0) degrade to NULL columns
+    identically in both engines.
+
+    Scale shape: one user-keyed agg (first event day), then a
+    calendar-bounded daily spine — the cumulative window and the seven
+    OLS moments all run on <= |days| rows; the corpus is scanned once."""
+    e = load(spark, sf_dir, "events")
+    a = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    a = pin(a, eager=False)  # consumed by bounds + newbyday
+    bounds = pin(
+        a.agg(
+            F.min("d0").alias("lo"),
+            F.max("d0").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("m0"),
+        ),
+        eager=False,
+    )
+    newbyday = a.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnew")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff(F.col("hi"), F.col("lo")))
+        ).alias("t")
+    )
+    nbt = newbyday.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.col("d0"), F.col("lo")).alias("t"), "nnew"
+    )
+    daily = (
+        spine.join(nbt, "t", "left")
+        .select("t", F.coalesce("nnew", F.lit(0)).alias("nnew"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cum = daily.select(
+        "t", "nnew", F.coalesce(F.sum("nnew").over(w), F.lit(0)).alias("cprev")
+    )
+    xy = cum.crossJoin(F.broadcast(bounds)).select(
+        (F.col("cprev").cast("double") / F.col("m0")).alias("x"),
+        (F.col("nnew").cast("double") / F.col("m0")).alias("y"),
+    )
+    g = F.lit(_BASS_G)
+    x, y = F.col("x"), F.col("y")
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum(x * g) / g).alias("sx"),
+        (dsum(x * x * g) / g).alias("sx2"),
+        (dsum(x * x * x * g) / g).alias("sx3"),
+        (dsum(x * x * x * x * g) / g).alias("sx4"),
+        (dsum(y * g) / g).alias("sy"),
+        (dsum(x * y * g) / g).alias("sxy"),
+        (dsum(x * x * y * g) / g).alias("sx2y"),
+    )
+    n, sx, sx2, sx3, sx4, sy, sxy, sx2y = (
+        F.col("n"), F.col("sx"), F.col("sx2"), F.col("sx3"),
+        F.col("sx4"), F.col("sy"), F.col("sxy"), F.col("sx2y"),
+    )
+    det = (
+        n * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx3 - sx2 * sx2)
+    )
+    det_a = (
+        sy * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sxy * sx4 - sx3 * sx2y)
+        + sx2 * (sxy * sx3 - sx2 * sx2y)
+    )
+    det_b = (
+        n * (sxy * sx4 - sx3 * sx2y)
+        - sy * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx2y - sxy * sx2)
+    )
+    det_c = (
+        n * (sx2 * sx2y - sxy * sx3)
+        - sx * (sx * sx2y - sxy * sx2)
+        + sy * (sx * sx3 - sx2 * sx2)
+    )
+    coef = mom.crossJoin(F.broadcast(bounds)).select(
+        "n",
+        "m0",
+        F.try_divide(det_a, F.nullif(det, F.lit(0.0))).alias("ca"),
+        F.try_divide(det_b, F.nullif(det, F.lit(0.0))).alias("cb"),
+        F.try_divide(det_c, F.nullif(det, F.lit(0.0))).alias("cc"),
+    )
+    ca, cb, cc = F.col("ca"), F.col("cb"), F.col("cc")
+    disc = cb * cb - F.lit(4.0) * cc * ca
+    root = coef.select(
+        "n",
+        "m0",
+        "ca",
+        "cb",
+        "cc",
+        F.when(
+            (cc < 0) & (disc >= 0),
+            (-cb - F.sqrt(disc)) / (F.lit(2.0) * cc),
+        ).alias("mfrac"),
+    )
+    mfrac = F.col("mfrac")
+    pq = root.select(
+        "n",
+        "m0",
+        "ca",
+        "cb",
+        "cc",
+        "mfrac",
+        F.try_divide(ca, F.nullif(mfrac, F.lit(0.0))).alias("p"),
+        (-cc * mfrac).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    return pq.select(
+        F.col("n").alias("n_days"),
+        F.col("m0").alias("m0_adopters"),
+        _q6(ca).alias("coef_a"),
+        _q6(cb).alias("coef_b"),
+        _q6(cc).alias("coef_c"),
+        _q6(mfrac * F.col("m0")).alias("m_hat"),
+        _q6(p).alias("p_innovation"),
+        _q6(q).alias("q_imitation"),
+        F.when((p > 0) & (q > 0), _q6(F.log(q / p) / (p + q))).alias(
+            "t_peak_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D93 — OLS daily trend with Newey-West (HAC) standard errors
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_newey_west_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               ({sql_dsum('value')}) / COUNT(*) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY d
+    ),
+    idx AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS t
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('t')} AS st, {sql_dsum('t * t')} AS st2,
+               {sql_dsum('y')} AS sy, {sql_dsum('t * y')} AS sty
+        FROM idx
+    ),
+    fit AS (
+        SELECT n, st / n AS tbar, sy / n AS ybar,
+               (n * sty - st * sy) / NULLIF(n * st2 - st * st, 0) AS beta,
+               st2 - st * st / n AS sxx,
+               CAST(floor(4 * exp((2.0 / 9.0) * ln(n / 100.0))) AS BIGINT)
+                   AS lag_l
+        FROM mom
+    ),
+    u AS (
+        SELECT idx.t,
+               (idx.t - f.tbar)
+               * (idx.y - f.ybar - f.beta * (idx.t - f.tbar)) AS u,
+               (idx.y - f.ybar - f.beta * (idx.t - f.tbar)) AS e
+        FROM idx CROSS JOIN fit f
+    ),
+    s0 AS (
+        SELECT {sql_dsum('u * u')} AS s0, {sql_dsum('e * e')} AS se2 FROM u
+    ),
+    lagged AS (
+        SELECT a.u AS ua, b.u AS ub, h.h
+        FROM u a
+        CROSS JOIN (SELECT unnest(range(1, (SELECT greatest(lag_l, 1) + 1
+                                            FROM fit))) AS h) h
+        JOIN u b ON b.t = a.t + h.h
+        CROSS JOIN fit f
+        WHERE h.h <= f.lag_l
+    ),
+    scross AS (
+        SELECT COALESCE({sql_dsum('(1.0 - h / (f.lag_l + 1.0)) * ua * ub')},
+                        0.0) AS s_cross
+        FROM lagged CROSS JOIN fit f
+    )
+    SELECT f.n AS n_days, f.lag_l,
+           {_sql_q6('f.beta')} AS beta,
+           {_sql_q6('sqrt((s0.se2 / NULLIF(f.n - 2, 0)) / NULLIF(f.sxx, 0))')}
+               AS se_ols,
+           {_sql_q6('sqrt((s0.s0 + 2 * sx.s_cross)'
+                    ' / NULLIF(f.sxx * f.sxx, 0))')} AS se_hac,
+           {_sql_q6('f.beta / NULLIF(sqrt((s0.se2 / NULLIF(f.n - 2, 0))'
+                    ' / NULLIF(f.sxx, 0)), 0)')} AS t_ols,
+           {_sql_q6('f.beta / NULLIF(sqrt((s0.s0 + 2 * sx.s_cross)'
+                    ' / NULLIF(f.sxx * f.sxx, 0)), 0)')} AS t_hac
+    FROM fit f CROSS JOIN s0 CROSS JOIN scross sx
+    """,
+    ref="SURVEY §2 D93 [EXT] (Newey & West 1987 HAC inference for the "
+    "daily OLS trend: Bartlett-kernel weighted autocovariances of the "
+    "score series u_t = (t - tbar) e_t at the standard lag rule "
+    "L = floor(4 (T/100)^(2/9)) — serial correlation inflates the naive "
+    "OLS t-stat on autocorrelated dailies, the inference D28's slope "
+    "and D62's Mann-Kendall don't provide; all sums on the "
+    "calendar-bounded daily table)",
+)
+def events_newey_west_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-mean trend slope with autocorrelation-robust (Newey-West)
+    standard errors: the OLS beta is unchanged, but its variance uses the
+    Bartlett-kernel HAC estimator S = sum(u^2) + 2 sum_h w_h sum_t u_t
+    u_{t+h}, w_h = 1 - h/(L+1), so a positively autocorrelated series
+    (every real daily metric) doesn't fake significance. Reports both the
+    naive and HAC t so the inflation is visible.
+
+    Scale shape: one corpus scan into the day-keyed mean agg; everything
+    after (index, moments, residual scores, the h<=L lag join) lives on
+    the calendar-bounded daily table — the lag pairs are |days| * L rows.
+    Degenerate series (n<3, zero x-variance) yield NULL errors in both
+    engines via the same NULLIF guards."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        (dsum("value") / F.count(F.lit(1))).alias("y")
+    )
+    idx = pin(
+        daily.select(
+            "y",
+            F.row_number().over(Window.orderBy("d")).cast("double").alias("t"),
+        ),
+        eager=False,
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("t").alias("st"),
+        dsum(F.col("t") * F.col("t")).alias("st2"),
+        dsum("y").alias("sy"),
+        dsum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    n, st, st2, sy, sty = (
+        F.col("n"), F.col("st"), F.col("st2"), F.col("sy"), F.col("sty")
+    )
+    fit = pin(
+        mom.select(
+            "n",
+            (st / n).alias("tbar"),
+            (sy / n).alias("ybar"),
+            F.try_divide(
+                n * sty - st * sy, F.nullif(n * st2 - st * st, F.lit(0.0))
+            ).alias("beta"),
+            (st2 - st * st / n).alias("sxx"),
+            F.floor(
+                F.lit(4.0)
+                * F.exp(F.lit(2.0 / 9.0) * F.log(n / F.lit(100.0)))
+            )
+            .cast("bigint")
+            .alias("lag_l"),
+        ),
+        eager=False,
+    )
+    ucol = (F.col("t") - F.col("tbar")) * (
+        F.col("y") - F.col("ybar") - F.col("beta") * (F.col("t") - F.col("tbar"))
+    )
+    ecol = F.col("y") - F.col("ybar") - F.col("beta") * (
+        F.col("t") - F.col("tbar")
+    )
+    u = pin(
+        idx.crossJoin(F.broadcast(fit)).select(
+            "t", ucol.alias("u"), ecol.alias("e")
+        ),
+        eager=False,
+    )
+    s0 = u.agg(
+        dsum(F.col("u") * F.col("u")).alias("s0"),
+        dsum(F.col("e") * F.col("e")).alias("se2"),
+    )
+    hladder = u.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "u",
+        "lag_l",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("lag_l"), F.lit(1)).cast("int"))
+        ).alias("h"),
+    ).where(F.col("h") <= F.col("lag_l"))
+    b = u.select(F.col("t").alias("t2"), F.col("u").alias("ub"))
+    lagged = hladder.join(
+        b, F.col("t2") == F.col("t") + F.col("h").cast("double")
+    )
+    scross = lagged.crossJoin(F.broadcast(fit.select(F.col("lag_l").alias("ll")))).agg(
+        F.coalesce(
+            dsum(
+                (F.lit(1.0) - F.col("h") / (F.col("ll") + F.lit(1.0)))
+                * F.col("u")
+                * F.col("ub")
+            ),
+            F.lit(0.0),
+        ).alias("s_cross")
+    )
+    se2n = F.col("se2") / F.nullif((F.col("n") - 2).cast("double"), F.lit(0.0))
+    var_ols = F.try_divide(se2n, F.nullif(F.col("sxx"), F.lit(0.0)))
+    var_hac = F.try_divide(
+        F.col("s0") + F.lit(2.0) * F.col("s_cross"),
+        F.nullif(F.col("sxx") * F.col("sxx"), F.lit(0.0)),
+    )
+    return (
+        fit.crossJoin(F.broadcast(s0))
+        .crossJoin(F.broadcast(scross))
+        .select(
+            F.col("n").alias("n_days"),
+            "lag_l",
+            _q6(F.col("beta")).alias("beta"),
+            _q6(F.sqrt(var_ols)).alias("se_ols"),
+            _q6(F.sqrt(var_hac)).alias("se_hac"),
+            _q6(
+                F.try_divide(
+                    F.col("beta"), F.nullif(F.sqrt(var_ols), F.lit(0.0))
+                )
+            ).alias("t_ols"),
+            _q6(
+                F.try_divide(
+                    F.col("beta"), F.nullif(F.sqrt(var_hac), F.lit(0.0))
+                )
+            ).alias("t_hac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D94 — Little's law fulfillment audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_littles_law_audit",
+    oracle=f"""
+    WITH done AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS end_d
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    ords AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS start_d, d.end_d
+        FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
+    ),
+    bounds AS (
+        SELECT MIN(start_d) AS lo,
+               date_diff('day', MIN(start_d), MAX(end_d)) AS span
+        FROM ords
+    ),
+    win AS (
+        SELECT lo, span, span // 4 AS q1, (3 * span) // 4 AS q3 FROM bounds
+    ),
+    rel AS (
+        SELECT date_diff('day', w.lo, o.start_d) AS ds,
+               date_diff('day', w.lo, o.end_d) AS de,
+               w.q1, w.q3
+        FROM ords o CROSS JOIN win w
+    ),
+    m AS (
+        SELECT CAST(MAX(q3 - q1 + 1) AS BIGINT) AS window_days,
+               CAST(SUM(greatest(0, least(de, q3) - greatest(ds, q1) + 1))
+                    AS BIGINT) AS wip_days,
+               CAST(SUM(CASE WHEN de BETWEEN q1 AND q3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_completed,
+               CAST(SUM(CASE WHEN de BETWEEN q1 AND q3
+                             THEN de - ds + 1 ELSE 0 END) AS BIGINT)
+                   AS dur_days
+        FROM rel
+    )
+    SELECT window_days, n_completed,
+           {_sql_q6('CAST(wip_days AS DOUBLE) / window_days')} AS l_avg_wip,
+           {_sql_q6('CAST(n_completed AS DOUBLE) / window_days')}
+               AS lambda_per_day,
+           {_sql_q6('CAST(dur_days AS DOUBLE) / NULLIF(n_completed, 0)')}
+               AS w_avg_days,
+           {_sql_q6('(CAST(n_completed AS DOUBLE) / window_days)'
+                    ' * (CAST(dur_days AS DOUBLE) / NULLIF(n_completed, 0))')}
+               AS lw_product,
+           {_sql_q6('((CAST(wip_days AS DOUBLE) / window_days)'
+                    ' - (CAST(dur_days AS DOUBLE) / window_days))'
+                    ' / NULLIF(CAST(wip_days AS DOUBLE) / window_days, 0)')}
+               AS rel_gap
+    FROM m
+    """,
+    ref="SURVEY §2 D94 [EXT] (Little's law L = lambda*W (Little 1961) "
+    "audited on the interior [span/4, 3*span/4] window of the order "
+    "fulfillment process: time-average WIP from exact interval overlaps "
+    "(never a day explode), throughput and mean flow time from "
+    "window-completing orders; the relative gap measures how far the "
+    "process is from the stationarity the law assumes — the queueing "
+    "consistency check behind every ops dashboard)",
+)
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law consistency audit over order fulfillment: an order is
+    in progress from o_orderdate to its last line's shipdate. On the
+    interior window (middle half of the horizon, integer day offsets so
+    every bound is exact), measure independently: L = time-average WIP
+    (sum of per-order day-overlaps with the window / window days),
+    lambda = completions per window day, W = mean flow time of the
+    completing orders. In steady state L = lambda*W; the reported
+    relative gap is the stationarity violation (edge effects, drift).
+
+    Scale shape: one lineitem agg keyed by orderkey (the only
+    corpus-sized exchange), an AQE-planned join to orders, a broadcast
+    1-row bounds/window table, then exact integer interval arithmetic
+    per order into one final agg — no day spine ever materializes, so
+    horizon length never multiplies the row count."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    done = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("end_d")
+    )
+    ords = pin(
+        o.join(done, o.o_orderkey == done.l_orderkey).select(
+            F.to_date("o_orderdate").alias("start_d"), "end_d"
+        ),
+        eager=False,
+    )
+    bounds = ords.agg(
+        F.min("start_d").alias("lo"),
+        F.datediff(F.max("end_d"), F.min("start_d")).alias("span"),
+    )
+    win = bounds.select(
+        "lo",
+        "span",
+        F.floor(F.col("span") / 4).cast("bigint").alias("q1"),
+        F.floor(F.col("span") * 3 / 4).cast("bigint").alias("q3"),
+    )
+    rel = ords.crossJoin(F.broadcast(win)).select(
+        F.datediff(F.col("start_d"), F.col("lo")).cast("bigint").alias("ds"),
+        F.datediff(F.col("end_d"), F.col("lo")).cast("bigint").alias("de"),
+        "q1",
+        "q3",
+    )
+    ds, de, q1, q3 = F.col("ds"), F.col("de"), F.col("q1"), F.col("q3")
+    in_win = de.between(q1, q3)
+    m = rel.agg(
+        F.max(q3 - q1 + 1).cast("bigint").alias("window_days"),
+        F.sum(
+            F.greatest(F.lit(0).cast("bigint"), F.least(de, q3) - F.greatest(ds, q1) + 1)
+        )
+        .cast("bigint")
+        .alias("wip_days"),
+        F.sum(F.when(in_win, 1).otherwise(0)).cast("bigint").alias("n_completed"),
+        F.sum(F.when(in_win, de - ds + 1).otherwise(0))
+        .cast("bigint")
+        .alias("dur_days"),
+    )
+    wd = F.col("window_days").cast("double")
+    lavg = F.col("wip_days").cast("double") / wd
+    lam = F.col("n_completed").cast("double") / wd
+    wavg = F.try_divide(
+        F.col("dur_days").cast("double"),
+        F.nullif(F.col("n_completed").cast("double"), F.lit(0.0)),
+    )
+    return m.select(
+        "window_days",
+        "n_completed",
+        _q6(lavg).alias("l_avg_wip"),
+        _q6(lam).alias("lambda_per_day"),
+        _q6(wavg).alias("w_avg_days"),
+        _q6(lam * wavg).alias("lw_product"),
+        _q6(
+            F.try_divide(
+                lavg - F.col("dur_days").cast("double") / wd,
+                F.nullif(lavg, F.lit(0.0)),
+            )
+        ).alias("rel_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K140 — Simple Good-Turing frequency smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_good_turing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY w),
+    cc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM wc GROUP BY r),
+    tot AS (
+        SELECT CAST(SUM(r * nr) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN r = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1
+        FROM cc
+    ),
+    ladder AS (
+        SELECT r, nr,
+               COALESCE(LAG(r) OVER (ORDER BY r), 0) AS q,
+               LEAD(r) OVER (ORDER BY r) AS t_next
+        FROM cc
+    ),
+    z AS (
+        SELECT r, nr,
+               nr / (0.5 * (COALESCE(t_next, 2 * r - q) - q)) AS zr
+        FROM ladder
+    ),
+    lz AS (
+        SELECT r, nr, zr,
+               {_sql_q6('ln(r)')} AS lr, {_sql_q6('ln(zr)')} AS lzr
+        FROM z
+    ),
+    fitm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               {sql_dsum('lr')} AS slr, {sql_dsum('lr * lr')} AS slr2,
+               {sql_dsum('lzr')} AS slz, {sql_dsum('lr * lzr')} AS slrlz
+        FROM lz
+    ),
+    fit AS (
+        SELECT (k * slrlz - slr * slz) / NULLIF(k * slr2 - slr * slr, 0)
+                   AS b
+        FROM fitm
+    ),
+    nxt AS (
+        SELECT a.r, a.nr, a.zr, b.nr AS nr_next
+        FROM lz a LEFT JOIN cc b ON b.r = a.r + 1
+    )
+    SELECT n.r, n.nr,
+           {_sql_q6('n.zr')} AS z_r,
+           CASE WHEN n.nr_next IS NOT NULL THEN
+               {_sql_q6('(n.r + 1.0) * n.nr_next / n.nr')} END
+               AS r_star_turing,
+           {_sql_q6('(n.r + 1.0) * exp(f.b * (ln(n.r + 1.0) - ln(n.r)))')}
+               AS r_star_lgt,
+           {_sql_q6('f.b')} AS lgt_slope,
+           {_sql_q6('CAST(t.n1 AS DOUBLE) / t.n_tokens')} AS p_unseen
+    FROM nxt n CROSS JOIN fit f CROSS JOIN tot t
+    """,
+    ref="SURVEY §2 K140 [EXT] (Simple Good-Turing (Good 1953; Gale & "
+    "Sampson 1995): counts-of-counts N_r, Gale's Z_r = N_r/(0.5(t-q)) "
+    "gap smoothing, the raw Turing estimate r* = (r+1)N_{r+1}/N_r next "
+    "to the log-log linear-Good-Turing fit r*(LGT) = "
+    "(r+1)(1+1/r)^b, and the unseen mass P0 = N_1/N — the smoothing "
+    "complement of K138's Kneser-Ney; everything after the word count "
+    "lives on the counts-of-counts ladder)",
+)
+def llm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing smoothing table for the unigram corpus model:
+    per observed frequency r, the counts-of-counts N_r, Gale's
+    gap-normalized Z_r, the raw Turing adjusted count (NULL where
+    N_{r+1} = 0 — exactly the holes the smoothed fit exists to fill),
+    the linear-Good-Turing estimate from the log Z ~ log r regression,
+    and the corpus-level unseen probability mass N_1/N. The per-row ln
+    terms are 1e-6-quantized before the moment sums so both engines fit
+    the same line (the house transcendental discipline).
+
+    Scale shape: one corpus scan into the word-count agg (the only
+    corpus-sized exchange, map-side combined); the counts-of-counts
+    ladder is tiny (distinct frequencies ~ O(sqrt(vocab))), so its
+    windows, regression moments, and self-join run on a bounded table
+    broadcast everywhere."""
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    wc = (
+        d.select(F.explode(text.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    cc = pin(
+        wc.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("nr")),
+        eager=False,
+    )
+    tot = cc.agg(
+        F.sum(F.col("r") * F.col("nr")).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("nr")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    wl = Window.orderBy("r")
+    ladder = cc.select(
+        "r",
+        "nr",
+        F.coalesce(F.lag("r").over(wl), F.lit(0).cast("bigint")).alias("q"),
+        F.lead("r").over(wl).alias("t_next"),
+    )
+    z = ladder.select(
+        "r",
+        "nr",
+        (
+            F.col("nr")
+            / (
+                F.lit(0.5)
+                * (
+                    F.coalesce(F.col("t_next"), 2 * F.col("r") - F.col("q"))
+                    - F.col("q")
+                )
+            )
+        ).alias("zr"),
+    )
+    lz = pin(
+        z.select(
+            "r",
+            "nr",
+            "zr",
+            _q6(F.log("r")).alias("lr"),
+            _q6(F.log("zr")).alias("lzr"),
+        ),
+        eager=False,
+    )
+    fitm = lz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dsum("lr").alias("slr"),
+        dsum(F.col("lr") * F.col("lr")).alias("slr2"),
+        dsum("lzr").alias("slz"),
+        dsum(F.col("lr") * F.col("lzr")).alias("slrlz"),
+    )
+    fit = fitm.select(
+        F.try_divide(
+            F.col("k") * F.col("slrlz") - F.col("slr") * F.col("slz"),
+            F.nullif(
+                F.col("k") * F.col("slr2") - F.col("slr") * F.col("slr"),
+                F.lit(0.0),
+            ),
+        ).alias("b")
+    )
+    nxt = lz.join(
+        cc.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr_next")),
+        "r",
+        "left",
+    )
+    return (
+        nxt.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "nr",
+            _q6(F.col("zr")).alias("z_r"),
+            F.when(
+                F.col("nr_next").isNotNull(),
+                _q6((F.col("r") + F.lit(1.0)) * F.col("nr_next") / F.col("nr")),
+            ).alias("r_star_turing"),
+            _q6(
+                (F.col("r") + F.lit(1.0))
+                * F.exp(
+                    F.col("b")
+                    * (F.log(F.col("r") + F.lit(1.0)) - F.log(F.col("r")))
+                )
+            ).alias("r_star_lgt"),
+            _q6(F.col("b")).alias("lgt_slope"),
+            _q6(
+                F.col("n1").cast("double") / F.col("n_tokens")
+            ).alias("p_unseen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K141 — Kneser-Ney bigram holdout perplexity
+# ---------------------------------------------------------------------------
+
+_LCG_BUCKET = "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100"
+_LNP = "ln(p)"  # quantized per eval type before the token-weighted sum
+
+
+@query(
+    "llm_kn_perplexity",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT text, {_LCG_BUCKET} AS bucket FROM documents
+        WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    trbg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM tagged
+              WHERE bucket < 80)
+    ),
+    c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM trbg GROUP BY gram),
+    sp AS (
+        SELECT split_part(gram, ' ', 1) AS w1,
+               split_part(gram, ' ', 2) AS w2, c
+        FROM c2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM sp GROUP BY w1
+    ),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM sp GROUP BY w2),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM sp),
+    evbg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM tagged
+              WHERE bucket >= 90)
+    ),
+    ev AS (
+        SELECT split_part(gram, ' ', 1) AS w1,
+               split_part(gram, ' ', 2) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM evbg GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT ev.m,
+               CASE WHEN sp.c IS NOT NULL THEN 1 ELSE 0 END AS hit,
+               CASE WHEN sp.c IS NULL AND c1.ctot IS NOT NULL
+                         AND cont.n1p IS NOT NULL THEN 1 ELSE 0 END
+                   AS backoff,
+               CASE WHEN c1.ctot IS NULL AND cont.n1p IS NOT NULL
+                    THEN 1 ELSE 0 END AS w1_unseen,
+               CASE WHEN cont.n1p IS NULL THEN 1 ELSE 0 END AS oov,
+               CASE
+                   WHEN sp.c IS NOT NULL THEN
+                       greatest(sp.c - {_KN_D}, 0) / c1.ctot
+                       + {_KN_D} * c1.n1f / c1.ctot
+                         * (cont.n1p * 1.0 / nb.nbi)
+                   WHEN c1.ctot IS NOT NULL AND cont.n1p IS NOT NULL THEN
+                       {_KN_D} * c1.n1f / c1.ctot
+                       * (cont.n1p * 1.0 / nb.nbi)
+                   WHEN cont.n1p IS NOT NULL THEN
+                       cont.n1p * 1.0 / nb.nbi
+                   ELSE 1.0 / (nb.nbi + 1)
+               END AS p
+        FROM ev
+        LEFT JOIN sp ON sp.w1 = ev.w1 AND sp.w2 = ev.w2
+        LEFT JOIN c1 ON c1.w1 = ev.w1
+        LEFT JOIN cont ON cont.w2 = ev.w2
+        CROSS JOIN nb
+    )
+    SELECT CAST(SUM(m) AS BIGINT) AS n_eval_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_types,
+           CAST(SUM(m * hit) AS BIGINT) AS n_seen,
+           CAST(SUM(m * backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(m * w1_unseen) AS BIGINT) AS n_w1_unseen,
+           CAST(SUM(m * oov) AS BIGINT) AS n_oov,
+           {_sql_q6(f"-({sql_dsum(f'm * ({_sql_q6(_LNP)})')}) / SUM(m)")}
+               AS cross_entropy_nats,
+           {_sql_q6(f"exp(-({sql_dsum(f'm * ({_sql_q6(_LNP)})')}) / SUM(m))")}
+               AS perplexity
+    FROM scored
+    """,
+    ref="SURVEY §2 K141 [EXT] (the evaluation loop for K138's "
+    "interpolated Kneser-Ney model: train on the Knuth-centile <80 "
+    "split, score the >=90 holdout with the tiered backoff ladder "
+    "seen-bigram -> discount-backoff -> continuation-only -> uniform "
+    "1/(B+1) floor, perplexity = exp of the token-weighted mean "
+    "negative quantized-log probability — Chen & Goodman 1999's "
+    "held-out methodology)",
+)
+def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout perplexity of the interpolated Kneser-Ney bigram LM: the
+    K138 model is fit on the train split (Knuth LCG centile < 80 — the
+    same content-stable split as llm_train_eval_split, so the eval
+    boundary never migrates) and scored on the test split (centile >=
+    90). Eval bigrams fall through a tiered ladder that is total (every
+    bigram gets positive probability): seen bigram -> KN formula;
+    unseen bigram with seen context and continuation -> the discounted
+    backoff term; unseen context -> continuation probability alone;
+    unseen successor -> the uniform 1/(B+1) floor. Per-type ln(p) is
+    1e-6-quantized before the token-weighted sum (house transcendental
+    discipline), so cross-entropy and perplexity agree bit-for-bit
+    cross-engine.
+
+    Scale shape: two corpus scans (train / eval bigram explosions), each
+    collapsing map-side into gram-type counts; all joins are between
+    vocabulary-bounded type tables (eval types x model types, AQE-planned
+    — never row-level); the output is one row."""
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % 100
+    tagged = d.select("text", bucket.alias("bucket"))
+    trbg = tagged.where(F.col("bucket") < 80).select(
+        F.explode(text.shingles("text", 2)).alias("gram")
+    )
+    c2 = trbg.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sp = pin(
+        c2.select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c",
+        ),
+        eager=False,
+    )
+    c1 = sp.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("ctot"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = sp.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))
+    nb = sp.agg(F.count(F.lit(1)).cast("bigint").alias("nbi"))
+    evbg = tagged.where(F.col("bucket") >= 90).select(
+        F.explode(text.shingles("text", 2)).alias("gram")
+    )
+    ev = evbg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    ).select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("ew1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("ew2"),
+        "m",
+    )
+    joined = (
+        ev.join(
+            sp,
+            (F.col("w1") == F.col("ew1")) & (F.col("w2") == F.col("ew2")),
+            "left",
+        )
+        .drop("w1", "w2")
+        .join(c1, c1.w1 == F.col("ew1"), "left")
+        .drop("w1")
+        .join(cont, cont.w2 == F.col("ew2"), "left")
+        .drop("w2")
+        .crossJoin(F.broadcast(nb))
+    )
+    c, ctot, n1f, n1p, nbi = (
+        F.col("c"), F.col("ctot"), F.col("n1f"), F.col("n1p"), F.col("nbi")
+    )
+    pcont = n1p * F.lit(1.0) / nbi
+    p = (
+        F.when(
+            c.isNotNull(),
+            F.greatest(c - F.lit(_KN_D), F.lit(0.0)) / ctot
+            + F.lit(_KN_D) * n1f / ctot * pcont,
+        )
+        .when(ctot.isNotNull() & n1p.isNotNull(), F.lit(_KN_D) * n1f / ctot * pcont)
+        .when(n1p.isNotNull(), pcont)
+        .otherwise(F.lit(1.0) / (nbi + 1))
+    )
+    scored = joined.select(
+        "m",
+        F.when(c.isNotNull(), 1).otherwise(0).alias("hit"),
+        F.when(c.isNull() & ctot.isNotNull() & n1p.isNotNull(), 1)
+        .otherwise(0)
+        .alias("backoff"),
+        F.when(ctot.isNull() & n1p.isNotNull(), 1).otherwise(0).alias("w1u"),
+        F.when(n1p.isNull(), 1).otherwise(0).alias("oov"),
+        _q6(F.log(p)).alias("lp"),
+    )
+    m = F.col("m")
+    nll = dsum(m * F.col("lp"))
+    return scored.agg(
+        F.sum(m).cast("bigint").alias("n_eval_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_types"),
+        F.sum(m * F.col("hit")).cast("bigint").alias("n_seen"),
+        F.sum(m * F.col("backoff")).cast("bigint").alias("n_backoff"),
+        F.sum(m * F.col("w1u")).cast("bigint").alias("n_w1_unseen"),
+        F.sum(m * F.col("oov")).cast("bigint").alias("n_oov"),
+        _q6(-nll / F.sum(m)).alias("cross_entropy_nats"),
+        _q6(F.exp(-nll / F.sum(m))).alias("perplexity"),
+    )

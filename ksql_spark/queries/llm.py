@@ -6556,3 +6556,105 @@ def llm_multimodal_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one Arrow-batched mapInPandas pass emitting nf-1 rows
     per doc; no shuffle."""
     return multimodal.synth_y4m_motion_energy(load(spark, sf_dir, "documents"))
+
+
+def _Q6(c):
+    """Scalar 1e-6 quantization, house spelling (trunc-toward-zero of
+    x*1e6+0.5 — identical in Spark's double->long cast and DuckDB's
+    CAST(trunc(...) AS BIGINT))."""
+    return (c * F.lit(1000000.0) + F.lit(0.5)).cast("long") / F.lit(1000000.0)
+
+
+@query(
+    "llm_audio_autocorr",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               (1 + n_chars % 2) * (100 + n_chars % 400) AS n
+        FROM documents
+    ), samp AS (
+        SELECT doc_id, n, i,
+               CASE WHEN ((i * 62) % 256) + 256 * ((i * 62 + 31) % 256)
+                         >= 32768
+                    THEN ((i * 62) % 256) + 256 * ((i * 62 + 31) % 256)
+                         - 65536
+                    ELSE ((i * 62) % 256) + 256 * ((i * 62 + 31) % 256)
+               END AS s
+        FROM p, unnest(range(0, n)) AS t(i)
+    ), led AS (
+        SELECT doc_id, n, s,
+               LEAD(s, 1) OVER w AS s1, LEAD(s, 2) OVER w AS s2,
+               LEAD(s, 4) OVER w AS s4, LEAD(s, 8) OVER w AS s8
+        FROM samp
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), sums AS (
+        SELECT doc_id, CAST(MAX(n) AS INT) AS n_samples,
+               CAST(SUM(s * s) AS BIGINT) AS energy,
+               CAST(COALESCE(SUM(s * s1), 0) AS BIGINT) AS ac1,
+               CAST(COALESCE(SUM(s * s2), 0) AS BIGINT) AS ac2,
+               CAST(COALESCE(SUM(s * s4), 0) AS BIGINT) AS ac4,
+               CAST(COALESCE(SUM(s * s8), 0) AS BIGINT) AS ac8
+        FROM led GROUP BY doc_id
+    ), ratio AS (
+        SELECT doc_id, n_samples, energy,
+               CAST(trunc((CAST(ac1 AS DOUBLE) / energy) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS rho1,
+               CAST(trunc((CAST(ac2 AS DOUBLE) / energy) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS rho2,
+               CAST(trunc((CAST(ac4 AS DOUBLE) / energy) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS rho4,
+               CAST(trunc((CAST(ac8 AS DOUBLE) / energy) * 1000000 + 0.5)
+                    AS BIGINT) / 1000000.0 AS rho8
+        FROM sums
+    )
+    SELECT doc_id, n_samples, energy, rho1, rho2, rho4, rho8,
+           CAST(CASE WHEN rho1 >= rho2 AND rho1 >= rho4 AND rho1 >= rho8
+                     THEN 1
+                WHEN rho2 >= rho4 AND rho2 >= rho8 THEN 2
+                WHEN rho4 >= rho8 THEN 4
+                ELSE 8 END AS BIGINT) AS best_lag
+    FROM ratio
+    """,
+    ref="SURVEY §2 K142 [EXT] (ACF periodicity through the REAL WAV byte "
+    "path: the K5/K127 RIFF round-trip clip's exact-integer "
+    "autocorrelation ladder r_l = sum s_i*s_{i+l} at lags {1,2,4,8} "
+    "normalized by energy, dominant lag by smallest-lag-wins maxima — "
+    "the pitch/periodicity first stage next to K127's RMS/ZCR; sample "
+    "i is the pure function int16(le16(62i mod 256, (62i+31) mod 256)) "
+    "so the oracle states every product exactly)",
+)
+def llm_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip autocorrelation ladder over genuine WAV bytes: the
+    builder writes and re-reads each synthesized clip with stdlib
+    `wave`, takes an int16 view, and computes the exact-integer lag
+    products (zero floating point until the final normalized ratios,
+    which are 1e-6-quantized in both engines). best_lag is the
+    smallest lag attaining the maximal normalized ACF — the
+    dominant-periodicity readout of a pitch tracker's first stage.
+
+    Scale shape: one Arrow-batched mapInPandas pass emitting one row
+    per doc; no shuffle; the ratio/argmax arithmetic is per-row."""
+    raw = multimodal.synth_wav_autocorr(load(spark, sf_dir, "documents"))
+    e = F.col("energy").cast("double")
+    rho = {
+        lag: _Q6(F.col(f"ac{lag}").cast("double") / e) for lag in (1, 2, 4, 8)
+    }
+    best = (
+        F.when(
+            (rho[1] >= rho[2]) & (rho[1] >= rho[4]) & (rho[1] >= rho[8]),
+            F.lit(1).cast("bigint"),
+        )
+        .when((rho[2] >= rho[4]) & (rho[2] >= rho[8]), F.lit(2).cast("bigint"))
+        .when(rho[4] >= rho[8], F.lit(4).cast("bigint"))
+        .otherwise(F.lit(8).cast("bigint"))
+    )
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        "energy",
+        rho[1].alias("rho1"),
+        rho[2].alias("rho2"),
+        rho[4].alias("rho4"),
+        rho[8].alias("rho8"),
+        best.alias("best_lag"),
+    )

@@ -440,3 +440,248 @@ def test_wave2_scan_counts(spark, name, visible_scans, pinned):
     if pinned:
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# tranche 3: D92-D94, K140-K142
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def test_bass_recovers_planted_diffusion(spark, tmp_path):
+    """Simulate a discrete Bass process exactly (M=1000, p=0.03, q=0.38:
+    n_t = round((p + q C/M)(M - C))) as per-user first events; the fitted
+    (p, q, M) must land near the planted values and the peak day inside
+    the horizon."""
+    import datetime
+
+    M, p, q = 1000, 0.03, 0.38
+    rows, c, uid, day = [], 0, 0, 0
+    while c < M and day < 80:
+        n = round((p + q * c / M) * (M - c))
+        n = max(n, 0)
+        for _ in range(n):
+            rows.append(
+                (uid, datetime.datetime(2024, 1, 1) +
+                 datetime.timedelta(days=day), uid, "visit", 1.0, "{}")
+            )
+            uid += 1
+        c += n
+        day += 1
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["events_bass_diffusion"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["m0_adopters"] == c
+    # the fit sees the whole curve, so it must recover the parameters
+    assert abs(r["m_hat"] - M) / M < 0.15, r["m_hat"]
+    assert abs(r["p_innovation"] - p) < 0.02, r["p_innovation"]
+    assert abs(r["q_imitation"] - q) < 0.12, r["q_imitation"]
+    assert 0 < r["t_peak_days"] < day
+
+
+def test_bass_degenerate_two_days_nulls(spark, tmp_path):
+    """Two observation days cannot identify a quadratic: the normal
+    equations are singular and every model column must be NULL (never an
+    abort)."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 2), i, "visit", 1.0, "{}")
+        for i in range(6)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["events_bass_diffusion"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 2
+    assert r["m_hat"] is None and r["t_peak_days"] is None
+
+
+def test_newey_west_inflates_se_on_autocorrelated_residuals(spark, tmp_path):
+    """Planted series: linear trend + slow sinusoid. The residual from the
+    OLS line IS the sinusoid — positively autocorrelated at small lags —
+    so the Bartlett HAC standard error must exceed the naive OLS one,
+    while the slope estimate stays near the planted trend."""
+    import datetime
+    import math as m
+
+    rows = []
+    for t in range(1, 91):
+        y = 0.5 * t + 10.0 * m.sin(2 * m.pi * t / 30.0)
+        rows.append(
+            (t, datetime.datetime(2024, 1, 1) +
+             datetime.timedelta(days=t - 1), t, "visit", y, "{}")
+        )
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["events_newey_west_trend"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 90
+    assert r["lag_l"] == 3  # floor(4 * (90/100)^(2/9))
+    assert abs(r["beta"] - 0.5) < 0.1
+    assert r["se_hac"] > r["se_ols"]
+    assert abs(r["t_hac"]) < abs(r["t_ols"])
+
+
+def test_littles_law_exact_on_stationary_system(spark, tmp_path):
+    """Deterministic stationary queue: one order per day, each in flight
+    exactly 5 days. On any interior window L = 5, lambda = 1, W = 5, so
+    the law holds with zero gap."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 1, 1)
+    orders = [
+        (t, t, "F", 100.0, d0 + datetime.timedelta(days=t), "1-URGENT")
+        for t in range(100)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    lines = [
+        (t, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+         d0 + datetime.timedelta(days=t + 4))
+        for t in range(100)
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = SPECS["orders_littles_law_audit"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["l_avg_wip"] == pytest.approx(5.0, abs=1e-6)
+    assert r["lambda_per_day"] == pytest.approx(1.0, abs=1e-6)
+    assert r["w_avg_days"] == pytest.approx(5.0, abs=1e-6)
+    assert r["lw_product"] == pytest.approx(5.0, abs=1e-6)
+    assert abs(r["rel_gap"]) < 1e-6
+
+
+def _write_docs(spark, tmp_path, texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in zip(ids, texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+
+def test_good_turing_hand_computed_ladder(spark, tmp_path):
+    """Corpus 'a b c c d d d': counts 1,1,2,3 -> N1=2, N2=1, N3=1, N=7.
+    Raw Turing: r*(1) = 2*N2/N1 = 1, r*(2) = 3*N3/N2 = 3, r*(3) = NULL
+    (no N4). Unseen mass P0 = N1/N = 2/7. Gale Z: Z1 = 2/(0.5*(2-0)) = 2,
+    Z2 = 1/(0.5*(3-1)) = 1, Z3 = 1/(0.5*((2*3-2)-2)) = 1."""
+    _write_docs(spark, tmp_path, ["a b c c d d d"])
+    out = {
+        r["r"]: r
+        for r in SPECS["llm_good_turing"].builder(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [1, 2, 3]
+    assert out[1]["nr"] == 2 and out[2]["nr"] == 1 and out[3]["nr"] == 1
+    assert out[1]["r_star_turing"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["r_star_turing"] == pytest.approx(3.0, abs=1e-6)
+    assert out[3]["r_star_turing"] is None
+    assert out[1]["p_unseen"] == pytest.approx(2 / 7, abs=1e-6)
+    assert out[1]["z_r"] == pytest.approx(2.0, abs=1e-6)
+    assert out[2]["z_r"] == pytest.approx(1.0, abs=1e-6)
+    assert out[3]["z_r"] == pytest.approx(1.0, abs=1e-6)
+    # LGT estimates exist on every row (the holes raw Turing leaves)
+    for r in out.values():
+        assert r["r_star_lgt"] is not None and r["r_star_lgt"] > 0
+
+
+def test_kn_perplexity_tier_accounting_and_range(spark):
+    r = SPECS["llm_kn_perplexity"].builder(spark, SF_DIR).collect()[0]
+    assert (
+        r["n_seen"] + r["n_backoff"] + r["n_w1_unseen"] + r["n_oov"]
+        == r["n_eval_bigrams"]
+    )
+    assert r["n_eval_types"] <= r["n_eval_bigrams"]
+    # every probability is < 1, so cross-entropy > 0 and perplexity > 1
+    assert r["cross_entropy_nats"] > 0
+    assert r["perplexity"] > 1
+    assert r["perplexity"] == pytest.approx(
+        math.exp(r["cross_entropy_nats"]), rel=1e-4
+    )
+
+
+def test_kn_perplexity_replica_on_planted_split(spark, tmp_path):
+    """Two docs pinned to known split buckets (Knuth centile of doc_id):
+    a train doc and an eval doc. The tiered ladder is replicated exactly
+    in python on the planted corpus."""
+    def bucket(doc_id):
+        return ((doc_id % 2147483648) * 2654435761 % 4294967296) % 100
+
+    train_id = next(i for i in range(1, 500) if bucket(i) < 80)
+    eval_id = next(i for i in range(1, 500) if bucket(i) >= 90)
+    train_text = "a b a b a c"
+    eval_text = "a b c x"
+    _write_docs(spark, tmp_path, [train_text, eval_text], [train_id, eval_id])
+    r = SPECS["llm_kn_perplexity"].builder(spark, str(tmp_path)).collect()[0]
+    # train bigrams: 'a b' x2, 'b a' x2, 'a c' x1 -> B = 3 types
+    # eval bigrams: 'a b' (seen), 'b c' (backoff: b seen as w1, c seen as
+    # continuation), 'c x' (x never a continuation -> oov)
+    assert r["n_eval_bigrams"] == 3
+    assert r["n_seen"] == 1 and r["n_backoff"] == 1 and r["n_oov"] == 1
+    D, B = 0.75, 3
+    # model tables: c(a b)=2, ctot(a)=3, n1f(a)=2; ctot(b)=2, n1f(b)=1;
+    # pcont: a->1/3 ... 'b' appears as w2 in 1 type, 'c' in 1, 'a' in 1
+    def q6(x):
+        import math as m
+        return m.trunc(x * 1e6 + 0.5) / 1e6
+
+    p_ab = (2 - D) / 3 + D * 2 / 3 * (1 / B)
+    p_bc = D * 1 / 2 * (1 / B)
+    p_cx = 1.0 / (B + 1)
+    ce = -(q6(math.log(p_ab)) + q6(math.log(p_bc)) + q6(math.log(p_cx))) / 3
+    assert r["cross_entropy_nats"] == pytest.approx(ce, abs=2e-6)
+
+
+def test_audio_autocorr_numpy_replica_and_bounds(spark, tmp_path):
+    """One synthesized clip checked against an independent numpy replica
+    of the sample formula; Cauchy-Schwarz bounds every normalized rho."""
+    import numpy as np
+
+    _write_docs(spark, tmp_path, ["x" * 57])  # n_chars = 57
+    r = SPECS["llm_audio_autocorr"].builder(spark, str(tmp_path)).collect()[0]
+    nc = 57
+    n = (1 + nc % 2) * (100 + nc % 400)
+    i = np.arange(n, dtype=np.int64)
+    s = (i * 62) % 256 + 256 * ((i * 62 + 31) % 256)
+    s = np.where(s >= 32768, s - 65536, s)
+    assert r["n_samples"] == n
+    assert r["energy"] == int((s * s).sum())
+    for lag, col in [(1, "rho1"), (2, "rho2"), (4, "rho4"), (8, "rho8")]:
+        expect = int((s[:-lag] * s[lag:]).sum()) / int((s * s).sum())
+        assert r[col] == pytest.approx(expect, abs=2e-6), lag
+        assert abs(r[col]) <= 1.0 + 1e-9
+    assert r["best_lag"] in (1, 2, 4, 8)
+
+
+@pytest.mark.parametrize(
+    "name, visible_scans, pinned",
+    [
+        ("events_bass_diffusion", 0, True),  # adopter table pinned
+        ("events_newey_west_trend", 0, True),  # indexed daily table pinned
+        ("orders_littles_law_audit", 0, True),  # order-interval table pinned
+        ("llm_good_turing", 0, True),  # counts-of-counts ladder pinned
+        ("llm_kn_perplexity", 1, True),  # train types pinned; eval scan
+        ("llm_audio_autocorr", 1, False),  # one Arrow pass, no shuffle
+    ],
+)
+def test_wave3_scan_counts(spark, name, visible_scans, pinned):
+    plan = plan_of(spark, name)
+    scans = plan.count("Scan parquet")
+    assert scans == visible_scans, f"{name}: {scans} visible parquet scans"
+    if pinned:
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_audio_autocorr_no_exchange(spark):
+    """The ACF pass is one Arrow-batched map over the corpus — any
+    exchange in this plan is a bug."""
+    plan = plan_of(spark, "llm_audio_autocorr")
+    assert "Exchange" not in plan

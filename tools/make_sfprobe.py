@@ -12,6 +12,15 @@ planted 10x exact duplicates are a realistic dedup stress, and doc_id-keyed
 draws stay unbiased because the shifted ids re-hash.
 
 Usage: python tools/make_sfprobe.py [--rep 10] [--out /root/repo/tmp_sfprobe]
+       python tools/make_sfprobe.py --rep 1000 --tables lineitem,orders \
+           --out /root/repo/tmp_sf100probe   # sf100-equivalent spot decade
+
+Replication is explode-based (one narrow pass per table): a rep-way unionAll
+at rep=1000 would hand the analyzer an 8000-branch plan. Key semantics are
+identical: copy i adds i*SHIFT to every entity key. Shifted ids stay < 2^31
+only for rep <= 200 — the sf100 probe's ids reach ~10^10 and live in LONG
+columns; entries that pack ids into 32 bits (Morton/z-order) are not probed
+at that scale.
 """
 
 from __future__ import annotations
@@ -45,6 +54,12 @@ def main() -> None:
     ap.add_argument("--rep", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=str(REPO / "tmp_sfprobe"))
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list of fact tables to replicate (default: all); "
+        "dimensions are always copied",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -68,24 +83,32 @@ def main() -> None:
             "overwrite"
         ).parquet(str(dst))
         print(f"{t}: copied")
+    wanted = set(args.tables.split(",")) if args.tables else set(FACTS)
     for t, (keys, nfiles) in FACTS.items():
+        if t not in wanted:
+            continue
         src = spark.read.parquet(f"{args.src}/{t}.parquet")
-        parts = []
-        for i in range(args.rep):
-            d = src
-            for k in keys:
-                d = d.withColumn(k, (F.col(k) + F.lit(i * SHIFT)).cast("long"))
-            parts.append(d)
-        allp = parts[0]
-        for d in parts[1:]:
-            allp = allp.unionAll(d)
+        # Explode-based replication: one narrow pass, no rep-way union plan.
+        allp = src.withColumn(
+            "__copy",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(args.rep - 1).cast("long"))
+            ),
+        )
+        for k in keys:
+            allp = allp.withColumn(
+                k,
+                (F.col(k).cast("long") + F.col("__copy") * F.lit(SHIFT).cast("long")),
+            )
+        allp = allp.drop("__copy")
+        nfiles_eff = min(512, nfiles * max(1, args.rep // 10))
         (
-            allp.repartition(nfiles)
+            allp.repartition(nfiles_eff)
             .write.mode("overwrite")
             .parquet(str(out / f"{t}.parquet"))
         )
         n = spark.read.parquet(str(out / f"{t}.parquet")).count()
-        print(f"{t}: {n} rows, {nfiles} files")
+        print(f"{t}: {n} rows, {nfiles_eff} files", flush=True)
     spark.stop()
 
 
