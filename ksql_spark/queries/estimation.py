@@ -2857,3 +2857,233 @@ def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(-nll / F.sum(m)).alias("cross_entropy_nats"),
         _q6(F.exp(-nll / F.sum(m))).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D95 — Engle-Granger cointegration screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cointegration_screen",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               {sql_dsum('o_totalprice')} AS y,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY d
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('x')} AS sx, {sql_dsum('x * x')} AS sx2,
+               {sql_dsum('y / 1000.0')} AS sy,
+               {sql_dsum('x * y / 1000.0')} AS sxy
+        FROM daily
+    ),
+    fit AS (
+        SELECT n,
+               (n * sxy - sx * sy) / NULLIF(n * sx2 - sx * sx, 0) AS beta,
+               (sy - sx * (n * sxy - sx * sy)
+                          / NULLIF(n * sx2 - sx * sx, 0)) / n AS alpha
+        FROM mom
+    ),
+    resid AS (
+        SELECT d, (y / 1000.0 - f.alpha - f.beta * x) AS e
+        FROM daily CROSS JOIN fit f
+    ),
+    lagged AS (
+        SELECT e - LAG(e) OVER (ORDER BY d) AS de,
+               LAG(e) OVER (ORDER BY d) AS el
+        FROM resid
+    ),
+    dfm AS (
+        SELECT CAST(COUNT(el) AS BIGINT) AS m,
+               {sql_dsum('el * el')} AS sll,
+               {sql_dsum('de * el')} AS sdl,
+               {sql_dsum('de * de')} AS sdd
+        FROM lagged WHERE el IS NOT NULL
+    ),
+    df AS (
+        SELECT f.n, f.alpha, f.beta, m,
+               sdl / NULLIF(sll, 0) AS rho,
+               sqrt(greatest(sdd - (sdl / NULLIF(sll, 0)) * sdl, 0)
+                    / NULLIF(m - 1, 0) / NULLIF(sll, 0)) AS se_rho
+        FROM fit f CROSS JOIN dfm
+    )
+    SELECT n AS n_days,
+           {_sql_q6('alpha')} AS alpha_thousands,
+           {_sql_q6('beta')} AS beta_thousands_per_order,
+           {_sql_q6('rho')} AS df_rho,
+           {_sql_q6('rho / NULLIF(se_rho, 0)')} AS df_stat,
+           CASE WHEN rho / NULLIF(se_rho, 0) < -3.34 THEN TRUE
+                WHEN rho / NULLIF(se_rho, 0) IS NULL THEN NULL
+                ELSE FALSE END AS cointegrated_5pct
+    FROM df
+    """,
+    ref="SURVEY §2 D95 [EXT] (Engle & Granger 1987 two-step cointegration "
+    "screen: OLS of daily revenue (in thousands, so the quantized moments "
+    "keep headroom) on daily order count, then the Dickey-Fuller "
+    "no-constant regression de_t = rho*e_{t-1} on the residuals; "
+    "df_stat below the ~5% Engle-Granger critical value -3.34 "
+    "(MacKinnon 1991, one regressor + constant) flags a stable "
+    "long-run relation — the spurious-regression guard D70's "
+    "Granger-lite lacks; all sums on the calendar-bounded daily table)",
+)
+def orders_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration screen between daily revenue and daily
+    order volume: step 1 fits the long-run OLS relation, step 2 runs the
+    Dickey-Fuller regression on its residuals. A df_stat below -3.34
+    (the 5% Engle-Granger critical value with one regressor) means the
+    residual mean-reverts — the two series share a stable long-run link,
+    so ratio metrics built on them (average order value) are trustworthy;
+    a unit-root residual means any such ratio drifts and the regression
+    is spurious.
+
+    Scale shape: one corpus scan into the day-keyed agg; the OLS
+    moments, residual build, lag window, and DF moments all live on the
+    calendar-bounded daily table. Degenerate series (n<3, constant x)
+    yield NULL stats through the same NULLIF guards in both engines."""
+    o = load(spark, sf_dir, "orders")
+    daily = pin(
+        o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            dsum("o_totalprice").alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+        ),
+        eager=False,
+    )
+    yk = F.col("y") / F.lit(1000.0)
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sx2"),
+        dsum(yk).alias("sy"),
+        dsum(F.col("x") * yk).alias("sxy"),
+    )
+    n, sx, sx2, sy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sx2"), F.col("sy"), F.col("sxy")
+    )
+    beta = F.try_divide(n * sxy - sx * sy, F.nullif(n * sx2 - sx * sx, F.lit(0.0)))
+    fit = pin(
+        mom.select(
+            "n",
+            beta.alias("beta"),
+            ((sy - sx * beta) / n).alias("alpha"),
+        ),
+        eager=False,
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "d",
+        (yk - F.col("alpha") - F.col("beta") * F.col("x")).alias("e"),
+    )
+    wl = Window.orderBy("d")
+    lagged = resid.select(
+        (F.col("e") - F.lag("e").over(wl)).alias("de"),
+        F.lag("e").over(wl).alias("el"),
+    ).where(F.col("el").isNotNull())
+    dfm = lagged.agg(
+        F.count("el").cast("bigint").alias("m"),
+        dsum(F.col("el") * F.col("el")).alias("sll"),
+        dsum(F.col("de") * F.col("el")).alias("sdl"),
+        dsum(F.col("de") * F.col("de")).alias("sdd"),
+    )
+    rho = F.try_divide(F.col("sdl"), F.nullif(F.col("sll"), F.lit(0.0)))
+    se_rho = F.sqrt(
+        F.try_divide(
+            F.try_divide(
+                F.greatest(F.col("sdd") - rho * F.col("sdl"), F.lit(0.0)),
+                F.nullif((F.col("m") - 1).cast("double"), F.lit(0.0)),
+            ),
+            F.nullif(F.col("sll"), F.lit(0.0)),
+        )
+    )
+    dstat = F.try_divide(rho, F.nullif(se_rho, F.lit(0.0)))
+    return fit.crossJoin(F.broadcast(dfm)).select(
+        F.col("n").alias("n_days"),
+        _q6(F.col("alpha")).alias("alpha_thousands"),
+        _q6(F.col("beta")).alias("beta_thousands_per_order"),
+        _q6(rho).alias("df_rho"),
+        _q6(dstat).alias("df_stat"),
+        F.when(dstat < -3.34, F.lit(True))
+        .when(dstat.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False))
+        .alias("cointegrated_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K143 — compute-optimal token budget (Chinchilla planning table)
+# ---------------------------------------------------------------------------
+
+_CHIN_SIZES = (1, 3, 7, 13, 30, 70)  # billions of parameters
+_CHIN_RATIO = 20.0  # compute-optimal tokens per parameter (Hoffmann 2022)
+
+
+@query(
+    "llm_token_budget_plan",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    ladder AS (
+        SELECT CAST(unnest(ARRAY{list(_CHIN_SIZES)}) AS BIGINT) AS params_b
+    )
+    SELECT l.params_b, c.n_tokens AS corpus_tokens, c.n_docs,
+           CAST(l.params_b * 1000000000 * {_CHIN_RATIO} AS BIGINT)
+               AS optimal_tokens,
+           {_sql_q6(f'l.params_b * 1000000000 * {_CHIN_RATIO}'
+                    ' / NULLIF(c.n_tokens, 0)')} AS epochs_needed,
+           c.n_tokens >= l.params_b * 1000000000 * {_CHIN_RATIO}
+               AS single_epoch_feasible,
+           {_sql_q6(f'c.n_tokens / ({_CHIN_RATIO} * 1000000000.0)')}
+               AS max_params_b_at_one_epoch
+    FROM ladder l CROSS JOIN corpus c
+    """,
+    ref="SURVEY §2 K143 [EXT] (compute-optimal data sizing, Hoffmann et "
+    "al. 2022 'Training Compute-Optimal Large Language Models': the "
+    "~20-tokens-per-parameter rule against the measured corpus token "
+    "supply over a bounded model-size ladder — the first planning "
+    "readout of any training-data pipeline: which model can this corpus "
+    "feed for one epoch, and how many epochs would each target need; "
+    "one corpus scan, 6-row broadcast ladder)",
+)
+def llm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinchilla planning table: the corpus's whitespace token supply
+    against the compute-optimal demand (20 tokens per parameter) of a
+    standard model-size ladder. epochs_needed > 1 means the corpus must
+    repeat (with the K-family dedup/quality consequences); the scalar
+    max_params_b_at_one_epoch is the largest compute-optimal model this
+    corpus feeds without repetition.
+
+    Scale shape: one corpus scan collapsing map-side into a 1-row token
+    count; the size ladder is a 6-row literal broadcast — thresholds
+    cost arithmetic, not scans (the L18 ladder discipline)."""
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    corpus = d.agg(
+        F.sum(F.size(text.words("text"))).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(s).cast("bigint") for s in _CHIN_SIZES])
+        ).alias("params_b")
+    )
+    demand = F.col("params_b") * F.lit(1_000_000_000) * F.lit(_CHIN_RATIO)
+    return ladder.crossJoin(F.broadcast(corpus)).select(
+        "params_b",
+        F.col("n_tokens").alias("corpus_tokens"),
+        "n_docs",
+        demand.cast("bigint").alias("optimal_tokens"),
+        _q6(
+            F.try_divide(
+                demand, F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0))
+            )
+        ).alias("epochs_needed"),
+        (F.col("n_tokens") >= demand).alias("single_epoch_feasible"),
+        _q6(
+            F.col("n_tokens") / F.lit(_CHIN_RATIO * 1_000_000_000.0)
+        ).alias("max_params_b_at_one_epoch"),
+    )

@@ -685,3 +685,104 @@ def test_audio_autocorr_no_exchange(spark):
     exchange in this plan is a bug."""
     plan = plan_of(spark, "llm_audio_autocorr")
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# tranche 4: D95, K143
+# ---------------------------------------------------------------------------
+
+def test_cointegration_flags_planted_stable_relation(spark, tmp_path):
+    """Planted pair: y_t = 100 + 2 x_t + alternating ±1 residual — the
+    residual mean-reverts every step, so the DF stat is deeply negative
+    and the screen must flag cointegration; beta must recover the planted
+    long-run coefficient."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    key = 0
+    for t in range(60):
+        x = 5 + (t % 7)  # orders that day
+        resid = 1.0 if t % 2 == 0 else -1.0
+        total = (100.0 + 2.0 * x + resid) * 1000.0  # thousands -> dollars
+        for j in range(x):
+            # o_totalprice sums to total across the day's x orders
+            rows.append(
+                (key, key, "F", total / x,
+                 d0 + datetime.timedelta(days=t), "1-URGENT")
+            )
+            key += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = SPECS["orders_cointegration_screen"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 60
+    assert abs(r["beta_thousands_per_order"] - 2.0) < 0.2
+    # alternating residual: rho ~ -2 (e_t ~ -e_{t-1}), df_stat << -3.34
+    assert r["df_stat"] < -3.34
+    assert r["cointegrated_5pct"] is True
+
+
+def test_cointegration_degenerate_constant_x(spark, tmp_path):
+    """One order every day: x is constant, the OLS x-variance is zero and
+    every statistic must be NULL (never an abort)."""
+    import datetime
+
+    rows = [
+        (t, t, "F", 100.0 + t,
+         datetime.datetime(2024, 1, 1) + datetime.timedelta(days=t),
+         "1-URGENT")
+        for t in range(30)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = SPECS["orders_cointegration_screen"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["beta_thousands_per_order"] is None
+    assert r["df_stat"] is None and r["cointegrated_5pct"] is None
+
+
+def test_token_budget_ladder_arithmetic(spark, tmp_path):
+    """Corpus with exactly 100 tokens: every ladder row's epochs_needed is
+    params_b * 20e9 / 100, nothing is single-epoch feasible, and the
+    one-epoch capacity is 100/20e9 billion parameters."""
+    texts = ["w " * 9 + "w", "v " * 89 + "v"]  # 10 + 90 tokens
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["params_b"]: r
+        for r in SPECS["llm_token_budget_plan"].builder(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [1, 3, 7, 13, 30, 70]
+    for pb, r in out.items():
+        assert r["corpus_tokens"] == 100
+        assert r["optimal_tokens"] == pb * 20_000_000_000
+        assert r["epochs_needed"] == pytest.approx(
+            pb * 20_000_000_000 / 100, rel=1e-6
+        )
+        assert r["single_epoch_feasible"] is False
+        assert r["max_params_b_at_one_epoch"] == pytest.approx(
+            100 / 20e9, abs=1e-6
+        )
+
+
+@pytest.mark.parametrize(
+    "name, visible_scans, pinned",
+    [
+        ("orders_cointegration_screen", 0, True),  # daily table pinned
+        ("llm_token_budget_plan", 1, False),  # one corpus scan, 6-row ladder
+    ],
+)
+def test_wave4_scan_counts(spark, name, visible_scans, pinned):
+    plan = plan_of(spark, name)
+    scans = plan.count("Scan parquet")
+    assert scans == visible_scans, f"{name}: {scans} visible parquet scans"
+    if pinned:
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
+    assert "CartesianProduct" not in plan, name

@@ -88,6 +88,10 @@ def main() -> None:
         if t not in wanted:
             continue
         src = spark.read.parquet(f"{args.src}/{t}.parquet")
+        if args.rep > 50:
+            # a single-file source gives ~3 input splits; the x rep explode
+            # would run on 3 cores — spread the narrow map first
+            src = src.repartition(32)
         # Explode-based replication: one narrow pass, no rep-way union plan.
         allp = src.withColumn(
             "__copy",
