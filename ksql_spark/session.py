@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KSQL_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # probe/ops escape hatch: KSQL_SPARK_EXTRA_CONF="k1=v1;k2=v2" (e.g. a
+    # faster spark.cleaner.periodicGC.interval so long iterative jobs on a
+    # small scratch disk reclaim dereferenced shuffle files promptly)
+    extra = os.environ.get("KSQL_SPARK_EXTRA_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
