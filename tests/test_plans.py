@@ -2079,3 +2079,84 @@ def test_markov_attribution_bounded_tail(spark):
     assert "CartesianProduct" not in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in spec or "from_s" in spec, spec
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide gate (round 10): no data-proportional unpartitioned windows
+# ---------------------------------------------------------------------------
+
+#: Entries whose plans legitimately contain an unpartitioned
+#: windowspecdefinition, with the bound that makes each safe. Anything NOT
+#: on this list that grows an unpartitioned window fails the gate — the
+#: VERDICT r9 posture (forbid the single-partition sort class, don't pin
+#: it) enforced globally instead of per-entry.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # fixed-grid / ladder tables (bounded by construction)
+    "agg_histogram_quantile": "fixed histogram bin grid",
+    "events_srm_fdr": "<= |event types| p-value rows (BH step-up)",
+    "events_top_paths": "paths over a ~6-symbol type alphabet (<= |types|^3)",
+    # calendar-bounded daily/monthly series
+    "events_bass_diffusion": "daily adoption spine",
+    "events_chain_ladder": "(cohort, age) development triangle",
+    "events_granger_lite": "daily series",
+    "events_slo_burn_rate": "daily series",
+    "events_sprt_ab": "daily ledger",
+    "orders_cointegration_screen": "daily series",
+    "orders_monthly_growth": "monthly series",
+    "orders_revenue_drawdown": "daily series",
+    "orders_runs_test": "daily series",
+    "orders_seasonal_naive_backtest": "monthly series",
+    "orders_survival_km": "<= horizon-days distinct durations",
+    # k-row rank attachment AFTER a TakeOrderedAndProject top-k
+    "graph_adamic_adar": "rank over the 20-row TakeOrdered result",
+    "graph_adamic_adar_capped": "rank over the 20-row TakeOrdered result",
+    "llm_collocations": "rank over the TakeOrdered top-k",
+    # vocabulary-bounded type tables
+    "llm_bpe_merges": "gram-type table (vocabulary-bounded)",
+    "llm_tokenize_ids": "vocab rank (type table)",
+    "llm_good_turing": "counts-of-counts ladder (O(sqrt(vocab)) rows)",
+    # <= |sources| / |subsets| bounded
+    "llm_bradley_terry_sources": "<= 256 * |sources| champion rows",
+    "llm_source_interleave": "dense_rank over DISTINCT sources",
+    # reference-parity surface by design (scale twin exists)
+    "win_distribution": "A-surface parity; win_distribution_scaled is the "
+    "scale form",
+}
+
+_WINDOW_SWEEP_SKIP = ("scan_k8s", "join_bucketed_colocated")
+
+
+def test_no_unpartitioned_windows_outside_allowlist(spark):
+    """Global scale-killer gate: build EVERY registry entry's physical plan
+    and fail if any entry outside the documented allowlist contains a
+    windowspecdefinition with no partition columns (Spark's 'Moving all
+    data to a single partition' class — the one plan shape that cannot
+    survive a 100 TB input). New entries must either partition their
+    windows, close top-k via orderBy().limit(), use the ranged-cumsum
+    device, or argue a bound here."""
+    import re
+
+    from ksql_spark.registry import all_specs
+
+    offenders = {}
+    for name, spec in sorted(all_specs().items()):
+        if name.startswith(_WINDOW_SWEEP_SKIP):
+            continue
+        plan = spec.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        unpart = [
+            m.split(",")[0].strip()
+            for m in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+            if re.match(r"^\S+#\d+L? (ASC|DESC)", m.split(",")[0].strip())
+        ]
+        if unpart and name not in _UNPARTITIONED_WINDOW_ALLOWLIST:
+            offenders[name] = unpart[:2]
+    assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
+
+
+def test_window_allowlist_entries_exist(spark):
+    """The allowlist must not rot: every name on it is a live registry key."""
+    from ksql_spark.registry import all_specs
+
+    specs = all_specs()
+    stale = [n for n in _UNPARTITIONED_WINDOW_ALLOWLIST if n not in specs]
+    assert not stale, stale
