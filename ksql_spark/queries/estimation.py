@@ -3087,3 +3087,164 @@ def llm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") / F.lit(_CHIN_RATIO * 1_000_000_000.0)
         ).alias("max_params_b_at_one_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D96 — Erlang-C staffing ladder
+# ---------------------------------------------------------------------------
+
+_ERLANG_BUFFERS = (1.01, 1.02, 1.05, 1.1, 1.2, 1.5)
+_ERLANG_FOLD_CAP = 100_000  # exact Erlang-B recursion is Theta(c); beyond
+# this the Halfin-Whitt sqrt-staffing column is the answer (closed form)
+
+
+@query(
+    "orders_erlang_staffing",
+    oracle=f"""
+    WITH done AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS end_d
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    ords AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS start_d, d.end_d
+        FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               date_diff('day', MIN(start_d), MAX(end_d)) + 1 AS horizon,
+               CAST(SUM(date_diff('day', start_d, end_d) + 1) AS BIGINT)
+                   AS dur_days
+        FROM ords
+    ),
+    base AS (
+        SELECT n, horizon,
+               CAST(n AS DOUBLE) / horizon AS lam,
+               CAST(dur_days AS DOUBLE) / n AS s_days,
+               (CAST(n AS DOUBLE) / horizon)
+               * (CAST(dur_days AS DOUBLE) / n) AS a
+        FROM mom
+    ),
+    ladder AS (
+        SELECT unnest(ARRAY{list(_ERLANG_BUFFERS)}) AS f
+    ),
+    cells AS (
+        SELECT b.n AS n_orders, b.lam, b.s_days, b.a, l.f,
+               CAST(greatest(ceil(b.a * l.f), floor(b.a) + 1) AS BIGINT) AS c
+        FROM base b CROSS JOIN ladder l
+    ),
+    eb AS (
+        SELECT *,
+               CASE WHEN c <= {_ERLANG_FOLD_CAP} THEN
+                   list_reduce(
+                       list_prepend(1.0, list_transform(range(1, c + 1),
+                                                        k -> CAST(k AS DOUBLE))),
+                       (acc, k) -> a * acc / (k + a * acc))
+               END AS b_erlang
+        FROM cells
+    )
+    SELECT c, f AS buffer_factor, n_orders,
+           {_sql_q6('lam')} AS lambda_per_day,
+           {_sql_q6('s_days')} AS s_days,
+           {_sql_q6('a')} AS offered_erlangs,
+           {_sql_q6('a / c')} AS utilization,
+           {_sql_q6('b_erlang / (1.0 - (a / c) * (1.0 - b_erlang))')}
+               AS p_wait,
+           {_sql_q6('(b_erlang / (1.0 - (a / c) * (1.0 - b_erlang)))'
+                    ' * s_days / (c - a)')} AS wq_days,
+           CAST(ceil(a + 2.0 * sqrt(a)) AS BIGINT) AS hw_sqrt_staff_c
+    FROM eb
+    """,
+    ref="SURVEY §2 D96 [EXT] (Erlang-C staffing ladder on the measured "
+    "order-fulfillment M/M/c: offered load a = lambda*S from the same "
+    "interval data as D94's Little audit, blocking via Jagerman's "
+    "numerically-stable Erlang-B recursion B_k = aB/(k+aB) folded "
+    "k=1..c (never the a^k/k! terms, which overflow past a~700), "
+    "Erlang C = B/(1-rho(1-B)), Wq = C*S/(c-a); the fold is Theta(c) "
+    "so it caps at c=1e5 and the Halfin-Whitt sqrt-staffing column "
+    "c = a + 2*sqrt(a) (Halfin & Whitt 1981) is the closed-form scale "
+    "path — 'how many parallel fulfillment slots buy how little queueing')",
+)
+def orders_erlang_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staffing ladder for the order-fulfillment queue: measured arrival
+    rate and mean service time give the offered load in erlangs; for each
+    buffer factor f the ladder reports c = servers, utilization,
+    P(wait) (Erlang C), and the mean queueing delay Wq. The Erlang-B
+    blocking probability runs through Jagerman's stable recursion as a
+    per-row HOF fold — bit-identical across engines because both fold the
+    same doubles in the same order (the vector-fold precedent). Beyond
+    the documented fold cap the exact columns are NULL and the
+    Halfin-Whitt square-root-staffing recommendation (closed form, O(1)
+    at any scale) is the production answer.
+
+    Scale shape: one orderkey-keyed lineitem agg + an AQE-planned join
+    (the only corpus-sized work), a 1-row moment table, a 6-row literal
+    ladder — the fold cost is Theta(c) per ladder row, independent of
+    corpus size given the cap."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    done = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("end_d")
+    )
+    ords = o.join(done, o.o_orderkey == done.l_orderkey).select(
+        F.to_date("o_orderdate").alias("start_d"), "end_d"
+    )
+    mom = ords.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.datediff(F.max("end_d"), F.min("start_d")) + 1).alias("horizon"),
+        F.sum(F.datediff(F.col("end_d"), F.col("start_d")) + 1)
+        .cast("bigint")
+        .alias("dur_days"),
+    )
+    lam = F.col("n").cast("double") / F.col("horizon")
+    s_days = F.col("dur_days").cast("double") / F.col("n")
+    base = pin(
+        mom.select(
+            "n",
+            "horizon",
+            lam.alias("lam"),
+            s_days.alias("s_days"),
+            (lam * s_days).alias("a"),
+        ),
+        eager=False,
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(f).cast("double") for f in _ERLANG_BUFFERS])
+        ).alias("f")
+    )
+    a = F.col("a")
+    cells = base.crossJoin(ladder).select(
+        F.col("n").alias("n_orders"),
+        "lam",
+        "s_days",
+        "a",
+        "f",
+        F.greatest(F.ceil(a * F.col("f")), F.floor(a) + 1)
+        .cast("bigint")
+        .alias("c"),
+    )
+    b_erlang = F.when(
+        F.col("c") <= _ERLANG_FOLD_CAP,
+        F.aggregate(
+            F.sequence(F.lit(1).cast("bigint"), F.col("c")),
+            F.lit(1.0),
+            lambda acc, k: a * acc / (k.cast("double") + a * acc),
+        ),
+    )
+    eb = cells.withColumn("b_erlang", b_erlang)
+    rho = a / F.col("c")
+    c_erlang = F.col("b_erlang") / (
+        F.lit(1.0) - rho * (F.lit(1.0) - F.col("b_erlang"))
+    )
+    return eb.select(
+        "c",
+        F.col("f").alias("buffer_factor"),
+        "n_orders",
+        _q6(F.col("lam")).alias("lambda_per_day"),
+        _q6(F.col("s_days")).alias("s_days"),
+        _q6(a).alias("offered_erlangs"),
+        _q6(rho).alias("utilization"),
+        _q6(c_erlang).alias("p_wait"),
+        _q6(c_erlang * F.col("s_days") / (F.col("c") - a)).alias("wq_days"),
+        F.ceil(a + F.lit(2.0) * F.sqrt(a)).cast("bigint").alias("hw_sqrt_staff_c"),
+    )

@@ -158,8 +158,19 @@ def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> Data
     The loop-invariant adjacency is pinned here (same rationale as
     connected_components: one materialization instead of max_depth edge-build
     re-executions)."""
-    adj = pin_invariant(adj)
-    visited = spark.createDataFrame([(start, 0)], "suppkey long, depth int")
+    start_df = spark.createDataFrame([(start, 0)], "suppkey long, depth int")
+    return bfs_frontier(pin_invariant(adj), start_df, max_depth)
+
+
+def bfs_frontier(adj: DataFrame, start_df: DataFrame, max_depth: int) -> DataFrame:
+    """BFS whose seed frontier is a DataFrame (suppkey, depth=0) rather than
+    a driver-side constant — the double-sweep diameter device needs the
+    second sweep to start from a node CHOSEN BY THE FIRST SWEEP'S PLAN
+    (TakeOrdered 1 row), and collecting it to the driver would launch the
+    whole first BFS at plan-build time (the eager-count anti-pattern the
+    graph_ppr ADVICE fix removed). Caller must pass an already-pinned
+    adjacency (bfs() does)."""
+    visited = start_df
     frontier = visited
     for d in range(1, max_depth + 1):
         nxt = (
@@ -1789,5 +1800,95 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             ((phi * F.lit(1000000.0) + F.lit(0.5)).cast("long")
              / F.lit(1000000.0)).alias("phi"),
+        )
+    )
+
+
+_DS_DEPTH = 6  # eccentricity cap per sweep (the coship graph is dense/shallow)
+
+
+@query(
+    "graph_diameter_doublesweep",
+    oracle=f"""
+    WITH RECURSIVE adj AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+    ), reach1(suppkey, d) AS (
+        SELECT CAST({_START} AS BIGINT), 0
+        UNION
+        SELECT adj.s2, r.d + 1
+        FROM reach1 r JOIN adj ON adj.s1 = r.suppkey
+        WHERE r.d < {_DS_DEPTH}
+    ), lev1 AS (
+        SELECT suppkey, CAST(MIN(d) AS INT) AS depth
+        FROM reach1 GROUP BY suppkey
+    ), pick AS (
+        SELECT suppkey AS u, depth AS ecc1 FROM lev1
+        ORDER BY depth DESC, suppkey ASC LIMIT 1
+    ), reach2(suppkey, d) AS (
+        SELECT u, 0 FROM pick
+        UNION
+        SELECT adj.s2, r.d + 1
+        FROM reach2 r JOIN adj ON adj.s1 = r.suppkey
+        WHERE r.d < {_DS_DEPTH}
+    ), lev2 AS (
+        SELECT suppkey, CAST(MIN(d) AS INT) AS depth
+        FROM reach2 GROUP BY suppkey
+    )
+    SELECT CAST({_START} AS BIGINT) AS start_node,
+           (SELECT CAST(ecc1 AS INT) FROM pick) AS sweep1_ecc,
+           (SELECT CAST(u AS BIGINT) FROM pick) AS u_node,
+           CAST(MAX(depth) AS INT) AS diameter_lb,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM lev2
+    """,
+    ref="SURVEY §2 L19 [EXT] (diameter lower bound by BFS double sweep "
+    "(Magnien, Latapy & Habib 2009): sweep 1 from the fixed root finds "
+    "the farthest node u (TakeOrdered 1 row — depth DESC, suppkey ASC), "
+    "sweep 2 from u reports its eccentricity — on real graphs this lower "
+    "bound is usually the exact diameter at the cost of TWO BFS runs "
+    "instead of all-pairs; both sweeps capped at depth 6, the second "
+    "seeded by a 1-row DataFrame so no job runs at plan-build time)",
+)
+def graph_diameter_doublesweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter lower bound by the classic double sweep: BFS from
+    the root, hop to the farthest node found, BFS again — the second
+    eccentricity bounds the diameter from below (and on most real
+    topologies equals it). Within the root's component only, both sweeps
+    depth-capped (the coship graph's diameter is small; a capped sweep is
+    the honest spelling of 'eccentricity at most D').
+
+    Scale shape: exactly two frontier-BFS runs over the ONE pinned
+    adjacency (bfs_frontier; per level one join + distinct + anti-join,
+    state O(nodes)); the sweep-2 seed is the TakeOrdered 1-row plan, so
+    the choice of u never touches the driver."""
+    li = load(spark, sf_dir, "lineitem")
+    adj = pin_invariant(coship_adj(li, exclude_self=False))
+    lev1 = bfs(spark, adj, _START, _DS_DEPTH)
+    pick = (
+        lev1.orderBy(F.col("depth").desc(), F.col("suppkey").asc())
+        .limit(1)
+        .select(
+            F.col("suppkey").alias("u"),
+            F.col("depth").cast("int").alias("ecc1"),
+        )
+        .transform(pin, eager=False)
+    )
+    start2 = pick.select(
+        F.col("u").alias("suppkey"), F.lit(0).cast("int").alias("depth")
+    )
+    lev2 = bfs_frontier(adj, start2, _DS_DEPTH)
+    agg2 = lev2.agg(
+        F.max("depth").cast("int").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+    )
+    return (
+        pick.crossJoin(F.broadcast(agg2))
+        .select(
+            F.lit(_START).cast("bigint").alias("start_node"),
+            F.col("ecc1").cast("int").alias("sweep1_ecc"),
+            F.col("u").cast("bigint").alias("u_node"),
+            "diameter_lb",
+            "n_reached",
         )
     )

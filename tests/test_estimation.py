@@ -786,3 +786,104 @@ def test_wave4_scan_counts(spark, name, visible_scans, pinned):
     if pinned:
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------------------
+# tranche 5: D96, L19
+# ---------------------------------------------------------------------------
+
+def test_erlang_ladder_monotonicity_and_replica(spark):
+    """More servers -> strictly less waiting; every probability in [0,1];
+    utilization < 1 on every stable row; one cell checked against an
+    independent python replica of Jagerman's recursion."""
+    rows = sorted(
+        SPECS["orders_erlang_staffing"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["c"],
+    )
+    assert len(rows) == 6
+    waits = []
+    for r in rows:
+        assert 0 < r["utilization"] < 1
+        assert 0 <= r["p_wait"] <= 1
+        assert r["wq_days"] >= 0
+        assert r["hw_sqrt_staff_c"] >= math.ceil(r["offered_erlangs"])
+        waits.append(r["wq_days"])
+    assert waits == sorted(waits, reverse=True), "Wq must fall as c grows"
+    # replica of the stable Erlang-B fold on the smallest ladder cell
+    r = rows[0]
+    a, c = r["offered_erlangs"], r["c"]
+    b = 1.0
+    for k in range(1, c + 1):
+        b = a * b / (k + a * b)
+    cw = b / (1.0 - (a / c) * (1.0 - b))
+    assert r["p_wait"] == pytest.approx(cw, abs=5e-5)
+
+
+def test_erlang_degenerate_empty_orders(spark, tmp_path):
+    """No completed orders: the ladder still emits its 6 rows with NULL
+    model columns (never an abort)."""
+    spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = SPECS["orders_erlang_staffing"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 6
+    assert all(r["p_wait"] is None for r in out)
+
+
+def test_diameter_double_sweep_on_planted_path(spark, tmp_path):
+    """Planted path graph 0-1-2-3-4 (suppliers chained by shared parts):
+    sweep 1 from node 0 reaches node 4 at depth 4, sweep 2 from 4 comes
+    all the way back — diameter_lb = 4, u = 4."""
+    lines = []
+    ln = 0
+    # part p links suppliers p and p+1 -> a 5-node path
+    for p in range(4):
+        for s in (p, p + 1):
+            ln += 1
+            lines.append((ln, p, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                          __import__("datetime").datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = SPECS["graph_diameter_doublesweep"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["start_node"] == 0
+    assert r["sweep1_ecc"] == 4 and r["u_node"] == 4
+    assert r["diameter_lb"] == 4
+    assert r["n_reached"] == 5
+
+
+def test_diameter_sweep2_at_least_sweep1(spark):
+    """The double-sweep guarantee: ecc(u) >= ecc(start) (u is the farthest
+    node, so the return trip is at least as long, modulo the shared cap)."""
+    r = SPECS["graph_diameter_doublesweep"].builder(spark, SF_DIR).collect()[0]
+    assert r["diameter_lb"] >= r["sweep1_ecc"]
+    assert r["n_reached"] >= 1
+
+
+@pytest.mark.parametrize(
+    "name, visible_scans, pinned",
+    [
+        ("orders_erlang_staffing", 0, True),  # moment table pinned
+        ("graph_diameter_doublesweep", 0, True),  # adjacency + pick pinned
+    ],
+)
+def test_wave5_scan_counts(spark, name, visible_scans, pinned):
+    plan = plan_of(spark, name)
+    scans = plan.count("Scan parquet")
+    assert scans == visible_scans, f"{name}: {scans} visible parquet scans"
+    if pinned:
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
+    assert "CartesianProduct" not in plan, name
