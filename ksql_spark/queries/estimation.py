@@ -3248,3 +3248,129 @@ def orders_erlang_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(c_erlang * F.col("s_days") / (F.col("c") - a)).alias("wq_days"),
         F.ceil(a + F.lit(2.0) * F.sqrt(a)).cast("bigint").alias("hw_sqrt_staff_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D97 — watermark lateness audit (streaming-config readout, batch-measured)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, epoch_us(ts) AS tsu,
+               MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_max
+        FROM events WHERE ts IS NOT NULL
+    ),
+    lat AS (
+        SELECT CASE WHEN prior_max IS NOT NULL AND prior_max > tsu
+                    THEN CAST(ceil((prior_max - tsu) / 60000000.0) AS BIGINT)
+                    ELSE 0 END AS late_min
+        FROM seq
+    ),
+    hist AS (
+        SELECT late_min, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lat GROUP BY late_min
+    ),
+    cum AS (
+        SELECT late_min, c,
+               SUM(c) OVER (ORDER BY late_min
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) - SUM(CASE WHEN late_min = 0 THEN c ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(trunc(((MAX(n) - SUM(CASE WHEN late_min = 0 THEN c ELSE 0
+                                     END)) * 1.0 / MAX(n))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS late_rate,
+           CAST(MAX(late_min) AS BIGINT) AS max_lateness_min,
+           CAST(MIN(CASE WHEN cc * 1000 >= n * 950 THEN late_min END)
+                AS BIGINT) AS wm_p95_min,
+           CAST(MIN(CASE WHEN cc * 1000 >= n * 990 THEN late_min END)
+                AS BIGINT) AS wm_p99_min,
+           CAST(MIN(CASE WHEN cc * 10000 >= n * 9990 THEN late_min END)
+                AS BIGINT) AS wm_p999_min
+    FROM cum
+    """,
+    ref="SURVEY §2 D97 [EXT] (watermark sizing from measured event-time "
+    "disorder: per event, lateness vs the running max event time over "
+    "arrival order (event_id) — computed with the ranged_cummax_excl "
+    "scale primitive, never an unpartitioned window; ceil-minute "
+    "resolution makes the quantile table calendar-bounded, and the "
+    "wm_p* columns read directly as 'withWatermark(X minutes) captures "
+    "95/99/99.9% of events' — the I-family configuration decision, "
+    "measured instead of guessed)",
+)
+def events_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is this stream, and what watermark captures it?
+    Lateness of each event = running max event time over STRICTLY prior
+    arrivals minus its own event time (0 when in order; the globally
+    first event is on time by definition). The audit reports the late
+    rate, the worst disorder, and the ceil-minute lateness quantiles
+    that translate directly into `withWatermark` settings — the number
+    every streaming job (I2/I3/I6) needs and almost every team guesses.
+
+    Scale shape: arrival order rides operators/scale.py's
+    ranged_cummax_excl (range partitions + local exclusive window +
+    broadcast prefix maxima — the skyline device, no single-partition
+    sort); the minute-resolution histogram is calendar-bounded
+    (<= horizon minutes rows), so its cumulative window and the
+    threshold picks cost nothing at any corpus size. Integer-only
+    quantile thresholds (cc*1000 >= n*950) dodge double comparison
+    entirely."""
+    from ksql_spark.operators.scale import ranged_cummax_excl
+
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    seq = ranged_cummax_excl(
+        # ts is TIMESTAMP_NTZ (driver contract); session tz is UTC, so the
+        # cast-then-unix_micros equals DuckDB's epoch_us on the naive value
+        e.select("event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu")),
+        ["event_id"],
+        "tsu",
+        out_col="prior_max",
+    )
+    lat = seq.select(
+        F.when(
+            F.col("prior_max").isNotNull() & (F.col("prior_max") > F.col("tsu")),
+            F.ceil((F.col("prior_max") - F.col("tsu")) / F.lit(60000000.0)),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("late_min")
+    )
+    hist = pin(
+        lat.groupBy("late_min").agg(F.count(F.lit(1)).cast("bigint").alias("c")),
+        eager=False,
+    )
+    wc = Window.orderBy("late_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "late_min",
+        "c",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cc, n, lm, c = F.col("cc"), F.col("n"), F.col("late_min"), F.col("c")
+    return cum.agg(
+        F.max(n).cast("bigint").alias("n_events"),
+        (F.max(n) - F.sum(F.when(lm == 0, c).otherwise(0)))
+        .cast("bigint")
+        .alias("n_late"),
+        _q6(
+            (F.max(n) - F.sum(F.when(lm == 0, c).otherwise(0)))
+            * F.lit(1.0)
+            / F.max(n)
+        ).alias("late_rate"),
+        F.max(lm).cast("bigint").alias("max_lateness_min"),
+        F.min(F.when(cc * 1000 >= n * 950, lm)).cast("bigint").alias("wm_p95_min"),
+        F.min(F.when(cc * 1000 >= n * 990, lm)).cast("bigint").alias("wm_p99_min"),
+        F.min(F.when(cc * 10000 >= n * 9990, lm))
+        .cast("bigint")
+        .alias("wm_p999_min"),
+    )

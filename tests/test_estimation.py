@@ -887,3 +887,70 @@ def test_wave5_scan_counts(spark, name, visible_scans, pinned):
     if pinned:
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_watermark_lateness_planted_disorder(spark, tmp_path):
+    """100 in-order events one minute apart, then 5 late arrivals with
+    hand-picked lateness {90, 30, 3, 3, 1} minutes: the audit must count
+    exactly those 5, report max 90, and place the watermark quantiles on
+    the hand-computed histogram (n=105: p95 -> ceil at the 100th row =
+    on-time bucket 0... the 99.7th percentile boundary picks 3, p99.9 -> 30)."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(100):  # event_id == arrival order; ts strictly rising
+        rows.append((i, d0 + datetime.timedelta(minutes=i), i, "v", 1.0, "{}"))
+    # late events: ts is minutes BEFORE the running max (minute 99)
+    for j, late in enumerate([90, 30, 3, 3, 1]):
+        rows.append(
+            (100 + j, d0 + datetime.timedelta(minutes=99 - late),
+             100 + j, "v", 1.0, "{}")
+        )
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["events_watermark_lateness_audit"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_events"] == 105
+    assert r["n_late"] == 5
+    assert r["late_rate"] == pytest.approx(5 / 105, abs=1e-6)
+    assert r["max_lateness_min"] == 90
+    # cum counts: 0 -> 100, 1 -> 101, 3 -> 103, 30 -> 104, 90 -> 105
+    # p95: need cc*1000 >= 105*950 = 99750 -> cc >= 99.75 -> bucket 0 (cc=100)
+    assert r["wm_p95_min"] == 0
+    # p99: cc >= 103.95 -> bucket 30 (cc=104)
+    assert r["wm_p99_min"] == 30
+    # p99.9: cc*10000 >= 105*9990 -> cc >= 104.895 -> bucket 90 (cc=105)
+    assert r["wm_p999_min"] == 90
+
+
+def test_watermark_lateness_all_in_order(spark, tmp_path):
+    """A strictly ordered stream: zero lateness everywhere, every watermark
+    quantile lands on 0 minutes."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+         i, "v", 1.0, "{}")
+        for i in range(50)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["events_watermark_lateness_audit"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_late"] == 0 and r["late_rate"] == 0.0
+    assert r["max_lateness_min"] == 0
+    assert r["wm_p95_min"] == r["wm_p99_min"] == r["wm_p999_min"] == 0
+
+
+def test_watermark_lateness_no_single_partition_window(spark):
+    """The per-event running-max pass must ride the ranged device: every
+    window in the plan is either _pid-partitioned (the device's local
+    windows) or sits on the bounded minute histogram."""
+    import re
+
+    plan = plan_of(spark, "events_watermark_lateness_audit")
+    assert "CartesianProduct" not in plan
+    unpart = [
+        m.split(",")[0].strip()
+        for m in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if re.match(r"^\S+#\d+L? (ASC|DESC)", m.split(",")[0].strip())
+    ]
+    # the only unpartitioned ordered window is over late_min (bounded)
+    assert all("late_min" in u for u in unpart), unpart

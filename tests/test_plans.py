@@ -2107,6 +2107,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "orders_runs_test": "daily series",
     "orders_seasonal_naive_backtest": "monthly series",
     "orders_survival_km": "<= horizon-days distinct durations",
+    "events_watermark_lateness_audit": "<= horizon-minutes lateness "
+    "histogram (the per-event pass rides ranged_cummax_excl)",
     # k-row rank attachment AFTER a TakeOrderedAndProject top-k
     "graph_adamic_adar": "rank over the 20-row TakeOrdered result",
     "graph_adamic_adar_capped": "rank over the 20-row TakeOrdered result",
