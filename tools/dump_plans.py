@@ -59,6 +59,23 @@ SHOWCASE = {
     "fits); five dsum OLS moments in ONE brand-keyed agg, filters pushed",
     "llm_multimodal_histogram": "single Arrow-batched MapInPandas, no Exchange "
     "anywhere in the plan",
+    # round-10 wave
+    "llm_dedup_cluster": "exact-collapse before LSH: sha-256 group + 24-byte "
+    "banded-row semi-join restrict the pair space to distinct-text "
+    "representatives; text crosses no exchange",
+    "orders_mann_whitney": "global tie-averaged ranks WITHOUT a global sort: "
+    "per-distinct-value collapse + ranged cumsum (every window carries _pid)",
+    "llm_mmr_rerank": "candidate top-20 closes via TakeOrderedAndProject, "
+    "not a rank window; greedy tail on pinned 20-row tables",
+    "events_blb_mean_ci": "replicate explode collapses map-side into s*r=320 "
+    "partial sums; the rank window partitions by subset",
+    "events_watermark_lateness_audit": "per-event running max rides "
+    "ranged_cummax_excl (_pid windows + broadcast prefix maxima); the only "
+    "ordered unpartitioned window sits on the bounded minute histogram",
+    "orders_erlang_staffing": "corpus collapses to one moment row; the "
+    "Erlang-B recursion is a per-row HOF fold over a 6-row ladder",
+    "graph_diameter_doublesweep": "two frontier BFS over ONE pinned "
+    "adjacency; sweep-2 seed is a TakeOrdered 1-row plan (no driver collect)",
 }
 
 
