@@ -1692,7 +1692,18 @@ def llm_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — what the fixed-K=4 oracle twin cannot give you at 100 TB:
     the pair space is Σ_k n_k² ≈ n·cell instead of n²/4, i.e. LINEAR in n at
     fixed cell size; the fit is O(sample·K) on <= 4096 vectors regardless of
-    corpus size; assignment stays the broadcast O(n·K) narrow pass. The
+    corpus size; assignment stays the broadcast O(n·K) narrow pass.
+
+    Documented boundary (round 10): K caps at 4096 because the fit sample
+    does (KMeans needs K <= sample size), so linearity holds up to
+    n ≈ 4096·256 ≈ 1M vectors; beyond that the cell size — and with it the
+    pair space n·cell = n²/4096 — grows again. The 100 TB device is a
+    TWO-LEVEL codebook (coarse K=4096, then an independent sub-KMeans per
+    coarse cell on that cell's own bounded reservoir — cells are disjoint,
+    so the sub-fits parallelize and effective K = 4096·K2 with every
+    broadcast still 4096 rows). Same drop decision, same laws; not wired
+    here because the test corpora sit far below the boundary — this note
+    is the contract for when one does not. The
     drop decision, bucket fan-out, and threshold are byte-identical code
     (_semantic_dedup_decide), so correctness evidence transfers: the twin is
     driver-checked oracle-exact, and this entry's laws pin that its drops
