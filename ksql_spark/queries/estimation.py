@@ -2888,7 +2888,11 @@ def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mom
     ),
     resid AS (
-        SELECT d, (y / 1000.0 - f.alpha - f.beta * x) AS e
+        -- DF regression runs on residuals in MILLIONS: rho and the DF t are
+        -- scale-free, and the /1000 keeps e^2 addends inside the quantized
+        -- long domain through sf100 (the r10 decade caught the thousands
+        -- spelling overflowing Sum(e^2) at 15M orders)
+        SELECT d, (y / 1000.0 - f.alpha - f.beta * x) / 1000.0 AS e
         FROM daily CROSS JOIN fit f
     ),
     lagged AS (
@@ -2955,9 +2959,13 @@ def orders_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dsum("x").alias("sx"),
-        dsum(F.col("x") * F.col("x")).alias("sx2"),
+        # x*x and x*y reach ~5e9 per day at sf10 and the 2,500-day sums
+        # blow the 1e6-scaled LONG accumulator (caught by the r10 decade);
+        # same addends, decimal(38,0) accumulator — oracles unchanged
+        # (DuckDB SUM(BIGINT) is already HUGEINT)
+        dsum_wide(F.col("x") * F.col("x")).alias("sx2"),
         dsum(yk).alias("sy"),
-        dsum(F.col("x") * yk).alias("sxy"),
+        dsum_wide(F.col("x") * yk).alias("sxy"),
     )
     n, sx, sx2, sy, sxy = (
         F.col("n"), F.col("sx"), F.col("sx2"), F.col("sy"), F.col("sxy")
@@ -2973,7 +2981,8 @@ def orders_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resid = daily.crossJoin(F.broadcast(fit)).select(
         "d",
-        (yk - F.col("alpha") - F.col("beta") * F.col("x")).alias("e"),
+        # millions — see the oracle note (scale cancels in rho / df_stat)
+        ((yk - F.col("alpha") - F.col("beta") * F.col("x")) / F.lit(1000.0)).alias("e"),
     )
     wl = Window.orderBy("d")
     lagged = resid.select(
@@ -2982,9 +2991,9 @@ def orders_cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("el").isNotNull())
     dfm = lagged.agg(
         F.count("el").cast("bigint").alias("m"),
-        dsum(F.col("el") * F.col("el")).alias("sll"),
-        dsum(F.col("de") * F.col("el")).alias("sdl"),
-        dsum(F.col("de") * F.col("de")).alias("sdd"),
+        dsum_wide(F.col("el") * F.col("el")).alias("sll"),
+        dsum_wide(F.col("de") * F.col("el")).alias("sdl"),
+        dsum_wide(F.col("de") * F.col("de")).alias("sdd"),
     )
     rho = F.try_divide(F.col("sdl"), F.nullif(F.col("sll"), F.lit(0.0)))
     se_rho = F.sqrt(
