@@ -6669,3 +6669,162 @@ def llm_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho[8].alias("rho8"),
         best.alias("best_lag"),
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_SAMPLE = 256
+
+_MRL_DOT = """
+list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, {d} + 1),
+            i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))),
+    (acc, p) -> acc + p)"""
+
+_MRL_NRM = """
+sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, {d} + 1),
+            i -> CAST({s}.emb[i] AS DOUBLE) * CAST({s}.emb[i] AS DOUBLE))),
+    (acc, p) -> acc + p))"""
+
+
+def _mrl_cos(d) -> str:
+    dot = _MRL_DOT.format(d=d)
+    na = _MRL_NRM.format(d=d, s="a")
+    nb = _MRL_NRM.format(d=d, s="b")
+    return (
+        f"CAST(trunc((CASE WHEN {na} > 0 AND {nb} > 0 THEN ({dot}) / ({na} * {nb}) END)"
+        " * 1000000 + 0.5) AS BIGINT) / 1000000.0"
+    )
+
+
+@query(
+    "llm_emb_matryoshka_eval",
+    oracle=f"""
+    WITH samp AS (
+        SELECT vec_id, embedding AS emb
+        FROM embeddings
+        ORDER BY (((vec_id % 2147483648) * 2654435761) % 4294967296) ASC,
+                 vec_id ASC
+        LIMIT {_MRL_SAMPLE}
+    ),
+    pairs AS (
+        SELECT {_mrl_cos(8)} AS c8, {_mrl_cos(16)} AS c16,
+               {_mrl_cos(32)} AS c32, {_mrl_cos(64)} AS c64
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+    ),
+    long AS (
+        SELECT d, cd, c64 FROM pairs,
+        LATERAL (VALUES (CAST(8 AS BIGINT), c8), (16, c16),
+                        (32, c32), (64, c64)) AS t(d, cd)
+        WHERE cd IS NOT NULL AND c64 IS NOT NULL
+    ),
+    mom AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {sql_dsum('cd')} AS sx, {sql_dsum('cd * cd')} AS sx2,
+               {sql_dsum('c64')} AS sy, {sql_dsum('c64 * c64')} AS sy2,
+               {sql_dsum('cd * c64')} AS sxy,
+               {sql_dsum('abs(cd - c64)')} AS sae
+        FROM long GROUP BY d
+    )
+    SELECT d AS dims, n_pairs,
+           CAST(trunc(((n_pairs * sxy - sx * sy)
+                / NULLIF(sqrt((n_pairs * sx2 - sx * sx)
+                              * (n_pairs * sy2 - sy * sy)), 0))
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS corr_vs_full,
+           CAST(trunc((sae / n_pairs) * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS mae_vs_full
+    FROM mom
+    """,
+    ref="SURVEY §2 K144 [EXT] (matryoshka truncation quality, Kusupati et "
+    "al. 2022 'Matryoshka Representation Learning': pairwise-cosine "
+    "fidelity of the d-dim PREFIX of the embedding vs the full vector "
+    "over a deterministic Knuth-hash 256-vector sample — Pearson "
+    "similarity-preservation and MAE per d in {{8,16,32,64}}; the "
+    "'how small can the ANN index vectors be?' decision, measured; "
+    "sample via TakeOrdered, pair space bounded at 32,640, zero-norm "
+    "prefixes NULL out identically in both engines)",
+)
+def llm_emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can this corpus's embeddings be truncated? For each prefix length d,
+    compare d-dim cosine against full-dim cosine over all pairs of a
+    bounded deterministic sample: corr_vs_full near 1 at d=16 means the
+    ANN index (K3) can store quarter-size vectors — the
+    matryoshka-representation readout that halves-or-better similarity
+    infra cost when it holds (the d=64 row is the self-check: corr 1,
+    MAE 0).
+
+    Scale shape: the sample is a 256-row TakeOrderedAndProject on the
+    Knuth hash (no global sort, deterministic across partitionings); the
+    pair space is sample-bounded (32,640 rows) regardless of corpus
+    size; per-pair cosines ride the exact HOF folds and 1e-6
+    quantization, so the correlation moments agree bitwise."""
+    hash_col = (
+        ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    e = load(spark, sf_dir, "embeddings")
+    samp = (
+        e.select("vec_id", F.col("embedding").alias("emb"))
+        .orderBy(hash_col.asc(), F.col("vec_id").asc())
+        .limit(_MRL_SAMPLE)
+        .transform(scale_pin, eager=False)
+    )
+    a = samp.alias("a")
+    b = samp.alias("b")
+
+    def cos_d(d: int):
+        ea = F.slice(F.col("a.emb"), 1, d).cast("array<double>")
+        eb = F.slice(F.col("b.emb"), 1, d).cast("array<double>")
+        na = vectors.l2_norm(ea)
+        nb = vectors.l2_norm(eb)
+        return _Q6(
+            F.when((na > 0) & (nb > 0), vectors.dot(ea, eb) / (na * nb))
+        )
+
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        *[cos_d(d).alias(f"c{d}") for d in _MRL_DIMS]
+    )
+    long = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("bigint").alias("d"),
+                            F.col(f"c{d}").alias("cd"),
+                            F.col("c64").alias("c64"),
+                        )
+                        for d in _MRL_DIMS
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.d", "r.cd", "r.c64")
+        .where(F.col("cd").isNotNull() & F.col("c64").isNotNull())
+    )
+    cd, c64 = F.col("cd"), F.col("c64")
+    mom = long.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        dsum(cd).alias("sx"),
+        dsum(cd * cd).alias("sx2"),
+        dsum(c64).alias("sy"),
+        dsum(c64 * c64).alias("sy2"),
+        dsum(cd * c64).alias("sxy"),
+        dsum(F.abs(cd - c64)).alias("sae"),
+    )
+    n, sx, sx2, sy, sy2, sxy = (
+        F.col("n_pairs"), F.col("sx"), F.col("sx2"),
+        F.col("sy"), F.col("sy2"), F.col("sxy"),
+    )
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.nullif(F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), F.lit(0.0)),
+    )
+    return mom.select(
+        F.col("d").alias("dims"),
+        "n_pairs",
+        _Q6(corr).alias("corr_vs_full"),
+        _Q6(F.col("sae") / n).alias("mae_vs_full"),
+    )

@@ -954,3 +954,75 @@ def test_watermark_lateness_no_single_partition_window(spark):
     ]
     # the only unpartitioned ordered window is over late_min (bounded)
     assert all("late_min" in u for u in unpart), unpart
+
+
+# ---------------------------------------------------------------------------
+# tranche 6: K144
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_self_check_and_monotone_fidelity(spark):
+    out = {
+        r["dims"]: r
+        for r in SPECS["llm_emb_matryoshka_eval"].builder(spark, SF_DIR).collect()
+    }
+    assert sorted(out) == [8, 16, 32, 64]
+    full = out[64]
+    # the full-dim row is the self-check: identical series
+    assert full["corr_vs_full"] == pytest.approx(1.0, abs=2e-6)
+    assert full["mae_vs_full"] == pytest.approx(0.0, abs=2e-6)
+    # every pairwise count is the same filtered pair set size, <= C(256,2)
+    assert all(r["n_pairs"] == full["n_pairs"] for r in out.values())
+    assert full["n_pairs"] <= 256 * 255 // 2
+    # fidelity cannot degrade as the prefix grows (on this corpus)
+    assert out[8]["mae_vs_full"] >= out[16]["mae_vs_full"] >= out[32]["mae_vs_full"]
+    for r in out.values():
+        assert -1.0 - 1e-9 <= r["corr_vs_full"] <= 1.0 + 1e-9
+
+
+def test_matryoshka_planted_informative_prefix(spark, tmp_path):
+    """Embeddings whose FIRST 8 dims carry all the signal (rest zero):
+    the d=8 row must already be a perfect proxy (corr 1, mae 0)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        head = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in head] + [0.0] * 56, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r["dims"]: r
+        for r in SPECS["llm_emb_matryoshka_eval"].builder(spark, str(tmp_path)).collect()
+    }
+    for d in (8, 16, 32, 64):
+        assert out[d]["corr_vs_full"] == pytest.approx(1.0, abs=5e-6), d
+        assert out[d]["mae_vs_full"] == pytest.approx(0.0, abs=5e-6), d
+
+
+def test_matryoshka_plan_shape(spark):
+    """The sample stage closes via TakeOrderedAndProject (never a global
+    sort window) — asserted on the stage itself since the entry pins it
+    into an RDD scan; the bounded pair join may nest loops but never a
+    CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    h = ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    stage = (
+        e.select("vec_id", "embedding")
+        .orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(256)
+    )
+    sp = stage._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in sp
+    plan = plan_of(spark, "llm_emb_matryoshka_eval")
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.split(",")[0].strip()
+        assert not re.match(r"^\S+#\d+L? (ASC|DESC)", first), m
