@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import Window as SparkWindow
 
 from ksql_spark.operators import text
-from ksql_spark.operators.scale import ranged_cumsum
+from ksql_spark.operators.scale import pin, ranged_cumsum
 from ksql_spark.registry import davg, query, sql_davg
 from ksql_spark.tables import load
 
@@ -2399,5 +2399,113 @@ def llm_shard_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "llm_dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_minhash_portable_oracle()}),
+    ladder AS (
+        SELECT unnest(ARRAY{list(_SWEEP_THRESHOLDS)}) AS t
+    ),
+    hits AS (
+        SELECT l.t, p.doc_a, p.doc_b
+        FROM ladder l JOIN pairs p ON p.jaccard >= l.t
+    ),
+    docs AS (
+        SELECT t, doc_a AS d FROM hits UNION SELECT t, doc_b FROM hits
+    ),
+    nd AS (
+        SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_in_pairs
+        FROM docs GROUP BY t
+    ),
+    np AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hits GROUP BY t
+    ),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT l.t AS threshold,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(nd.n_docs_in_pairs, 0) AS n_docs_in_pairs,
+           c.n_corpus,
+           CAST(trunc((COALESCE(nd.n_docs_in_pairs, 0) * 1.0
+                       / NULLIF(c.n_corpus, 0)) * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS touched_share
+    FROM ladder l
+    LEFT JOIN np ON np.t = l.t
+    LEFT JOIN nd ON nd.t = l.t
+    CROSS JOIN corpus c
+    """,
+    ref="SURVEY §2 K145 [EXT] (dedup threshold sensitivity: the verified "
+    "portable-LSH pair set swept across jaccard cutoffs 0.5-0.9 in one "
+    "pass — per threshold the surviving pair count, the documents touched "
+    "by any pair (the upper bound on near-dup removals), and the touched "
+    "share of the corpus; the 'pick the threshold' curve every dedup "
+    "rollout reads before committing — parameterized like K47's cutoff "
+    "sweep, thresholds cost arithmetic, not re-runs)",
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How threshold-sensitive is near-dedup on this corpus? One verified
+    pair pipeline (the oracle-exact portable LSH at base cutoff 0.5),
+    then every stricter threshold evaluated by filtering — per cutoff:
+    surviving pairs, documents touched by at least one pair (the removal
+    upper bound: actual drops need the cluster step, which keeps one doc
+    per component), and the touched corpus share. A cliff between two
+    thresholds means the corpus has a near-dup band right there — the
+    rollout decision this curve exists to inform.
+
+    Scale shape: the pair set is computed ONCE (sub-quadratic banded
+    LSH); the ladder is a 5-row broadcast joined onto pairs, so extra
+    thresholds cost conditional counting only. The distinct-doc count per
+    threshold shuffles pair-sized rows — bounded by the verified pair
+    set, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    pairs = pin(llm_dedup_near_portable(spark, sf_dir), eager=False)
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("double") for t in _SWEEP_THRESHOLDS])
+        ).alias("t")
+    )
+    hits = pin(
+        ladder.join(pairs, pairs.jaccard >= ladder.t).select(
+            "t", "doc_a", "doc_b"
+        ),
+        eager=False,
+    )
+    np_ = hits.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = hits.select("t", F.col("doc_a").alias("d")).unionByName(
+        hits.select("t", F.col("doc_b").alias("d"))
+    ).distinct()
+    nd = docs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in_pairs")
+    )
+    corpus = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    return (
+        ladder.join(np_, "t", "left")
+        .join(nd, "t", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0).cast("bigint")).alias(
+                "n_docs_in_pairs"
+            ),
+            "n_corpus",
+            (
+                (
+                    F.coalesce("n_docs_in_pairs", F.lit(0).cast("bigint"))
+                    * F.lit(1.0)
+                    / F.nullif(F.col("n_corpus").cast("double"), F.lit(0.0))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1000000.0)
+            ).alias("touched_share"),
         )
     )

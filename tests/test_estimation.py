@@ -1026,3 +1026,52 @@ def test_matryoshka_plan_shape(spark):
     for m in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         first = m.split(",")[0].strip()
         assert not re.match(r"^\S+#\d+L? (ASC|DESC)", first), m
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Stricter thresholds can only shrink the pair set and the touched-doc
+    set; the base cutoff row equals the full verified pair count."""
+    out = {
+        r["threshold"]: r
+        for r in SPECS["llm_dedup_threshold_sweep"].builder(spark, SF_DIR).collect()
+    }
+    assert sorted(out) == [0.5, 0.6, 0.7, 0.8, 0.9]
+    base = SPECS["llm_dedup_near_portable"].builder(spark, SF_DIR).count()
+    assert out[0.5]["n_pairs"] == base
+    prev_p, prev_d = None, None
+    for t in sorted(out):
+        r = out[t]
+        assert r["n_docs_in_pairs"] <= 2 * r["n_pairs"] or r["n_pairs"] == 0
+        assert 0 <= r["touched_share"] <= 1
+        if prev_p is not None:
+            assert r["n_pairs"] <= prev_p and r["n_docs_in_pairs"] <= prev_d
+        prev_p, prev_d = r["n_pairs"], r["n_docs_in_pairs"]
+
+
+def test_dedup_threshold_sweep_planted_cliff(spark, tmp_path):
+    """Two identical docs (3-gram jaccard 1.0) and two partially
+    overlapping docs (40 shared + 6 private words each -> 38 common grams
+    of 44: jaccard 38/50 = 0.76): every threshold keeps the exact pair;
+    the partial pair survives through 0.7 and vanishes at 0.8 — the
+    cliff the sweep exists to expose."""
+    shared = [f"s{i}" for i in range(40)]
+    a_extra = [f"a{i}" for i in range(6)]
+    b_extra = [f"b{i}" for i in range(6)]
+    texts = [
+        " ".join(shared + a_extra),
+        " ".join(shared + b_extra),
+        "dup dup " + " ".join(f"w{i}" for i in range(30)),
+        "dup dup " + " ".join(f"w{i}" for i in range(30)),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["threshold"]: r
+        for r in SPECS["llm_dedup_threshold_sweep"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[0.9]["n_pairs"] == 1  # only the exact pair
+    assert out[0.9]["n_docs_in_pairs"] == 2
+    assert out[0.7]["n_pairs"] == 2  # the 0.76 partial pair still in
+    assert out[0.8]["n_pairs"] == 1  # cliff between 0.7 and 0.8
