@@ -2411,7 +2411,7 @@ _SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
     oracle=f"""
     WITH pairs AS ({_minhash_portable_oracle()}),
     ladder AS (
-        SELECT unnest(ARRAY{list(_SWEEP_THRESHOLDS)}) AS t
+        SELECT CAST(unnest(ARRAY{list(_SWEEP_THRESHOLDS)}) AS DOUBLE) AS t
     ),
     hits AS (
         SELECT l.t, p.doc_a, p.doc_b

@@ -3134,7 +3134,7 @@ _ERLANG_FOLD_CAP = 100_000  # exact Erlang-B recursion is Theta(c); beyond
         FROM mom
     ),
     ladder AS (
-        SELECT unnest(ARRAY{list(_ERLANG_BUFFERS)}) AS f
+        SELECT CAST(unnest(ARRAY{list(_ERLANG_BUFFERS)}) AS DOUBLE) AS f
     ),
     cells AS (
         SELECT b.n AS n_orders, b.lam, b.s_days, b.a, l.f,
