@@ -2135,16 +2135,21 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
     data to a single partition' class — the one plan shape that cannot
     survive a 100 TB input). New entries must either partition their
     windows, close top-k via orderBy().limit(), use the ranged-cumsum
-    device, or argue a bound here."""
+    device, or argue a bound here. The same sweep forbids CartesianProduct
+    ANYWHERE, no allowlist: every deliberate bounded cross in the repo
+    broadcasts (BroadcastNestedLoopJoin), so a true cartesian is always a
+    missing join predicate."""
     import re
 
     from ksql_spark.registry import all_specs
 
-    offenders = {}
+    offenders, cartesians = {}, []
     for name, spec in sorted(all_specs().items()):
         if name.startswith(_WINDOW_SWEEP_SKIP):
             continue
         plan = spec.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesians.append(name)
         unpart = [
             m.split(",")[0].strip()
             for m in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
@@ -2153,6 +2158,7 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
         if unpart and name not in _UNPARTITIONED_WINDOW_ALLOWLIST:
             offenders[name] = unpart[:2]
     assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
+    assert not cartesians, f"CartesianProduct in: {cartesians}"
 
 
 def test_window_allowlist_entries_exist(spark):
