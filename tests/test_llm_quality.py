@@ -980,3 +980,49 @@ def test_pipeline_e2e_scaled_identity_law(spark):
     for did, r in got_by_id.items():
         assert r.cent_id == assign[did], did
         assert r.medoid_id == medoids[r.cent_id], did
+
+
+def test_dedup_cluster_collapse_equals_uncollapsed_below_cap(spark, tmp_path):
+    """Equivalence law for the r10 exact-collapse posture: on any corpus
+    whose exact-dup groups stay under minhash_near_dups' bucket cap, the
+    collapse-first cluster output must be IDENTICAL to the un-collapsed
+    spelling (pairs over all docs -> components -> left-join map). The
+    planted corpus mixes exact groups of depth 1/2/5, chained near-dups
+    across groups, and singletons."""
+    from ksql_spark.queries.graph import connected_components
+    from ksql_spark.registry import all_specs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    near = base.replace("alpha", "ALPHA", 1)
+    far = ("one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen sixteen") * 3
+    texts = [base] * 5 + [near] * 2 + [far] + [f"uniq{i} " * 40 for i in range(4)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).repartition(7)  # partition order must not matter
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in all_specs()["llm_dedup_cluster"].builder(spark, str(tmp_path)).collect()
+    }
+
+    # un-collapsed reference: the pre-r10 spelling, inline
+    d = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    pairs = dedup.minhash_near_dups(
+        d, "text", "doc_id", k=40, bands=4, jaccard_threshold=0.8
+    )
+    half = pairs.select(F.col("doc_a").alias("s1"), F.col("doc_b").alias("s2"))
+    adj = half.unionByName(
+        half.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    labels = {
+        r["suppkey"]: r["component"] for r in connected_components(adj).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        canon = labels.get(i, i)
+        want[i] = (canon, i == canon)
+    assert got == want
