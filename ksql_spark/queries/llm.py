@@ -6828,3 +6828,163 @@ def llm_emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q6(corr).alias("corr_vs_full"),
         _Q6(F.col("sae") / n).alias("mae_vs_full"),
     )
+
+
+_HIER_COARSE_CELL = 1024  # coarse K = clamp(n/1024, 2, 4096)
+_HIER_PER_CELL_SAMPLE = 512  # bounded per-cell reservoir for the sub-fits
+_HIER_SUB_MAX = 64  # sub-codebook K2 = clamp(cell_n/256, 1, 64)
+
+
+@query(
+    "llm_semantic_dedup_hier",
+    oracle=None,  # MLlib coarse fit + numpy sub-fits → rows-only; laws below
+    ref="SURVEY §2 K39 sibling [EXT] (the TWO-LEVEL codebook the K-cap "
+    "boundary note names: coarse KMeans cells (broadcast-sized), then an "
+    "independent deterministic Lloyd sub-fit PER CELL over a bounded "
+    "per-cell reservoir via applyInPandas — effective K = K_coarse*K2 "
+    "grows past the flat entry's 4096 cap while every broadcast stays "
+    "coarse-sized and every pandas group stays <= 512 rows; drop "
+    "decision byte-shared with both twins (_semantic_dedup_decide))",
+)
+def llm_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the hierarchical production codebook — the scale
+    device `llm_semantic_dedup_scaled` documents for corpora past its
+    K<=4096 linearity boundary (~1M vectors at cell 256), wired:
+
+    1. coarse stage: K_c = clamp(n/1024, 2, 4096) MLlib KMeans centroids
+       from the bounded deterministic reservoir (identical machinery to
+       the scaled entry), broadcast argmin assignment;
+    2. sub stage: per coarse cell, a deterministic numpy Lloyd fit
+       (init = first K2 sample vectors by vec_id, 10 iterations,
+       first-min ties) over a <= 512-row per-cell Knuth-hash reservoir —
+       the fits are DISJOINT, so applyInPandas runs them in parallel
+       with bounded group memory at any corpus size;
+    3. sub assignment joins each vector against ONLY its cell's K2
+       centroids (equi-join on coarse_id — never a global broadcast of
+       the K_c*K2 codebook), cent_id = coarse*100000 + sub;
+    4. the byte-shared _semantic_dedup_decide pair stage — pair space
+       Σ n_k² over the FINE cells, linear in n at fixed fine-cell size
+       with no 4096 ceiling.
+
+    Laws (tests/test_llm_quality.py): precision 1.0 vs global-exact
+    dedup (cluster blocking only restricts comparisons), recall >= 0.5,
+    schema identical to both twins, full-corpus coverage, and
+    partitioning-independence of the sub-fits (groups sort by vec_id
+    before fitting)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    SAMPLE_CAP = 4096
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()  # parquet metadata count — no data scan
+    kc = int(max(2, min(4096, n // _HIER_COARSE_CELL)))
+    cache_key = ("semdedup_hier", sf_dir, _emb_fingerprint(sf_dir), kc)
+    cent_rows = _CENTROID_CACHE.get(cache_key)
+    if cent_rows is None:
+        sample = (
+            _reservoir_sample(e.select("vec_id", "embedding"), SAMPLE_CAP)
+            .where(F.col("embedding").isNotNull())
+            .coalesce(1)
+            .sortWithinPartitions("vec_id")
+            .select(
+                array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+            )
+            .cache()
+        )
+        k = min(kc, max(1, sample.count()))
+        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
+        sample.unpersist()
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        _CENTROID_CACHE[cache_key] = cent_rows
+    cents = spark.createDataFrame(cent_rows, "coarse_id int, cent_emb array<double>")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("coarse_id"))
+    coarse = scale_pin(
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "coarse_id",
+            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "coarse_id",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("coarse_id"))
+            .cast("long")
+            .alias("cell_n"),
+        ),
+        eager=False,
+    )
+    hash_col = (
+        ((F.col("vec_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    ws = Window.partitionBy("coarse_id").orderBy(
+        hash_col.asc(), F.col("vec_id").asc()
+    )
+    samp = (
+        coarse.where(F.col("embedding").isNotNull())
+        .withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= _HIER_PER_CELL_SAMPLE)
+        .select("coarse_id", "cell_n", "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+
+    def fit_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")  # partitioning-independent input order
+        X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        k2 = int(max(1, min(_HIER_SUB_MAX, int(pdf["cell_n"].iloc[0]) // _SEMDEDUP_CELL)))
+        k2 = min(k2, len(pdf))
+        C = X[:k2].copy()  # deterministic init: first k2 sample rows by vec_id
+        for _ in range(10):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # numpy argmin: first minimum — ties stable
+            for j in range(k2):
+                pts = X[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "coarse_id": [int(pdf["coarse_id"].iloc[0])] * k2,
+                "sub_id": list(range(k2)),
+                "sub_emb": [[float(x) for x in c] for c in C],
+            }
+        )
+
+    subs = scale_pin(
+        samp.groupBy("coarse_id").applyInPandas(
+            fit_cell, "coarse_id int, sub_id int, sub_emb array<double>"
+        ),
+        eager=False,
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("sd").asc(), F.col("sub_id"))
+    m = scale_pin(
+        coarse.join(subs, "coarse_id")
+        .select(
+            "vec_id",
+            "embedding",
+            "coarse_id",
+            "sub_id",
+            vectors.l2_sq_dist(
+                F.col("embedding").cast("array<double>"), "sub_emb"
+            ).alias("sd"),
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            (F.col("coarse_id").cast("long") * F.lit(100000) + F.col("sub_id"))
+            .alias("cent_id"),
+        ),
+        eager=False,
+    )
+    return _semantic_dedup_decide(m)

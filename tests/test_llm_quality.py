@@ -1026,3 +1026,32 @@ def test_dedup_cluster_collapse_equals_uncollapsed_below_cap(spark, tmp_path):
         canon = labels.get(i, i)
         want[i] = (canon, i == canon)
     assert got == want
+
+
+def test_semantic_dedup_hier_laws(spark):
+    """llm_semantic_dedup_hier (two-level production codebook) laws — the
+    same contract as the flat scaled sibling, so evidence transfers:
+
+    * precision 1.0, EXACT: fine-cell blocking only restricts which pairs
+      are compared, so every drop must exist in the global-exact set;
+    * recall >= 0.5 vs global-exact dedup;
+    * schema identical to the oracle-exact fixed-centroid twin;
+    * full-corpus coverage, each vector exactly once;
+    * sub-fits are partitioning-independent: identical output from a
+      7-way repartitioned session run (groups sort by vec_id before
+      fitting, reservoirs are hash-ranked)."""
+    specs = all_specs()
+    hier = specs["llm_semantic_dedup_hier"].builder(spark, SF_DIR)
+    twin = specs["llm_semantic_dedup"].builder(spark, SF_DIR)
+    assert hier.schema == twin.schema
+    rows = hier.collect()
+    truth = _global_exact_dropped(spark)
+    got = {r.vec_id for r in rows if r.dropped}
+    assert got <= truth, f"unjustified drops: {sorted(got - truth)[:10]}"
+    assert truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"hier SemDeDup recall too low: {recall:.2f}"
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == n and len({r.vec_id for r in rows}) == n
+    # effective codebook is genuinely hierarchical: >1 coarse cell used
+    assert len({r.cent_id // 100000 for r in rows}) >= 2
