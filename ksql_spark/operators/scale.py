@@ -18,6 +18,8 @@ appears in consumers' plans.
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Runtime conf gating reliable (HDFS/S3-backed) checkpointing for the
@@ -28,12 +30,35 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 #: migration note, now a one-conf switch instead of a code change).
 RELIABLE_PIN_CONF = "spark.ksql_spark.reliablePin"
 
+#: Testing seam (tests/test_plans.py): when True, pin() is the identity.
+#: A localCheckpoint rewrites everything upstream to a LogicalRDD, so plan
+#: inspectors (the unpartitioned-window gate, the allowlist bound prover)
+#: are BLIND to operators above a pin (ADVICE r10). Disabling pins exposes
+#: the full logical plan for structural inspection. Never set in production
+#: paths — pins are load-bearing for iterative lineage truncation.
+_PINS_DISABLED = False
+
+
+@_contextmanager
+def pins_disabled():
+    """Context manager: make every pin() a no-op so structural plan sweeps
+    can inspect the PRE-pin plan (windows, joins, exchanges upstream of a
+    lineage pin). Not thread-safe; test-only."""
+    global _PINS_DISABLED
+    _PINS_DISABLED = True
+    try:
+        yield
+    finally:
+        _PINS_DISABLED = False
+
 
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize df and truncate lineage: reliable `checkpoint()` when
     RELIABLE_PIN_CONF is true and a checkpoint dir is set, else
     `localCheckpoint()`. All `ranged_*` primitives and the graph iteration
     loops pin through this one seam."""
+    if _PINS_DISABLED:
+        return df
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_PIN_CONF, "false").lower() == "true":
         sc = spark.sparkContext

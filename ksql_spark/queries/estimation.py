@@ -2171,8 +2171,10 @@ def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n, st / n AS tbar, sy / n AS ybar,
                (n * sty - st * sy) / NULLIF(n * st2 - st * st, 0) AS beta,
                st2 - st * st / n AS sxx,
-               CAST(floor(4 * exp((2.0 / 9.0) * ln(n / 100.0))) AS BIGINT)
-                   AS lag_l
+               CASE WHEN n > 0
+                    THEN CAST(floor(4 * exp((2.0 / 9.0) * ln(n / 100.0)))
+                              AS BIGINT)
+                    ELSE 0 END AS lag_l
         FROM mom
     ),
     u AS (
@@ -2262,10 +2264,17 @@ def events_newey_west_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n * sty - st * sy, F.nullif(n * st2 - st * st, F.lit(0.0))
             ).alias("beta"),
             (st2 - st * st / n).alias("sxx"),
-            F.floor(
-                F.lit(4.0)
-                * F.exp(F.lit(2.0 / 9.0) * F.log(n / F.lit(100.0)))
+            # n > 0 guard (ADVICE r10): on an EMPTY daily table Spark's
+            # log(0) yields NULL (lag_l NULL) while DuckDB's ln(0.0) yields
+            # -inf (lag_l 0) — the CASE pins both engines to lag_l = 0.
+            F.when(
+                n > 0,
+                F.floor(
+                    F.lit(4.0)
+                    * F.exp(F.lit(2.0 / 9.0) * F.log(n / F.lit(100.0)))
+                ),
             )
+            .otherwise(F.lit(0))
             .cast("bigint")
             .alias("lag_l"),
         ),

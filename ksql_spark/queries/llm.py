@@ -215,7 +215,21 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.queries.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    ids = d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+    # Null-safe grouping key: sha2(NULL) is NULL, and the inner map-back join
+    # below never matches NULL keys — a plain sha key silently DROPS every
+    # NULL-text document from the output, breaking the "every document
+    # mapped" contract (ADVICE r10). Each NULL-text doc gets a unique
+    # synthetic key, so it forms its own singleton group (rep_id = doc_id,
+    # self-canonical). NULL-text reps entering the LSH stage are harmless:
+    # their word arrays are NULL, so the Jaccard verify NULLs out and no
+    # pair survives the threshold.
+    ids = d.select(
+        "doc_id",
+        F.coalesce(
+            F.sha2(F.col("text"), 256),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("text_sha"),
+    )
     # LAZY pins: `groups` feeds both the LSH rep filter and the copy->rep
     # map-back; `pairs`' symmetrization union consumes it twice — un-pinned,
     # each branch re-runs the whole upstream pipeline (round-8 probe).

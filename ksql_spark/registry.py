@@ -277,9 +277,40 @@ _R9_CHECKED = frozenset({
 })
 
 
+#: Round-10 ritual transcription (CORRECTNESS_r10.json, 48 oracle-green +
+#: 2 rows-only-by-design): the window was the 31 never-checked r10 additions
+#: (D83-D97, K135-K145, L17-L19 + the hier/e2e production siblings) plus 19
+#: refill keys from the oldest (r1) evidence — the B-section filter/projection
+#: family, case_when, scalar_subquery, and the q_* bench heads. Refill
+#: continues from the stalest remaining evidence (the r1 fn_* leftovers,
+#: then the r2 join/sort/setop/window families).
+_R10_CHECKED = frozenset({
+    "case_when", "distinct_rows", "events_bass_diffusion",
+    "events_blb_mean_ci", "events_capture_recapture", "events_chain_ladder",
+    "events_cmh_test", "events_eb_shrinkage", "events_gumbel_maxima",
+    "events_newey_west_trend", "events_watermark_lateness_audit",
+    "filter_between", "filter_compare", "filter_exists", "filter_ilike",
+    "filter_in_list", "filter_in_subquery", "filter_like", "filter_not_null",
+    "filter_null", "graph_diameter_doublesweep", "graph_modularity",
+    "graph_rich_club", "llm_audio_autocorr", "llm_bigram_kneser_ney",
+    "llm_bradley_terry_sources", "llm_code_prose_score",
+    "llm_dedup_threshold_sweep", "llm_emb_matryoshka_eval",
+    "llm_emb_pca_power", "llm_good_turing", "llm_kn_perplexity",
+    "llm_mojibake_audit", "llm_pipeline_e2e_scaled", "llm_semantic_dedup_hier",
+    "llm_token_budget_plan", "orders_cointegration_screen",
+    "orders_erlang_staffing", "orders_littles_law_audit",
+    "orders_panel_within_ols", "orders_stochastic_dominance",
+    "part_safety_stock", "project_columns", "project_exprs",
+    "project_nested_json", "q_events_session", "q_join3_topk", "q_rollup",
+    "q_window", "scalar_subquery",
+})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R9_CHECKED:
+    if spec.name in _R10_CHECKED:
+        group = 10
+    elif spec.name in _R9_CHECKED:
         group = 9
     elif spec.name in _R8_CHECKED:
         group = 8

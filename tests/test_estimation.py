@@ -524,6 +524,35 @@ def test_newey_west_inflates_se_on_autocorrelated_residuals(spark, tmp_path):
     assert abs(r["t_hac"]) < abs(r["t_ols"])
 
 
+def test_newey_west_degenerate_empty_daily_agrees_with_oracle(spark, tmp_path):
+    """ADVICE r10: on an EMPTY daily table (every value NULL) Spark's
+    log(0/100) is NULL while DuckDB's ln(0.0) is -inf, so lag_l diverged
+    (NULL vs 0). The CASE WHEN n > 0 guard pins BOTH engines to the same
+    degenerate row: n_days 0, lag_l 0, every model column NULL."""
+    import datetime
+
+    import duckdb
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i), i, "visit", None, "{}")
+        for i in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["events_newey_west_trend"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 0 and r["lag_l"] == 0
+    assert all(
+        r[c] is None for c in ("beta", "se_ols", "se_hac", "t_ols", "t_hac")
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.sql(SPECS["events_newey_west_trend"].oracle).fetchall()[0]
+    cols = ["n_days", "lag_l", "beta", "se_ols", "se_hac", "t_ols", "t_hac"]
+    assert tuple(r[c] for c in cols) == o
+
+
 def test_littles_law_exact_on_stationary_system(spark, tmp_path):
     """Deterministic stationary queue: one order per day, each in flight
     exactly 5 days. On any interior window L = 5, lambda = 1, W = 5, so

@@ -2099,6 +2099,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "events_bass_diffusion": "daily adoption spine",
     "events_chain_ladder": "(cohort, age) development triangle",
     "events_granger_lite": "daily series",
+    "events_newey_west_trend": "daily series (window upstream of a pin — "
+    "found by the pre-pin sweep, ADVICE r10)",
     "events_slo_burn_rate": "daily series",
     "events_sprt_ab": "daily ledger",
     "orders_cointegration_screen": "daily series",
@@ -2127,6 +2129,25 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
 
 _WINDOW_SWEEP_SKIP = ("scan_k8s", "join_bucketed_colocated")
 
+#: Entries whose builders compose a DataFrame on itself in a loop (graph
+#: iteration, greedy selection, IRLS ladders, component resolution): with
+#: pins stubbed to identity their logical plan grows exponentially in the
+#: loop depth — merely CONSTRUCTING the unpinned plan OOMs the driver
+#: (measured: llm_bradley_terry_sources and llm_mmr_rerank at sf0.01).
+#: These are excluded from the PRE-pin sweep only; their pinned plans still
+#: pass the main gate, and their per-entry plan gates pin the iteration
+#: shapes (test_estimation/test_pipeline_audit/graph suites).
+_PREPIN_ITERATIVE_SKIP = (
+    "graph_",
+    "customer_migration_steady_state",
+    "er_resolve_parts",
+    "events_attribution_markov",
+    "llm_bradley_terry_sources",
+    "llm_dedup_cluster",  # connected-components loop (and _portable twin)
+    "llm_mmr_rerank",
+    "llm_pipeline_e2e_scaled",
+)
+
 
 def test_no_unpartitioned_windows_outside_allowlist(spark):
     """Global scale-killer gate: build EVERY registry entry's physical plan
@@ -2138,9 +2159,22 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
     device, or argue a bound here. The same sweep forbids CartesianProduct
     ANYWHERE, no allowlist: every deliberate bounded cross in the repo
     broadcasts (BroadcastNestedLoopJoin), so a true cartesian is always a
-    missing join predicate."""
+    missing join predicate.
+
+    Pin blind spot (ADVICE r10), closed here: a lineage pin
+    (localCheckpoint) rewrites everything upstream to a LogicalRDD, so the
+    executed-plan regex alone cannot see windows ABOVE a pin. Any entry
+    whose plan contains an ExistingRDD is therefore REBUILT with pins
+    stubbed to identity (ksql_spark.operators.scale.pins_disabled) and its
+    full pre-pin plan swept with the same rule — except the documented
+    _PREPIN_ITERATIVE_SKIP class, whose unpinned plans are exponential in
+    loop depth and cannot be constructed (their iteration shapes carry
+    per-entry gates instead). The allowlist itself is bound-PROOFED
+    numerically by test_allowlisted_window_input_stays_under_stated_bound
+    below."""
     import re
 
+    from ksql_spark.operators.scale import pins_disabled
     from ksql_spark.registry import all_specs
 
     offenders, cartesians = {}, []
@@ -2157,6 +2191,13 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
         ]
         if unpart and name not in _UNPARTITIONED_WINDOW_ALLOWLIST:
             offenders[name] = unpart[:2]
+        if "ExistingRDD" in plan and not name.startswith(_PREPIN_ITERATIVE_SKIP):
+            # pre-pin re-sweep: expose the plan upstream of every pin
+            with pins_disabled():
+                prepin = spec.builder(spark, SF_DIR)
+                hidden = _unpartitioned_window_inputs(prepin)
+            if hidden and name not in _UNPARTITIONED_WINDOW_ALLOWLIST:
+                offenders[name] = [f"pre-pin window x{len(hidden)}"]
     assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
     assert not cartesians, f"CartesianProduct in: {cartesians}"
 
@@ -2168,3 +2209,275 @@ def test_window_allowlist_entries_exist(spark):
     specs = all_specs()
     stale = [n for n in _UNPARTITIONED_WINDOW_ALLOWLIST if n not in specs]
     assert not stale, stale
+
+
+# ---------------------------------------------------------------------------
+# Allowlist bound PROOF (round 11, VERDICT r10 item 1): each allowlisted
+# unpartitioned window's bound is ASSERTED numerically, not argued in a
+# comment. For every allowlist entry we locate the actual Window operators
+# with an empty partitionSpec in the entry's optimized plan, COUNT the rows
+# feeding each one, and check the count against the entry's stated bound
+# computed from the same dataset's statistics (calendar days, |event types|,
+# |sources|, vocabulary size, top-k constants). An edit that un-bounds a
+# window's input — e.g. swapping a daily rollup for the raw event table —
+# now fails CI instead of riding the allowlist. The sweep runs at the test
+# fixture scale and, when present, at the sf0.1 fixture and the sf1 probe
+# (tools/make_sfprobe.py), so a bound that only *looks* constant at small
+# scale is caught growing.
+# ---------------------------------------------------------------------------
+
+
+def _unpartitioned_window_inputs(df):
+    """JVM logical plans feeding each unpartitioned Window in df's optimized
+    plan (deduplicated — one Window stage often computes several functions
+    over the same child)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    out, seen, stack = [], set(), [plan]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            child = node.child()
+            key = child.semanticHash()
+            if key not in seen:
+                seen.add(key)
+                out.append(child)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return out
+
+
+def _count_jplan(spark, jplan) -> int:
+    from pyspark.sql import DataFrame
+
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, jplan
+    )
+    return DataFrame(jdf, spark).count()
+
+
+_BOUND_STATS_CACHE: dict = {}
+
+
+def _bound_stats(spark, sf_dir: str) -> dict:
+    """Corpus statistics the stated bounds are expressed in. One narrow agg
+    per table, cached per directory for the whole test session."""
+    if sf_dir in _BOUND_STATS_CACHE:
+        return _BOUND_STATS_CACHE[sf_dir]
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    er = e.agg(
+        F.countDistinct(F.to_date("ts")).alias("days"),
+        F.countDistinct("event_type").alias("types"),
+        (
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 60
+        ).alias("horizon_min"),
+    ).collect()[0]
+    orr = o.agg(
+        F.countDistinct(F.to_date("o_orderdate")).alias("days"),
+        F.countDistinct(F.date_trunc("month", "o_orderdate")).alias("months"),
+    ).collect()[0]
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    dr = d.agg(
+        F.countDistinct("source").alias("sources"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    ).collect()[0]
+    vocab_rows = (
+        words.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.sum(F.length("w") - 1).alias("_"))
+        .agg(
+            F.count("*").alias("vocab"),
+            F.sum(F.length("w") - 1).alias("sym_pairs"),
+        )
+        .collect()[0]
+    )
+    st = {
+        "days_events": er["days"],
+        "n_types": er["types"],
+        "horizon_minutes": int(er["horizon_min"] or 0),
+        "days_orders": orr["days"],
+        "months_orders": orr["months"],
+        "n_sources": dr["sources"],
+        "total_tokens": int(dr["tokens"] or 0),
+        "vocab": vocab_rows["vocab"],
+        "sym_pairs": int(vocab_rows["sym_pairs"] or 0),
+        "n_supplier": s.count(),
+    }
+    _BOUND_STATS_CACHE[sf_dir] = st
+    return st
+
+
+def _isqrt(n: int) -> int:
+    import math
+
+    return math.isqrt(max(n, 0))
+
+
+#: name -> (stated bound, fn(stats) -> numeric bound). EVERY allowlist key
+#: must appear here (enforced below): an allowlist addition without a bound
+#: assertion fails CI. The bound is the allowlist comment made numeric.
+_ALLOWLIST_BOUNDS = {
+    "agg_histogram_quantile": ("64-bin fixed histogram grid", lambda st: 64),
+    "events_srm_fdr": ("<= |event types| BH rows", lambda st: st["n_types"]),
+    "events_top_paths": (
+        "<= |types|^3 length-3 paths",
+        lambda st: st["n_types"] ** 3,
+    ),
+    "events_bass_diffusion": (
+        "<= |event days| + 1 daily adoption spine",
+        lambda st: st["days_events"] + 1,
+    ),
+    "events_chain_ladder": (
+        "<= |event days|^2 (cohort, age) triangle",
+        lambda st: st["days_events"] ** 2,
+    ),
+    "events_granger_lite": (
+        "<= |event days| daily series",
+        lambda st: st["days_events"],
+    ),
+    "events_newey_west_trend": (
+        "<= |event days| daily series (pre-pin row_number index)",
+        lambda st: st["days_events"],
+    ),
+    "events_slo_burn_rate": (
+        "<= |event days| daily series",
+        lambda st: st["days_events"],
+    ),
+    "events_sprt_ab": (
+        "<= 2|event days| daily arm ledger",
+        lambda st: 2 * st["days_events"],
+    ),
+    "orders_cointegration_screen": (
+        "<= |order days| daily series",
+        lambda st: st["days_orders"],
+    ),
+    "orders_monthly_growth": (
+        "<= |order months| monthly series",
+        lambda st: st["months_orders"],
+    ),
+    "orders_revenue_drawdown": (
+        "<= |order days| daily series",
+        lambda st: st["days_orders"],
+    ),
+    "orders_runs_test": (
+        "<= |order days| daily sign series",
+        lambda st: st["days_orders"],
+    ),
+    "orders_seasonal_naive_backtest": (
+        "<= |order months| monthly series",
+        lambda st: st["months_orders"],
+    ),
+    "orders_survival_km": (
+        "<= |order days| + 1 distinct durations",
+        lambda st: st["days_orders"] + 1,
+    ),
+    "events_watermark_lateness_audit": (
+        "<= horizon-minutes lateness histogram",
+        lambda st: st["horizon_minutes"] + 2,
+    ),
+    "graph_adamic_adar": (
+        "rank over the 20-row TakeOrdered result",
+        lambda st: 20,
+    ),
+    "graph_adamic_adar_capped": (
+        "rank over the 20-row TakeOrdered result",
+        lambda st: 20,
+    ),
+    "llm_collocations": (
+        "rank over the 20-row TakeOrdered top-k",
+        lambda st: 20,
+    ),
+    "llm_bpe_merges": (
+        "adjacent-symbol pair types <= sum over distinct words of |w|-1",
+        lambda st: st["sym_pairs"] + 1,
+    ),
+    "llm_tokenize_ids": (
+        "<= |word vocabulary| rank table",
+        lambda st: st["vocab"] + 1,
+    ),
+    "llm_good_turing": (
+        "counts-of-counts ladder <= sqrt(2 * corpus tokens)",
+        lambda st: _isqrt(2 * st["total_tokens"]) + 2,
+    ),
+    "llm_bradley_terry_sources": (
+        "<= 256 * |sources| champion rows",
+        lambda st: 256 * st["n_sources"],
+    ),
+    "llm_source_interleave": (
+        "dense_rank over <= |sources| rows",
+        lambda st: st["n_sources"],
+    ),
+    "win_distribution": (
+        "reference-parity surface: exactly |supplier| rows "
+        "(scale twin: win_distribution_scaled)",
+        lambda st: st["n_supplier"],
+    ),
+}
+
+
+def test_allowlist_and_bounds_are_in_lockstep():
+    """An allowlist addition without a numeric bound assertion fails here."""
+    missing = set(_UNPARTITIONED_WINDOW_ALLOWLIST) - set(_ALLOWLIST_BOUNDS)
+    extra = set(_ALLOWLIST_BOUNDS) - set(_UNPARTITIONED_WINDOW_ALLOWLIST)
+    assert not missing, f"allowlist entries without a bound: {sorted(missing)}"
+    assert not extra, f"bounds for non-allowlisted entries: {sorted(extra)}"
+
+
+def _bound_probe_dirs():
+    import os
+
+    dirs = [SF_DIR]
+    for d in ("/root/testdata/sf0.1", "/root/repo/tmp_sfprobe"):
+        if d not in dirs and os.path.isdir(d):
+            dirs.append(d)
+    return dirs
+
+
+@pytest.mark.parametrize("name", sorted(_ALLOWLIST_BOUNDS))
+def test_allowlisted_window_input_stays_under_stated_bound(spark, name):
+    """The bound PROOF: count the rows actually feeding every unpartitioned
+    window of each allowlisted entry and assert count <= the stated bound,
+    at every probe scale available. Also asserts the allowlist entry still
+    HAS an unpartitioned window at fixture scale — otherwise it should be
+    removed (allowlist rot in the other direction)."""
+    from ksql_spark.operators.scale import pins_disabled
+
+    desc, bound_fn = _ALLOWLIST_BOUNDS[name]
+    found_any = False
+    for sf_dir in _bound_probe_dirs():
+        df = SPECS[name].builder(spark, sf_dir)
+        inputs = _unpartitioned_window_inputs(df)
+        if not inputs:
+            # The window may sit UPSTREAM of a lineage pin (localCheckpoint
+            # rewrites the subtree to a LogicalRDD — the ADVICE r10 blind
+            # spot). Rebuild with pins stubbed to identity so the pre-pin
+            # plan is inspectable. Safe here: allowlisted entries whose
+            # PINNED plan already shows the window (e.g. the iterative
+            # Bradley-Terry ladder) never reach this branch, so no
+            # unpinned iterative plan is ever constructed.
+            with pins_disabled():
+                df = SPECS[name].builder(spark, sf_dir)
+                inputs = _unpartitioned_window_inputs(df)
+        if not inputs:
+            continue
+        found_any = True
+        bound = bound_fn(_bound_stats(spark, sf_dir))
+        for jplan in inputs:
+            rows = _count_jplan(spark, jplan)
+            assert rows <= bound, (
+                f"{name} @ {sf_dir}: unpartitioned window fed {rows} rows, "
+                f"stated bound '{desc}' = {bound}"
+            )
+    assert found_any, (
+        f"{name}: no unpartitioned window found at any probe scale — "
+        "remove it from _UNPARTITIONED_WINDOW_ALLOWLIST"
+    )

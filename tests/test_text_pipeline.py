@@ -99,6 +99,38 @@ def test_dedup_cluster_chained_duplicates(spark, tmp_path):
     assert out[3] == (3, True)
 
 
+def test_dedup_cluster_null_and_empty_text_stay_self_canonical(spark, tmp_path):
+    """NULL-text and empty-text documents must SURVIVE clustering as
+    self-canonical singletons (ADVICE r10, medium): sha2(NULL) is NULL and
+    a plain inner map-back join on the digest silently dropped every
+    NULL-text doc from the output. Also pins that two NULL-text docs are
+    NOT merged with each other (NULL is "unknown", not "identical") while
+    two EMPTY-text docs DO collapse (identical content, exact-dedup path),
+    and that real duplicates still cluster alongside the degenerate rows."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    rows = [
+        (0, base), (1, base),      # exact dups -> cluster at 0
+        (2, None), (3, None),      # NULL text -> each its own singleton
+        (4, ""), (5, ""),          # empty text -> identical -> collapse at 4
+        (6, "solo doc " * 30),     # ordinary singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t) if t else 0) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in all_specs()["llm_dedup_cluster"].builder(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 7, sorted(out)  # EVERY doc mapped — none dropped
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[2] == (2, True) and out[3] == (3, True)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)
+
+
 def test_dedup_cluster_deep_exact_group_survives_bucket_cap(spark, tmp_path):
     """The exact-collapse posture (round 10): an exact-dup group DEEPER than
     minhash_near_dups' max_bucket_size (200) must still cluster — without

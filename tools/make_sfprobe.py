@@ -84,6 +84,24 @@ def main() -> None:
         ).parquet(str(dst))
         print(f"{t}: copied")
     wanted = set(args.tables.split(",")) if args.tables else set(FACTS)
+    unknown = wanted - set(FACTS)
+    if unknown:
+        ap.error(
+            f"--tables names not in FACTS: {sorted(unknown)} "
+            f"(valid: {sorted(FACTS)})"
+        )
+    # Unlisted fact tables are still COPIED unreplicated (ADVICE r10): a
+    # probe dir missing e.g. documents.parquet fails any query touching it
+    # with a confusing missing-file error, and a silently absent table is
+    # worse — a stale file from a previous run would be read instead.
+    for t in sorted(set(FACTS) - wanted):
+        dst = out / f"{t}.parquet"
+        if dst.exists() or dst.is_dir():
+            shutil.rmtree(dst, ignore_errors=True)
+        spark.read.parquet(f"{args.src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(str(dst))
+        print(f"{t}: copied unreplicated (not in --tables)", flush=True)
     for t, (keys, nfiles) in FACTS.items():
         if t not in wanted:
             continue
