@@ -2481,3 +2481,54 @@ def test_allowlisted_window_input_stays_under_stated_bound(spark, name):
         f"{name}: no unpartitioned window found at any probe scale — "
         "remove it from _UNPARTITIONED_WINDOW_ALLOWLIST"
     )
+
+
+# ---------------------------------------------------------------------------
+# BUILD-TIME ACTION RULE (VERDICT r10 item 6 — the stated, tested exception)
+#
+# House discipline is zero-build-job builders: plan construction must not run
+# Spark jobs, so that registering/introspecting an entry (dtype sweeps, plan
+# gates, driver enumeration) stays metadata-cheap and no entry smuggles a
+# data-proportional action into build time. Build-time actions are PERMITTED
+# only when their work is input-scale-BOUNDED, in one of four classes:
+#
+#   (a) partition-count-bounded stitches — ranged_cumsum/ranged_cummax
+#       collect one row per partition to chain prefix totals;
+#   (b) bounded-reservoir MLlib fits — KMeans.fit() is an action by API
+#       contract; the fit input must ride _reservoir_sample(cap <= 4096),
+#       making the eager work O(cap·K) regardless of corpus size;
+#   (c) metadata-only counts — a .count() whose plan is a parquet
+#       footer/statistics read or an already-bounded table;
+#   (d) loop-over-plans materializations — iterative entries (graph ladders,
+#       MM/greedy loops) localCheckpoint a BOUNDED iteration table per step
+#       (vertex table, champion table, K-row state), never the corpus.
+#
+# Anything else — an eager action over unbounded input — is a scale bug.
+# The two SemDeDup production entries are the class-(b) canonical instances;
+# the test below pins that their fits actually ride the bounded reservoir,
+# so swapping in an unbounded fit input fails CI.
+# ---------------------------------------------------------------------------
+
+_BOUNDED_FIT_ENTRIES = ("llm_semantic_dedup_scaled", "llm_semantic_dedup_hier")
+
+
+@pytest.mark.parametrize("name", _BOUNDED_FIT_ENTRIES)
+def test_bounded_fit_entries_ride_the_reservoir(spark, monkeypatch, name):
+    """Class-(b) proof: every build-time MLlib fit input goes through
+    _reservoir_sample with cap <= 4096, so the eager work is corpus-size
+    independent (the documented bounded-action exception, not a leak)."""
+    import ksql_spark.queries.llm as llm_mod
+
+    calls: list[int] = []
+    real = llm_mod._reservoir_sample
+
+    def spy(e, cap):
+        calls.append(cap)
+        return real(e, cap)
+
+    monkeypatch.setattr(llm_mod, "_reservoir_sample", spy)
+    SPECS[name].builder(spark, SF_DIR)
+    assert calls, f"{name}: build-time fit no longer rides _reservoir_sample"
+    assert all(c <= 4096 for c in calls), (
+        f"{name}: reservoir cap(s) {calls} exceed the 4096 bounded-action cap"
+    )
