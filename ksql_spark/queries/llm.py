@@ -5968,6 +5968,18 @@ def llm_pipeline_e2e_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-twin pipeline (llm_pipeline_e2e) stays registered as the
     oracle-parity spec; the identity law ties this entry to it on the
     fixture, so correctness evidence transfers."""
+    return _pipeline_e2e_production(spark, sf_dir, llm_semantic_dedup_scaled)
+
+
+def _pipeline_e2e_production(spark, sf_dir, sem_dedup_fn):
+    """Shared production shard-build pipeline: quality gate -> exact dedup ->
+    the given semantic-dedup sibling -> weighted keep -> fixed-centroid shard
+    layout with sampled medoid anchors. `sem_dedup_fn` is the corpus-size
+    switch: `llm_semantic_dedup_scaled` (flat K ∝ n codebook) up to its
+    K<=4096 linearity boundary (~1M vectors), `llm_semantic_dedup_hier`
+    (two-level codebook, effective K = K_c*K2) past it — both emit the same
+    (vec_id, dropped, ...) schema via the byte-shared decide stage, so the
+    pipeline composition is identical."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     scored = d.select(
@@ -5982,9 +5994,9 @@ def llm_pipeline_e2e_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon,
         (h == F.col("h")) & (F.col("doc_id") == F.col("keep_id")),
     )
-    # production semantic dedup: keep vectors the scaled SemDeDup retains
+    # production semantic dedup: keep vectors the chosen sibling retains
     sem_kept = (
-        llm_semantic_dedup_scaled(spark, sf_dir)
+        sem_dedup_fn(spark, sf_dir)
         .where(~F.col("dropped"))
         .select("vec_id")
     )
@@ -7002,3 +7014,32 @@ def llm_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     return _semantic_dedup_decide(m)
+
+
+@query(
+    "llm_pipeline_e2e_hier",
+    oracle=None,  # two-level KMeans SemDeDup stage ≠ SQL-expressible → rows-only
+    ref="SURVEY §2 K28 production posture past the K-cap boundary (VERDICT "
+    "r10 item 3: llm_pipeline_e2e_scaled composes the flat K<=4096 "
+    "codebook whose linearity ends ~1M vectors; this sibling is the "
+    "corpus-size switch target — the SAME quality gate -> exact dedup -> "
+    "weighted select -> fixed-centroid shard layout, with "
+    "llm_semantic_dedup_hier (coarse cells + per-cell sub-codebooks, "
+    "effective K = K_c*K2) as the semantic stage. Identity law pinned in "
+    "tests/test_llm_quality.py: on the fixture, survivors == exact-"
+    "pipeline survivors minus the HIER SemDeDup drops, per-row metrics "
+    "and (cent_id, medoid_id) anchors byte-equal to the exact twin's)",
+    tags=("rows_only_by_design",),
+)
+def llm_pipeline_e2e_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard selection on the production path for
+    corpora PAST the flat codebook's ~1M-vector linearity boundary: the
+    semantic-dedup stage is the two-level hierarchical codebook
+    (`llm_semantic_dedup_hier`) instead of the flat K ∝ n one. Every other
+    stage — and its scale shape — is byte-shared with
+    `llm_pipeline_e2e_scaled` via `_pipeline_e2e_production`: the only
+    corpus-wide exchanges are the dedup agg + join-back, the embedding
+    join, and the hier pair stage (linear in n at fixed fine-cell size,
+    no 4096 ceiling); fits stay bounded (coarse reservoir <= 4096 rows,
+    per-cell sub-fits <= 512 rows, disjoint + parallel)."""
+    return _pipeline_e2e_production(spark, sf_dir, llm_semantic_dedup_hier)

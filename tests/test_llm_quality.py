@@ -1055,3 +1055,45 @@ def test_semantic_dedup_hier_laws(spark):
     assert len(rows) == n and len({r.vec_id for r in rows}) == n
     # effective codebook is genuinely hierarchical: >1 coarse cell used
     assert len({r.cent_id // 100000 for r in rows}) >= 2
+
+
+def test_pipeline_e2e_hier_identity_law(spark):
+    """llm_pipeline_e2e_hier (VERDICT r10 item 3) identity law on the
+    fixture: the hier production pipeline's survivor set must equal the
+    oracle-exact pipeline's survivors MINUS the hier SemDeDup drops (the
+    only stage that differs from the exact path), with per-row metrics and
+    (cent_id, medoid_id) shard anchors byte-equal to the exact twin's —
+    the same law that ties llm_pipeline_e2e_scaled to driver-hash-checked
+    evidence, now covering the past-the-K-cap switch target."""
+    specs = all_specs()
+    hier = specs["llm_pipeline_e2e_hier"].builder(spark, SF_DIR).collect()
+    exact = specs["llm_pipeline_e2e"].builder(spark, SF_DIR).collect()
+    sem_dropped = {
+        r.vec_id
+        for r in specs["llm_semantic_dedup_hier"].builder(spark, SF_DIR).collect()
+        if r.dropped
+    }
+    exact_by_id = {r.doc_id: r for r in exact}
+    want_ids = set(exact_by_id) - sem_dropped
+    got_by_id = {r.doc_id: r for r in hier}
+    assert set(got_by_id) == want_ids
+    for did, r in got_by_id.items():
+        ex = exact_by_id[did]
+        assert (r.n_tokens, r.quality, r.emb_norm) == (
+            ex.n_tokens, ex.quality, ex.emb_norm,
+        ), did
+    medoids = {
+        r.cent_id: r.medoid_id
+        for r in specs["llm_cluster_medoids_sampled"].builder(spark, SF_DIR).collect()
+    }
+    from ksql_spark.queries.llm import _assign_fixed_centroids
+
+    assign = {
+        r.vec_id: r.cent_id
+        for r in _assign_fixed_centroids(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ).collect()
+    }
+    for did, r in got_by_id.items():
+        assert r.cent_id == assign[did], did
+        assert r.medoid_id == medoids[r.cent_id], did
