@@ -3213,3 +3213,323 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions (D98 log-rank, D100 bullwhip). House scalar quantizers —
+# same trunc-half-up spelling as estimation.py's _q6/_sql_q6.
+# ---------------------------------------------------------------------------
+
+
+def _Q6(c):
+    return (c * F.lit(1000000.0) + F.lit(0.5)).cast("long") / F.lit(1000000.0)
+
+
+def _SQL_Q6(expr: str) -> str:
+    return f"CAST(trunc(({expr}) * 1000000 + 0.5) AS BIGINT) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# D98 — log-rank test between segment survival curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_logrank_segments",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate) AS rn
+        FROM orders
+    ), per AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+               MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS t2
+        FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ), horizon AS (
+        SELECT MAX(o_orderdate) AS hi FROM orders
+    ), subjects AS (
+        SELECT CASE WHEN t2 IS NOT NULL
+                    THEN CAST(date_diff('day', CAST(t1 AS DATE),
+                                        CAST(t2 AS DATE)) AS BIGINT)
+                    ELSE CAST(date_diff('day', CAST(t1 AS DATE),
+                                        CAST(hi AS DATE)) AS BIGINT)
+               END AS dur,
+               CAST(t2 IS NOT NULL AS INT) AS event,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        FROM per JOIN customer c ON per.o_custkey = c.c_custkey
+        CROSS JOIN horizon
+    ), by_dur AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN g = 1 THEN event ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(SUM(event) AS BIGINT) AS d_all,
+               CAST(SUM(g) AS BIGINT) AS l1,
+               CAST(COUNT(*) AS BIGINT) AS l_all
+        FROM subjects GROUP BY dur
+    ), risk AS (
+        SELECT dur, d1, d_all,
+               SUM(l1) OVER (ORDER BY dur DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS n1,
+               SUM(l_all) OVER (ORDER BY dur DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n
+        FROM by_dur
+    ), terms AS (
+        SELECT SUM(d1) AS o1,
+               SUM(CAST(trunc(d_all * (CAST(n1 AS DOUBLE) / n)
+                              * 1000000 + 0.5) AS BIGINT)) AS e1_q,
+               SUM(CASE WHEN n > 1 THEN
+                   CAST(trunc(d_all * (CAST(n1 AS DOUBLE) / n)
+                              * (CAST(n - n1 AS DOUBLE) / n)
+                              * (CAST(n - d_all AS DOUBLE) / (n - 1))
+                              * 1000000 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS v_q
+        FROM risk WHERE d_all > 0
+    )
+    SELECT (SELECT CAST(SUM(g) AS BIGINT) FROM subjects) AS n1_subjects,
+           (SELECT CAST(SUM(1 - g) AS BIGINT) FROM subjects) AS n2_subjects,
+           CAST(o1 AS BIGINT) AS o1_events,
+           CAST(e1_q AS DOUBLE) / 1000000.0 AS e1_expected,
+           CASE WHEN v_q > 0 THEN
+               CAST(trunc((o1 - e1_q / 1000000.0)
+                          * (o1 - e1_q / 1000000.0)
+                          / (v_q / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+                   / 1000000.0
+           END AS chi2
+    FROM terms
+    """,
+    ref="SURVEY §2 D98 [EXT] (log-rank / Mantel-Cox test between the "
+    "BUILDING-segment and rest-of-market time-to-repeat-purchase "
+    "survival curves (Mantel 1966; Peto & Peto 1972) — the INFERENCE "
+    "beside D27's Kaplan-Meier ESTIMATE, exactly as D79's Mann-Whitney "
+    "sits beside the medians it compares: at every event time the "
+    "hypergeometric expectation e1 = d·n1/n and variance are "
+    "accumulated, chi2 = (O1-E1)²/V with 1 df)",
+)
+def orders_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of 'do BUILDING-segment customers repeat-purchase on a
+    different clock?': subjects/durations/censoring exactly as
+    orders_survival_km, split by c_mktsegment = 'BUILDING'; at each event
+    time the observed group-1 events are compared with the hypergeometric
+    expectation d·n1/n, variance d·(n1/n)·(n2/n)·(n-d)/(n-1), and the
+    one-df chi-square (O-E)²/V is reported. One row.
+
+    Scale shape: one customer-keyed window+agg builds subjects (the D27
+    device) plus a broadcast-sized customer-segment join; per-duration
+    tallies are a calendar-bounded agg and both risk sets come from ONE
+    descending cumulative window over <= horizon-days distinct-duration
+    rows (allowlisted + bound-asserted in tests/test_plans.py). The
+    final reduction is a quantized-term dsum, so nothing after the first
+    agg is data-sized.
+
+    Determinism: e1/v terms are products of exact bigint ratios in double,
+    quantized at 1e-6 per EVENT-TIME row and summed as exact longs; the
+    chi-square is one final division re-quantized at 1e-6."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    per = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("hi"))
+    subjects = (
+        per.join(c, per["o_custkey"] == c["c_custkey"])
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.datediff(F.to_date("t2"), F.to_date("t1")),
+            )
+            .otherwise(F.datediff(F.to_date("hi"), F.to_date("t1")))
+            .cast("bigint")
+            .alias("dur"),
+            F.col("t2").isNotNull().cast("int").alias("event"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    by_dur = subjects.groupBy("dur").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("event").cast("bigint").alias("d_all"),
+        F.sum("g").cast("bigint").alias("l1"),
+        F.count("*").cast("bigint").alias("l_all"),
+    )
+    dw = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_dur.select(
+        "dur",
+        "d1",
+        "d_all",
+        F.sum("l1").over(dw).alias("n1"),
+        F.sum("l_all").over(dw).alias("n"),
+    ).where(F.col("d_all") > 0)
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    e1_term = F.col("d_all") * (n1d / nd)
+    v_term = F.when(
+        F.col("n") > 1,
+        F.col("d_all")
+        * (n1d / nd)
+        * ((nd - n1d) / nd)
+        * ((nd - F.col("d_all").cast("double")) / (nd - 1.0)),
+    ).otherwise(F.lit(0.0))
+    sums = risk.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum((e1_term * 1000000 + F.lit(0.5)).cast("long")).alias("e1_q"),
+        F.sum((v_term * 1000000 + F.lit(0.5)).cast("long")).alias("v_q"),
+    )
+    counts = subjects.agg(
+        F.sum("g").cast("bigint").alias("n1_subjects"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n2_subjects"),
+    )
+    o1 = F.col("o1").cast("double")
+    e1 = F.col("e1_q").cast("double") / 1000000.0
+    v = F.col("v_q").cast("double") / 1000000.0
+    return (
+        F.broadcast(counts)
+        .crossJoin(sums)
+        .select(
+            "n1_subjects",
+            "n2_subjects",
+            F.col("o1").alias("o1_events"),
+            e1.alias("e1_expected"),
+            F.when(
+                F.col("v_q") > 0,
+                ((o1 - e1) * (o1 - e1) / v * 1000000 + F.lit(0.5))
+                .cast("long")
+                .cast("double")
+                / 1000000.0,
+            ).alias("chi2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D100 — bullwhip (order-vs-fulfillment variance amplification) audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_bullwhip_ratio",
+    oracle=f"""
+    WITH li AS (
+        SELECT l.l_quantity AS qty,
+               CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                   AS mo_order,
+               CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP)
+                   AS mo_ship
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), months AS (
+        SELECT DISTINCT mo_order AS mo FROM li
+        UNION SELECT DISTINCT mo_ship FROM li
+    ), a AS (
+        SELECT mo, {sql_dsum('qty')} AS q FROM li
+        JOIN months ON mo = mo_order GROUP BY mo
+    ), b AS (
+        SELECT mo, {sql_dsum('qty')} AS q FROM li
+        JOIN months ON mo = mo_ship GROUP BY mo
+    ), dense AS (
+        SELECT months.mo,
+               COALESCE(a.q, 0.0) AS qa, COALESCE(b.q, 0.0) AS qb
+        FROM months LEFT JOIN a ON a.mo = months.mo
+        LEFT JOIN b ON b.mo = months.mo
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('qa')} AS sa, {sql_dsum1('qa * qa')} AS saa,
+               {sql_dsum('qb')} AS sb, {sql_dsum1('qb * qb')} AS sbb
+        FROM dense
+    )
+    SELECT n AS n_months,
+           {_SQL_Q6('sa / n')} AS mean_ordered,
+           {_SQL_Q6('sb / n')} AS mean_shipped,
+           {_SQL_Q6('greatest(saa / n - (sa / n) * (sa / n), 0.0)'
+                    ' / NULLIF((sa / n) * (sa / n), 0)')} AS cv2_ordered,
+           {_SQL_Q6('greatest(sbb / n - (sb / n) * (sb / n), 0.0)'
+                    ' / NULLIF((sb / n) * (sb / n), 0)')} AS cv2_shipped,
+           {_SQL_Q6(
+               '(greatest(saa / n - (sa / n) * (sa / n), 0.0)'
+               ' / NULLIF((sa / n) * (sa / n), 0))'
+               ' / NULLIF(greatest(sbb / n - (sb / n) * (sb / n), 0.0)'
+               ' / NULLIF((sb / n) * (sb / n), 0), 0)'
+           )} AS bullwhip_ratio
+    FROM mom
+    """,
+    ref="SURVEY §2 D100 [EXT] (bullwhip-style demand-distortion audit "
+    "(Lee, Padmanabhan & Whang 1997; ratio form Chen, Drezner, Ryan & "
+    "Simchi-Levi 2000): CV² of the monthly ORDER-placement quantity "
+    "stream over CV² of the monthly FULFILLMENT (ship-date) stream on "
+    "one shared month spine — ratio > 1 means the order stream the "
+    "upstream echelon sees is burstier than what actually ships, the "
+    "amplification that oversizes D91's safety stock when measured on "
+    "the wrong stream)",
+)
+def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-amplification (bullwhip) ratio between the order-placement
+    and fulfillment views of the SAME quantity stream: each lineitem's
+    quantity is bucketed once by its order month and once by its ship
+    month; CV² = var/mean² per stream over the shared (union) month
+    spine, ratio = CV²_ordered / CV²_shipped. One row.
+
+    Scale shape: one orderkey-keyed lineitem⋈orders join (bucketed/
+    co-located at 100 TB — the join_bucketed_colocated posture), then
+    two calendar-bounded month aggs and a 1-row moment reduction; the
+    spine is the union of observed months so both streams zero-fill
+    identically. Population variance from exact quantized moments (dsum
+    for sums, dsum1 for the large-magnitude squares), clamped at 0
+    against quantized cancellation — the D91 discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_quantity").alias("qty"),
+        F.date_trunc("month", "o_orderdate").alias("mo_order"),
+        F.date_trunc("month", "l_shipdate").alias("mo_ship"),
+    )
+    months = (
+        j.select(F.col("mo_order").alias("mo"))
+        .union(j.select(F.col("mo_ship").alias("mo")))
+        .distinct()
+    )
+    a = j.groupBy(F.col("mo_order").alias("mo")).agg(dsum("qty").alias("qa"))
+    b = j.groupBy(F.col("mo_ship").alias("mo")).agg(dsum("qty").alias("qb"))
+    dense = (
+        months.join(a, "mo", "left")
+        .join(b, "mo", "left")
+        .select(
+            F.coalesce("qa", F.lit(0.0)).alias("qa"),
+            F.coalesce("qb", F.lit(0.0)).alias("qb"),
+        )
+    )
+    mom = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("qa").alias("sa"),
+        dsum1(F.col("qa") * F.col("qa")).alias("saa"),
+        dsum("qb").alias("sb"),
+        dsum1(F.col("qb") * F.col("qb")).alias("sbb"),
+    )
+    n = F.col("n")
+    ma, mb = F.col("sa") / n, F.col("sb") / n
+    va = F.greatest(F.col("saa") / n - ma * ma, F.lit(0.0))
+    vb = F.greatest(F.col("sbb") / n - mb * mb, F.lit(0.0))
+    cv2a = va / F.nullif(ma * ma, F.lit(0.0))
+    cv2b = vb / F.nullif(mb * mb, F.lit(0.0))
+    return mom.select(
+        n.alias("n_months"),
+        _Q6(ma).alias("mean_ordered"),
+        _Q6(mb).alias("mean_shipped"),
+        _Q6(cv2a).alias("cv2_ordered"),
+        _Q6(cv2b).alias("cv2_shipped"),
+        _Q6(cv2a / F.nullif(cv2b, F.lit(0.0))).alias("bullwhip_ratio"),
+    )

@@ -3217,3 +3217,143 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bot_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D99 — Page-Hinkley sequential drift test (round 11)
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 0.05  # drift allowance per step (absorbs benign wander)
+_PH_LAMBDA = 5.0  # alarm threshold on the min-anchored excess
+
+
+@query(
+    "events_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(floor({sql_dsum('value')} / COUNT(*) * 1000000 + 0.5)
+                    AS BIGINT) AS x_q
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, d
+    ),
+    seq AS (
+        SELECT event_type, d, x_q,
+               SUM(x_q) OVER w AS cum_x_q,
+               row_number() OVER w AS i
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT event_type, d,
+               CAST(floor((x_q / 1000000.0
+                           - cum_x_q / 1000000.0 / i
+                           - {_PH_DELTA}) * 1000000 + 0.5) AS BIGINT)
+                   AS t_q
+        FROM seq
+    ),
+    walk0 AS (
+        SELECT event_type, d,
+               SUM(t_q) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS m_q
+        FROM terms
+    ),
+    walk AS (
+        SELECT event_type, d, m_q,
+               MIN(m_q) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS mmin_q
+        FROM walk0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(m_q - mmin_q) AS DOUBLE) / 1000000.0 AS max_excess,
+           CAST(SUM(CASE WHEN m_q - mmin_q > {_PH_LAMBDA} * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN m_q - mmin_q > {_PH_LAMBDA} * 1000000
+               THEN d END) AS first_alarm_day
+    FROM walk GROUP BY event_type
+    """,
+    ref="SURVEY §2 D99 [EXT] (Page-Hinkley sequential drift test (Page "
+    "1954; Hinkley 1971): cumulative deviation from the RUNNING mean "
+    "minus a drift allowance, alarmed against its own running minimum — "
+    "the one-sided sequential monitor beside K64's CUSUM, which "
+    "deviates from the GLOBAL mean and therefore needs the whole series "
+    "before it can score the first row; PH is streaming-legal (every "
+    "statistic at day t uses only days <= t))",
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift monitor per event type on the daily mean
+    value series: m_t = Σ_{i<=t} (x_i - x̄_i - δ) with x̄_i the running
+    mean INCLUDING day i, alarm when m_t - min_{i<=t} m_i > λ. Reports
+    per type the day count, the maximum min-anchored excess, alarm-day
+    count, and the first alarm day (NULL when never alarmed — the clean
+    corpus legitimately reads quiet; planted-drift probes in
+    tests/test_wave11.py prove the detector detects).
+
+    Scale shape: one corpus scan into the (type, day) agg; every window
+    partitions by event_type over the calendar-bounded daily series.
+
+    Determinism: daily means quantize to scaled longs BEFORE any window
+    sum (DuckDB's windowed SUM over doubles is segment-tree ordered, not
+    sequential — long addends make the order irrelevant); the PH terms
+    re-quantize with sign-symmetric floor(x+0.5) (the K64 lesson), so
+    the walk, its running min, and the alarm flags are exact integer
+    comparisons in both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.floor(
+            dsum("value") / F.count(F.lit(1)) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x_q")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = daily.select(
+        "event_type",
+        "d",
+        "x_q",
+        F.sum("x_q").over(w).alias("cum_x_q"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("i"),
+    )
+    t_q = F.floor(
+        (
+            F.col("x_q") / F.lit(1_000_000.0)
+            - F.col("cum_x_q") / F.lit(1_000_000.0) / F.col("i")
+            - F.lit(_PH_DELTA)
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    terms = seq.select("event_type", "d", t_q.alias("t_q"))
+    walk = terms.select(
+        "event_type",
+        "d",
+        F.sum("t_q").over(w).alias("m_q"),
+    ).select(
+        "event_type",
+        "d",
+        "m_q",
+        F.min("m_q").over(w).alias("mmin_q"),
+    )
+    excess_q = F.col("m_q") - F.col("mmin_q")
+    alarm = excess_q > F.lit(_PH_LAMBDA) * F.lit(1_000_000.0)
+    return walk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.max(excess_q).cast("double") / F.lit(1_000_000.0)).alias(
+            "max_excess"
+        ),
+        F.sum(alarm.cast("int")).cast("bigint").alias("n_alarm_days"),
+        F.min(F.when(alarm, F.col("d"))).alias("first_alarm_day"),
+    )

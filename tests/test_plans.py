@@ -2109,6 +2109,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "orders_runs_test": "daily series",
     "orders_seasonal_naive_backtest": "monthly series",
     "orders_survival_km": "<= horizon-days distinct durations",
+    "orders_logrank_segments": "<= horizon-days distinct durations "
+    "(the D27 risk table, split by segment)",
     "events_watermark_lateness_audit": "<= horizon-minutes lateness "
     "histogram (the per-event pass rides ranged_cummax_excl)",
     # k-row rank attachment AFTER a TakeOrderedAndProject top-k
@@ -2377,6 +2379,10 @@ _ALLOWLIST_BOUNDS = {
         lambda st: st["months_orders"],
     ),
     "orders_survival_km": (
+        "<= |order days| + 1 distinct durations",
+        lambda st: st["days_orders"] + 1,
+    ),
+    "orders_logrank_segments": (
         "<= |order days| + 1 distinct durations",
         lambda st: st["days_orders"] + 1,
     ),

@@ -1,0 +1,212 @@
+"""Semantic micro-fixture tests + plan gates for the round-11 wave
+(log-rank, Page-Hinkley, bullwhip, curation surgery, preference pairs,
+winnowing, HITS, Hilbert layout). The driver oracle check proves
+cross-engine parity; these pin the SEMANTICS against hand-computed answers
+and planted probes, so a bug that fools both engines identically (wrong
+formula, wrong tie rule, a detector that never detects) still fails."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from ksql_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPECS[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+
+def _write_customer(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+
+def _d(day):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+
+
+# ---------------------------------------------------------------------------
+# D98 — log-rank test
+# ---------------------------------------------------------------------------
+
+def test_logrank_identical_curves_give_zero_chi2(spark, tmp_path):
+    """Both segments repeat with the IDENTICAL duration multiset -> at every
+    event time o1 == e1 exactly (n1/n is the same constant share), so
+    chi2 must be exactly 0."""
+    orders, custs = [], []
+    k = 0
+    for g, seg in ((1, "BUILDING"), (0, "AUTOMOBILE")):
+        for i in range(20):
+            cid = g * 1000 + i
+            custs.append((cid, f"c{cid}", 0, 0.0, seg))
+            dur = 5 + (i % 4)  # same duration multiset in both segments
+            orders.append((k, cid, "F", 10.0, _d(0), "1-URGENT"))
+            k += 1
+            orders.append((k, cid, "F", 10.0, _d(dur), "1-URGENT"))
+            k += 1
+    _write_orders(spark, tmp_path, orders)
+    _write_customer(spark, tmp_path, custs)
+    r = SPECS["orders_logrank_segments"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n1_subjects"] == 20 and r["n2_subjects"] == 20
+    assert r["chi2"] == 0.0
+
+
+def test_logrank_detects_faster_churning_segment(spark, tmp_path):
+    """BUILDING customers all repeat at day 2; the rest at day 40 (or are
+    censored) — the hand-computable extreme: early event times are all
+    group-1 events while group 2 is fully at risk, so O1 - E1 is large
+    and chi2 must blow past the 1-df 5% critical value 3.84."""
+    orders, custs = [], []
+    k = 0
+    for i in range(25):
+        custs.append((i, f"b{i}", 0, 0.0, "BUILDING"))
+        orders.append((k, i, "F", 10.0, _d(0), "1-URGENT")); k += 1
+        orders.append((k, i, "F", 10.0, _d(2), "1-URGENT")); k += 1
+    for i in range(25):
+        cid = 1000 + i
+        custs.append((cid, f"a{cid}", 0, 0.0, "MACHINERY"))
+        orders.append((k, cid, "F", 10.0, _d(0), "1-URGENT")); k += 1
+        if i % 2 == 0:  # half repeat late, half censored at horizon
+            orders.append((k, cid, "F", 10.0, _d(40), "1-URGENT")); k += 1
+    _write_orders(spark, tmp_path, orders)
+    _write_customer(spark, tmp_path, custs)
+    r = SPECS["orders_logrank_segments"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["o1_events"] == 25
+    assert r["e1_expected"] < r["o1_events"]  # group 1 churned MORE than expected early
+    assert r["chi2"] > 3.84
+
+
+# ---------------------------------------------------------------------------
+# D99 — Page-Hinkley drift
+# ---------------------------------------------------------------------------
+
+def test_page_hinkley_alarms_on_planted_level_shift(spark, tmp_path):
+    """30 quiet days at 10.0 then 30 days at 11.0: the running-mean lag makes
+    every post-shift term positive (~0.5 - delta each), so the excess ramps
+    past lambda=5 well before day 60 — and the first alarm day must sit
+    AFTER the shift day, never before (no lookahead)."""
+    rows = []
+    for t in range(60):
+        v = 10.0 if t < 30 else 11.0
+        rows.append((t, _d(t), t, "drift", v, "{}"))
+        rows.append((1000 + t, _d(t), t, "quiet", 10.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in SPECS["events_page_hinkley"].builder(spark, str(tmp_path)).collect()
+    }
+    drift, quiet = out["drift"], out["quiet"]
+    assert drift["n_days"] == 60
+    assert drift["n_alarm_days"] > 0
+    assert drift["first_alarm_day"] >= datetime.date(2024, 1, 31)
+    assert drift["max_excess"] > 5.0
+    # a perfectly flat series accumulates only the -delta allowance: the
+    # walk is monotone DOWN, excess stays 0, and it never alarms
+    assert quiet["n_alarm_days"] == 0 and quiet["first_alarm_day"] is None
+    assert quiet["max_excess"] == 0.0
+
+
+def test_page_hinkley_is_sequential_no_lookahead(spark, tmp_path):
+    """Streaming legality: the statistics for the first k days must be
+    unchanged by whatever arrives later (K64's CUSUM fails this — its
+    global mean shifts). Run on the 30-day prefix and on the full series;
+    the prefix's alarm state must match the full run restricted to it."""
+    rows_pre = [(t, _d(t), t, "drift", 10.0, "{}") for t in range(30)]
+    rows_full = rows_pre + [
+        (t, _d(t), t, "drift", 11.0, "{}") for t in range(30, 60)
+    ]
+    _write_events(spark, tmp_path / "pre", rows_pre)
+    pre = SPECS["events_page_hinkley"].builder(
+        spark, str(tmp_path / "pre")
+    ).collect()[0]
+    _write_events(spark, tmp_path / "full", rows_full)
+    full = SPECS["events_page_hinkley"].builder(
+        spark, str(tmp_path / "full")
+    ).collect()[0]
+    # the 30 quiet prefix days alarmed in neither run
+    assert pre["n_alarm_days"] == 0
+    assert full["first_alarm_day"] is None or full[
+        "first_alarm_day"
+    ] >= datetime.date(2024, 1, 31)
+
+
+# ---------------------------------------------------------------------------
+# D100 — bullwhip ratio
+# ---------------------------------------------------------------------------
+
+def test_bullwhip_detects_order_burst_smoothed_by_shipping(spark, tmp_path):
+    """All quantity is ORDERED in one burst month but SHIPS spread evenly
+    over four months: the order stream's CV2 is the 4-month burst maximum
+    (3.0) while the ship stream's is 0 -> ratio NULL-guarded? No: shipped
+    CV2 is exactly 0, so the ratio is NULL (division guard) — plant a
+    slightly uneven ship stream instead and assert ratio >> 1."""
+    orders = [(i, 1, "F", 10.0, _d(0), "1-URGENT") for i in range(8)]
+    li = []
+    for i in range(8):
+        # ship months: 0,0,1,1,2,2,3,3 + a monotone qty drift so the ship
+        # stream's variance is small but strictly positive (a ratio with a
+        # zero denominator is NULL by the division guard, by design)
+        ship_mo = i // 2
+        qty = 10.0 + i * 0.5
+        li.append((i, 1, 1, 1, qty, 100.0, 0.0, 0.0, "N", "O",
+                   _d(ship_mo * 31)))
+    _write_orders(spark, tmp_path, orders)
+    _write_lineitem(spark, tmp_path, li)
+    r = SPECS["orders_bullwhip_ratio"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_months"] == 4
+    # ordered: [84, 0, 0, 0] -> mean 21, var 3*441 = 1323, cv2 = 3.0
+    assert abs(r["cv2_ordered"] - 3.0) < 1e-6
+    assert r["cv2_shipped"] < 0.01
+    assert r["bullwhip_ratio"] > 100.0
+
+
+def test_bullwhip_identity_when_streams_coincide(spark, tmp_path):
+    """Every line ships in its order month -> the two monthly series are
+    identical and the ratio is exactly 1."""
+    orders, li = [], []
+    for m in range(4):
+        qty = 10.0 * (m + 1)
+        orders.append((m, 1, "F", 10.0, _d(m * 31), "1-URGENT"))
+        li.append((m, 1, 1, 1, qty, 100.0, 0.0, 0.0, "N", "O", _d(m * 31)))
+    _write_orders(spark, tmp_path, orders)
+    _write_lineitem(spark, tmp_path, li)
+    r = SPECS["orders_bullwhip_ratio"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["bullwhip_ratio"] == 1.0
+    assert r["cv2_ordered"] == r["cv2_shipped"] > 0
