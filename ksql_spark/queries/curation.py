@@ -2509,3 +2509,224 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("touched_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K149 — DPO preference-pair construction (round 11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_preference_pairs",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 4
+    ),
+    assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(e.embedding) + 1),
+                                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                                         - CAST(c.cent_emb[i] AS DOUBLE))
+                                        * (CAST(e.embedding[i] AS DOUBLE)
+                                           - CAST(c.cent_emb[i] AS DOUBLE)))),
+                           (acc, p) -> acc + p) ASC, c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.cent_id, d.lang, d.doc_id,
+               CAST(trunc(({SQL_QUALITY}) * 1000000 + 0.5) AS BIGINT) AS q_q
+        FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+        WHERE d.text IS NOT NULL AND d.lang IS NOT NULL
+    ),
+    pairs AS (
+        SELECT cent_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_group,
+               max({{'q': q_q, 'nd': -doc_id}}) AS ch,
+               min({{'q': q_q, 'nd': -doc_id}}) AS rj
+        FROM scored GROUP BY cent_id, lang
+        HAVING COUNT(*) >= 2
+    )
+    SELECT cent_id, lang, n_group,
+           CAST(-ch['nd'] AS BIGINT) AS chosen_doc,
+           CAST(-rj['nd'] AS BIGINT) AS rejected_doc,
+           CAST(ch['q'] AS DOUBLE) / 1000000.0 AS q_chosen,
+           CAST(rj['q'] AS DOUBLE) / 1000000.0 AS q_rejected,
+           CAST(ch['q'] - rj['q'] AS DOUBLE) / 1000000.0 AS margin
+    FROM pairs WHERE ch['q'] > rj['q']
+    """,
+    ref="SURVEY §2 K149 [EXT] (DPO/RLHF preference-pair construction "
+    "(Rafailov et al. 2023; RLHF data prep per Ouyang et al. 2022): "
+    "within each (embedding cluster, lang) prompt-proxy group, chosen = "
+    "highest-quality doc, rejected = lowest, margin = quality gap — the "
+    "terminal data-prep step that turns a scored corpus into the "
+    "(chosen, rejected) pairs preference optimization consumes; K135's "
+    "Bradley-Terry RANKS sources from duels, this EMITS the duels)",
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per (K19 fixed-centroid cluster,
+    lang) group: highest vs lowest K4-quality document, deterministic
+    ties (chosen breaks to the LOWEST doc_id, rejected to the HIGHEST —
+    the argmax/argmin struct device), zero-margin groups emit nothing
+    (a DPO pair with equal rewards is gradient-free noise).
+
+    Scale shape: the cluster assignment is the shared O(n·K) broadcast-
+    centroid pass (_assign_fixed_centroids); quality is one narrow HOF
+    scan; the group stage is ONE hash agg carrying two 16-byte structs
+    per group — never a rank window over the corpus, so a billion-doc
+    group costs the same exchange as a ten-doc one.
+
+    Determinism: quality quantizes to a scaled long BEFORE the argmax
+    structs, so cross-engine tie-breaks compare exact integers."""
+    from ksql_spark.queries.llm import _assign_fixed_centroids
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    e = load(spark, sf_dir, "embeddings")
+    assigned = _assign_fixed_centroids(e).select("vec_id", "cent_id")
+    q_q = (
+        text.quality_score("text") * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = d.join(assigned, d["doc_id"] == assigned["vec_id"]).select(
+        "cent_id", "lang", "doc_id", q_q.alias("q_q")
+    )
+    pairs = (
+        scored.groupBy("cent_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_group"),
+            F.max(
+                F.struct(F.col("q_q").alias("q"), (-F.col("doc_id")).alias("nd"))
+            ).alias("ch"),
+            F.min(
+                F.struct(F.col("q_q").alias("q"), (-F.col("doc_id")).alias("nd"))
+            ).alias("rj"),
+        )
+        .where(F.col("n_group") >= 2)
+        .where(F.col("ch.q") > F.col("rj.q"))
+    )
+    return pairs.select(
+        "cent_id",
+        "lang",
+        "n_group",
+        (-F.col("ch.nd")).cast("bigint").alias("chosen_doc"),
+        (-F.col("rj.nd")).cast("bigint").alias("rejected_doc"),
+        (F.col("ch.q").cast("double") / 1000000.0).alias("q_chosen"),
+        (F.col("rj.q").cast("double") / 1000000.0).alias("q_rejected"),
+        ((F.col("ch.q") - F.col("rj.q")).cast("double") / 1000000.0).alias(
+            "margin"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K150 — embedding-tier decontamination (round 11)
+# ---------------------------------------------------------------------------
+
+_SEMDECON_T = 0.95  # cosine past which a train doc is a paraphrase-level hit
+
+
+_SD_DOT = """list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, len(t.embedding) + 1),
+                       i -> CAST(t.embedding[i] AS DOUBLE)
+                            * CAST(v.e_emb[i] AS DOUBLE))),
+    (acc, p) -> acc + p)"""
+_SD_TNORM = """sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    (acc, p) -> acc + p))"""
+_SD_ENORM = """sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(v.e_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    (acc, p) -> acc + p))"""
+
+
+@query(
+    "llm_semantic_decontaminate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, embedding AS e_emb
+        FROM embeddings WHERE vec_id % 29 = 0
+    ),
+    tr AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 <> 0
+    ),
+    best AS (
+        SELECT vec_id,
+               max({{'c': cos, 'ne': -eval_id}}) AS b
+        FROM (
+            SELECT t.vec_id, v.eval_id,
+                   {_SD_DOT} / NULLIF(({_SD_TNORM} * {_SD_ENORM}), 0) AS cos
+            FROM tr t CROSS JOIN ev v
+        ) GROUP BY vec_id
+    )
+    SELECT vec_id AS doc_id,
+           CAST(-b['ne'] AS BIGINT) AS nearest_eval_id,
+           CAST(trunc(b['c'] * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS max_cos,
+           b['c'] >= {_SEMDECON_T} AS contaminated
+    FROM best
+    """,
+    ref="SURVEY §2 K150 [EXT] (embedding-tier benchmark decontamination: "
+    "max cosine of each train vector against the broadcast eval set, "
+    "flagged past 0.95 — the PARAPHRASE tier K13's exact word-5-gram "
+    "collision cannot see (a reworded benchmark item shares no 5-gram "
+    "but embeds nearly identically; n-gram + embedding two-tier decon "
+    "per Yang et al. 2023 'Rethinking Benchmark Contamination'); same "
+    "eval-split stand-in (id % 29) as K13 so the tiers compose)",
+)
+def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per train vector (vec_id % 29 != 0): the nearest eval vector
+    (vec_id % 29 == 0) by cosine, the similarity (1e-6-quantized for
+    reporting; the 0.95 flag compares the RAW double, identical in both
+    engines), and the contamination verdict. Ties on cosine break to the
+    lowest eval_id via the argmax struct device.
+
+    Scale shape: the eval side is benchmark-sized regardless of corpus
+    size, so it BROADCASTS and the train side never shuffles — one
+    narrow O(n_train · n_eval · dim) scan into a doc-keyed max-struct
+    agg (never a rank window); the llm_sim_topk posture with the K13
+    decontamination framing. At 100 TB the same plan runs with the
+    IVF-bucketed index (ann_ivf_topk) as the candidate stage."""
+    from ksql_spark.operators import vectors
+
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        vectors.l2_norm("embedding").alias("e_norm"),
+    )
+    tr = e.where(F.col("vec_id") % 29 != 0).select(
+        "vec_id", "embedding", vectors.l2_norm("embedding").alias("t_norm")
+    )
+    cos = F.try_divide(
+        vectors.dot("embedding", "e_emb"),
+        F.nullif(F.col("t_norm") * F.col("e_norm"), F.lit(0.0)),
+    )
+    best = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            F.struct(cos.alias("c"), (-F.col("eval_id")).alias("ne")).alias(
+                "p"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("p").alias("b"))
+    )
+    return best.select(
+        F.col("vec_id").alias("doc_id"),
+        (-F.col("b.ne")).cast("bigint").alias("nearest_eval_id"),
+        (
+            (F.col("b.c") * 1000000 + F.lit(0.5)).cast("long").cast("double")
+            / 1000000.0
+        ).alias("max_cos"),
+        (F.col("b.c") >= _SEMDECON_T).alias("contaminated"),
+    )

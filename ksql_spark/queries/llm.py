@@ -7043,3 +7043,436 @@ def llm_pipeline_e2e_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no 4096 ceiling); fits stay bounded (coarse reservoir <= 4096 rows,
     per-cell sub-fits <= 512 rows, disjoint + parallel)."""
     return _pipeline_e2e_production(spark, sf_dir, llm_semantic_dedup_hier)
+
+
+# ---------------------------------------------------------------------------
+# K146 — paragraph-level dedup surgery (round 11, CCNet granularity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_paragraph_dedup",
+    oracle="""
+    WITH paras AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, p[i] AS para,
+               md5(lower(trim(regexp_replace(p[i], '\\s+', ' ', 'g'))))
+                   AS pkey
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS p
+              FROM documents WHERE text IS NOT NULL),
+             unnest(range(1, len(p) + 1)) AS t(i)
+        WHERE trim(p[i]) <> ''
+    ),
+    canon AS (
+        SELECT pkey, min({'d': doc_id, 'p': pos}) AS c
+        FROM paras GROUP BY pkey
+    ),
+    kept AS (
+        SELECT paras.doc_id, paras.pos, paras.para,
+               (paras.doc_id = c['d'] AND paras.pos = c['p']) AS keep
+        FROM paras JOIN canon USING (pkey)
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(s.chars_removed, 0) AS BIGINT) AS chars_removed,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_paras,
+                      SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+                      SUM(CASE WHEN keep THEN 0 ELSE len(para) END)
+                          AS chars_removed
+               FROM kept GROUP BY doc_id) s USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos)
+                   AS text_clean
+               FROM kept WHERE keep GROUP BY doc_id) k USING (doc_id)
+    """,
+    ref="SURVEY §2 K146 [EXT] (CCNet-granularity paragraph dedup surgery "
+    "(Wenzek et al. 2020): normalize each newline-split paragraph "
+    "(lower/trim/space-collapse), keep only the global canonical "
+    "occurrence per normalized key — lexicographic-min (doc, pos), the "
+    "K71 canon device — and reassemble; the granularity BETWEEN K1's "
+    "whole-doc sha dedup and K38/K71's 8-token substring surgery, and "
+    "the one CCNet actually ships for web text)",
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-deduplicated corpus: paragraphs (newline-split; the driver
+    fixture is single-line, so each live doc is one paragraph — the
+    multi-paragraph surgery is pinned by planted fixtures in
+    tests/test_wave11.py) are keyed by md5 of their lower/trim/space-
+    collapsed normalization; every occurrence except the global
+    lexicographic-min (doc_id, pos) canonical is removed, including
+    WITHIN-document repeats; whitespace-only paragraphs drop as
+    structure, not content. Returns every document (NULL-text docs
+    included, with empty text_clean — the ADVICE-r10 full-corpus
+    contract) with paragraph/removal/char accounting.
+
+    Scale shape: exchanges carry 32-char md5 keys + (doc,pos) pairs,
+    never paragraph text, except the kept-paragraph join-back which is
+    doc-keyed; the canonical pick is a min-STRUCT hash agg (never a
+    per-key window — the K71 posture, so a boilerplate paragraph with
+    millions of occurrences partial-aggregates map-side); the rebuild
+    is a doc-scoped sort_array(collect_list), bounded by doc length."""
+    d = load(spark, sf_dir, "documents")
+    paras = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos0", "para"),
+        )
+        .where(F.trim(F.col("para")) != "")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "para",
+            F.md5(
+                F.lower(
+                    F.trim(F.regexp_replace("para", "\\s+", " "))
+                ).cast("binary")
+            ).alias("pkey"),
+        )
+    )
+    canon = paras.groupBy("pkey").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+        ).alias("c")
+    )
+    kept = paras.join(canon, "pkey").select(
+        "doc_id",
+        "pos",
+        "para",
+        (
+            (F.col("doc_id") == F.col("c.d")) & (F.col("pos") == F.col("c.p"))
+        ).alias("keep"),
+    )
+    stats = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(F.length("para")))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+    clean = (
+        kept.where("keep")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("chars_removed", F.lit(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K147 — C4 line-level filter surgery (round 11)
+# ---------------------------------------------------------------------------
+
+_C4_MIN_WORDS_PER_LINE = 5
+_C4_MIN_KEPT_LINES = 3
+
+
+@query(
+    "llm_line_rules_c4",
+    oracle=f"""
+    WITH lines AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, l[i] AS line,
+               len(list_filter(string_split(l[i], ' '), w -> w <> ''))
+                   AS n_words,
+               right(trim(l[i]), 1) IN ('.', '!', '?', '"') AS terminal,
+               contains(lower(l[i]), 'javascript') AS has_js
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+              FROM documents WHERE text IS NOT NULL),
+             unnest(range(1, len(l) + 1)) AS t(i)
+    ),
+    judged AS (
+        SELECT doc_id, pos, line,
+               n_words >= {_C4_MIN_WORDS_PER_LINE}
+               AND terminal AND NOT has_js AS keep
+        FROM lines
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_lines
+        FROM judged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(p.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           COALESCE(k.text_clean, '') AS text_clean,
+           COALESCE(p.n_kept_lines, 0) >= {_C4_MIN_KEPT_LINES}
+           AND NOT contains(lower(COALESCE(d.text, '')), 'lorem ipsum')
+           AND NOT contains(COALESCE(d.text, ''), '{{') AS doc_keep
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+                   AS text_clean
+               FROM judged WHERE keep GROUP BY doc_id) k USING (doc_id)
+    """,
+    ref="SURVEY §2 K147 [EXT] (C4 line-level cleaning rules (Raffel et "
+    "al. 2020 §2.2): keep only lines ending in terminal punctuation "
+    "with >= 5 words and no 'javascript' artifact; pages keep only with "
+    ">= 3 surviving lines and neither 'lorem ipsum' nor a curly brace — "
+    "the LINE-granularity surgery beside K44's doc-level Gopher flags "
+    "(Gopher JUDGES documents; C4 REWRITES them line by line))",
+)
+def llm_line_rules_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-cleaned corpus: each newline-split line survives iff it ends in
+    terminal punctuation ('.', '!', '?', '\"'), carries >= 5 whitespace
+    words, and doesn't mention 'javascript' (case-folded); the document
+    survives iff >= 3 lines remain and the RAW text contains neither
+    'lorem ipsum' nor '{'. Returns every document (NULL text included —
+    full-corpus contract) with line accounting, the cleaned text, and
+    the page-level keep flag. The punctuation-free driver fixture
+    legitimately keeps nothing — planted probes in tests/test_wave11.py
+    prove each rule fires (the K136 planted-drill discipline).
+
+    Scale shape: entirely per-document HOF/string arithmetic — the line
+    explode is doc-bounded and feeds one doc-keyed agg pair; no corpus
+    exchange carries anything but (doc_id, line) during the rebuild, and
+    a flags-only variant (drop text_clean) is a zero-shuffle scan."""
+    d = load(spark, sf_dir, "documents")
+    lines = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos0", "line"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "line",
+            F.size(
+                F.filter(F.split("line", " "), lambda w: w != "")
+            ).alias("n_words"),
+            F.substring(F.trim(F.col("line")), -1, 1)
+            .isin(".", "!", "?", '"')
+            .alias("terminal"),
+            F.lower(F.col("line")).contains("javascript").alias("has_js"),
+        )
+    )
+    judged = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        (
+            (F.col("n_words") >= _C4_MIN_WORDS_PER_LINE)
+            & F.col("terminal")
+            & ~F.col("has_js")
+        ).alias("keep"),
+    )
+    per_doc = judged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept_lines"),
+    )
+    clean = (
+        judged.where("keep")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    return (
+        d.select("doc_id", "text")
+        .join(per_doc, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept_lines", F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_lines"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (
+                (F.coalesce("n_kept_lines", F.lit(0)) >= _C4_MIN_KEPT_LINES)
+                & ~F.lower(raw).contains("lorem ipsum")
+                & ~raw.contains("{")
+            ).alias("doc_keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K148 — winnowing fingerprints (round 11, MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # words per gram
+_WINNOW_W = 4  # gram hashes per window
+_WINNOW_DF_CAP = 64  # fingerprints in more docs than this are stopgrams
+
+
+@query(
+    "llm_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               ('0x' || substr(md5(array_to_string(
+                    w[i:i+{_WINNOW_K - 1}], ' ')), 1, 8))::BIGINT AS h
+        FROM toks, unnest(range(1, len(w) - {_WINNOW_K - 2})) AS t(i)
+        WHERE len(w) >= {_WINNOW_K}
+    ),
+    m AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    wins AS (
+        SELECT doc_id, CAST(k AS INT) AS k
+        FROM m, unnest(range(1, n_grams - {_WINNOW_W - 2})) AS t(k)
+        WHERE n_grams >= {_WINNOW_W}
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, h FROM (
+            SELECT w.doc_id, MIN(g.h) AS h
+            FROM wins w JOIN g ON g.doc_id = w.doc_id
+                 AND g.pos BETWEEN w.k AND w.k + {_WINNOW_W - 1}
+            GROUP BY w.doc_id, w.k
+            UNION ALL
+            SELECT g.doc_id, MIN(g.h) AS h
+            FROM g JOIN m ON g.doc_id = m.doc_id
+            WHERE m.n_grams < {_WINNOW_W}
+            GROUP BY g.doc_id
+        )
+    ),
+    live AS (
+        SELECT h FROM fps GROUP BY h
+        HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(trunc(COUNT(*) * 1.0 / least(sa.n_fps, sb.n_fps)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS overlap
+    FROM fps a JOIN live USING (h)
+    JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n_fps, sb.n_fps
+    HAVING COUNT(*) >= 2
+    """,
+    ref="SURVEY §2 K148 [EXT] (winnowing fingerprint candidate pairs "
+    "(Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): per doc, "
+    "the distinct minima of every w=4 window over the k=3-word-gram "
+    "hash sequence; the selection GUARANTEE is that any shared run of "
+    ">= w+k-1 = 6 words yields a shared fingerprint, with expected "
+    "density 2/(w+1) — position-selective where K31's MinHash is "
+    "set-global; fingerprints in > 64 docs are dropped as stopgrams, "
+    "MOSS's own over-common-match rule)",
+)
+def llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate duplicate pairs: each document keeps the
+    distinct window-minimum gram hashes (w=4 windows over md5-slice
+    hashes of k=3-word shingles; docs with 1..3 grams keep their single
+    global minimum so short docs still fingerprint), pairs sharing >= 2
+    live fingerprints report the count and the overlap coefficient
+    n_shared / min(|fps_a|, |fps_b|).
+
+    Scale shape: the per-doc hash sequence and its window minima are
+    doc-bounded HOF arithmetic (one narrow pass, ~2/(w+1) of grams
+    survive, so exchanges carry ~40%% of the gram count as 8-byte
+    hashes); the pair stage joins per-fingerprint doc lists with the
+    2..64 document-frequency band (the MOSS stopgram rule) bounding any
+    hot key's fan-out at 64², exactly the K38 duplicated-gram posture.
+
+    Determinism: hashes are the house portable md5-slice bigints
+    (Spark conv(hex,16,10) == DuckDB '0x'::BIGINT), minima/counts exact
+    integers, the overlap coefficient 1e-6-quantized."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    grams = d.select(
+        "doc_id", text.shingles("text", _WINNOW_K).alias("gs")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.col("gs"),
+            lambda g: F.conv(
+                F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
+    mins = F.when(
+        n >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        ),
+    ).otherwise(
+        F.when(n >= 1, F.array(F.array_min(F.col("hs")))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    fps = grams.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("h")
+    )
+    live = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(
+            (F.col("df") >= 2) & (F.col("df") <= _WINNOW_DF_CAP)
+        )
+        .select("h")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = fps.join(live, "h")
+    b = fps.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, (a["h"] == b["h"]) & (a["doc_id"] < b["doc_b"]))
+        .groupBy(a["doc_id"].alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("nb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                (
+                    F.col("n_shared").cast("double")
+                    / F.least("na", "nb").cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .cast("double")
+                / 1000000.0
+            ).alias("overlap"),
+        )
+    )
