@@ -2730,3 +2730,155 @@ def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_cos"),
         (F.col("b.c") >= _SEMDECON_T).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K151 — isotonic calibration via pool-adjacent-violators (round 11)
+# ---------------------------------------------------------------------------
+
+_PAV_STEPS = 9  # 10 bins need at most 9 merges
+
+
+def _pav_oracle() -> str:
+    head = f"""
+    WITH scored AS (
+        SELECT ({SQL_QUALITY}) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    b0 AS MATERIALIZED (
+        SELECT CAST(least(9, CAST(trunc(s * 10) AS INT)) AS INT) AS lo,
+               CAST(least(9, CAST(trunc(s * 10) AS INT)) AS INT) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS sp
+        FROM scored GROUP BY 1, 2
+    )
+    """
+    for t in range(1, _PAV_STEPS + 1):
+        head += f""",
+    p{t} AS MATERIALIZED (
+        SELECT lo, hi, n, sp,
+               lead(lo) OVER (ORDER BY lo) AS nlo,
+               lead(hi) OVER (ORDER BY lo) AS nhi,
+               lead(n) OVER (ORDER BY lo) AS nn2,
+               lead(sp) OVER (ORDER BY lo) AS nsp
+        FROM b{t - 1}
+    ),
+    v{t} AS MATERIALIZED (
+        SELECT lo AS flo, nlo AS plo FROM p{t}
+        WHERE nlo IS NOT NULL AND sp * nn2 > nsp * n
+        ORDER BY lo LIMIT 1
+    ),
+    b{t} AS MATERIALIZED (
+        SELECT p.lo,
+               CASE WHEN v.flo = p.lo THEN p.nhi ELSE p.hi END AS hi,
+               CASE WHEN v.flo = p.lo THEN p.n + p.nn2 ELSE p.n END AS n,
+               CASE WHEN v.flo = p.lo THEN p.sp + p.nsp ELSE p.sp END AS sp
+        FROM p{t} p LEFT JOIN v{t} v ON true
+        WHERE v.flo IS NULL OR p.lo <> v.plo
+    )
+    """
+    return head + f"""
+    SELECT CAST(lo AS INT) AS bin_lo, CAST(hi AS INT) AS bin_hi,
+           n, sp AS n_pos,
+           CAST(trunc(CAST(sp AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 AS iso_rate
+    FROM b{_PAV_STEPS}
+    """
+
+
+@query(
+    "llm_isotonic_calibration",
+    oracle=_pav_oracle(),
+    ref="SURVEY §2 K151 [EXT] (isotonic calibration by pool-adjacent-"
+    "violators (Ayer et al. 1955; Zadrozny & Elkan 2002) over K119's "
+    "reliability deciles: adjacent bins violating monotonicity of the "
+    "observed lang='en' rate pool into weighted blocks — leftmost "
+    "violation first, 9 unrolled merge steps (10 bins need at most 9) — "
+    "yielding the monotone step function that MAPS raw quality scores "
+    "to calibrated probabilities; K119 MEASURES the miscalibration "
+    "(ECE), this FIXES it; violations compared by exact integer "
+    "cross-multiplication sp_i·n_j > sp_j·n_i, so the merge sequence "
+    "is engine-exact with no float anywhere before the final rate)",
+)
+def llm_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) fit of P(en | quality decile):
+    the PAV block table after 9 leftmost-merge steps — each row one
+    pooled block [bin_lo, bin_hi] with member count, positives, and the
+    calibrated rate. A perfectly calibrated score keeps 10 singleton
+    blocks; heavy pooling = the score's ordering disagrees with the
+    label ordering in that region.
+
+    Scale shape: ONE corpus scan into the 10-row decile agg; all nine
+    PAV steps operate on pinned <= 10-row block tables (class-(d)
+    loop-over-plans — the iteration is over PLANS, data never exceeds
+    10 rows; the lead() window is unpartitioned but allowlisted with
+    bound 10, and the leftmost-violation pick closes via
+    orderBy().limit(1) = TakeOrderedAndProject)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    b = (
+        d.select(
+            F.least(
+                F.lit(9), (text.quality_score("text") * 10).cast("int")
+            ).alias("lo"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("lo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("sp"),
+        )
+        .select("lo", F.col("lo").alias("hi"), "n", "sp")
+        .transform(pin, eager=False)
+    )
+    w = W.orderBy("lo")
+    for _ in range(_PAV_STEPS):
+        p = b.select(
+            "lo",
+            "hi",
+            "n",
+            "sp",
+            F.lead("lo").over(w).alias("nlo"),
+            F.lead("hi").over(w).alias("nhi"),
+            F.lead("n").over(w).alias("nn2"),
+            F.lead("sp").over(w).alias("nsp"),
+        ).transform(pin, eager=False)
+        v = (
+            p.where(
+                F.col("nlo").isNotNull()
+                & (F.col("sp") * F.col("nn2") > F.col("nsp") * F.col("n"))
+            )
+            .orderBy("lo")
+            .limit(1)
+            .select(F.col("lo").alias("flo"), F.col("nlo").alias("plo"))
+        )
+        merged = F.col("flo").isNotNull() & (F.col("flo") == F.col("lo"))
+        b = (
+            p.join(F.broadcast(v), F.lit(True), "left")
+            .where(F.col("flo").isNull() | (F.col("lo") != F.col("plo")))
+            .select(
+                "lo",
+                F.when(merged, F.col("nhi")).otherwise(F.col("hi")).alias("hi"),
+                F.when(merged, F.col("n") + F.col("nn2"))
+                .otherwise(F.col("n"))
+                .alias("n"),
+                F.when(merged, F.col("sp") + F.col("nsp"))
+                .otherwise(F.col("sp"))
+                .alias("sp"),
+            )
+            .transform(pin, eager=False)
+        )
+    return b.select(
+        F.col("lo").cast("int").alias("bin_lo"),
+        F.col("hi").cast("int").alias("bin_hi"),
+        "n",
+        F.col("sp").alias("n_pos"),
+        (
+            (F.col("sp").cast("double") / F.col("n") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .cast("double")
+            / 1000000.0
+        ).alias("iso_rate"),
+    )

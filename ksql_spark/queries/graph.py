@@ -1892,3 +1892,118 @@ def graph_diameter_doublesweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_reached",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L20 — HITS hubs & authorities (round 11)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 4
+
+
+def _hits_oracle() -> str:
+    from ksql_spark.registry import sql_dsum
+
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    sups AS (SELECT DISTINCT s FROM edges),
+    h0 AS (SELECT s, 1.0 AS h FROM sups)
+    """
+    for t in range(1, _HITS_ITERS + 1):
+        head += f""",
+    araw{t} AS MATERIALIZED (
+        SELECT edges.p, {sql_dsum(f'h{t-1}.h')} AS c
+        FROM edges JOIN h{t-1} ON edges.s = h{t-1}.s
+        GROUP BY edges.p
+    ),
+    a{t} AS MATERIALIZED (
+        SELECT p, c / NULLIF((SELECT {sql_dsum('c')} FROM araw{t}), 0) AS a
+        FROM araw{t}
+    ),
+    hraw{t} AS MATERIALIZED (
+        SELECT edges.s, {sql_dsum(f'a{t}.a')} AS c
+        FROM edges JOIN a{t} ON edges.p = a{t}.p
+        GROUP BY edges.s
+    ),
+    h{t} AS MATERIALIZED (
+        SELECT s, c / NULLIF((SELECT {sql_dsum('c')} FROM hraw{t}), 0) AS h
+        FROM hraw{t}
+    )
+    """
+    return head + f"""
+    SELECT s AS suppkey,
+           CAST(trunc(h * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS hub
+    FROM h{_HITS_ITERS}
+    """
+
+
+@query(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    ref="SURVEY §2 L20 [EXT] (HITS hubs & authorities, Kleinberg 1999: "
+    "4 dual power iterations a <- E'h, h <- Ea with L1 normalization "
+    "per half-step on the BIPARTITE supplier->part supply graph — the "
+    "two-sided centrality the symmetric-coship PageRank family cannot "
+    "express (on an undirected graph HITS degenerates to one "
+    "eigenvector; the bipartite supply graph is its natural home: hub "
+    "= supplier whose catalog concentrates on authoritative parts, "
+    "authority = part stocked by strong hubs))",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier hub scores after 4 HITS iterations over the distinct
+    (supplier, part) supply edges: authority(p) = Σ hub(s) over suppliers
+    of p, hub(s) = Σ authority(p) over parts of s, each half-step
+    L1-normalized so scores stay O(1) (unnormalized HITS overflows
+    geometrically — Kleinberg's normalization is load-bearing, not
+    cosmetic). Returns every supplier with its final hub score.
+
+    Scale shape: per half-step ONE keyed equi-join of the score vector
+    against the checkpointed edge list + a re-agg on the other side's key
+    (the L7/Katz relaxation shape — at 100 TB the edge list is bucketed
+    on both keys so every iteration's join co-locates); score vectors are
+    vertex-bounded and pinned per round (the class-(d) loop-over-plans
+    device), iteration count fixed at 4, so the driver loops over PLANS,
+    never data.
+
+    Determinism: contribution sums ride dsum (quantized scaled-long);
+    the L1 normalizer is itself a dsum scalar, so the per-row division
+    is identical IEEE in both engines; one final 1e-6 quantization."""
+    from ksql_spark.registry import dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = pin(
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    h = edges.select("s").distinct().select("s", F.lit(1.0).alias("h"))
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges.join(h, "s")
+            .groupBy("p")
+            .agg(dsum("h").alias("c"))
+            .transform(pin, eager=False)
+        )
+        asum = araw.agg(dsum("c").alias("t"))
+        a = araw.crossJoin(F.broadcast(asum)).select(
+            "p", (F.col("c") / F.nullif(F.col("t"), F.lit(0.0))).alias("a")
+        )
+        hraw = (
+            edges.join(a, "p")
+            .groupBy("s")
+            .agg(dsum("a").alias("c"))
+            .transform(pin, eager=False)
+        )
+        hsum = hraw.agg(dsum("c").alias("t"))
+        h = hraw.crossJoin(F.broadcast(hsum)).select(
+            "s", (F.col("c") / F.nullif(F.col("t"), F.lit(0.0))).alias("h")
+        )
+    return h.select(
+        F.col("s").alias("suppkey"),
+        (
+            (F.col("h") * 1000000 + F.lit(0.5)).cast("long").cast("double")
+            / 1000000.0
+        ).alias("hub"),
+    )

@@ -299,3 +299,158 @@ def sort_zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("dq") - F.min("dq")).cast("bigint").alias("day_span"),
         (F.max("cq") - F.min("cq")).cast("bigint").alias("cust_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 — Hilbert-curve clustering key (round 11)
+# ---------------------------------------------------------------------------
+
+_HILBERT_ORDER = 12  # 12 bits per dimension -> 24-bit curve index
+
+
+def _hilbert_duck_ctes() -> str:
+    """12 chained CTE steps of the Lam-Shapiro xy2d walk (each references
+    only its predecessor once in FROM — a linear chain, safe un-MATERIALIZED).
+    Input CTE `q` must provide (dq, cq); output CTE s12 carries (dq, cq, d)."""
+    out = """, s0 AS (
+        SELECT dq, cq, dq AS x, cq AS y, CAST(0 AS BIGINT) AS d FROM q
+    )"""
+    for i in range(_HILBERT_ORDER):
+        s = 1 << (_HILBERT_ORDER - 1 - i)
+        out += f""",
+    s{i + 1} AS (
+        SELECT dq, cq,
+               CASE WHEN (y & {s}) = 0 THEN
+                   CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END
+               ELSE x END AS x,
+               CASE WHEN (y & {s}) = 0 THEN
+                   CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END
+               ELSE y END AS y,
+               d + {s}::BIGINT * {s} * xor(
+                   3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+        FROM s{i}
+    )"""
+    return out
+
+
+_HILBERT_ZONEMAP_ORACLE = f"""
+    WITH mx AS (
+        SELECT CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
+                    + 1 AS BIGINT) AS max_d,
+               CAST(MAX(o_custkey) + 1 AS BIGINT) AS max_c
+        FROM orders
+    ), q AS (
+        SELECT CAST(trunc(date_diff('day', DATE '1995-01-01', o_orderdate)
+                          * 4096.0 / max_d) AS BIGINT) AS dq,
+               CAST(trunc(o_custkey * 4096.0 / max_c) AS BIGINT) AS cq
+        FROM orders, mx
+    ){_hilbert_duck_ctes()}
+    SELECT CAST(d >> 12 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(dq) AS BIGINT) AS min_day_q,
+           CAST(MAX(dq) AS BIGINT) AS max_day_q,
+           CAST(MIN(cq) AS BIGINT) AS min_cust_q,
+           CAST(MAX(cq) AS BIGINT) AS max_cust_q,
+           CAST(MAX(dq) - MIN(dq) AS BIGINT) AS day_span,
+           CAST(MAX(cq) - MIN(cq) AS BIGINT) AS cust_span
+    FROM s{_HILBERT_ORDER} GROUP BY bucket
+    """
+
+
+def hilbert_index(x, y, order: int = _HILBERT_ORDER):
+    """Hilbert xy2d index of two quantized coordinate Columns — the
+    Lam & Shapiro (1994) bit walk as a STRUCT-STATE FOLD over the per-level
+    side lengths, so the expression stays O(1) regardless of order (an
+    unrolled column chain triples per step: new x reads old y twice and the
+    rotation reads both — ~3^12 nodes by level 12; the fold lambda is one
+    expression evaluated iteratively at runtime). Pure integer shifts/
+    masks/xor: bit-identical in any engine."""
+    svals = F.array(
+        *[F.lit(1 << (order - 1 - i)).cast("long") for i in range(order)]
+    )
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(0).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(0).cast("long")
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        flip = rx == 1
+        x1 = F.when(flip, s - 1 - acc["x"]).otherwise(acc["x"])
+        y1 = F.when(flip, s - 1 - acc["y"]).otherwise(acc["y"])
+        swap = ry == 0
+        return F.struct(
+            F.when(swap, y1).otherwise(acc["x"]).alias("x"),
+            F.when(swap, x1).otherwise(acc["y"]).alias("y"),
+            d2.alias("d"),
+        )
+
+    return F.aggregate(svals, init, step)["d"]
+
+
+@query(
+    "sort_hilbert_locality",
+    oracle=_HILBERT_ZONEMAP_ORACLE,
+    ref="SURVEY §2 F8 [EXT] (Hilbert-curve clustering key (Hilbert 1891; "
+    "xy2d walk per Lam & Shapiro 1994): like F7's Z-order a quadrant-"
+    "recursive space-filling curve — the top 12 index bits fix a depth-6 "
+    "quadrant, so every 4096-bucket has the same < 64-step span guarantee "
+    "in BOTH dims — but with strictly better run locality: consecutive "
+    "Hilbert cells are always grid-ADJACENT (Morton order teleports "
+    "across quadrant seams), so range scans over the sort key touch "
+    "fewer distinct grid regions; the layout Databricks liquid "
+    "clustering and Iceberg adopted over Z-order for exactly this "
+    "reason. Locality comparison asserted vs F7 in tests/test_wave11.py)",
+)
+def sort_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-order locality audit over orders: quantize (orderday,
+    custkey) to 12 bits each against broadcast maxima (exactly F7's
+    grid), compute the 24-bit Hilbert index via the fold-based bit walk,
+    bucket by the top 12 bits, and report the same per-bucket zone map
+    as sort_zorder_locality — so the two layouts are comparable row for
+    row. Writing the layout is `repartitionByRange(N, hkey) +
+    sortWithinPartitions(hkey)`, identical machinery to the F7 writer.
+
+    Scale shape: 1-row scalar broadcast + one narrow scan (the fold is
+    per-row integer arithmetic, no shuffle) + a 4096-bounded hash agg
+    with map-side combine.
+
+    Determinism: every operation is integer shift/mask/xor on exact
+    quantized coordinates — bitwise-identical cross-engine, no floats
+    anywhere past the shared trunc quantization."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(
+        (
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))) + 1
+        )
+        .cast("bigint")
+        .alias("max_d"),
+        (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
+    )
+    q = o.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
+            " / max_d AS BIGINT)"
+        ).alias("dq"),
+        F.expr("CAST(o_custkey * 4096.0 / max_c AS BIGINT)").alias("cq"),
+    )
+    h = q.select(
+        "dq",
+        "cq",
+        F.shiftright(hilbert_index(F.col("dq"), F.col("cq")), 12).alias(
+            "bucket"
+        ),
+    )
+    return h.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("dq").cast("bigint").alias("min_day_q"),
+        F.max("dq").cast("bigint").alias("max_day_q"),
+        F.min("cq").cast("bigint").alias("min_cust_q"),
+        F.max("cq").cast("bigint").alias("max_cust_q"),
+        (F.max("dq") - F.min("dq")).cast("bigint").alias("day_span"),
+        (F.max("cq") - F.min("cq")).cast("bigint").alias("cust_span"),
+    )

@@ -2118,6 +2118,7 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "graph_adamic_adar_capped": "rank over the 20-row TakeOrdered result",
     "llm_collocations": "rank over the TakeOrdered top-k",
     # vocabulary-bounded type tables
+    "llm_isotonic_calibration": "lead over the <= 10-row PAV block table",
     "llm_bpe_merges": "gram-type table (vocabulary-bounded)",
     "llm_tokenize_ids": "vocab rank (type table)",
     "llm_good_turing": "counts-of-counts ladder (O(sqrt(vocab)) rows)",
@@ -2146,6 +2147,7 @@ _PREPIN_ITERATIVE_SKIP = (
     "events_attribution_markov",
     "llm_bradley_terry_sources",
     "llm_dedup_cluster",  # connected-components loop (and _portable twin)
+    "llm_isotonic_calibration",  # 9 PAV merge steps, 3 refs per block table
     "llm_mmr_rerank",
     "llm_pipeline_e2e_scaled",
 )
@@ -2405,6 +2407,10 @@ _ALLOWLIST_BOUNDS = {
     "llm_bpe_merges": (
         "adjacent-symbol pair types <= sum over distinct words of |w|-1",
         lambda st: st["sym_pairs"] + 1,
+    ),
+    "llm_isotonic_calibration": (
+        "<= 10 quality-decile PAV blocks",
+        lambda st: 10,
     ),
     "llm_tokenize_ids": (
         "<= |word vocabulary| rank table",

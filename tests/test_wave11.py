@@ -394,3 +394,152 @@ def test_semantic_decontaminate_flags_paraphrase_tier(spark, tmp_path):
     assert out[3]["contaminated"] is False
     # n-gram tier composition: same eval stand-in as llm_decontaminate
     assert set(out) == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# L20 — HITS
+# ---------------------------------------------------------------------------
+
+def test_hits_hub_ordering_and_normalization(spark, tmp_path):
+    """Star fixture: supplier 1 supplies the two parts every other supplier
+    also supplies (popular = authoritative), supplier 2 supplies one of
+    them, supplier 3 supplies only a private part. Hub order must be
+    1 > 2 > 3 and the final hub vector L1-normalized (sums to ~1)."""
+    li = []
+    k = 0
+    def edge(s, p):
+        nonlocal k
+        li.append((k, p, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _d(0))); k += 1
+    # parts 100, 101 are supplied by everyone -> authoritative
+    for s in (1, 2, 4, 5):
+        edge(s, 100)
+    for s in (1, 4, 5):
+        edge(s, 101)
+    edge(3, 999)  # private part -> no authority mass flows to supplier 3
+    _write_lineitem(spark, tmp_path, li)
+    out = {r["suppkey"]: r["hub"] for r in
+           SPECS["graph_hits"].builder(spark, str(tmp_path)).collect()}
+    assert out[1] > out[2] > out[3]
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# F8 — Hilbert locality
+# ---------------------------------------------------------------------------
+
+def test_hilbert_buckets_have_zorder_span_guarantee(spark):
+    """Quadrant recursion: every 4096-bucket spans < 64 quantization steps
+    in BOTH dimensions — the same skipping guarantee as Z-order."""
+    rows = SPECS["sort_hilbert_locality"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["day_span"] < 64 and r["cust_span"] < 64
+
+
+def test_hilbert_consecutive_buckets_more_adjacent_than_zorder(spark):
+    """THE reason to prefer Hilbert: consecutive curve segments are grid-
+    adjacent. Measure the mean L1 centroid jump between consecutive
+    non-empty buckets for both layouts on the same grid — Hilbert's must
+    be strictly smaller (Morton teleports across quadrant seams)."""
+    def jumps(name):
+        rows = sorted(
+            SPECS[name].builder(spark, SF_DIR).collect(),
+            key=lambda r: r["bucket"],
+        )
+        cents = [
+            ((r["min_day_q"] + r["max_day_q"]) / 2.0,
+             (r["min_cust_q"] + r["max_cust_q"]) / 2.0)
+            for r in rows
+        ]
+        ds = [
+            abs(a[0] - b[0]) + abs(a[1] - b[1])
+            for a, b in zip(cents, cents[1:])
+        ]
+        return sum(ds) / len(ds)
+
+    assert jumps("sort_hilbert_locality") < jumps("sort_zorder_locality")
+
+
+def test_hilbert_index_matches_reference_walk(spark):
+    """Pin the fold against a pure-python xy2d for a handful of coords."""
+    from ksql_spark.queries.sorts import hilbert_index
+
+    def ref(x, y, order=12):
+        d = 0
+        for i in range(order):
+            s = 1 << (order - 1 - i)
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+        return d
+
+    import pyspark.sql.functions as F
+    coords = [(0, 0), (1, 0), (4095, 4095), (123, 4001), (2048, 2047)]
+    df = spark.createDataFrame(coords, "x long, y long").select(
+        "x", "y", hilbert_index(F.col("x"), F.col("y")).alias("d")
+    )
+    for r in df.collect():
+        assert r["d"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+# ---------------------------------------------------------------------------
+# K151 — isotonic calibration
+# ---------------------------------------------------------------------------
+
+def test_pav_pools_planted_violation_to_weighted_mean(spark, tmp_path):
+    """Three quality bands where the MIDDLE band has a HIGHER en-rate than
+    the top band: PAV must pool the two into one block at the weighted
+    mean rate while the bottom block survives untouched."""
+    docs = []
+    did = 0
+    rich = ("the quick brown fox jumps over a lazy dog and keeps running "
+            "to the river of words beyond the hill every single day ") * 2
+    mid = "the a of and to in is plus some more filler words here"
+    poor = "x y"
+    # bottom band (bin 3): 10 docs, 0% en
+    for _ in range(10):
+        docs.append((did, poor, "de", "s", 2)); did += 1
+    # middle band (the 'rich' text lands in bin 4 — its x2 repetition costs
+    # unique-word ratio): 10 docs, 100% en — the planted VIOLATION vs bin 5
+    for _ in range(10):
+        docs.append((did, rich, "en", "s", 200)); did += 1
+    # top band (bin 5): 10 docs, 50% en
+    for i in range(10):
+        docs.append((did, mid, "en" if i % 2 == 0 else "fr", "s", 50))
+        did += 1
+    _write_documents(spark, tmp_path, docs)
+    rows = sorted(
+        SPECS["llm_isotonic_calibration"].builder(spark, str(tmp_path)).collect(),
+        key=lambda r: r["bin_lo"],
+    )
+    # rates must come out monotone non-decreasing over the block order
+    rates = [r["iso_rate"] for r in rows]
+    assert rates == sorted(rates)
+    # the violating middle/top bins pooled: one block holds 20 docs at 0.75
+    pooled = [r for r in rows if r["n"] == 20]
+    assert pooled and abs(pooled[0]["iso_rate"] - 0.75) < 1e-6
+    assert pooled[0]["bin_lo"] < pooled[0]["bin_hi"]
+    # the clean bottom block is untouched
+    assert rows[0]["n"] == 10 and rows[0]["iso_rate"] == 0.0
+
+
+def test_pav_identity_on_already_monotone_bins(spark, tmp_path):
+    """A calibrated corpus (rate increases with quality) must come back
+    with singleton blocks only — PAV never merges without a violation."""
+    docs = []
+    did = 0
+    poor = "z q"
+    rich = ("the quick brown fox jumps over a lazy dog and keeps running "
+            "to the river of words beyond the hill every single day ") * 2
+    for _ in range(10):
+        docs.append((did, poor, "de", "s", 2)); did += 1
+    for i in range(10):
+        docs.append((did, rich, "en" if i % 2 == 0 else "fr", "s", 200))
+        did += 1
+    _write_documents(spark, tmp_path, docs)
+    rows = SPECS["llm_isotonic_calibration"].builder(spark, str(tmp_path)).collect()
+    assert all(r["bin_lo"] == r["bin_hi"] for r in rows)
