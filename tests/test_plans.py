@@ -2539,6 +2539,10 @@ def test_bounded_fit_entries_ride_the_reservoir(spark, monkeypatch, name):
         return real(e, cap)
 
     monkeypatch.setattr(llm_mod, "_reservoir_sample", spy)
+    # the codebook cache legitimately skips the fit (and the reservoir) on
+    # a warm key — earlier suite tests warm it for SF_DIR, which made this
+    # spy order-dependent; clear it so the fit path is actually exercised
+    monkeypatch.setattr(llm_mod, "_CENTROID_CACHE", {})
     SPECS[name].builder(spark, SF_DIR)
     assert calls, f"{name}: build-time fit no longer rides _reservoir_sample"
     assert all(c <= 4096 for c in calls), (

@@ -76,6 +76,21 @@ SHOWCASE = {
     "Erlang-B recursion is a per-row HOF fold over a 6-row ladder",
     "graph_diameter_doublesweep": "two frontier BFS over ONE pinned "
     "adjacency; sweep-2 seed is a TakeOrdered 1-row plan (no driver collect)",
+    # round-11 wave
+    "llm_paragraph_dedup": "exchanges carry md5 paragraph keys + (doc,pos) "
+    "pairs; canonical pick is a min-STRUCT hash agg (map-side combined), "
+    "never a per-key window",
+    "llm_winnowing_pairs": "window minima are per-row HOF arithmetic (no "
+    "exchange); the pair join is fingerprint-keyed inside the 2..64 df band",
+    "sort_hilbert_locality": "the 12-level Hilbert walk is ONE aggregate() "
+    "fold expression — no join, no shuffle before the 4096-bucket agg",
+    "graph_hits": "per half-step one keyed join of the vertex-bounded score "
+    "vector vs the pinned edge list + re-agg; normalizers are broadcast "
+    "1-row aggs",
+    "orders_logrank_segments": "risk sets from ONE descending window over "
+    "the bounded distinct-duration table; e1/v terms quantize then dsum",
+    "llm_semantic_decontaminate": "benchmark-sized eval side broadcast; "
+    "train side never shuffles — closes in a doc-keyed max-struct agg",
 }
 
 

@@ -65,6 +65,13 @@ HEAVY = [
     "events_rolling_wau", "events_session_funnel", "win_rolling_median",
     "llm_pack_sequences", "events_markov_transitions",
     "events_changepoint_binseg", "stream_session_dynamic_gap",
+    # r11 wave (survival inference, drift, supply chain, curation surgery,
+    # preference data, HITS, Hilbert layout, PAV)
+    "orders_logrank_segments", "events_page_hinkley",
+    "orders_bullwhip_ratio", "sort_hilbert_locality", "graph_hits",
+    "llm_paragraph_dedup", "llm_line_rules_c4", "llm_winnowing_pairs",
+    "llm_preference_pairs", "llm_semantic_decontaminate",
+    "llm_isotonic_calibration",
 ]
 
 
