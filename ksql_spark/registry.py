@@ -306,9 +306,36 @@ _R10_CHECKED = frozenset({
 })
 
 
+#: Round-11 ritual transcription (CORRECTNESS_r11.json, 49 oracle-green +
+#: 1 rows-only-by-design): the window was the 12-entry r11 wave (D98-D100,
+#: F8, K146-K151, L20 + llm_pipeline_e2e_hier and events_page_hinkley) plus
+#: refill from the stalest remaining evidence — the r1 fn_* family and the
+#: r2 join/setop/graph/llm-sim blocks. Refill continues from the remaining
+#: r2 keys (sorts/limits/streams/windows/udfs), then r3.
+_R11_CHECKED = frozenset({
+    "agg_approx_distinct", "agg_collect", "ann_ivf_recall",
+    "events_page_hinkley", "fn_cast", "fn_conditional", "fn_date",
+    "fn_date_format", "fn_hash", "fn_math", "fn_regex", "fn_string",
+    "fn_string_extra", "fn_trim_variants", "fn_variant_extract",
+    "graph_bfs", "graph_components", "graph_hits", "join_anti", "join_asof",
+    "join_cross", "join_full", "join_inner_using",
+    "join_interval_attribution", "join_lateral", "join_left",
+    "join_natural", "join_range", "join_right", "join_self", "join_semi",
+    "join_theta", "llm_dedup_exact", "llm_emb_cosine_dup",
+    "llm_isotonic_calibration", "llm_line_rules_c4", "llm_ngram_jaccard",
+    "llm_paragraph_dedup", "llm_pipeline_e2e_hier", "llm_preference_pairs",
+    "llm_semantic_decontaminate", "llm_sim_topk", "llm_vec_norm",
+    "llm_winnowing_pairs", "orders_bullwhip_ratio",
+    "orders_logrank_segments", "set_intersect", "set_union",
+    "set_union_all", "sort_hilbert_locality",
+})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R10_CHECKED:
+    if spec.name in _R11_CHECKED:
+        group = 11
+    elif spec.name in _R10_CHECKED:
         group = 10
     elif spec.name in _R9_CHECKED:
         group = 9
