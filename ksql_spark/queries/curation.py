@@ -2232,6 +2232,7 @@ def llm_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ({SQL_QUALITY}) AS s,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
         FROM documents
+        WHERE text IS NOT NULL
     ), binned AS (
         SELECT CAST(least(9, CAST(trunc(s * 10) AS INT)) AS INT) AS bin,
                s, pos
@@ -2263,8 +2264,12 @@ def llm_quality_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize at 1e-6 before the bin mean so the accumulation is exact.
 
     Scale shape: one narrow HOF scan -> 10-group agg, map-side
-    combined. Nothing after the scan exceeds 10 rows."""
-    d = load(spark, sf_dir, "documents")
+    combined. Nothing after the scan exceeds 10 rows.
+
+    NULL-text docs are excluded (same guard + rationale as
+    llm_isotonic_calibration, ADVICE r11: engines bin NULL scores
+    divergently)."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sq = (text.quality_score("text") * 1000000 + F.lit(0.5)).cast("long")
     binned = d.select(
         F.least(
@@ -2671,7 +2676,8 @@ _SD_ENORM = """sqrt(list_reduce(
            CAST(-b['ne'] AS BIGINT) AS nearest_eval_id,
            CAST(trunc(b['c'] * 1000000 + 0.5) AS BIGINT) / 1000000.0
                AS max_cos,
-           b['c'] >= {_SEMDECON_T} AS contaminated
+           CAST(trunc(b['c'] * 1000000 + 0.5) AS BIGINT)
+               >= {int(_SEMDECON_T * 1000000)} AS contaminated
     FROM best
     """,
     ref="SURVEY §2 K150 [EXT] (embedding-tier benchmark decontamination: "
@@ -2684,10 +2690,11 @@ _SD_ENORM = """sqrt(list_reduce(
 )
 def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per train vector (vec_id % 29 != 0): the nearest eval vector
-    (vec_id % 29 == 0) by cosine, the similarity (1e-6-quantized for
-    reporting; the 0.95 flag compares the RAW double, identical in both
-    engines), and the contamination verdict. Ties on cosine break to the
-    lowest eval_id via the argmax struct device.
+    (vec_id % 29 == 0) by cosine, the similarity (1e-6-quantized), and
+    the contamination verdict — flagged on the SAME quantized value that
+    is reported, so flag and max_cos are always mutually consistent.
+    Ties on cosine break to the lowest eval_id via the argmax struct
+    device.
 
     Scale shape: the eval side is benchmark-sized regardless of corpus
     size, so it BROADCASTS and the train side never shuffles — one
@@ -2728,7 +2735,13 @@ def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.c") * 1000000 + F.lit(0.5)).cast("long").cast("double")
             / 1000000.0
         ).alias("max_cos"),
-        (F.col("b.c") >= _SEMDECON_T).alias("contaminated"),
+        # flag on the SAME 1e-6-quantized value that is reported, so a
+        # consumer joining max_cos against the flag never sees
+        # max_cos == 0.950000 with contaminated = false (ADVICE r11)
+        (
+            (F.col("b.c") * 1000000 + F.lit(0.5)).cast("long")
+            >= int(_SEMDECON_T * 1000000)
+        ).alias("contaminated"),
     )
 
 
@@ -2745,6 +2758,7 @@ def _pav_oracle() -> str:
         SELECT ({SQL_QUALITY}) AS s,
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
         FROM documents
+        WHERE text IS NOT NULL
     ),
     b0 AS MATERIALIZED (
         SELECT CAST(least(9, CAST(trunc(s * 10) AS INT)) AS INT) AS lo,
@@ -2814,10 +2828,16 @@ def llm_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop-over-plans — the iteration is over PLANS, data never exceeds
     10 rows; the lead() window is unpartitioned but allowlisted with
     bound 10, and the leftmost-violation pick closes via
-    orderBy().limit(1) = TakeOrderedAndProject)."""
+    orderBy().limit(1) = TakeOrderedAndProject).
+
+    NULL-text docs are excluded up front (ADVICE r11): they have no
+    meaningful quality score and the engines bin an unguarded NULL
+    divergently (DuckDB least(9, trunc(NULL*10)) = NULL vs Spark's
+    size(NULL) = -1 path -> bin 0), so the guard is a correctness
+    contract for full corpora, not a fixture convenience."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     b = (
         d.select(
             F.least(

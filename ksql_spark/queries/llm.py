@@ -7330,11 +7330,52 @@ _WINNOW_W = 4  # gram hashes per window
 _WINNOW_DF_CAP = 64  # fingerprints in more docs than this are stopgrams
 
 
+def _winnow_fingerprints(d: DataFrame) -> DataFrame:
+    """Winnowing fingerprint stage, exposed for direct testing: per doc the
+    distinct w-window minima over the k-gram hash sequence (docs with
+    1..w-1 grams keep their single global minimum — the short-doc fallback
+    can never clear the >= 2 shared-fingerprint pair floor on its own, so
+    tests exercise THIS stage to prove the branch)."""
+    grams = d.select(
+        "doc_id", text.shingles("text", _WINNOW_K).alias("gs")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.col("gs"),
+            lambda g: F.conv(
+                F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
+    mins = F.when(
+        n >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        ),
+    ).otherwise(
+        F.when(n >= 1, F.array(F.array_min(F.col("hs")))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return grams.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("h")
+    )
+
+
+
 @query(
     "llm_winnowing_pairs",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        -- \\s+ regexp split + empty-drop == the Spark side's words(): the two
+        -- engines agree on multi-space/tab/newline corpora, not just the
+        -- single-space fixture convention (ADVICE r11).
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           w -> w <> '') AS w
+        FROM documents
         WHERE text IS NOT NULL
     ),
     g AS (
@@ -7407,32 +7448,7 @@ def llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark conv(hex,16,10) == DuckDB '0x'::BIGINT), minima/counts exact
     integers, the overlap coefficient 1e-6-quantized."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    grams = d.select(
-        "doc_id", text.shingles("text", _WINNOW_K).alias("gs")
-    ).select(
-        "doc_id",
-        F.transform(
-            F.col("gs"),
-            lambda g: F.conv(
-                F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
-            ).cast("long"),
-        ).alias("hs"),
-    )
-    n = F.size(F.col("hs"))
-    mins = F.when(
-        n >= _WINNOW_W,
-        F.transform(
-            F.sequence(F.lit(1), n - (_WINNOW_W - 1)),
-            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
-        ),
-    ).otherwise(
-        F.when(n >= 1, F.array(F.array_min(F.col("hs")))).otherwise(
-            F.array().cast("array<long>")
-        )
-    )
-    fps = grams.select(
-        "doc_id", F.explode(F.array_distinct(mins)).alias("h")
-    )
+    fps = _winnow_fingerprints(d)
     live = (
         fps.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))

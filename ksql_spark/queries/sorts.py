@@ -161,14 +161,19 @@ _Z_SPARK = _interleave_sql("dq", "cq", 12, "spark")
 
 _ZORDER_ZONEMAP_ORACLE = f"""
     WITH mx AS (
-        SELECT CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
-                    + 1 AS BIGINT) AS max_d,
-               CAST(MAX(o_custkey) + 1 AS BIGINT) AS max_c
+        SELECT CAST(MIN(date_diff('day', DATE '1995-01-01', o_orderdate))
+                    AS BIGINT) AS min_d,
+               CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
+                    AS BIGINT) AS max_d,
+               CAST(MIN(o_custkey) AS BIGINT) AS min_c,
+               CAST(MAX(o_custkey) AS BIGINT) AS max_c
         FROM orders
     ), q AS (
-        SELECT CAST(trunc(date_diff('day', DATE '1995-01-01', o_orderdate)
-                          * 4096.0 / max_d) AS BIGINT) AS dq,
-               CAST(trunc(o_custkey * 4096.0 / max_c) AS BIGINT) AS cq
+        SELECT CAST(trunc((date_diff('day', DATE '1995-01-01', o_orderdate)
+                           - min_d) * 4096.0 / (max_d - min_d + 1))
+                    AS BIGINT) AS dq,
+               CAST(trunc((o_custkey - min_c) * 4096.0
+                          / (max_c - min_c + 1)) AS BIGINT) AS cq
         FROM orders, mx
     ), z AS (
         SELECT dq, cq, {_Z_DUCK} >> 12 AS bucket FROM q
@@ -197,7 +202,7 @@ _ZORDER_ZONEMAP_ORACLE = f"""
 )
 def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-order locality audit over orders: quantize (orderdate-day,
-    custkey) into 12 bits each against broadcast maxima, interleave into a
+    custkey) into 12 bits each against broadcast min/max extrema, interleave into a
     24-bit z-value, bucket by the top 12 bits (= top 6 bits of EACH dim),
     and report the per-bucket zone map. Because a bucket fixes 6 high
     bits per dimension, every bucket's span is < 2^6 = 64 quantization
@@ -211,20 +216,26 @@ def sort_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual layout is `df.repartitionByRange(N, zkey).sortWithinPartitions
     (zkey)` — same expression, no new machinery."""
     o = load(spark, sf_dir, "orders")
+    # Quantize against broadcast MIN/MAX in BOTH dims (ADVICE r11): the
+    # 1995-01-01 literal is only a day-numbering epoch and cancels in the
+    # min-normalized form, so pre-1995 (or arbitrary-era) data still lands
+    # every coordinate in [0, 4095] where the bit walk is defined.
+    day = "datediff(o_orderdate, DATE '1995-01-01')"
     mx = o.agg(
-        (
-            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))) + 1
-        )
-        .cast("bigint")
-        .alias("max_d"),
-        (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
+        F.expr(f"CAST(MIN({day}) AS BIGINT)").alias("min_d"),
+        F.expr(f"CAST(MAX({day}) AS BIGINT)").alias("max_d"),
+        F.min("o_custkey").cast("bigint").alias("min_c"),
+        F.max("o_custkey").cast("bigint").alias("max_c"),
     )
     q = o.crossJoin(F.broadcast(mx)).select(
         F.expr(
-            "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
-            " / max_d AS BIGINT)"
+            f"CAST(({day} - min_d) * 4096.0"
+            " / (max_d - min_d + 1) AS BIGINT)"
         ).alias("dq"),
-        F.expr("CAST(o_custkey * 4096.0 / max_c AS BIGINT)").alias("cq"),
+        F.expr(
+            "CAST((o_custkey - min_c) * 4096.0"
+            " / (max_c - min_c + 1) AS BIGINT)"
+        ).alias("cq"),
     )
     z = q.select(
         "dq", "cq", F.expr(f"shiftright({_Z_SPARK}, 12)").alias("bucket")
@@ -272,20 +283,23 @@ def sort_zorder_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"ksql_zorder_audit_{tag}")
     write_zordered(o, out, "o_custkey", "orderday", n_files=16)
     back = spark.read.parquet(out).drop("orderday")
+    # same MIN/MAX-normalized grid as sort_zorder_locality (ADVICE r11)
+    day = "datediff(o_orderdate, DATE '1995-01-01')"
     mx = back.agg(
-        (
-            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))) + 1
-        )
-        .cast("bigint")
-        .alias("max_d"),
-        (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
+        F.expr(f"CAST(MIN({day}) AS BIGINT)").alias("min_d"),
+        F.expr(f"CAST(MAX({day}) AS BIGINT)").alias("max_d"),
+        F.min("o_custkey").cast("bigint").alias("min_c"),
+        F.max("o_custkey").cast("bigint").alias("max_c"),
     )
     q = back.crossJoin(F.broadcast(mx)).select(
         F.expr(
-            "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
-            " / max_d AS BIGINT)"
+            f"CAST(({day} - min_d) * 4096.0"
+            " / (max_d - min_d + 1) AS BIGINT)"
         ).alias("dq"),
-        F.expr("CAST(o_custkey * 4096.0 / max_c AS BIGINT)").alias("cq"),
+        F.expr(
+            "CAST((o_custkey - min_c) * 4096.0"
+            " / (max_c - min_c + 1) AS BIGINT)"
+        ).alias("cq"),
     )
     z = q.select(
         "dq", "cq", F.expr(f"shiftright({_Z_SPARK}, 12)").alias("bucket")
@@ -336,14 +350,19 @@ def _hilbert_duck_ctes() -> str:
 
 _HILBERT_ZONEMAP_ORACLE = f"""
     WITH mx AS (
-        SELECT CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
-                    + 1 AS BIGINT) AS max_d,
-               CAST(MAX(o_custkey) + 1 AS BIGINT) AS max_c
+        SELECT CAST(MIN(date_diff('day', DATE '1995-01-01', o_orderdate))
+                    AS BIGINT) AS min_d,
+               CAST(MAX(date_diff('day', DATE '1995-01-01', o_orderdate))
+                    AS BIGINT) AS max_d,
+               CAST(MIN(o_custkey) AS BIGINT) AS min_c,
+               CAST(MAX(o_custkey) AS BIGINT) AS max_c
         FROM orders
     ), q AS (
-        SELECT CAST(trunc(date_diff('day', DATE '1995-01-01', o_orderdate)
-                          * 4096.0 / max_d) AS BIGINT) AS dq,
-               CAST(trunc(o_custkey * 4096.0 / max_c) AS BIGINT) AS cq
+        SELECT CAST(trunc((date_diff('day', DATE '1995-01-01', o_orderdate)
+                           - min_d) * 4096.0 / (max_d - min_d + 1))
+                    AS BIGINT) AS dq,
+               CAST(trunc((o_custkey - min_c) * 4096.0
+                          / (max_c - min_c + 1)) AS BIGINT) AS cq
         FROM orders, mx
     ){_hilbert_duck_ctes()}
     SELECT CAST(d >> 12 AS BIGINT) AS bucket,
@@ -408,7 +427,7 @@ def hilbert_index(x, y, order: int = _HILBERT_ORDER):
 )
 def sort_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-order locality audit over orders: quantize (orderday,
-    custkey) to 12 bits each against broadcast maxima (exactly F7's
+    custkey) to 12 bits each against broadcast min/max extrema (exactly F7's
     grid), compute the 24-bit Hilbert index via the fold-based bit walk,
     bucket by the top 12 bits, and report the same per-bucket zone map
     as sort_zorder_locality — so the two layouts are comparable row for
@@ -423,20 +442,26 @@ def sort_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized coordinates — bitwise-identical cross-engine, no floats
     anywhere past the shared trunc quantization."""
     o = load(spark, sf_dir, "orders")
+    # Quantize against broadcast MIN/MAX in BOTH dims (ADVICE r11): the
+    # 1995-01-01 literal is only a day-numbering epoch and cancels in the
+    # min-normalized form, so pre-1995 (or arbitrary-era) data still lands
+    # every coordinate in [0, 4095] where the bit walk is defined.
+    day = "datediff(o_orderdate, DATE '1995-01-01')"
     mx = o.agg(
-        (
-            F.max(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))) + 1
-        )
-        .cast("bigint")
-        .alias("max_d"),
-        (F.max("o_custkey") + 1).cast("bigint").alias("max_c"),
+        F.expr(f"CAST(MIN({day}) AS BIGINT)").alias("min_d"),
+        F.expr(f"CAST(MAX({day}) AS BIGINT)").alias("max_d"),
+        F.min("o_custkey").cast("bigint").alias("min_c"),
+        F.max("o_custkey").cast("bigint").alias("max_c"),
     )
     q = o.crossJoin(F.broadcast(mx)).select(
         F.expr(
-            "CAST(datediff(o_orderdate, DATE '1995-01-01') * 4096.0"
-            " / max_d AS BIGINT)"
+            f"CAST(({day} - min_d) * 4096.0"
+            " / (max_d - min_d + 1) AS BIGINT)"
         ).alias("dq"),
-        F.expr("CAST(o_custkey * 4096.0 / max_c AS BIGINT)").alias("cq"),
+        F.expr(
+            "CAST((o_custkey - min_c) * 4096.0"
+            " / (max_c - min_c + 1) AS BIGINT)"
+        ).alias("cq"),
     )
     h = q.select(
         "dq",

@@ -317,17 +317,35 @@ def test_winnowing_catches_shared_run_and_skips_disjoint(spark, tmp_path):
 
 def test_winnowing_short_doc_still_fingerprints(spark, tmp_path):
     # 4 words -> 2 grams -> below the w=4 window: the single-min fallback
-    # must still emit a fingerprint so short duplicates can pair
+    # must still emit exactly ONE fingerprint. A 1-fingerprint doc can
+    # never clear the >= 2 shared-fp pair floor, so the branch is proved
+    # at the fingerprint stage directly (ADVICE r11: the old output-level
+    # assertion was vacuously true via its empty branch).
+    from ksql_spark.queries.llm import _winnow_fingerprints
+
     docs = [
         (1, "tiny doc four words", "en", "s", 4),
         (2, "tiny doc four words", "en", "s", 4),
+        (3, "three words only", "en", "s", 3),  # exactly 1 gram
+        (4, "ab", "en", "s", 1),  # < k words -> 0 grams -> 0 fingerprints
     ]
     _write_documents(spark, tmp_path, docs)
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    fps = _winnow_fingerprints(d).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+    # the <w-gram fallback emits exactly one fingerprint per short doc,
+    # and identical short docs emit the SAME one (so they do count into
+    # fingerprint document-frequency / live-band statistics)
+    assert len(by_doc.get(1, [])) == 1 and len(by_doc.get(2, [])) == 1
+    assert by_doc[1] == by_doc[2]
+    assert len(by_doc.get(3, [])) == 1  # single-gram doc: min of 1 hash
+    assert 4 not in by_doc  # sub-k doc yields no grams, no fingerprint
+    # and at the output level the pair floor correctly suppresses the
+    # 1-shared-fp short-dup pair
     rows = SPECS["llm_winnowing_pairs"].builder(spark, str(tmp_path)).collect()
-    # identical short docs share their 1 fingerprint — below the >=2 pair
-    # floor by design; the fingerprint sets must still exist (overlap via
-    # the n_shared >= 2 gate is for real runs, asserted above)
-    assert rows == [] or rows[0]["n_shared"] >= 1
+    assert rows == []
 
 
 # ---------------------------------------------------------------------------
@@ -540,6 +558,11 @@ def test_pav_identity_on_already_monotone_bins(spark, tmp_path):
     for i in range(10):
         docs.append((did, rich, "en" if i % 2 == 0 else "fr", "s", 200))
         did += 1
+    # NULL-text docs must be excluded, not binned (ADVICE r11: engines
+    # bin an unguarded NULL score divergently) — row counts prove it
+    docs.append((did, None, "en", "s", 0)); did += 1
+    docs.append((did, None, "de", "s", 0)); did += 1
     _write_documents(spark, tmp_path, docs)
     rows = SPECS["llm_isotonic_calibration"].builder(spark, str(tmp_path)).collect()
     assert all(r["bin_lo"] == r["bin_hi"] for r in rows)
+    assert sum(r["n"] for r in rows) == 20  # the 2 NULL-text docs dropped
