@@ -7365,18 +7365,21 @@ def _winnow_fingerprints(d: DataFrame) -> DataFrame:
 
 
 
-@query(
-    "llm_winnowing_pairs",
-    oracle=f"""
-    WITH toks AS (
+def _winnow_oracle(docs_cte: str) -> str:
+    """DuckDB winnowing-pair oracle over an arbitrary (doc_id, text) CTE
+    body — shared by the raw K148 entry and its exact-collapsed
+    production sibling so the fingerprint/pair spelling can never drift
+    between the two."""
+    return f"""
+    WITH docs AS ({docs_cte}),
+    toks AS (
         -- \\s+ regexp split + empty-drop == the Spark side's words(): the two
         -- engines agree on multi-space/tab/newline corpora, not just the
         -- single-space fixture convention (ADVICE r11).
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'),
                            w -> w <> '') AS w
-        FROM documents
-        WHERE text IS NOT NULL
+        FROM docs
     ),
     g AS (
         SELECT doc_id, CAST(i AS INT) AS pos,
@@ -7419,7 +7422,14 @@ def _winnow_fingerprints(d: DataFrame) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = b.doc_id
     GROUP BY a.doc_id, b.doc_id, sa.n_fps, sb.n_fps
     HAVING COUNT(*) >= 2
-    """,
+    """
+
+
+@query(
+    "llm_winnowing_pairs",
+    oracle=_winnow_oracle(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ),
     ref="SURVEY §2 K148 [EXT] (winnowing fingerprint candidate pairs "
     "(Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): per doc, "
     "the distinct minima of every w=4 window over the k=3-word-gram "
@@ -7446,8 +7456,20 @@ def llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: hashes are the house portable md5-slice bigints
     (Spark conv(hex,16,10) == DuckDB '0x'::BIGINT), minima/counts exact
-    integers, the overlap coefficient 1e-6-quantized."""
+    integers, the overlap coefficient 1e-6-quantized.
+
+    This is the RAW posture — its measured worst case is a duplicate-
+    heavy corpus, where verbatim-replica cliques pair 45x/clique under
+    the 64-df cap (36.2 s at sf1 on the 10x-replica probe). Production
+    runs llm_winnowing_pairs_collapsed (exact-collapse FIRST — the r10
+    llm_dedup_cluster lesson)."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return _winnow_pairs_from(d)
+
+
+def _winnow_pairs_from(d: DataFrame) -> DataFrame:
+    """Fingerprint + band + pair stage shared by the raw and collapsed
+    winnowing entries (input: a (doc_id, text) frame, text non-null)."""
     fps = _winnow_fingerprints(d)
     live = (
         fps.groupBy("h")
@@ -7492,3 +7514,52 @@ def llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+@query(
+    "llm_winnowing_pairs_collapsed",
+    oracle=_winnow_oracle(
+        "SELECT MIN(doc_id) AS doc_id, text FROM documents"
+        " WHERE text IS NOT NULL GROUP BY text"
+    ),
+    ref="SURVEY §2 K148 [EXT] (the PRODUCTION posture of winnowing: exact "
+    "dedup collapses verbatim replicas to their min-doc_id representative "
+    "BEFORE fingerprinting — the Lee et al. 2022 exact-before-near "
+    "ordering, same composition the r10 llm_dedup_cluster fix shipped. "
+    "Raw winnowing's measured worst case is the duplicate-heavy corpus "
+    "every real crawl is: a d-deep replica clique pairs d(d-1)/2 times "
+    "under the 64-df cap (45x/clique on the sf1 10x-replica probe) and "
+    "a clique deeper than 64 silently saturates the stopgram band; "
+    "collapsed, the clique contributes ONE representative and its pairs "
+    "carry to every copy through the K1 sha map)",
+)
+def llm_winnowing_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint pairs over exact-dedup representatives:
+    identical texts collapse to min-doc_id (sha-256 digest-only
+    exchange, text never shuffles in the collapse), and only
+    representatives enter the fingerprint/band/pair stage. Output
+    schema is identical to llm_winnowing_pairs; doc ids are
+    representative ids (expand with the K1 sha map when copy-level
+    pairs are needed — every copy pairs exactly as its rep does).
+
+    Equivalence law (pinned in tests/test_wave12.py): on a corpus with
+    no exact duplicates the output is ROW-IDENTICAL to the raw entry;
+    on replica corpora the intra-clique pair blow-up is gone (a d-deep
+    clique emits 0 within-clique pairs instead of d(d-1)/2, and its
+    fingerprints count ONCE into the 2..64 document-frequency band, so
+    deep cliques no longer saturate the stopgram cap).
+
+    Scale shape: one sha-256 hash-agg (map-side combined, digests only)
+    + a doc_id semi-join to pull representative text, then exactly the
+    raw entry's stages — doc-bounded HOF fingerprints, the 2..64 df
+    band, 64²-bounded pair fan-out. The collapse makes the pair stage's
+    input the DISTINCT corpus, which at crawl scale is the difference
+    between 45x-replicated cliques and none."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    reps = (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return _winnow_pairs_from(d.join(reps, "doc_id", "semi"))
