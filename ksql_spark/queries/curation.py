@@ -2745,6 +2745,147 @@ def llm_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cell_of(cent_rows, emb) -> F.Column:
+    """Nearest coarse-quantizer cell as a pure HOF fold — ZERO exchange on
+    the (100 TB) side it runs over: the K centroids enter the plan as a
+    literal array of structs, and the argmin over squared-L2 distance is
+    one F.aggregate per row (ties break to the lowest cent_id, the same
+    (dist asc, cent_id asc) rule as ann_ivf_topk's window form)."""
+    emb_d = emb.cast("array<double>")
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("ce"),
+            )
+            for i, c in cent_rows
+        ]
+    )
+
+    def d2(ce):
+        return F.aggregate(
+            F.zip_with(emb_d, ce, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    init = F.struct(
+        F.lit(-1).cast("int").alias("cid"),
+        F.lit(float("inf")).alias("d"),
+    )
+    step = lambda acc, cent: F.when(
+        d2(cent["ce"]) < acc["d"],
+        F.struct(cent["cid"].alias("cid"), d2(cent["ce"]).alias("d")),
+    ).otherwise(acc)
+    return F.aggregate(cent_arr, init, step)["cid"]
+
+
+@query(
+    "llm_semantic_decontaminate_ivf",
+    oracle=None,  # IVF-pruned candidate stage ≠ exact → rows-only; laws below
+    ref="SURVEY §2 K150 [EXT] (the 100 TB tier of embedding "
+    "decontamination: the brute sibling compares every train vector "
+    "against every eval vector (fine while n_eval is benchmark-bounded); "
+    "this tier routes candidates through ann_ivf_topk's FIXED-K coarse "
+    "quantizer — train vectors fold to their nearest cell with zero "
+    "exchange, eval vectors probe their nprobe=4 nearest cells, and "
+    "cosine is computed only inside probed cells. Laws pinned in "
+    "tests/test_wave12.py: row-set parity with brute, max_cos is a "
+    "LOWER BOUND of brute's (pruning can only drop candidates), flagged "
+    "set ⊆ brute's, and planted near-copies are ALL recalled)",
+)
+def llm_semantic_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-tier semantic decontamination: same output contract as
+    llm_semantic_decontaminate (one row per train vector; nearest eval,
+    1e-6-quantized max cosine, flag on the quantized value), but the
+    candidate stage is IVF-pruned — each train vector is compared ONLY
+    against eval vectors probing its coarse cell. Train vectors whose
+    cell no eval probes report NULL nearest/max_cos and contaminated =
+    false (nothing near them by the quantizer's own geometry).
+
+    Why this is the 100 TB path: the brute tier is O(n_train · n_eval ·
+    dim) on ONE narrow pass — right while n_eval is benchmark-bounded,
+    wrong once the eval suite grows to millions of rows (eval-suite
+    unions, paraphrase banks). Here the train side stays exchange-FREE
+    (the cell id is a per-row HOF fold over K literal centroids — no
+    crossJoin, no shuffle, no window), the eval side broadcasts (eval ×
+    nprobe rows), and the only join is a broadcast HASH join on cell_id
+    with per-train fan-out = evals probing that cell (≈ n_eval ·
+    nprobe / K) instead of n_eval. A contaminated pair (cos >= 0.95) is
+    near-identical in embedding space, so train and eval land in the
+    same cell with margin — the planted-copy recall law in
+    tests/test_wave12.py pins exactly that.
+
+    Shares _ivf_coarse with ann_ivf_topk (same centroids, same cells,
+    same flat-search fallback for tiny corpora)."""
+    from ksql_spark.operators import vectors
+    from ksql_spark.queries.llm import _ivf_coarse
+
+    K, NPROBE = 16, 4
+    cent_rows, n_sample = _ivf_coarse(spark, sf_dir, K=K)
+    nprobe = K if n_sample < 64 * K else NPROBE
+    cents = spark.createDataFrame(
+        cent_rows, "cent_id int, cent_emb array<double>"
+    )
+    e = load(spark, sf_dir, "embeddings")
+    tr = e.where(F.col("vec_id") % 29 != 0).select(
+        "vec_id",
+        "embedding",
+        vectors.l2_norm("embedding").alias("t_norm"),
+        _ivf_cell_of(cent_rows, F.col("embedding")).alias("cell"),
+    )
+    probe_w = SparkWindow.partitionBy("eval_id").orderBy(
+        F.col("qd").asc(), F.col("cell")
+    )
+    ev = (
+        e.where(F.col("vec_id") % 29 == 0)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("e_emb"),
+            vectors.l2_norm("embedding").alias("e_norm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "eval_id",
+            "e_emb",
+            "e_norm",
+            F.col("cent_id").alias("cell"),
+            vectors.l2_sq_dist("e_emb", "cent_emb").alias("qd"),
+        )
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= nprobe)
+        .select("cell", "eval_id", "e_emb", "e_norm")
+    )
+    cos = F.try_divide(
+        vectors.dot("embedding", "e_emb"),
+        F.nullif(F.col("t_norm") * F.col("e_norm"), F.lit(0.0)),
+    )
+    best = (
+        tr.join(F.broadcast(ev), "cell", "left")
+        .select(
+            "vec_id",
+            F.struct(cos.alias("c"), (-F.col("eval_id")).alias("ne")).alias(
+                "p"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("p").alias("b"))
+    )
+    return best.select(
+        F.col("vec_id").alias("doc_id"),
+        (-F.col("b.ne")).cast("bigint").alias("nearest_eval_id"),
+        (
+            (F.col("b.c") * 1000000 + F.lit(0.5)).cast("long").cast("double")
+            / 1000000.0
+        ).alias("max_cos"),
+        F.coalesce(
+            (F.col("b.c") * 1000000 + F.lit(0.5)).cast("long")
+            >= int(_SEMDECON_T * 1000000),
+            F.lit(False),
+        ).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # K151 — isotonic calibration via pool-adjacent-violators (round 11)
 # ---------------------------------------------------------------------------

@@ -47,7 +47,10 @@ def coship_adj(
     if exclude_self:
         adj = adj.where(F.col("s1") != F.col("s2"))
     adj = adj.distinct()
-    return adj.transform(pin) if checkpoint else adj
+    # lazy materialization (VERDICT r11): the first consuming action
+    # computes the edge list ONCE and persists it; every later iteration
+    # job reuses the checkpointed RDD — build time stays job-free.
+    return adj.transform(pin_invariant) if checkpoint else adj
 
 
 @query(
@@ -592,9 +595,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The weighted adjacency build reuses coship_pairs; its threshold is a
     broadcast 1-row aggregate."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     for _ in range(_KCORE_ROUNDS):
-        adj = kcore_round(adj, _KCORE_K).transform(pin)
+        # rounds are FIXED (no driver-side convergence read), so the
+        # per-round edge tables pin lazily too — the final action
+        # materializes the 4-round chain once, checkpoint by checkpoint
+        adj = kcore_round(adj, _KCORE_K).transform(pin, eager=False)
     return adj.groupBy(F.col("s1").alias("suppkey")).agg(
         F.count("*").alias("core_degree")
     )
@@ -664,7 +674,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("z")).agg(F.count("*").alias("d"))
     e1 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("z"))
     e2 = adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
@@ -753,7 +767,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation is a 1-row aggregate of integer moments. Edge-list
     sized narrow work, nothing quadratic."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
     ends = (
         adj.join(
@@ -838,7 +856,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the same thresholding/hub arguments as L5/L9. Output is
     |V|-sized."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
     e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
     e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
@@ -967,7 +989,11 @@ def graph_clustering_coefficient_capped(spark: SparkSession, sf_dir: str) -> Dat
     on the (a, b) pair key. The exact entry stays registered as the
     oracle-parity spec for small/thresholded graphs."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
     samp = _sampled_adj(adj)
     sdeg = samp.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("m"))
@@ -1062,7 +1088,11 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("z")).agg(F.count("*").alias("d"))
     samp = _sampled_adj(adj)
     e1 = samp.select(F.col("s2").alias("a"), F.col("s1").alias("z"))
@@ -1316,7 +1346,11 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hub arguments); UNION-distinct collapses to the (s1, s2) key
     before the |V|-sized count. No new exchange patterns."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
     e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     wedge = (
@@ -1356,7 +1390,11 @@ def graph_two_hop_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probe: 162 s exact vs seconds here). Iterating the merge round k
     times gives k-hop balls — the HyperBall algorithm verbatim."""
     li = load(spark, sf_dir, "lineitem")
-    adj = _weighted_adj(li).transform(pin)
+    # LAZY adjacency pin (VERDICT r11): build time stays job-free for
+    # single-plan consumers; the first consuming action materializes the
+    # corpus-derived edge list ONCE and every later branch/iteration
+    # reuses the checkpointed RDD (no re-scan).
+    adj = _weighted_adj(li).transform(pin_invariant)
     own = adj.groupBy("s1").agg(F.hll_sketch_agg("s2").alias("sk"))
     # ship each neighbor's sketch to v: edge (v, u) ⋈ own(u)
     shipped = adj.join(
@@ -1973,10 +2011,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.registry import dsum
 
     li = load(spark, sf_dir, "lineitem")
+    # lazy pin (VERDICT r11): iteration 1's first action materializes the
+    # edge list once; rounds 2..4 reuse the checkpointed RDD
     edges = pin(
         li.select(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        ).distinct()
+        ).distinct(),
+        eager=False,
     )
     h = edges.select("s").distinct().select("s", F.lit(1.0).alias("h"))
     for _ in range(_HITS_ITERS):

@@ -553,6 +553,45 @@ def llm_emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_coarse(
+    spark: SparkSession, sf_dir: str, K: int = 16, sample_cap: int = 4096
+) -> tuple[list, int]:
+    """Fixed-K coarse quantizer over the embeddings table, cached per
+    (sf_dir, fingerprint): the deterministic Knuth-hash reservoir sample
+    (<= sample_cap vectors, corpus-order-invariant) fit by seeded MLlib
+    KMeans on one vec_id-sorted partition — centroids are a pure function
+    of the data and INDEPENDENT of corpus size. Shared by ann_ivf_topk
+    and the IVF-tier decontamination sibling so both probe the same
+    cells. Returns ([(cent_id, [floats])], n_sample)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings")
+    cache_key = ("ivf", sf_dir, _emb_fingerprint(sf_dir))
+    cached = _CENTROID_CACHE.get(cache_key)
+    if cached is None:
+        sample = (
+            _reservoir_sample(e.select("vec_id", "embedding"), sample_cap)
+            .coalesce(1)
+            .sortWithinPartitions("vec_id")
+            .select(
+                array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+            )
+            .cache()
+        )
+        n_sample = sample.count()
+        k = min(K, max(1, n_sample))
+        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
+        sample.unpersist()
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        _CENTROID_CACHE[cache_key] = (cent_rows, n_sample)
+    else:
+        cent_rows, n_sample = cached
+    return cent_rows, n_sample
+
+
 @query(
     "ann_ivf_topk",
     oracle=None,  # pruned search ≠ exact → rows-only; recall tested in tests/
@@ -583,33 +622,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_quality.py::test_ann_paths_cross_agreement): avg top-5
     overlap with the oracle-exact ann_ivf_topk_portable >= 0.4 (measured
     0.60) and recall vs exact within 0.2 of the portable sibling's."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    K, NPROBE, SAMPLE_CAP = 16, 4, 4096
+    K, NPROBE = 16, 4
     e = load(spark, sf_dir, "embeddings")
-    cache_key = ("ivf", sf_dir, _emb_fingerprint(sf_dir))
-    cached = _CENTROID_CACHE.get(cache_key)
-    if cached is None:
-        sample = (
-            _reservoir_sample(e.select("vec_id", "embedding"), SAMPLE_CAP)
-            .coalesce(1)
-            .sortWithinPartitions("vec_id")
-            .select(
-                array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
-            )
-            .cache()
-        )
-        n_sample = sample.count()
-        k = min(K, max(1, n_sample))
-        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="vec").fit(sample)
-        sample.unpersist()
-        cent_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
-        _CENTROID_CACHE[cache_key] = (cent_rows, n_sample)
-    else:
-        cent_rows, n_sample = cached
+    cent_rows, n_sample = _ivf_coarse(spark, sf_dir)
     # Flat-search fallback (every production ANN index has one): below ~64
     # vectors/cell the cell pruning saves nothing and costs recall — probe
     # ALL cells (exact search) for tiny corpora. n_sample is capped at
@@ -7043,6 +7058,67 @@ def llm_pipeline_e2e_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no 4096 ceiling); fits stay bounded (coarse reservoir <= 4096 rows,
     per-cell sub-fits <= 512 rows, disjoint + parallel)."""
     return _pipeline_e2e_production(spark, sf_dir, llm_semantic_dedup_hier)
+
+
+#: Flat-codebook linearity boundary (SCALE.md): llm_semantic_dedup_scaled's
+#: K ∝ n codebook caps at K = 4096, past which per-cell occupancy — and the
+#: within-cell pair stage — grows with n again. Measured crossover ~1M
+#: vectors; above it the two-level hier codebook keeps the pair stage linear.
+_E2E_HIER_BOUNDARY = 1_000_000
+
+
+def _emb_count_meta(sf_dir: str) -> int:
+    """Embedding-corpus row count from parquet FOOTERS only (pyarrow
+    metadata read — zero Spark jobs, zero data pages; the class-(c)
+    metadata-only action). Same local-FS seam caveat as _emb_fingerprint:
+    on a remote FS this is the one helper to swap for a listing call."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, n)
+            for root, _, names in os.walk(path)
+            for n in names
+            if n.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+@query(
+    "llm_pipeline_e2e_auto",
+    oracle=None,  # routes to a KMeans-staged sibling → rows-only; laws below
+    ref="SURVEY §2 K28 production posture — the corpus-size DISPATCHER "
+    "(VERDICT r10 item 3 second half, registered r12): the flat-vs-hier "
+    "switch rule (flat K<=4096 below ~1M vectors, two-level hier past "
+    "it) as CODE instead of prose. The corpus count comes from parquet "
+    "footers only (pyarrow metadata — no Spark job, no data pages), and "
+    "the entry returns the routed twin's DataFrame unchanged, so the "
+    "identity law is exact by construction: tests/test_wave12.py pins "
+    "row-equality with llm_pipeline_e2e_scaled on the (sub-boundary) "
+    "fixture AND with llm_pipeline_e2e_hier when the boundary is forced "
+    "under the fixture size)",
+    tags=("rows_only_by_design",),
+)
+def llm_pipeline_e2e_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard selection with the corpus-size switch
+    applied automatically: below _E2E_HIER_BOUNDARY (~1M vectors, the
+    measured flat-codebook linearity boundary) the semantic-dedup stage
+    is llm_semantic_dedup_scaled; at or past it, llm_semantic_dedup_hier.
+    Both twins emit the same schema through the byte-shared decide stage,
+    so the composed pipeline — and its scale shape — is identical either
+    way; the only new work is one footer-metadata count at build time."""
+    n = _emb_count_meta(sf_dir)
+    sem = (
+        llm_semantic_dedup_scaled
+        if n < _E2E_HIER_BOUNDARY
+        else llm_semantic_dedup_hier
+    )
+    return _pipeline_e2e_production(spark, sf_dir, sem)
 
 
 # ---------------------------------------------------------------------------

@@ -2513,7 +2513,19 @@ def test_allowlisted_window_input_stays_under_stated_bound(spark, name):
 #       footer/statistics read or an already-bounded table;
 #   (d) loop-over-plans materializations — iterative entries (graph ladders,
 #       MM/greedy loops) localCheckpoint a BOUNDED iteration table per step
-#       (vertex table, champion table, K-row state), never the corpus.
+#       (vertex table, champion table, K-row state), never the corpus;
+#   (e) iterative-family corpus-derived working sets (VERDICT r11) — an
+#       iterative entry MAY materialize its corpus-derived edge/adjacency
+#       list (and per-round descendants that shrink from it) ONCE, because
+#       the alternative is re-running the |corpus| self-join per iteration
+#       (the measured-minutes PageRank regression). As of r12 every such
+#       pin is LAZY (pin_invariant / eager=False) so no builder runs a
+#       MATERIALIZATION job by choice — but under AQE any checkpoint
+#       downstream of an exchange executes the upstream stages at plan
+#       time anyway (AQE materializes query stages to re-plan), so these
+#       entries still surface as build-time-job entries. What the rule
+#       guarantees is ONCE, not "after build": the working set is computed
+#       a single time and every iteration reuses the checkpointed RDD.
 #
 # Anything else — an eager action over unbounded input — is a scale bug.
 # The two SemDeDup production entries are the class-(b) canonical instances;
@@ -2547,4 +2559,88 @@ def test_bounded_fit_entries_ride_the_reservoir(spark, monkeypatch, name):
     assert calls, f"{name}: build-time fit no longer rides _reservoir_sample"
     assert all(c <= 4096 for c in calls), (
         f"{name}: reservoir cap(s) {calls} exceed the 4096 bounded-action cap"
+    )
+
+
+# The CLOSED enumeration of entries permitted to run Spark jobs at plan-build
+# time, each under one of the stated classes (a)-(e) above (w = table/file
+# writers, whose job IS the write; the write-audit contract). Grown ONLY by a
+# deliberate edit here: a new entry that runs any build-time job fails the
+# sweep below until it is classified and added.
+_BUILD_TIME_JOB_ENTRIES = frozenset({
+    # (a) ranged_* partition-count-bounded stitches
+    "abc_analysis_parts", "customer_migration_steady_state",
+    "customer_value_migration", "events_growth_accounting",
+    "events_mann_kendall", "events_stl_daily_decompose",
+    "llm_pack_efficiency", "llm_pack_sequences", "llm_token_budget",
+    "orders_concurrency_curve", "orders_gini_revenue", "orders_id_gap_audit",
+    "orders_mann_whitney", "orders_priority_mix_jsd", "part_abc_xyz_matrix",
+    "part_skyline_2d", "supplier_herfindahl", "supplier_scorecard",
+    "win_distribution_scaled", "er_resolve_parts",
+    "events_audience_overlap",
+    # (b) bounded-reservoir MLlib/codebook fits (ann_*/SemDeDup/e2e families)
+    "ann_lsh_recall", "ann_lsh_topk", "ann_pq_recall",
+    "llm_semantic_dedup_scaled", "llm_semantic_dedup_hier",
+    "llm_semantic_decontaminate_ivf", "llm_pipeline_e2e_auto",
+    "llm_pipeline_e2e_hier", "llm_pipeline_e2e_scaled",
+    "llm_cluster_davies_bouldin", "llm_mmr_rerank", "llm_emb_pca_power",
+    # (d) loop-over-plans with bounded per-step state (pins downstream of an
+    #     exchange surface as AQE stage-materialization jobs)
+    "events_attribution_markov", "events_bass_diffusion",
+    "events_blb_mean_ci", "events_chain_ladder", "events_eb_shrinkage",
+    "events_newey_west_trend", "events_periodogram",
+    "events_watermark_lateness_audit", "llm_bigram_kneser_ney",
+    "llm_bpe_merges", "llm_bradley_terry_sources",
+    "llm_cluster_label_nmi", "llm_conformal_calibration",
+    "llm_dedup_threshold_sweep", "llm_good_turing",
+    "llm_isotonic_calibration", "llm_kn_perplexity",
+    "llm_perplexity_holdout", "llm_quality_ks_sources",
+    "llm_quality_roc_auc", "llm_source_shingle_overlap",
+    "llm_tfidf_cosine_pairs", "llm_vocab_coverage_cutoff",
+    "llm_vocab_growth", "orders_cointegration_screen",
+    "orders_erlang_staffing", "orders_littles_law_audit",
+    "orders_panel_within_ols", "part_safety_stock",
+    # (d) 1-row scalar-subquery pins (bounded broadcast aggregates whose
+    #     upstream exchange AQE materializes at plan time)
+    "tpch_q2_official_shape", "tpch_q11_important_stock",
+    "tpch_q15_top_supplier", "tpch_q20_dominant_suppliers",
+    # (e) iterative-family corpus-derived working sets (lazy pins; AQE
+    #     materializes their upstream exchanges at plan time)
+    "graph_adamic_adar", "graph_adamic_adar_capped", "graph_assortativity",
+    "graph_bfs", "graph_clustering_coefficient",
+    "graph_clustering_coefficient_capped", "graph_components",
+    "graph_diameter_doublesweep", "graph_hits", "graph_katz_centrality",
+    "graph_kcore", "graph_label_propagation", "graph_landmark_distances",
+    "graph_modularity", "graph_pagerank", "graph_ppr", "graph_rich_club",
+    "graph_sssp_weighted", "graph_two_hop_reach", "graph_two_hop_reach_hll",
+    "llm_dedup_cluster", "llm_dedup_cluster_portable",
+    # (w) writers — the build-time job IS the audited write
+    "join_bucketed_colocated", "llm_shard_write_audit",
+    "sort_zorder_write_audit",
+})
+
+
+def test_build_time_job_entries_are_enumerated(spark):
+    """VERDICT r11 item 3: the build-time action rule and practice must
+    agree — sweep EVERY registry builder counting Spark jobs triggered at
+    plan-build time, and fail on any entry outside the classified
+    enumeration above. (Subset assertion: warm caches legitimately skip
+    fits, so an enumerated entry may run zero jobs in a warm suite; a
+    NON-enumerated entry running any job is always a failure.)"""
+    from ksql_spark.tables import load
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        load(spark, SF_DIR, t)  # warm reader-level footer jobs
+    sc = spark.sparkContext
+    offenders = {}
+    for name, spec in SPECS.items():
+        before = len(sc.statusTracker().getJobIdsForGroup(None))
+        spec.builder(spark, SF_DIR)
+        after = len(sc.statusTracker().getJobIdsForGroup(None))
+        if after > before and name not in _BUILD_TIME_JOB_ENTRIES:
+            offenders[name] = after - before
+    assert not offenders, (
+        f"unenumerated build-time-job entries (classify under (a)-(e)/(w) "
+        f"in _BUILD_TIME_JOB_ENTRIES or fix the builder): {offenders}"
     )
