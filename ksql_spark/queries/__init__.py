@@ -19,5 +19,6 @@ from ksql_spark.queries import (  # noqa: F401
     text_pipeline,
     tpch,
     udfs,
+    wave12,
     windows,
 )

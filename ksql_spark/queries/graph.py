@@ -2048,3 +2048,175 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("hub"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L21 — landmark closeness centrality estimate (round 12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_closeness_landmarks",
+    oracle=_landmark_oracle().replace(
+        f"""
+    SELECT lm AS landmark, s AS suppkey, CAST(dist AS BIGINT) AS dist
+    FROM l{_LM_ROUNDS}
+    """,
+        f"""
+    SELECT s AS suppkey,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(trunc({len(_LANDMARKS)}.0 / NULLIF(SUM(dist), 0)
+                * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS closeness_est
+    FROM l{_LM_ROUNDS}
+    GROUP BY s HAVING COUNT(*) = {len(_LANDMARKS)}
+    """,
+    ),
+    ref="SURVEY §2 L21 [EXT] (landmark closeness centrality estimate "
+    "(Eppstein & Wang 2004: average distance to k random pivots "
+    "estimates average distance to ALL nodes within O(sqrt(log n / n)) "
+    "with high probability): closeness_est(v) = k / Σ_i d(v, l_i) over "
+    "L13's landmark distance sketch — the centrality ladder's missing "
+    "member beside degree (L6), PageRank (L3), Katz (L15), and HITS "
+    "(L20), at k·BFS cost instead of the exact all-pairs O(n·m))",
+)
+def graph_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate closeness centrality per supplier: k / Σ distances to
+    the 4 landmark pivots, over the SAME multi-source bounded-round BFS
+    state as graph_landmark_distances (one traversal, state keyed
+    (landmark, node)). Only nodes reached by ALL landmarks within the
+    round horizon report (the estimator is undefined on partial sums —
+    documented truncation, same horizon as L13).
+
+    Scale shape: exactly L13 (per round one state⋈adjacency equi-join +
+    min re-agg; loop over plans) plus ONE node-keyed count/sum agg.
+    Estimate quantizes at 1e-6; sums are exact integers."""
+    d = graph_landmark_distances(spark, sf_dir)
+    return (
+        d.groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lm"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+        .where(F.col("n_lm") == len(_LANDMARKS))
+        .select(
+            "suppkey",
+            "sum_dist",
+            (
+                (
+                    F.lit(float(len(_LANDMARKS)))
+                    / F.nullif(F.col("sum_dist").cast("double"), F.lit(0.0))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .cast("double")
+                / 1000000.0
+            ).alias("closeness_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L22 — k-truss decomposition round (round 12)
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 4  # keep edges in >= k-2 = 2 triangles
+_TRUSS_ROUNDS = 2
+
+
+def _truss_oracle() -> str:
+    """Unrolled k-truss peeling over the hub-pruned (<= 5 suppliers/part)
+    ordered co-ship adjacency — the L5 triangle wedge spelled per edge,
+    chained _TRUSS_ROUNDS times."""
+    head = """
+    WITH e0 AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), keep AS (
+        SELECT p FROM e0 GROUP BY p HAVING COUNT(*) <= 5
+    ), inc AS (
+        SELECT s, e0.p FROM e0 JOIN keep USING (p)
+    ), t0 AS (
+        SELECT DISTINCT a.s AS s1, b.s AS s2
+        FROM inc a JOIN inc b USING (p)
+        WHERE a.s < b.s
+    )"""
+    for i in range(_TRUSS_ROUNDS):
+        head += f""",
+    adj{i} AS (
+        SELECT s1, s2 FROM t{i}
+        UNION ALL
+        SELECT s2 AS s1, s1 AS s2 FROM t{i}
+    ),
+    supp{i} AS (
+        SELECT e.s1, e.s2, CAST(COUNT(*) AS BIGINT) AS support
+        FROM t{i} e
+        JOIN adj{i} a ON a.s1 = e.s1
+        JOIN adj{i} b ON b.s1 = e.s2 AND b.s2 = a.s2
+        GROUP BY e.s1, e.s2
+    ),
+    t{i + 1} AS (
+        SELECT s1, s2 FROM supp{i} WHERE support >= {_TRUSS_K - 2}
+    )"""
+    head += f"""
+    SELECT s1, s2, support FROM supp{_TRUSS_ROUNDS - 1}
+    WHERE support >= {_TRUSS_K - 2}
+    """
+    return head
+
+
+@query(
+    "graph_ktruss",
+    oracle=_truss_oracle(),
+    ref="SURVEY §2 L22 [EXT] (k-truss decomposition (Cohen 2008): the "
+    "EDGE-cohesion analog of L8's k-core — keep edges supported by >= "
+    "k-2 triangles, iterate; a k-truss is a stronger community "
+    "certificate than a k-core because membership requires shared "
+    "neighbors, not just degree. Two peeling rounds at k=4 over the L5 "
+    "hub-pruned ordered adjacency; surviving edges report their final "
+    "support)",
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss edges of the hub-pruned supplier co-ship graph after two
+    peeling rounds: per round, each canonical edge (s1 < s2) counts its
+    closing triangles via the L5 wedge join (shared neighbor w with
+    both (s1,w) and (s2,w) present in the symmetric closure) and edges
+    with support < 2 drop; survivors report (s1, s2, support).
+
+    Scale shape: per round one symmetric-closure union (projection), two
+    hash joins keyed on node ids (the L5/L11 wedge posture with the same
+    <= 5-suppliers/part hub bound on wedge volume), one (s1, s2) hash
+    agg, and a lazily-checkpointed survivor table (fixed rounds — the
+    class-(e) working-set posture, no driver-side reads)."""
+    li = load(spark, sf_dir, "lineitem")
+    e0 = coship_pairs(li)
+    keep = e0.groupBy("p").agg(F.count("*").alias("d")).where(F.col("d") <= 5)
+    edges = (
+        e0.join(keep.select("p"), "p")
+        .join(
+            e0.select(F.col("s1").alias("s2"), "p").join(
+                keep.select("p"), "p"
+            ),
+            "p",
+        )
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+        .transform(pin, eager=False)
+    )
+    supp = None
+    for _ in range(_TRUSS_ROUNDS):
+        sym = edges.unionByName(
+            edges.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+        )
+        a = sym.select(F.col("s1").alias("e1"), F.col("s2").alias("w"))
+        b = sym.select(F.col("s1").alias("e2"), F.col("s2").alias("w"))
+        supp = (
+            edges.join(a, edges.s1 == a.e1)
+            .join(b, (edges.s2 == b.e2) & (a.w == b.w))
+            .groupBy(edges.s1, edges.s2)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .where(F.col("support") >= _TRUSS_K - 2)
+            .transform(pin, eager=False)
+        )
+        edges = supp.select("s1", "s2")
+    return supp

@@ -2109,6 +2109,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "orders_runs_test": "daily series",
     "orders_seasonal_naive_backtest": "monthly series",
     "orders_survival_km": "<= horizon-days distinct durations",
+    "orders_nelson_aalen": "<= horizon-days distinct durations "
+    "(the D27 risk table; hazard cumsum instead of the KM log-product)",
     "orders_logrank_segments": "<= horizon-days distinct durations "
     "(the D27 risk table, split by segment)",
     "events_watermark_lateness_audit": "<= horizon-minutes lateness "
@@ -2384,6 +2386,10 @@ _ALLOWLIST_BOUNDS = {
         "<= |order days| + 1 distinct durations",
         lambda st: st["days_orders"] + 1,
     ),
+    "orders_nelson_aalen": (
+        "<= |order days| + 1 distinct durations",
+        lambda st: st["days_orders"] + 1,
+    ),
     "orders_logrank_segments": (
         "<= |order days| + 1 distinct durations",
         lambda st: st["days_orders"] + 1,
@@ -2574,6 +2580,7 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     "events_mann_kendall", "events_stl_daily_decompose",
     "llm_pack_efficiency", "llm_pack_sequences", "llm_token_budget",
     "orders_concurrency_curve", "orders_gini_revenue", "orders_id_gap_audit",
+    "orders_kruskal_wallis",
     "orders_mann_whitney", "orders_priority_mix_jsd", "part_abc_xyz_matrix",
     "part_skyline_2d", "supplier_herfindahl", "supplier_scorecard",
     "win_distribution_scaled", "er_resolve_parts",
@@ -2613,6 +2620,7 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     "graph_kcore", "graph_label_propagation", "graph_landmark_distances",
     "graph_modularity", "graph_pagerank", "graph_ppr", "graph_rich_club",
     "graph_sssp_weighted", "graph_two_hop_reach", "graph_two_hop_reach_hll",
+    "graph_closeness_landmarks", "graph_ktruss",
     "llm_dedup_cluster", "llm_dedup_cluster_portable",
     # (w) writers — the build-time job IS the audited write
     "join_bucketed_colocated", "llm_shard_write_audit",

@@ -282,3 +282,312 @@ def test_e2e_auto_count_is_footer_metadata_only(spark):
     after = sc.statusTracker().getJobIdsForGroup(None)
     assert len(after) == len(before)
     assert n == spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave micro-fixtures
+# ---------------------------------------------------------------------------
+
+import datetime
+import math
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+
+def _d(day):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+
+
+# ---- D101 Kruskal-Wallis ----
+
+def test_kruskal_wallis_hand_computed(spark, tmp_path):
+    # A = {1, 2}, B = {3, 4}: ranks 1..4, R_A = 3, R_B = 7,
+    # H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4; no ties -> corrected == H
+    rows = [
+        (1, 1, "O", 1.0, _d(0), "A"),
+        (2, 1, "O", 2.0, _d(0), "A"),
+        (3, 1, "O", 3.0, _d(0), "B"),
+        (4, 1, "O", 4.0, _d(0), "B"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["orders_kruskal_wallis"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 4 and r["k"] == 2
+    assert abs(r["h_stat"] - 2.4) < 1e-6
+    assert abs(r["h_corrected"] - 2.4) < 1e-6
+
+
+def test_kruskal_wallis_identical_groups_zero(spark, tmp_path):
+    rows = []
+    for i, g in enumerate(["A", "B", "C"] * 10):
+        rows.append((i, 1, "O", float(i % 10), _d(0), g))
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["orders_kruskal_wallis"].builder(spark, str(tmp_path)).collect()[0]
+    # the three groups hold the same value multiset -> H ~ 0
+    assert abs(r["h_stat"]) < 1e-6
+
+
+# ---- D102 Nelson-Aalen ----
+
+def test_nelson_aalen_hand_computed(spark, tmp_path):
+    # c1, c2 repeat after 2 days; c3 single (censored at horizon = day 2)
+    rows = [
+        (1, 1, "O", 10.0, _d(0), "A"), (2, 1, "O", 10.0, _d(2), "A"),
+        (3, 2, "O", 10.0, _d(0), "A"), (4, 2, "O", 10.0, _d(2), "A"),
+        (5, 3, "O", 10.0, _d(0), "A"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    out = SPECS["orders_nelson_aalen"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # one event time (dur = 2)
+    r = out[0]
+    assert r["duration_days"] == 2 and r["n_risk"] == 3 and r["n_events"] == 2
+    assert abs(r["cum_hazard"] - round(2 / 3, 6)) < 2e-6
+    assert abs(r["na_survival"] - round(math.exp(-2 / 3), 6)) < 2e-6
+
+
+# ---- D103 Atkinson ----
+
+def test_atkinson_zero_on_equal_revenue(spark, tmp_path):
+    rows = [(i, i, "O", 100.0, _d(0), "A") for i in range(1, 21)]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["customer_atkinson_index"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 20
+    assert abs(r["atkinson_half"]) < 1e-6
+    assert abs(r["atkinson_one"]) < 1e-6
+
+
+def test_atkinson_orders_inequality_and_epsilon(spark, tmp_path):
+    # concentrated revenue: one whale, many minnows -> A(1) > A(0.5) > 0
+    rows = [(1, 1, "O", 10000.0, _d(0), "A")]
+    rows += [(i, i, "O", 10.0, _d(0), "A") for i in range(2, 42)]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["customer_atkinson_index"].builder(spark, str(tmp_path)).collect()[0]
+    assert 0 < r["atkinson_half"] < r["atkinson_one"] < 1
+
+
+# ---- D104 Brown-Forsythe ----
+
+def test_brown_forsythe_w_zero_then_grows_with_spread_gap(spark, tmp_path):
+    """Same spread in both groups -> W = 0; a 5x spread gap -> W large.
+    (Distinct subdirs per corpus: load() caches file listings per path.)"""
+    def mk(spread_b):
+        rows, eid = [], 0
+        vals_a = [10.0 - 2, 10.0 - 1, 10.0 + 1, 10.0 + 2] * 10
+        vals_b = [10.0 - 2 * spread_b, 10.0 - spread_b,
+                  10.0 + spread_b, 10.0 + 2 * spread_b] * 10
+        for v in vals_a:
+            rows.append((eid, _d(0), 1, "a", v, "{}")); eid += 1
+        for v in vals_b:
+            rows.append((eid, _d(0), 1, "b", v, "{}")); eid += 1
+        return rows
+
+    d1, d2 = tmp_path / "same", tmp_path / "diff"
+    d1.mkdir(); d2.mkdir()
+    _write_events(spark, d1, mk(1.0))
+    _write_events(spark, d2, mk(5.0))
+    w_same = SPECS["events_brown_forsythe"].builder(spark, str(d1)).collect()[0]["w_stat"]
+    w_diff = SPECS["events_brown_forsythe"].builder(spark, str(d2)).collect()[0]["w_stat"]
+    assert abs(w_same) < 1e-6 and w_diff > 10.0
+
+
+# ---- D105 GCRA ----
+
+def test_gcra_burst_of_ten_in_one_second_flags_five(spark, tmp_path):
+    # bucket depth 1 + tau/T = 5: events 6..10 of an instant burst violate
+    rows = [(i, _d(0), 1, "view", 1.0, "{}") for i in range(10)]
+    # slow user: one event every 5 minutes -> never violates
+    rows += [
+        (100 + i, _d(0) + datetime.timedelta(minutes=5 * i), 2, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r
+        for r in SPECS["events_rate_limit_gcra"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_events"] == 10 and out[1]["n_violations"] == 5
+    assert out[1]["worst_excess_sec"] > 0
+    assert out[2]["n_violations"] == 0 and out[2]["worst_excess_sec"] == 0.0
+
+
+# ---- K152 Hamming ANN ----
+
+def test_hamming_topk_recall_vs_cosine(spark):
+    """Recall law: sign quantization preserves angular neighborhoods —
+    average top-5 overlap with the exact float cosine top-5 on the
+    fixture must clear a stated floor."""
+    ham = SPECS["ann_hamming_topk"].builder(spark, SF_DIR).collect()
+    cos = SPECS["llm_sim_topk"].builder(spark, SF_DIR).collect()
+    h = {}
+    for r in ham:
+        h.setdefault(r["query_id"], set()).add(r["vec_id"])
+    c = {}
+    for r in cos:
+        c.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(h[q] & c[q]) / len(c[q]) for q in c]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_hamming_distance_exact_on_planted_signs(spark, tmp_path):
+    base = [1.0] * 64
+    flip3 = list(base); flip3[0] = flip3[5] = flip3[40] = -1.0
+    flip10 = list(base)
+    for i in range(10):
+        flip10[i * 6] = -1.0
+    _write_embeddings(spark, tmp_path, [
+        (0, base, 0), (10, flip3, 0), (11, flip10, 0), (12, base, 0),
+    ])
+    out = {
+        (r["query_id"], r["vec_id"]): r["hamming"]
+        for r in SPECS["ann_hamming_topk"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[(0, 12)] == 0
+    assert out[(0, 10)] == 3
+    assert out[(0, 11)] == 10
+
+
+# ---- K153 Dirichlet QL ----
+
+def test_dirichlet_ql_ranks_matching_docs_first(spark, tmp_path):
+    docs = [
+        (1, "fast table scan " * 5, "en", "s", 50),        # all q1 terms, high tf
+        (2, "fast table scan over rows", "en", "s", 30),   # all q1 terms once
+        (3, "completely unrelated words here", "en", "s", 30),
+        (4, "fast fast fast nothing else", "en", "s", 30),  # one q1 term
+    ]
+    _write_documents(spark, tmp_path, docs)
+    out = [
+        r for r in
+        SPECS["llm_dirichlet_ql_topk"].builder(spark, str(tmp_path)).collect()
+        if r["query_id"] == "q1"
+    ]
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # full-match docs outrank the partial match, which outranks no-match
+    assert ranks[1] < ranks[4] and ranks[2] < ranks[4]
+    assert scores[1] > scores[2] > scores[4] > scores[3]
+
+
+# ---- K154 LSH planner ----
+
+def test_lsh_plan_fixpoint_and_shape(spark):
+    rows = {r["rows_per_band"]: r
+            for r in SPECS["llm_lsh_param_plan"].builder(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 11))
+    for r_, row in rows.items():
+        b = row["bands"]
+        assert b == 40 // r_
+        expect = (1.0 / b) ** (1.0 / r_)
+        assert abs(row["threshold_star"] - expect) < 2e-6
+        assert row["total_err"] >= max(row["fp_area"], row["fn_area"])
+    # r = 1 (40 independent bands) candidates nearly everything -> FP-heavy;
+    # large r starves recall -> FN grows monotonically past the optimum
+    assert rows[1]["fp_area"] > rows[10]["fp_area"]
+    assert rows[10]["fn_area"] > rows[1]["fn_area"]
+    # K31's shipped banding (b=4, r=10) has its S-curve fixpoint near the
+    # 0.8 target — the planner justifies the hard-coded choice
+    assert abs(rows[10]["threshold_star"] - 0.87) < 0.02
+
+
+# ---- K155 Gumbel / A-ES sampling ----
+
+def test_gumbel_topk_matches_pure_python_reference(spark, tmp_path):
+    text_pool = [
+        "the quick brown fox jumps over a lazy dog and runs far away",
+        "a stream of words in the river of text flows to the sea",
+        "short doc",
+        "the a of and to in is the a of and to in is repeated tokens",
+    ]
+    docs = [(i, text_pool[i % 4], "en", "s", 10) for i in range(1, 301)]
+    _write_documents(spark, tmp_path, docs)
+    out = SPECS["llm_gumbel_topk_sample"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 100
+
+    # pure-python reference of the same deterministic draw
+    def quality(t):
+        w = t.split()
+        uniq = len(set(w)) / len(w)
+        stop = sum(1 for x in w if x in
+                   ("the", "a", "of", "and", "to", "in", "is")) / len(w)
+        return 0.4 * min(1.0, len(w) / 100.0) + 0.3 * uniq + 0.3 * stop
+
+    keys = []
+    for i in range(1, 301):
+        q = quality(text_pool[i % 4])
+        u_num = ((i % 2147483648) * 2654435761) % 4294967296
+        k = -math.log((u_num + 0.5) / 4294967296.0) / q
+        keys.append((k, i))
+    expect = {i for _, i in sorted(keys)[:100]}
+    assert {r["doc_id"] for r in out} == expect
+
+
+# ---- L21 landmark closeness ----
+
+def test_closeness_on_planted_path_graph(spark, tmp_path):
+    # path 0-1-2-3-4-5 via pairwise shared parts; landmarks are 0,1,2,3
+    rows, ok = [], 0
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]:
+        pid = 100 + a
+        for s in (a, b):
+            rows.append((ok, pid, s, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _d(0)))
+            ok += 1
+    _write_lineitem(spark, tmp_path, rows)
+    out = {
+        r["suppkey"]: r
+        for r in SPECS["graph_closeness_landmarks"].builder(spark, str(tmp_path)).collect()
+    }
+    # node 4 is 4 hops from landmark 0 — outside the 3-round horizon, so
+    # nodes 4 and 5 are excluded; 0..3 report exact hop sums
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["sum_dist"] == 6 and out[3]["sum_dist"] == 6
+    assert out[1]["sum_dist"] == 4 and out[2]["sum_dist"] == 4
+    assert abs(out[1]["closeness_est"] - 1.0) < 1e-6
+    assert abs(out[0]["closeness_est"] - round(4 / 6, 6)) < 2e-6
+
+
+# ---- L22 k-truss ----
+
+def test_ktruss_keeps_clique_drops_pendant(spark, tmp_path):
+    # K4 on suppliers 1..4 (each pair shares a private part) + a pendant
+    # edge 10-11: every K4 edge sits in 2 triangles (support 2, survives
+    # k=4), the pendant has no triangle and drops
+    rows, ok, pid = [], 0, 500
+    import itertools
+    for a, b in itertools.combinations([1, 2, 3, 4], 2):
+        for s in (a, b):
+            rows.append((ok, pid, s, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _d(0)))
+            ok += 1
+        pid += 1
+    for s in (10, 11):
+        rows.append((ok, pid, s, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _d(0)))
+        ok += 1
+    _write_lineitem(spark, tmp_path, rows)
+    out = {
+        (r["s1"], r["s2"]): r["support"]
+        for r in SPECS["graph_ktruss"].builder(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)}
+    assert all(v == 2 for v in out.values())
