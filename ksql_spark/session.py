@@ -53,4 +53,13 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # 100 TB posture seam (operators/scale.py pin()): with
+    # spark.ksql_spark.reliablePin=true AND a checkpoint dir, iterative
+    # working-set pins become RELIABLE checkpoints (written to this dir,
+    # no JVM block residency) instead of localCheckpoint's
+    # MEMORY_AND_DISK blocks — the lever that moves adjacency-sized
+    # state out of the driver JVM on a single box.
+    ckpt = os.environ.get("KSQL_SPARK_CHECKPOINT_DIR", "")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
