@@ -91,6 +91,25 @@ SHOWCASE = {
     "the bounded distinct-duration table; e1/v terms quantize then dsum",
     "llm_semantic_decontaminate": "benchmark-sized eval side broadcast; "
     "train side never shuffles — closes in a doc-keyed max-struct agg",
+    # round-12 wave
+    "llm_winnowing_pairs_collapsed": "sha-256 exact-collapse (digest-only "
+    "exchange) feeds the SAME fingerprint/pair stages as the raw entry; "
+    "replica cliques contribute one representative",
+    "llm_semantic_decontaminate_ivf": "train-side cell id is a per-row HOF "
+    "argmin fold (zero exchange); candidates via ONE broadcast hash join "
+    "on cell — never eval-side all-pairs",
+    "orders_kruskal_wallis": "the D79 ranked two-pass at k groups: "
+    "(value, group) collapse, ranged cumsum (_pid windows), decimal rank "
+    "sums — no unpartitioned window",
+    "events_rate_limit_gcra": "the GCRA TAT recursion as ONE per-user "
+    "running-max window; user-keyed agg rides the same exchange",
+    "ann_hamming_topk": "2x32-bit sign packing is per-row fold work on the "
+    "scan; 3-row query side broadcast; popcount top-k per query window",
+    "llm_gumbel_topk_sample": "per-row exponential-race key + "
+    "TakeOrderedAndProject — ZERO exchanges for an exact-k weighted draw",
+    "graph_ktruss": "two wedge-join peeling rounds over the hub-pruned "
+    "pinned adjacency; per-round (s1, s2) hash agg, no direction "
+    "double-count",
 }
 
 
