@@ -999,3 +999,421 @@ def llm_gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ES_K)
         .select("doc_id", _q6(F.col("quality")).alias("quality"), _q6(F.col("ekey")).alias("ekey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# D106 — one-way ANOVA F (the parametric twin of D101/D104)
+# ---------------------------------------------------------------------------
+
+_SQL_XX = "CAST(SUM(CAST(trunc(x * x + 0.5) AS BIGINT)) AS DOUBLE)"
+
+
+@query(
+    "orders_anova_oneway",
+    oracle=f"""
+    WITH vals AS (
+        SELECT o_orderpriority AS g, o_totalprice AS x FROM orders
+    ), gs AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_j,
+               {sql_dsum('x')} AS s_x, {_SQL_XX} AS s_xx
+        FROM vals GROUP BY g
+    ), tot AS (
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(s_x) AS sx_all,
+               SUM(s_x * s_x / n_j) AS s_groups,
+               SUM(s_xx) AS s_xx_all
+        FROM gs
+    )
+    SELECT n, k,
+           -- SS values reach ~3e14 (squared money x n): the 1e6 quantizer's
+           -- long cast would overflow, and sub-unit precision is meaningless
+           -- on squared dollars -- quantize at scale 1
+           CAST(CAST(trunc(s_groups - sx_all * sx_all / n + 0.5) AS BIGINT)
+                AS DOUBLE) AS ss_between,
+           CAST(CAST(trunc(s_xx_all - s_groups + 0.5) AS BIGINT) AS DOUBLE)
+               AS ss_within,
+           {_sql_q6(
+               '(s_groups - sx_all * sx_all / n) / (k - 1.0)'
+               ' / NULLIF((s_xx_all - s_groups) / (CAST(n AS DOUBLE) - k), 0)'
+           )} AS f_stat
+    FROM tot
+    """,
+    ref="SURVEY §2 D106 [EXT] (one-way ANOVA F (Fisher 1925): "
+    "between-group over within-group mean squares of order value across "
+    "the 5 priorities — the parametric member of the round's k-sample "
+    "trio: D101 tests LOCATION rank-free, D104 tests DISPERSION "
+    "median-robustly, this tests MEANS under normality; the three "
+    "together are the standard triage before pairwise drill-down)",
+)
+def orders_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA over o_totalprice by o_orderpriority: SS_between =
+    ΣS_j²/n_j − S²/N, SS_within = Σx² − ΣS_j²/n_j (the sum-of-squares
+    algebra, so both engines reduce the same three per-group sums), and
+    F = (SS_b/(k−1)) / (SS_w/(N−k)). One row.
+
+    Scale shape: ONE per-group hash agg (map-side combined, k = 5 output
+    rows) then a 1-row reduction — no window, no join. Σx rides dsum; Σx²
+    quantizes at scale 1 (x² ~ 1e10 would overflow the 1e6-scaled long)
+    and accumulates in decimal(38,0) so sf100 row counts cannot overflow
+    (the dsum_wide posture)."""
+    o = load(spark, sf_dir, "orders")
+    vals = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("x"),
+    )
+    xx = (F.col("x") * F.col("x") + F.lit(0.5)).cast("long")
+    gs = vals.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        dsum("x").alias("s_x"),
+        F.sum(xx.cast("decimal(38,0)")).cast("double").alias("s_xx"),
+    )
+    tot = gs.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_x").alias("sx_all"),
+        F.sum(F.col("s_x") * F.col("s_x") / F.col("n_j")).alias("s_groups"),
+        F.sum("s_xx").alias("s_xx_all"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    ss_b = F.col("s_groups") - F.col("sx_all") * F.col("sx_all") / n
+    ss_w = F.col("s_xx_all") - F.col("s_groups")
+    return tot.select(
+        "n",
+        "k",
+        (ss_b + F.lit(0.5)).cast("bigint").cast("double").alias("ss_between"),
+        (ss_w + F.lit(0.5)).cast("bigint").cast("double").alias("ss_within"),
+        _q6(
+            ss_b / (F.col("k") - 1.0)
+            / F.nullif(ss_w / (n - F.col("k")), F.lit(0.0))
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D107 — Cramér's V categorical association
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cramers_v",
+    oracle=f"""
+    WITH joined AS (
+        SELECT o.o_orderpriority AS r, c.c_mktsegment AS cseg
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cell AS (
+        SELECT r, cseg, CAST(COUNT(*) AS BIGINT) AS o_ij
+        FROM joined GROUP BY r, cseg
+    ), rm AS (SELECT r, CAST(SUM(o_ij) AS BIGINT) AS r_i FROM cell GROUP BY r),
+    cm AS (SELECT cseg, CAST(SUM(o_ij) AS BIGINT) AS c_j FROM cell GROUP BY cseg),
+    tot AS (SELECT CAST(SUM(o_ij) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT cseg) AS BIGINT) AS nc
+            FROM cell),
+    full_grid AS (
+        -- EMPTY cells carry chi-square mass too ((0-e)^2/e = e): build the
+        -- full r x c grid from the margins and left-join observed counts
+        SELECT rm.r, cm.cseg, rm.r_i, cm.c_j,
+               COALESCE(cell.o_ij, 0) AS o_ij
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cell ON cell.r = rm.r AND cell.cseg = cm.cseg
+    ),
+    chi AS (
+        SELECT SUM(CAST(trunc(
+                   (o_ij - CAST(r_i AS DOUBLE) * c_j / n)
+                   * (o_ij - CAST(r_i AS DOUBLE) * c_j / n)
+                   / (CAST(r_i AS DOUBLE) * c_j / n)
+                   * 1000000000 + 0.5) AS BIGINT)) AS chi_q9
+        FROM full_grid CROSS JOIN tot
+    )
+    SELECT n, nr, nc,
+           CAST(trunc(CAST(chi_q9 AS DOUBLE) / 1000.0 + 0.5) AS BIGINT)
+               / 1000000.0 AS chi2,
+           {_sql_q6(
+               'sqrt(CAST(chi_q9 AS DOUBLE) / 1000000000.0'
+               ' / (n * (least(nr, nc) - 1.0)))'
+           )} AS cramers_v
+    FROM chi CROSS JOIN tot
+    """,
+    ref="SURVEY §2 D107 [EXT] (Cramér's V (Cramér 1946): chi-square "
+    "association between two categorical axes — order priority × "
+    "customer market segment — normalized to [0,1] by n·(min(r,c)−1), "
+    "so association strength compares across table shapes; the "
+    "categorical companion to D69's Spearman (ordinal) and K84's "
+    "Pearson matrix (numeric))",
+)
+def orders_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between o_orderpriority and c_mktsegment: the 5×5
+    contingency table, χ² against independence margins, and V =
+    √(χ²/(n·(min(r,c)−1))). One row.
+
+    Scale shape: one customer-keyed equi-join (AQE picks the strategy;
+    both sides SF-proportional, so at 100 TB it is a co-partitioned
+    shuffled hash join — never broadcast-hinted), then ONE hash agg to
+    the bounded r×c cell table; margins/totals are re-aggregations of
+    those ≤ 25 rows. Per-cell χ² terms quantize at 1e-9 and sum
+    exactly."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("r"),
+            F.col("c_mktsegment").alias("cseg"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o_ij"))
+    )
+    rm = cell.groupBy("r").agg(F.sum("o_ij").cast("bigint").alias("r_i"))
+    cm = cell.groupBy("cseg").agg(F.sum("o_ij").cast("bigint").alias("c_j"))
+    tot = cell.agg(
+        F.sum("o_ij").cast("bigint").alias("n"),
+        F.count_distinct("r").cast("bigint").alias("nr"),
+        F.count_distinct("cseg").cast("bigint").alias("nc"),
+    )
+    e_ij = F.col("r_i").cast("double") * F.col("c_j") / F.col("n")
+    term_q9 = (
+        (F.col("o_ij") - e_ij) * (F.col("o_ij") - e_ij) / e_ij * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    # empty cells carry chi-square mass too ((0-e)^2/e = e): cross the
+    # bounded margins into the full r x c grid and left-join observed counts
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .join(cell, ["r", "cseg"], "left")
+        .select("r", "cseg", "r_i", "c_j",
+                F.coalesce("o_ij", F.lit(0)).alias("o_ij"))
+    )
+    chi = grid.crossJoin(F.broadcast(tot)).agg(
+        F.sum(term_q9).alias("chi_q9")
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "nr",
+        "nc",
+        (
+            (F.col("chi_q9").cast("double") / 1000.0 + F.lit(0.5))
+            .cast("bigint")
+            .cast("double")
+            / 1000000.0
+        ).alias("chi2"),
+        _q6(
+            F.sqrt(
+                F.col("chi_q9").cast("double")
+                / 1000000000.0
+                / (
+                    F.col("n").cast("double")
+                    * (F.least("nr", "nc").cast("double") - 1.0)
+                )
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D108 — economic order quantity ladder
+# ---------------------------------------------------------------------------
+
+_EOQ_ORDER_COST = 100.0  # fixed cost per replenishment order
+_EOQ_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit price
+
+
+@query(
+    "part_eoq_ladder",
+    oracle=f"""
+    WITH pd AS (
+        SELECT p.p_brand AS brand,
+               {sql_dsum('l.l_quantity')} AS demand,
+               {sql_dsum('p.p_retailprice')} AS price_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT brand, demand,
+           {_sql_q6('price_sum / n_lines')} AS avg_price,
+           {_sql_q6(
+               f'sqrt(2.0 * demand * {_EOQ_ORDER_COST}'
+               f' / ({_EOQ_HOLD_RATE} * (price_sum / n_lines)))'
+           )} AS eoq,
+           {_sql_q6(
+               f'demand / sqrt(2.0 * demand * {_EOQ_ORDER_COST}'
+               f' / ({_EOQ_HOLD_RATE} * (price_sum / n_lines)))'
+           )} AS orders_per_period
+    FROM pd
+    """,
+    ref="SURVEY §2 D108 [EXT] (economic order quantity (Harris 1913; "
+    "the Wilson formula): EOQ = √(2DK/h) per brand from observed demand "
+    "D, fixed order cost K, and holding cost h = rate × avg unit price "
+    "— the replenishment LOT SIZE beside D91's safety stock (WHEN to "
+    "reorder) and D96's staffing ladder; the square-root law that "
+    "batches 100 orders into √-many)",
+)
+def part_eoq_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOQ per brand: observed lineitem demand as the period demand D,
+    K = 100 per order, h = 20% of the brand's average retail price;
+    reports EOQ = √(2DK/h) and the implied orders per period D/EOQ.
+
+    Scale shape: one partkey equi-join (part side degradable by AQE) into
+    a 25-row brand agg; everything after is per-row math on the bounded
+    ladder. Demand/price sums ride dsum; √ inputs are the shared
+    quantized values so both engines agree bitwise."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pd_ = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            dsum("l_quantity").alias("demand"),
+            dsum("p_retailprice").alias("price_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    avg_price = F.col("price_sum") / F.col("n_lines")
+    eoq = F.sqrt(
+        2.0 * F.col("demand") * _EOQ_ORDER_COST / (_EOQ_HOLD_RATE * avg_price)
+    )
+    return pd_.select(
+        "brand",
+        "demand",
+        _q6(avg_price).alias("avg_price"),
+        _q6(eoq).alias("eoq"),
+        _q6(F.col("demand") / eoq).alias("orders_per_period"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D109 — newsvendor critical fractile
+# ---------------------------------------------------------------------------
+
+_NV_UNDERAGE = 0.3  # lost margin per unit short (fraction of price)
+_NV_OVERAGE = 0.2  # holding/salvage loss per unit over (fraction of price)
+
+
+@query(
+    "part_newsvendor_stock",
+    oracle=f"""
+    WITH daily AS (
+        SELECT p.p_brand AS brand, l.l_shipdate AS d,
+               {sql_dsum('l.l_quantity')} AS demand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_shipdate
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {_sql_q6('quantile_cont(demand, '
+                    f'{_NV_UNDERAGE / (_NV_UNDERAGE + _NV_OVERAGE)})')}
+               AS stock_level,
+           {_sql_q6('quantile_cont(demand, 0.5)')} AS median_demand
+    FROM daily GROUP BY brand
+    """,
+    ref="SURVEY §2 D109 [EXT] (newsvendor critical fractile (Arrow, "
+    "Harris & Marschak 1951): optimal single-period stock = the "
+    "cu/(cu+co) quantile of the demand distribution — with underage "
+    "cost 0.3·price and overage 0.6·price... the 0.6 fractile of daily "
+    "brand demand; the PROFIT-OPTIMAL cousin of D91's service-level "
+    "safety stock (which fixes a z-score instead of costs))",
+)
+def part_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stock level per brand: the cu/(cu+co) = 0.6 quantile
+    of observed daily demand (interpolated, the agg_median convention),
+    beside the median for reference. One row per brand.
+
+    Scale shape: one partkey join into a (brand, day) hash agg
+    (calendar-bounded output), then a 25-group exact-percentile agg —
+    the same two-level collapse as D23's latency percentiles; nothing
+    after the first agg is data-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    daily = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("d"))
+        .agg(dsum("l_quantity").alias("demand"))
+    )
+    frac = _NV_UNDERAGE / (_NV_UNDERAGE + _NV_OVERAGE)
+    return daily.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _q6(F.percentile("demand", F.lit(frac))).alias("stock_level"),
+        _q6(F.percentile("demand", F.lit(0.5))).alias("median_demand"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K156 — Neyman-allocation stratified sampling plan
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000
+
+
+@query(
+    "llm_neyman_allocation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, ({SQL_QUALITY}) AS s FROM documents WHERE text IS NOT NULL
+    ), strata AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+               {sql_dsum('s')} AS s1, {sql_dsum('s * s')} AS s2
+        FROM scored GROUP BY source
+    ), sd AS (
+        SELECT source, n_h,
+               sqrt(greatest(s2 / n_h - (s1 / n_h) * (s1 / n_h), 0)) AS sigma
+        FROM strata
+    ), tot AS (
+        SELECT SUM(n_h * sigma) AS denom, CAST(SUM(n_h) AS BIGINT) AS n
+        FROM sd
+    )
+    SELECT source, n_h,
+           {_sql_q6('sigma')} AS sigma_h,
+           CAST(trunc({_NEYMAN_BUDGET} * n_h * sigma / denom) AS BIGINT)
+               AS neyman_n,
+           CAST(trunc({_NEYMAN_BUDGET} * CAST(n_h AS DOUBLE) / n) AS BIGINT)
+               AS proportional_n
+    FROM sd CROSS JOIN tot
+    """,
+    ref="SURVEY §2 K156 [EXT] (Neyman-allocation stratified sampling "
+    "(Neyman 1934): split an n = 10k annotation/eval budget across "
+    "source strata ∝ N_h·σ_h — variance-optimal where K52's split and "
+    "K27's draws are share-preserving; high-variance sources get MORE "
+    "than their share, the standard design for building eval sets and "
+    "labeling batches over heterogeneous corpora)",
+)
+def llm_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan for a 10k-item budget: stratum size N_h,
+    quality-score standard deviation σ_h, the Neyman-optimal allocation
+    trunc(n·N_h σ_h / Σ N_k σ_k), and the proportional allocation for
+    comparison.
+
+    Scale shape: one narrow corpus scan into a per-source moment agg
+    (map-side combined, |sources| output rows); the allocation math is
+    per-row on the bounded stratum table against a broadcast 1-row
+    denominator. σ from the quantized-moment identity E[s²]−E[s]²
+    (guarded at 0 against rounding), computed on the SAME dsum moments
+    in both engines."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    s = text.quality_score("text")
+    strata = d.select(F.col("source"), s.alias("s")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        dsum("s").alias("s1"),
+        dsum(F.col("s") * F.col("s")).alias("s2"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2") / F.col("n_h")
+            - (F.col("s1") / F.col("n_h")) * (F.col("s1") / F.col("n_h")),
+            F.lit(0.0),
+        )
+    )
+    sd = strata.select("source", "n_h", sigma.alias("sigma"))
+    tot = sd.agg(
+        F.sum(F.col("n_h") * F.col("sigma")).alias("denom"),
+        F.sum("n_h").cast("bigint").alias("n"),
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_h",
+        _q6(F.col("sigma")).alias("sigma_h"),
+        (
+            _NEYMAN_BUDGET * F.col("n_h") * F.col("sigma") / F.col("denom")
+        ).cast("bigint").alias("neyman_n"),
+        (
+            _NEYMAN_BUDGET * F.col("n_h").cast("double") / F.col("n")
+        ).cast("bigint").alias("proportional_n"),
+    )

@@ -591,3 +591,118 @@ def test_ktruss_keeps_clique_drops_pendant(spark, tmp_path):
     }
     assert set(out) == {(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)}
     assert all(v == 2 for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# round-12b mini-wave micro-fixtures
+# ---------------------------------------------------------------------------
+
+def _write_customer(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+
+def _write_part(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+
+
+def test_anova_hand_computed(spark, tmp_path):
+    # A = {1, 2, 3}, B = {4, 5, 6}: SS_b = 13.5, SS_w = 4, F = 13.5/(4/4) = 13.5
+    rows = [
+        (1, 1, "O", 1.0, _d(0), "A"), (2, 1, "O", 2.0, _d(0), "A"),
+        (3, 1, "O", 3.0, _d(0), "A"), (4, 1, "O", 4.0, _d(0), "B"),
+        (5, 1, "O", 5.0, _d(0), "B"), (6, 1, "O", 6.0, _d(0), "B"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["orders_anova_oneway"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 6 and r["k"] == 2
+    # whole-unit quantization: trunc(13.5 + 0.5) = 14, trunc(4 + 0.5) = 4
+    assert r["ss_between"] == 14.0 and r["ss_within"] == 4.0
+    assert abs(r["f_stat"] - 13.5) < 0.7  # f computed on raw doubles pre-quant
+
+
+def test_cramers_v_independence_is_zero_and_identity_is_one(spark, tmp_path):
+    # independent axes: every (priority, segment) cell equal -> V = 0
+    custs = [(i, f"c{i}", 0, 0.0, "SEG_A" if i % 2 == 0 else "SEG_B")
+             for i in range(1, 5)]
+    _write_customer(spark, tmp_path, custs)
+    orders = []
+    ok = 1
+    for ck in range(1, 5):
+        for pr in ("P1", "P2"):
+            orders.append((ok, ck, "O", 1.0, _d(0), pr)); ok += 1
+    _write_orders(spark, tmp_path, orders)
+    r = SPECS["orders_cramers_v"].builder(spark, str(tmp_path)).collect()[0]
+    assert abs(r["cramers_v"]) < 1e-6 and abs(r["chi2"]) < 1e-6
+    # perfectly dependent axes: priority determined by segment -> V = 1
+    d2 = tmp_path / "dep"
+    d2.mkdir()
+    _write_customer(spark, d2, custs)
+    orders2 = []
+    ok = 1
+    for ck in range(1, 5):
+        pr = "P1" if ck % 2 == 0 else "P2"
+        for _ in range(3):
+            orders2.append((ok, ck, "O", 1.0, _d(0), pr)); ok += 1
+    _write_orders(spark, d2, orders2)
+    r2 = SPECS["orders_cramers_v"].builder(spark, str(d2)).collect()[0]
+    assert abs(r2["cramers_v"] - 1.0) < 1e-6
+
+
+def test_eoq_square_root_law(spark, tmp_path):
+    # brand X: demand 1000, price 100 -> h = 20, EOQ = sqrt(2*1000*100/20) = 100
+    parts = [(1, "p1", "X", "t", 1, 100.0)]
+    lines = [(i, 1, 1, 1, 10.0, 0.0, 0.0, 0.0, "N", "O", _d(0))
+             for i in range(100)]
+    _write_part(spark, tmp_path, parts)
+    _write_lineitem(spark, tmp_path, lines)
+    r = SPECS["part_eoq_ladder"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["brand"] == "X" and r["demand"] == 1000.0
+    assert abs(r["eoq"] - 100.0) < 1e-6
+    assert abs(r["orders_per_period"] - 10.0) < 1e-6
+
+
+def test_newsvendor_picks_the_06_fractile(spark, tmp_path):
+    # daily demands 10, 20, ..., 60 (6 days): the 0.6 quantile
+    # (interpolated) = 10 + 0.6*5*10 = 40
+    parts = [(1, "p1", "X", "t", 1, 100.0)]
+    lines = []
+    for day in range(6):
+        lines.append((day, 1, 1, 1, 10.0 * (day + 1), 0.0, 0.0, 0.0,
+                      "N", "O", _d(day)))
+    _write_part(spark, tmp_path, parts)
+    _write_lineitem(spark, tmp_path, lines)
+    r = SPECS["part_newsvendor_stock"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 6
+    assert abs(r["stock_level"] - 40.0) < 1e-6
+    assert abs(r["median_demand"] - 35.0) < 1e-6
+
+
+def test_neyman_gives_more_budget_to_high_variance_strata(spark, tmp_path):
+    # source "flat": identical docs (sigma 0); source "mixed": half rich,
+    # half poor (sigma > 0). Neyman sends ~the whole budget to "mixed";
+    # proportional splits by size.
+    rich = ("the quick brown fox jumps over a lazy dog and keeps running "
+            "to the river of words beyond the hill every single day ") * 2
+    poor = "z q"
+    docs = []
+    did = 0
+    for _ in range(100):
+        docs.append((did, rich, "en", "flat", 100)); did += 1
+    for i in range(100):
+        docs.append((did, rich if i % 2 == 0 else poor, "en", "mixed", 100))
+        did += 1
+    _write_documents(spark, tmp_path, docs)
+    out = {r["source"]: r for r in
+           SPECS["llm_neyman_allocation"].builder(spark, str(tmp_path)).collect()}
+    assert out["flat"]["sigma_h"] == 0.0 and out["flat"]["neyman_n"] == 0
+    assert out["mixed"]["neyman_n"] == 10000
+    assert out["flat"]["proportional_n"] == 5000
+    assert out["mixed"]["proportional_n"] == 5000
