@@ -662,12 +662,14 @@ _QL_TOPK = 5
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, text,
-               CAST(len(list_filter(string_split(text, ' '),
+               -- \\s+ split + empty-drop == Spark words(): agrees on
+               -- multi-space/tab/newline corpora (the ADVICE r11 rule)
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                     w -> w <> '')) AS BIGINT) AS dl
         FROM documents WHERE text IS NOT NULL
     ), tok AS (
         SELECT doc_id, w.term
-        FROM docs d, unnest(list_filter(string_split(d.text, ' '),
+        FROM docs d, unnest(list_filter(regexp_split_to_array(d.text, '\\s+'),
                                         w -> w <> '')) AS w(term)
     ), totals AS (
         SELECT CAST(SUM(dl) AS DOUBLE) AS coll_len FROM docs
