@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ksql_spark.operators import text
 from ksql_spark.queries.curation import SQL_QUALITY
+from ksql_spark.queries.llm import _dot_sql, _norm_sql
 from ksql_spark.registry import dsum, query, sql_dsum
 from ksql_spark.tables import load
 
@@ -1418,4 +1419,106 @@ def llm_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             _NEYMAN_BUDGET * F.col("n_h").cast("double") / F.col("n")
         ).cast("bigint").alias("proportional_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K152b — binary-candidate + float re-rank (the production two-stage)
+# ---------------------------------------------------------------------------
+
+_HAM_CAND = 50  # binary-tier candidate pool per query
+
+
+@query(
+    "ann_hamming_rerank_topk",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               {_sign_pack_sql('embedding', 0)} AS h1,
+               {_sign_pack_sql('embedding', 32)} AS h2
+        FROM embeddings
+    ), cand AS (
+        SELECT query_id, vec_id, q_emb, embedding FROM (
+            SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                   q.embedding AS q_emb, v.embedding AS embedding,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(q.h1, v.h1))
+                                + bit_count(xor(q.h2, v.h2)), v.vec_id) AS rn
+            FROM (SELECT * FROM sig WHERE vec_id < 3) q
+            CROSS JOIN sig v
+            WHERE q.vec_id <> v.vec_id
+        ) WHERE rn <= {_HAM_CAND}
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT query_id, vec_id,
+               {_dot_sql('q_emb', 'embedding')} / ({_norm_sql('q_emb')} * {_norm_sql('embedding')}) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_dot_sql('q_emb', 'embedding')} / ({_norm_sql('q_emb')} * {_norm_sql('embedding')}) DESC,
+                            vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= 5
+    """,
+    ref="SURVEY §2 K152 [EXT] (the production TWO-STAGE retrieval "
+    "composition: the 16-byte binary tier shortlists 50 candidates per "
+    "query by popcount, then EXACT float cosine re-ranks the shortlist "
+    "to top-5 — the coarse-then-rerank pattern every binary/PQ index "
+    "ships (faiss refine, binary passage retrieval); cost = one "
+    "signature scan + 50 float comparisons per query instead of a "
+    "full-corpus float scan. Deterministic end to end, so unlike the "
+    "IVF/LSH tiers it oracle-checks bit-for-bit; recall law vs the "
+    "exact cosine top-5 in tests/test_wave12.py)",
+)
+def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: Hamming-shortlist 50 candidates per query over the
+    packed sign signatures, then exact cosine re-rank to top-5 (ties:
+    lowest vec_id at both stages).
+
+    Scale shape: stage 1 is ann_hamming_topk's plan with a deeper k —
+    per-row fold signatures, 3-row broadcast query side, one
+    query-partitioned window over 16-byte rows; stage 2 touches ONLY
+    |queries| x 50 float vectors. The float corpus column is read once
+    (same scan provides signature and embedding); at 100 TB the
+    signature column would be a separate 0.5 TB projection and stage 2
+    a point-lookup join against the candidate ids."""
+    from ksql_spark.operators import vectors
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_pack_spark(F.col("embedding"), 0).alias("h1"),
+        _sign_pack_spark(F.col("embedding"), 32).alias("h2"),
+    )
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    ham = (
+        F.bit_count(F.col("q1").bitwiseXOR(F.col("h1")))
+        + F.bit_count(F.col("q2").bitwiseXOR(F.col("h2")))
+    )
+    cw = Window.partitionBy("query_id").orderBy(ham, F.col("vec_id"))
+    cand = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn("rn", F.row_number().over(cw))
+        .where(F.col("rn") <= _HAM_CAND)
+        .select("query_id", "vec_id", "q_emb", "embedding")
+    )
+    cos = F.try_divide(
+        vectors.dot("q_emb", "embedding"),
+        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
     )

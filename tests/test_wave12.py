@@ -706,3 +706,24 @@ def test_neyman_gives_more_budget_to_high_variance_strata(spark, tmp_path):
     assert out["mixed"]["neyman_n"] == 10000
     assert out["flat"]["proportional_n"] == 5000
     assert out["mixed"]["proportional_n"] == 5000
+
+
+def test_hamming_rerank_recall_beats_raw_hamming(spark):
+    """The two-stage law: re-ranking the 50-deep binary shortlist with
+    exact cosine must recall at least as much of the true cosine top-5
+    as the raw Hamming top-5 does, and clear a stated floor."""
+    exact = SPECS["llm_sim_topk"].builder(spark, SF_DIR).collect()
+    raw = SPECS["ann_hamming_topk"].builder(spark, SF_DIR).collect()
+    rr = SPECS["ann_hamming_rerank_topk"].builder(spark, SF_DIR).collect()
+
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, h, z = by_q(exact), by_q(raw), by_q(rr)
+    rec_raw = sum(len(h[q] & e[q]) / len(e[q]) for q in e) / len(e)
+    rec_rr = sum(len(z[q] & e[q]) / len(e[q]) for q in e) / len(e)
+    assert rec_rr >= rec_raw
+    assert rec_rr >= 0.5, (rec_raw, rec_rr)
