@@ -1365,8 +1365,14 @@ _NEYMAN_BUDGET = 10_000
     )
     SELECT source, n_h,
            {_sql_q6('sigma')} AS sigma_h,
-           CAST(trunc({_NEYMAN_BUDGET} * n_h * sigma / denom) AS BIGINT)
-               AS neyman_n,
+           -- all-homogeneous strata (denom 0) degenerate to the
+           -- proportional plan: Neyman is undefined with zero variance
+           -- everywhere, and trunc(inf) would abort either engine
+           CASE WHEN denom > 0
+                THEN CAST(trunc({_NEYMAN_BUDGET} * n_h * sigma / denom)
+                          AS BIGINT)
+                ELSE CAST(trunc({_NEYMAN_BUDGET} * CAST(n_h AS DOUBLE) / n)
+                          AS BIGINT) END AS neyman_n,
            CAST(trunc({_NEYMAN_BUDGET} * CAST(n_h AS DOUBLE) / n) AS BIGINT)
                AS proportional_n
     FROM sd CROSS JOIN tot
@@ -1413,9 +1419,19 @@ def llm_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_h",
         _q6(F.col("sigma")).alias("sigma_h"),
-        (
-            _NEYMAN_BUDGET * F.col("n_h") * F.col("sigma") / F.col("denom")
-        ).cast("bigint").alias("neyman_n"),
+        F.when(
+            F.col("denom") > 0,
+            (
+                _NEYMAN_BUDGET * F.col("n_h") * F.col("sigma")
+                / F.col("denom")
+            ).cast("bigint"),
+        )
+        .otherwise(
+            (
+                _NEYMAN_BUDGET * F.col("n_h").cast("double") / F.col("n")
+            ).cast("bigint")
+        )
+        .alias("neyman_n"),
         (
             _NEYMAN_BUDGET * F.col("n_h").cast("double") / F.col("n")
         ).cast("bigint").alias("proportional_n"),
