@@ -297,11 +297,14 @@ def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, {sql_dsum('o_totalprice')} AS rev
         FROM orders GROUP BY o_custkey
     ), agg AS (
+        -- Atkinson is defined on POSITIVE incomes: ln/sqrt of a refunded
+        -- (negative-revenue) customer would NaN one engine and abort the
+        -- other; the domain restriction is part of the estimator
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                {sql_dsum('rev')} AS s_rev,
                {sql_dsum('sqrt(rev)')} AS s_sqrt,
                {sql_dsum('ln(rev)')} AS s_ln
-        FROM per_c
+        FROM per_c WHERE rev > 0
     )
     SELECT n,
            {_sql_q6('s_rev / n')} AS mean_rev,
@@ -331,6 +334,8 @@ def customer_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs bit-identical."""
     o = load(spark, sf_dir, "orders")
     per_c = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("rev"))
+    # positive-income domain (see oracle comment)
+    per_c = per_c.where(F.col("rev") > 0)
     agg = per_c.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dsum("rev").alias("s_rev"),
@@ -378,7 +383,7 @@ def customer_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n, k,
            {_sql_q6(
-               '(CAST(n AS DOUBLE) - k) / (k - 1.0)'
+               '(CAST(n AS DOUBLE) - k) / NULLIF(k - 1.0, 0)'
                ' * (s_between - sz_all * sz_all / n)'
                ' / NULLIF(s_zz_all - s_between, 0)'
            )} AS w_stat
@@ -421,7 +426,7 @@ def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, k = F.col("n").cast("double"), F.col("k").cast("double")
     w = (
-        (n - F.col("k")) / (F.col("k") - 1.0)
+        (n - F.col("k")) / F.nullif(F.col("k").cast("double") - 1.0, F.lit(0.0))
         * (F.col("s_between") - F.col("sz_all") * F.col("sz_all") / n)
         / F.nullif(F.col("s_zz_all") - F.col("s_between"), F.lit(0.0))
     )
@@ -1037,7 +1042,7 @@ _SQL_XX = "CAST(SUM(CAST(trunc(x * x + 0.5) AS BIGINT)) AS DOUBLE)"
            CAST(CAST(trunc(s_xx_all - s_groups + 0.5) AS BIGINT) AS DOUBLE)
                AS ss_within,
            {_sql_q6(
-               '(s_groups - sx_all * sx_all / n) / (k - 1.0)'
+               '(s_groups - sx_all * sx_all / n) / NULLIF(k - 1.0, 0)'
                ' / NULLIF((s_xx_all - s_groups) / (CAST(n AS DOUBLE) - k), 0)'
            )} AS f_stat
     FROM tot
@@ -1087,7 +1092,7 @@ def orders_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ss_b + F.lit(0.5)).cast("bigint").cast("double").alias("ss_between"),
         (ss_w + F.lit(0.5)).cast("bigint").cast("double").alias("ss_within"),
         _q6(
-            ss_b / (F.col("k") - 1.0)
+            ss_b / F.nullif(F.col("k").cast("double") - 1.0, F.lit(0.0))
             / F.nullif(ss_w / (n - F.col("k")), F.lit(0.0))
         ).alias("f_stat"),
     )
@@ -1233,14 +1238,16 @@ _EOQ_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit price
     )
     SELECT brand, demand,
            {_sql_q6('price_sum / n_lines')} AS avg_price,
-           {_sql_q6(
+           -- EOQ is undefined off the positive-demand/price domain
+           -- (sqrt of a negative would NaN/abort): NULL there
+           CASE WHEN demand > 0 AND price_sum > 0 THEN {_sql_q6(
                f'sqrt(2.0 * demand * {_EOQ_ORDER_COST}'
                f' / ({_EOQ_HOLD_RATE} * (price_sum / n_lines)))'
-           )} AS eoq,
-           {_sql_q6(
+           )} END AS eoq,
+           CASE WHEN demand > 0 AND price_sum > 0 THEN {_sql_q6(
                f'demand / sqrt(2.0 * demand * {_EOQ_ORDER_COST}'
                f' / ({_EOQ_HOLD_RATE} * (price_sum / n_lines)))'
-           )} AS orders_per_period
+           )} END AS orders_per_period
     FROM pd
     """,
     ref="SURVEY §2 D108 [EXT] (economic order quantity (Harris 1913; "
@@ -1274,12 +1281,13 @@ def part_eoq_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     eoq = F.sqrt(
         2.0 * F.col("demand") * _EOQ_ORDER_COST / (_EOQ_HOLD_RATE * avg_price)
     )
+    ok = (F.col("demand") > 0) & (F.col("price_sum") > 0)
     return pd_.select(
         "brand",
         "demand",
         _q6(avg_price).alias("avg_price"),
-        _q6(eoq).alias("eoq"),
-        _q6(F.col("demand") / eoq).alias("orders_per_period"),
+        F.when(ok, _q6(eoq)).alias("eoq"),
+        F.when(ok, _q6(F.col("demand") / eoq)).alias("orders_per_period"),
     )
 
 
