@@ -110,6 +110,13 @@ SHOWCASE = {
     "graph_ktruss": "two wedge-join peeling rounds over the hub-pruned "
     "pinned adjacency; per-round (s1, s2) hash agg, no direction "
     "double-count",
+    "ann_hamming_rerank_topk": "stage 1 = binary shortlist (fold "
+    "signatures, broadcast queries); stage 2 touches only |q| x 50 "
+    "float vectors — the coarse-then-rerank production pattern",
+    "llm_neyman_allocation": "one per-source moment agg; allocation on "
+    "the bounded stratum table vs a broadcast 1-row denominator",
+    "part_newsvendor_stock": "(brand, day) collapse then a 25-group "
+    "exact percentile — the D23 two-level quantile posture",
 }
 
 
