@@ -331,9 +331,38 @@ _R11_CHECKED = frozenset({
 })
 
 
+#: Round-12 ritual transcription (CORRECTNESS_r12.json, 48 oracle-green +
+#: 2 rows-only-by-design): the window was the 16-entry r12 wave (D101-D109,
+#: K152-K156, L21-L22 + the collapsed-winnowing / IVF-decon / auto-dispatch
+#: production siblings) plus refill from the stalest remaining evidence —
+#: the r2 sort/limit/setop/window/stream/udf families and the r3 agg/ann
+#: blocks. Refill continues from the remaining r3 keys, then r4.
+_R12_CHECKED = frozenset({
+    "agg_conditional", "agg_corr", "agg_quantiles", "agg_skew_twostage",
+    "ann_hamming_rerank_topk", "ann_hamming_topk", "ann_lsh_recall",
+    "customer_atkinson_index", "events_brown_forsythe",
+    "events_rate_limit_gcra", "events_session_funnel",
+    "graph_closeness_landmarks", "graph_ktruss", "limit_n",
+    "limit_offset", "llm_dirichlet_ql_topk", "llm_gumbel_topk_sample",
+    "llm_lsh_param_plan", "llm_neyman_allocation",
+    "llm_pipeline_e2e_auto", "llm_semantic_decontaminate_ivf",
+    "llm_text_stats", "llm_token_count", "llm_winnowing_pairs_collapsed",
+    "orders_anova_oneway", "orders_cramers_v", "orders_kruskal_wallis",
+    "orders_nelson_aalen", "part_eoq_ladder", "part_newsvendor_stock",
+    "set_except", "set_except_distinct", "set_intersect_all",
+    "sort_multi", "stream_session_window", "stream_sliding_window",
+    "stream_tumbling_window", "topk_orders", "udaf_grouped", "udf_scalar",
+    "udtf_flatmap", "win_distribution", "win_frame_rows", "win_lag_lead",
+    "win_ntile", "win_range_frame", "win_rank", "win_running_sum",
+    "win_topn_per_group", "win_value_fns",
+})
+
+
 def _order_key(item: tuple[int, QuerySpec]) -> tuple:
     i, spec = item
-    if spec.name in _R11_CHECKED:
+    if spec.name in _R12_CHECKED:
+        group = 12
+    elif spec.name in _R11_CHECKED:
         group = 11
     elif spec.name in _R10_CHECKED:
         group = 10
