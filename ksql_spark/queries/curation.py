@@ -2769,15 +2769,21 @@ def _ivf_cell_of(cent_rows, emb) -> F.Column:
             lambda acc, x: acc + x,
         )
 
+    # distances materialize ONCE per centroid (transform), so the argmin
+    # fold compares precomputed doubles instead of re-running the K x dim
+    # arithmetic in both the WHEN condition and the result struct
+    dists = F.transform(
+        cent_arr,
+        lambda cent: F.struct(
+            cent["cid"].alias("cid"), d2(cent["ce"]).alias("d")
+        ),
+    )
     init = F.struct(
         F.lit(-1).cast("int").alias("cid"),
         F.lit(float("inf")).alias("d"),
     )
-    step = lambda acc, cent: F.when(
-        d2(cent["ce"]) < acc["d"],
-        F.struct(cent["cid"].alias("cid"), d2(cent["ce"]).alias("d")),
-    ).otherwise(acc)
-    return F.aggregate(cent_arr, init, step)["cid"]
+    step = lambda acc, cand: F.when(cand["d"] < acc["d"], cand).otherwise(acc)
+    return F.aggregate(dists, init, step)["cid"]
 
 
 @query(

@@ -1223,9 +1223,11 @@ _LANDMARKS = [_START, 1, 2, 3]
 _LM_ROUNDS = 3
 
 
-def _landmark_oracle() -> str:
+def _landmark_oracle(final_select: str | None = None) -> str:
     """Unrolled multi-source BFS CTEs — the _sssp_oracle technique with a
-    (landmark, node) composite state key."""
+    (landmark, node) composite state key. ``final_select`` replaces the
+    default per-(landmark, node) projection so siblings (L21 closeness)
+    reuse the BFS body without a fragile string .replace on the tail."""
     seeds = " UNION ALL ".join(
         f"SELECT CAST({x} AS BIGINT) AS lm, CAST({x} AS BIGINT) AS s, "
         f"CAST(0 AS BIGINT) AS dist"
@@ -1254,7 +1256,9 @@ def _landmark_oracle() -> str:
     )"""
         )
     parts.append(
-        f"""
+        final_select
+        if final_select is not None
+        else f"""
     SELECT lm AS landmark, s AS suppkey, CAST(dist AS BIGINT) AS dist
     FROM l{_LM_ROUNDS}
     """
@@ -2057,12 +2061,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_closeness_landmarks",
-    oracle=_landmark_oracle().replace(
-        f"""
-    SELECT lm AS landmark, s AS suppkey, CAST(dist AS BIGINT) AS dist
-    FROM l{_LM_ROUNDS}
-    """,
-        f"""
+    oracle=_landmark_oracle(
+        final_select=f"""
     SELECT s AS suppkey,
            CAST(SUM(dist) AS BIGINT) AS sum_dist,
            CAST(trunc({len(_LANDMARKS)}.0 / NULLIF(SUM(dist), 0)

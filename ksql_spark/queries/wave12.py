@@ -696,7 +696,9 @@ _QL_TOPK = 5
         -- per-(doc, query) constant: every query term scores
         -- log(mu*p(w|C) / (dl + mu)) when absent
         SELECT d.doc_id, q.query_id,
-               SUM(CAST(trunc(ln({_QL_MU} * cf.cf / t.coll_len
+               -- parenthesized (cf/coll_len) first: the Spark side builds
+               -- p_c = cf/coll_len then mu*p_c — same association, same ulp
+               SUM(CAST(trunc(ln({_QL_MU} * (cf.cf / t.coll_len)
                               / (d.dl + {_QL_MU}))
                         * 1000000000 + 0.5) AS BIGINT)) AS b_q9
         FROM docs d
@@ -707,8 +709,8 @@ _QL_TOPK = 5
     ), bonus AS (
         -- matched terms add log((tf + mu*p) / (mu*p))
         SELECT p.doc_id, q.query_id,
-               SUM(CAST(trunc(ln((p.tf + {_QL_MU} * cf.cf / t.coll_len)
-                              / ({_QL_MU} * cf.cf / t.coll_len))
+               SUM(CAST(trunc(ln((p.tf + {_QL_MU} * (cf.cf / t.coll_len))
+                              / ({_QL_MU} * (cf.cf / t.coll_len)))
                         * 1000000000 + 0.5) AS BIGINT)) AS m_q9
         FROM posting p
         JOIN qterms q USING (term)
@@ -961,7 +963,10 @@ _ES_K = 100
     )
     SELECT doc_id, {_sql_q6('quality')} AS quality, {_sql_q6('ekey')} AS ekey
     FROM keyed
-    ORDER BY ekey, doc_id LIMIT {_ES_K}
+    -- qualified keyed.ekey binds the RAW race key, not the quantized
+    -- SELECT alias: selection must compare raw doubles exactly like the
+    -- Spark side, else 1e-6-collapsed ties straddling rank k diverge
+    ORDER BY keyed.ekey, doc_id LIMIT {_ES_K}
     """,
     ref="SURVEY §2 K155 [EXT] (Efraimidis-Spirakis A-ES weighted "
     "sampling WITHOUT replacement (Efraimidis & Spirakis 2006, the "
@@ -1319,7 +1324,8 @@ _NV_OVERAGE = 0.2  # holding/salvage loss per unit over (fraction of price)
     ref="SURVEY §2 D109 [EXT] (newsvendor critical fractile (Arrow, "
     "Harris & Marschak 1951): optimal single-period stock = the "
     "cu/(cu+co) quantile of the demand distribution — with underage "
-    "cost 0.3·price and overage 0.6·price... the 0.6 fractile of daily "
+    "cost 0.3·price and overage 0.2·price, cu/(cu+co) = 0.3/0.5 = 0.6 "
+    "— the 0.6 fractile of daily "
     "brand demand; the PROFIT-OPTIMAL cousin of D91's service-level "
     "safety stock (which fixes a z-score instead of costs))",
 )
