@@ -412,6 +412,168 @@ def replica_newsvendor(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D98 — log-rank / Mantel-Cox test (r11)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_logrank_segments")
+def replica_logrank(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    d = o["o_orderdate"].dt.normalize()
+    hi = d.max()
+    seg = dict(zip(c["c_custkey"], c["c_mktsegment"]))
+    subj = []
+    for cust, dates in d.groupby(o["o_custkey"]):
+        ds = dates.sort_values().to_numpy()
+        if len(ds) >= 2:
+            dur, ev = (ds[1] - ds[0]) / np.timedelta64(1, "D"), 1
+        else:
+            dur, ev = (np.datetime64(hi) - ds[0]) / np.timedelta64(1, "D"), 0
+        subj.append((int(dur), ev, 1 if seg[cust] == "BUILDING" else 0))
+    sdf = pd.DataFrame(subj, columns=["dur", "ev", "g"])
+    by = (
+        sdf.assign(ev1=sdf["ev"] * sdf["g"])
+        .groupby("dur")
+        .agg(
+            d1=("ev1", "sum"),
+            d_all=("ev", "sum"),
+            l1=("g", "sum"),
+            l_all=("ev", "count"),
+        )
+        .sort_index()
+    )
+    n1 = by["l1"][::-1].cumsum()[::-1]
+    n = by["l_all"][::-1].cumsum()[::-1]
+    o1, e1_q, v_q = 0, 0, 0
+    for dur in by.index:
+        d_all = int(by.loc[dur, "d_all"])
+        if d_all <= 0:
+            continue
+        n1_t, n_t = int(n1.loc[dur]), int(n.loc[dur])
+        o1 += int(by.loc[dur, "d1"])
+        e1_q += tq(d_all * (n1_t / n_t), 1e6)
+        if n_t > 1:
+            v_q += tq(
+                d_all
+                * (n1_t / n_t)
+                * ((n_t - n1_t) / n_t)
+                * ((n_t - d_all) / (n_t - 1)),
+                1e6,
+            )
+    e1 = e1_q / 1e6
+    chi2 = (
+        math.trunc((o1 - e1) ** 2 / (v_q / 1e6) * 1e6 + 0.5) / 1e6
+        if v_q > 0
+        else np.nan
+    )
+    return pd.DataFrame(
+        {
+            "n1_subjects": [int(sdf["g"].sum())],
+            "n2_subjects": [int((1 - sdf["g"]).sum())],
+            "o1_events": [o1],
+            "e1_expected": [e1],
+            "chi2": [chi2],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D99 — Page-Hinkley drift monitor (r11; the walk run sequentially, the
+# literal textbook recursion, against the engine's window unroll)
+# ---------------------------------------------------------------------------
+
+_PH_DELTA, _PH_LAMBDA = 0.05, 5.0
+
+
+@replica("events_page_hinkley")
+def replica_page_hinkley(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["value"].notna()]
+    day = e["ts"].dt.normalize()
+    daily = (
+        e.assign(d=day)
+        .groupby(["event_type", "d"])["value"]
+        .apply(lambda v: int(math.floor(dsum(v) / len(v) * 1e6 + 0.5)))
+        .reset_index(name="x_q")
+        .sort_values(["event_type", "d"])
+    )
+    rows = []
+    for et, sub in daily.groupby("event_type"):
+        xs = sub["x_q"].to_list()
+        ds = [ts.date() for ts in sub["d"]]
+        cum = 0
+        m_q, mmin = 0, None
+        n_alarm, max_ex, first_alarm = 0, 0, None
+        for i, (x, dte) in enumerate(zip(xs, ds), start=1):
+            cum += x
+            t_q = int(math.floor((x / 1e6 - cum / 1e6 / i - _PH_DELTA) * 1e6 + 0.5))
+            m_q += t_q
+            mmin = m_q if mmin is None else min(mmin, m_q)
+            ex = m_q - mmin
+            max_ex = max(max_ex, ex)
+            if ex > _PH_LAMBDA * 1e6:
+                n_alarm += 1
+                if first_alarm is None:
+                    first_alarm = dte
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": len(xs),
+                "max_excess": max_ex / 1e6,
+                "n_alarm_days": n_alarm,
+                "first_alarm_day": first_alarm,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D100 — bullwhip ratio (r11)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_bullwhip_ratio")
+def replica_bullwhip(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    mo_order = j["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    mo_ship = j["l_shipdate"].dt.to_period("M").dt.to_timestamp()
+    months = sorted(set(mo_order) | set(mo_ship))
+    qa = {
+        m: dsum(v)
+        for m, v in j["l_quantity"].groupby(mo_order)
+    }
+    qb = {
+        m: dsum(v)
+        for m, v in j["l_quantity"].groupby(mo_ship)
+    }
+    a = np.array([qa.get(m, 0.0) for m in months])
+    b = np.array([qb.get(m, 0.0) for m in months])
+    n = len(months)
+    sa, sb = dsum(a), dsum(b)
+    saa = float(sum(int(math.trunc(x * x + 0.5)) for x in a))
+    sbb = float(sum(int(math.trunc(x * x + 0.5)) for x in b))
+    ma, mb = sa / n, sb / n
+    va = max(saa / n - ma * ma, 0.0)
+    vb = max(sbb / n - mb * mb, 0.0)
+    cv2a = va / (ma * ma) if ma != 0 else np.nan
+    cv2b = vb / (mb * mb) if mb != 0 else np.nan
+    ratio = cv2a / cv2b if cv2b else np.nan
+    return pd.DataFrame(
+        {
+            "n_months": [n],
+            "mean_ordered": [q6s(ma)],
+            "mean_shipped": [q6s(mb)],
+            "cv2_ordered": [q6s(cv2a)],
+            "cv2_shipped": [q6s(cv2b)],
+            "bullwhip_ratio": [q6s(ratio)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
