@@ -60,6 +60,8 @@ def q6(x):
 
 
 def q6s(x: float) -> float:
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return float("nan")
     return float(math.trunc(x * 1e6 + 0.5)) / 1e6
 
 
@@ -574,12 +576,357 @@ def replica_bullwhip(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D83 — bag-of-little-bootstraps mean CI (r10; the LCG/Dirichlet machinery
+# re-derived from the Kleiner et al. recipe, per-row python integers)
+# ---------------------------------------------------------------------------
+
+_BLB_S, _BLB_R = 8, 40
+_KNUTH = 2654435761
+_M31, _M32 = 2**31, 2**32
+
+
+@replica("events_blb_mean_ci")
+def replica_blb(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["value"].notna()]
+    ids = e["event_id"].to_numpy()
+    xs = e["value"].to_numpy()
+    su = ((ids % _M31) * _KNUTH) % _M32 % _BLB_S
+    # per-subset replicate means
+    adj_lo, adj_hi = [], []
+    n_total = len(ids)
+    gx_q = 0
+    sub_rows = []
+    for s in range(_BLB_S):
+        mask = su == s
+        sid, sx_v = ids[mask], xs[mask]
+        b = int(mask.sum())
+        sx = dsum(sx_v)
+        sub_rows.append((s, b, sx))
+        gx_q += tq(sx, 1e6)
+        means = []
+        for rep in range(_BLB_R):
+            h = (((sid % _M31) * _BLB_R + rep) % _M31 * _KNUTH) % _M32
+            wt = -np.log((h + 0.5) / _M32)
+            means.append((q6s(dsum(wt * sx_v) / dsum(wt)), rep))
+        means.sort()
+        lo, hi = means[1][0], means[_BLB_R - 2][0]
+        m_s = sx / b
+        scale = math.sqrt(b / n_total)
+        adj_lo.append(q6s(m_s - (m_s - lo) * scale))
+        adj_hi.append(q6s(m_s + (hi - m_s) * scale))
+    gx = gx_q / 1e6
+    return pd.DataFrame(
+        {
+            "n_events": [n_total],
+            "n_subsets": [_BLB_S],
+            "n_replicates": [_BLB_R],
+            "mean_value": [q6s(gx / n_total)],
+            "ci_lo": [q6s(dsum(adj_lo) / _BLB_S)],
+            "ci_hi": [q6s(dsum(adj_hi) / _BLB_S)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D84 — Chapman capture-recapture
+# ---------------------------------------------------------------------------
+
+
+@replica("events_capture_recapture")
+def replica_capture_recapture(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    per = e.groupby("user_id")["event_type"].agg(
+        in1=lambda t: int((t == "view").any()),
+        in2=lambda t: int((t == "click").any()),
+    )
+    n1, n2 = int(per["in1"].sum()), int(per["in2"].sum())
+    m = int((per["in1"] * per["in2"]).sum())
+    chapman = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    se = math.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) ** 2 * (m + 2.0))
+    )
+    return pd.DataFrame(
+        {
+            "n_view": [n1],
+            "n_click": [n2],
+            "n_both": [m],
+            "n_universe": [len(per)],
+            "n_chapman": [q6s(chapman)],
+            "se": [q6s(se)],
+            "ci_lo": [q6s(chapman - 1.96 * se)],
+            "ci_hi": [q6s(chapman + 1.96 * se)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D85 — chain-ladder cohort completion (the Mack recipe re-run on the
+# explicit triangle, python loops)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_chain_ladder")
+def replica_chain_ladder(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = e["ts"].dt.normalize()
+    cohort = day.groupby(e["user_id"]).transform("min")
+    age = ((day - cohort) / np.timedelta64(1, "D")).astype(int)
+    isp = (e["event_type"] == "purchase").astype(int)
+    maxday = day.max()
+    cohorts = sorted(cohort.unique())
+    inc = (
+        pd.DataFrame({"cohort": cohort, "age": age, "isp": isp})
+        .groupby(["cohort", "age"])["isp"]
+        .sum()
+    )
+    # dense cumulative triangle, right edge at the corpus horizon
+    tri = {}
+    for co in cohorts:
+        max_age = int((maxday - co) / np.timedelta64(1, "D"))
+        c, row = 0, []
+        for a in range(max_age + 1):
+            c += int(inc.get((co, a), 0))
+            row.append(c)
+        tri[co] = row
+    # volume-weighted development factors per age
+    all_ages = sorted({a for row in tri.values() for a in range(len(row))})
+    f = {}
+    for a in all_ages:
+        num = sum(row[a + 1] for row in tri.values() if len(row) > a + 1)
+        den = sum(row[a] for row in tri.values() if len(row) > a + 1)
+        f[a] = num / den if den > 0 else 1.0
+    # age-to-ultimate: product of factors from this age to the oldest,
+    # via the quantized-ln-sum device
+    ata = {}
+    acc = 0
+    for a in sorted(all_ages, reverse=True):
+        acc += tq(math.log(f[a]), 1e6)
+        ata[a] = math.exp(acc / 1e6)
+    rows = []
+    for co in cohorts:
+        row = tri[co]
+        latest_age = len(row) - 1
+        cum_latest = row[-1]
+        ult = cum_latest * ata[latest_age]
+        rows.append(
+            {
+                "cohort": co.date(),
+                "latest_age": latest_age,
+                "cum_purchases": cum_latest,
+                "ultimate": q6s(ult),
+                "reserve": q6s(ult - cum_latest),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D86 — beta-binomial EB shrinkage
+# ---------------------------------------------------------------------------
+
+
+@replica("events_eb_shrinkage")
+def replica_eb_shrinkage(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    g = e.groupby("user_id")
+    n = g.size()
+    x = g["event_type"].apply(lambda t: int((t == "purchase").sum()))
+    raw = x / n
+    mu = dsum(raw) / len(raw)
+    v = dsum(raw * raw) / len(raw) - mu * mu
+    kappa = mu * (1.0 - mu) / v - 1.0 if v != 0 else 0.0
+    if v > 1e-12 and kappa > 0:
+        a, b = mu * kappa, (1.0 - mu) * kappa
+    else:
+        a, b = 0.0, 0.0
+    return pd.DataFrame(
+        {
+            "user_id": n.index,
+            "n_events": n.to_numpy(),
+            "n_purchases": x.to_numpy(),
+            "raw_rate": q6(raw.to_numpy()),
+            "shrunk_rate": q6((x.to_numpy() + a) / (n.to_numpy() + a + b)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D87 — panel fixed-effects within OLS
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_panel_within_ols")
+def replica_panel_within(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    lc = li.groupby("l_orderkey").size().rename("x").reset_index()
+    ob = o.merge(lc, left_on="o_orderkey", right_on="l_orderkey")
+    c, y, x = ob["o_custkey"], ob["o_totalprice"], ob["x"].astype(float)
+    df = pd.DataFrame({"c": c, "x": x, "y": y})
+    cm = df.groupby("c").agg(
+        mx=("x", lambda v: dsum(v) / len(v)),
+        my=("y", lambda v: dsum(v) / len(v)),
+    )
+    gx, gy = dsum(x) / len(df), dsum(y) / len(df)
+    mx = df["c"].map(cm["mx"]).to_numpy()
+    my = df["c"].map(cm["my"]).to_numpy()
+    xa, ya = x.to_numpy(), y.to_numpy()
+    sxx_w = dsum((xa - mx) * (xa - mx))
+    sxy_w = dsum((xa - mx) * (ya - my))
+    syy_w = dsum((ya - my) * (ya - my))
+    sxx_p = dsum((xa - gx) * (xa - gx))
+    sxy_p = dsum((xa - gx) * (ya - gy))
+    bw = sxy_w / sxx_w
+    return pd.DataFrame(
+        {
+            "n_orders": [len(df)],
+            "n_entities": [df["c"].nunique()],
+            "beta_pooled": [q6s(sxy_p / sxx_p)],
+            "beta_within": [q6s(bw)],
+            "r2_within": [q6s(bw * bw * sxx_w / syy_w)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D88 — Gumbel block maxima
+# ---------------------------------------------------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+@replica("events_gumbel_maxima")
+def replica_gumbel_maxima(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["value"].notna()]
+    dm = e.groupby(e["ts"].dt.normalize())["value"].max()
+    n = len(dm)
+    m = dsum(dm) / n
+    sxx = dsum(dm * dm)
+    s2 = (sxx - n * m * m) / (n - 1) if n >= 2 else np.nan
+    beta = math.sqrt(6.0 * s2) / math.pi if n >= 2 and s2 > 0 else np.nan
+    mu = m - _EULER_GAMMA * beta
+
+    def rl(p):
+        return mu - beta * math.log(-math.log(p))
+
+    return pd.DataFrame(
+        {
+            "n_blocks": [n],
+            "block_max_mean": [q6s(m)],
+            "gumbel_mu": [q6s(mu) if not np.isnan(beta) else np.nan],
+            "gumbel_beta": [q6s(beta) if not np.isnan(beta) else np.nan],
+            "rl_10": [q6s(rl(0.9)) if not np.isnan(beta) else np.nan],
+            "rl_100": [q6s(rl(0.99)) if not np.isnan(beta) else np.nan],
+            "rl_1000": [q6s(rl(0.999)) if not np.isnan(beta) else np.nan],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D89 — Cochran-Mantel-Haenszel stratified test
+# ---------------------------------------------------------------------------
+
+
+@replica("events_cmh_test")
+def replica_cmh(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["user_id"].notna()]
+    g = e.groupby("user_id")
+    cohort = g["ts"].min().dt.normalize()
+    conv = g["event_type"].apply(lambda t: int((t == "purchase").any()))
+    variant = (cohort.index % 2).astype(int)
+    per = pd.DataFrame({"cohort": cohort, "conv": conv, "variant": variant})
+    sum_a = 0
+    sum_e_q = sum_v_q = sum_ad_q = sum_bc_q = 0
+    n_strata = 0
+    for _, sub in per.groupby("cohort"):
+        nk = len(sub)
+        if nk < 2:
+            continue
+        n_strata += 1
+        a = int(((sub["variant"] == 1) & (sub["conv"] == 1)).sum())
+        n1 = int((sub["variant"] == 1).sum())
+        m1 = int(sub["conv"].sum())
+        sum_a += a
+        sum_e_q += tq(n1 * m1 / nk, 1e6)
+        sum_v_q += tq(
+            n1 * (nk - n1) * m1 * (nk - m1) / (nk * nk * (nk - 1)), 1e6
+        )
+        sum_ad_q += tq(a * (nk - n1 - m1 + a) / nk, 1e6)
+        sum_bc_q += tq((n1 - a) * (m1 - a) / nk, 1e6)
+    sum_e, sum_v = sum_e_q / 1e6, sum_v_q / 1e6
+    sum_ad, sum_bc = sum_ad_q / 1e6, sum_bc_q / 1e6
+    dev = abs(sum_a - sum_e) - 0.5
+    chi2 = dev * dev / sum_v if sum_v != 0 else np.nan
+    or_mh = sum_ad / sum_bc if sum_bc != 0 else np.nan
+    return pd.DataFrame(
+        {
+            "n_strata": [n_strata],
+            "sum_a": [sum_a],
+            "sum_e": [q6s(sum_e)],
+            "chi2_cmh": [q6s(chi2)],
+            "or_mh": [q6s(or_mh)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D90 — first-order stochastic dominance on binned ECDFs
+# ---------------------------------------------------------------------------
+
+_FOSD_BINS, _FOSD_WIDTH = 200, 3000.0
+
+
+@replica("orders_stochastic_dominance")
+def replica_fosd(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o["o_orderpriority"].isin(["1-URGENT", "5-LOW"])]
+    o = o[o["o_totalprice"].notna()]
+    bins = np.minimum(
+        np.floor(o["o_totalprice"].to_numpy() / _FOSD_WIDTH), _FOSD_BINS - 1
+    ).astype(int)
+    urgent = (o["o_orderpriority"] == "1-URGENT").to_numpy()
+
+    def ecdf(mask):
+        cnt = np.bincount(bins[mask], minlength=_FOSD_BINS)
+        tot = cnt.sum()
+        return np.cumsum(cnt) / tot if tot else np.full(_FOSD_BINS, np.nan)
+
+    fu, fl = ecdf(urgent), ecdf(~urgent)
+    return pd.DataFrame(
+        {
+            "n_bins": [_FOSD_BINS],
+            "frac_urgent_dominates": [
+                q6s(float((fu <= fl).sum()) / _FOSD_BINS)
+            ],
+            "max_violation": [q6s(max(float((fu - fl).max()), 0.0))],
+            "ks_gap": [q6s(float(np.abs(fu - fl).max()))],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
 
+# entries whose sf0.001 fixture degenerates (single stratum / empty cells)
+# check at sf0.01 so the formula actually exercises
+SF_MED = "/root/testdata/sf0.01"
+SF_OVERRIDE = {
+    "events_cmh_test": SF_MED,
+}
+
+
 @pytest.mark.parametrize("name", sorted(REPLICAS))
 def test_replica_agrees_at_sf0001(spark, name):
-    exp = REPLICAS[name]()
-    got = SPECS[name].builder(spark, SF).toPandas()
+    sf_dir = SF_OVERRIDE.get(name, SF)
+    exp = REPLICAS[name](sf_dir)
+    got = SPECS[name].builder(spark, sf_dir).toPandas()
     assert_frames_agree(got, exp)
