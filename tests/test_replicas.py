@@ -912,6 +912,357 @@ def replica_fosd(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D91 — per-part safety stock (zero-filled month spine)
+# ---------------------------------------------------------------------------
+
+_SS_Z95 = 1.6448536269514722
+
+
+@replica("part_safety_stock")
+def replica_safety_stock(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    mo = li["l_shipdate"].dt.to_period("M")
+    md = (
+        li.groupby(["l_partkey", mo])["l_quantity"]
+        .apply(dsum)
+        .to_dict()
+    )
+    months = sorted(mo.unique())
+    rows = []
+    for pk in p["p_partkey"]:
+        q = np.array([md.get((pk, m), 0.0) for m in months])
+        n = len(q)
+        m = dsum(q) / n
+        sxx = dsum(q * q)
+        s2 = max((sxx - n * m * m) / (n - 1), 0.0)
+        sd = math.sqrt(s2)
+        rows.append(
+            {
+                "p_partkey": pk,
+                "n_months": n,
+                "mean_monthly": q6s(m),
+                "sd_monthly": q6s(sd),
+                "safety_stock": q6s(_SS_Z95 * sd),
+                "reorder_point": q6s(m + _SS_Z95 * sd),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D92 — Bass diffusion fit (normal equations solved independently via
+# numpy Cramer determinants on the same quantized moments)
+# ---------------------------------------------------------------------------
+
+_BASS_G = 1_000_000.0
+
+
+@replica("events_bass_diffusion")
+def replica_bass(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    d0 = e.groupby("user_id")["ts"].min().dt.normalize()
+    lo, hi = d0.min(), d0.max()
+    m0 = len(d0)
+    n_days = int((hi - lo) / np.timedelta64(1, "D")) + 1
+    nnew = np.zeros(n_days, dtype=np.int64)
+    for t, cnt in d0.value_counts().items():
+        nnew[int((t - lo) / np.timedelta64(1, "D"))] = cnt
+    cprev = np.concatenate([[0], np.cumsum(nnew)[:-1]])
+    x = cprev / m0
+    y = nnew / m0
+
+    def dg(a):
+        return dsum(np.asarray(a) * _BASS_G) / _BASS_G
+
+    n = n_days
+    sx, sx2, sx3, sx4 = dg(x), dg(x * x), dg(x**3), dg(x**4)
+    sy, sxy, sx2y = dg(y), dg(x * y), dg(x * x * y)
+    det = (
+        n * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx3 - sx2 * sx2)
+    )
+    det_a = (
+        sy * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sxy * sx4 - sx3 * sx2y)
+        + sx2 * (sxy * sx3 - sx2 * sx2y)
+    )
+    det_b = (
+        n * (sxy * sx4 - sx3 * sx2y)
+        - sy * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx2y - sxy * sx2)
+    )
+    det_c = (
+        n * (sx2 * sx2y - sxy * sx3)
+        - sx * (sx * sx2y - sxy * sx2)
+        + sy * (sx * sx3 - sx2 * sx2)
+    )
+    if det == 0:
+        ca = cb = cc = np.nan
+    else:
+        ca, cb, cc = det_a / det, det_b / det, det_c / det
+    disc = cb * cb - 4 * cc * ca
+    mfrac = (
+        (-cb - math.sqrt(disc)) / (2 * cc)
+        if (not np.isnan(cc)) and cc < 0 and disc >= 0
+        else np.nan
+    )
+    pp = ca / mfrac if mfrac and not np.isnan(mfrac) else np.nan
+    qq = -cc * mfrac if not np.isnan(mfrac) else np.nan
+    t_peak = (
+        q6s(math.log(qq / pp) / (pp + qq))
+        if (not np.isnan(pp)) and pp > 0 and (not np.isnan(qq)) and qq > 0
+        else np.nan
+    )
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "m0_adopters": [m0],
+            "coef_a": [q6s(ca)],
+            "coef_b": [q6s(cb)],
+            "coef_c": [q6s(cc)],
+            "m_hat": [q6s(mfrac * m0)],
+            "p_innovation": [q6s(pp)],
+            "q_imitation": [q6s(qq)],
+            "t_peak_days": [t_peak],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D93 — Newey-West HAC trend (the Bartlett sum written as the literal
+# double loop over lags)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_newey_west_trend")
+def replica_newey_west(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["value"].notna()]
+    daily = (
+        e.groupby(e["ts"].dt.normalize())["value"]
+        .apply(lambda v: dsum(v) / len(v))
+        .sort_index()
+    )
+    y = daily.to_numpy()
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=float)
+    st, st2 = dsum(t), dsum(t * t)
+    sy, sty = dsum(y), dsum(t * y)
+    tbar, ybar = st / n, sy / n
+    beta = (n * sty - st * sy) / (n * st2 - st * st)
+    sxx = st2 - st * st / n
+    lag_l = int(math.floor(4 * math.exp((2.0 / 9.0) * math.log(n / 100.0))))
+    ecol = y - ybar - beta * (t - tbar)
+    u = (t - tbar) * ecol
+    s0 = dsum(u * u)
+    se2 = dsum(ecol * ecol)
+    s_cross = 0.0
+    if lag_l >= 1:
+        addends = []
+        for h in range(1, lag_l + 1):
+            wgt = 1.0 - h / (lag_l + 1.0)
+            addends.extend(wgt * u[:-h] * u[h:])
+        s_cross = dsum(addends) if addends else 0.0
+    var_ols = (se2 / (n - 2)) / sxx
+    var_hac = (s0 + 2 * s_cross) / (sxx * sxx)
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "lag_l": [lag_l],
+            "beta": [q6s(beta)],
+            "se_ols": [q6s(math.sqrt(var_ols))],
+            "se_hac": [q6s(math.sqrt(var_hac))],
+            "t_ols": [q6s(beta / math.sqrt(var_ols))],
+            "t_hac": [q6s(beta / math.sqrt(var_hac))],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D94 — Little's law audit (interval overlaps recomputed per order)
+# ---------------------------------------------------------------------------
+
+
+def _order_intervals(sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    done = li.groupby("l_orderkey")["l_shipdate"].max().dt.normalize()
+    ords = o.merge(
+        done.rename("end_d"), left_on="o_orderkey", right_index=True
+    )
+    start = ords["o_orderdate"].dt.normalize()
+    return start, ords["end_d"]
+
+
+@replica("orders_littles_law_audit")
+def replica_littles_law(sf_dir=SF) -> pd.DataFrame:
+    start, end = _order_intervals(sf_dir)
+    lo = start.min()
+    span = int((end.max() - lo) / np.timedelta64(1, "D"))
+    q1, q3 = span // 4, (3 * span) // 4
+    ds = ((start - lo) / np.timedelta64(1, "D")).astype(int).to_numpy()
+    de = ((end - lo) / np.timedelta64(1, "D")).astype(int).to_numpy()
+    window_days = q3 - q1 + 1
+    wip_days = int(
+        np.maximum(
+            0, np.minimum(de, q3) - np.maximum(ds, q1) + 1
+        ).sum()
+    )
+    in_win = (de >= q1) & (de <= q3)
+    n_completed = int(in_win.sum())
+    dur_days = int(((de - ds + 1) * in_win).sum())
+    lavg = wip_days / window_days
+    lam = n_completed / window_days
+    wavg = dur_days / n_completed if n_completed else np.nan
+    return pd.DataFrame(
+        {
+            "window_days": [window_days],
+            "n_completed": [n_completed],
+            "l_avg_wip": [q6s(lavg)],
+            "lambda_per_day": [q6s(lam)],
+            "w_avg_days": [q6s(wavg)],
+            "lw_product": [q6s(lam * wavg)],
+            "rel_gap": [
+                q6s((lavg - dur_days / window_days) / lavg)
+                if lavg
+                else np.nan
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D95 — Engle-Granger cointegration screen
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_cointegration_screen")
+def replica_cointegration(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.groupby(o["o_orderdate"].dt.normalize())["o_totalprice"]
+        .agg([("y", lambda v: dsum(v)), ("x", "count")])
+        .sort_index()
+    )
+    yk = daily["y"].to_numpy() / 1000.0
+    x = daily["x"].to_numpy(dtype=float)
+    n = len(daily)
+    sx, sx2 = dsum(x), dsum(x * x)
+    sy, sxy = dsum(yk), dsum(x * yk)
+    beta = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    alpha = (sy - sx * beta) / n
+    e = (yk - alpha - beta * x) / 1000.0  # millions (scale-free in rho)
+    de, el = e[1:] - e[:-1], e[:-1]
+    m = len(el)
+    sll, sdl, sdd = dsum(el * el), dsum(de * el), dsum(de * de)
+    rho = sdl / sll
+    se_rho = math.sqrt(max(sdd - rho * sdl, 0.0) / (m - 1) / sll)
+    dstat = rho / se_rho if se_rho else np.nan
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "alpha_thousands": [q6s(alpha)],
+            "beta_thousands_per_order": [q6s(beta)],
+            "df_rho": [q6s(rho)],
+            "df_stat": [q6s(dstat)],
+            "cointegrated_5pct": [
+                None if np.isnan(dstat) else bool(dstat < -3.34)
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D96 — Erlang-C staffing ladder (Jagerman recursion re-run in python)
+# ---------------------------------------------------------------------------
+
+_ERLANG_BUFFERS = (1.01, 1.02, 1.05, 1.1, 1.2, 1.5)
+_ERLANG_FOLD_CAP = 100_000
+
+
+@replica("orders_erlang_staffing")
+def replica_erlang(sf_dir=SF) -> pd.DataFrame:
+    start, end = _order_intervals(sf_dir)
+    n = len(start)
+    horizon = int((end.max() - start.min()) / np.timedelta64(1, "D")) + 1
+    dur_days = int(
+        ((end - start.to_numpy()) / np.timedelta64(1, "D")).astype(int).sum()
+    ) + n
+    lam = n / horizon
+    s_days = dur_days / n
+    a = lam * s_days
+    rows = []
+    for f in _ERLANG_BUFFERS:
+        c = int(max(math.ceil(a * f), math.floor(a) + 1))
+        if c <= _ERLANG_FOLD_CAP:
+            b = 1.0
+            for k in range(1, c + 1):
+                b = a * b / (k + a * b)
+        else:
+            b = np.nan
+        rho = a / c
+        cw = b / (1.0 - rho * (1.0 - b))
+        rows.append(
+            {
+                "c": c,
+                "buffer_factor": f,
+                "n_orders": n,
+                "lambda_per_day": q6s(lam),
+                "s_days": q6s(s_days),
+                "offered_erlangs": q6s(a),
+                "utilization": q6s(rho),
+                "p_wait": q6s(cw),
+                "wq_days": q6s(cw * s_days / (c - a)),
+                "hw_sqrt_staff_c": int(math.ceil(a + 2.0 * math.sqrt(a))),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D97 — watermark lateness audit (running max over arrival order)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_watermark_lateness_audit")
+def replica_watermark(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["ts"].notna()].sort_values("event_id")
+    tsu = (e["ts"].astype("int64")).to_numpy()  # already microseconds
+    prior_max = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(tsu)[:-1]]
+    )
+    late = np.where(
+        prior_max > tsu,
+        np.ceil((prior_max - tsu) / 60000000.0).astype(np.int64),
+        0,
+    )
+    late[0] = 0  # first arrival is on time by definition
+    n = len(late)
+    n_late = int((late > 0).sum())
+    vals, counts = np.unique(late, return_counts=True)
+    cc = np.cumsum(counts)
+
+    def wm(num, den):
+        idx = np.nonzero(cc * den >= n * num)[0]
+        return int(vals[idx[0]]) if len(idx) else None
+
+    return pd.DataFrame(
+        {
+            "n_events": [n],
+            "n_late": [n_late],
+            "late_rate": [q6s(n_late / n)],
+            "max_lateness_min": [int(late.max())],
+            "wm_p95_min": [wm(950, 1000)],
+            "wm_p99_min": [wm(990, 1000)],
+            "wm_p999_min": [wm(9990, 10000)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
