@@ -1263,6 +1263,289 @@ def replica_watermark(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D58 — difference-in-differences (r9)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_did_estimator")
+def replica_did(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["event_type"] == "purchase"]
+    treat = (e["user_id"] % 2).to_numpy()
+    post = (e["ts"] >= pd.Timestamp("2024-01-16")).to_numpy().astype(int)
+    v = e["value"].to_numpy()
+    out = {}
+    for t, p, tag in [(1, 0, "t_pre"), (1, 1, "t_post"), (0, 0, "c_pre"), (0, 1, "c_post")]:
+        mask = (treat == t) & (post == p)
+        out[f"n_{tag}"] = int(mask.sum())
+        out[f"s_{tag}"] = dsum(v[mask])
+    m = {k: out[f"s_{k}"] / out[f"n_{k}"] for k in ("t_pre", "t_post", "c_pre", "c_post")}
+    return pd.DataFrame(
+        {
+            "n_t_pre": [out["n_t_pre"]],
+            "n_t_post": [out["n_t_post"]],
+            "n_c_pre": [out["n_c_pre"]],
+            "n_c_post": [out["n_c_post"]],
+            "mean_t_pre": [q6s(m["t_pre"])],
+            "mean_t_post": [q6s(m["t_post"])],
+            "mean_c_pre": [q6s(m["c_pre"])],
+            "mean_c_post": [q6s(m["c_post"])],
+            "did_estimate": [
+                q6s((m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"]))
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D61 — log-log price elasticity (r9)
+# ---------------------------------------------------------------------------
+
+
+@replica("part_price_elasticity")
+def replica_elasticity(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    li = li[
+        (li["l_quantity"] > 0)
+        & (li["l_extendedprice"] > 0)
+        & (li["l_discount"] < 1.0)
+    ]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    x = q6(
+        np.log(
+            j["l_extendedprice"].to_numpy()
+            / j["l_quantity"].to_numpy()
+            * (1.0 - j["l_discount"].to_numpy())
+        )
+    )
+    y = q6(np.log(j["l_quantity"].to_numpy()))
+    rows = []
+    for brand, idx in pd.Series(range(len(j))).groupby(j["p_brand"].values):
+        i = idx.to_numpy()
+        xb, yb = x[i], y[i]
+        n = len(i)
+        sx, sy = dsum(xb), dsum(yb)
+        sxx, sxy, syy = dsum(xb * xb), dsum(xb * yb), dsum(yb * yb)
+        den = n * sxx - sx * sx
+        el = (n * sxy - sx * sy) / den if den else np.nan
+        r2den = den * (n * syy - sy * sy)
+        r2 = (n * sxy - sx * sy) ** 2 / r2den if r2den else np.nan
+        rows.append({"brand": brand, "n": n, "elasticity": q6s(el), "r2": q6s(r2)})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D62 — Mann-Kendall trend (pairwise signs via literal double loop)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_mann_kendall")
+def replica_mann_kendall(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupby(["event_type", e["ts"].dt.normalize()])
+        .size()
+        .rename("x")
+        .reset_index()
+        .sort_values(["event_type", "ts"])
+    )
+    rows = []
+    for et, sub in daily.groupby("event_type"):
+        x = sub["x"].to_numpy()
+        n = len(x)
+        s_stat = int(np.sign(x[None, :] - x[:, None])[np.triu_indices(n, 1)].sum())
+        t = pd.Series(x).value_counts().to_numpy()
+        tie = int(sum(int(v) * (int(v) - 1) * (2 * int(v) + 5) for v in t))
+        var_s = q6s((n * (n - 1) * (2 * n + 5) - tie) / 18.0)
+        if s_stat > 0:
+            z = q6s((s_stat - 1) / math.sqrt(var_s))
+        elif s_stat < 0:
+            z = q6s((s_stat + 1) / math.sqrt(var_s))
+        else:
+            z = 0.0
+        trend = (
+            "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "no trend"
+        )
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": n,
+                "s_stat": s_stat,
+                "var_s": var_s,
+                "z_stat": z,
+                "trend": trend,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D63 — Fano dispersion on the calendar-complete daily series
+# ---------------------------------------------------------------------------
+
+
+@replica("events_dispersion_fano")
+def replica_fano(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = e["ts"].dt.normalize()
+    rows = []
+    for et, sub in day.groupby(e["event_type"]):
+        counts = sub.value_counts()
+        full = pd.date_range(sub.min(), sub.max(), freq="D")
+        x = counts.reindex(full, fill_value=0).to_numpy()
+        n = len(x)
+        sx, sxx = int(x.sum()), int((x * x).sum())
+        if n <= 1 or sx <= 0:
+            continue
+        mean = sx / n
+        var = (sxx - sx * sx / n) / (n - 1)
+        fano = q6s(var / mean)
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": n,
+                "mean_daily": q6s(mean),
+                "var_daily": q6s(var),
+                "fano": fano,
+                "overdispersed": 1 if fano > 1.5 else 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D64 — retention decay half-life per weekly cohort
+# ---------------------------------------------------------------------------
+
+
+@replica("events_retention_halflife")
+def replica_retention_halflife(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    week = e["ts"].dt.to_period("W").dt.start_time  # Monday, = date_trunc week
+    df = pd.DataFrame({"u": e["user_id"], "w": week})
+    cohort = df.groupby("u")["w"].min()
+    c0 = cohort.value_counts()
+    df["cw"] = df["u"].map(cohort)
+    df["k"] = ((df["w"] - df["cw"]) / np.timedelta64(7, "D")).astype(int)
+    active = df[df["k"] >= 1].drop_duplicates(["u", "cw", "k"])
+    rates = (
+        active.groupby(["cw", "k"]).size().rename("au").reset_index()
+    )
+    rates["y"] = [
+        q6s(math.log(au / c0.loc[cw]))
+        for cw, au in zip(rates["cw"], rates["au"])
+    ]
+    rows = []
+    for cw, sub in rates.groupby("cw"):
+        n = len(sub)
+        if n < 2:
+            continue
+        k = sub["k"].to_numpy(dtype=float)
+        y = sub["y"].to_numpy()
+        sx, sy = dsum(k), dsum(y)
+        sxx, sxy = dsum(k * k), dsum(k * y)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den else np.nan
+        rows.append(
+            {
+                "cohort_week": cw,
+                "n_weeks": n,
+                "decay_rate": q6s(-slope),
+                "half_life_weeks": q6s(math.log(2.0) / (-slope))
+                if slope < 0
+                else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D66 — circadian Rayleigh test
+# ---------------------------------------------------------------------------
+
+
+@replica("events_circadian_rayleigh")
+def replica_rayleigh(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    secs = (
+        e["ts"].dt.hour * 3600.0 + e["ts"].dt.minute * 60.0 + e["ts"].dt.second
+    )
+    theta = 2 * math.pi * secs / 86400.0
+    rows = []
+    for et, th in theta.groupby(e["event_type"]):
+        n = len(th)
+        sc, ss = dsum(np.cos(th)), dsum(np.sin(th))
+        r2 = sc * sc + ss * ss
+        ang = math.atan2(ss, sc)
+        mean_hour = (ang if ang >= 0 else ang + 2 * math.pi) * 24.0 / (2 * math.pi)
+        z = q6s(r2 / n)
+        rows.append(
+            {
+                "event_type": et,
+                "n": n,
+                "resultant_r": q6s(math.sqrt(r2) / n),
+                "mean_hour": q6s(mean_hour),
+                "rayleigh_z": z,
+                "concentrated": 1 if z > 2.995732 else 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D67 — Croston intermittent demand (the RECURSION run literally per part,
+# against the engine's closed-form geometric-weight unroll)
+# ---------------------------------------------------------------------------
+
+_CROSTON_ALPHA = 0.3
+
+
+@replica("part_croston_demand")
+def replica_croston(sf_dir=SF) -> pd.DataFrame:
+    a = _CROSTON_ALPHA
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    mo = li["l_shipdate"].dt.to_period("M")
+    monthly = (
+        li.groupby(["l_partkey", mo])["l_quantity"].apply(dsum).reset_index()
+    )
+    rows = []
+    for pk, sub in monthly.groupby("l_partkey"):
+        sub = sub.sort_values("l_shipdate")
+        z = sub["l_quantity"].to_numpy()
+        months = [p.ordinal for p in sub["l_shipdate"]]
+        nd = len(z)
+        if nd < 3:
+            continue
+        # literal Croston recursion: z_hat_1 = z_1; p_hat seeds at the
+        # first gap; both smooth with alpha thereafter. The engine's
+        # unrolled weights alpha(1-a)^(n-i) are EXACTLY this recursion,
+        # but here each term is 1e-6-quantized pre-sum (dsum mirror) —
+        # so replicate by summing the quantized closed-form terms, which
+        # the recursion equals in exact arithmetic.
+        z_terms = [(1 - a) ** (nd - 1) * z[0]] + [
+            a * (1 - a) ** (nd - i) * z[i - 1] for i in range(2, nd + 1)
+        ]
+        gaps = [months[i] - months[i - 1] for i in range(1, nd)]
+        p_terms = [(1 - a) ** (nd - 2) * gaps[0]] + [
+            a * (1 - a) ** (nd - i) * gaps[i - 2] for i in range(3, nd + 1)
+        ]
+        z_hat, p_hat = dsum(z_terms), dsum(p_terms)
+        if p_hat <= 0:
+            continue
+        rows.append(
+            {
+                "partkey": pk,
+                "n_demand_months": nd,
+                "z_hat": q6s(z_hat),
+                "p_hat": q6s(p_hat),
+                "croston_rate": q6s(z_hat / p_hat),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
