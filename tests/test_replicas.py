@@ -1546,6 +1546,201 @@ def replica_croston(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D69 — monthly Spearman rho (ranks via pandas rank(average))
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_spearman_corr")
+def replica_spearman(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    nl = li.groupby("l_orderkey").size().rename("n_lines")
+    j = o.merge(nl, left_on="o_orderkey", right_index=True)
+    j["m"] = j["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    rows = []
+    for m, sub in j.groupby("m"):
+        n = len(sub)
+        if n < 3:
+            continue
+        rx = sub["o_totalprice"].rank(method="average").to_numpy()
+        ry = sub["n_lines"].rank(method="average").to_numpy()
+        sx, sy = dsum(rx), dsum(ry)
+        sxx, sxy, syy = dsum(rx * rx), dsum(rx * ry), dsum(ry * ry)
+        den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        rho = (n * sxy - sx * sy) / den if den else np.nan
+        rows.append({"month": m, "n_orders": n, "spearman_rho": q6s(rho)})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D70 — Granger-lite lag-1 F test (full model fit independently via
+# numpy lstsq on the same quantized moments' raw data)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_granger_lite")
+def replica_granger(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["event_type"].isin(["view", "purchase"])]
+    day = e["ts"].dt.normalize()
+    daily = (
+        pd.DataFrame(
+            {
+                "y": (e["event_type"] == "purchase").astype(int),
+                "x": (e["event_type"] == "view").astype(int),
+            }
+        )
+        .groupby(day)
+        .sum()
+        .sort_index()
+    )
+    y = daily["y"].to_numpy(dtype=float)
+    x = daily["x"].to_numpy(dtype=float)
+    yv, yl, xl = y[1:], y[:-1], x[:-1]
+    n = len(yv)
+    sy, syl, sxl = dsum(yv), dsum(yl), dsum(xl)
+    syyl, syxl = dsum(yv * yl), dsum(yv * xl)
+    sylyl, sxlxl, sylxl = dsum(yl * yl), dsum(xl * xl), dsum(yl * xl)
+    syy = dsum(yv * yv)
+    tyy = syy - sy * sy / n
+    c_yyl = syyl - sy * syl / n
+    c_yxl = syxl - sy * sxl / n
+    c_ylyl = sylyl - syl * syl / n
+    c_xlxl = sxlxl - sxl * sxl / n
+    c_ylxl = sylxl - syl * sxl / n
+    det = c_ylyl * c_xlxl - c_ylxl * c_ylxl
+    rss_r = tyy - c_yyl * c_yyl / c_ylyl
+    b_full = (c_yyl * c_xlxl - c_yxl * c_ylxl) / det
+    c_full = (c_yxl * c_ylyl - c_yyl * c_ylxl) / det
+    rss_f = tyy - b_full * c_yyl - c_full * c_yxl
+    f_stat = q6s((rss_r - rss_f) / (rss_f / (n - 3)))
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "rss_restricted": [q6s(rss_r)],
+            "rss_full": [q6s(rss_f)],
+            "f_stat": [f_stat],
+            "x_helps": [1 if f_stat > 3.92 else 0],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D71 — Wald-Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_runs_test")
+def replica_runs_test(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.groupby(o["o_orderdate"].dt.normalize())["o_totalprice"]
+        .apply(dsum)
+        .sort_index()
+    )
+    med = float(np.quantile(daily.to_numpy(), 0.5))
+    kept = daily[daily != med]
+    above = (kept > med).astype(int).to_numpy()
+    runs = 1 + int((above[1:] != above[:-1]).sum()) if len(above) else 0
+    n1, n2 = int(above.sum()), int((1 - above).sum())
+    nn = n1 + n2
+    exp_runs = 1.0 + 2.0 * n1 * n2 / nn
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn * nn * (nn - 1.0))
+    z = (runs - exp_runs) / math.sqrt(var) if var > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "runs": [runs],
+            "n1": [n1],
+            "n2": [n2],
+            "expected_runs": [q6s(exp_runs)],
+            "z_stat": [q6s(z)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D72 — Herfindahl-Hirschman per nation
+# ---------------------------------------------------------------------------
+
+
+@replica("supplier_herfindahl")
+def replica_herfindahl(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    j["revx"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    rev = (
+        j.groupby(["s_nationkey", "l_suppkey"])["revx"].apply(dsum).reset_index()
+    )
+    rows = []
+    for nk, sub in rev.groupby("s_nationkey"):
+        r = sub["revx"].to_numpy()
+        t = dsum(r)
+        share = r / t
+        hhi = q6s(dsum(share * share * 10000.0))
+        verdict = (
+            "concentrated" if hhi > 2500.0 else "moderate" if hhi > 1500.0 else "competitive"
+        )
+        rows.append(
+            {
+                "nationkey": nk,
+                "n_suppliers": len(r),
+                "market_revenue": dsum(r),
+                "hhi": hhi,
+                "verdict": verdict,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D73 — CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+
+@replica("events_cuped_adjusted")
+def replica_cuped(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["event_type"] == "purchase"]
+    cut = pd.Timestamp("2024-01-16")
+    pre = e[e["ts"] < cut].groupby("user_id")["value"]
+    post = e[e["ts"] >= cut].groupby("user_id")["value"]
+    xs = pre.apply(lambda v: q6s(dsum(v) / len(v)))
+    ys = post.apply(lambda v: q6s(dsum(v) / len(v)))
+    both = pd.DataFrame({"x": xs, "y": ys}).dropna()
+    both["arm"] = (both.index % 2).astype(int)
+    x, y = both["x"].to_numpy(), both["y"].to_numpy()
+    n = len(both)
+    sx, sy = dsum(x), dsum(y)
+    sxx, sxy = dsum(x * x), dsum(x * y)
+    xbar = sx / n
+    th = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    both["y_adj"] = y - th * (x - xbar)
+    rows = []
+    for arm, sub in both.groupby("arm"):
+        nu = len(sub)
+        ya, yadj = sub["y"].to_numpy(), sub["y_adj"].to_numpy()
+        sy_, syy = dsum(ya), dsum(ya * ya)
+        sa, saa = dsum(yadj), dsum(yadj * yadj)
+        var_y = (syy - sy_ * sy_ / nu) / (nu - 1)
+        var_a = (saa - sa * sa / nu) / (nu - 1)
+        rows.append(
+            {
+                "arm": arm,
+                "n_users": nu,
+                "mean_y": q6s(sy_ / nu),
+                "mean_y_adj": q6s(sa / nu),
+                "var_y": q6s(var_y),
+                "var_y_adj": q6s(var_a),
+                "variance_reduction": q6s(1.0 - var_a / var_y)
+                if var_y
+                else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
