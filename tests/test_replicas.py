@@ -1741,6 +1741,213 @@ def replica_cuped(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D74 — Wald SPRT sequential ledger
+# ---------------------------------------------------------------------------
+
+_SPRT_LIFT = 1.2
+_SPRT_LN_A = 2.9444389791664403
+_SPRT_LN_B = -2.9444389791664403
+
+
+@replica("events_sprt_ab")
+def replica_sprt(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    arm = (e["user_id"] % 2).to_numpy()
+    conv = (e["event_type"] == "purchase").to_numpy().astype(int)
+    day = e["ts"].dt.normalize()
+    ctrl = arm == 0
+    p0 = conv[ctrl].sum() / ctrl.sum()
+    p1 = min(p0 * _SPRT_LIFT, 0.999999)
+    tr = pd.DataFrame({"d": day[arm == 1], "conv": conv[arm == 1]})
+    daily = tr.groupby("d").agg(n_t=("conv", "count"), k_t=("conv", "sum")).sort_index()
+    n_cum = daily["n_t"].cumsum()
+    k_cum = daily["k_t"].cumsum()
+    rows = []
+    for d in daily.index:
+        n, k = int(n_cum.loc[d]), int(k_cum.loc[d])
+        if 0 < p0 < 1:
+            llr = q6s(
+                k * math.log(p1 / p0) + (n - k) * math.log((1 - p1) / (1 - p0))
+            )
+        else:
+            llr = np.nan
+        if not np.isnan(llr) and llr >= _SPRT_LN_A:
+            dec = "accept H1"
+        elif not np.isnan(llr) and llr <= _SPRT_LN_B:
+            dec = "accept H0"
+        else:
+            dec = "continue"
+        rows.append(
+            {
+                "day": d.date(),
+                "n_exposed": n,
+                "n_converted": k,
+                "llr": llr,
+                "decision": dec,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D75 — SRM screen + Benjamini-Hochberg
+# ---------------------------------------------------------------------------
+
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_FDR_Q = 0.10
+
+
+def _phi_tail(z: float) -> float:
+    t = 1.0 / (1.0 + _AS_P * z)
+    poly, tp = 0.0, 1.0
+    for b in _AS_B:
+        tp *= t
+        poly += b * tp
+    return math.exp(-(z * z) / 2.0) / math.sqrt(2 * math.pi) * poly
+
+
+@replica("events_srm_fdr")
+def replica_srm_fdr(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    g = e.groupby("event_type")
+    n = g.size()
+    nt = g["user_id"].apply(lambda u: int((u % 2).sum()))
+    rows = []
+    for et in n.index:
+        z = q6s(abs(int(nt[et]) - int(n[et]) / 2.0) / math.sqrt(int(n[et]) / 4.0))
+        p = q6s(2.0 * _phi_tail(z))
+        rows.append({"event_type": et, "n": int(n[et]), "n_treat": int(nt[et]), "z_abs": z, "p_value": p})
+    df = pd.DataFrame(rows).sort_values(["p_value", "event_type"]).reset_index(drop=True)
+    m = len(df)
+    df["p_rank"] = np.arange(1, m + 1)
+    k = 0
+    for _, r in df.iterrows():
+        if r["p_value"] <= r["p_rank"] * _FDR_Q / m:
+            k = max(k, int(r["p_rank"]))
+    df["srm_flag_bh"] = (df["p_rank"] <= k).astype(int)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# D76 — Hill tail index
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+@replica("events_hill_tail_index")
+def replica_hill(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e[e["value"] > 0]
+    rows = []
+    for et, v in e.groupby("event_type")["value"]:
+        x = np.sort(v.to_numpy())[::-1]
+        if len(x) < _HILL_K + 1:
+            continue
+        x_k = x[_HILL_K]
+        lr = q6(np.log(x[:_HILL_K] / x_k))
+        s = dsum(lr)
+        rows.append(
+            {
+                "event_type": et,
+                "k_order_stats": _HILL_K,
+                "hill_xi": q6s(s / _HILL_K),
+                "tail_alpha": q6s(_HILL_K / s),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D77 — customer migration steady state (the 16-cell chain iterated in
+# plain python dicts)
+# ---------------------------------------------------------------------------
+
+
+@replica("customer_migration_steady_state")
+def replica_migration(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    split = pd.Timestamp("1998-01-01")
+    pre = o[o["o_orderdate"] < split].groupby("o_custkey")["o_totalprice"].apply(dsum)
+    post = o[o["o_orderdate"] >= split].groupby("o_custkey")["o_totalprice"].apply(dsum)
+    custs = o["o_custkey"].unique()
+
+    def band(rev):
+        if rev is None or np.isnan(rev) or rev == 0:
+            return 0
+        if rev < 200000:
+            return 1
+        if rev < 500000:
+            return 2
+        return 3
+
+    trans: dict[tuple[int, int], int] = {}
+    for ck in custs:
+        b1 = band(pre.get(ck, np.nan))
+        b2 = band(post.get(ck, np.nan))
+        trans[(b1, b2)] = trans.get((b1, b2), 0) + 1
+    rowsum: dict[int, int] = {}
+    for (b1, _), c in trans.items():
+        rowsum[b1] = rowsum.get(b1, 0) + c
+    pij = {key: q6s(c / rowsum[key[0]]) for key, c in trans.items()}
+    v = {b: 0.25 for b in range(4)}
+    for _ in range(3):
+        nxt: dict[int, int] = {}  # quantized-addend integer sums (dsum)
+        for (b1, b2), p in pij.items():
+            if b1 in v:
+                nxt[b2] = nxt.get(b2, 0) + tq(v[b1] * p, 1e6)
+        v = {b: s / 1e6 for b, s in nxt.items()}
+    return pd.DataFrame(
+        {"band": list(v.keys()), "steady_share": list(v.values())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# D78 — Laspeyres / Paasche / Fisher monthly price indices
+# ---------------------------------------------------------------------------
+
+
+@replica("part_price_index_monthly")
+def replica_price_index(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    mo = li["l_shipdate"].dt.to_period("M").dt.to_timestamp()
+    pm = (
+        li.assign(m=mo)
+        .groupby(["l_partkey", "m"])
+        .agg(
+            ext=("l_extendedprice", lambda v: dsum(v)),
+            qty=("l_quantity", lambda v: dsum(v)),
+        )
+        .reset_index()
+    )
+    m0 = pm["m"].min()
+    base = pm[pm["m"] == m0].set_index("l_partkey")
+    rows = []
+    for m, sub in pm.groupby("m"):
+        sub = sub[sub["l_partkey"].isin(base.index)]
+        if sub.empty:
+            continue
+        pt = (sub["ext"] / sub["qty"]).to_numpy()
+        qt = sub["qty"].to_numpy()
+        b = base.loc[sub["l_partkey"]]
+        p0 = (b["ext"] / b["qty"]).to_numpy()
+        q0 = b["qty"].to_numpy()
+        l_num, l_den = dsum(pt * q0), dsum(p0 * q0)
+        p_num, p_den = dsum(pt * qt), dsum(p0 * qt)
+        rows.append(
+            {
+                "month": m,
+                "n_parts": len(sub),
+                "laspeyres": q6s(l_num / l_den * 100.0),
+                "paasche": q6s(p_num / p_den * 100.0),
+                "fisher": q6s(math.sqrt((l_num / l_den) * (p_num / p_den)) * 100.0),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
