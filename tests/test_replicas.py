@@ -1948,6 +1948,110 @@ def replica_price_index(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D79 — Mann-Whitney U (tie-averaged ranks via pandas rank(average))
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_mann_whitney")
+def replica_mann_whitney(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    x = o["o_totalprice"]
+    dow = o["o_orderdate"].dt.dayofweek  # Monday=0 .. Sunday=6
+    wk = ((dow == 5) | (dow == 6)).astype(int).to_numpy()  # Sat/Sun
+    r = x.rank(method="average").to_numpy()
+    n1, n2 = int(wk.sum()), int((1 - wk).sum())
+    # weekend rank sum with the per-row 1e6 quantization (exact: ranks
+    # are half-integers)
+    r1 = sum(int(rv * 1e6 + 0.5) for rv, w in zip(r, wk) if w) / 1e6
+    t = x.value_counts().to_numpy()
+    tie_term = float(sum(int(v) ** 3 - int(v) for v in t))
+    u = r1 - n1 * (n1 + 1) / 2.0
+    mean_u = n1 * n2 / 2.0
+    nn = n1 + n2
+    var_u = (
+        n1 * n2 / 12.0
+        * ((nn + 1.0) - tie_term / (nn * (nn + 1) * (nn - 1)) * (nn + 1))
+    )
+    z = (u - mean_u) / math.sqrt(var_u) if var_u > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "n1": [n1],
+            "n2": [n2],
+            "u_stat": [u],
+            "mean_u": [mean_u],
+            "z_stat": [q6s(z)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D80 — McNemar paired test
+# ---------------------------------------------------------------------------
+
+
+@replica("events_mcnemar_prepost")
+def replica_mcnemar(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cut = pd.Timestamp("2024-01-16")
+    isp = e["event_type"] == "purchase"
+    per = pd.DataFrame(
+        {
+            "pre": (isp & (e["ts"] < cut)).astype(int),
+            "post": (isp & (e["ts"] >= cut)).astype(int),
+        }
+    ).groupby(e["user_id"]).max()
+    b = int(((per["pre"] == 1) & (per["post"] == 0)).sum())
+    c = int(((per["pre"] == 0) & (per["post"] == 1)).sum())
+    chi2 = (abs(b - c) - 1.0) ** 2 / (b + c) if (b + c) > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "both_periods": [int(((per["pre"] == 1) & (per["post"] == 1)).sum())],
+            "pre_only": [b],
+            "post_only": [c],
+            "neither": [int(((per["pre"] == 0) & (per["post"] == 0)).sum())],
+            "mcnemar_chi2": [q6s(chi2)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D81 — single-bin DFT periodogram
+# ---------------------------------------------------------------------------
+
+_PERIODS = (2, 3, 4, 5, 6, 7, 14, 28, 30, 91)
+
+
+@replica("events_periodogram")
+def replica_periodogram(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = e["ts"].dt.normalize()
+    rows = []
+    for et, sub in day.groupby(e["event_type"]):
+        counts = sub.value_counts()
+        full = pd.date_range(sub.min(), sub.max(), freq="D")
+        x = counts.reindex(full, fill_value=0).to_numpy(dtype=float)
+        n = len(x)
+        ti = np.arange(n, dtype=float)
+        mu = dsum(x) / n
+        xc = x - mu
+        ssq = dsum(xc * xc)
+        if ssq <= 0:
+            continue
+        for p in _PERIODS:
+            ang = 2 * math.pi * ti / p
+            sc = dsum(xc * np.cos(ang))
+            ss = dsum(xc * np.sin(ang))
+            rows.append(
+                {
+                    "event_type": et,
+                    "period_days": p,
+                    "power_share": q6s((sc * sc + ss * ss) * 2.0 / (n * ssq)),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
