@@ -2052,6 +2052,85 @@ def replica_periodogram(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D82 — Markov removal-effect attribution (journeys segmented and the
+# absorbing chain iterated in plain python)
+# ---------------------------------------------------------------------------
+
+_MKV_CHANNELS = ("click", "view", "signup")
+_MKV_ITERS = 12
+
+
+@replica("events_attribution_markov")
+def replica_attribution_markov(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    # hop list built per journey
+    hops: list[tuple[str, str]] = []
+    for _, sub in e.groupby("user_id"):
+        types = sub["event_type"].to_list()
+        # journey_id = count of strictly prior purchases
+        jid, journeys = 0, {}
+        for t in types:
+            journeys.setdefault(jid, []).append(t)
+            if t == "purchase":
+                jid += 1
+        for _, seq in journeys.items():
+            conv = "purchase" in seq
+            touch = [t for t in seq if t in _MKV_CHANNELS]
+            term = "CONV" if conv else "NULL"
+            if not touch:
+                hops.append(("START", term))
+                continue
+            hops.append(("START", touch[0]))
+            for x, y in zip(touch, touch[1:]):
+                hops.append((x, y))
+            hops.append((touch[-1], term))
+    trans = pd.Series(hops).value_counts()
+    rowsum: dict[str, int] = {}
+    for (f_, _t), c in trans.items():
+        rowsum[f_] = rowsum.get(f_, 0) + int(c)
+    pmat = [
+        (f_, t_, q6s(int(c) / rowsum[f_])) for (f_, t_), c in trans.items()
+    ]
+    loops = [("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0)]
+
+    def absorption(removed):
+        if removed is None:
+            pv = pmat + loops
+        else:
+            pv = [
+                (f_, "NULL" if t_ == removed else t_, p)
+                for f_, t_, p in pmat
+                if f_ != removed
+            ] + loops
+        v = {"START": 1.0}
+        for _ in range(_MKV_ITERS):
+            nxt: dict[str, int] = {}  # quantized-addend integer sums
+            for f_, t_, p in pv:
+                if f_ in v:
+                    nxt[t_] = nxt.get(t_, 0) + int(v[f_] * p * 1e6 + 0.5)
+            v = {s: q / 1e6 for s, q in nxt.items()}
+        return v.get("CONV", 0.0)
+
+    full = absorption(None)
+    rows = []
+    for ch in _MKV_CHANNELS:
+        rm = absorption(ch)
+        rows.append(
+            {
+                "channel": ch,
+                "full_absorption": full,
+                "removal_absorption": rm,
+                "removal_effect": q6s((full - rm) / full)
+                if full
+                else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
