@@ -59,10 +59,20 @@ QUIET_LOAD = float(os.environ.get("KSQL_BENCH_QUIET_LOAD", "3.0"))
 QUIET_WAIT_SEC = float(os.environ.get("KSQL_BENCH_QUIET_WAIT", "150"))
 
 
-def wait_for_quiet() -> None:
-    deadline = time.time() + QUIET_WAIT_SEC
+def wait_for_quiet() -> dict:
+    """Bounded wait for a quiet 1-min loadavg; returns an auditable record
+    (VERDICT r12 item 4: the artifact must say whether the wait succeeded,
+    so a contended number is readable as such)."""
+    t0 = time.time()
+    deadline = t0 + QUIET_WAIT_SEC
     while time.time() < deadline and os.getloadavg()[0] >= QUIET_LOAD:
         time.sleep(5.0)
+    load = os.getloadavg()[0]
+    return {
+        "ok": load < QUIET_LOAD,
+        "waited_sec": round(time.time() - t0, 1),
+        "load_1m": round(load, 2),
+    }
 
 #: Warm-up passes before timing (excluded per BASELINE.md §4). Two, not one:
 #: measured first-timed-run samples stay ~30% above steady state after a
@@ -132,7 +142,8 @@ def main() -> None:
         for n in names:
             run_one(n)
 
-    wait_for_quiet()  # after warm-up so the wait can't cool the JVM caches
+    # after warm-up so the wait can't cool the JVM caches
+    quiet_waits = [wait_for_quiet()]
     load_start = os.getloadavg()[0]
 
     # Timed runs are ROUND-ROBIN interleaved (q1..q6, q1..q6, ...) rather than
@@ -155,18 +166,35 @@ def main() -> None:
     # improves the best total by >2% — i.e. the measurement is still riding
     # a decaying epoch — within a hard wall budget.
     max_wall = float(os.environ.get("KSQL_BENCH_MAX_SEC", "300"))
-    t_start = time.time()
     block_medians: list[dict[str, float]] = []
-    while True:
-        if block_medians:
-            time.sleep(BLOCK_GAP_SEC)  # land blocks in different epochs
-        block_medians.append(one_block())
-        if len(block_medians) < BLOCKS:
-            continue
-        totals = [sum(bm.values()) for bm in block_medians]
-        still_improving = len(totals) > 1 and totals[-1] < 0.98 * min(totals[:-1])
-        if not still_improving or time.time() - t_start > max_wall:
-            break
+    block_loads: list[float] = []
+
+    def run_block_set() -> None:
+        t_start = time.time()
+        first = len(block_medians)
+        while True:
+            if block_medians:
+                time.sleep(BLOCK_GAP_SEC)  # land blocks in different epochs
+            block_loads.append(round(os.getloadavg()[0], 2))
+            block_medians.append(one_block())
+            if len(block_medians) - first < BLOCKS:
+                continue
+            totals = [sum(bm.values()) for bm in block_medians]
+            still_improving = (
+                len(totals) > 1 and totals[-1] < 0.98 * min(totals[:-1])
+            )
+            if not still_improving or time.time() - t_start > max_wall:
+                break
+
+    run_block_set()
+    # Contended-epoch retry (VERDICT r12 item 4, the r12 1.222 s lesson): if
+    # the pre-flight quiet wait TIMED OUT, the whole first block set ran in a
+    # load epoch we know was contended — wait for quiet once more and rerun
+    # the full block set before emitting. min-of-block-medians across ALL
+    # blocks keeps the better epoch; both waits stay in the artifact.
+    if not quiet_waits[0]["ok"]:
+        quiet_waits.append(wait_for_quiet())
+        run_block_set()
     # Two estimators, both published (ADVICE r7: a min-of-block-medians is
     # downward-biased vs a plain median — comparisons must be same-estimator):
     #  * queries / value: per-query MIN of block-medians (best observed
@@ -199,6 +227,9 @@ def main() -> None:
                 "load_1m_start": round(load_start, 2),
                 "load_1m_end": round(os.getloadavg()[0], 2),
                 "block_totals": block_totals,
+                "block_loads_1m": block_loads,
+                "quiet_waits": quiet_waits,
+                "quiet_retry_ran": len(quiet_waits) > 1,
             }
         )
     )

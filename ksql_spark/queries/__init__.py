@@ -20,5 +20,6 @@ from ksql_spark.queries import (  # noqa: F401
     tpch,
     udfs,
     wave12,
+    wave13,
     windows,
 )

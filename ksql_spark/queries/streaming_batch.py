@@ -1836,6 +1836,79 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_dau_mau_hll",
+    oracle=None,  # HLL estimate ≠ exact → rows-only; ±5% law in tests
+    ref="SURVEY §2 K94 production sibling [EXT] (DAU/MAU stickiness at "
+    "100 TB id domains: the exact entry's daily bitmap grid requires a "
+    "dictionary-bounded id space — real user-id domains are not — so "
+    "this tier swaps each day's bitmap words for ONE mergeable HLL "
+    "sketch per day (Datasketches, the I12/L14 machinery) and the "
+    "trailing-28-day bit_or for a day-keyed union merge; laws in "
+    "tests/test_wave13.py pin same day set + ±5%% on dau/mau/stickiness "
+    "vs events_dau_mau_stickiness, plan-gated: one corpus scan, one "
+    "sketch-merge exchange, no per-day rescan)",
+    tags=("rows_only_by_design",),
+)
+def events_dau_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per observed day, estimated sketch-side: one
+    corpus pass collapses each day to a single HLL sketch of its active
+    users (map-side partial sketch-merge does the heavy lifting); each
+    day's sketch is then shipped to the 28 target days whose trailing
+    window contains it (a bounded 28× explode of the |days|-row sketch
+    table — never of the corpus) and union-merged per target day. DAU =
+    the day's own estimate, MAU = the merged estimate, stickiness their
+    1e-6-quantized ratio.
+
+    Scale shape — why this is the 100 TB form of K94: the exact bitmap
+    grid is O(days × id_domain/32) words and needs ids dense in a known
+    dictionary; user-id domains at corpus scale are neither dense nor
+    bounded. The sketch form carries a constant ~2-4 KB state per day
+    (lgK=12, RSE ~0.8%), its only corpus-sized stage is the first hash
+    agg, and the merge exchange moves ≤ 28·|days| sketches. Zero-event
+    days contribute nothing and cannot stretch the frame (the I14 pin
+    falls out of the contribution construction: target day t unions
+    exactly the observed days in [t-27, t])."""
+    from ksql_spark.operators.scale import pin
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .transform(pin, eager=False)
+    )
+    contrib = daily.select(
+        "day", "sk", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off")
+    ).select(
+        F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("day"), "sk"
+    )
+    mau = contrib.groupBy("day").agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .cast("bigint")
+        .alias("mau_est")
+    )
+    dau = daily.select(
+        "day",
+        F.round(F.hll_sketch_estimate("sk")).cast("bigint").alias("dau_est"),
+    )
+    # inner join on the observed-day sketch table = the exact entry's
+    # left-semi restriction to days that actually occurred
+    return dau.join(mau, "day").select(
+        "day",
+        "dau_est",
+        "mau_est",
+        (
+            (
+                F.col("dau_est").cast("double") / F.col("mau_est") * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .cast("double")
+            / 1000000.0
+        ).alias("stickiness_est"),
+    )
+
+
+@query(
     "events_power_user_curve",
     oracle="""
     WITH per_user AS (

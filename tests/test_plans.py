@@ -2585,8 +2585,11 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     "part_skyline_2d", "supplier_herfindahl", "supplier_scorecard",
     "win_distribution_scaled", "er_resolve_parts",
     "events_audience_overlap",
-    # (b) bounded-reservoir MLlib/codebook fits (ann_*/SemDeDup/e2e families)
+    # (b) bounded-reservoir MLlib/codebook fits (ann_*/SemDeDup/e2e families;
+    #     the whole fit family is listed — which member pays the cold fit
+    #     depends on sweep order, and the r13 rotation proved order moves)
     "ann_lsh_recall", "ann_lsh_topk", "ann_pq_recall",
+    "ann_ivf_topk", "ann_ivf_recall", "ann_pq_topk",
     "llm_semantic_dedup_scaled", "llm_semantic_dedup_hier",
     "llm_semantic_decontaminate_ivf", "llm_pipeline_e2e_auto",
     "llm_pipeline_e2e_hier", "llm_pipeline_e2e_scaled",
@@ -2594,7 +2597,8 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     # (d) loop-over-plans with bounded per-step state (pins downstream of an
     #     exchange surface as AQE stage-materialization jobs)
     "events_attribution_markov", "events_bass_diffusion",
-    "events_blb_mean_ci", "events_chain_ladder", "events_eb_shrinkage",
+    "events_blb_mean_ci", "events_chain_ladder", "events_dau_mau_hll",
+    "events_eb_shrinkage",
     "events_newey_west_trend", "events_periodogram",
     "events_watermark_lateness_audit", "llm_bigram_kneser_ney",
     "llm_bpe_merges", "llm_bradley_terry_sources",

@@ -2131,6 +2131,205 @@ def replica_attribution_markov(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D110 — Friedman blocked-rank test (r13)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_friedman_test")
+def replica_friedman(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    m = o["o_orderdate"].dt.to_period("M")
+    cell = (
+        o.groupby([m, "o_orderpriority"])["o_totalprice"]
+        .apply(lambda v: q6s(dsum(v) / len(v)))
+        .reset_index(name="cm")
+    )
+    k = cell["o_orderpriority"].nunique()
+    complete = cell.groupby("o_orderdate").size()
+    complete = set(complete[complete == k].index)
+    cell = cell[cell["o_orderdate"].isin(complete)]
+    cell["r"] = cell.groupby("o_orderdate")["cm"].rank(method="average")
+    rj = cell.groupby("o_orderpriority")["r"].apply(dsum)
+    n = len(complete)
+    s = float((rj * rj).sum())
+    q = 12.0 / (n * k * (k + 1.0)) * s - 3.0 * n * (k + 1.0)
+    return pd.DataFrame({"n_blocks": [n], "k": [k], "q_stat": [q6s(q)]})
+
+
+# ---------------------------------------------------------------------------
+# D111 — Kendall tau-b daily (pairs via numpy outer comparison)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_kendall_tau_daily")
+def replica_kendall_tau(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.groupby(o["o_orderdate"].dt.normalize())["o_totalprice"]
+        .agg([("x", "count"), ("y", lambda v: dsum(v))])
+        .sort_index()
+    )
+    x = daily["x"].to_numpy(dtype=float)
+    y = daily["y"].to_numpy()
+    n = len(daily)
+    iu = np.triu_indices(n, 1)
+    dx = (x[None, :] - x[:, None])[iu]
+    dy = (y[None, :] - y[:, None])[iu]
+    prod = dx * dy
+    c, d = int((prod > 0).sum()), int((prod < 0).sum())
+    tx, ty = int((dx == 0).sum()), int((dy == 0).sum())
+    n0 = n * (n - 1) / 2.0
+    tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+    z = (c - d) / math.sqrt(n * (n - 1) * (2.0 * n + 5.0) / 18.0)
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "n_concordant": [c],
+            "n_discordant": [d],
+            "tau_b": [q6s(tau)],
+            "z_stat": [q6s(z)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D112 — Allen-Cunneen G/G/c wait
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_allen_cunneen_wait")
+def replica_allen_cunneen(sf_dir=SF) -> pd.DataFrame:
+    start, end = _order_intervals(sf_dir)
+    n = len(start)
+    horizon = int((end.max() - start.min()) / np.timedelta64(1, "D")) + 1
+    dur = ((end.to_numpy() - start.to_numpy()) / np.timedelta64(1, "D")).astype(
+        np.int64
+    ) + 1
+    s1, s2 = int(dur.sum()), int((dur * dur).sum())
+    lam = n / horizon
+    es = s1 / n
+    vs = s2 / n - es * es
+    # arrival dispersion on the zero-filled start-day spine
+    sd = pd.Series(start).value_counts()
+    full = pd.date_range(start.min(), start.max(), freq="D")
+    a_daily = sd.reindex(full, fill_value=0).to_numpy()
+    nd = len(a_daily)
+    ma = a_daily.sum() / nd
+    ca2 = (float((a_daily * a_daily).sum()) / nd - ma * ma) / ma
+    a = lam * es
+    c = int(max(math.ceil(a * 1.1), math.floor(a) + 1))
+    cs2 = vs / (es * es)
+    b = 1.0
+    for kk in range(1, c + 1):
+        b = a * b / (kk + a * b)
+    rho = a / c
+    ce = b / (1.0 - rho * (1.0 - b))
+    wq_mmc = ce * es / (c - a)
+    return pd.DataFrame(
+        {
+            "n_orders": [n],
+            "c": [c],
+            "lambda_per_day": [q6s(lam)],
+            "s_days": [q6s(es)],
+            "offered_erlangs": [q6s(a)],
+            "utilization": [q6s(rho)],
+            "ca2": [q6s(ca2)],
+            "cs2": [q6s(cs2)],
+            "p_wait": [q6s(ce)],
+            "wq_mmc_days": [q6s(wq_mmc)],
+            "wq_ac_days": [q6s(wq_mmc * (ca2 + cs2) / 2.0)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D113 — Theil decomposition (identity checked in the replica itself)
+# ---------------------------------------------------------------------------
+
+
+@replica("customer_theil_decomposition")
+def replica_theil(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    per = (
+        j.groupby(["o_custkey", "c_mktsegment"])["o_totalprice"]
+        .apply(dsum)
+        .reset_index(name="rev")
+    )
+    per = per[per["rev"] > 0]
+    n = len(per)
+    s = dsum(per["rev"])
+
+    def q9_sum(arr):
+        return sum(int(math.trunc(v * 1e9 + 0.5)) for v in arr) / 1e9
+
+    rev = per["rev"].to_numpy()
+    t_total = q9_sum(rev / s * np.log(rev * n / s))
+    wq = bq = 0
+    n_seg = 0
+    for seg, sub in per.groupby("c_mktsegment"):
+        n_seg += 1
+        rg = sub["rev"].to_numpy()
+        n_g, s_g = len(rg), dsum(rg)
+        t_g = q9_sum(rg / s_g * np.log(rg * n_g / s_g))
+        wq += tq(s_g / s * t_g, 1e9)
+        bq += tq(s_g / s * math.log((s_g / s) * (n / n_g)), 1e9)
+    within, between = wq / 1e9, bq / 1e9
+    # the decomposition identity (Theil 1967) — an internal consistency
+    # law the engines cannot fake by sharing a mis-spelling
+    assert abs(t_total - (within + between)) < 1e-6, (
+        t_total, within, between,
+    )
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "n_segments": [n_seg],
+            "theil_total": [q6s(t_total)],
+            "theil_within": [q6s(within)],
+            "theil_between": [q6s(between)],
+            "between_share": [q6s(between / t_total) if t_total else np.nan],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D114 — Cp / Cpk process capability
+# ---------------------------------------------------------------------------
+
+
+@replica("part_process_capability")
+def replica_capability(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    rows = []
+    for brand, sub in j.groupby("p_brand"):
+        q = sub["l_quantity"].to_numpy().astype(np.int64)
+        n = len(q)
+        if n < 2:
+            continue
+        s1, s2 = int(q.sum()), int((q * q).sum())
+        mu = s1 / n
+        sd_ = math.sqrt(max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+        oos = int(((sub["l_quantity"] < 1.0) | (sub["l_quantity"] > 50.0)).sum())
+        rows.append(
+            {
+                "brand": brand,
+                "n": n,
+                "mean_qty": q6s(mu),
+                "sd_qty": q6s(sd_),
+                "cp": q6s((50.0 - 1.0) / (6.0 * sd_)) if sd_ else np.nan,
+                "cpk": q6s(min(50.0 - mu, mu - 1.0) / (3.0 * sd_))
+                if sd_
+                else np.nan,
+                "oos_rate": q6s(oos / n),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
