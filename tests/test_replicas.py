@@ -2330,6 +2330,203 @@ def replica_capability(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D38 — A/B experiment readout (r6c backward extension)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_ab_test_report")
+def replica_ab_report(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    conv = (
+        (e["event_type"] == "purchase").groupby(e["user_id"]).max().astype(int)
+    )
+    arm_a = conv.index % 2 == 0
+    n_a, n_b = int(arm_a.sum()), int((~arm_a).sum())
+    ca, cb = int(conv[arm_a].sum()), int(conv[~arm_a].sum())
+    pa, pb = ca / n_a, cb / n_b
+    pp = (ca + cb) / (n_a + n_b)
+    se = math.sqrt(pp * (1 - pp) * (1 / n_a + 1 / n_b))
+    half = (n_a + n_b) / 2
+    chisq = ((n_a - half) ** 2 + (n_b - half) ** 2) / half
+    return pd.DataFrame(
+        {
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "conv_a": [ca],
+            "conv_b": [cb],
+            "rate_a": [q6s(pa)],
+            "rate_b": [q6s(pb)],
+            "lift_abs": [q6s(pb - pa)],
+            "z_score": [q6s((pb - pa) / se) if se else np.nan],
+            "srm_chisq": [q6s(chisq)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D40 — Jarque-Bera per segment (central moments computed DIRECTLY from
+# the deviations, not via the engines' raw-power-sum algebra)
+# ---------------------------------------------------------------------------
+
+
+@replica("customer_acctbal_jarque_bera")
+def replica_jarque_bera(sf_dir=SF) -> pd.DataFrame:
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    rows = []
+    for seg, v in c.groupby("c_mktsegment")["c_acctbal"]:
+        x = v.to_numpy()
+        n = len(x)
+        # mirror the quantized raw-sum DEVICE, then the independent
+        # central-moment ALGEBRA (the formula under test)
+        s1 = dsum(x)
+        s2 = dsum(x * x)
+        s3 = dsum(x**3 / 1000.0) * 1000.0
+        s4 = dsum((x / 100.0) ** 4) * 1e8
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu**3
+        m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu**4
+        skew = m3 / (math.sqrt(m2) * m2)
+        exk = m4 / (m2 * m2) - 3.0
+        rows.append(
+            {
+                "c_mktsegment": seg,
+                "n": n,
+                "skewness": q6s(skew),
+                "excess_kurtosis": q6s(exk),
+                "jarque_bera": q6s(n / 6.0 * (skew**2 + exk**2 / 4.0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D41 — power-law tail MLE
+# ---------------------------------------------------------------------------
+
+
+@replica("events_user_activity_powerlaw")
+def replica_powerlaw(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    act = e.groupby("user_id").size()
+    tail = act[act >= 50].to_numpy(dtype=float)
+    lq = sum(tq(math.log(v / 50.0), 1e9) for v in tail)
+    alpha = 1.0 + len(tail) / (lq / 1e9) if lq else np.nan
+    return pd.DataFrame(
+        {
+            "xmin": [50],
+            "n_tail": [len(tail)],
+            "alpha_hat": [q6s(alpha)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D42 — Benford first-digit audit (digit via string arithmetic — a wholly
+# different extractor than the engines' CASE ladder)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_benford_digit_check")
+def replica_benford(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    v = e["value"][e["value"] > 0]
+
+    def digit(x):
+        # true first significant digit by repeated normalization — a
+        # wholly different extractor than the engines' CASE ladder
+        # (which covers [0.01, 1000); the fixture lies inside it)
+        while x < 1:
+            x *= 10
+        while x >= 10:
+            x /= 10
+        return int(x)
+
+    d = v.apply(digit).astype(int)
+    counts = d.value_counts().sort_index()
+    nt = int(counts.sum())
+    rows = []
+    for dig, n in counts.items():
+        bp = math.log(1.0 + 1.0 / dig) / math.log(10.0)
+        exp = nt * bp
+        rows.append(
+            {
+                "digit": dig,
+                "n": int(n),
+                "observed_p": q6s(int(n) / nt),
+                "benford_p": q6s(bp),
+                "chisq_term": q6s((int(n) - exp) ** 2 / exp),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D43 — x-bar control chart
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_control_chart_xbar")
+def replica_control_chart(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    x = o["o_totalprice"].to_numpy()
+    n = len(x)
+    s1 = dsum(x)
+    s2k = float(sum(int(math.trunc(v * v / 1000.0 + 0.5)) for v in x))
+    mu = s1 / n
+    var = s2k * 1000.0 / n - mu * mu
+    mo = o["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    rows = []
+    for m, sub in o.groupby(mo)["o_totalprice"]:
+        nm = len(sub)
+        xbar = dsum(sub) / nm
+        half = 3.0 * math.sqrt(var / nm)
+        rows.append(
+            {
+                "month": m,
+                "nm": nm,
+                "xbar": q6s(xbar),
+                "center": q6s(mu),
+                "lcl": q6s(mu - half),
+                "ucl": q6s(mu + half),
+                "out_of_control": int(xbar < mu - half or xbar > mu + half),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D53 — Welch's t-test
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_weekday_weekend_ttest")
+def replica_welch(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    dow = o["o_orderdate"].dt.dayofweek  # Mon=0..Sun=6
+    wk = (dow == 5) | (dow == 6)
+    out = {}
+    for grp, mask in [("1", ~wk), ("2", wk)]:  # 1=weekday, 2=weekend
+        x = o["o_totalprice"][mask].to_numpy()
+        n = len(x)
+        s1 = dsum(x)
+        s2k = float(sum(int(math.trunc(v * v / 1000.0 + 0.5)) for v in x))
+        out[f"n{grp}"] = n
+        out[f"m{grp}"] = s1 / n
+        out[f"v{grp}"] = (s2k * 1000.0 / n - (s1 / n) ** 2) / (n - 1)
+    t = (out["m1"] - out["m2"]) / math.sqrt(out["v1"] + out["v2"])
+    return pd.DataFrame(
+        {
+            "n1": [out["n1"]],
+            "n2": [out["n2"]],
+            "mean_weekday": [q6s(out["m1"])],
+            "mean_weekend": [q6s(out["m2"])],
+            "welch_t": [q6s(t)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
