@@ -2527,6 +2527,146 @@ def replica_welch(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K64 — CUSUM drift (running sum re-walked sequentially)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_cusum_drift")
+def replica_cusum(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    mu = {
+        et: dsum(v) / len(v)
+        for et, v in e.groupby("event_type")["value"]
+    }
+    rows = []
+    for et, sub in e.groupby("event_type"):
+        acc = 0
+        for _, r in sub.iterrows():
+            acc += int(math.floor((r["value"] - mu[et]) * 1e6 + 0.5))
+            cs = acc / 1e6
+            rows.append(
+                {
+                    "event_type": et,
+                    "event_id": r["event_id"],
+                    "cusum": cs,
+                    "drifted": abs(cs) > 50.0,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K57 — ACF lags 1-3 per type
+# ---------------------------------------------------------------------------
+
+
+@replica("events_autocorrelation")
+def replica_acf(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    rows = []
+    for et, sub in e.groupby("event_type"):
+        v = sub["value"].to_numpy()
+        for lag in (1, 2, 3):
+            # pair x_t with its lag-k predecessor; rows whose predecessor
+            # is null (head of series) drop. NaN values propagate exactly
+            # as the engines' NULLs only if absent — fixture has none.
+            x, y = v[lag:], v[:-lag]
+            n = len(x)
+            if n == 0:
+                continue
+            sx, sy = dsum(x), dsum(y)
+            sxx, syy, sxy = dsum(x * x), dsum(y * y), dsum(x * y)
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            r = (n * sxy - sx * sy) / den if den else np.nan
+            rows.append(
+                {"event_type": et, "lag": lag, "n_pairs": n, "acf": q6s(r)}
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K72 — Holt linear smoothing (the recursion run literally per user)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_holt_linear")
+def replica_holt_linear(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    rows = []
+    for u, sub in e.groupby("user_id"):
+        vals = [v for v in sub["value"] if not pd.isna(v)]
+        if not vals:
+            continue
+        l, b = float(vals[0]), 0.0
+        for x in vals[1:]:
+            new_l = x / 2.0 + (l + b) / 2.0
+            b = (new_l - l) / 2.0 + b / 2.0
+            l = new_l
+        rows.append(
+            {
+                "user_id": u,
+                "n_obs": len(vals),
+                "level": l,
+                "trend": b,
+                "forecast_next": l + b,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K76 — Holt-Winters additive, period 7 (recursion run literally)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_holt_winters")
+def replica_holt_winters(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupby(["event_type", e["ts"].dt.normalize()])
+        .size()
+        .astype(float)
+        .reset_index(name="x")
+        .sort_values(["event_type", "ts"])
+    )
+    rows = []
+    for et, sub in daily.groupby("event_type"):
+        v = sub["x"].to_list()
+        n = len(v)
+        if n < 7:
+            continue
+        l0 = 0.0
+        for x in v[:7]:  # explicit left-associated sum, then one divide
+            l0 = l0 + x
+        l0 = l0 / 7.0
+        l, b = l0, 0.0
+        seas = [x - l0 for x in v[:7]]
+        for x in v[7:]:
+            s_old = seas[0]
+            new_l = (x - s_old) / 2.0 + (l + b) / 2.0
+            new_b = (new_l - l) / 2.0 + b / 2.0
+            new_s = (x - new_l) / 2.0 + s_old / 2.0
+            seas = seas[1:] + [new_s]
+            l, b = new_l, new_b
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": n,
+                "level": l,
+                "trend": b,
+                "forecast_next": l + b + seas[0],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
