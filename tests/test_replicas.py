@@ -2667,6 +2667,112 @@ def replica_holt_winters(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K82 — day-of-week seasonality index
+# ---------------------------------------------------------------------------
+
+
+@replica("events_seasonality_index")
+def replica_seasonality(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupby(["event_type", e["ts"].dt.normalize()])
+        .size()
+        .reset_index(name="c")
+    )
+    daily["iso_dow"] = daily["ts"].dt.dayofweek + 1  # Mon=1..Sun=7
+    rows = []
+    for et, sub in daily.groupby("event_type"):
+        dow = sub.groupby("iso_dow").agg(
+            n_events=("c", "sum"), n_days=("c", "count")
+        )
+        mean = dow["n_events"].sum() / dow["n_days"].sum()
+        for iso, r in dow.iterrows():
+            rows.append(
+                {
+                    "event_type": et,
+                    "iso_dow": iso,
+                    "n_events": int(r["n_events"]),
+                    "seasonal_index": q6s(
+                        (r["n_events"] / r["n_days"]) / mean
+                    ),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K83 — two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+@replica("events_ab_proportion_test")
+def replica_ab_proportion(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cut = pd.Timestamp("2024-01-03")
+    conv = (
+        ((e["event_type"] == "purchase") & (e["ts"] < cut))
+        .groupby(e["user_id"])
+        .max()
+        .astype(int)
+    )
+    arm1 = conv.index % 2 == 1
+    n0, n1 = int((~arm1).sum()), int(arm1.sum())
+    c0, c1 = int(conv[~arm1].sum()), int(conv[arm1].sum())
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    den = math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    z = (p1 - p0) / den if den else np.nan
+    return pd.DataFrame(
+        {
+            "n0": [n0],
+            "c0": [c0],
+            "n1": [n1],
+            "c1": [c1],
+            "rate0": [q6s(p0)],
+            "rate1": [q6s(p1)],
+            "z_stat": [q6s(z)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# K84 — cross-type Pearson matrix on shared days
+# ---------------------------------------------------------------------------
+
+
+@replica("events_type_correlation")
+def replica_type_corr(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupby([e["ts"].dt.normalize(), "event_type"])
+        .size()
+        .reset_index(name="c")
+    )
+    piv = daily.pivot(index="ts", columns="event_type", values="c")
+    types = sorted(piv.columns)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            both = piv[[ta, tb]].dropna()  # inner join on shared days
+            x = both[ta].to_numpy(dtype=float)
+            y = both[tb].to_numpy(dtype=float)
+            n = len(both)
+            sx, sy = dsum(x), dsum(y)
+            sxx, syy, sxy = dsum(x * x), dsum(y * y), dsum(x * y)
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            r = (n * sxy - sx * sy) / den if den else np.nan
+            rows.append(
+                {
+                    "type_a": ta,
+                    "type_b": tb,
+                    "n_days": n,
+                    "pearson_r": q6s(r),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
