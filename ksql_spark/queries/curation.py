@@ -2823,7 +2823,16 @@ def llm_semantic_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_wave12.py pins exactly that.
 
     Shares _ivf_coarse with ann_ivf_topk (same centroids, same cells,
-    same flat-search fallback for tiny corpora)."""
+    same flat-search fallback for tiny corpora).
+
+    Measured boundary (SCALE.md round 13): the pruning factor is
+    CONSTANT at nprobe/K = 1/4, so once the eval suite itself scales
+    (69k eval vectors at the 2M-embedding sf100 probe) the per-train
+    fan-out n_eval·nprobe/K reaches ~17k candidates/row and the join
+    spills past the box (killed before ENOSPC at ~60 GB). At that eval
+    scale the cell count must grow with the data (K ≈ √(n_eval·n_train),
+    ~4096 here) — kept fixed at the oracle-checked K=16 in this entry;
+    the boundary and the required config are the documented trade."""
     from ksql_spark.operators import vectors
     from ksql_spark.queries.llm import _ivf_coarse
 

@@ -2773,6 +2773,85 @@ def replica_type_corr(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D27 — Kaplan-Meier product limit (the product computed DIRECTLY, not in
+# log space: agreement within 1e-6 proves the engines' log-space device
+# equals the textbook product)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_survival_km")
+def replica_survival_km(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    d = o["o_orderdate"].dt.normalize()
+    hi = d.max()
+    durs, events = [], []
+    for _, dates in d.groupby(o["o_custkey"]):
+        ds = dates.sort_values().to_numpy()
+        if len(ds) >= 2:
+            durs.append(int((ds[1] - ds[0]) / np.timedelta64(1, "D")))
+            events.append(1)
+        else:
+            durs.append(int((np.datetime64(hi) - ds[0]) / np.timedelta64(1, "D")))
+            events.append(0)
+    subj = pd.DataFrame({"dur": durs, "ev": events})
+    by = (
+        subj.groupby("dur")
+        .agg(n_events=("ev", "sum"), n_leaving=("ev", "count"))
+        .sort_index()
+    )
+    n_risk = by["n_leaving"][::-1].cumsum()[::-1]
+    rows, s = [], 1.0
+    for dur in by.index:
+        d_i, nr = int(by.loc[dur, "n_events"]), int(n_risk.loc[dur])
+        if d_i <= 0:
+            continue
+        s *= 1.0 - d_i / nr  # direct product — the independent spelling
+        rows.append(
+            {
+                "duration_days": int(dur),
+                "n_risk": nr,
+                "n_events": d_i,
+                "survival": q6s(s) if s > 0 else 0.0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D28 — Gini coefficient (computed via the MEAN-ABSOLUTE-DIFFERENCE
+# definition, a different identity than the engines' rank estimator)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_gini_revenue")
+def replica_gini(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    rev_c = (
+        o.groupby("o_custkey")["o_totalprice"]
+        .apply(lambda v: sum(int(math.trunc(x * 100 + 0.5)) for x in v))
+        .to_numpy()
+    )
+    n = len(rev_c)
+    s0 = float(rev_c.sum())
+    # rank identity replica: G = 2Σi·x_(i)/(nΣx) − (n+1)/n with ties
+    # broken ascending — equals the half-relative-MAD definition, which
+    # we ALSO assert internally to pin the estimator itself
+    x = np.sort(rev_c)
+    i = np.arange(1, n + 1)
+    g_rank = 2.0 * float((i * x).sum()) / (n * s0) - (n + 1.0) / n
+    mad = np.abs(x[None, :] - x[:, None]).mean()
+    g_mad = mad / (2.0 * s0 / n)
+    assert abs(g_rank - g_mad) < 1e-9, (g_rank, g_mad)
+    return pd.DataFrame(
+        {
+            "n_customers": [n],
+            "total_revenue": [q6s(s0 / 100.0)],
+            "gini": [q6s(g_rank)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
