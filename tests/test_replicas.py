@@ -2852,6 +2852,48 @@ def replica_gini(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D56/D62-companion — Theil-Sen robust slope (pairs + median in numpy)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_theil_sen_trend")
+def replica_theil_sen(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    day = o["o_orderdate"].dt.normalize()
+    cents = o["o_totalprice"].apply(lambda x: int(math.trunc(x * 100 + 0.5)))
+    d = (
+        pd.DataFrame({"day": day, "yr": day.dt.year, "rev_c": cents})
+        .groupby(["day", "yr"])["rev_c"]
+        .sum()
+        .reset_index()
+        .sort_values("day")
+    )
+    rows = []
+    for yr, sub in d.groupby("yr"):
+        days = sub["day"].to_numpy()
+        rev = sub["rev_c"].to_numpy(dtype=float)
+        slopes = []
+        n = len(sub)
+        for i in range(n):
+            for j in range(i + 1, n):
+                gap = int((days[j] - days[i]) / np.timedelta64(1, "D"))
+                if gap <= 45:
+                    # trunc toward zero (negative slopes!), the engines'
+                    # long-cast semantics
+                    slopes.append(int((rev[j] - rev[i]) / gap * 100 + 0.5))
+        med = float(np.percentile(np.array(slopes, dtype=float), 50))
+        rows.append(
+            {
+                "yr": yr,
+                "n_days": n,
+                "n_pairs": len(slopes),
+                "median_slope": q6s(med / 10000.0),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
