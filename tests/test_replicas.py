@@ -2894,6 +2894,54 @@ def replica_theil_sen(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D57 — multi-touch attribution credits (journeys walked in python)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_attribution_credit")
+def replica_attribution_credit(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    stats: dict[str, dict] = {}
+    for _, sub in e.groupby("user_id"):
+        types = sub["event_type"].to_list()
+        jid, journeys, converted = 0, {}, set()
+        for t in types:
+            journeys.setdefault(jid, []).append(t)
+            if t == "purchase":
+                converted.add(jid)
+                jid += 1
+        for j, seq in journeys.items():
+            if j not in converted:
+                continue
+            touch = [t for t in seq if t in ("click", "view", "signup")]
+            if not touch:
+                continue
+            n = len(touch)
+            for pos, ch in enumerate(touch):
+                s = stats.setdefault(
+                    ch, {"touches": 0, "first": 0, "last": 0, "lin_q": 0}
+                )
+                s["touches"] += 1
+                s["first"] += int(pos == 0)
+                s["last"] += int(pos == n - 1)
+                s["lin_q"] += tq(1.0 / n, 1e6)
+    return pd.DataFrame(
+        [
+            {
+                "channel": ch,
+                "touches": s["touches"],
+                "first_touch_credit": s["first"],
+                "last_touch_credit": s["last"],
+                "linear_credit": s["lin_q"] / 1e6,
+            }
+            for ch, s in stats.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
