@@ -2942,6 +2942,118 @@ def replica_attribution_credit(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D49 — seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_seasonal_naive_backtest")
+def replica_seasonal_naive(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    m = (
+        o.groupby(o["o_orderdate"].dt.to_period("M").dt.to_timestamp())[
+            "o_totalprice"
+        ]
+        .apply(dsum)
+        .sort_index()
+    )
+    rows = []
+    months = list(m.index)
+    for i, mo in enumerate(months):
+        rev = m.iloc[i]
+        fc = m.iloc[i - 12] if i >= 12 else np.nan
+        rows.append(
+            {
+                "month": mo,
+                "revenue": rev,
+                "forecast": fc,
+                "abs_error": q6s(abs(rev - fc)),
+                "ape": q6s(abs(rev - fc) / rev) if rev else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D50 — supplier composite scorecard
+# ---------------------------------------------------------------------------
+
+
+@replica("supplier_scorecard")
+def replica_scorecard(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["revx"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    per = li.groupby("l_suppkey").agg(
+        qty=("l_quantity", lambda v: dsum(v)),
+        revenue=("revx", lambda v: dsum(v)),
+        n_parts=("l_partkey", "nunique"),
+    )
+    qmin, qmax = per["qty"].min(), per["qty"].max()
+    rmin, rmax = per["revenue"].min(), per["revenue"].max()
+    pmin, pmax = per["n_parts"].min(), per["n_parts"].max()
+    rows = []
+    for sk, r in per.iterrows():
+        comp = q6s(
+            0.4 * (r["qty"] - qmin) / (qmax - qmin)
+            + 0.4 * (r["revenue"] - rmin) / (rmax - rmin)
+            + 0.2 * (r["n_parts"] - pmin) / (pmax - pmin)
+        )
+        rows.append(
+            {
+                "suppkey": sk,
+                "qty": r["qty"],
+                "revenue": r["revenue"],
+                "n_parts": int(r["n_parts"]),
+                "composite": comp,
+                "grade": "A" if comp >= 0.6 else "B" if comp >= 0.4 else "C",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D60 — perfect-order rate
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_perfect_order_rate")
+def replica_perfect_order(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    late = (
+        (j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize())
+        / np.timedelta64(1, "D")
+    ) > 30
+    viol = late | (j["l_returnflag"] == "R")
+    per = (
+        pd.DataFrame(
+            {
+                "ok": j["o_orderkey"],
+                "m": j["o_orderdate"].dt.strftime("%Y-%m"),
+                "viol": viol.astype(int),
+            }
+        )
+        .groupby(["ok", "m"])["viol"]
+        .sum()
+        .reset_index()
+    )
+    per["perfect"] = (per["viol"] == 0).astype(int)
+    rows = []
+    for m, sub in per.groupby("m"):
+        n = len(sub)
+        npf = int(sub["perfect"].sum())
+        rows.append(
+            {
+                "order_month": m,
+                "n_orders": n,
+                "n_perfect": npf,
+                "perfect_rate": q6s(npf / n),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 

@@ -117,6 +117,23 @@ SHOWCASE = {
     "the bounded stratum table vs a broadcast 1-row denominator",
     "part_newsvendor_stock": "(brand, day) collapse then a 25-group "
     "exact percentile — the D23 two-level quantile posture",
+    # round-13 wave
+    "orders_friedman_test": "one (month, priority) agg collapses the "
+    "corpus; ranking windows partition per month over <= k rows; Q is a "
+    "1-row reduction",
+    "orders_kendall_tau_daily": "pair stage self-joins the PINNED "
+    "calendar-bounded daily table (one corpus scan total); C/D/tie "
+    "counts are exact integers in one agg",
+    "orders_allen_cunneen_wait": "service moments + arrival dispersion "
+    "from one orderkey join; the Erlang-B fold runs once on a 1-row "
+    "staffed table",
+    "customer_theil_decomposition": "pinned per-customer table feeds "
+    "three bounded reductions; segment aggs broadcast; 1e-9 term sums",
+    "part_process_capability": "partkey join into a 25-row brand agg of "
+    "exact integer moments; capability math per row on the ladder",
+    "events_dau_mau_hll": "ONE events scan into per-day HLL sketches "
+    "(pinned); 28x day-keyed contribution explode of the |days|-row "
+    "sketch table; union-merge agg; no bitmap grid, no id-domain bound",
 }
 
 
