@@ -3054,6 +3054,88 @@ def replica_perfect_order(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D51 — SLO burn rate
+# ---------------------------------------------------------------------------
+
+
+@replica("events_slo_burn_rate")
+def replica_slo_burn(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupby(e["ts"].dt.normalize())
+        .agg(
+            n_total=("event_id", "count"),
+            n_err=("event_type", lambda t: int((t == "error").sum())),
+        )
+        .sort_index()
+    )
+    rows = []
+    tot, err = daily["n_total"].to_list(), daily["n_err"].to_list()
+    for i, day in enumerate(daily.index):
+        lo = max(0, i - 6)
+        rr = sum(err[lo : i + 1]) / sum(tot[lo : i + 1])
+        rows.append(
+            {
+                "day": day,
+                "n_total": tot[i],
+                "n_err": err[i],
+                "err_rate": q6s(err[i] / tot[i]),
+                "burn_7d": q6s(rr / 0.01),
+                "page_flag": int(rr > 0.02),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D52 — behavioral bot score
+# ---------------------------------------------------------------------------
+
+
+@replica("events_bot_score")
+def replica_bot_score(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    rows = []
+    for u, sub in e.groupby("user_id"):
+        n = len(sub)
+        n_night = int((sub["ts"].dt.hour < 6).sum())
+        tsu = sub["ts"].astype("int64").to_numpy()  # microseconds
+        gaps = np.diff(tsu)
+        n_gaps = len(gaps)
+        s1 = int(gaps.sum())
+        gms = np.trunc(gaps / 1000.0).astype(np.int64)
+        s2m = int((gms * gms).sum())
+        if n_gaps:
+            mean_g = s1 / n_gaps
+            var = max(s2m * 1e6 / n_gaps - mean_g * mean_g, 0.0)
+            cv = math.sqrt(var) / mean_g if mean_g else np.nan
+        else:
+            cv = np.nan
+        counts = sub["event_type"].value_counts().to_numpy()
+        t = counts.sum()
+        hq = sum(
+            tq(-(c / t) * math.log(c / t), 1e9) for c in counts
+        )
+        flag = int(
+            (n_night / n > 0.5)
+            or (n_gaps >= 10 and not np.isnan(cv) and cv < 0.3)
+        )
+        rows.append(
+            {
+                "user_id": u,
+                "n": n,
+                "night_frac": q6s(n_night / n),
+                "gap_cv": q6s(cv),
+                "type_entropy": q6s(hq / 1e9),
+                "bot_flag": flag,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
