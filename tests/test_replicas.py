@@ -3136,6 +3136,57 @@ def replica_bot_score(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D65 — ABC-XYZ planning matrix
+# ---------------------------------------------------------------------------
+
+
+@replica("part_abc_xyz_matrix")
+def replica_abc_xyz(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    revx = li["l_extendedprice"] * (1 - li["l_discount"])
+    rev = revx.groupby(li["l_partkey"]).apply(dsum)
+    t = dsum(revx)
+    # ABC: descending cumulative revenue in exact cents, ties by partkey
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    abc = {}
+    cum_c = 0
+    for pk, r in order:
+        cum_c += int(math.trunc(r * 100 + 0.5))
+        share = (cum_c / 100.0) / t
+        abc[pk] = "A" if share <= 0.5 else "B" if share <= 0.8 else "C"
+    # XYZ: CV of monthly demand (observed months only)
+    mo = li["l_shipdate"].dt.to_period("M")
+    monthly = li.groupby(["l_partkey", mo])["l_quantity"].apply(dsum)
+    xyz = {}
+    for pk in rev.index:
+        q = monthly.loc[pk].to_numpy()
+        n = len(q)
+        sq, sqq = dsum(q), dsum(q * q)
+        if n < 2 or sq <= 0:
+            xyz[pk] = "Z"
+            continue
+        cv = q6s(
+            math.sqrt(max((sqq - sq * sq / n) / (n - 1), 0.0)) / (sq / n)
+        )
+        xyz[pk] = "X" if cv <= 0.5 else "Y" if cv <= 1.0 else "Z"
+    cells: dict[tuple[str, str], list] = {}
+    for pk, r in rev.items():
+        cells.setdefault((abc[pk], xyz[pk]), []).append(r)
+    return pd.DataFrame(
+        [
+            {
+                "abc_class": a,
+                "xyz_class": x,
+                "n_parts": len(rs),
+                "class_revenue": dsum(rs),
+                "revenue_share": q6s(dsum(rs) / t),
+            }
+            for (a, x), rs in cells.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
