@@ -3187,6 +3187,61 @@ def replica_abc_xyz(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D47 — weekly growth accounting (statuses walked per user; the lifecycle
+# identities asserted inside the replica)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_growth_accounting")
+def replica_growth_accounting(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    week = e["ts"].dt.to_period("W").dt.start_time
+    uw = pd.DataFrame({"u": e["user_id"], "w": week}).drop_duplicates()
+    max_w = uw["w"].max()
+    stat: dict[pd.Timestamp, dict[str, int]] = {}
+
+    def bump(w, s):
+        stat.setdefault(w, {"new": 0, "retained": 0, "resurrected": 0, "churned": 0})[s] += 1
+
+    one_w = pd.Timedelta(days=7)
+    for _, sub in uw.groupby("u"):
+        ws = sorted(sub["w"])
+        for i, w in enumerate(ws):
+            if i == 0:
+                bump(w, "new")
+            elif ws[i - 1] == w - one_w:
+                bump(w, "retained")
+            else:
+                bump(w, "resurrected")
+            nxt = ws[i + 1] if i + 1 < len(ws) else None
+            if (nxt is None or nxt > w + one_w) and w + one_w <= max_w:
+                bump(w + one_w, "churned")
+    df = pd.DataFrame(
+        [
+            {
+                "week": w,
+                "n_new": s["new"],
+                "n_retained": s["retained"],
+                "n_resurrected": s["resurrected"],
+                "n_churned": s["churned"],
+            }
+            for w, s in stat.items()
+        ]
+    ).sort_values("week").reset_index(drop=True)
+    # lifecycle identity: churned(w) = active(w-1) - retained(w) for every
+    # interior week — the law the engines could only fake together
+    act = {
+        r["week"]: r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        for _, r in df.iterrows()
+    }
+    for _, r in df.iterrows():
+        prev = r["week"] - one_w
+        if prev in act and r["week"] <= max_w:
+            assert r["n_churned"] == act[prev] - r["n_retained"], r
+    return df
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
