@@ -3242,6 +3242,110 @@ def replica_growth_accounting(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D48 — customer value migration matrix
+# ---------------------------------------------------------------------------
+
+
+@replica("customer_value_migration")
+def replica_value_migration(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    split = pd.Timestamp("1998-07-01")
+    h1 = o[o["o_orderdate"] < split].groupby("o_custkey")["o_totalprice"].apply(dsum)
+    h2 = o[o["o_orderdate"] >= split].groupby("o_custkey")["o_totalprice"].apply(dsum)
+    custs = o["o_custkey"].unique()
+    a1, b1 = np.nanquantile(h1.to_numpy(), [0.333, 0.667])
+    a2, b2 = np.nanquantile(h2.to_numpy(), [0.333, 0.667])
+
+    def band(rev, a, b):
+        if rev is None or np.isnan(rev):
+            return "inactive"
+        return "low" if rev <= a else "mid" if rev <= b else "high"
+
+    cells: dict[tuple[str, str], int] = {}
+    for ck in custs:
+        key = (band(h1.get(ck, np.nan), a1, b1), band(h2.get(ck, np.nan), a2, b2))
+        cells[key] = cells.get(key, 0) + 1
+    return pd.DataFrame(
+        [
+            {"band_h1": k[0], "band_h2": k[1], "n_customers": v}
+            for k, v in cells.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# D54 — linenumber completeness
+# ---------------------------------------------------------------------------
+
+
+@replica("lineitem_linenumber_completeness")
+def replica_linenumber(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    per = li.groupby("l_orderkey")["l_linenumber"].agg(["count", "min", "max"])
+    complete = (per["min"] == 1) & (per["max"] == per["count"])
+    return pd.DataFrame(
+        {
+            "n_orders": [len(per)],
+            "n_complete": [int(complete.sum())],
+            "n_holey": [int((~complete).sum())],
+            "n_missing_lines": [
+                int((per["max"] - per["count"] + (per["min"] - 1)).sum())
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D56 — interval-union coverage (islands merged in a python sweep)
+# ---------------------------------------------------------------------------
+
+
+@replica("customer_order_coverage")
+def replica_order_coverage(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    last_ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    j = o.merge(last_ship.rename("ship"), left_on="o_orderkey", right_index=True)
+    j["open_d"] = j["o_orderdate"]
+    j["close_d"] = np.maximum(j["o_orderdate"], j["ship"])
+    rows = []
+    for ck, sub in j.groupby("o_custkey"):
+        ivs = sorted(
+            zip(sub["open_d"], sub["close_d"], sub["o_orderkey"])
+        )
+        islands = []
+        cur_open, cur_close = None, None
+        for op, cl, _ in ivs:
+            if cur_close is None or op > cur_close:
+                if cur_close is not None:
+                    islands.append((cur_open, cur_close))
+                cur_open, cur_close = op, cl
+            else:
+                cur_close = max(cur_close, cl)
+        islands.append((cur_open, cur_close))
+        lens = [
+            int((cl - op) / np.timedelta64(1, "D")) + 1 for op, cl in islands
+        ]
+        span = (
+            int(
+                (max(c for _, c in islands) - min(o_ for o_, _ in islands))
+                / np.timedelta64(1, "D")
+            )
+            + 1
+        )
+        rows.append(
+            {
+                "custkey": ck,
+                "n_islands": len(islands),
+                "covered_days": sum(lens),
+                "max_island_days": max(lens),
+                "span_days": span,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
