@@ -3346,6 +3346,101 @@ def replica_order_coverage(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D44 — id-sequence gap audit (global lag via one numpy sort)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_id_gap_audit")
+def replica_id_gap(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    k = np.sort(o["o_orderkey"][o["o_orderkey"] % 97 != 0].to_numpy())
+    prev, cur = k[:-1], k[1:]
+    gap = cur - prev > 1
+    return pd.DataFrame(
+        {
+            "gap_start": prev[gap] + 1,
+            "gap_end": cur[gap] - 1,
+            "n_missing": (cur - prev - 1)[gap],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D45 — declarative DQ rules
+# ---------------------------------------------------------------------------
+
+
+@replica("dq_rules_lineitem")
+def replica_dq_rules(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    n = len(li)
+    rules = {
+        "discount_in_0_0.1": int(
+            ((li["l_discount"] < 0) | (li["l_discount"] > 0.1)).sum()
+        ),
+        "tax_non_negative": int((li["l_tax"] < 0).sum()),
+        "price_positive": int((li["l_extendedprice"] <= 0).sum()),
+        "quantity_1_to_50": int(
+            ((li["l_quantity"] < 1) | (li["l_quantity"] > 50)).sum()
+        ),
+        "shipdate_not_null": int(li["l_shipdate"].isna().sum()),
+    }
+    return pd.DataFrame(
+        [
+            {
+                "rule": r,
+                "n_checked": n,
+                "n_violations": v,
+                "violation_rate": q6s(v / n),
+            }
+            for r, v in rules.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# D59 — backlog aging report
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_backlog_aging")
+def replica_backlog(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    as_of = o["o_orderdate"].max().normalize()
+    op = o[o["o_orderstatus"].isin(["O", "P"])].copy()
+    age = (
+        (as_of - op["o_orderdate"].dt.normalize()) / np.timedelta64(1, "D")
+    ).astype(int)
+
+    def bucket(a):
+        if a <= 30:
+            return "000-030"
+        if a <= 90:
+            return "031-090"
+        if a <= 180:
+            return "091-180"
+        if a <= 365:
+            return "181-365"
+        return "365+"
+
+    op["age_bucket"] = age.apply(bucket)
+    backlog = dsum(op["o_totalprice"])
+    rows = []
+    for (st, bk), sub in op.groupby(["o_orderstatus", "age_bucket"]):
+        bv = dsum(sub["o_totalprice"])
+        rows.append(
+            {
+                "status": st,
+                "age_bucket": bk,
+                "n_orders": len(sub),
+                "bucket_value": bv,
+                "value_share": q6s(bv / backlog),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
