@@ -3441,6 +3441,49 @@ def replica_backlog(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D46 — duplicate-payment pairs
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_duplicate_payment_pairs")
+def replica_dup_payments(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    rows = []
+    for (_, _), sub in o.groupby(["o_custkey", "o_totalprice"]):
+        if len(sub) < 2:
+            continue
+        recs = sub[["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]].to_dict(
+            "records"
+        )
+        for x in recs:
+            for y in recs:
+                if (
+                    x["o_orderkey"] < y["o_orderkey"]
+                    and y["o_orderdate"] >= x["o_orderdate"]
+                    and y["o_orderdate"] <= x["o_orderdate"] + pd.Timedelta(days=7)
+                ):
+                    rows.append(
+                        {
+                            "order_a": x["o_orderkey"],
+                            "order_b": y["o_orderkey"],
+                            "custkey": x["o_custkey"],
+                            "amount": x["o_totalprice"],
+                            "days_apart": int(
+                                (
+                                    y["o_orderdate"].normalize()
+                                    - x["o_orderdate"].normalize()
+                                )
+                                / np.timedelta64(1, "D")
+                            ),
+                        }
+                    )
+    return pd.DataFrame(
+        rows,
+        columns=["order_a", "order_b", "custkey", "amount", "days_apart"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
