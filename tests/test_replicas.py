@@ -3484,6 +3484,70 @@ def replica_dup_payments(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K103 — hourly uniformity chi-square (dense 24-bin spine)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_hourly_chisq")
+def replica_hourly_chisq(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    rows = []
+    for et, sub in e.groupby("event_type"):
+        o = np.bincount(sub["ts"].dt.hour.to_numpy(), minlength=24)
+        total = int(o.sum())
+        exp = total / 24.0
+        chi_q = sum(tq((c - exp) ** 2 / exp, 1e6) for c in o)
+        rows.append(
+            {
+                "event_type": et,
+                "n_events": total,
+                "chi_sq": chi_q / 1e6,
+                "dof": 23,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K104 — Markov entropy rate (transitions + Shannon entropy in python)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_markov_entropy_rate")
+def replica_markov_entropy(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    pairs: dict[tuple[str, str], int] = {}
+    for _, sub in e.groupby("user_id"):
+        t = sub["event_type"].to_list()
+        for a, b in zip(t, t[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), n in pairs.items():
+        tot[a] = tot.get(a, 0) + n
+    gt = sum(pairs.values())
+    rows = []
+    for a, t in tot.items():
+        hq = sum(
+            tq(-(n / t) * math.log(n / t), 1e9)
+            for (x, _), n in pairs.items()
+            if x == a
+        )
+        h_nats = hq / 1e9
+        rows.append(
+            {
+                "prev_type": a,
+                "n_transitions": t,
+                "branch_entropy_nats": q6s(h_nats),
+                "weight": q6s(t / gt),
+                "rate_contribution": q6s(t / gt * h_nats),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
