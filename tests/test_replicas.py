@@ -3548,6 +3548,75 @@ def replica_markov_entropy(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K4 text family — stats / token counting / quality heuristic, the
+# tokenizers re-implemented with python re instead of Spark SQL functions
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TOKEN_RE = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_STOPWORDS = {"the", "a", "of", "and", "to", "in", "is"}
+
+
+def _pywords(t):
+    return [w for w in _re.split(r"\s+", t) if w != ""]
+
+
+@replica("llm_text_stats")
+def replica_text_stats(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for lang, sub in d.groupby("lang"):
+        wc = [len(_pywords(t)) for t in sub["text"]]
+        uniq = [
+            len(set(_pywords(t))) / len(_pywords(t)) if _pywords(t) else 0.0
+            for t in sub["text"]
+        ]
+        n = len(sub)
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": n,
+                "avg_words": dsum([float(c) for c in wc]) / n,
+                "total_chars": int(sub["n_chars"].sum()),
+                "avg_uniq_ratio": dsum(uniq) / n,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@replica("llm_token_count")
+def replica_token_count(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for src, sub in d.groupby("source"):
+        total = sum(len(_TOKEN_RE.findall(t)) for t in sub["text"])
+        rows.append(
+            {"source": src, "total_tokens": total, "n_docs": len(sub)}
+        )
+    return pd.DataFrame(rows)
+
+
+@replica("llm_quality_score")
+def replica_quality_score(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for _, r in d.iterrows():
+        w = _pywords(r["text"]) if isinstance(r["text"], str) else []
+        n = len(w)
+        length = min(1.0, n / 100.0)
+        uniq = len(set(w)) / n if n else 0.0
+        stop = sum(1 for x in w if x in _STOPWORDS) / n if n else 0.0
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "quality": 0.4 * length + 0.3 * uniq + 0.3 * stop,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
