@@ -3617,6 +3617,87 @@ def replica_quality_score(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D55 — referential orphan audit (anti-joins via python set membership)
+# ---------------------------------------------------------------------------
+
+_FK_RELS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@replica("dq_referential_orphans")
+def replica_orphans(sf_dir=SF) -> pd.DataFrame:
+    tables = {}
+
+    def tbl(name):
+        if name not in tables:
+            tables[name] = pd.read_parquet(f"{sf_dir}/{name}.parquet")
+        return tables[name]
+
+    rows = []
+    for child, fk, parent, pk in _FK_RELS:
+        c, p = tbl(child), tbl(parent)
+        n = len(c)
+        for mode in ("live", "drill"):
+            keys = set(
+                p[pk] if mode == "live" else p[pk][p[pk] % 97 != 0]
+            )
+            orphan_mask = ~c[fk].isin(keys)
+            o_rows = int(orphan_mask.sum())
+            rows.append(
+                {
+                    "relationship": f"{child}.{fk}->{parent}.{pk}",
+                    "mode": mode,
+                    "child_rows": n,
+                    "orphan_rows": o_rows,
+                    "orphan_keys": int(c[fk][orphan_mask].nunique()),
+                    "orphan_rate": q6s(o_rows / n),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D68 — feed freshness audit
+# ---------------------------------------------------------------------------
+
+
+@replica("dq_freshness_audit")
+def replica_freshness(sf_dir=SF) -> pd.DataFrame:
+    feeds = [
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+        ("events", "ts"),
+    ]
+    rows = []
+    for t, col in feeds:
+        df = pd.read_parquet(f"{sf_dir}/{t}.parquet")
+        newest = df[col].max()
+        last30 = int((df[col] >= newest - pd.Timedelta(days=30)).sum())
+        rows.append(
+            {
+                "feed": f"{t}.{col}",
+                "newest": newest,
+                "total_rows": len(df),
+                "rows_last_30d": last30,
+            }
+        )
+    asof = max(r["newest"] for r in rows)
+    for r in rows:
+        r["staleness_days"] = int(
+            (asof.normalize() - r["newest"].normalize())
+            / np.timedelta64(1, "D")
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
