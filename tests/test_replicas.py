@@ -3698,6 +3698,54 @@ def replica_freshness(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K131 — binned two-sample KS per source (ECDFs + D in numpy)
+# ---------------------------------------------------------------------------
+
+_KS_BINS = 1000
+
+
+@replica("llm_quality_ks_sources")
+def replica_ks_sources(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def qscore(t):
+        w = _pywords(t) if isinstance(t, str) else []
+        n = len(w)
+        length = min(1.0, n / 100.0)
+        uniq = len(set(w)) / n if n else 0.0
+        stop = sum(1 for x in w if x in _STOPWORDS) / n if n else 0.0
+        return 0.4 * length + 0.3 * uniq + 0.3 * stop
+
+    bins = d["text"].apply(
+        lambda t: min(int(math.floor(qscore(t) * _KS_BINS)), _KS_BINS - 1)
+    )
+    counts: dict[str, np.ndarray] = {}
+    for src, b in bins.groupby(d["source"]):
+        counts[src] = np.bincount(b.to_numpy(), minlength=_KS_BINS)
+    ng = sum(int(c.sum()) for c in counts.values())
+    allbin = np.sum(list(counts.values()), axis=0)
+    cg = np.cumsum(allbin)
+    rows = []
+    for src, c in counts.items():
+        ns = int(c.sum())
+        cs = np.cumsum(c)
+        comp = ng - ns
+        gaps = q6(np.abs(cs / ns - (cg - cs) / comp))
+        ks_d = float(gaps.max())
+        d_crit = q6s(1.358 * math.sqrt(ng / (ns * comp)))
+        rows.append(
+            {
+                "source": src,
+                "n_docs": ns,
+                "ks_d": ks_d,
+                "d_crit_5pct": d_crit,
+                "shifted": int(ks_d > d_crit),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
