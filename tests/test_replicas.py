@@ -13,6 +13,16 @@ probes (hand-computed expectations) live beside the full-data checks for
 entries that don't already carry one in test_wave11/test_wave12/
 test_estimation/test_llm_quality.
 
+Coverage (r13): 92 entries — the COMPLETE D38–D114 closed-form /
+report-table class (every r6c–r13 D entry with deterministic output),
+D22-era survival/Gini/theil-sen, and the K-family statistical surface
+(CUSUM, ACF, Holt/Holt-Winters recursions run literally, seasonality,
+two-proportion z, cross-type Pearson, hourly χ², Markov entropy rate,
+binned two-sample KS, the K4 text stats with python-re tokenizers).
+Where a replica can assert an internal mathematical identity the engines
+cannot fake together (Theil decomposition additivity, Gini rank-form ==
+half-relative-MAD, growth-accounting churn ledger), it does.
+
 The QUANTIZATION DEVICE (1e-6/1e-9 scaled-long addend sums — pure
 determinism machinery, not statistics) is intentionally mirrored, so any
 disagreement is a formula divergence, not float noise. Comparison: exact
