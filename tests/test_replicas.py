@@ -3756,6 +3756,106 @@ def replica_ks_sources(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D22 — RFM quintile segmentation
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_rfm_segments")
+def replica_rfm(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    refd = o["o_orderdate"].max().normalize()
+    per = o.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"),
+        frequency=("o_orderkey", "count"),
+    )
+    per["monetary"] = o.groupby("o_custkey")["o_totalprice"].apply(dsum)
+    per["recency_days"] = (
+        (refd - per["last"].dt.normalize()) / np.timedelta64(1, "D")
+    ).astype(int)
+    rq = np.quantile(per["recency_days"], [0.2, 0.4, 0.6, 0.8])
+    fq = np.quantile(per["frequency"], [0.2, 0.4, 0.6, 0.8])
+    mq = np.quantile(per["monetary"], [0.2, 0.4, 0.6, 0.8])
+
+    def r_score(v):
+        return 5 if v <= rq[0] else 4 if v <= rq[1] else 3 if v <= rq[2] else 2 if v <= rq[3] else 1
+
+    def hi_score(v, q):
+        return 5 if v > q[3] else 4 if v > q[2] else 3 if v > q[1] else 2 if v > q[0] else 1
+
+    return pd.DataFrame(
+        {
+            "custkey": per.index,
+            "recency_days": per["recency_days"].to_numpy(),
+            "frequency": per["frequency"].to_numpy(),
+            "monetary": per["monetary"].to_numpy(),
+            "r_score": [r_score(v) for v in per["recency_days"]],
+            "f_score": [hi_score(v, fq) for v in per["frequency"]],
+            "m_score": [hi_score(v, mq) for v in per["monetary"]],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# D23 — supplier latency percentiles
+# ---------------------------------------------------------------------------
+
+
+@replica("supplier_latency_percentiles")
+def replica_latency_pct(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    days = (
+        (j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize())
+        / np.timedelta64(1, "D")
+    ).astype(int)
+    rows = []
+    for sk, v in days.groupby(j["l_suppkey"]):
+        a = v.to_numpy()
+        rows.append(
+            {
+                "suppkey": sk,
+                "n_shipments": len(a),
+                "p50_days": float(np.quantile(a, 0.5)),
+                "p90_days": float(np.quantile(a, 0.9)),
+                "max_days": int(a.max()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D31 — inter-arrival distribution per type
+# ---------------------------------------------------------------------------
+
+
+@replica("events_interarrival_dist")
+def replica_interarrival(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    )
+    gaps: dict[str, list[int]] = {}
+    for (_, et), sub in e.groupby(["user_id", "event_type"]):
+        tsu = sub["ts"].astype("int64").to_numpy()
+        if len(tsu) > 1:
+            gaps.setdefault(et, []).extend(np.diff(tsu).tolist())
+    rows = []
+    for et, g in gaps.items():
+        a = np.array(g, dtype=float)
+        rows.append(
+            {
+                "event_type": et,
+                "n_gaps": len(a),
+                "p50_s": q6s(float(np.quantile(a, 0.50)) / 1e6),
+                "p90_s": q6s(float(np.quantile(a, 0.90)) / 1e6),
+                "p99_s": q6s(float(np.quantile(a, 0.99)) / 1e6),
+                "mean_s": q6s(float(a.mean()) / 1e6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
