@@ -3856,6 +3856,299 @@ def replica_interarrival(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D18 — month-over-month growth
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_monthly_growth")
+def replica_monthly_growth(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    m = (
+        o.groupby(o["o_orderdate"].dt.to_period("M").dt.to_timestamp())[
+            "o_totalprice"
+        ]
+        .apply(dsum)
+        .sort_index()
+    )
+    rows = []
+    prev = None
+    for mo, rev in m.items():
+        rows.append(
+            {
+                "month": mo,
+                "revenue": rev,
+                "prev_revenue": prev,
+                "mom_growth": (rev - prev) / prev if prev else np.nan,
+            }
+        )
+        prev = rev
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D19 — market-basket brand lift
+# ---------------------------------------------------------------------------
+
+
+@replica("basket_brand_lift")
+def replica_basket_lift(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet")
+    ob = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ]
+        .drop_duplicates()
+    )
+    n_orders = ob["l_orderkey"].nunique()
+    nb = ob.groupby("p_brand").size()
+    pair_counts: dict[tuple[str, str], int] = {}
+    for _, sub in ob.groupby("l_orderkey"):
+        brands = sorted(sub["p_brand"])
+        for i, a in enumerate(brands):
+            for b in brands[i + 1 :]:
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    rows = []
+    for (a, b), n_ab in pair_counts.items():
+        if n_ab < 5:
+            continue
+        rows.append(
+            {
+                "brand_a": a,
+                "brand_b": b,
+                "n_ab": n_ab,
+                "lift": n_ab * n_orders / (int(nb[a]) * int(nb[b])),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D20 — interval concurrency sweep line
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_concurrency_curve")
+def replica_concurrency(sf_dir=SF) -> pd.DataFrame:
+    start, end = _order_intervals(sf_dir)  # normalized dates
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    close = li.groupby("l_orderkey")["l_shipdate"].max()
+    j = o.merge(close.rename("close_ts"), left_on="o_orderkey", right_index=True)
+    deltas: dict[pd.Timestamp, int] = {}
+    for op, cl in zip(j["o_orderdate"], j["close_ts"]):
+        deltas[op] = deltas.get(op, 0) + 1
+        deltas[cl] = deltas.get(cl, 0) - 1
+    rows, run = [], 0
+    for ts in sorted(deltas):
+        run += deltas[ts]
+        rows.append({"ts": ts, "active_orders": run})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D24/D29/D30 — the privacy trio (k-anonymity, l-diversity, t-closeness)
+# ---------------------------------------------------------------------------
+
+
+def _balance_band(v):
+    return 0 if v < 0 else 1 if v < 3000 else 2 if v < 7000 else 3
+
+
+@replica("privacy_k_anonymity")
+def replica_k_anonymity(sf_dir=SF) -> pd.DataFrame:
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    g = c.groupby(["c_nationkey", "c_mktsegment"]).size().reset_index(name="group_size")
+    g["violates_k"] = g["group_size"] < 5
+    return g
+
+
+@replica("privacy_l_diversity")
+def replica_l_diversity(sf_dir=SF) -> pd.DataFrame:
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    band_name = c["c_acctbal"].apply(
+        lambda v: "negative" if v < 0 else "low" if v < 3000 else "mid" if v < 7000 else "high"
+    )
+    g = (
+        pd.DataFrame(
+            {
+                "c_nationkey": c["c_nationkey"],
+                "c_mktsegment": c["c_mktsegment"],
+                "band": band_name,
+            }
+        )
+        .groupby(["c_nationkey", "c_mktsegment"])["band"]
+        .agg(group_size="count", distinct_sensitive="nunique")
+        .reset_index()
+    )
+    g["violates_l"] = g["distinct_sensitive"] < 3
+    return g
+
+
+@replica("privacy_t_closeness")
+def replica_t_closeness(sf_dir=SF) -> pd.DataFrame:
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    band = c["c_acctbal"].apply(_balance_band)
+    gn = len(c)
+    gcum = [
+        int((band <= k).sum()) / gn for k in (0, 1, 2)
+    ]
+    rows = []
+    for (nk, seg), b in band.groupby(
+        [c["c_nationkey"], c["c_mktsegment"]]
+    ):
+        n = len(b)
+        e = (
+            sum(
+                abs(int((b <= k).sum()) / n - gcum[i])
+                for i, k in enumerate((0, 1, 2))
+            )
+            / 3.0
+        )
+        rows.append(
+            {
+                "c_nationkey": nk,
+                "c_mktsegment": seg,
+                "group_size": n,
+                "emd": q6s(e),
+                "violates_t": e > 0.2,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D25 — cohort LTV curve
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_ltv_curve")
+def replica_ltv(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    ym = (o["o_orderdate"].dt.year * 12 + o["o_orderdate"].dt.month).astype(int)
+    df = pd.DataFrame(
+        {"ck": o["o_custkey"], "ym": ym, "price": o["o_totalprice"]}
+    )
+    cohort = df.groupby("ck")["ym"].min()
+    df["cohort"] = df["ck"].map(cohort)
+    max_ym = int(df["ym"].max())
+    sizes = cohort.value_counts()
+    rev = (
+        df.assign(off=df["ym"] - df["cohort"])
+        .groupby(["cohort", "off"])["price"]
+        .apply(dsum)
+    )
+    rows = []
+    for co, size in sizes.items():
+        cum_q6 = 0
+        for off in range(0, max_ym - int(co) + 1):
+            cum_q6 += tq(float(rev.get((co, off), 0.0)), 1e6)
+            rows.append(
+                {
+                    "cohort_ym": int(co),
+                    "month_offset": off,
+                    "cohort_size": int(size),
+                    "cum_revenue": cum_q6 / 1e6,
+                    "ltv_per_customer": q6s(cum_q6 / size / 1e6),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D26 — weighted median
+# ---------------------------------------------------------------------------
+
+
+@replica("agg_weighted_median")
+def replica_weighted_median(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    rows = []
+    for rf, sub in li.groupby("l_returnflag"):
+        sub = sub.sort_values(["l_extendedprice", "l_quantity"])
+        wt = sub["l_quantity"].to_numpy()
+        v = sub["l_extendedprice"].to_numpy()
+        total = wt.sum()
+        cw = np.cumsum(wt)
+        idx = np.nonzero(cw >= total / 2.0)[0][0]
+        rows.append(
+            {
+                "l_returnflag": rf,
+                "total_weight": float(total),
+                "weighted_median": float(v[idx:].min()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D34 — priority-mix JSD drift
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_priority_mix_jsd")
+def replica_jsd(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    mo = o["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    mc = o.groupby([mo, "o_orderpriority"]).size()
+    nm = o.groupby(mo).size()
+    g = o.groupby("o_orderpriority").size()
+    ng = len(o)
+    rows = []
+    for m in nm.index:
+        tq_sum = 0
+        for pri in g.index:
+            cc = int(mc.get((m, pri), 0))
+            pp = cc / nm[m]
+            qq = g[pri] / ng
+            if cc > 0:
+                tq_sum += tq(0.5 * pp * math.log(2.0 * pp / (pp + qq)), 1e9)
+            if g[pri] > 0:
+                tq_sum += tq(0.5 * qq * math.log(2.0 * qq / (pp + qq)), 1e9)
+        rows.append(
+            {
+                "month": m,
+                "n_orders": int(nm[m]),
+                "jsd_nats": q6s(tq_sum / 1e9),
+                "jsd_bits": q6s(tq_sum / 1e9 / math.log(2.0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D36 — net revenue retention by cohort
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_nrr_cohort")
+def replica_nrr(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    yr = o["o_orderdate"].dt.year.astype(int)
+    cohort = yr.groupby(o["o_custkey"]).transform("min")
+    rev = (
+        pd.DataFrame({"cohort": cohort, "yr": yr, "p": o["o_totalprice"]})
+        .groupby(["cohort", "yr"])["p"]
+        .apply(dsum)
+    )
+    rows = []
+    for co in sorted({c for c, _ in rev.index}):
+        prev = None
+        for y in sorted(y for c, y in rev.index if c == co):
+            r = rev[(co, y)]
+            rows.append(
+                {
+                    "cohort": co,
+                    "yr": y,
+                    "revenue": r,
+                    "nrr": q6s(r / prev) if prev else np.nan,
+                }
+            )
+            prev = r
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
