@@ -4149,6 +4149,110 @@ def replica_nrr(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D32 — session entry→exit matrix (30-min gap sessionization in python)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_entry_exit_matrix")
+def replica_entry_exit(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    gap = pd.Timedelta(minutes=30)
+    cells: dict[tuple[str, str], list[int]] = {}
+    for _, sub in e.groupby("user_id"):
+        ts = sub["ts"].to_list()
+        types = sub["event_type"].to_list()
+        sess: list[list[str]] = []
+        for i in range(len(ts)):
+            if i == 0 or ts[i] - ts[i - 1] > gap:
+                sess.append([])
+            sess[-1].append(types[i])
+        for s in sess:
+            cells.setdefault((s[0], s[-1]), []).append(len(s))
+    return pd.DataFrame(
+        [
+            {
+                "entry_type": k[0],
+                "exit_type": k[1],
+                "n_sessions": len(v),
+                "n_events": sum(v),
+                "avg_session_len": q6s(sum(v) / len(v)),
+            }
+            for k, v in cells.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# D33 — JSON payload band analytics (json parsed by python's json module)
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+
+@replica("events_props_value_bands")
+def replica_props_bands(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def getk(p):
+        try:
+            v = _json.loads(p).get("k")
+            return int(v) if v is not None else None
+        except Exception:
+            return None
+
+    e = e.assign(k=e["props"].apply(getk))
+    e = e[e["k"].notna()]
+    e["k"] = e["k"].astype(int)
+    e["k_band"] = e["k"] // 10
+    rows = []
+    for (et, kb), sub in e.groupby(["event_type", "k_band"]):
+        rows.append(
+            {
+                "event_type": et,
+                "k_band": kb,
+                "n_events": len(sub),
+                "min_k": int(sub["k"].min()),
+                "max_k": int(sub["k"].max()),
+                "avg_value": dsum(sub["value"]) / len(sub),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D37 — daily max inter-event gap per type
+# ---------------------------------------------------------------------------
+
+
+@replica("events_daily_max_gap")
+def replica_daily_max_gap(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    rows = []
+    for et, sub in e.groupby("event_type"):
+        tsu = sub["ts"].astype("int64").to_numpy()
+        days = sub["ts"].dt.normalize().to_numpy()
+        gaps = np.diff(tsu)
+        gday = days[1:]
+        df = pd.DataFrame({"day": gday, "gap": gaps})
+        for day, s in df.groupby("day"):
+            mx = int(s["gap"].max())
+            rows.append(
+                {
+                    "event_type": et,
+                    "day": day,
+                    "n_events": len(s),
+                    "max_gap_us": mx,
+                    "outage_flag": int(mx > 3600000000),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
