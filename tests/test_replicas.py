@@ -4253,6 +4253,61 @@ def replica_daily_max_gap(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D35 — STL-lite daily decomposition (centered MA + dow means in numpy)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_stl_daily_decompose")
+def replica_stl(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupby(["event_type", e["ts"].dt.normalize()])
+        .size()
+        .reset_index(name="c")
+        .sort_values(["event_type", "ts"])
+    )
+    rows = []
+    for et, sub in daily.groupby("event_type"):
+        c = sub["c"].to_list()
+        days = sub["ts"].to_list()
+        n = len(c)
+        t_int = [None] * n
+        for i in range(n):
+            if 3 <= i <= n - 4:
+                t_int[i] = int(math.trunc(sum(c[i - 3 : i + 4]) / 7.0 * 1e6 + 0.5))
+        dq = [
+            c[i] * 1_000_000 - t_int[i] if t_int[i] is not None else None
+            for i in range(n)
+        ]
+        # day-of-week seasonal means over the detrended integers
+        by_dow: dict[int, list[int]] = {}
+        for i in range(n):
+            if dq[i] is not None:
+                by_dow.setdefault(days[i].weekday(), []).append(dq[i])
+        s_int = {
+            d: int(sum(v) / len(v) + 0.5) if sum(v) >= 0
+            else int(sum(v) / len(v) + 0.5)  # trunc toward zero either way
+            for d, v in by_dow.items()
+        }
+        for i in range(n):
+            dow = days[i].weekday()
+            s = s_int.get(dow)
+            rows.append(
+                {
+                    "event_type": et,
+                    "day": days[i],
+                    "c": c[i],
+                    "trend": t_int[i] / 1e6 if t_int[i] is not None else np.nan,
+                    "seasonal": s / 1e6 if s is not None else np.nan,
+                    "resid": (dq[i] - s) / 1e6
+                    if (dq[i] is not None and s is not None)
+                    else np.nan,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
