@@ -688,3 +688,334 @@ def part_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cpk"),
         _q6(F.col("oos").cast("double") / n).alias("oos_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D115 — Kaplan-Meier with Greenwood variance band
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_km_greenwood",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate) AS rn
+        FROM orders
+    ), per AS (
+        SELECT o_custkey,
+               MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+               MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS t2
+        FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ), horizon AS (
+        SELECT MAX(o_orderdate) AS hi FROM orders
+    ), subjects AS (
+        SELECT CASE WHEN t2 IS NOT NULL
+                    THEN CAST(date_diff('day', CAST(t1 AS DATE),
+                                        CAST(t2 AS DATE)) AS BIGINT)
+                    ELSE CAST(date_diff('day', CAST(t1 AS DATE),
+                                        CAST(hi AS DATE)) AS BIGINT)
+               END AS dur,
+               CAST(t2 IS NOT NULL AS INT) AS event
+        FROM per, horizon
+    ), by_dur AS (
+        SELECT dur,
+               CAST(SUM(event) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_leaving
+        FROM subjects GROUP BY dur
+    ), risk AS (
+        SELECT dur, n_events,
+               CAST((SELECT COUNT(*) FROM subjects s
+                     WHERE s.dur >= by_dur.dur) AS BIGINT) AS n_risk
+        FROM by_dur
+    ), terms AS (
+        SELECT dur, n_events, n_risk,
+               SUM(CASE WHEN n_events = n_risk THEN 0
+                   ELSE CAST(trunc(
+                        ln(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                        * 1000000000 + 0.5) AS BIGINT) END)
+                   OVER (ORDER BY dur) AS lnsum_q9,
+               SUM(CASE WHEN n_events = n_risk THEN 0
+                   ELSE CAST(trunc(
+                        CAST(n_events AS DOUBLE)
+                        / (CAST(n_risk AS DOUBLE) * (n_risk - n_events))
+                        * 1000000000 + 0.5) AS BIGINT) END)
+                   OVER (ORDER BY dur) AS gw_q9,
+               MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur) AS hit_zero
+        FROM risk WHERE n_events > 0
+    ), surv AS (
+        SELECT dur, n_risk, n_events,
+               CASE WHEN hit_zero = 1 THEN 0.0
+                    ELSE exp(CAST(lnsum_q9 AS DOUBLE) / 1000000000.0)
+               END AS s_raw,
+               CAST(gw_q9 AS DOUBLE) / 1000000000.0 AS gw,
+               hit_zero
+        FROM terms
+    )
+    SELECT dur AS duration_days, n_risk, n_events,
+           CAST(trunc(s_raw * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS survival,
+           CASE WHEN hit_zero = 0 THEN
+               CAST(trunc(s_raw * sqrt(gw) * 1000000 + 0.5) AS BIGINT)
+                   / 1000000.0 END AS greenwood_se,
+           CASE WHEN hit_zero = 0 THEN
+               CAST(trunc(greatest(s_raw - 1.96 * s_raw * sqrt(gw), 0.0)
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0 END AS ci_lo,
+           CASE WHEN hit_zero = 0 THEN
+               CAST(trunc(least(s_raw + 1.96 * s_raw * sqrt(gw), 1.0)
+                    * 1000000 + 0.5) AS BIGINT) / 1000000.0 END AS ci_hi
+    FROM surv
+    """,
+    ref="SURVEY §2 D115 [EXT] (Greenwood's formula (Greenwood 1926): "
+    "Var(S(t)) = S(t)^2 * SUM d_i/(n_i(n_i - d_i)) over event times — "
+    "the variance band the D27 Kaplan-Meier POINT estimate ships "
+    "without; the plain 95%% band clipped to [0,1], SE and CI NULL "
+    "past an absorbing S=0 step (the d=n term divides by zero — the "
+    "estimator's own domain edge); same subjects/censoring machinery "
+    "and window bounds as D27/D102)",
+)
+def orders_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-repeat-purchase curve WITH its Greenwood
+    95% confidence band: survival from the D27 log-space product,
+    variance from the cumulative d/(n(n-d)) sum (1e-9-quantized
+    addends, exact accumulation), se = S*sqrt(gw), band clipped to the
+    probability domain. One row per event time.
+
+    Scale shape: identical to D27 — one customer agg, calendar-bounded
+    duration tallies, the allowlisted descending/ascending cumulative
+    windows over <= |distinct durations| rows. The Greenwood sum rides
+    the SAME ascending window as the survival product."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    ranked = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    per = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("hi"))
+    subjects = per.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.to_date("t2"), F.to_date("t1")),
+        )
+        .otherwise(F.datediff(F.to_date("hi"), F.to_date("t1")))
+        .cast("bigint")
+        .alias("dur"),
+        F.col("t2").isNotNull().cast("int").alias("event"),
+    )
+    by_dur = subjects.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+    )
+    dw = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_dur.withColumn(
+        "n_risk", F.sum("n_leaving").over(dw).cast("bigint")
+    )
+    d = F.col("n_events").cast("double")
+    nr = F.col("n_risk").cast("double")
+    absorbing = F.col("n_events") == F.col("n_risk")
+    ln_q9 = F.when(absorbing, F.lit(0).cast("bigint")).otherwise(
+        (F.log(1.0 - d / nr) * 1000000000 + 0.5).cast("bigint")
+    )
+    gw_q9 = F.when(absorbing, F.lit(0).cast("bigint")).otherwise(
+        (d / (nr * (nr - d)) * 1000000000 + 0.5).cast("bigint")
+    )
+    zero = F.when(absorbing, 1).otherwise(0)
+    kw = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    terms = (
+        risk.where(F.col("n_events") > 0)
+        .withColumn("lnsum_q9", F.sum(ln_q9).over(kw))
+        .withColumn("gw_q9", F.sum(gw_q9).over(kw))
+        .withColumn("hit_zero", F.max(zero).over(kw))
+    )
+    s_raw = F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("lnsum_q9").cast("double") / 1000000000.0)
+    )
+    gw = F.col("gw_q9").cast("double") / 1000000000.0
+    se_raw = s_raw * F.sqrt(gw)
+    ok = F.col("hit_zero") == 0
+    return terms.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        _q6(s_raw).alias("survival"),
+        F.when(ok, _q6(se_raw)).alias("greenwood_se"),
+        F.when(ok, _q6(F.greatest(s_raw - 1.96 * se_raw, F.lit(0.0)))).alias(
+            "ci_lo"
+        ),
+        F.when(ok, _q6(F.least(s_raw + 1.96 * se_raw, F.lit(1.0)))).alias(
+            "ci_hi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D116 — Jonckheere-Terpstra ordered k-sample trend test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_jonckheere_terpstra",
+    oracle="""
+    WITH vg AS (
+        SELECT o_totalprice AS x, o_orderpriority AS g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY x, g
+    ), nj AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_j FROM vg GROUP BY g
+    ), tot AS (
+        SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j * n_j) AS BIGINT) AS sn2,
+               CAST(SUM(n_j * n_j * (2 * n_j + 3)) AS BIGINT) AS sn23
+        FROM nj
+    ), u AS (
+        -- J = SUM over ordered group pairs a<b of #{x_a < x_b} + half-ties
+        SELECT CAST(SUM(CASE WHEN a.x < b.x THEN a.c * b.c ELSE 0 END)
+                    AS DOUBLE)
+               + 0.5 * SUM(CASE WHEN a.x = b.x THEN a.c * b.c ELSE 0 END)
+                   AS j_stat
+        FROM vg a JOIN vg b ON a.g < b.g
+    )
+    SELECT tot.n, tot.k,
+           u.j_stat,
+           (CAST(tot.n AS DOUBLE) * tot.n - tot.sn2) / 4.0 AS mean_j,
+           CAST(trunc(
+               (u.j_stat - (CAST(tot.n AS DOUBLE) * tot.n - tot.sn2) / 4.0)
+               / NULLIF(sqrt(
+                   (CAST(tot.n AS DOUBLE) * tot.n * (2.0 * tot.n + 3.0)
+                    - tot.sn23) / 72.0), 0)
+               * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS z_stat
+    FROM u CROSS JOIN tot
+    """,
+    ref="SURVEY §2 D116 [EXT] (Jonckheere-Terpstra ordered-alternative "
+    "test (Terpstra 1952; Jonckheere 1954): J = Σ_{a<b} U_ab over the "
+    "ORDERED priority ladder, ties counted half; against the ordered "
+    "alternative the JT test dominates D101's Kruskal-Wallis (which "
+    "spends power on ALL permutations of the groups) — completes the "
+    "k-sample quartet: D101 any-location, D104 dispersion, D106 "
+    "parametric means, D116 MONOTONE trend in the group order; null "
+    "moments E[J] = (N²−Σn_j²)/4 and the untied Var (ties are a "
+    "vanishing share of cent-granular money pairs, and BOTH engines + "
+    "the replica spell the identical statistic))",
+)
+def orders_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is order value MONOTONE in the priority order ('1-URGENT' < … <
+    '5-LOW')? J = Σ over ordered group pairs of between-pair
+    Mann-Whitney counts (half-credit ties), with the exact null mean
+    and the normal z. One row.
+
+    Scale shape — ONE ranged pass carrying k running counters (the sf1
+    probe measured the oracle's collapsed pair join at 173 s — a
+    |distinct values|² stage, the exact scale-killer class; this form
+    replaced it at 10.0 s with identical J — 17x, same statistic): the corpus collapses to one
+    row per distinct value with k per-group counts (the D79/D101
+    value-collapse device, pivoted over the ≤25-row group domain
+    collected once at build — a bounded action); a range-partitioned
+    local window + #partitions-row boundary stitch gives every group's
+    running count at every value (the ranged_cumsum decomposition, k
+    columns in one shuffle); then each row contributes
+    Σ_{a<b} c_b·(cum_a − c_a) + ½·c_b·c_a — all exact integers in
+    decimal(38,0), J assembled from the two integer sums. Only the
+    final z divides. The oracle keeps the pair-join spelling (clear,
+    and fine at oracle scale) — both compute the identical statistic."""
+    o = load(spark, sf_dir, "orders")
+    from ksql_spark.operators.scale import pin
+
+    vg = o.groupBy(
+        F.col("o_totalprice").alias("x"),
+        F.col("o_orderpriority").alias("g"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # bounded group-domain collect (≤ |priorities| rows) — the loop and
+    # pivot need the ordered label list; class (a/d) build-time action
+    groups = sorted(
+        r["g"] for r in o.select(F.col("o_orderpriority").alias("g")).distinct().collect()
+    )
+    piv = (
+        vg.groupBy("x").pivot("g", groups).sum("c").na.fill(0)
+    )
+    nparts = max(4, spark.sparkContext.defaultParallelism // 4)
+    parts = pin(
+        piv.repartitionByRange(nparts, "x").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = parts.select(
+        "*",
+        *[
+            F.sum(F.col(g)).over(w_local).alias(f"_loc_{i}")
+            for i, g in enumerate(groups)
+        ],
+    )
+    ptot = parts.groupBy("_pid").agg(
+        *[
+            F.sum(F.col(groups[i])).alias(f"_tot_{i}")
+            for i in range(len(groups))
+        ]
+    )
+    w_prev = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )  # #partitions-row table — bounded
+    offs = ptot.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(F.col(f"_tot_{i}")).over(w_prev), F.lit(0))
+            .alias(f"_off_{i}")
+            for i in range(len(groups))
+        ],
+    )
+    cum = with_local.join(F.broadcast(offs), "_pid")
+    # per-row JT contribution: groups BELOW b contribute their strict-less
+    # running count plus half their at-value count
+    p_terms, t_terms = [], []
+    for bi in range(1, len(groups)):
+        cb = F.col(groups[bi]).cast("decimal(38,0)")
+        for ai in range(bi):
+            ca = F.col(groups[ai]).cast("decimal(38,0)")
+            cum_a = (F.col(f"_loc_{ai}") + F.col(f"_off_{ai}")).cast(
+                "decimal(38,0)"
+            )
+            p_terms.append(cb * (cum_a - ca))
+            t_terms.append(cb * ca)
+    p_expr = p_terms[0]
+    for t in p_terms[1:]:
+        p_expr = p_expr + t
+    t_expr = t_terms[0]
+    for t in t_terms[1:]:
+        t_expr = t_expr + t
+    u = cum.agg(
+        F.sum(p_expr).cast("double").alias("p_int"),
+        F.sum(t_expr).cast("double").alias("t_int"),
+    ).select((F.col("p_int") + 0.5 * F.col("t_int")).alias("j_stat"))
+    nj = vg.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_j"))
+    n_j = F.col("n_j")
+    tot = nj.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(n_j * n_j).cast("bigint").alias("sn2"),
+        F.sum(n_j * n_j * (2 * n_j + 3)).cast("bigint").alias("sn23"),
+    )
+    n = F.col("n").cast("double")
+    mean_j = (n * n - F.col("sn2")) / 4.0
+    var_j = (n * n * (2.0 * n + 3.0) - F.col("sn23")) / 72.0
+    return u.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k",
+        "j_stat",
+        mean_j.alias("mean_j"),
+        _q6(
+            (F.col("j_stat") - mean_j)
+            / F.nullif(F.sqrt(var_j), F.lit(0.0))
+        ).alias("z_stat"),
+    )

@@ -2611,9 +2611,10 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     "llm_vocab_growth", "orders_cointegration_screen",
     "orders_erlang_staffing", "orders_littles_law_audit",
     "orders_panel_within_ols", "part_safety_stock",
-    # (d) r13 wave lazy pins (daily / interval / per-customer tables)
+    # (d) r13 wave lazy pins (daily / interval / per-customer /
+    #     value-collapse tables)
     "orders_kendall_tau_daily", "orders_allen_cunneen_wait",
-    "customer_theil_decomposition",
+    "customer_theil_decomposition", "orders_jonckheere_terpstra",
     # (d) 1-row scalar-subquery pins (bounded broadcast aggregates whose
     #     upstream exchange AQE materializes at plan time)
     "tpch_q2_official_shape", "tpch_q11_important_stock",

@@ -4308,6 +4308,101 @@ def replica_stl(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D115 — KM + Greenwood band (direct product + direct variance sum)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_km_greenwood")
+def replica_km_greenwood(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    d = o["o_orderdate"].dt.normalize()
+    hi = d.max()
+    durs, events = [], []
+    for _, dates in d.groupby(o["o_custkey"]):
+        ds = dates.sort_values().to_numpy()
+        if len(ds) >= 2:
+            durs.append(int((ds[1] - ds[0]) / np.timedelta64(1, "D")))
+            events.append(1)
+        else:
+            durs.append(int((np.datetime64(hi) - ds[0]) / np.timedelta64(1, "D")))
+            events.append(0)
+    subj = pd.DataFrame({"dur": durs, "ev": events})
+    by = (
+        subj.groupby("dur")
+        .agg(n_events=("ev", "sum"), n_leaving=("ev", "count"))
+        .sort_index()
+    )
+    n_risk = by["n_leaving"][::-1].cumsum()[::-1]
+    rows, s, gw_q9, dead = [], 1.0, 0, False
+    for dur in by.index:
+        d_i, nr = int(by.loc[dur, "n_events"]), int(n_risk.loc[dur])
+        if d_i <= 0:
+            continue
+        if d_i == nr:
+            dead = True
+        if not dead:
+            s *= 1.0 - d_i / nr
+            gw_q9 += tq(d_i / (nr * (nr - d_i)), 1e9)
+        row = {
+            "duration_days": int(dur),
+            "n_risk": nr,
+            "n_events": d_i,
+            "survival": q6s(s) if not dead else 0.0,
+        }
+        if dead:
+            row.update(
+                {"greenwood_se": np.nan, "ci_lo": np.nan, "ci_hi": np.nan}
+            )
+        else:
+            se = s * math.sqrt(gw_q9 / 1e9)
+            row.update(
+                {
+                    "greenwood_se": q6s(se),
+                    "ci_lo": q6s(max(s - 1.96 * se, 0.0)),
+                    "ci_hi": q6s(min(s + 1.96 * se, 1.0)),
+                }
+            )
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# D116 — Jonckheere-Terpstra (the pairwise counts via a numpy double loop)
+# ---------------------------------------------------------------------------
+
+
+@replica("orders_jonckheere_terpstra")
+def replica_jonckheere(sf_dir=SF) -> pd.DataFrame:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    groups = sorted(o["o_orderpriority"].unique())
+    vals = {g: np.sort(o["o_totalprice"][o["o_orderpriority"] == g].to_numpy())
+            for g in groups}
+    j_stat = 0.0
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            xa, xb = vals[a], vals[b]
+            # counts via searchsorted: #(xa < y) and half #(xa == y)
+            lo = np.searchsorted(xa, xb, side="left")
+            hi = np.searchsorted(xa, xb, side="right")
+            j_stat += float(lo.sum()) + 0.5 * float((hi - lo).sum())
+    n = len(o)
+    n_j = np.array([len(v) for v in vals.values()], dtype=float)
+    sn2 = float((n_j * n_j).sum())
+    sn23 = float((n_j * n_j * (2 * n_j + 3)).sum())
+    mean_j = (n * n - sn2) / 4.0
+    var_j = (n * n * (2.0 * n + 3.0) - sn23) / 72.0
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "k": [len(groups)],
+            "j_stat": [j_stat],
+            "mean_j": [mean_j],
+            "z_stat": [q6s((j_stat - mean_j) / math.sqrt(var_j))],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 

@@ -218,6 +218,71 @@ def test_theil_between_only_hand_computed(spark, tmp_path):
 
 # ---- D114 Cp/Cpk ----
 
+# ---- D115 Greenwood ----
+
+def test_km_greenwood_hand_computed(spark, tmp_path):
+    # c1, c2 repeat after 2 days; c3 censored at the horizon (day 2):
+    # one event time dur=2 with n=3, d=2 -> S = 1/3,
+    # gw = 2/(3*(3-2)) = 0.666667, se = (1/3)*sqrt(0.666667) = 0.272166,
+    # ci = [max(1/3 - 1.96*se, 0), min(1/3 + 1.96*se, 1)]
+    #    = [0, 0.866778]  (1.96*0.272166 = 0.533445, by hand)
+    rows = [
+        (1, 1, "O", 10.0, _d(0), "A"), (2, 1, "O", 10.0, _d(2), "A"),
+        (3, 2, "O", 10.0, _d(0), "A"), (4, 2, "O", 10.0, _d(2), "A"),
+        (5, 3, "O", 10.0, _d(0), "A"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    out = SPECS["orders_km_greenwood"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["duration_days"] == 2 and r["n_risk"] == 3 and r["n_events"] == 2
+    assert abs(r["survival"] - 0.333333) < 2e-6
+    assert abs(r["greenwood_se"] - 0.272166) < 2e-6
+    assert abs(r["ci_lo"]) < 1e-9
+    assert abs(r["ci_hi"] - 0.866778) < 3e-6
+
+
+# ---- D116 Jonckheere-Terpstra ----
+
+def test_jonckheere_hand_computed(spark, tmp_path):
+    # A = {1, 2}, B = {3, 4}: every cross pair increases -> J = 4;
+    # E[J] = (16 - 8)/4 = 2; Var = (16*11 - 2*16*7/ ... spelled:
+    # sn23 = 2 * 4 * 7 = 56 -> Var = (176 - 56)/72 = 1.666667;
+    # z = (4 - 2)/sqrt(1.666667) = 1.549193 (by hand).
+    rows = [
+        (1, 1, "O", 1.0, _d(0), "A"), (2, 1, "O", 2.0, _d(0), "A"),
+        (3, 1, "O", 3.0, _d(0), "B"), (4, 1, "O", 4.0, _d(0), "B"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["orders_jonckheere_terpstra"].builder(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 4 and r["k"] == 2
+    assert abs(r["j_stat"] - 4.0) < 1e-9
+    assert abs(r["mean_j"] - 2.0) < 1e-9
+    assert abs(r["z_stat"] - 1.549193) < 2e-6
+
+
+def test_jonckheere_reversed_order_negative(spark, tmp_path):
+    # values DECREASE along the group order -> J = 0, z symmetric negative
+    rows = [
+        (1, 1, "O", 3.0, _d(0), "A"), (2, 1, "O", 4.0, _d(0), "A"),
+        (3, 1, "O", 1.0, _d(0), "B"), (4, 1, "O", 2.0, _d(0), "B"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["orders_jonckheere_terpstra"].builder(spark, str(tmp_path)).collect()[0]
+    assert abs(r["j_stat"]) < 1e-9
+    assert abs(r["z_stat"] + 1.549193) < 2e-6
+
+
+def test_jonckheere_half_tie_credit(spark, tmp_path):
+    # A = {1}, B = {1}: the single cross pair is a tie -> J = 0.5 exactly
+    rows = [
+        (1, 1, "O", 1.0, _d(0), "A"), (2, 1, "O", 1.0, _d(0), "B"),
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = SPECS["orders_jonckheere_terpstra"].builder(spark, str(tmp_path)).collect()[0]
+    assert abs(r["j_stat"] - 0.5) < 1e-9
+
+
 def test_capability_hand_computed(spark, tmp_path):
     # Brand BA: quantities (23, 25, 27) -> mu = 25, s^2 = (4+0+4)/2 = 4,
     # sd = 2; Cp = 49/12 = 4.083333; Cpk = min(25, 24)/6 = 4.0; oos 0.
