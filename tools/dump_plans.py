@@ -134,6 +134,12 @@ SHOWCASE = {
     "events_dau_mau_hll": "ONE events scan into per-day HLL sketches "
     "(pinned); 28x day-keyed contribution explode of the |days|-row "
     "sketch table; union-merge agg; no bitmap grid, no id-domain bound",
+    "orders_jonckheere_terpstra": "ONE ranged pass carrying k running "
+    "group counters (pivot over the bounded group domain, _pid windows "
+    "+ boundary stitch) — replaced the 173 s collapsed pair join; "
+    "per-row exact-integer JT contributions in decimal",
+    "orders_km_greenwood": "the D27 subjects machinery; survival product "
+    "AND Greenwood variance sum ride the SAME ascending bounded window",
 }
 
 
