@@ -4403,6 +4403,82 @@ def replica_jonckheere(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E3/E4 — per-user EWMA (the half-life recursion run literally per row)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_ewma_smooth")
+def replica_ewma(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    rows = []
+    for u, sub in e.groupby("user_id"):
+        s, n = None, 0
+        for _, r in sub.iterrows():
+            v = r["value"]
+            if not pd.isna(v):
+                s = v if s is None else s / 2.0 + v
+                n += 1
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_id": r["event_id"],
+                    "decay_sum": s if s is not None else np.nan,
+                    "ewma": s / (2.0 - 2.0 ** (1 - n))
+                    if s is not None
+                    else np.nan,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K — rolling 7-day WAU (exact distinct via python sets)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_rolling_wau")
+def replica_rolling_wau(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = e["ts"].dt.normalize()
+    by_day = {d: set(u) for d, u in e["user_id"].groupby(day)}
+    rows = []
+    for d in sorted(by_day):
+        active = set()
+        for k in range(7):
+            active |= by_day.get(d - pd.Timedelta(days=k), set())
+        rows.append({"day": d, "wau": len(active)})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K59 — Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+@replica("events_markov_transitions")
+def replica_markov_transitions(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    pairs: dict[tuple[str, str], int] = {}
+    for _, sub in e.groupby("user_id"):
+        t = sub["event_type"].to_list()
+        for a, b in zip(t, t[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), n in pairs.items():
+        tot[a] = tot.get(a, 0) + n
+    return pd.DataFrame(
+        [
+            {"prev_type": a, "next_type": b, "n": n, "p": n / tot[a]}
+            for (a, b), n in pairs.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
