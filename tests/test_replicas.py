@@ -4479,6 +4479,64 @@ def replica_markov_transitions(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# E/K — longest consecutive-day streak (islands walked per user)
+# ---------------------------------------------------------------------------
+
+
+@replica("events_longest_streak")
+def replica_longest_streak(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = e["ts"].dt.normalize()
+    rows = []
+    for u, d in day.groupby(e["user_id"]):
+        ds = sorted(set(d))
+        best_len, best_start = 0, None
+        cur_len, cur_start = 0, None
+        prev = None
+        for x in ds:
+            if prev is not None and (x - prev) == pd.Timedelta(days=1):
+                cur_len += 1
+            else:
+                cur_len, cur_start = 1, x
+            if cur_len > best_len:
+                best_len, best_start = cur_len, cur_start
+            prev = x
+        rows.append(
+            {
+                "user_id": u,
+                "longest_streak": best_len,
+                "streak_start": best_start,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# K80 — retention cohort triangle
+# ---------------------------------------------------------------------------
+
+
+@replica("events_retention_cohorts")
+def replica_retention_cohorts(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ue = pd.DataFrame(
+        {"u": e["user_id"], "day": e["ts"].dt.normalize().dt.date}
+    ).drop_duplicates()
+    cohort = ue.groupby("u")["day"].min()
+    sizes = cohort.value_counts()
+    ue["cohort"] = ue["u"].map(cohort)
+    ue["off"] = ue.apply(lambda r: (r["day"] - r["cohort"]).days, axis=1)
+    out = (
+        ue.drop_duplicates(["cohort", "off", "u"])
+        .groupby(["cohort", "off"])
+        .size()
+        .reset_index(name="active_users")
+    )
+    out["cohort_size"] = out["cohort"].map(sizes)
+    return out.rename(columns={"cohort": "cohort_day", "off": "day_offset"})
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
