@@ -4537,6 +4537,140 @@ def replica_retention_cohorts(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L-family — iterative graph algorithms walked in python dicts over the
+# co-ship supplier graph (the oracle's coverage is unrolled CTEs — the
+# SAME spelling risk class as the closed forms; these replicas iterate
+# the textbook recursions independently)
+# ---------------------------------------------------------------------------
+
+
+def _coship_edges(sf_dir, exclude_self=True):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    inc = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    by_part: dict[int, list[int]] = {}
+    for s, p in zip(inc["l_suppkey"], inc["l_partkey"]):
+        by_part.setdefault(p, []).append(s)
+    edges = set()
+    for sup in by_part.values():
+        for a in sup:
+            for b in sup:
+                if exclude_self and a == b:
+                    continue
+                edges.add((a, b))
+    return edges
+
+
+@replica("graph_pagerank")
+def replica_pagerank(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outd: dict[int, int] = {}
+    for a, _ in edges:
+        outd[a] = outd.get(a, 0) + 1
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib_q: dict[int, int] = {}
+        for a, b in edges:
+            contrib_q[b] = contrib_q.get(b, 0) + tq(pr[a] / outd[a], 1e6)
+        pr = {
+            v: (1.0 - 0.85) / n + 0.85 * (contrib_q.get(v, 0) / 1e6)
+            for v in nodes
+        }
+    return pd.DataFrame(
+        {"suppkey": list(pr.keys()), "pagerank": list(pr.values())}
+    )
+
+
+@replica("graph_components")
+def replica_components(sf_dir=SF) -> pd.DataFrame:
+    # true components via union-find — converged min-label == min member
+    edges = _coship_edges(sf_dir, exclude_self=False)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return pd.DataFrame(
+        [
+            {"suppkey": v, "component": comp_min[find(v)]}
+            for v in parent
+        ]
+    )
+
+
+@replica("graph_triangle_count")
+def replica_triangles(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    inc = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    cnt = inc.groupby("l_partkey").size()
+    keep = set(cnt[cnt <= 5].index)
+    by_part: dict[int, list[int]] = {}
+    for s, p in zip(inc["l_suppkey"], inc["l_partkey"]):
+        if p in keep:
+            by_part.setdefault(p, []).append(s)
+    adj: set[tuple[int, int]] = set()
+    for sup in by_part.values():
+        for a in sup:
+            for b in sup:
+                if a < b:
+                    adj.add((a, b))
+    nbrs: dict[int, set[int]] = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+    tri = 0
+    for a, b in adj:
+        tri += len(nbrs.get(a, set()) & nbrs.get(b, set()))
+    return pd.DataFrame({"n_triangles": [tri]})
+
+
+@replica("graph_katz_centrality")
+def replica_katz(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    nodes = sorted({a for a, _ in edges})
+    p = {v: 1 for v in nodes}
+    counts = []
+    for _ in range(3):
+        nxt: dict[int, int] = {}
+        for a, b in edges:
+            if a in p:
+                nxt[b] = nxt.get(b, 0) + p[a]
+        counts.append(nxt)
+        p = nxt
+    rows = []
+    for v in nodes:
+        p1 = counts[0].get(v, 0)
+        p2 = counts[1].get(v, 0)
+        p3 = counts[2].get(v, 0)
+        katz = math.trunc(
+            (p1 / 10.0 + p2 / 100.0 + p3 / 1000.0) * 1e6 + 0.5
+        ) / 1e6
+        rows.append(
+            {
+                "suppkey": v,
+                "paths_1": p1,
+                "paths_2": p2,
+                "paths_3": p3,
+                "katz": katz,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
