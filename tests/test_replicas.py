@@ -4670,6 +4670,59 @@ def replica_katz(sf_dir=SF) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@replica("graph_bfs")
+def replica_bfs(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=False)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    depth = {0: 0}
+    frontier = {0}
+    for d in range(1, 4):
+        nxt = set()
+        for v in frontier:
+            nxt |= nbrs.get(v, set())
+        nxt -= set(depth)
+        for v in nxt:
+            depth[v] = d
+        frontier = nxt
+    return pd.DataFrame(
+        [{"suppkey": v, "depth": d} for v, d in depth.items()]
+    )
+
+
+@replica("graph_kcore")
+def replica_kcore(sf_dir=SF) -> pd.DataFrame:
+    # thresholded adjacency: pairs sharing >= 1.05x the mean shared count
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    inc = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    by_part: dict[int, list[int]] = {}
+    for s, p in zip(inc["l_suppkey"], inc["l_partkey"]):
+        by_part.setdefault(p, []).append(s)
+    shared: dict[tuple[int, int], int] = {}
+    for sup in by_part.values():
+        for a in sup:
+            for b in sup:
+                if a != b:
+                    shared[(a, b)] = shared.get((a, b), 0) + 1
+    thr = (sum(shared.values()) / len(shared)) * 1.05
+    edges = {e for e, c in shared.items() if c >= thr}
+    # peel: 4 fixed rounds of drop-degree-below-16
+    for _ in range(4):
+        deg: dict[int, int] = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 16}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    deg = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    return pd.DataFrame(
+        [{"suppkey": v, "core_degree": d} for v, d in deg.items()],
+        columns=["suppkey", "core_degree"],  # empty core at small SF
+    )
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
@@ -4680,6 +4733,7 @@ def replica_katz(sf_dir=SF) -> pd.DataFrame:
 SF_MED = "/root/testdata/sf0.01"
 SF_OVERRIDE = {
     "events_cmh_test": SF_MED,
+    "graph_kcore": SF_MED,  # the k=16 core is empty at sf0.001
 }
 
 
