@@ -4723,6 +4723,62 @@ def replica_kcore(sf_dir=SF) -> pd.DataFrame:
     )
 
 
+@replica("graph_sssp_weighted")
+def replica_sssp(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    w = {(a, b): 1 + (a * 7 + b * 13) % 5 for a, b in edges}
+    dist = {0: 0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for (a, b), wt in w.items():
+            if a in dist:
+                cand = dist[a] + wt
+                if b not in nxt or cand < nxt[b]:
+                    nxt[b] = cand
+        dist = nxt
+    return pd.DataFrame(
+        [{"suppkey": v, "dist": d} for v, d in dist.items()]
+    )
+
+
+def _thresholded_edges(sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    inc = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    by_part: dict[int, list[int]] = {}
+    for s, p in zip(inc["l_suppkey"], inc["l_partkey"]):
+        by_part.setdefault(p, []).append(s)
+    shared: dict[tuple[int, int], int] = {}
+    for sup in by_part.values():
+        for a in sup:
+            for b in sup:
+                if a != b:
+                    shared[(a, b)] = shared.get((a, b), 0) + 1
+    thr = (sum(shared.values()) / len(shared)) * 1.05
+    return {e for e, c in shared.items() if c >= thr}
+
+
+@replica("graph_assortativity")
+def replica_assortativity(sf_dir=SF) -> pd.DataFrame:
+    edges = _thresholded_edges(sf_dir)
+    deg: dict[int, int] = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    xs = np.array([deg[a] for a, _ in edges], dtype=float)
+    ys = np.array([deg[b] for _, b in edges], dtype=float)
+    n = len(xs)
+    sx, sy = xs.sum(), ys.sum()
+    sxy = (xs * ys).sum()
+    sxx, syy = (xs * xs).sum(), (ys * ys).sum()
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    r = q6s((n * sxy - sx * sy) / den) if den else np.nan
+    return pd.DataFrame(
+        {
+            "n_directed_edges": [n],
+            "assortativity": [r],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
