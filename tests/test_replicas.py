@@ -4779,6 +4779,31 @@ def replica_assortativity(sf_dir=SF) -> pd.DataFrame:
     )
 
 
+@replica("graph_label_propagation")
+def replica_label_prop(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    nodes = sorted({a for a, _ in edges})
+    labels = {v: v for v in nodes}
+    # incoming neighbors of nd are all a with (a, nd) in edges
+    inc: dict[int, list[int]] = {}
+    for a, b in edges:
+        inc.setdefault(b, []).append(a)
+    for _ in range(2):
+        nxt = {}
+        for nd, srcs in inc.items():
+            counts: dict[int, int] = {}
+            for a in srcs:
+                lb = labels[a]
+                counts[lb] = counts.get(lb, 0) + 1
+            # most frequent; ties -> smallest label
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[nd] = best
+        labels = nxt
+    return pd.DataFrame(
+        [{"node": v, "community": lb} for v, lb in labels.items()]
+    )
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
