@@ -4804,6 +4804,35 @@ def replica_label_prop(sf_dir=SF) -> pd.DataFrame:
     )
 
 
+@replica("graph_modularity")
+def replica_modularity(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    nat = dict(zip(sup["s_suppkey"], sup["s_nationkey"]))
+    per: dict[int, dict[str, int]] = {}
+    for a, b in edges:
+        c1, c2 = nat[a], nat[b]
+        s = per.setdefault(c1, {"internal": 0, "deg": 0})
+        s["deg"] += 1
+        if c1 == c2:
+            s["internal"] += 1
+    m2 = sum(s["deg"] for s in per.values())
+    rows = []
+    for c, s in per.items():
+        q = s["internal"] / m2 - (s["deg"] / m2) ** 2
+        rows.append(
+            {
+                "nationkey": c,
+                "internal_edges": s["internal"],
+                "degree_sum": s["deg"],
+                "q_contrib": int(q * 1e6 + 0.5) / 1e6,
+            }
+        )
+    # the telescoping law: sum(degree_sum) == 2m exactly
+    assert sum(r["degree_sum"] for r in rows) == m2
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
