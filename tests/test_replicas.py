@@ -4833,6 +4833,52 @@ def replica_modularity(sf_dir=SF) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@replica("graph_landmark_distances")
+def replica_landmarks(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    rows = []
+    for lm in (0, 1, 2, 3):
+        dist = {lm: 0}
+        for _ in range(3):
+            nxt = dict(dist)
+            for a, b in edges:
+                if a in dist:
+                    cand = dist[a] + 1
+                    if b not in nxt or cand < nxt[b]:
+                        nxt[b] = cand
+            dist = nxt
+        for v, d in dist.items():
+            rows.append({"landmark": lm, "suppkey": v, "dist": d})
+    df = pd.DataFrame(rows)
+    # triangle-inequality spot law on the sketch itself
+    for lm in (0, 1):
+        sub = df[df["landmark"] == lm].set_index("suppkey")["dist"]
+        assert (sub >= 0).all()
+    return df
+
+
+@replica("graph_closeness_landmarks")
+def replica_closeness(sf_dir=SF) -> pd.DataFrame:
+    lm_df = replica_landmarks(sf_dir)
+    rows = []
+    for v, sub in lm_df.groupby("suppkey"):
+        if len(sub) < 4:
+            continue  # needs a distance from ALL landmarks
+        sd = int(sub["dist"].sum())
+        rows.append(
+            {
+                "suppkey": v,
+                "sum_dist": sd,
+                "closeness_est": math.trunc(
+                    (4.0 / sd) * 1e6 + 0.5
+                ) / 1e6
+                if sd
+                else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
