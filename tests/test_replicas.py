@@ -4879,6 +4879,48 @@ def replica_closeness(sf_dir=SF) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@replica("graph_clustering_coefficient")
+def replica_clustering(sf_dir=SF) -> pd.DataFrame:
+    edges = _thresholded_edges(sf_dir)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    rows = []
+    for v, nv in nbrs.items():
+        d = len(nv)
+        # directed closed-wedge count: ordered pairs (a, b) of neighbors
+        # that are themselves connected
+        n_closed = sum(len(nbrs.get(a, set()) & nv) for a in nv)
+        coeff = (
+            int(n_closed / (d * (d - 1)) * 1e6 + 0.5) / 1e6 if d >= 2 else 0.0
+        )
+        rows.append(
+            {
+                "suppkey": v,
+                "degree": d,
+                "n_triangles": n_closed // 2,
+                "clustering_coeff": coeff,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@replica("graph_two_hop_reach")
+def replica_two_hop(sf_dir=SF) -> pd.DataFrame:
+    edges = _thresholded_edges(sf_dir)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    rows = []
+    for v, nv in nbrs.items():
+        ball = set(nv)
+        for a in nv:
+            ball |= nbrs.get(a, set())
+        ball.discard(v)
+        rows.append({"suppkey": v, "reach_2hop": len(ball)})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
