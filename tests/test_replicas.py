@@ -4921,6 +4921,22 @@ def replica_two_hop(sf_dir=SF) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@replica("graph_rich_club")
+def replica_rich_club(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=True)
+    deg: dict[int, int] = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rows = []
+    for k in (2, 4, 8, 16, 32, 64):
+        club = {v for v, d in deg.items() if d > k}
+        n = len(club)
+        e = sum(1 for a, b in edges if min(deg[a], deg[b]) > k)
+        phi = int(e / (n * (n - 1)) * 1e6 + 0.5) / 1e6 if n > 1 else np.nan
+        rows.append({"k": k, "n_nodes": n, "n_edges": e, "phi": phi})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
