@@ -4937,6 +4937,32 @@ def replica_rich_club(sf_dir=SF) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@replica("graph_hits")
+def replica_hits(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    inc = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    pairs = list(zip(inc["l_suppkey"], inc["l_partkey"]))
+    sups = sorted({s for s, _ in pairs})
+    h = {s: 1.0 for s in sups}
+    for _ in range(4):
+        araw: dict[int, int] = {}
+        for s, p in pairs:
+            araw[p] = araw.get(p, 0) + tq(h[s], 1e6)
+        asum = sum(tq(c / 1e6, 1e6) for c in araw.values()) / 1e6
+        a = {p: (c / 1e6) / asum for p, c in araw.items()}
+        hraw: dict[int, int] = {}
+        for s, p in pairs:
+            hraw[s] = hraw.get(s, 0) + tq(a[p], 1e6)
+        hsum = sum(tq(c / 1e6, 1e6) for c in hraw.values()) / 1e6
+        h = {s: (c / 1e6) / hsum for s, c in hraw.items()}
+    return pd.DataFrame(
+        [
+            {"suppkey": s, "hub": int(v * 1e6 + 0.5) / 1e6}
+            for s, v in h.items()
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
