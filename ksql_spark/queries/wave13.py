@@ -870,10 +870,12 @@ def orders_km_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nj AS (
         SELECT g, CAST(SUM(c) AS BIGINT) AS n_j FROM vg GROUP BY g
     ), tot AS (
+        -- HUGEINT products: n_j^2(2n_j+3) overflows BIGINT past ~1.6M
         SELECT CAST(SUM(n_j) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(n_j * n_j) AS BIGINT) AS sn2,
-               CAST(SUM(n_j * n_j * (2 * n_j + 3)) AS BIGINT) AS sn23
+               CAST(SUM(CAST(n_j AS HUGEINT) * n_j) AS DOUBLE) AS sn2,
+               CAST(SUM(CAST(n_j AS HUGEINT) * n_j * (2 * n_j + 3))
+                    AS DOUBLE) AS sn23
         FROM nj
     ), u AS (
         -- J = SUM over ordered group pairs a<b of #{x_a < x_b} + half-ties
@@ -1000,11 +1002,16 @@ def orders_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("p_int") + 0.5 * F.col("t_int")).alias("j_stat"))
     nj = vg.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_j"))
     n_j = F.col("n_j")
+    # moment products in decimal(38,0): n_j^2(2n_j+3) overflows a LONG past
+    # n_j ~ 1.6M (the sf10 probe caught the ANSI abort at 15M-row groups;
+    # the oracle's BIGINT product would overflow the same way — HUGEINT
+    # there). Exact integers either way; one double cast at the end.
+    njd = n_j.cast("decimal(38,0)")
     tot = nj.agg(
         F.sum("n_j").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(n_j * n_j).cast("bigint").alias("sn2"),
-        F.sum(n_j * n_j * (2 * n_j + 3)).cast("bigint").alias("sn23"),
+        F.sum(njd * njd).cast("double").alias("sn2"),
+        F.sum(njd * njd * (2 * njd + 3)).cast("double").alias("sn23"),
     )
     n = F.col("n").cast("double")
     mean_j = (n * n - F.col("sn2")) / 4.0
