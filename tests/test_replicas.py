@@ -4963,6 +4963,81 @@ def replica_hits(sf_dir=SF) -> pd.DataFrame:
     )
 
 
+@replica("graph_adamic_adar")
+def replica_adamic_adar(sf_dir=SF) -> pd.DataFrame:
+    edges = _thresholded_edges(sf_dir)
+    nbrs: dict[int, set[int]] = {}
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        deg[a] = deg.get(a, 0) + 1
+    scores: dict[tuple[int, int], list[int]] = {}
+    for z, nz in nbrs.items():
+        if deg[z] < 2:
+            continue  # can't be a COMMON neighbor (and ln(1) = 0)
+        c_q6 = int(1.0 / math.log(deg[z]) * 1e6 + 0.5)
+        for a in nz:
+            for b in nz:
+                if a < b and (a, b) not in edges:
+                    s = scores.setdefault((a, b), [0, 0])
+                    s[0] += 1
+                    s[1] += c_q6
+    ranked = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1])
+    )[:20]
+    return pd.DataFrame(
+        [
+            {
+                "suppkey_a": a,
+                "suppkey_b": b,
+                "common_neighbors": cn,
+                "adamic_adar": q / 1e6,
+                "rank": i + 1,
+            }
+            for i, ((a, b), (cn, q)) in enumerate(ranked)
+        ],
+        columns=[
+            "suppkey_a", "suppkey_b", "common_neighbors", "adamic_adar",
+            "rank",
+        ],  # empty candidate set at tiny SF
+    )
+
+
+@replica("graph_diameter_doublesweep")
+def replica_doublesweep(sf_dir=SF) -> pd.DataFrame:
+    edges = _coship_edges(sf_dir, exclude_self=False)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+
+    def sweep(start):
+        depth = {start: 0}
+        frontier = {start}
+        for d in range(1, 7):
+            nxt = set()
+            for v in frontier:
+                nxt |= nbrs.get(v, set())
+            nxt -= set(depth)
+            for v in nxt:
+                depth[v] = d
+            frontier = nxt
+        return depth
+
+    lev1 = sweep(0)
+    ecc1 = max(lev1.values())
+    u = min(v for v, d in lev1.items() if d == ecc1)
+    lev2 = sweep(u)
+    return pd.DataFrame(
+        {
+            "start_node": [0],
+            "sweep1_ecc": [ecc1],
+            "u_node": [u],
+            "diameter_lb": [max(lev2.values())],
+            "n_reached": [len(lev2)],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
@@ -4974,6 +5049,7 @@ SF_MED = "/root/testdata/sf0.01"
 SF_OVERRIDE = {
     "events_cmh_test": SF_MED,
     "graph_kcore": SF_MED,  # the k=16 core is empty at sf0.001
+    "graph_adamic_adar": SF_MED,  # no non-adjacent wedge pairs at sf0.001
 }
 
 
