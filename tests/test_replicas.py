@@ -5039,6 +5039,66 @@ def replica_doublesweep(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K3/K6 — vector ops (left-fold accumulation mirrored: the engines fold
+# float32->float64 casts left-to-right; numpy's pairwise sum would NOT
+# match bitwise, a plain python loop does)
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _fold_norm(a):
+    s = 0.0
+    for x in a:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+@replica("llm_vec_norm")
+def replica_vec_norm(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rows = []
+    for _, r in e.iterrows():
+        nrm = _fold_norm(r["embedding"])
+        rows.append(
+            {
+                "vec_id": r["vec_id"],
+                "label": r["label"],
+                "l2_norm": nrm,
+                "unit_dim0": float(r["embedding"][0]) / nrm
+                if nrm
+                else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@replica("llm_sim_topk")
+def replica_sim_topk(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = dict(zip(e["vec_id"], e["embedding"]))
+    norms = {v: _fold_norm(x) for v, x in vecs.items()}
+    rows = []
+    for qid in sorted(v for v in vecs if v < 3):
+        scored = []
+        for vid, emb in vecs.items():
+            if vid == qid:
+                continue
+            den = norms[qid] * norms[vid]
+            cos = _fold_dot(vecs[qid], emb) / den if den else np.nan
+            scored.append((cos, vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for cos, vid in scored[:5]:
+            rows.append({"query_id": qid, "vec_id": vid, "cosine": cos})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
