@@ -5098,6 +5098,31 @@ def replica_sim_topk(sf_dir=SF) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@replica("ann_hamming_topk")
+def replica_hamming_topk(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pack(emb):
+        q1 = sum(1 << i for i in range(32) if float(emb[i]) > 0.0)
+        q2 = sum(1 << i for i in range(32) if float(emb[i + 32]) > 0.0)
+        return q1, q2
+
+    sigs = {r["vec_id"]: pack(r["embedding"]) for _, r in e.iterrows()}
+    rows = []
+    for qid in sorted(v for v in sigs if v < 3):
+        q1, q2 = sigs[qid]
+        scored = []
+        for vid, (h1, h2) in sigs.items():
+            if vid == qid:
+                continue
+            ham = bin(q1 ^ h1).count("1") + bin(q2 ^ h2).count("1")
+            scored.append((ham, vid))
+        scored.sort()
+        for ham, vid in scored[:5]:
+            rows.append({"query_id": qid, "vec_id": vid, "hamming": ham})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
