@@ -5124,6 +5124,56 @@ def replica_hamming_topk(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K1/K2 — dedup family (hashlib digests, python set Jaccard)
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+
+@replica("llm_dedup_exact")
+def replica_dedup_exact(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    groups: dict[str, list[int]] = {}
+    for _, r in d.iterrows():
+        h = _hashlib.sha256(r["text"].encode()).hexdigest()
+        groups.setdefault(h, []).append(r["doc_id"])
+    return pd.DataFrame(
+        [
+            {"text_sha": h, "rep_id": min(ids), "n_copies": len(ids)}
+            for h, ids in groups.items()
+        ]
+    )
+
+
+@replica("llm_ngram_jaccard")
+def replica_ngram_jaccard(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sh = {}
+    src = {}
+    for _, r in d.iterrows():
+        w = _pywords(r["text"]) if isinstance(r["text"], str) else []
+        sh[r["doc_id"]] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+        src[r["doc_id"]] = r["source"]
+    ids = sorted(sh)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if b - a > 20:
+                break
+            if src[a] != src[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            if union > 0 and inter * 10 >= union:
+                rows.append(
+                    {"doc_a": a, "doc_b": b, "jaccard": inter / union}
+                )
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
@@ -5135,6 +5185,7 @@ SF_OVERRIDE = {
     "events_cmh_test": SF_MED,
     "graph_kcore": SF_MED,  # the k=16 core is empty at sf0.001
     "graph_adamic_adar": SF_MED,  # no non-adjacent wedge pairs at sf0.001
+    "llm_ngram_jaccard": SF_MED,  # no >= 0.1 candidate pairs at sf0.001
 }
 
 
