@@ -5174,6 +5174,40 @@ def replica_ngram_jaccard(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q1 — the headline pricing summary, recomputed in numpy
+# ---------------------------------------------------------------------------
+
+
+@replica("tpch_q1_pricing_summary")
+def replica_tpch_q1(sf_dir=SF) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li[li["l_shipdate"] <= pd.Timestamp("2000-12-01")]
+    rows = []
+    for (rf, ls), sub in li.groupby(["l_returnflag", "l_linestatus"]):
+        q = sub["l_quantity"].to_numpy()
+        p = sub["l_extendedprice"].to_numpy()
+        dc = sub["l_discount"].to_numpy()
+        tx = sub["l_tax"].to_numpy()
+        disc = p * (1 - dc)
+        n = len(sub)
+        rows.append(
+            {
+                "l_returnflag": rf,
+                "l_linestatus": ls,
+                "sum_qty": dsum(q),
+                "sum_base_price": dsum(p),
+                "sum_disc_price": dsum(disc),
+                "sum_charge_h": dsum(disc * (1 + tx) / 100.0),
+                "avg_qty": dsum(q) / n,
+                "avg_price": dsum(p) / n,
+                "avg_disc": dsum(dc) / n,
+                "count_order": n,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
