@@ -5208,6 +5208,28 @@ def replica_tpch_q1(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# I2 — tumbling window (the streaming family's batch form)
+# ---------------------------------------------------------------------------
+
+
+@replica("stream_tumbling_window")
+def replica_tumbling(sf_dir=SF) -> pd.DataFrame:
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    start = e["ts"].dt.floor("10min")
+    rows = []
+    for ws, sub in e.groupby(start):
+        rows.append(
+            {
+                "win_start": ws,
+                "win_end": ws + pd.Timedelta(minutes=10),
+                "n_events": len(sub),
+                "sum_value": dsum(sub["value"].dropna()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
