@@ -5230,6 +5230,40 @@ def replica_tumbling(sf_dir=SF) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K4/K5 — rolling fingerprint + multimodal metadata
+# ---------------------------------------------------------------------------
+
+
+@replica("llm_fingerprint")
+def replica_fingerprint(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for _, r in d.iterrows():
+        acc = 0
+        for w in r["text"].split(" "):  # the oracle's single-space split
+            c = (ord(w[0]) if w else 0) * 31 + len(w)
+            acc = (acc * 131 + c) % 1000000007
+        rows.append({"doc_id": r["doc_id"], "fingerprint": acc})
+    return pd.DataFrame(rows)
+
+
+@replica("llm_multimodal_meta")
+def replica_multimodal_meta(sf_dir=SF) -> pd.DataFrame:
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for _, r in d.iterrows():
+        raw = r["text"].encode()
+        rows.append(
+            {
+                "doc_id": r["doc_id"],
+                "byte_len": len(raw),
+                "content_sha": _hashlib.sha256(raw).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
 # the parameterized full-fixture check
 # ---------------------------------------------------------------------------
 
