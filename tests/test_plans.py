@@ -2113,6 +2113,12 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "(the D27 risk table; hazard cumsum instead of the KM log-product)",
     "orders_logrank_segments": "<= horizon-days distinct durations "
     "(the D27 risk table, split by segment)",
+    "orders_km_greenwood": "<= horizon-days distinct durations "
+    "(the D27 risk table; Greenwood variance sum on the same window)",
+    "orders_jonckheere_terpstra": "#partitions-row boundary-offset table "
+    "(the ranged_cumsum stitch, inlined for k group counters)",
+    "orders_kendall_tau_daily": "calendar-bounded daily table (pair "
+    "self-join side)",
     "events_watermark_lateness_audit": "<= horizon-minutes lateness "
     "histogram (the per-event pass rides ranged_cummax_excl)",
     # k-row rank attachment AFTER a TakeOrderedAndProject top-k
