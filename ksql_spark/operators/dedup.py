@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ksql_spark.operators.text import words
+from ksql_spark.operators.text import let, words
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -45,11 +45,17 @@ def minhash_signature(text_col, k: int = 16) -> Column:
     Hash family = xxhash64 seeded by the permutation index (hashing the tuple
     (word, i)) — independent hashes with no modular arithmetic, so ANSI-mode
     long math cannot overflow. Signature element i = min over the doc's words.
+
+    The distinct-word array is let-bound (text.let) so tokenization runs once
+    per row: placed directly inside the outer lambda it would re-split and
+    re-distinct the document for every one of the k permutations.
     """
-    w = F.array_distinct(words(text_col))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(w, lambda x: F.xxhash64(x, i))),
+    return let(
+        F.array_distinct(words(text_col)),
+        lambda w: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.array_min(F.transform(w, lambda x: F.xxhash64(x, i))),
+        ),
     )
 
 
@@ -184,17 +190,24 @@ def minhash_near_dups(
 
 def simhash32(text_col) -> Column:
     """32-bit SimHash: per-word xxhash64 → per-bit +/-1 votes folded across the
-    document → sign vector recombined into a long. Pure HOF math, JVM-side."""
-    w = F.array_distinct(words(text_col))
+    document → sign vector recombined into a long. Pure HOF math, JVM-side.
+
+    The fold runs over the per-word HASHES (one xxhash64 per word, computed
+    in a prior transform) rather than the words: `getbit(xxhash64(word), j)`
+    inside the bit lambda re-hashed the word for each of the 32 bits. Same
+    hash per word, so the vote vector — and the fingerprint — is unchanged."""
+    hashes = F.transform(
+        F.array_distinct(words(text_col)), lambda word: F.xxhash64(word)
+    )
     bit_votes = F.aggregate(
-        w,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), 32),
-        lambda acc, word: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(31)),
                 lambda j: F.when(
-                    F.getbit(F.xxhash64(word), j) == 1, F.lit(1).cast("long")
+                    F.getbit(h, j) == 1, F.lit(1).cast("long")
                 ).otherwise(F.lit(-1).cast("long")),
             ),
             lambda a, b: a + b,

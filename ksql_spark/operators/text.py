@@ -17,6 +17,20 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def let(value: Column, body) -> Column:
+    """Higher-order let-binding: evaluate `value` ONCE per row and hand it to
+    `body` as a lambda variable (transform over a one-element array, then
+    element_at 1). Why it exists: an expression placed inside a higher-order
+    function's lambda is re-evaluated on EVERY element — e.g. the original
+    shingles() embedded words(text) (a regex split of the whole document)
+    inside its per-gram lambda k times, so each k-gram re-split the document
+    k times, O(k·n²) regex work per doc. Binding the array as a lambda
+    variable makes the body see a cheap reference instead. Value-transparent:
+    element_at(transform(array(v), f), 1) ≡ f(v) for any v including NULL
+    (the one-element array holds NULL and the lambda sees it)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def words(text) -> Column:
     """Whitespace tokenization: splits on runs of any whitespace and drops
     empty tokens, so multi-line / multi-space corpora tokenize correctly.
@@ -110,12 +124,15 @@ def shingles(text, k: int = 3) -> Column:
     index out of range (DuckDB's range(1, 0) is empty, so the engines would
     otherwise diverge: oracle fine, Spark crash).
     """
-    w = words(text)
-    n = F.size(w)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return let(
+        words(text),
+        lambda w: F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )

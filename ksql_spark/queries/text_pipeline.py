@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ksql_spark.operators import text as text_ops
 from ksql_spark.registry import query
 from ksql_spark.tables import load
 
@@ -30,17 +31,23 @@ _LONG_DIGITS = "[0-9]{7,}"
 def _bigrams(words):
     """Word-bigram array over a single-space token split — shared by
     llm_repetition_ratio and llm_corpus_filter so the construction (and its
-    sequence(1,0)-descending guard) cannot drift between them."""
-    n = F.size(words)
-    return F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+    sequence(1,0)-descending guard) cannot drift between them.
+
+    The token array is let-bound (text_ops.let): callers pass a raw split()
+    expression, and placed directly inside the per-bigram lambda it would
+    re-split the document twice per bigram (O(n²) regex work per doc)."""
+    return text_ops.let(
+        words,
+        lambda w: F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 @query(
@@ -68,7 +75,10 @@ def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens. Plan: one projection with HOFs + posexplode — embarrassingly
     parallel, output ~len/STRIDE rows per doc."""
     d = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # Token array projected once per row: embedded directly in the per-chunk
+    # lambda below, the slice() would re-split the document for every chunk.
+    w = d.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+    words = F.col("__w")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(STRIDE)
     )
@@ -77,7 +87,7 @@ def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: F.array_join(F.slice(words, s + 1, CHUNK), " "),
     )
     return (
-        d.select(
+        w.select(
             "doc_id",
             F.size(words).alias("n_words"),
             F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
@@ -170,16 +180,21 @@ def llm_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "division is identically rounded in both engines)",
 )
 def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-bigram fraction per document (1.0 = no repetition)."""
+    """Distinct-bigram fraction per document (1.0 = no repetition).
+
+    Two-step projection: the bigram array is materialized once per row in
+    the inner select (it feeds three expressions in the outer one; inlined,
+    each would rebuild the whole array — CollapseProject keeps expensive
+    multi-referenced aliases un-collapsed, so the split runs once)."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    bigrams = _bigrams(words)
-    n = F.size(bigrams)
-    return d.select(
+    b = d.select("doc_id", _bigrams(words).alias("__bigrams"))
+    n = F.size("__bigrams")
+    return b.select(
         "doc_id",
         n.alias("n_bigrams"),
         F.when(n == 0, F.lit(1.0))
-        .otherwise(F.size(F.array_distinct(bigrams)).cast("double") / n)
+        .otherwise(F.size(F.array_distinct("__bigrams")).cast("double") / n)
         .alias("uniq_ratio"),
     )
 
