@@ -509,11 +509,18 @@ def _weighted_adj(li: DataFrame) -> DataFrame:
     grow with SF; the mean grows with them)."""
     inc = coship_pairs(li)
     b = inc.select(F.col("s1").alias("s2"), "p")
-    pair = (
+    # LAZY pin: `pair` feeds BOTH the threshold aggregate and the filter —
+    # un-pinned, the |lineitem| scan + incidence self-join (Σ_p cnt(p)² rows)
+    # + pair aggregation ran TWICE per adjacency build (measured 13.3 s at
+    # sf0.1, roughly half of it this duplication; every pinned-adjacency
+    # graph entry pays the build). Pinning the ~|V|² pair table (tiny next
+    # to the join volume) computes the expensive subtree once.
+    pair = pin(
         inc.join(b, "p")
         .where(F.col("s1") != F.col("s2"))
         .groupBy("s1", "s2")
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("shared")),
+        eager=False,
     )
     thr = pair.agg((F.avg("shared") * 1.05).alias("thr"))
     return (
