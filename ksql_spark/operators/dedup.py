@@ -130,6 +130,15 @@ def minhash_near_dups(
     )
     if reps is not None:
         banded = banded.join(reps.select("doc_id"), "doc_id", "left_semi")
+    # LAZY pin: the banded table feeds the bucket-size aggregate, the
+    # size-filter join, and BOTH sides of the candidate self-join — un-pinned,
+    # the full signature pipeline (tokenize + k hashes per word per doc) is
+    # re-executed up to 4x in one plan (ReusedExchange cannot cover the agg
+    # branch). The pinned table is the 24-byte/row banded form, bands
+    # rows/doc — exactly the exchange-discipline payload, never the text.
+    from ksql_spark.operators.scale import pin as _pin
+
+    banded = _pin(banded, eager=False)
     bucket_sizes = banded.groupBy("band", "band_hash").agg(
         F.count("*").alias("bucket_n")
     )
@@ -155,11 +164,23 @@ def minhash_near_dups(
     # Join the distinct-word arrays back onto the candidate pairs — same
     # tokenizer as the signature side (operators.text.words): candidate
     # generation and verification must never tokenize differently. The
-    # candidate set is small (LSH collisions only), so Spark broadcasts it
-    # and both word joins stay narrow passes over the corpus scan.
-    docs = df.select(
-        F.col(id_col).alias("__wid"),
-        F.array_distinct(words(text_col)).alias("__w"),
+    # candidate set is small (LSH collisions only), so it is pinned once and
+    # broadcast into a semi-join that restricts the corpus scan to candidate
+    # docs BEFORE tokenizing: the previous shape tokenized every corpus row
+    # twice (once per side) because the word projection sat below the join.
+    # Inner equi-joins are unchanged by pre-filtering the docs side to ids
+    # that appear in cand, so the output is identical.
+    cand = _pin(cand, eager=False)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("__wid"))
+        .unionByName(cand.select(F.col("doc_b").alias("__wid")))
+        .distinct()
+    )
+    docs = _pin(
+        df.select(F.col(id_col).alias("__wid"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cand_ids), "__wid", "left_semi")
+        .select("__wid", F.array_distinct(words(F.col("__t"))).alias("__w")),
+        eager=False,
     )
     cand = (
         cand.join(

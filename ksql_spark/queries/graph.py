@@ -144,7 +144,11 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.least("component", "neighbor_min").alias("component"),
                 (F.col("neighbor_min") < F.col("component")).alias("changed"),
             )
-        ).transform(pin)  # eager: truncates lineage AND lets us count changes
+        ).transform(pin, eager=False)
+        # The changed-count below is the materializing action: it computes
+        # nxt (LocalRDDCheckpointData fills any partitions the limit's
+        # incremental execution skipped at job end), so one pass replaces
+        # the previous eager-checkpoint job + count job per round.
         changed = nxt.where("changed").limit(1).count()
         labels = nxt.drop("changed")
         if changed == 0:
@@ -690,22 +694,27 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("z"))
     e2 = adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
     wedge = e1.join(e2, "z").where(F.col("a") < F.col("b"))
-    nonedge = wedge.join(
-        adj,
-        (adj["s1"] == wedge["a"]) & (adj["s2"] == wedge["b"]),
-        "left_anti",
-    )
     contrib = (
         (1.0 / F.log(F.col("d").cast("double"))) * 1000000 + 0.5
     ).cast("bigint")
+    # The non-edge anti-join runs AFTER the (a, b) aggregation: the anti
+    # filter is on the group key, so dropping rows before the agg and
+    # dropping whole groups after it produce identical results — but after
+    # the agg it probes |candidate pairs| rows instead of every one of the
+    # Σ deg² wedge rows (77M at sf0.1 for the uncapped entry).
     scored = (
-        nonedge.join(F.broadcast(deg), "z")
+        wedge.join(F.broadcast(deg), "z")
         .select("a", "b", contrib.alias("c_q6"))
         .groupBy("a", "b")
         .agg(
             F.count("*").alias("common_neighbors"),
             F.sum("c_q6").alias("aa_q6"),
         )
+    )
+    scored = scored.join(
+        adj,
+        (adj["s1"] == scored["a"]) & (adj["s2"] == scored["b"]),
+        "left_anti",
     )
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition top-k,
     # tiny driver merge) — a global row_number window would move EVERY scored
@@ -1105,22 +1114,27 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = samp.select(F.col("s2").alias("a"), F.col("s1").alias("z"))
     e2 = samp.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
     wedge = e1.join(e2, "z").where(F.col("a") < F.col("b"))
-    nonedge = wedge.join(
-        adj,
-        (adj["s1"] == wedge["a"]) & (adj["s2"] == wedge["b"]),
-        "left_anti",
-    )
     contrib = (
         (1.0 / F.log(F.col("d").cast("double"))) * 1000000 + 0.5
     ).cast("bigint")
+    # The non-edge anti-join runs AFTER the (a, b) aggregation: the anti
+    # filter is on the group key, so dropping rows before the agg and
+    # dropping whole groups after it produce identical results — but after
+    # the agg it probes |candidate pairs| rows instead of every one of the
+    # Σ deg² wedge rows (77M at sf0.1 for the uncapped entry).
     scored = (
-        nonedge.join(F.broadcast(deg), "z")
+        wedge.join(F.broadcast(deg), "z")
         .select("a", "b", contrib.alias("c_q6"))
         .groupBy("a", "b")
         .agg(
             F.count("*").alias("common_neighbors"),
             F.sum("c_q6").alias("aa_q6"),
         )
+    )
+    scored = scored.join(
+        adj,
+        (adj["s1"] == scored["a"]) & (adj["s2"] == scored["b"]),
+        "left_anti",
     )
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition top-k,
     # tiny driver merge) — a global row_number window would move EVERY scored
@@ -1213,7 +1227,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(F.col("nd").alias("node"), "label")
-            .transform(pin)
+            # LAZY: no mid-loop count is taken here, so the final action can
+            # materialize the per-round checkpoints in one cascade instead of
+            # one full eager-checkpoint job per round.
+            .transform(pin, eager=False)
         )
     return labels.select("node", F.col("label").alias("community"))
 
