@@ -632,15 +632,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64*K=1024 vectors; at any real scale nprobe stays NPROBE.
     nprobe = K if n_sample < 64 * K else NPROBE
     cents = spark.createDataFrame(cent_rows, "cent_id int, cent_emb array<double>")
-    dist = vectors.l2_sq_dist("embedding", "cent_emb")
 
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", dist.alias("cd"))
-        .withColumn("arn", F.row_number().over(assign_w))
-        .where(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    # Cell assignment as the zero-exchange HOF argmin (_ivf_cell_of): the
+    # previous crossJoin(K cents) + row_number window shuffled and sorted
+    # n×K rows WITH the embedding payload just to pick each row's minimum.
+    # The fold computes the same squared-L2 doubles (same zip_with/aggregate
+    # spelling as vectors.l2_sq_dist) with the same (dist asc, cent_id asc)
+    # tie-break, in one narrow pass — assignments are bit-identical.
+    from ksql_spark.queries.curation import _ivf_cell_of
+
+    assigned = e.select(
+        "vec_id", "embedding", _ivf_cell_of(cent_rows, F.col("embedding")).alias("cent_id")
     )
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1860,16 +1862,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         _CENTROID_CACHE[pq_key] = code_rows
     subcents = spark.createDataFrame(code_rows, "code_id int, cent_sub array<double>")
-    wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("code_id"))
-    codes = (
-        subs.crossJoin(F.broadcast(subcents))
-        .select(
-            "vec_id", "m", "code_id",
-            vectors.l2_sq_dist("sub", "cent_sub").alias("d"),
-        )
-        .withColumn("rn", F.row_number().over(wenc))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code_id")
+    # Encoding as the zero-exchange HOF argmin (_ivf_cell_of over the K'=32
+    # literal sub-codebook): the previous crossJoin + row_number window
+    # shuffled and sorted n·M·K' rows to pick each subvector's nearest code.
+    # Same squared-L2 fold spelling as vectors.l2_sq_dist, same
+    # (d asc, code_id asc) tie-break — codes are bit-identical.
+    from ksql_spark.queries.curation import _ivf_cell_of
+
+    codes = subs.select(
+        "vec_id", "m", _ivf_cell_of(code_rows, F.col("sub")).alias("code_id")
     )
     qsubs = subs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub")
