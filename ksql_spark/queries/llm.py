@@ -1507,16 +1507,52 @@ def _assign_fixed_centroids(e):
     cents = e.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cd").asc(), F.col("cent_id"))
+    # Zero-exchange argmin (same device as _ivf_cell_of, but the centroids
+    # are DATA-derived, so they ride a one-row collect_list aggregate that
+    # is broadcast onto the corpus — no build-time driver collect): the
+    # previous crossJoin + row_number window shuffled AND sorted n×4 rows
+    # carrying the embedding payload just to take each row's minimum.
+    # Equivalence with the window form (ORDER BY cd ASC, cent_id ASC, i.e.
+    # NULLS FIRST): the centroid array is sorted by cent_id, the fold keeps
+    # the first NULL-distance candidate if one exists (a NULL/zero-length
+    # embedding zips to a NULL distance), else the strictly-smallest cd,
+    # ties resolving to the earliest = lowest cent_id. The distance is the
+    # SAME vectors.l2_sq_dist expression, so cd is bit-identical. The
+    # size(cents) > 0 guard reproduces the inner-join's empty-centroids
+    # behaviour (no rows).
+    carr = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("cent_emb")))
+        ).alias("__cents")
+    )
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            vectors.l2_sq_dist(F.col("embedding"), c["cent_emb"]).alias("cd"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("cd"), F.lit(-1).cast("long").alias("cent_id")
+    )
+    best = F.aggregate(
+        dists,
+        init,
+        lambda acc, cand: F.when(acc["cd"].isNull(), acc)
+        .when(cand["cd"].isNull(), cand)
+        .when(cand["cd"] < acc["cd"], cand)
+        .otherwise(acc),
+    )
     return (
-        e.crossJoin(F.broadcast(cents))
+        e.crossJoin(F.broadcast(carr))
+        .where(F.size(F.col("__cents")) > 0)
+        .select("vec_id", "embedding", best.alias("__best"))
         .select(
-            "vec_id", "embedding", "cent_id",
-            vectors.l2_sq_dist("embedding", "cent_emb").alias("cd"),
+            "vec_id",
+            "embedding",
+            F.col("__best.cent_id").alias("cent_id"),
+            F.col("__best.cd").alias("cd"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id", "cd")
     )
 
 
