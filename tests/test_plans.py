@@ -102,12 +102,19 @@ def test_minhash_band_exchange_carries_no_text(spark):
     band self-join exchanges the whole corpus `bands`x; the words arrays are
     joined back onto the (tiny) candidate-pair set instead. Gate: no shuffle
     Exchange node in the formatted plan has a text- or signature-typed
-    attribute in its input."""
+    attribute in its input. The banded/candidate/doc tables are lazily
+    pinned (r13: the 24-byte banded form feeds four consumers), which hides
+    their upstream exchanges from the final plan — so the gate inspects the
+    PRE-pin plan via pins_disabled(), i.e. exactly the exchanges that run
+    when each pin materializes."""
     import io
     import contextlib
     import re
 
-    df = SPECS["llm_dedup_near"].builder(spark, SF_DIR)
+    from ksql_spark.operators.scale import pins_disabled
+
+    with pins_disabled():
+        df = SPECS["llm_dedup_near"].builder(spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
