@@ -335,12 +335,16 @@ def test_cross_dedup_is_anti_join_on_digest(spark):
 
 
 def test_emb_cluster_broadcasts_centroids(spark):
-    """Fixed-centroid assignment: centroids broadcast (O(K*dim)), the
-    embeddings side stays unshuffled until the per-vector argmin window."""
+    """Fixed-centroid assignment: centroids broadcast (O(K*dim)), and the
+    per-vector argmin is a zero-exchange fold over the broadcast centroid
+    array (r13) — the embeddings side is never shuffled or sorted for the
+    assignment. The ONLY global funnel allowed is the <= K-row centroid
+    collect_list aggregate that feeds the broadcast."""
     plan = plan_of(spark, "llm_emb_cluster")
-    assert "BroadcastNestedLoopJoin" in plan  # K-row centroid cross join
-    assert "Window" in plan  # per-vector argmin rides a vec_id window
-    assert "SinglePartition" not in plan  # never a global funnel
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array broadcast
+    assert "Window" not in plan  # argmin is a HOF fold, not an nxK window
+    assert plan.count("Exchange SinglePartition") <= 1  # centroid collect only
+    assert "collect_list" in plan  # the bounded centroid-array aggregate
 
 
 def test_shard_assign_single_pass(spark):
@@ -2124,8 +2128,6 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "(the D27 risk table; Greenwood variance sum on the same window)",
     "orders_jonckheere_terpstra": "#partitions-row boundary-offset table "
     "(the ranged_cumsum stitch, inlined for k group counters)",
-    "orders_kendall_tau_daily": "calendar-bounded daily table (pair "
-    "self-join side)",
     "events_watermark_lateness_audit": "<= horizon-minutes lateness "
     "histogram (the per-event pass rides ranged_cummax_excl)",
     # k-row rank attachment AFTER a TakeOrderedAndProject top-k
@@ -2407,6 +2409,16 @@ _ALLOWLIST_BOUNDS = {
         "<= |order days| + 1 distinct durations",
         lambda st: st["days_orders"] + 1,
     ),
+    "orders_km_greenwood": (
+        "<= |order days| + 1 distinct durations (Greenwood variance on "
+        "the same D27 risk table)",
+        lambda st: st["days_orders"] + 1,
+    ),
+    "orders_jonckheere_terpstra": (
+        "#partitions-row boundary-offset table (max(4, cores/4) range "
+        "partitions; 256 covers any local core count up to 1024)",
+        lambda st: 256,
+    ),
     "events_watermark_lateness_audit": (
         "<= horizon-minutes lateness histogram",
         lambda st: st["horizon_minutes"] + 2,
@@ -2643,6 +2655,9 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     "graph_sssp_weighted", "graph_two_hop_reach", "graph_two_hop_reach_hll",
     "graph_closeness_landmarks", "graph_ktruss",
     "llm_dedup_cluster", "llm_dedup_cluster_portable",
+    # (e) r13 LSH banded/candidate/doc lazy pins (24-byte banded working
+    #     set; AQE materializes the upstream band exchanges at plan time)
+    "llm_dedup_near",
     # (w) writers — the build-time job IS the audited write
     "join_bucketed_colocated", "llm_shard_write_audit",
     "sort_zorder_write_audit",
