@@ -55,7 +55,10 @@ BLOCK_GAP_SEC = float(os.environ.get("KSQL_BENCH_BLOCK_GAP", "20"))
 #: time for 1-min loadavg to drop below a threshold records the floor the
 #: hardware actually offers instead of a lottery draw; if the host never
 #: quiets down we proceed anyway and the recorded loadavg keys say so.
-QUIET_LOAD = float(os.environ.get("KSQL_BENCH_QUIET_LOAD", "3.0"))
+#: Default tightened 3.0 → 1.5 (VERDICT r13 item 1a: the r13 artifact ran its
+#: whole first block at loadavg 2.96 because 2.96 < 3.0 passed the gate, and
+#: recorded 1.51 s where same-code quiet runs measure 0.92-1.05 s).
+QUIET_LOAD = float(os.environ.get("KSQL_BENCH_QUIET_LOAD", "1.5"))
 QUIET_WAIT_SEC = float(os.environ.get("KSQL_BENCH_QUIET_WAIT", "150"))
 
 
@@ -96,6 +99,15 @@ def main() -> None:
     # the general engine posture.
     from pyspark.sql import SparkSession
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Scaling contract (VERDICT r13 item 2): the per-query shuffle-partition
+    # overrides are capped at the core count, so the workload's parallelism
+    # is a function of $SPARK_GRAFT_CPUS with the sf0.1-tuned values as the
+    # high-core point. At sf0.1 that function saturates at cpus >= 4 — see
+    # the `expected_scaling` field emitted below — because the inputs are
+    # single-file single-row-group parquet (scan parallelism is 1 task per
+    # table; a parquet row group cannot be split) and the widest tuned
+    # shuffle uses 4 partitions. A cpus < 4 run degrades measurably.
+    cpus_i = max(1, int(cpus))
     spark = (
         SparkSession.builder.appName("ksql-spark-bench")
         .master(f"local[{cpus}]")
@@ -134,7 +146,9 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in specs]
 
     def run_one(n: str) -> None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(BENCH_QUERIES[n]))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(BENCH_QUERIES[n], cpus_i))
+        )
         materialize(specs[n].builder(spark, sf_dir))
 
     # Warm-up: JVM codegen + parquet footer caches (excluded per BASELINE.md §4).
@@ -187,12 +201,15 @@ def main() -> None:
                 break
 
     run_block_set()
-    # Contended-epoch retry (VERDICT r12 item 4, the r12 1.222 s lesson): if
-    # the pre-flight quiet wait TIMED OUT, the whole first block set ran in a
-    # load epoch we know was contended — wait for quiet once more and rerun
-    # the full block set before emitting. min-of-block-medians across ALL
-    # blocks keeps the better epoch; both waits stay in the artifact.
-    if not quiet_waits[0]["ok"]:
+    # Contended-epoch retry (VERDICT r12 item 4 + r13 item 1a): rerun the
+    # full block set after one more bounded quiet wait when EITHER the
+    # pre-flight quiet wait timed out OR every recorded per-block loadavg
+    # exceeded QUIET_LOAD (load can spike after a clean pre-flight; the r13
+    # artifact's blocks ran at 2.96/2.15/1.70 behind an ok=true gate).
+    # min-of-block-medians across ALL blocks keeps the better epoch; every
+    # wait outcome stays in the artifact.
+    all_blocks_contended = all(l >= QUIET_LOAD for l in block_loads)
+    if not quiet_waits[0]["ok"] or all_blocks_contended:
         quiet_waits.append(wait_for_quiet())
         run_block_set()
     # Two estimators, both published (ADVICE r7: a min-of-block-medians is
@@ -224,6 +241,26 @@ def main() -> None:
                 "queries_median_of_blocks": per_query_med,
                 "total_median_of_blocks": round(sum(per_query_med.values()), 4),
                 "sf": sf,
+                # Explicit scaling statement (VERDICT r13 item 2): what an
+                # N-core rerun of THIS workload at THIS sf should measure
+                # relative to the high-core run, so the driver's low-core
+                # probe reads a documented property instead of inferring
+                # "harness ignores cpus" from a ratio of ~1.
+                "expected_scaling": {
+                    "cpus": cpus_i,
+                    "max_concurrent_tasks": min(
+                        max(max(BENCH_QUERIES.values()), 1), cpus_i
+                    ),
+                    "saturation_cpus": max(BENCH_QUERIES.values()),
+                    "note": (
+                        "single-file single-row-group parquet inputs (scan "
+                        "= 1 task/table; a row group cannot be split) and "
+                        "shuffle widths of min(tuned<=4, cpus): runs with "
+                        "cpus >= 4 execute the same schedule (expected "
+                        "low/high-core ratio ~1.0); only cpus < 4 changes "
+                        "the schedule and degrades"
+                    ),
+                },
                 "load_1m_start": round(load_start, 2),
                 "load_1m_end": round(os.getloadavg()[0], 2),
                 "block_totals": block_totals,

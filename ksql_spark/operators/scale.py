@@ -88,6 +88,22 @@ def pin_invariant(df: DataFrame) -> DataFrame:
     return df if is_pinned(df) else pin(df, eager=False)
 
 
+def fan_parts(spark) -> int:
+    """Partition count for EXPLOSION-prone joins: self-joins (wedge
+    enumeration, incidence pairing) whose output is orders of magnitude
+    larger than their input. AQE sizes post-shuffle partitions from the
+    map-side BYTES, so a kilobyte-scale edge/incidence table coalesces to
+    ONE partition and the multi-hundred-million-row join output is generated
+    (and partially aggregated) by a single task — measured r14: the sf0.1
+    wedge stage of graph_two_hop_reach ran 1-way for ~25 s of its 37.7 s.
+    An explicit repartition(fan_parts(spark), key) on both join inputs pins
+    the stage width to the session's parallelism — scale-adaptive (cores
+    locally, executor slots on a cluster), never a tuned constant — and
+    replaces the ENSURE_REQUIREMENTS exchange the join would insert anyway,
+    so no extra shuffle is paid."""
+    return max(int(spark.sparkContext.defaultParallelism), 1)
+
+
 def ranged_cumsum(
     df: DataFrame,
     order_cols: list,

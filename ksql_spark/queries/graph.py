@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ksql_spark.operators.scale import pin, pin_invariant
+from ksql_spark.operators.scale import fan_parts, pin, pin_invariant
 from ksql_spark.registry import query
 from ksql_spark.tables import load
 
@@ -41,7 +41,13 @@ def coship_adj(
     edge list once for iterative consumers — without it, lineage re-runs
     the |lineitem| self-join per iteration (the measured-minutes-at-sf0.1
     PageRank regression)."""
-    a = coship_pairs(li)
+    # Explosion-width pin (r14, guide §2.2): the incidence table is ~100k
+    # rows / a few MB at sf0.1, so AQE coalesces the self-join's exchanges
+    # to 1 partition and the Σ_p cnt(p)² ≈ 18M output rows (plus the
+    # distinct's partial aggregate) are produced by a single task. The
+    # explicit width replaces the exchange the join inserts anyway.
+    n = fan_parts(li.sparkSession)
+    a = coship_pairs(li).repartition(n, "p")
     b = a.select(F.col("s1").alias("s2"), "p")
     adj = a.join(b, "p").select("s1", "s2")
     if exclude_self:
@@ -511,7 +517,11 @@ def _weighted_adj(li: DataFrame) -> DataFrame:
     least 1.05x the mean shared-part count. The RELATIVE threshold keeps
     the graph non-degenerate across scale factors (absolute shared counts
     grow with SF; the mean grows with them)."""
-    inc = coship_pairs(li)
+    # Explosion-width pin (r14, guide §2.2): same rationale as coship_adj —
+    # without it the Σ_p cnt(p)² ≈ 18M-row incidence self-join and the pair
+    # aggregation run in ONE AQE-coalesced task (measured: the adjacency
+    # build alone cost 12.8 s of every wedge-family entry at sf0.1).
+    inc = coship_pairs(li).repartition(fan_parts(li.sparkSession), "p")
     b = inc.select(F.col("s1").alias("s2"), "p")
     # LAZY pin: `pair` feeds BOTH the threshold aggregate and the filter —
     # un-pinned, the |lineitem| scan + incidence self-join (Σ_p cnt(p)² rows)
@@ -691,20 +701,37 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses the checkpointed RDD (no re-scan).
     adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("z")).agg(F.count("*").alias("d"))
-    e1 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("z"))
-    e2 = adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
-    wedge = e1.join(e2, "z").where(F.col("a") < F.col("b"))
     contrib = (
         (1.0 / F.log(F.col("d").cast("double"))) * 1000000 + 0.5
     ).cast("bigint")
+    # r14: (a) explosion-width pin on the wedge self-join (fan_parts — AQE
+    # otherwise generates the Σ deg² wedge rows in one task); (b) the
+    # 1/ln(deg(z)) contribution attaches to the |E|-row e2 side BEFORE the
+    # wedge join (same broadcast, deg(z) is a function of the join key), so
+    # the 77M wedge rows carry (a, b, c_q6) directly instead of being
+    # re-probed against the degree broadcast after the explosion.
+    n = fan_parts(spark)
+    e1 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("z")).repartition(n, "z")
+    # deg(z) >= 2 filter: a degree-1 center's only wedge pair is (a, a),
+    # which the a < b filter drops — so excluding those edge rows changes
+    # nothing, and keeps 1/ln(deg) from ever seeing ln(1) = 0 (ANSI
+    # divide-by-zero; surviving wedge centers have deg >= 2 by
+    # construction, which is why the old post-wedge attach never hit it).
+    e2 = (
+        adj.select(F.col("s1").alias("z"), F.col("s2").alias("b"))
+        .join(F.broadcast(deg), "z")
+        .where(F.col("d") >= 2)
+        .select("z", "b", contrib.alias("c_q6"))
+        .repartition(n, "z")
+    )
+    wedge = e1.join(e2, "z").where(F.col("a") < F.col("b"))
     # The non-edge anti-join runs AFTER the (a, b) aggregation: the anti
     # filter is on the group key, so dropping rows before the agg and
     # dropping whole groups after it produce identical results — but after
     # the agg it probes |candidate pairs| rows instead of every one of the
     # Σ deg² wedge rows (77M at sf0.1 for the uncapped entry).
     scored = (
-        wedge.join(F.broadcast(deg), "z")
-        .select("a", "b", contrib.alias("c_q6"))
+        wedge.select("a", "b", "c_q6")
         .groupBy("a", "b")
         .agg(
             F.count("*").alias("common_neighbors"),
@@ -878,14 +905,49 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses the checkpointed RDD (no re-scan).
     adj = _weighted_adj(li).transform(pin_invariant)
     deg = adj.groupBy(F.col("s1").alias("node")).agg(F.count("*").alias("d"))
-    e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
-    e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    wedge = e1.join(e2, "a")
-    closed = wedge.join(
-        adj, (adj["s1"] == wedge["v"]) & (adj["s2"] == wedge["b"])
+    # r14 degree-oriented triangle enumeration (guide §2.4; the classic
+    # triangle-counting orientation): direct each undirected edge from its
+    # (deg, id)-smaller endpoint — a strict total order, so every triangle
+    # has exactly ONE vertex whose two triangle edges both point outward.
+    # Enumerating ordered out-neighbor pairs of that vertex and probing the
+    # oriented closing edge finds each triangle exactly once: wedge volume
+    # drops from Σ deg² (155M directed at sf0.1) to Σ C(outdeg, 2) where
+    # outdeg sums to |E|/2 (~19M), and the closure probe shrinks the same
+    # way. Per-node directed closed-wedge counts are recovered exactly:
+    # n_closed(v) = 2 · triangles(v), credited by exploding each triangle
+    # to its three vertices. The final arithmetic below is unchanged and
+    # n_closed is the same integer, so the output is bit-identical.
+    dsml = F.broadcast(deg)
+    oadj = (
+        adj.join(dsml.withColumnRenamed("node", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(dsml.withColumnRenamed("node", "s2").withColumnRenamed("d", "d2"), "s2")
+        .where(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2")))
+        )
+        .select(
+            F.col("s1").alias("u"),
+            F.col("s2").alias("x"),
+            F.col("d2").alias("dx"),
+        )
+    ).transform(pin_invariant)
+    n = fan_parts(spark)
+    o1 = oadj.repartition(n, "u")
+    o2 = oadj.select(
+        F.col("u"), F.col("x").alias("y"), F.col("dx").alias("dy")
+    ).repartition(n, "u")
+    wedge = o1.join(o2, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
     )
-    tri = closed.groupBy(F.col("v").alias("node")).agg(
-        F.count("*").alias("n_closed")
+    closing = oadj.select(F.col("u").alias("x"), F.col("x").alias("y"))
+    closed = wedge.join(closing, ["x", "y"])
+    tri = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg((F.count("*") * 2).alias("n_closed"))
     )
     nc = F.coalesce(F.col("n_closed"), F.lit(0))
     coeff = F.when(F.col("d") < 2, F.lit(0.0)).otherwise(
@@ -1379,15 +1441,28 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-derived edge list ONCE and every later branch/iteration
     # reuses the checkpointed RDD (no re-scan).
     adj = _weighted_adj(li).transform(pin_invariant)
-    e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a"))
-    e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    # r14: (a) explosion-width pin on the wedge self-join (see fan_parts —
+    # un-pinned, AQE ran the Σ deg² ≈ 155M-row wedge generation in ONE
+    # task); (b) UNORDERED enumeration: the adjacency is symmetric, so the
+    # 2-hop ball relation is symmetric — (v, b) is reachable iff (b, v) is.
+    # Enumerating only v < b halves the wedge rows surviving to the
+    # distinct, and each distinct unordered pair then credits BOTH
+    # endpoints' counts. Identical result: |{w != v : w in ball(v)}| =
+    # #unordered ball pairs containing v.
+    n = fan_parts(spark)
+    e1 = adj.select(F.col("s1").alias("v"), F.col("s2").alias("a")).repartition(n, "a")
+    e2 = adj.select(F.col("s1").alias("a"), F.col("s2").alias("b")).repartition(n, "a")
     wedge = (
         e1.join(e2, "a")
-        .where(F.col("v") != F.col("b"))
+        .where(F.col("v") < F.col("b"))
         .select(F.col("v").alias("s1"), F.col("b").alias("s2"))
     )
-    ball = adj.select("s1", "s2").unionByName(wedge).distinct()
-    return ball.groupBy(F.col("s1").alias("suppkey")).agg(
+    adj_u = adj.where(F.col("s1") < F.col("s2")).select("s1", "s2")
+    ball_u = adj_u.unionByName(wedge).distinct()
+    ends = ball_u.select(F.col("s1").alias("suppkey")).unionByName(
+        ball_u.select(F.col("s2").alias("suppkey"))
+    )
+    return ends.groupBy("suppkey").agg(
         F.count("*").cast("bigint").alias("reach_2hop")
     )
 

@@ -4203,8 +4203,6 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     looping over PLANS with per-step pins (the MMR lesson: unpinned,
     the analyzer's tree grows exponentially). Per-step probabilities
     quantize so both engines walk identical chains."""
-    from ksql_spark.operators.scale import pin
-
     e = load(spark, sf_dir, "events")
     w_prev = (
         Window.partitionBy("user_id")
@@ -4305,72 +4303,53 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_s",
         "to_s",
         _q6(F.col("c") * 1.0 / F.sum("c").over(w_row)).alias("pij"),
-    ).transform(pin, eager=False)
-
-    loops = spark.createDataFrame(
-        [("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0)],
-        "from_s string, to_s string, pij double",
     )
 
-    def absorption(removed: str | None):
-        if removed is None:
-            pv = pmat.unionByName(loops)
-        else:
-            pv = (
-                pmat.where(F.col("from_s") != removed)
-                .select(
-                    "from_s",
-                    F.when(F.col("to_s") == removed, "NULL")
-                    .otherwise(F.col("to_s"))
-                    .alias("to_s"),
-                    "pij",
-                )
-                .unionByName(loops)
-            )
-        pv = pv.transform(pin, eager=False)
-        v = spark.createDataFrame(
-            [("START", 1.0)], "state string, p double"
-        )
-        for _ in range(_MKV_ITERS):
-            v = (
-                v.join(pv, v["state"] == pv["from_s"])
-                .groupBy(F.col("to_s").alias("ns"))
-                .agg(
-                    (
-                        F.sum(
-                            (
-                                F.col("p") * F.col("pij") * 1000000
-                                + F.lit(0.5)
-                            ).cast("long")
-                        ).cast("double")
-                        / 1000000.0
-                    ).alias("p")
-                )
-                .select(F.col("ns").alias("state"), "p")
-            )
-            # NO per-step pin: unlike MMR's acc (3 consumers/step, 3^k
-            # growth), v has ONE consumer per step — the plan grows
-            # linearly and 48 pins would cost ~0.7 s of job overhead each
-        conv = v.where(F.col("state") == "CONV").agg(
-            F.coalesce(F.max("p"), F.lit(0.0)).alias("a")
-        )
-        return conv
+    # r14 (VERDICT r13 item 5): the 4 variants × 12 power iterations ran as
+    # 60 chained join/agg stages over a <= 30-row pinned table — ~9 s of
+    # pure stage scheduling at every scale. The state space is FIXED by
+    # construction (START, 3 channels, CONV, NULL), so the transition
+    # matrix is bounded at 30 rows regardless of corpus size: collecting it
+    # is the sanctioned bounded-driver-result class (guide §5), and the
+    # chain is solved in plain Python with IDENTICAL quantized arithmetic —
+    # the same (p * pij * 1e6 + 0.5) double products (IEEE 754 both sides),
+    # the same trunc-toward-zero long cast (Python int()), exact integer
+    # sums (order-free), the same /1e6 — so every intermediate vector, and
+    # the output, is bit-identical to the former join spelling.
+    pm = [(r["from_s"], r["to_s"], r["pij"]) for r in pmat.collect()]
 
-    a_full = absorption(None).select(F.col("a").alias("full_absorption"))
-    out = None
+    def absorption(removed: str | None) -> float:
+        if removed is None:
+            pv = list(pm)
+        else:
+            pv = [
+                (f, "NULL" if t == removed else t, p)
+                for f, t, p in pm
+                if f != removed
+            ]
+        pv.append(("CONV", "CONV", 1.0))
+        pv.append(("NULL", "NULL", 1.0))
+        v = {"START": 1.0}
+        for _ in range(_MKV_ITERS):
+            acc: dict[str, int] = {}
+            for f, t, p in pv:
+                if f in v:
+                    acc[t] = acc.get(t, 0) + int(v[f] * p * 1000000 + 0.5)
+            v = {t: float(s) / 1000000.0 for t, s in acc.items()}
+        return v.get("CONV", 0.0)
+
+    def py_q6(x: float) -> float:
+        # scalar mirror of _q6: trunc-toward-zero of x*1e6+0.5, then /1e6
+        return float(int(x * 1000000.0 + 0.5)) / 1000000.0
+
+    full = absorption(None)
+    rows = []
     for ch in _MKV_CHANNELS:
-        a_rm = absorption(ch).select(F.col("a").alias("removal_absorption"))
-        row = (
-            a_full.crossJoin(a_rm)
-            .select(
-                F.lit(ch).alias("channel"),
-                "full_absorption",
-                "removal_absorption",
-                _q6(
-                    (F.col("full_absorption") - F.col("removal_absorption"))
-                    / F.nullif(F.col("full_absorption"), F.lit(0.0))
-                ).alias("removal_effect"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        rm = absorption(ch)
+        eff = None if full == 0.0 else py_q6((full - rm) / full)
+        rows.append((ch, full, rm, eff))
+    return spark.createDataFrame(
+        rows,
+        "channel string, full_absorption double, "
+        "removal_absorption double, removal_effect double",
+    )
