@@ -2750,7 +2750,18 @@ def _ivf_cell_of(cent_rows, emb) -> F.Column:
     the (100 TB) side it runs over: the K centroids enter the plan as a
     literal array of structs, and the argmin over squared-L2 distance is
     one F.aggregate per row (ties break to the lowest cent_id, the same
-    (dist asc, cent_id asc) rule as ann_ivf_topk's window form)."""
+    (dist asc, cent_id asc) rule as ann_ivf_topk's window form).
+
+    Degenerate-input caveat (ADVICE r13): a NULL / empty / all-NaN
+    embedding yields all-NULL (or NaN) distances, so the strict `d <`
+    fold keeps the init cent_id = -1 — where the replaced ORDER BY cd ASC
+    window (NULLS FIRST) would have assigned the lowest cent_id. Rows
+    assigned cell -1 silently miss every probe. The embeddings corpus
+    contains no such vectors (dims are fixed-width doubles from the
+    generator), and _assign_fixed_centroids carries the explicit NULL
+    branches for the paths where data-derived inputs could; if this
+    helper is ever pointed at untrusted embeddings, add the same
+    branches."""
     emb_d = emb.cast("array<double>")
     cent_arr = F.array(
         *[

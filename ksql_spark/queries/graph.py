@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ksql_spark.operators.scale import fan_parts, pin, pin_invariant
+from ksql_spark.operators.scale import fan_parts, is_pinned, pin, pin_invariant
 from ksql_spark.registry import query
 from ksql_spark.tables import load
 
@@ -134,27 +134,54 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
     whole edge build per round (round-8 sf1 probe: llm_dedup_cluster's LSH
     pair pipeline re-ran ~10×, 283 s → 44 s with the pin; at 100 TB an
     un-pinned adj would re-scan the corpus per iteration)."""
+    if not is_pinned(adj):
+        # Width pin before the lineage pin (r14): the pinned RDD inherits
+        # its partition layout from the upstream AQE-coalesced aggregate
+        # (1-2 partitions for an MB-scale edge list) and Scan ExistingRDD
+        # reports UnknownPartitioning, so every round's neighbor join was
+        # scanning the edge list quasi-serially (measured: ~5 s/round on
+        # the 1M-edge co-ship graph at sf0.1).
+        adj = adj.repartition(fan_parts(adj.sparkSession), "s2")
     adj = pin_invariant(adj)
     labels = adj.select(F.col("s1").alias("suppkey")).distinct().withColumn(
         "component", F.col("suppkey")
     )
     for _ in range(max_rounds):
-        # candidate label per node: min over own label and neighbors' labels
+        # Fused round (r14): ONE aggregation computes both the candidate
+        # label (min over own ∪ neighbor labels) and the previous label
+        # (min over the single own row) — the former spelling re-joined
+        # labels after the neighbor-min agg, an extra stage per round.
+        # min(own ∪ neighbors) ≡ least(own, neighbor_min) and
+        # (new < own) ≡ (neighbor_min < own), so rounds and convergence
+        # are identical.
+        nbr = adj.join(labels, adj.s2 == labels.suppkey).select(
+            F.col("s1").alias("suppkey"),
+            "component",
+            F.lit(False).alias("own"),
+        )
         nxt = (
-            adj.join(labels, adj.s2 == labels.suppkey)
-            .groupBy(F.col("s1").alias("suppkey"))
-            .agg(F.min("component").alias("neighbor_min"))
-            .join(labels, "suppkey")
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
+            .groupBy("suppkey")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("own"), F.col("component"))).alias("own_c"),
+            )
             .select(
                 "suppkey",
-                F.least("component", "neighbor_min").alias("component"),
-                (F.col("neighbor_min") < F.col("component")).alias("changed"),
+                "component",
+                (F.col("component") < F.col("own_c")).alias("changed"),
             )
         ).transform(pin, eager=False)
         # The changed-count below is the materializing action: it computes
         # nxt (LocalRDDCheckpointData fills any partitions the limit's
         # incremental execution skipped at job end), so one pass replaces
-        # the previous eager-checkpoint job + count job per round.
+        # the previous eager-checkpoint job + count job per round. That
+        # single-pass claim holds for the localCheckpoint path only
+        # (ADVICE r13): with RELIABLE_PIN_CONF + a checkpoint dir set,
+        # checkpoint(eager=False) recomputes the lineage in a separate
+        # checkpoint-write job after the count — correct either way, but
+        # reliable-pin deployments pay two passes per round here.
         changed = nxt.where("changed").limit(1).count()
         labels = nxt.drop("changed")
         if changed == 0:
@@ -942,10 +969,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closing = oadj.select(F.col("u").alias("x"), F.col("x").alias("y"))
     closed = wedge.join(closing, ["x", "y"])
+    # explode(array(u, x, y)), NOT a 3-way union of projections: union
+    # branches re-execute the closure-join subtree once per branch (the
+    # shared exchange is reused but the 22M-row merge/probe is not —
+    # measured 22.2 s vs 9.5 s for the identical multiset via one narrow
+    # Generate in the join's output pipeline).
     tri = (
-        closed.select(F.col("u").alias("node"))
-        .unionByName(closed.select(F.col("x").alias("node")))
-        .unionByName(closed.select(F.col("y").alias("node")))
+        closed.select(F.explode(F.array("u", "x", "y")).alias("node"))
         .groupBy("node")
         .agg((F.count("*") * 2).alias("n_closed"))
     )

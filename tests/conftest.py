@@ -24,6 +24,20 @@ from ksql_spark.tables import TABLES  # noqa: E402
 SF_DIR = os.environ.get("KSQL_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMALL = "/root/testdata/sf0.001"
 
+#: Builder closing-pass tier (VERDICT r13 item 1b): the handful of
+#: REPO-WIDE sweep gates (every-builder job census, every-plan window
+#: sweep, degenerate-corpus sweep, dtype census — ~32 min of the ~55 min
+#: suite) exceed the round driver's verify budget, which truncated the r13
+#: run at ~81%. They stay in the suite, opt-in via KSQL_FULL_TESTS=1, and
+#: the builder's closing pass runs them (recorded in OPTIMIZATION_r14.md);
+#: the default run keeps every per-entry/per-operator gate.
+import pytest as _pytest  # noqa: E402
+
+full_tier = _pytest.mark.skipif(
+    not os.environ.get("KSQL_FULL_TESTS"),
+    reason="repo-wide sweep tier: set KSQL_FULL_TESTS=1 (builder closing pass)",
+)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -22,7 +22,7 @@ import pytest
 
 from ksql_spark.registry import all_specs
 
-from .conftest import SF_SMALL
+from .conftest import SF_SMALL, full_tier
 
 SPECS = all_specs()
 
@@ -118,6 +118,7 @@ def degen_dir(tmp_path_factory):
         if n not in SKIP and not n.startswith(SKIP_PREFIXES)
     ],
 )
+@full_tier
 def test_entry_survives_degenerate_corpus(name, spark, degen_dir):
     rows = SPECS[name].builder(spark, degen_dir).limit(500).collect()
     assert rows is not None  # reaching here = no abort; content unasserted

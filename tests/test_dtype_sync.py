@@ -24,6 +24,8 @@ sys.path.insert(0, str(REPO / "tools"))
 
 from dtype_sweep import TABLES, duck_family, families_conflict, spark_family  # noqa: E402
 
+from .conftest import full_tier  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -39,6 +41,7 @@ def duck():
     con.close()
 
 
+@full_tier
 def test_oracle_dtypes_match_spark_schema(spark, duck):
     from ksql_spark.registry import all_specs
 

@@ -12,7 +12,7 @@ import pytest
 
 from ksql_spark.registry import all_specs
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, full_tier
 
 SPECS = all_specs()
 
@@ -106,29 +106,37 @@ def test_minhash_band_exchange_carries_no_text(spark):
     pinned (r13: the 24-byte banded form feeds four consumers), which hides
     their upstream exchanges from the final plan — so the gate inspects the
     PRE-pin plan via pins_disabled(), i.e. exactly the exchanges that run
-    when each pin materializes."""
+    when each pin materializes, AND the pinned final plan (ADVICE r13: a
+    text-carrying exchange added DOWNSTREAM of the pins — e.g. in the
+    verify join — would otherwise escape the sweep)."""
     import io
     import contextlib
     import re
 
     from ksql_spark.operators.scale import pins_disabled
 
+    def exchange_inputs(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # formatted explain: "(n) Exchange\nInput [k]: [attr#id, ...]"
+        nodes = re.split(r"\n\((\d+)\) ", plan)
+        inputs = []
+        for i in range(1, len(nodes) - 1, 2):
+            header, body = nodes[i + 1].split("\n", 1)
+            if header.strip() == "Exchange":
+                m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", body)
+                assert m, f"Exchange node without Input list:\n{body[:200]}"
+                inputs.append(m.group(1))
+        return inputs
+
     with pins_disabled():
-        df = SPECS["llm_dedup_near"].builder(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
-    # formatted explain: "(n) Exchange\nInput [k]: [attr#id, ...]"
-    nodes = re.split(r"\n\((\d+)\) ", plan)
-    shuffle_inputs = []
-    for i in range(1, len(nodes) - 1, 2):
-        header, body = nodes[i + 1].split("\n", 1)
-        if header.strip() == "Exchange":
-            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", body)
-            assert m, f"Exchange node without Input list:\n{body[:200]}"
-            shuffle_inputs.append(m.group(1))
+        prepin = SPECS["llm_dedup_near"].builder(spark, SF_DIR)
+    shuffle_inputs = exchange_inputs(prepin)
     assert shuffle_inputs, "expected at least one shuffle (bucket-size agg)"
+    # pinned (final) plan: exchanges downstream of the lazy pins
+    shuffle_inputs += exchange_inputs(SPECS["llm_dedup_near"].builder(spark, SF_DIR))
     for cols in shuffle_inputs:
         assert "text#" not in cols and "__sig#" not in cols and "words_" not in cols, (
             f"shuffle carries corpus text/signature: {cols}"
@@ -490,6 +498,7 @@ def _raw_scan_hints(df) -> list:
     return flags
 
 
+@full_tier
 def test_no_entry_broadcasts_raw_fact_scan(spark):
     """Repo-wide version of the hint audit at lower strictness: NO registry
     entry may hint-broadcast a raw unbounded scan of an SF-proportional
@@ -2170,6 +2179,7 @@ _PREPIN_ITERATIVE_SKIP = (
 )
 
 
+@full_tier
 def test_no_unpartitioned_windows_outside_allowlist(spark):
     """Global scale-killer gate: build EVERY registry entry's physical plan
     and fail if any entry outside the documented allowlist contains a
@@ -2486,6 +2496,7 @@ def _bound_probe_dirs():
 
 
 @pytest.mark.parametrize("name", sorted(_ALLOWLIST_BOUNDS))
+@full_tier
 def test_allowlisted_window_input_stays_under_stated_bound(spark, name):
     """The bound PROOF: count the rows actually feeding every unpartitioned
     window of each allowlisted entry and assert count <= the stated bound,
@@ -2664,6 +2675,7 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
 })
 
 
+@full_tier
 def test_build_time_job_entries_are_enumerated(spark):
     """VERDICT r11 item 3: the build-time action rule and practice must
     agree — sweep EVERY registry builder counting Spark jobs triggered at

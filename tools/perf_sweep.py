@@ -69,12 +69,15 @@ def main() -> int:
                 df = qs[name](spark, args.sf_dir)
                 df.write.mode("overwrite").format("noop").save()
             except Exception:
+                # ADVICE r13: an erroring run's elapsed time is the
+                # traceback path, not the query — recording it would let a
+                # failed entry misrank the sweep. ERROR entries get sec=NaN
+                # (excluded from min/total below).
                 status = "ERROR"
                 traceback.print_exc()
-                runs.append(time.monotonic() - t0)
                 break
             runs.append(time.monotonic() - t0)
-        best = min(runs) if runs else float("nan")
+        best = min(runs) if runs and status == "ok" else float("nan")
         results[name] = {"sec": round(best, 3), "runs": [round(r, 3) for r in runs],
                          "status": status}
         print(f"[{i}/{len(names)}] {name}: {best:.2f}s {status if status != 'ok' else ''}",
@@ -87,8 +90,14 @@ def main() -> int:
         "entries": results,
     }
     Path(args.out).write_text(json.dumps(payload, indent=1))
-    ranked = sorted(results.items(), key=lambda kv: -kv[1]["sec"])
-    total = sum(v["sec"] for v in results.values())
+    import math
+
+    ok = {n: v for n, v in results.items() if not math.isnan(v["sec"])}
+    ranked = sorted(ok.items(), key=lambda kv: -kv[1]["sec"])
+    total = sum(v["sec"] for v in ok.values())
+    n_err = len(results) - len(ok)
+    if n_err:
+        print(f"\n{n_err} ERROR entries excluded from ranking/total")
     print(f"\ntotal {total:.1f}s across {len(results)} entries; slowest {args.top}:")
     for name, v in ranked[: args.top]:
         print(f"  {v['sec']:8.2f}s  {name}")
