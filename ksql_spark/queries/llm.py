@@ -162,13 +162,23 @@ def llm_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard two-phase expand. Never a doc-pair self-join; output is
     bounded by the duplicated-span count."""
     d = load(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id",
-        F.posexplode(text.shingles("text", 8)).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.md5(F.col("gram").cast("binary")).alias("gram_md5"),
+    # LAZY pin (r14, guide §1.2/§2.4): `g` feeds BOTH the distinct-doc
+    # frequency agg and the join-back — un-pinned the two exchange subtrees
+    # differ (the agg side carries the partial count_distinct expand), so
+    # ReuseExchange never fires and the scan + shingle posexplode + md5 map
+    # work runs TWICE per execution (measured: 2 scans / 2 Generates in the
+    # pre-pin plan). The pinned payload is (doc_id, pos, 16-byte digest) —
+    # the text column never rides the pin or any exchange.
+    g = scale_pin(
+        d.select(
+            "doc_id",
+            F.posexplode(text.shingles("text", 8)).alias("pos0", "gram"),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.col("gram").cast("binary")).alias("gram_md5"),
+        ),
+        eager=False,
     )
     dup = (
         g.groupBy("gram_md5")
@@ -3239,13 +3249,25 @@ def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage is a bounded x8 explode; the rebuild is a document-scoped
     collect_list (bounded by doc length, the llm_chunk_sliding posture)."""
     d = load(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id",
-        F.posexplode(text.shingles("text", 8)).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.md5(F.col("gram").cast("binary")).alias("gram_md5"),
+    # LAZY pins (r14, guide §1.2/§2.4 — VERDICT r13 item 7 decomposition):
+    # the pre-pin plan held 10 parquet scans / 11 Generates and ZERO
+    # ReusedExchange — `g` (scan + shingle posexplode + md5) re-derived 6x
+    # because `occ` feeds both `canon` and `noncanon`, and the whole
+    # noncanon -> x8 explode -> distinct chain re-derived for BOTH `cut`
+    # consumers (the kept anti-join and the n_cut agg). Three pins collapse
+    # that: g computes once (digest rows only — the text column never rides
+    # a pin or an exchange), occ once (the duplicated subset of g), cut
+    # once (two integer columns per row).
+    g = scale_pin(
+        d.select(
+            "doc_id",
+            F.posexplode(text.shingles("text", 8)).alias("pos0", "gram"),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.col("gram").cast("binary")).alias("gram_md5"),
+        ),
+        eager=False,
     )
     dupg = (
         g.groupBy("gram_md5")
@@ -3253,7 +3275,7 @@ def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= 2)
         .select("gram_md5")
     )
-    occ = g.join(dupg, "gram_md5")
+    occ = scale_pin(g.join(dupg, "gram_md5"), eager=False)
     canon = occ.groupBy("gram_md5").agg(
         F.min(
             F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
@@ -3269,10 +3291,13 @@ def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
-    cut = noncanon.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
-    ).distinct()
+    cut = scale_pin(
+        noncanon.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("p"),
+        ).distinct(),
+        eager=False,
+    )
     tok = d.select(
         "doc_id", F.posexplode(text.words("text")).alias("pos0", "tk")
     ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tk")
