@@ -49,10 +49,32 @@ def coship_adj(
     n = fan_parts(li.sparkSession)
     a = coship_pairs(li).repartition(n, "p")
     b = a.select(F.col("s1").alias("s2"), "p")
-    adj = a.join(b, "p").select("s1", "s2")
-    if exclude_self:
-        adj = adj.where(F.col("s1") != F.col("s2"))
-    adj = adj.distinct()
+    # r14 unordered-mirror build (guide §2.3 "shuffle fewer bytes"): the
+    # adjacency is symmetric, so enumerating only s1 <(=) s2 halves the
+    # Σ_p cnt(p)² join output flowing into the distinct's exchange (18M →
+    # 9M rows at sf0.1; isolated build A/B 3.7 → 3.4 s, and the byte
+    # halving compounds at scale where that exchange dominates) and the
+    # mirror is a single-pass explode over the deduped half — a Generate,
+    # not a union, so the half subtree is never duplicated in the plan.
+    # Self-loops (kept when exclude_self=False — the s1 <= s2 branch)
+    # appear once unordered and are not mirrored. Row set identical to
+    # the old s1 != s2 spelling (probe: exceptAll both ways = 0/0).
+    cmp_op = (
+        (F.col("s1") < F.col("s2"))
+        if exclude_self
+        else (F.col("s1") <= F.col("s2"))
+    )
+    half = a.join(b, "p").where(cmp_op).select("s1", "s2").distinct()
+    st = F.struct(F.col("s1"), F.col("s2"))
+    sw = F.struct(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    both = (
+        F.array(st, sw)
+        if exclude_self
+        else F.when(F.col("s1") == F.col("s2"), F.array(st)).otherwise(
+            F.array(st, sw)
+        )
+    )
+    adj = half.select(F.explode(both).alias("e")).select("e.s1", "e.s2")
     # lazy materialization (VERDICT r11): the first consuming action
     # computes the edge list ONCE and persists it; every later iteration
     # job reuses the checkpointed RDD — build time stays job-free.
@@ -556,19 +578,40 @@ def _weighted_adj(li: DataFrame) -> DataFrame:
     # sf0.1, roughly half of it this duplication; every pinned-adjacency
     # graph entry pays the build). Pinning the ~|V|² pair table (tiny next
     # to the join volume) computes the expensive subtree once.
+    #
+    # r14 unordered-mirror build (guide §2.3): shared counts are symmetric
+    # — shared(s1,s2) = shared(s2,s1) — so only s1 < s2 pairs are
+    # enumerated (halves the Σ_p cnt(p)² join output feeding the count
+    # agg, 18M → 9M rows at sf0.1, and halves the pinned pair table) and
+    # the thresholded half mirrors through a single-pass explode (a
+    # Generate — a union here would duplicate the keep subtree and its
+    # threshold broadcast in the plan, measured slower). The avg threshold
+    # is EXACTLY unchanged: `shared` is an exact bigint count, the
+    # symmetric table holds every unordered value twice, and avg =
+    # (2s)/(2n) = s/n in IEEE doubles (both sums exact integers, scaling
+    # by 2 is exact). Output row set identical (probe: exceptAll both
+    # ways = 0/0). Isolated build A/B: 6.1-7.2 s → 4.4-5.0 s at sf0.1;
+    # entry-level deltas sit inside this box's noise band, the win is the
+    # halved exchange at scale.
     pair = pin(
         inc.join(b, "p")
-        .where(F.col("s1") != F.col("s2"))
+        .where(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("shared")),
         eager=False,
     )
     thr = pair.agg((F.avg("shared") * 1.05).alias("thr"))
-    return (
-        pair.crossJoin(F.broadcast(thr))
-        .where(F.col("shared") >= F.col("thr"))
-        .select("s1", "s2")
+    keep = pair.crossJoin(F.broadcast(thr)).where(
+        F.col("shared") >= F.col("thr")
     )
+    return keep.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s1"), F.col("s2")),
+                F.struct(F.col("s2").alias("s1"), F.col("s1").alias("s2")),
+            )
+        ).alias("e")
+    ).select("e.s1", "e.s2")
 
 
 def kcore_round(adj: DataFrame, k: int) -> DataFrame:
