@@ -320,10 +320,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     adj = coship_adj(li, checkpoint=True)
-    nodes = adj.select(F.col("s1").alias("v")).union(
-        adj.select(F.col("s2").alias("v"))
-    ).distinct()
-    deg = adj.groupBy("s1").agg(F.count("*").alias("outd"))
+    # LAZY pins (r14): `nodes` rides the initial rank vector AND every
+    # iteration's left join (4 instances in the unrolled 3-iteration plan
+    # — each an un-shared union+distinct exchange over the pinned edge
+    # RDD), `deg` every iteration's contribution join (3 instances, each
+    # re-aggregating the |E| edge list). Both are O(|V|) payloads; the
+    # n_nodes count below doubles as the pin's materializing action.
+    nodes = pin(
+        adj.select(F.col("s1").alias("v"))
+        .union(adj.select(F.col("s2").alias("v")))
+        .distinct(),
+        eager=False,
+    )
+    deg = pin(adj.groupBy("s1").agg(F.count("*").alias("outd")), eager=False)
     n_nodes = nodes.count()  # bounded: |suppliers| (a scalar the loop needs)
     pr = nodes.select("v", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
     for _ in range(_PR_ITERS):
@@ -1651,7 +1660,10 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint."""
     li = load(spark, sf_dir, "lineitem")
     adj = coship_adj(li, checkpoint=True)
-    nodes = adj.select(F.col("s1").alias("v")).distinct()
+    # LAZY pin (r14): `nodes` seeds the walk vector AND left-joins each of
+    # the 3 per-length count vectors in the final assembly — 4 instances,
+    # each an un-shared distinct exchange over the pinned edge RDD.
+    nodes = pin(adj.select(F.col("s1").alias("v")).distinct(), eager=False)
     p = nodes.select("v", F.lit(1).cast("bigint").alias("c"))
     counts = []
     for _ in range(3):
@@ -1772,10 +1784,18 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     adj = coship_adj(li, checkpoint=True)
-    nodes = adj.select(F.col("s1").alias("v")).union(
-        adj.select(F.col("s2").alias("v"))
-    ).distinct()
-    deg = adj.groupBy("s1").agg(F.count("*").alias("outd"))
+    # LAZY pins (r14, same as graph_pagerank): `nodes` appears 4x in the
+    # unrolled plan (init + every iteration's left join), `deg` 3x (every
+    # contribution join) — un-pinned, each instance re-runs its
+    # union+distinct exchange / |E|-row aggregation over the pinned edge
+    # RDD. Both payloads are O(|V|).
+    nodes = pin(
+        adj.select(F.col("s1").alias("v"))
+        .union(adj.select(F.col("s2").alias("v")))
+        .distinct(),
+        eager=False,
+    )
+    deg = pin(adj.groupBy("s1").agg(F.count("*").alias("outd")), eager=False)
     is_seed = F.col("v") % _PPR_SEED_MOD == 0
     ns = pin(
         nodes.where(is_seed).agg(
