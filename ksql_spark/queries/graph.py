@@ -247,6 +247,19 @@ def bfs_frontier(adj: DataFrame, start_df: DataFrame, max_depth: int) -> DataFra
             # nest exponentially (each level re-derives every prior level) and
             # optimization time blows up past depth ~4
             nxt = nxt.transform(pin, eager=False)
+            # Empty-frontier early exit (r14, the connected_components
+            # changed-count device): an empty frontier makes every deeper
+            # level empty, so `visited` is already final — identical
+            # output, and the remaining levels' join/distinct/anti-join
+            # stages never run. The co-ship graph's eccentricities are far
+            # below the depth cap (measured at sf0.1: ALL nodes at depth 1
+            # from the root, so 5 of each sweep's 6 levels were empty
+            # rounds costing ~0.7 s of stage scheduling each). The count
+            # doubles as the pin's materializing action (one job per
+            # executed level; the former spelling materialized the same
+            # pins inside the final action anyway).
+            if nxt.limit(1).count() == 0:
+                return visited
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
