@@ -1479,12 +1479,39 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = d.join(adj, d.s == adj.s1).select(
             "lm", F.col("s2").alias("s"), (F.col("dist") + 1).alias("dist")
         )
-        d = (
-            d.unionByName(relaxed)
+        # Fused changed-test + early exit (r14, the connected_components
+        # device): hop distances never improve once set (first reach is
+        # shortest under synchronous relaxation), so a round that changes
+        # nothing makes every later round the identity — min(d ∪ relaxed)
+        # = d from then on. One aggregation computes the new minimum AND
+        # the key's previous distance (min over the single own row; NULL
+        # for newly reached keys), the changed-count doubles as the round
+        # pin's materializing action, and the loop exits as soon as a
+        # round is a no-op. On the dense co-ship graph every node is ~1
+        # hop from every landmark, so 1 of the 3 declared rounds does the
+        # work and the other two relaxed ~4M state⋈edge rows for nothing.
+        nxt = (
+            d.withColumn("own", F.lit(True))
+            .unionByName(relaxed.withColumn("own", F.lit(False)))
             .groupBy("lm", "s")
-            .agg(F.min("dist").alias("dist"))
-            .transform(pin, eager=False)
-        )
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("own"), F.col("dist"))).alias("own_d"),
+            )
+            .select(
+                "lm",
+                "s",
+                "dist",
+                (
+                    F.col("own_d").isNull()
+                    | (F.col("dist") < F.col("own_d"))
+                ).alias("changed"),
+            )
+        ).transform(pin, eager=False)
+        changed = nxt.where("changed").limit(1).count()
+        d = nxt.drop("changed")
+        if changed == 0:
+            break
     return d.select(
         F.col("lm").alias("landmark"),
         F.col("s").alias("suppkey"),
