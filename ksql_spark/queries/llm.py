@@ -2898,10 +2898,14 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition orders and engines. Top-k is a per-query window over
     |queries| x |matched docs| rows, partitioned by query_id."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    docs = d.select(
-        "doc_id",
-        F.explode(text.words("text")).alias("term"),
-        F.size(text.words("text")).alias("dl"),
+    # Tokenize ONCE per doc (r14, guide §1.2 per-task work): explode()
+    # lives in a Generate node, so a sibling `size(words(text))` column
+    # lands in the Project ABOVE it and re-splits the document once per
+    # emitted token — O(len²) splits per doc (measured 4.2-4.5 s vs 0.5 s
+    # for the corpus token stream at sf0.1). Projecting the array first
+    # makes dl an O(1) array-length read per row.
+    docs = d.select("doc_id", text.words("text").alias("w")).select(
+        "doc_id", F.explode("w").alias("term"), F.size("w").alias("dl")
     )
     totals = d.select(F.size(text.words("text")).alias("dl")).agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -2911,10 +2915,16 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted({(qid, t) for qid, q in _BM25_QUERIES for t in q.split()}),
         "query_id string, term string",
     )
-    posting = (
+    # Lazy pin: posting feeds BOTH dfreq and contrib — un-pinned, the
+    # corpus-wide explode + broadcast-term filter + (doc, term) aggregation
+    # executes twice per plan (guide §1.2 step 1). The pinned payload is
+    # the (doc_id, term, tf, dl) posting list — query-term-bounded, never
+    # the corpus text.
+    posting = scale_pin(
         docs.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")),
+        eager=False,
     )
     dfreq = posting.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
@@ -2974,19 +2984,22 @@ def _query_doc_rankings(spark: SparkSession, sf_dir: str):
         F.col("doc_id").alias("query_id"),
         F.explode(F.array_distinct(text.words("text"))).alias("term"),
     )
-    docs = d.select(
-        "doc_id",
-        F.explode(text.words("text")).alias("term"),
-        F.size(text.words("text")).alias("dl"),
+    # Tokenize ONCE per doc + lazy-pin the posting list — same two devices
+    # as llm_bm25_topk (see the comments there): the sibling size() column
+    # otherwise re-splits per emitted token, and posting feeds both dfreq
+    # and contrib.
+    docs = d.select("doc_id", text.words("text").alias("w")).select(
+        "doc_id", F.explode("w").alias("term"), F.size("w").alias("dl")
     )
     totals = d.select(F.size(text.words("text")).alias("dl")).agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
     )
-    posting = (
+    posting = scale_pin(
         docs.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")),
+        eager=False,
     )
     dfreq = posting.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
