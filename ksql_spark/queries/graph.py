@@ -565,15 +565,44 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = spark.createDataFrame([( _START, 0)], "s long, dist long")
     for _ in range(4):
-        relaxed = d.join(adj, d.s == adj.s1).select(
+        # r14 (guide §3.1/§2.4): broadcast the O(|V|)-row distance state —
+        # un-hinted, the planner sort-merge-joined state with the pinned
+        # adjacency, re-exchanging AND re-sorting the full |E|-row edge
+        # list every round (plans/r14/graph_sssp_weighted_before.txt nodes
+        # 4/9/11); the broadcast relax join leaves the edge list where it
+        # sits. State is 16 B/row (two longs): ~16 MB per million
+        # suppliers, comfortably under broadcast limits at any plausible
+        # |V|, and it is a pinned RDD, so the BroadcastExchange does not
+        # drag iteration lineage (the r13 markov lesson).
+        relaxed = F.broadcast(d).join(adj, d.s == adj.s1).select(
             F.col("s2").alias("s"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        d = (
-            d.unionByName(relaxed)
+        # r14 early exit (the connected_components changed-count device):
+        # Bellman-Ford distances are monotone non-increasing, so a round
+        # that improves nothing makes every later round the identity —
+        # running it would re-relax the full |E| edge rows for no change.
+        # The candidate min and the key's own previous distance come out
+        # of ONE aggregation (newly reached keys count as changed via the
+        # NULL own-distance), and the changed-count is the round's pin-
+        # materializing action, so no extra pass is added.
+        nxt = pin(
+            d.withColumn("_own", F.lit(True))
+            .unionByName(relaxed.withColumn("_own", F.lit(False)))
             .groupBy("s")
-            .agg(F.min("dist").alias("dist"))
-            .transform(pin, eager=False)
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_own"), F.col("dist"))).alias("_prev"),
+            ),
+            eager=False,
         )
+        changed = (
+            nxt.where(F.col("_prev").isNull() | (F.col("dist") < F.col("_prev")))
+            .limit(1)
+            .count()
+        )
+        d = nxt.select("s", "dist")
+        if changed == 0:
+            break
     return d.select(
         F.col("s").alias("suppkey"), F.col("dist").cast("bigint").alias("dist")
     )

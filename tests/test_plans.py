@@ -2669,6 +2669,9 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     # (e) r13 LSH banded/candidate/doc lazy pins (24-byte banded working
     #     set; AQE materializes the upstream band exchanges at plan time)
     "llm_dedup_near",
+    # (e) r14 BM25 posting-list lazy pins (bounded (doc, query-term) rows;
+    #     the pin stops the corpus explode running twice for dfreq+contrib)
+    "llm_bm25_topk", "llm_rrf_hybrid", "llm_retriever_agreement",
     # (w) writers — the build-time job IS the audited write
     "join_bucketed_colocated", "llm_shard_write_audit",
     "sort_zorder_write_audit",
