@@ -1823,18 +1823,26 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators.scale import pin as _pin
 
     e = load(spark, sf_dir, "embeddings")
-    terms = e.select(
+    # r14 (guide §1.2 per-task work): quantize each component ONCE per row
+    # — inlined in the pair lambdas, embedding[i] was re-quantized for
+    # every j (2·d² = 8192 double-mult+casts per row instead of d = 64).
+    # Same device as llm_emb_gram; output bit-identical (the q array holds
+    # exactly the former per-term values).
+    q = e.select(
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(CAST(x AS DOUBLE) * 1000000 + 0.5 AS BIGINT))"
+        ).alias("q")
+    )
+    terms = q.select(
         F.explode(
             F.expr(
                 """
-                flatten(transform(sequence(0, size(embedding) - 1), i ->
-                    transform(sequence(0, size(embedding) - 1), j ->
+                flatten(transform(sequence(0, size(q) - 1), i ->
+                    transform(sequence(0, size(q) - 1), j ->
                         struct(
                             CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-                            CAST(CAST(embedding[i] AS DOUBLE) * 1000000
-                                 + 0.5 AS BIGINT) AS xi,
-                            CAST(CAST(embedding[j] AS DOUBLE) * 1000000
-                                 + 0.5 AS BIGINT) AS xj))))
+                            q[i] AS xi, q[j] AS xj))))
                 """
             )
         ).alias("t")

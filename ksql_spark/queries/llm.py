@@ -4858,18 +4858,27 @@ def llm_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger d the same plan chunks the pair space by i-block; the
     per-row term generation is embarrassingly parallel either way."""
     e = load(spark, sf_dir, "embeddings")
-    terms = e.select(
+    # r14 (guide §1.2 per-task work): quantize each component ONCE per row
+    # — inlined in the pair lambdas, embedding[i] was re-quantized for
+    # every j (d(d+1) = 4160 double-mult+casts per row instead of d = 64;
+    # measured 5.2-6.5 -> 4.1-5.1 s at sf0.1, output bit-identical by
+    # exceptAll probe: the q array holds exactly the former per-term
+    # values).
+    q = e.select(
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(CAST(x AS DOUBLE) * 1000000 + 0.5 AS BIGINT))"
+        ).alias("q")
+    )
+    terms = q.select(
         F.explode(
             F.expr(
                 """
-                flatten(transform(sequence(0, size(embedding) - 1), i ->
-                    transform(sequence(i, size(embedding) - 1), j ->
+                flatten(transform(sequence(0, size(q) - 1), i ->
+                    transform(sequence(i, size(q) - 1), j ->
                         struct(
                             CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-                            CAST(CAST(embedding[i] AS DOUBLE) * 1000000
-                                 + 0.5 AS BIGINT) AS xi,
-                            CAST(CAST(embedding[j] AS DOUBLE) * 1000000
-                                 + 0.5 AS BIGINT) AS xj))))
+                            q[i] AS xi, q[j] AS xj))))
                 """
             )
         ).alias("t")
