@@ -1666,7 +1666,14 @@ def graph_two_hop_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-derived edge list ONCE and every later branch/iteration
     # reuses the checkpointed RDD (no re-scan).
     adj = _weighted_adj(li).transform(pin_invariant)
-    own = adj.groupBy("s1").agg(F.hll_sketch_agg("s2").alias("sk"))
+    # LAZY pin (r14, guide §1.2 step 1): own feeds BOTH the edge-ship join
+    # and the merge union — un-pinned, the |E|-row sketch aggregation over
+    # the pinned adjacency executed twice per plan. The pinned payload is
+    # |V| rows × one constant-size HLL sketch.
+    own = pin(
+        adj.groupBy("s1").agg(F.hll_sketch_agg("s2").alias("sk")),
+        eager=False,
+    )
     # ship each neighbor's sketch to v: edge (v, u) ⋈ own(u)
     shipped = adj.join(
         own.select(F.col("s1").alias("s2"), "sk"), "s2"
