@@ -2672,6 +2672,10 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     # (e) r14 BM25 posting-list lazy pins (bounded (doc, query-term) rows;
     #     the pin stops the corpus explode running twice for dfreq+contrib)
     "llm_bm25_topk", "llm_rrf_hybrid", "llm_retriever_agreement",
+    # (e) r14 substring-dedup gram-digest/cut-position lazy pins (digest
+    #     and position rows only, never text; the whole family is listed —
+    #     which member pays the jobs depends on sweep order)
+    "llm_substring_dedup_apply", "llm_substring_dup_spans",
     # (w) writers — the build-time job IS the audited write
     "join_bucketed_colocated", "llm_shard_write_audit",
     "sort_zorder_write_audit",
