@@ -759,11 +759,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-derived edge list ONCE and every later branch/iteration
     # reuses the checkpointed RDD (no re-scan).
     adj = _weighted_adj(li).transform(pin_invariant)
+    # r14 early exit (the BFS/landmark/sssp changed-count device): peeling
+    # is monotone — each round's edge set is a SUBSET of its input, so an
+    # unchanged edge COUNT means an unchanged edge SET and every later
+    # round is the identity. The per-round count doubles as the round
+    # pin's materializing action (one pass per round, as before — the
+    # counts just surface the cascade the final action used to run); on
+    # the dense sf0.1 graph round 1 already drops nothing, so rounds 2-4
+    # (each a degree agg + two semi-joins over the full edge list) are
+    # skipped outright. Declared output identical: skipped rounds are
+    # provably the identity, and the oracle's extra unrolled CTE rounds
+    # are no-ops on the same fixpoint.
+    prev = adj.count()
     for _ in range(_KCORE_ROUNDS):
-        # rounds are FIXED (no driver-side convergence read), so the
-        # per-round edge tables pin lazily too — the final action
-        # materializes the 4-round chain once, checkpoint by checkpoint
         adj = kcore_round(adj, _KCORE_K).transform(pin, eager=False)
+        n_edges = adj.count()
+        if n_edges == prev:
+            break
+        prev = n_edges
     return adj.groupBy(F.col("s1").alias("suppkey")).agg(
         F.count("*").alias("core_degree")
     )
