@@ -2707,3 +2707,60 @@ def test_build_time_job_entries_are_enumerated(spark):
         f"unenumerated build-time-job entries (classify under (a)-(e)/(w) "
         f"in _BUILD_TIME_JOB_ENTRIES or fix the builder): {offenders}"
     )
+
+
+def test_sssp_round_broadcasts_state_no_edge_exchange(spark):
+    """r14: graph_sssp_weighted's relax round must broadcast the O(|V|)-row
+    distance state onto the pinned adjacency (BroadcastHashJoin) instead of
+    sort-merge-joining — the SMJ spelling re-exchanged AND re-sorted the
+    full |E|-row edge list every round. Reconstructs a representative
+    mid-loop round (adj pinned, d = a pinned prior-round state) exactly as
+    the entry's loop builds it."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators.scale import pin
+    from ksql_spark.queries.graph import _START, coship_adj
+    from ksql_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    adj = coship_adj(li, checkpoint=True).withColumn(
+        "w", 1 + (F.col("s1") * 7 + F.col("s2") * 13) % 5
+    )
+    d = pin(
+        spark.createDataFrame([(_START, 0)], "s long, dist long"), eager=False
+    )
+    relaxed = F.broadcast(d).join(adj, d.s == adj.s1).select(
+        F.col("s2").alias("s"), (F.col("dist") + F.col("w")).alias("dist")
+    )
+    rnd = (
+        d.withColumn("_own", F.lit(True))
+        .unionByName(relaxed.withColumn("_own", F.lit(False)))
+        .groupBy("s")
+        .agg(
+            F.min("dist").alias("dist"),
+            F.min(F.when(F.col("_own"), F.col("dist"))).alias("_prev"),
+        )
+    )
+    plan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_tokenizes_each_doc_once(spark):
+    """r14: the BM25 token stream must split each document ONCE — a sibling
+    size(words(text)) column beside explode(words(text)) lands in the
+    Project above the Generate and re-splits the doc per emitted token
+    (O(len^2) splits). Gate: at most one split(text...) expression in the
+    final plan. Bounds: llm_bm25_topk has exactly the 1-row totals
+    aggregate; the query-doc family adds one more legitimate site (the
+    doc_id < 3 query-term extraction). The pre-fix plans carried 4 resp. 7
+    split sites (the re-split-per-token Project plus the un-pinned posting
+    duplicate)."""
+    for name, bound in (
+        ("llm_bm25_topk", 1),
+        ("llm_rrf_hybrid", 2),
+        ("llm_retriever_agreement", 2),
+    ):
+        plan = plan_of(spark, name)
+        n_split = plan.count("split(text")
+        assert n_split <= bound, f"{name}: {n_split} split(text...) sites"
