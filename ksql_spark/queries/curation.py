@@ -2990,22 +2990,30 @@ def llm_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks; heavy pooling = the score's ordering disagrees with the
     label ordering in that region.
 
-    Scale shape: ONE corpus scan into the 10-row decile agg; all nine
-    PAV steps operate on pinned <= 10-row block tables (class-(d)
-    loop-over-plans — the iteration is over PLANS, data never exceeds
-    10 rows; the lead() window is unpartitioned but allowlisted with
-    bound 10, and the leftmost-violation pick closes via
-    orderBy().limit(1) = TakeOrderedAndProject).
+    Scale shape: ONE corpus scan into the 10-row decile agg; the block
+    table is bounded at 10 rows BY CONSTRUCTION (quality_score is in
+    [0,1], so least(9, trunc(q*10)) lands in {0..9} regardless of corpus
+    size) — the sanctioned bounded-driver-result class (guide §5, the
+    events_attribution_markov posture). r14 (VERDICT r13 item 5 device):
+    the nine PAV merge steps previously ran as 9 rounds of pinned
+    window/limit/join plans over the <= 10-row table — ~3 s of pure stage
+    scheduling (20 build-time jobs) at every scale. The table is now
+    collected once and the merges run in plain Python with IDENTICAL
+    arithmetic: block counts are exact integers, the leftmost-violation
+    pick is the same integer cross-multiplication sp_i*n_j > sp_j*n_i,
+    and the final rate is the same IEEE double expression (counts stay
+    under 2^53, so Python's int/int true division equals Spark's
+    cast-double division bit for bit; Python int() and Spark cast(long)
+    both truncate toward zero), so every merge decision and the output
+    are bit-identical to the former plan spelling.
 
     NULL-text docs are excluded up front (ADVICE r11): they have no
     meaningful quality score and the engines bin an unguarded NULL
     divergently (DuckDB least(9, trunc(NULL*10)) = NULL vs Spark's
     size(NULL) = -1 path -> bin 0), so the guard is a correctness
     contract for full corpora, not a fixture convenience."""
-    from pyspark.sql import Window as W
-
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    b = (
+    b0 = (
         d.select(
             F.least(
                 F.lit(9), (text.quality_score("text") * 10).cast("int")
@@ -3017,55 +3025,34 @@ def llm_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("pos").cast("bigint").alias("sp"),
         )
-        .select("lo", F.col("lo").alias("hi"), "n", "sp")
-        .transform(pin, eager=False)
     )
-    w = W.orderBy("lo")
+    # blocks as [lo, hi, n, sp], ascending lo — the lead() adjacency
+    blocks = sorted(
+        [[r["lo"], r["lo"], r["n"], r["sp"]] for r in b0.collect()]
+    )
     for _ in range(_PAV_STEPS):
-        p = b.select(
-            "lo",
-            "hi",
-            "n",
-            "sp",
-            F.lead("lo").over(w).alias("nlo"),
-            F.lead("hi").over(w).alias("nhi"),
-            F.lead("n").over(w).alias("nn2"),
-            F.lead("sp").over(w).alias("nsp"),
-        ).transform(pin, eager=False)
-        v = (
-            p.where(
-                F.col("nlo").isNotNull()
-                & (F.col("sp") * F.col("nn2") > F.col("nsp") * F.col("n"))
-            )
-            .orderBy("lo")
-            .limit(1)
-            .select(F.col("lo").alias("flo"), F.col("nlo").alias("plo"))
-        )
-        merged = F.col("flo").isNotNull() & (F.col("flo") == F.col("lo"))
-        b = (
-            p.join(F.broadcast(v), F.lit(True), "left")
-            .where(F.col("flo").isNull() | (F.col("lo") != F.col("plo")))
-            .select(
-                "lo",
-                F.when(merged, F.col("nhi")).otherwise(F.col("hi")).alias("hi"),
-                F.when(merged, F.col("n") + F.col("nn2"))
-                .otherwise(F.col("n"))
-                .alias("n"),
-                F.when(merged, F.col("sp") + F.col("nsp"))
-                .otherwise(F.col("sp"))
-                .alias("sp"),
-            )
-            .transform(pin, eager=False)
-        )
-    return b.select(
-        F.col("lo").cast("int").alias("bin_lo"),
-        F.col("hi").cast("int").alias("bin_hi"),
-        "n",
-        F.col("sp").alias("n_pos"),
+        # leftmost adjacent violation: rate_i > rate_{i+1} by exact
+        # integer cross-multiplication (the former v-subquery predicate)
+        vi = None
+        for i in range(len(blocks) - 1):
+            if blocks[i][3] * blocks[i + 1][2] > blocks[i + 1][3] * blocks[i][2]:
+                vi = i
+                break
+        if vi is None:
+            continue  # no violation: the former left join kept all rows
+        lft, rgt = blocks[vi], blocks[vi + 1]
+        blocks[vi] = [lft[0], rgt[1], lft[2] + rgt[2], lft[3] + rgt[3]]
+        del blocks[vi + 1]
+    rows = [
         (
-            (F.col("sp").cast("double") / F.col("n") * 1000000 + F.lit(0.5))
-            .cast("long")
-            .cast("double")
-            / 1000000.0
-        ).alias("iso_rate"),
+            int(lo),
+            int(hi),
+            n,
+            sp,
+            float(int(sp / n * 1000000.0 + 0.5)) / 1000000.0,
+        )
+        for lo, hi, n, sp in blocks
+    ]
+    return spark.createDataFrame(
+        rows, "bin_lo int, bin_hi int, n bigint, n_pos bigint, iso_rate double"
     )

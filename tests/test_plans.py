@@ -2144,7 +2144,6 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "graph_adamic_adar_capped": "rank over the 20-row TakeOrdered result",
     "llm_collocations": "rank over the TakeOrdered top-k",
     # vocabulary-bounded type tables
-    "llm_isotonic_calibration": "lead over the <= 10-row PAV block table",
     "llm_bpe_merges": "gram-type table (vocabulary-bounded)",
     "llm_tokenize_ids": "vocab rank (type table)",
     "llm_good_turing": "counts-of-counts ladder (O(sqrt(vocab)) rows)",
@@ -2173,7 +2172,6 @@ _PREPIN_ITERATIVE_SKIP = (
     "events_attribution_markov",
     "llm_bradley_terry_sources",
     "llm_dedup_cluster",  # connected-components loop (and _portable twin)
-    "llm_isotonic_calibration",  # 9 PAV merge steps, 3 refs per block table
     "llm_mmr_rerank",
     "llm_pipeline_e2e_scaled",
 )
@@ -2448,10 +2446,6 @@ _ALLOWLIST_BOUNDS = {
     "llm_bpe_merges": (
         "adjacent-symbol pair types <= sum over distinct words of |w|-1",
         lambda st: st["sym_pairs"] + 1,
-    ),
-    "llm_isotonic_calibration": (
-        "<= 10 quality-decile PAV blocks",
-        lambda st: 10,
     ),
     "llm_tokenize_ids": (
         "<= |word vocabulary| rank table",
