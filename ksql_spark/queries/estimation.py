@@ -1816,12 +1816,12 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus pass exploding each row into its d^2 = 4096
     (i, j, product) terms (no self-join; map-side combine to d^2 cells),
-    then 8 iterations of d-row joins on the pinned bounded covariance —
-    loops over plans with a pin per step (the D82 posture). The uniform
-    start vector is deterministic; with the top eigengap positive, 8
-    rounds converge well past the 1e-6 quantizer."""
-    from ksql_spark.operators.scale import pin as _pin
-
+    collected once — d² is bounded by the embedding-width contract, the
+    sanctioned bounded-collect class — and the 8 iterations run on the
+    driver over the d-row state with arithmetic identical to the former
+    per-step-pinned join plans. The uniform start vector is deterministic;
+    with the top eigengap positive, 8 rounds converge well past the 1e-6
+    quantizer."""
     e = load(spark, sf_dir, "embeddings")
     # r14 (guide §1.2 per-task work): quantize each component ONCE per row
     # — inlined in the pair lambdas, embedding[i] was re-quantized for
@@ -1834,12 +1834,19 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(CAST(x AS DOUBLE) * 1000000 + 0.5 AS BIGINT))"
         ).alias("q")
     )
+    # r14 second pass: generate only the UPPER TRIANGLE i <= j — d(d+1)/2
+    # cells instead of d², halving the dominant explode+agg corpus pass.
+    # The lower triangle is mirrored after the collect below: cell (j, i)
+    # aggregates the SAME row set (rows with size > max(i, j)), the same
+    # Σ xi·xj (per-row products commute exactly in integers), and swaps
+    # sxi/sxj — whose roles in covq multiply, and IEEE double
+    # multiplication is commutative — so c_ji is bit-identical to c_ij.
     terms = q.select(
         F.explode(
             F.expr(
                 """
                 flatten(transform(sequence(0, size(q) - 1), i ->
-                    transform(sequence(0, size(q) - 1), j ->
+                    transform(sequence(i, size(q) - 1), j ->
                         struct(
                             CAST(i AS INT) AS i, CAST(j AS INT) AS j,
                             q[i] AS xi, q[j] AS xj))))
@@ -1852,63 +1859,88 @@ def llm_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("sxi").cast("double") / F.col("n"))
         * (F.col("sxj").cast("double") / F.col("n"))
     ) / 1e12
-    cov = (
-        terms.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(
-                (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
-            ).alias("sp"),
-            F.sum(F.col("xi").cast("decimal(38,0)")).alias("sxi"),
-            F.sum(F.col("xj").cast("decimal(38,0)")).alias("sxj"),
-        )
-        .select("i", "j", _q6(covq).alias("c"))
-        .transform(_pin, eager=False)
+    cov = terms.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
+        ).alias("sp"),
+        F.sum(F.col("xi").cast("decimal(38,0)")).alias("sxi"),
+        F.sum(F.col("xj").cast("decimal(38,0)")).alias("sxj"),
+    ).select("i", "j", _q6(covq).alias("c"))
+
+    # r14 second pass (VERDICT r13 items 5/7 precedent — the markov / PAV
+    # device): the 8 power iterations ran as ~32 chained pinned join/agg
+    # plans over the d-row state — pure stage scheduling at every scale.
+    # The covariance is bounded at d² rows BY CONSTRUCTION (d = the fixed
+    # embedding width, independent of corpus size), i.e. the sanctioned
+    # §5 bounded-collect class: one corpus-pass job collects it, and the
+    # iterations run in plain Python with IDENTICAL arithmetic — the same
+    # IEEE-754 double products in the same order, dsum's trunc-toward-zero
+    # long addends (Python int()) summed exactly (order-free integer sums),
+    # the same /1e6, math.sqrt = IEEE sqrt — so every intermediate vector,
+    # and the output, is bit-identical to the former join spelling.
+    import math
+
+    cov_rows = [(r["i"], r["j"], r["c"]) for r in cov.collect()]
+    # mirror the lower triangle (bit-exact — see the terms comment above)
+    cov_rows += [(j, i, c) for i, j, c in cov_rows if i != j]
+
+    def py_dsum(xs) -> float | None:
+        # mirror of registry.dsum: sum of cast(x*1e6+0.5 as long), /1e6;
+        # SUM skips NULL addends and is NULL over zero non-null rows
+        tot, seen = 0, False
+        for x in xs:
+            if x is None:
+                continue
+            seen = True
+            tot += int(x * 1000000.0 + 0.5)
+        return float(tot) / 1000000.0 if seen else None
+
+    def py_q6(x: float | None) -> float | None:
+        # scalar mirror of _q6: trunc-toward-zero of x*1e6+0.5, then /1e6
+        if x is None:
+            return None
+        return float(int(x * 1000000.0 + 0.5)) / 1000000.0
+
+    dims = sorted({i for i, _, _ in cov_rows})
+    d = len(dims)
+    out_schema = (
+        "dim int, loading double, eigenvalue double, explained_share double"
     )
-    dims = cov.select(F.col("i").alias("dim")).distinct()
-    nd = dims.agg(F.count(F.lit(1)).alias("d"))
-    v = (
-        dims.crossJoin(F.broadcast(nd))
-        .select(
-            "dim",
-            (F.lit(1.0) / F.sqrt(F.col("d").cast("double"))).alias("v"),
-        )
-        .transform(_pin, eager=False)
-    )
-    nrm_row = None
+    if d == 0:
+        return spark.createDataFrame([], out_schema)
+    v = {dim: 1.0 / math.sqrt(float(d)) for dim in dims}
+    nrm: float | None = None
     for _ in range(_PCA_ITERS):
-        w = (
-            cov.join(v.select(F.col("dim").alias("j"), "v"), "j")
-            .groupBy(F.col("i").alias("dim"))
-            .agg(dsum(F.col("c") * F.col("v") * F.lit(1000.0)).alias("w"))
-            .transform(_pin, eager=False)
-        )
-        nrm_row = w.agg(
-            F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nrm")
-        ).transform(_pin, eager=False)
-        v = (
-            w.crossJoin(F.broadcast(nrm_row))
-            .select(
-                "dim",
-                _q6(
-                    F.col("w") / F.nullif(F.col("nrm"), F.lit(0.0))
-                ).alias("v"),
+        w = {
+            dim: py_dsum(
+                (c * v[j]) * 1000.0 if v[j] is not None else None
+                for i, j, c in cov_rows
+                if i == dim
             )
-            .transform(_pin, eager=False)
+            for dim in dims
+        }
+        s = py_dsum(
+            wi * wi if wi is not None else None for wi in w.values()
         )
-    tr = cov.where(F.col("i") == F.col("j")).agg(dsum("c").alias("trace"))
-    return (
-        v.crossJoin(F.broadcast(nrm_row))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            "dim",
-            F.col("v").alias("loading"),
-            _q6(F.col("nrm") / F.lit(1000.0)).alias("eigenvalue"),
-            _q6(
-                F.col("nrm") / F.lit(1000.0)
-                / F.nullif(F.col("trace"), F.lit(0.0))
-            ).alias("explained_share"),
-        )
+        nrm = math.sqrt(s) if s is not None else None
+        v = {
+            dim: py_q6(
+                w[dim] / nrm
+                if nrm is not None and nrm != 0.0 and w[dim] is not None
+                else None
+            )
+            for dim in dims
+        }
+    trace = py_dsum(c for i, j, c in cov_rows if i == j)
+    eig = py_q6(nrm / 1000.0 if nrm is not None else None)
+    share = py_q6(
+        (nrm / 1000.0) / trace
+        if nrm is not None and trace is not None and trace != 0.0
+        else None
+    )
+    return spark.createDataFrame(
+        [(dim, v[dim], eig, share) for dim in dims], out_schema
     )
 
 
