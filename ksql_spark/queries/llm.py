@@ -6890,22 +6890,49 @@ def llm_emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         % F.lit(4294967296)
     )
     e = load(spark, sf_dir, "embeddings")
+    # r14 (guide §1.2 per-task work): the prefix slice+cast and its L2 norm
+    # depend on ONE side only, but sat inside the pair projection — each of
+    # the 256 sample rows re-sliced and re-normed once per PAIR (127x
+    # redundancy: 2 slices + 2 norm folds x 4 dims per pair, 32,640 pairs).
+    # They now project once per sample row INSIDE the pin; the pair stage
+    # computes only the dot folds. Bit-identical: same slice/cast/fold
+    # expressions over the same values, evaluated earlier (dot()'s internal
+    # re-cast is a no-op on the pre-cast double arrays), and the cosine
+    # combines the same three doubles as before.
     samp = (
         e.select("vec_id", F.col("embedding").alias("emb"))
         .orderBy(hash_col.asc(), F.col("vec_id").asc())
         .limit(_MRL_SAMPLE)
+        .select(
+            "vec_id",
+            *[
+                F.slice(F.col("emb"), 1, d)
+                .cast("array<double>")
+                .alias(f"e{d}")
+                for d in _MRL_DIMS
+            ],
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"e{d}") for d in _MRL_DIMS],
+            *[
+                vectors.l2_norm(F.col(f"e{d}")).alias(f"n{d}")
+                for d in _MRL_DIMS
+            ],
+        )
         .transform(scale_pin, eager=False)
     )
     a = samp.alias("a")
     b = samp.alias("b")
 
     def cos_d(d: int):
-        ea = F.slice(F.col("a.emb"), 1, d).cast("array<double>")
-        eb = F.slice(F.col("b.emb"), 1, d).cast("array<double>")
-        na = vectors.l2_norm(ea)
-        nb = vectors.l2_norm(eb)
+        na = F.col(f"a.n{d}")
+        nb = F.col(f"b.n{d}")
         return _Q6(
-            F.when((na > 0) & (nb > 0), vectors.dot(ea, eb) / (na * nb))
+            F.when(
+                (na > 0) & (nb > 0),
+                vectors.dot(F.col(f"a.e{d}"), F.col(f"b.e{d}")) / (na * nb),
+            )
         )
 
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
