@@ -3819,55 +3819,61 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             vectors.l2_norm("a_emb") * vectors.l2_norm("b_emb"),
         )
     )
-    sims = (
-        a.join(b, F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", sim.alias("sim"))
-        .transform(pin, eager=False)
+    sims = a.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id", "b_id", sim.alias("sim")
     )
-    crel = cand.select("vec_id", "rel")
-    picked = (
-        crel.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            "vec_id",
-            "rel",
-            _q6(F.lit(lam) * F.col("rel")).alias("mmr_score"),
-        )
-    )
-    acc = picked
+    # r14 (the markov/PAV device): the 10 greedy steps ran as pinned
+    # anti/semi/union plans over tables bounded BY CONSTRUCTION at
+    # _MMR_CAND rows (the top-20 limit) — ~10 checkpoint materializations
+    # of pure stage scheduling. Both inputs are the sanctioned §5
+    # bounded-collect class (20 rel rows, 20·19 sim rows); the greedy runs
+    # in plain Python with IDENTICAL arithmetic — the q6-quantized sims
+    # collected as computed by the same Spark folds, the same
+    # (lam·rel) − ((1−lam)·max sim) IEEE expression (1.0−lam was already a
+    # Python-side literal), the same trunc-toward-zero q6, the same
+    # (score DESC NULLS LAST, vec_id ASC) pick order — so the chain, and
+    # the output, is bit-identical to the former plan loop.
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sv: dict = {}
+    for r in sims.collect():
+        sv.setdefault(r["a_id"], {})[r["b_id"]] = r["sim"]
+
+    def py_q6(x: float | None) -> float | None:
+        if x is None:
+            return None
+        return float(int(x * 1000000.0 + 0.5)) / 1000000.0
+
+    out_schema = "rank int, vec_id long, relevance double, mmr_score double"
+    if not rel:
+        return spark.createDataFrame([], out_schema)
+    first_id = min(rel, key=lambda v: (-rel[v], v))
+    rows = [(1, first_id, rel[first_id], py_q6(lam * rel[first_id]))]
+    picked_ids = [first_id]
     for t in range(2, _MMR_K + 1):
-        remaining = crel.join(acc.select("vec_id"), "vec_id", "anti")
-        scores = (
-            remaining.join(sims, remaining["vec_id"] == sims["a_id"])
-            .join(
-                acc.select(F.col("vec_id").alias("p_id")),
-                F.col("b_id") == F.col("p_id"),
-                "semi",
+        if len(picked_ids) == len(rel):
+            break  # mirror of the old loop: an empty remaining set picks nothing
+        scores = {}
+        for v in rel:
+            if v in picked_ids:
+                continue
+            ss = [
+                sv[v][p]
+                for p in picked_ids
+                if sv.get(v, {}).get(p) is not None
+            ]
+            mx = max(ss) if ss else None  # F.max skips NULLs; all-NULL -> NULL
+            scores[v] = py_q6(
+                lam * rel[v] - (1.0 - lam) * mx if mx is not None else None
             )
-            .groupBy(remaining["vec_id"], "rel")
-            .agg(
-                _q6(
-                    F.lit(lam) * F.first("rel")
-                    - F.lit(1.0 - lam) * F.max("sim")
-                ).alias("mmr_score")
-            )
+        pick = min(
+            scores,
+            key=lambda v: (
+                (0, -scores[v], v) if scores[v] is not None else (1, 0.0, v)
+            ),
         )
-        pick = (
-            scores.orderBy(F.col("mmr_score").desc(), "vec_id")
-            .limit(1)
-            .select(F.lit(t).alias("rank"), "vec_id", "rel", "mmr_score")
-        )
-        # pin per step: acc feeds three operators per iteration (anti,
-        # semi, union) — unpinned, the logical plan grows 3^k subtrees
-        # and the ANALYZER itself OOMs before any data moves
-        acc = acc.unionByName(pick).transform(pin, eager=False)
-    return acc.select(
-        F.col("rank").cast("int").alias("rank"),
-        "vec_id",
-        F.col("rel").alias("relevance"),
-        "mmr_score",
-    )
+        rows.append((t, pick, rel[pick], scores[pick]))
+        picked_ids.append(pick)
+    return spark.createDataFrame(rows, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -2049,12 +2049,13 @@ def test_orphans_onepass_minimal_scans(spark):
 
 def test_mmr_bounded_greedy_tail(spark):
     """K133: candidate generation is the broadcast-anchor corpus pass;
-    the 20x20 sims and every greedy step are pinned bounded tables — the
-    final plan reads checkpoints, not the corpus, and the analyzer
-    survives the 10-step unroll (unpinned acc grows 3^k subtrees)."""
+    the greedy tail is solved on the driver over the CAND-bounded rel/sims
+    collects (r14 — the sanctioned bounded-collect class), so the entry
+    plan is the literal result: zero corpus scans, no pair plan at all."""
     plan = plan_of(spark, "llm_mmr_rerank")
     assert "CartesianProduct" not in plan
-    assert plan.count("Scan parquet") == 0  # all inputs pinned by build time
+    assert plan.count("Scan parquet") == 0  # result is a literal local table
+    assert "ExistingRDD" in plan
 
 
 def test_mmr_candidates_take_ordered(spark):
@@ -2161,7 +2162,9 @@ _WINDOW_SWEEP_SKIP = ("scan_k8s", "join_bucketed_colocated")
 #: iteration, greedy selection, IRLS ladders, component resolution): with
 #: pins stubbed to identity their logical plan grows exponentially in the
 #: loop depth — merely CONSTRUCTING the unpinned plan OOMs the driver
-#: (measured: llm_bradley_terry_sources and llm_mmr_rerank at sf0.01).
+#: (measured: llm_bradley_terry_sources at sf0.01; llm_mmr_rerank was the
+#: other measured case until r14 moved its greedy tail to the driver and
+#: it left this list).
 #: These are excluded from the PRE-pin sweep only; their pinned plans still
 #: pass the main gate, and their per-entry plan gates pin the iteration
 #: shapes (test_estimation/test_pipeline_audit/graph suites).
@@ -2172,7 +2175,6 @@ _PREPIN_ITERATIVE_SKIP = (
     "events_attribution_markov",
     "llm_bradley_terry_sources",
     "llm_dedup_cluster",  # connected-components loop (and _portable twin)
-    "llm_mmr_rerank",
     "llm_pipeline_e2e_scaled",
 )
 
