@@ -1093,11 +1093,22 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ksql_spark.operators import vectors
 
-    qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
-    ce = e.select(F.col("vec_id").alias("cid2"), F.col("embedding").alias("c_emb"))
+    # r14 (guide §1.2, the matryoshka device): each side's norm fold is a
+    # one-side function — projected once per join input row instead of once
+    # per candidate pair; same expression, bit-identical cosines.
+    qe = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        vectors.l2_norm("embedding").alias("q_n"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("cid2"),
+        F.col("embedding").alias("c_emb"),
+        vectors.l2_norm("embedding").alias("c_n"),
+    )
     cos = F.try_divide(
         vectors.dot("q_emb", "c_emb"),
-        vectors.l2_norm("q_emb") * vectors.l2_norm("c_emb"),
+        F.col("q_n") * F.col("c_n"),
     )
     from pyspark.sql import Window
 
@@ -1226,28 +1237,38 @@ def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = vectors.l2_sq_dist("embedding", "c_emb")
     aw = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cent_id"))
+    # r14 (guide §1.2, the matryoshka device): one-side norm folds projected
+    # once per row on each join input instead of once per (query, candidate)
+    # pair; same expression, bit-identical cosines.
     assigned = (
         e.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "cent_id", dist.alias("d"))
         .withColumn("rn", F.row_number().over(aw))
         .where(F.col("rn") == 1)
-        .select("vec_id", F.col("embedding").alias("a_emb"), F.col("cent_id").alias("cell"))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("a_emb"),
+            vectors.l2_norm("embedding").alias("a_n"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     qdist = vectors.l2_sq_dist("q_emb", "c_emb")
     q = e.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vectors.l2_norm("embedding").alias("q_n"),
     )
     pw = Window.partitionBy("query_id").orderBy(F.col("qd").asc(), F.col("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "q_emb", "cent_id", qdist.alias("qd"))
+        .select("query_id", "q_emb", "q_n", "cent_id", qdist.alias("qd"))
         .withColumn("rn", F.row_number().over(pw))
         .where(F.col("rn") <= _IVF_NPROBE)
-        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+        .select("query_id", "q_emb", "q_n", F.col("cent_id").alias("cell"))
     )
     cos = F.try_divide(
         vectors.dot("q_emb", "a_emb"),
-        vectors.l2_norm("q_emb") * vectors.l2_norm("a_emb"),
+        F.col("q_n") * F.col("a_n"),
     )
     tw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

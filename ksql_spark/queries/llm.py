@@ -651,26 +651,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie-break, in one narrow pass — assignments are bit-identical.
     from ksql_spark.queries.curation import _ivf_cell_of
 
+    # r14 (guide §1.2 per-task work, the matryoshka device): both norms are
+    # one-side functions but sat inside the per-pair cosine — each 64-dim
+    # norm fold re-ran once per (query, candidate) row. Projected once per
+    # row on each join input instead; same expression over the same values,
+    # so the cosine doubles are bit-identical.
     assigned = e.select(
-        "vec_id", "embedding", _ivf_cell_of(cent_rows, F.col("embedding")).alias("cent_id")
+        "vec_id",
+        "embedding",
+        _ivf_cell_of(cent_rows, F.col("embedding")).alias("cent_id"),
+        vectors.l2_norm("embedding").alias("e_n"),
     )
     q = e.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        vectors.l2_norm("embedding").alias("q_n"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("qd").asc(), F.col("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
         .select(
-            "query_id", "q_emb", "cent_id",
+            "query_id", "q_emb", "q_n", "cent_id",
             vectors.l2_sq_dist("q_emb", "cent_emb").alias("qd"),
         )
         .withColumn("prn", F.row_number().over(probe_w))
         .where(F.col("prn") <= nprobe)
-        .select("query_id", "q_emb", "cent_id")
+        .select("query_id", "q_emb", "q_n", "cent_id")
     )
     cos = F.try_divide(
         vectors.dot("q_emb", "embedding"),
-        vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
+        F.col("q_n") * F.col("e_n"),
     )
     topk_w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

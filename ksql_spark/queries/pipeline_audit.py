@@ -3757,8 +3757,14 @@ def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ksql_spark.operators import vectors
 
     e = load(spark, sf_dir, "embeddings")
+    # r14 (guide §1.2, the matryoshka device): the anchor's 64-dim norm
+    # fold ran once per CORPUS ROW inside the per-row relevance expression;
+    # it is a function of the 1-row broadcast side only, so it is computed
+    # once in the broadcast build. Same expression over the same value —
+    # the relevance doubles are bit-identical.
     q = e.where(F.col("vec_id") == _MMR_QUERY).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        vectors.l2_norm("embedding").alias("q_n"),
     )
     # try_divide + null filter: a zero-norm vector exists on degenerate
     # corpora (house ANSI rule — NULL, never a job abort; the oracle's
@@ -3766,7 +3772,7 @@ def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = _q6(
         F.try_divide(
             vectors.dot("q_emb", "embedding"),
-            vectors.l2_norm("q_emb") * vectors.l2_norm("embedding"),
+            F.col("q_n") * vectors.l2_norm("embedding"),
         )
     )
     return (
