@@ -2313,9 +2313,21 @@ def cms_sketch(toks: DataFrame) -> DataFrame:
     sketch — the law tests/test_llm_quality.py pins, mirroring
     bloom_sketch's bit_or merge."""
     js = F.array(*[F.lit(j) for j in range(_CMS_ROWS)])
+    # r14 (guide §1.2 per-task work): md5(w) is j-invariant — inlined in
+    # the per-(row, j) position expression it was hashed _CMS_ROWS times
+    # per token. Hash once per token BEFORE the explode; the positions
+    # read slices of the same hex string, so every (j, pos, cnt) counter
+    # is bit-identical.
     return (
-        toks.select("w", F.explode(js).alias("j"))
-        .select("j", _cms_pos_expr().alias("pos"))
+        toks.select(F.md5(F.col("w").cast("binary")).alias("h"))
+        .select("h", F.explode(js).alias("j"))
+        .select(
+            "j",
+            F.expr(
+                "CAST(conv(substring(h, 1 + 8 * j, 8), 16, 10) AS BIGINT)"
+                f" % {_CMS_WIDTH}"
+            ).alias("pos"),
+        )
         .groupBy("j", "pos")
         .agg(F.count("*").alias("cnt"))
     )
