@@ -2647,6 +2647,10 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     #     value-collapse tables)
     "orders_kendall_tau_daily", "orders_allen_cunneen_wait",
     "customer_theil_decomposition", "orders_jonckheere_terpstra",
+    # (d) r14: the 256-row TakeOrdered sample pin (with per-row prefix
+    #     arrays/norms projected above the limit, AQE materializes the
+    #     sample stage when the lazy pin resolves its RDD at build time)
+    "llm_emb_matryoshka_eval",
     # (d) 1-row scalar-subquery pins (bounded broadcast aggregates whose
     #     upstream exchange AQE materializes at plan time)
     "tpch_q2_official_shape", "tpch_q11_important_stock",
