@@ -1353,10 +1353,20 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"s{h}")
 
     sig_cols = [_sig(h) for h in range(n_hash)]
-    s = (
+    # LAZY pin (r14, guide §1.2 step 1 — the r13 banded-table device,
+    # already the posture in minhash_near_dups_portable): `s` feeds BOTH
+    # sides of the blocked pair join below, and the subtrees differ (probe
+    # explode vs bucket), so ReuseExchange never fires and the scan +
+    # 3-gram shingle + 8 md5-per-gram signature pipeline ran TWICE per
+    # execution. The pinned payload is (doc_id, source, 8 fixed hex
+    # strings) — never the text or the gram arrays.
+    from ksql_spark.operators.scale import pin as _pin
+
+    s = _pin(
         d.where(F.size(text_ops.words("text")) >= 3)
         .select("doc_id", "source", grams_col.alias("grams"))
-        .select("doc_id", "source", *sig_cols)
+        .select("doc_id", "source", *sig_cols),
+        eager=False,
     )
     # id-bucket fan-out on the equi-key (round-8 probe, bit-exact — the
     # llm_ngram_containment rationale): directional Δ<=20 pairs need only

@@ -2676,6 +2676,9 @@ _BUILD_TIME_JOB_ENTRIES = frozenset({
     #     and position rows only, never text; the whole family is listed —
     #     which member pays the jobs depends on sweep order)
     "llm_substring_dedup_apply", "llm_substring_dup_spans",
+    # (e) r14 MinHash-estimate signature lazy pin ((doc_id, source, 8 hex
+    #     strings), never text/grams; both blocked-join sides read it)
+    "llm_minhash_estimate",
     # (w) writers — the build-time job IS the audited write
     "join_bucketed_colocated", "llm_shard_write_audit",
     "sort_zorder_write_audit",
