@@ -78,7 +78,23 @@ def coship_adj(
     # lazy materialization (VERDICT r11): the first consuming action
     # computes the edge list ONCE and persists it; every later iteration
     # job reuses the checkpointed RDD — build time stays job-free.
-    return adj.transform(pin_invariant) if checkpoint else adj
+    #
+    # r14 session 2: the pinned layout is repartitioned by the iteration
+    # join key to the session's parallelism BEFORE the pin (the
+    # connected_components precedent, a4f294b). The distinct's output is
+    # AQE-coalesced to ~1 partition (a 999k-row edge list is only ~16 MB
+    # of map output), so every iterative consumer's relax join — and with
+    # the broadcast-state device the WHOLE relax+partial-agg pipeline,
+    # which no longer has its own exchange to re-spread it — ran
+    # single-task over the pinned RDD. One extra |E|-row exchange at
+    # build time buys n-way round execution (interleaved A/B on the
+    # landmark rounds: broadcast-over-1-partition 17-22 s vs
+    # broadcast-over-fanned 10.4-10.6 s entry total).
+    if not checkpoint:
+        return adj
+    return pin_invariant(
+        adj.repartition(fan_parts(li.sparkSession), "s1")
+    )
 
 
 @query(
@@ -241,6 +257,32 @@ def bfs(spark: SparkSession, adj: DataFrame, start: int, max_depth: int) -> Data
     return bfs_frontier(pin_invariant(adj), start_df, max_depth)
 
 
+def _bfs_level(
+    frontier: DataFrame, visited: DataFrame, adj: DataFrame, d: int
+) -> DataFrame:
+    """One BFS level: frontier's neighbors, minus already-visited nodes.
+    Module-level so tools/probe_relax_plans.py dumps the EXACT executed
+    level plan as before/after evidence (the loop hides it behind pins).
+
+    r14 (the graph_sssp_weighted device, guide §3.1/§2.4): both the
+    frontier and the visited set are O(|V|)-row pinned tables the planner
+    sort-merge-joined against the |E|-row pinned adjacency resp. the
+    distinct output (ExistingRDD stats never clear the auto-broadcast
+    threshold), re-exchanging and re-sorting the edge list every level.
+    Broadcasting them leaves the edge list where it sits and turns the
+    anti-join into a BroadcastHashJoin LeftAnti; both levels already pay
+    per-level pins (the sssp-win posture). distinct/anti-join are set
+    operations — the result is bit-identical."""
+    return (
+        F.broadcast(frontier)
+        .join(adj, frontier.suppkey == adj.s1)
+        .select(F.col("s2").alias("suppkey"))
+        .distinct()
+        .join(F.broadcast(visited), "suppkey", "left_anti")
+        .withColumn("depth", F.lit(d))
+    )
+
+
 def bfs_frontier(adj: DataFrame, start_df: DataFrame, max_depth: int) -> DataFrame:
     """BFS whose seed frontier is a DataFrame (suppkey, depth=0) rather than
     a driver-side constant — the double-sweep diameter device needs the
@@ -252,13 +294,7 @@ def bfs_frontier(adj: DataFrame, start_df: DataFrame, max_depth: int) -> DataFra
     visited = start_df
     frontier = visited
     for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(adj, frontier.suppkey == adj.s1)
-            .select(F.col("s2").alias("suppkey"))
-            .distinct()
-            .join(visited, "suppkey", "left_anti")
-            .withColumn("depth", F.lit(d))
-        )
+        nxt = _bfs_level(frontier, visited, adj, d)
         if d < max_depth:
             # truncate lineage per level — without this, frontier/visited plans
             # nest exponentially (each level re-derives every prior level) and
@@ -1506,6 +1542,45 @@ def _landmark_oracle(final_select: str | None = None) -> str:
     return "".join(parts)
 
 
+def _lm_relax(d: DataFrame, adj: DataFrame) -> DataFrame:
+    """One landmark-BFS relaxation round: min(own distance ∪ neighbor
+    distances + 1) per (landmark, node), plus the fused changed flag.
+    Module-level so tools/probe_relax_plans.py dumps the EXACT executed
+    round plan as before/after evidence (the loop hides it behind pins).
+
+    r14 (the graph_sssp_weighted device, guide §3.1/§2.4): broadcast the
+    O(|landmarks|·|V|)-row pinned state — un-hinted, the planner
+    sort-merge-joined state with the pinned adjacency, re-exchanging AND
+    re-sorting the full |E|-row edge list every round (the state side is an
+    ExistingRDD, so its stats never clear the auto-broadcast threshold).
+    State is 24 B/row × 4 landmarks: ~96 MB per million suppliers, under
+    broadcast limits at any plausible |V|; it is pinned per round, so the
+    BroadcastExchange drags no iteration lineage, and the loop already
+    pays per-round pins — exactly the posture where the sssp A/B won 1.9×
+    (vs pagerank, whose fused loop rejected the transplant). min() is
+    order-independent, so the result is bit-identical."""
+    relaxed = F.broadcast(d).join(adj, d.s == adj.s1).select(
+        "lm", F.col("s2").alias("s"), (F.col("dist") + 1).alias("dist")
+    )
+    return (
+        d.withColumn("own", F.lit(True))
+        .unionByName(relaxed.withColumn("own", F.lit(False)))
+        .groupBy("lm", "s")
+        .agg(
+            F.min("dist").alias("dist"),
+            F.min(F.when(F.col("own"), F.col("dist"))).alias("own_d"),
+        )
+        .select(
+            "lm",
+            "s",
+            "dist",
+            (
+                F.col("own_d").isNull() | (F.col("dist") < F.col("own_d"))
+            ).alias("changed"),
+        )
+    )
+
+
 @query(
     "graph_landmark_distances",
     oracle=_landmark_oracle(),
@@ -1535,9 +1610,6 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(x, x, 0) for x in _LANDMARKS], "lm long, s long, dist long"
     )
     for _ in range(_LM_ROUNDS):
-        relaxed = d.join(adj, d.s == adj.s1).select(
-            "lm", F.col("s2").alias("s"), (F.col("dist") + 1).alias("dist")
-        )
         # Fused changed-test + early exit (r14, the connected_components
         # device): hop distances never improve once set (first reach is
         # shortest under synchronous relaxation), so a round that changes
@@ -1549,24 +1621,7 @@ def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round is a no-op. On the dense co-ship graph every node is ~1
         # hop from every landmark, so 1 of the 3 declared rounds does the
         # work and the other two relaxed ~4M state⋈edge rows for nothing.
-        nxt = (
-            d.withColumn("own", F.lit(True))
-            .unionByName(relaxed.withColumn("own", F.lit(False)))
-            .groupBy("lm", "s")
-            .agg(
-                F.min("dist").alias("dist"),
-                F.min(F.when(F.col("own"), F.col("dist"))).alias("own_d"),
-            )
-            .select(
-                "lm",
-                "s",
-                "dist",
-                (
-                    F.col("own_d").isNull()
-                    | (F.col("dist") < F.col("own_d"))
-                ).alias("changed"),
-            )
-        ).transform(pin, eager=False)
+        nxt = _lm_relax(d, adj).transform(pin, eager=False)
         changed = nxt.where("changed").limit(1).count()
         d = nxt.drop("changed")
         if changed == 0:
@@ -2279,6 +2334,18 @@ def _hits_oracle() -> str:
     """
 
 
+def _hits_contrib(
+    edges: DataFrame, score: DataFrame, key: str, other: str, val: str
+) -> DataFrame:
+    """One HITS half-step contribution: ship the score vector across the
+    bipartite edges and dsum it on the other side's key. Module-level so
+    tools/probe_relax_plans.py dumps the EXACT executed half-step plan as
+    before/after evidence (the loop hides it behind pins)."""
+    from ksql_spark.registry import dsum
+
+    return edges.join(score, key).groupBy(other).agg(dsum(val).alias("c"))
+
+
 @query(
     "graph_hits",
     oracle=_hits_oracle(),
@@ -2323,21 +2390,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = edges.select("s").distinct().select("s", F.lit(1.0).alias("h"))
     for _ in range(_HITS_ITERS):
-        araw = (
-            edges.join(h, "s")
-            .groupBy("p")
-            .agg(dsum("h").alias("c"))
-            .transform(pin, eager=False)
+        araw = _hits_contrib(edges, h, "s", "p", "h").transform(
+            pin, eager=False
         )
         asum = araw.agg(dsum("c").alias("t"))
         a = araw.crossJoin(F.broadcast(asum)).select(
             "p", (F.col("c") / F.nullif(F.col("t"), F.lit(0.0))).alias("a")
         )
-        hraw = (
-            edges.join(a, "p")
-            .groupBy("s")
-            .agg(dsum("a").alias("c"))
-            .transform(pin, eager=False)
+        hraw = _hits_contrib(edges, a, "p", "s", "a").transform(
+            pin, eager=False
         )
         hsum = hraw.agg(dsum("c").alias("t"))
         h = hraw.crossJoin(F.broadcast(hsum)).select(

@@ -1215,6 +1215,50 @@ def test_landmark_bfs_state_joins_are_keyed(spark):
     assert "Window" not in plan
 
 
+def test_relax_rounds_broadcast_pinned_state(spark):
+    """r14 session 2 (the graph_sssp_weighted device fanned out): one
+    landmark relax round and one BFS level — rebuilt over pinned inputs,
+    exactly what the loops execute — must broadcast the O(|V|)-row state
+    side instead of sort-merge-joining it (which re-exchanged AND
+    re-sorted the |E|-row pinned edge list every round; ExistingRDD stats
+    never clear the auto-broadcast threshold, so this requires the
+    explicit hint the fix added)."""
+    from pyspark.sql import functions as F
+
+    from ksql_spark.operators.scale import pin
+    from ksql_spark.queries.graph import (
+        _LANDMARKS,
+        _bfs_level,
+        _lm_relax,
+        coship_adj,
+    )
+    from ksql_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    adj = coship_adj(li, checkpoint=True)
+    d = spark.createDataFrame(
+        [(x, x, 0) for x in _LANDMARKS], "lm long, s long, dist long"
+    )
+    d1 = pin(_lm_relax(d, adj).drop("changed"), eager=False)
+    round_plan = (
+        _lm_relax(d1, adj)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in round_plan
+    assert "SortMergeJoin" not in round_plan
+
+    adj_b = pin(coship_adj(li, exclude_self=False), eager=False)
+    seed = spark.createDataFrame([(0, 0)], "suppkey long, depth int")
+    f1 = pin(_bfs_level(seed, seed, adj_b, 1), eager=False)
+    level_plan = (
+        _bfs_level(f1, seed.unionByName(f1), adj_b, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert level_plan.count("BroadcastHashJoin") >= 2  # inner + anti
+    assert "SortMergeJoin" not in level_plan
+
+
 def test_stl_windows_calendar_bounded(spark):
     """D35: the only corpus-sized pass is the (type, day) agg; the 7-row
     window and seasonal join run on the checkpointed daily table (no
